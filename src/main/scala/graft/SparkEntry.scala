@@ -18,14 +18,34 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_clean_filter" -> ((s, dir) => Relational.cleanFilter(s, dir)),
+    "q02_derive_amount" -> ((s, dir) => Relational.deriveAmount(s, dir)),
+    "q03_date_days" -> ((s, dir) => Relational.dateDays(s, dir)),
     "q04_rfm" -> ((s, dir) => Rfm.rfmOrders(s, dir)),
     "q05_rfm_lineitem" -> ((s, dir) => Rfm.rfmLineitem(s, dir)),
+    "q06_zscore" -> ((s, dir) => Relational.zscore(s, dir)),
+    "q07_plot_bounds" -> ((s, dir) => Relational.plotBounds(s, dir)),
+    "q08_distinct_count" -> ((s, dir) => Relational.distinctCount(s, dir)),
+    "q10_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
+    "q11_window_rank" -> ((s, dir) => Relational.windowRank(s, dir)),
+    "q12_star_join" -> ((s, dir) => Relational.starJoin(s, dir)),
+    "q13_semi_anti_join" -> ((s, dir) => Relational.semiAntiJoin(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q01_clean_filter" -> Relational.cleanFilterSql,
+    "q02_derive_amount" -> Relational.deriveAmountSql,
+    "q03_date_days" -> Relational.dateDaysSql,
     "q04_rfm" -> Rfm.rfmOrdersSql,
     "q05_rfm_lineitem" -> Rfm.rfmLineitemSql,
+    "q06_zscore" -> Relational.zscoreSql,
+    "q07_plot_bounds" -> Relational.plotBoundsSql,
+    "q08_distinct_count" -> Relational.distinctCountSql,
+    "q10_top_customers" -> Relational.topCustomersSql,
+    "q11_window_rank" -> Relational.windowRankSql,
+    "q12_star_join" -> Relational.starJoinSql,
+    "q13_semi_anti_join" -> Relational.semiAntiJoinSql,
   )
 }

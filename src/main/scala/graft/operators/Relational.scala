@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator queries mapped onto the driver testdata, one per
+  * SURVEY §2.2/§2.3 operator (plus the sort/limit/window extensions of
+  * §2.6 exercised on the star schema).
+  *
+  * Column-name and float-determinism conventions: see [[Rfm]] scaladoc.
+  * All outputs use lowercase column names identical to the oracle SQL.
+  */
+object Relational {
+
+  /** P1 — row-cleaning filter (reference `src/data.rs:106-112`:
+    * `Quantity > 0 AND UnitPrice > 0 AND CustomerID IS NOT NULL`), mapped to
+    * lineitem. Pure filter+project: Catalyst pushes both into the parquet
+    * scan (PushedFilters + ReadSchema pruning — the scan reads 4 of 11
+    * columns), so at 100 TB this is a narrow scan with no shuffle at all. */
+  def cleanFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0.0 &&
+        col("l_orderkey").isNotNull)
+      .select(col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("extendedprice"))
+
+  val cleanFilterSql: String =
+    """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+      |       l_quantity AS quantity, l_extendedprice AS extendedprice
+      |FROM lineitem
+      |WHERE l_quantity > 0 AND l_extendedprice > 0.0 AND l_orderkey IS NOT NULL""".stripMargin
+
+  /** P3 — derived arithmetic column (reference `TotalAmount = Quantity *
+    * UnitPrice`, `src/data.rs:124`) as lineitem net revenue. Per-row IEEE
+    * arithmetic on identical inputs — deterministic, no rounding needed. */
+  def deriveAmount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("amount"))
+
+  val deriveAmountSql: String =
+    """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+      |       l_extendedprice * (1.0 - l_discount) AS amount
+      |FROM lineitem""".stripMargin
+
+  /** P2+P4 — timestamp→fractional-days epoch arithmetic (reference
+    * `src/data.rs:166-169`: µs/1e6/86400; here a single ms/86400000.0
+    * divide, same value, one IEEE op). */
+  def dateDays(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        (Rfm.epochMs(col("l_shipdate")).cast(DoubleType) / 86400000.0)
+          .as("shipdate_days"))
+
+  val dateDaysSql: String =
+    """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+      |       CAST(epoch_ms(l_shipdate) AS DOUBLE) / 86400000.0 AS shipdate_days
+      |FROM lineitem""".stripMargin
+
+  /** A5+A6+M1-M3 — z-score standardization with POPULATION std floored at
+    * 1e-8 (reference `src/data.rs:16-53`; the floor at `src/data.rs:37`).
+    * Spark MLlib's StandardScaler uses sample std (n−1) — wrong here, so the
+    * scaler is expressed as plain aggregates, exactly like the reference's
+    * math. Stats are a 1-row aggregate broadcast against the feature table:
+    * two passes over a 3-column table, no wide shuffle. z-scores are rounded
+    * to 6 decimals: avg/stddev over doubles is summation-order-dependent at
+    * the last-ulp level, and rounding absorbs it (inputs are bit-identical
+    * across engines, so the 1e-12-relative drift cannot straddle a rounding
+    * boundary in practice). */
+  def zscore(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = Rfm.rfmOrders(spark, dir)
+    val stats = rfm.agg(
+      avg("recency").as("r_mu"),
+      greatest(stddev_pop("recency"), lit(1e-8)).as("r_sd"),
+      avg("frequency").as("f_mu"),
+      greatest(stddev_pop("frequency"), lit(1e-8)).as("f_sd"),
+      avg("monetary").as("m_mu"),
+      greatest(stddev_pop("monetary"), lit(1e-8)).as("m_sd"))
+    rfm.crossJoin(broadcast(stats))
+      .select(col("custkey"),
+        round((col("recency") - col("r_mu")) / col("r_sd"), 6).as("recency_z"),
+        round((col("frequency") - col("f_mu")) / col("f_sd"), 6).as("frequency_z"),
+        round((col("monetary") - col("m_mu")) / col("m_sd"), 6).as("monetary_z"))
+  }
+
+  private def zscoreOracle(body: String): String =
+    s"""WITH rfm AS ($body),
+       |stats AS (
+       |  SELECT avg(recency) AS r_mu, greatest(stddev_pop(recency), 1e-8) AS r_sd,
+       |         avg(frequency) AS f_mu, greatest(stddev_pop(frequency), 1e-8) AS f_sd,
+       |         avg(monetary) AS m_mu, greatest(stddev_pop(monetary), 1e-8) AS m_sd
+       |  FROM rfm)
+       |SELECT custkey,
+       |       round((recency - r_mu) / r_sd, 6) AS recency_z,
+       |       round((frequency - f_mu) / f_sd, 6) AS frequency_z,
+       |       round((monetary - m_mu) / m_sd, 6) AS monetary_z
+       |FROM rfm CROSS JOIN stats""".stripMargin
+
+  val zscoreSql: String = zscoreOracle(Rfm.rfmOrdersSql)
+
+  /** A9 — plot-frame bounds: min/max of Frequency & Monetary ± 0.5 padding
+    * (reference `src/viz.rs:38-50`). Single-row global aggregate. */
+  def plotBounds(spark: SparkSession, dir: String): DataFrame =
+    Rfm.rfmOrders(spark, dir).agg(
+      (min("frequency") - 0.5).as("f_min"),
+      (max("frequency") + 0.5).as("f_max"),
+      (min("monetary") - 0.5).as("m_min"),
+      (max("monetary") + 0.5).as("m_max"))
+
+  val plotBoundsSql: String =
+    s"""WITH rfm AS (${Rfm.rfmOrdersSql})
+       |SELECT min(frequency) - 0.5 AS f_min, max(frequency) + 0.5 AS f_max,
+       |       min(monetary) - 0.5 AS m_min, max(monetary) + 0.5 AS m_max
+       |FROM rfm""".stripMargin
+
+  /** A3 — exact distinct-count aggregation (reference `n_unique`,
+    * `src/data.rs:158-161`), grouped to exercise the partial-aggregate
+    * expand path. Exact (not approx) because the oracle hash-compares. */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+
+  val distinctCountSql: String =
+    """SELECT l_returnflag AS returnflag,
+      |       count(DISTINCT l_orderkey) AS n_orders,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Sort + limit (top-k) — extension beyond the reference (§2.6 lists sorts
+    * as absent there): top 10 customers by monetary, deterministic tie-break
+    * on custkey. Spark executes this as TakeOrderedAndProject — a per-
+    * partition top-k then a k-row merge on the driver, no global sort
+    * shuffle, which is the right plan at any scale. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    Rfm.rfmOrders(spark, dir)
+      .orderBy(col("monetary").desc, col("custkey"))
+      .limit(10)
+
+  val topCustomersSql: String =
+    s"""WITH rfm AS (${Rfm.rfmOrdersSql})
+       |SELECT * FROM rfm ORDER BY monetary DESC, custkey LIMIT 10""".stripMargin
+
+  /** Window function (ranking) — extension (§2.6): top-3 orders per customer
+    * by totalprice. One hash-partition shuffle on o_custkey; ranking runs
+    * within partitions, no global sort. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("totalprice"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT custkey, orderkey, totalprice, rn FROM (
+      |  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |         o_totalprice AS totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
+  /** Broadcast-join star query — extension: revenue per region/market
+    * segment. Dimension tables (region, nation, customer at this grain) are
+    * broadcast; the only shuffle is the final group-aggregate. At 100 TB the
+    * same shape holds: facts stream once, dims ship to every executor. */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+          .as("revenue"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("c_mktsegment").as("mktsegment"))
+      .agg(sum(col("revenue")).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val starJoinSql: String =
+    """SELECT r_name AS region, c_mktsegment AS mktsegment,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |            AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, c_mktsegment""".stripMargin
+
+  /** Semi/anti joins — extension (§2.6 lists them absent in the reference):
+    * customers with no orders (anti) vs with at least one order (semi),
+    * counted per market segment. Both are broadcast-able from the orders'
+    * distinct-keys side at small SF; at scale Spark picks shuffled hash. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+    semi.unionByName(anti)
+  }
+
+  val semiAntiJoinSql: String =
+    """SELECT c_mktsegment AS mktsegment, count(*) AS n, 'with_orders' AS kind
+      |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment AS mktsegment, count(*) AS n, 'without_orders' AS kind
+      |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |GROUP BY c_mktsegment""".stripMargin
+}

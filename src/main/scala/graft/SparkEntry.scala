@@ -30,6 +30,12 @@ object SparkEntry {
     "q11_window_rank" -> ((s, dir) => Relational.windowRank(s, dir)),
     "q12_star_join" -> ((s, dir) => Relational.starJoin(s, dir)),
     "q13_semi_anti_join" -> ((s, dir) => Relational.semiAntiJoin(s, dir)),
+    // ML surface (seeded, deterministic; not SQL-expressible → rows-only check)
+    "q20_cluster_sizes" -> ((s, dir) => Clustering.clusterSizes(s, dir)),
+    "q21_centroids" -> ((s, dir) => Clustering.centroids(s, dir)),
+    "q22_inertia" -> ((s, dir) => Clustering.inertia(s, dir)),
+    "q23_predict" -> ((s, dir) => Clustering.predictQuery(s, dir)),
+    "q24_silhouette" -> ((s, dir) => Clustering.silhouetteQuery(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -36,6 +36,23 @@ object SparkEntry {
     "q22_inertia" -> ((s, dir) => Clustering.inertia(s, dir)),
     "q23_predict" -> ((s, dir) => Clustering.predictQuery(s, dir)),
     "q24_silhouette" -> ((s, dir) => Clustering.silhouetteQuery(s, dir)),
+    // Dedup suite (documents / embeddings)
+    "q30_dedup_exact" -> ((s, dir) => Dedup.exactDedup(s, dir)),
+    "q31_dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "q32_dedup_minhash" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
+    "q33_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "q34_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    // Text analysis (documents)
+    "q40_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
+    "q41_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
+    "q42_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintOracle(s, dir)),
+    "q44_rolling_hash" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q43_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    // Similarity search (embeddings)
+    "q50_ann_bruteforce" -> ((s, dir) => SimilaritySearch.bruteForceTopK(s, dir)),
+    "q51_ann_signlsh" -> ((s, dir) => SimilaritySearch.signLshTopK(s, dir)),
+    "q52_ann_ivf" -> ((s, dir) => SimilaritySearch.ivfTopK(s, dir)),
+    "q53_embedding_stats" -> ((s, dir) => SimilaritySearch.embeddingStats(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +70,11 @@ object SparkEntry {
     "q11_window_rank" -> Relational.windowRankSql,
     "q12_star_join" -> Relational.starJoinSql,
     "q13_semi_anti_join" -> Relational.semiAntiJoinSql,
+    "q30_dedup_exact" -> Dedup.exactDedupSql,
+    "q31_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q40_text_stats" -> TextAnalysis.textStatsSql,
+    "q41_token_count" -> TextAnalysis.tokenCountSql,
+    "q42_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q53_embedding_stats" -> SimilaritySearch.embeddingStatsSql,
   )
 }

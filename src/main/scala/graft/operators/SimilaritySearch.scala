@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY §7.5 extension surface; no reference counterpart).
+  *
+  * Three tiers, ordered by scale:
+  *  - [[bruteForceTopK]] — exact cosine top-k for a small broadcast query
+  *    set against the full table. The data side streams once; per-row work
+  *    is a codegen'd `zip_with`/`aggregate` dot product. This is the
+  *    correctness baseline and is the right plan whenever |queries| is small
+  *    enough to broadcast (the common batch-scoring case).
+  *  - [[signLshTopK]] — random-hyperplane sign-LSH: each vector reduces to a
+  *    small bucket key; queries only score vectors sharing their bucket.
+  *    Candidate cost tracks bucket occupancy, not table size.
+  *  - [[ivfTopK]] — IVF: a seeded coarse K-Means partitions the table by
+  *    nearest centroid; a query probes the `nprobe` nearest centroids only.
+  *    At 100 TB the table would be written bucketed/partitioned by
+  *    `coarse_id`, so a probe is a partition-pruned scan, not a shuffle.
+  *
+  * All variants L2-normalize first (cosine = dot on unit vectors) and
+  * tie-break rankings by vec_id for determinism.
+  */
+object SimilaritySearch {
+
+  /** Deterministic pseudo-random unit hyperplanes (fixed seed). Generated
+    * driver-side as literals — they are model constants, not data. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes) {
+      val p = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(p.map(x => x * x).sum)
+      p.map(_ / n)
+    }
+  }
+
+  /** Sign-LSH bucket key: bit i = sign of dot(u, plane_i). */
+  def signKey(u: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.indices.map(d => element_at(u, d + 1) * lit(p(d)))
+        .reduce(_ + _)
+      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** embeddings → (vec_id, u: array<double> L2-normalized). */
+  private[operators] def normalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("norm",
+        sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .filter(col("norm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Exact cosine top-k: the first `nQueries` vec_ids (deterministic query
+    * set) against the whole table. Output: (query_id, neighbor_id, cosine),
+    * k rows per query, self-match excluded. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val emb = normalized(spark, dir)
+    val queries = emb.orderBy(col("vec_id")).limit(nQueries)
+      .toDF("query_id", "qu")
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("u"), col("qu")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
+  }
+
+  /** Sign-LSH bucketed ANN: same query set and output shape as
+    * [[bruteForceTopK]], but candidates are restricted to the query's
+    * hyperplane-sign bucket. Recall < 1 by construction; at scale the
+    * bucket join replaces the full-table scan. */
+  def signLshTopK(spark: SparkSession, dir: String,
+                  nQueries: Int = 5, k: Int = 10,
+                  nPlanes: Int = 6): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val emb = normalized(spark, dir)
+      .withColumn("key", signKey(col("u"), planes))
+    val queries = emb.orderBy(col("vec_id")).limit(nQueries)
+      .toDF("query_id", "qu", "key")
+    val scored = emb.join(broadcast(queries), Seq("key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("u"), col("qu")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
+  }
+
+  /** IVF ANN: seeded coarse K-Means (nlist centroids) over unit vectors;
+    * each query scores only vectors whose coarse cell is among its `nprobe`
+    * nearest centroids. */
+  def ivfTopK(spark: SparkSession, dir: String,
+              nQueries: Int = 5, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val emb = normalized(spark, dir)
+      .withColumn("features", array_to_vector(col("u")))
+      .cache()
+    val km = new KMeans().setK(nlist).setSeed(42L)
+      .setDistanceMeasure("euclidean").setFeaturesCol("features")
+      .setPredictionCol("coarse_id").setMaxIter(20)
+    val model = km.fit(emb)
+    val assigned = model.transform(emb).select(col("vec_id"), col("u"), col("coarse_id"))
+    // nprobe nearest centroids per query, via the same centroid literals
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val queries = assigned.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val probeSets = queries.withColumn("probes",
+      slice(array_sort(array(centroids.map { case (i, c) =>
+        struct((lit(1.0) - c.indices.map(d => element_at(col("qu"), d + 1) * lit(c(d)))
+          .reduce(_ + _)).as("d"), lit(i).as("cid"))
+      }: _*)), 1, nprobe))
+      .select(col("query_id"), col("qu"),
+        explode(col("probes.cid")).as("coarse_id"))
+    val scored = assigned.join(broadcast(probeSets), Seq("coarse_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("u"), col("qu")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
+  }
+
+  /** Per-label embedding statistics (count + mean/max vector norm). The
+    * norm fold is sequential per row → deterministic; oracle-checked against
+    * DuckDB list_* functions. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast(LongType).as("label"),
+        sqrt(aggregate(col("embedding").cast(ArrayType(DoubleType)),
+          lit(0.0d), (acc, x) => acc + x * x)).as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+
+  val embeddingStatsSql: String =
+    """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+      |       round(min(norm), 6) AS min_norm, round(max(norm), 6) AS max_norm
+      |FROM (
+      |  SELECT label,
+      |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                      x -> x * x))) AS norm
+      |  FROM embeddings)
+      |GROUP BY label""".stripMargin
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table — training-data
+  * pipeline extension surface (SURVEY §7.5; no reference counterpart).
+  *
+  * Everything is built from codegen'd `functions._` expressions (regexp,
+  * array lambdas, hashes) — no UDFs — so whole-stage codegen spans the full
+  * per-document pipeline and the operators scale as pure narrow maps: no
+  * shuffle at all except where a global aggregate is the point.
+  *
+  * Regex patterns stick to character classes valid in both Java regex
+  * (Spark) and RE2 (DuckDB) so the oracle runs the same pattern.
+  */
+object TextAnalysis {
+
+  /** Small function-word list used by quality scoring and lang-id. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Per-document statistics + quality score.
+    *
+    * Quality is a deterministic rational blend (no transcendentals — libm
+    * differences would break cross-engine exactness):
+    * 0.4·stopword_ratio + 0.3·min(1, n_words/100) + 0.3·(1 − punct_ratio). */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val ws = words(col("text"))
+    val nWords = size(ws).cast(LongType)
+    val nAlnum = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+      .cast(LongType)
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+      .cast(LongType)
+    val nStop = size(filter(ws, w => w.isin(Stopwords: _*))).cast(LongType)
+    val stopRatio = nStop.cast(DoubleType) / nWords.cast(DoubleType)
+    val punctRatio = nPunct.cast(DoubleType) / length(col("text")).cast(DoubleType)
+    val lenScore = least(lit(1.0), nWords.cast(DoubleType) / 100.0)
+    d.select(col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars_calc"),
+      nWords.as("n_words"),
+      nAlnum.as("n_alnum_tokens"),
+      nPunct.as("n_punct"),
+      nStop.as("n_stopwords"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(lit(0.4) * stopRatio + lit(0.3) * lenScore +
+        lit(0.3) * (lit(1.0) - punctRatio), 6).as("quality"))
+  }
+
+  val textStatsSql: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_alnum_tokens,
+       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopList)) AS BIGINT) AS n_stopwords,
+       |  round(CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopList)) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       |  round(0.4 * (CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopList)) AS DOUBLE)
+       |               / len(string_split(text, ' ')))
+       |      + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+       |      + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+       |                     / length(text)), 6) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / single digits / single non-alnum marks — the shape GPT-2
+    * style pre-tokenizers use). Per-document counts; global totals are one
+    * extra aggregate away. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bpe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    d.select(col("doc_id"),
+      size(words(col("text"))).cast(LongType).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpe), lit(0))).cast(LongType)
+        .as("bpe_tokens"))
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+      |FROM documents""".stripMargin
+
+  /** Document fingerprinting, two signatures per doc:
+    *  - `norm_md5`: md5 of the normalized text (lowercase, punctuation
+    *    stripped, whitespace collapsed) — the canonical "fuzzy-exact" dedup
+    *    key; oracle-checked.
+    *  - `rolling`: order-sensitive polynomial rolling hash over word
+    *    xxhash64s, mod 2^31−1 with base 1000003 (modular form keeps the
+    *    ANSI-mode long multiply from overflowing), computed with a
+    *    sequential `aggregate` fold — content AND order sensitive, unlike
+    *    the bag-of-words hashes. Spark-only (xxhash64 is not in DuckDB),
+    *    covered by the norm_md5 oracle on the same rows. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val normalized = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    val M = 2147483647L // 2^31 − 1
+    val rolling = aggregate(
+      transform(words(col("text")), w => pmod(xxhash64(w), lit(M))),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(1000003L) + h, lit(M)))
+    d.select(col("doc_id"),
+      md5(normalized.cast(BinaryType)).as("norm_md5"),
+      rolling.as("rolling_hash"))
+  }
+
+  /** Oracle for [[fingerprint]] minus the Spark-only rolling hash column —
+    * the driver compares what both engines can compute. */
+  def fingerprintOracle(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(spark, dir).select(col("doc_id"), col("norm_md5"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      ' +', ' ', 'g')) AS norm_md5
+      |FROM documents""".stripMargin
+
+  /** Language identification via stopword-profile scoring: each language has
+    * a tiny function-word profile; the predicted language maximizes the
+    * count of profile hits (deterministic tiebreak). An honest n-gram
+    * heuristic — the testdata's `lang` labels are synthetic (the text is
+    * uniform word-salad), so agreement with the label is reported but not
+    * asserted. Rows-only check. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val ws = words(lower(col("text")))
+    val scores = LangProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
+      struct(size(filter(ws, w => w.isin(profile: _*))).as("hits"),
+        // max(struct) picks highest hits, ties broken toward the
+        // lexicographically last language — deterministic
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    d.select(col("doc_id"), col("lang").as("lang_label"),
+      when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("lang_pred"))
+      .withColumn("agrees", (col("lang_pred") === col("lang_label")).cast(IntegerType))
+  }
+}

@@ -48,6 +48,11 @@ object SparkEntry {
     "q42_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintOracle(s, dir)),
     "q44_rolling_hash" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q43_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    // Event/time-series analytics (events)
+    "q60_events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
+    "q61_events_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
+    "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
+    "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
     // Similarity search (embeddings)
     "q50_ann_bruteforce" -> ((s, dir) => SimilaritySearch.bruteForceTopK(s, dir)),
     "q51_ann_signlsh" -> ((s, dir) => SimilaritySearch.signLshTopK(s, dir)),
@@ -76,5 +81,9 @@ object SparkEntry {
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,
     "q53_embedding_stats" -> SimilaritySearch.embeddingStatsSql,
+    "q60_events_hourly" -> Events.hourlyAggSql,
+    "q61_events_sessionize" -> Events.sessionizeSql,
+    "q62_events_running" -> Events.runningAggSql,
+    "q63_events_daily_top" -> Events.dailyTopEventsSql,
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Parquet table loaders for the driver testdata star schema.
   *
@@ -25,8 +26,21 @@ object Tables {
     spark.read.parquet(s"$dir/nation.parquet")
   def region(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/region.parquet")
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 only
+    * reads as a raw long under `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set by Verify/Bench/tests). Converted here to a micro-precision
+    * timestamp via integer division — a double-division path would lose
+    * precision above 2^53 ns. DuckDB's `CAST(ts AS TIMESTAMP)` truncates the
+    * same way, keeping oracle parity. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =

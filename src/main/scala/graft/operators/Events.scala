@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics over the `events` table — batch forms of the
+  * windowed operators (the streaming forms live in
+  * [[graft.streaming.EventStreams]] and share these semantics).
+  *
+  * The reference has no streaming/time-series surface (SURVEY §2.6); these
+  * are extension operators designed for the 100 TB case: tumbling windows
+  * are a plain hash aggregate on (window, type) — one shuffle; sessionization
+  * is one hash-partition shuffle on user_id followed by in-partition window
+  * functions, never a driver-side loop.
+  */
+object Events {
+
+  /** Tumbling 1-hour window aggregate: count + exact decimal sum of value
+    * per (hour, event_type). `value` is a full-precision double, so the
+    * decimal path quantizes to 6 dp first — identically on both engines —
+    * making the sum order-independent for the oracle. */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts").cast(TimestampType)).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(24, 6))).cast(DoubleType)
+          .as("value_sum"))
+
+  val hourlyAggSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization (30-minute inactivity gap) via window functions:
+    * lag → new-session flag → running sum = session id; then one aggregate
+    * per (user, session). Output: per-user session count, mean session event
+    * count, max session span in seconds. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), Rfm.epochMs(col("ts")).as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("ts_ms")) - min(col("ts_ms"))) / lit(1000L)).as("span_s"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 6).as("avg_events"),
+        max(col("span_s")).cast(DoubleType).as("max_span_s"))
+  }
+
+  val sessionizeSql: String =
+    """WITH evts AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_ms,
+      |         CASE WHEN lag(ts_ms) OVER w IS NULL
+      |                OR ts_ms - lag(ts_ms) OVER w > 30*60*1000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM evts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+      |numbered AS (
+      |  SELECT user_id, ts_ms,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |         (max(ts_ms) - min(ts_ms)) / 1000 AS span_s
+      |  FROM numbered GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       round(avg(n_events), 6) AS avg_events,
+      |       CAST(max(span_s) AS DOUBLE) AS max_span_s
+      |FROM sessions GROUP BY user_id""".stripMargin
+
+  /** Sliding-window running aggregates: per event_type, the running count
+    * and 5-row moving average of `value` ordered by time — the batch analog
+    * of a sliding stream window, exercising RANGE/ROWS frames. */
+  def runningAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        Rfm.epochMs(col("ts")).as("ts_ms"), col("value"))
+      .withColumn("running_n",
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("moving_avg",
+        round(avg(col("value")).over(w.rowsBetween(-4, 0)), 6))
+      .select(col("event_id"), col("event_type"), col("running_n"),
+        col("moving_avg"))
+  }
+
+  val runningAggSql: String =
+    """SELECT event_id, event_type,
+      |       count(*) OVER (PARTITION BY event_type
+      |         ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+      |       round(avg(value) OVER (PARTITION BY event_type
+      |         ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id
+      |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+      |FROM events""".stripMargin
+
+  /** Top event values per type per day — dense_rank over a composite
+    * partition, exercising rank-function family beyond row_number. */
+  def dailyTopEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("day"), col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        date_trunc("day", col("ts").cast(TimestampType)).as("day"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+  }
+
+  val dailyTopEventsSql: String =
+    """SELECT event_id, event_type, value, day, rk FROM (
+      |  SELECT event_id, event_type, value,
+      |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         row_number() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP)), event_type
+      |                            ORDER BY value DESC, event_id) AS rk
+      |  FROM events)
+      |WHERE rk <= 3""".stripMargin
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event analytics (batch forms:
+  * [[graft.operators.Events]]). The reference is batch-only (SURVEY §2.6);
+  * this is the extension surface a production ingest pipeline needs.
+  *
+  * All transforms are expressed on `readStream` sources so the same code
+  * runs against a file stream locally and a Kafka-style source at scale;
+  * tests drive them with `processAllAvailable()` on a memory sink.
+  */
+object EventStreams {
+
+  /** The events schema as stored in the driver parquet: ts is
+    * nanosecond-precision, readable only as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`); ingest converts it to a
+    * micro TIMESTAMP with integer division (double division would lose
+    * precision above 2^53 ns). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream from a testdata dir. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling 1-hour windowed aggregate with a 2-hour watermark: the
+    * streaming twin of `Events.hourlyAgg`. Late data beyond the watermark is
+    * dropped; state is bounded by (windows in watermark horizon × types). */
+  def hourlyWindowed(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Sliding 1-hour/15-minute windowed count — each event lands in 4
+    * overlapping windows. */
+  def slidingWindowed(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  final case class UserEvent(user_id: Long, ts_ms: Long)
+  final case class UserSessionState(nEvents: Long, nSessions: Long, lastMs: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Custom stateful sessionization via mapGroupsWithState: per user, count
+    * events and 30-minute-gap sessions. State is one small case class per
+    * user — bounded, and at scale spread across executors by the groupBy
+    * hash partitioning. */
+  def sessionCounts(spark: SparkSession, events: DataFrame): Dataset[UserSessions] = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .select(col("user_id"),
+        unix_millis(col("ts").cast(TimestampType)).as("ts_ms"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserSessionState]) =>
+          val prev = state.getOption.getOrElse(UserSessionState(0L, 0L, Long.MinValue))
+          // within a micro-batch, order by time; across batches, state carries lastMs
+          val sorted = rows.toSeq.sortBy(_.ts_ms)
+          val next = sorted.foldLeft(prev) { (s, e) =>
+            val newSession = s.lastMs == Long.MinValue || e.ts_ms - s.lastMs > gapMs
+            UserSessionState(s.nEvents + 1,
+              s.nSessions + (if (newSession) 1 else 0), e.ts_ms)
+          }
+          state.update(next)
+          UserSessions(uid, next.nEvents, next.nSessions)
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (local test harness). */
+  def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
+                 mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

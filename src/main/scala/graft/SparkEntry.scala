@@ -58,6 +58,11 @@ object SparkEntry {
     "q51_ann_signlsh" -> ((s, dir) => SimilaritySearch.signLshTopK(s, dir)),
     "q52_ann_ivf" -> ((s, dir) => SimilaritySearch.ivfTopK(s, dir)),
     "q53_embedding_stats" -> ((s, dir) => SimilaritySearch.embeddingStats(s, dir)),
+    // Multimodal plumbing (stub codec; rows-only checks)
+    "q70_media_features" -> ((s, dir) => multimodal.Multimodal.featureSummary(s, dir)),
+    "q71_media_wide_images" -> ((s, dir) => multimodal.Multimodal.wideImages(s, dir)),
+    "q72_media_frame_sample" -> ((s, dir) =>
+      multimodal.Multimodal.frameSample(s, dir).drop("frame_indices")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

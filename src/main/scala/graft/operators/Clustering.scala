@@ -77,7 +77,14 @@ object Clustering {
   def fit(rfm: DataFrame, k: Int = 4, maxIters: Int = 300,
           tol: Double = 1e-4, seed: Long = 42L): Segmentation = {
     val (features, scaler) = standardize(rfm)
-    val cached = features.cache()
+    // k-means|| init samples rows in partition order, and within-partition
+    // order after a shuffle is not stable across runs — pin both so a seeded
+    // fit is bit-reproducible (the reference is unseeded and nondeterministic,
+    // SURVEY §7.4; we promise strictly more).
+    val cached = features
+      .repartition(col("custkey"))
+      .sortWithinPartitions(col("custkey"))
+      .cache()
     try {
       validateK(k, cached.count())
       val model = new KMeans()

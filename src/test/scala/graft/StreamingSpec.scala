@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Events
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming forms must agree with their batch twins when driven to
+  * completion over the same finite input. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSession.spark
+  val dir = GraftTestSession.Sf0001
+
+  test("streaming hourly window equals batch hourly aggregate") {
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.hourlyWindowed(EventStreams.readEvents(spark, dir)),
+      "hourly_test", OutputMode.Complete)
+    val batch = Events.hourlyAgg(spark, dir)
+    val sCount = streamed.agg(sum("n")).head().getLong(0)
+    val bCount = batch.agg(sum("n")).head().getLong(0)
+    assert(sCount == bCount)
+    // spot-match a few (hour, type) cells
+    val sMap = streamed.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bMap = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sMap == bMap)
+  }
+
+  test("sliding windows produce ~4x tumbling cells") {
+    val slid = EventStreams.runToBatch(spark,
+      EventStreams.slidingWindowed(EventStreams.readEvents(spark, dir)),
+      "sliding_test", OutputMode.Complete)
+    val events = graft.Tables.events(spark, dir).count()
+    // every event lands in exactly 4 overlapping windows
+    assert(slid.agg(sum("n")).head().getLong(0) == events * 4)
+  }
+
+  test("stateful session counts: totals match event counts per user") {
+    val sessions = EventStreams.runToBatch(spark,
+      EventStreams.sessionCounts(spark,
+        EventStreams.readEvents(spark, dir)).toDF(),
+      "sessions_test", OutputMode.Update)
+    // in Update mode the memory sink may hold several updates per user; the
+    // final state per user is the row with the max n_events
+    val finalPerUser = sessions.groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+    val expected = graft.Tables.events(spark, dir)
+      .groupBy("user_id").count()
+    val f = finalPerUser.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = expected.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f == e)
+    // session counts from the stateful op match the batch sessionizer
+    val batchSessions = Events.sessionize(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamSessions = finalPerUser.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamSessions == batchSessions)
+  }
+}

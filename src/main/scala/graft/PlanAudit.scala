@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit: prints the formatted physical plan for each headline
+  * query and greps it for the properties that matter at 100 TB —
+  * parquet filter pushdown, column-pruned scans, broadcast joins where a
+  * side is dimension-sized, and absence of cartesian products.
+  *
+  * Run: `sbt "runMain graft.PlanAudit [sfDir]"`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // (substring, mustBePresent) — checked on the pre-execution physical
+    // plan (AQE may still improve joins at runtime; codegen stages only
+    // appear post-execution, so they are not asserted here).
+    val expectations: Map[String, Seq[(String, Boolean)]] = Map(
+      "q01_clean_filter" -> Seq("PushedFilters: [IsNotNull(l_quantity)" -> true),
+      "q04_rfm" -> Seq("BroadcastNestedLoopJoin" -> true), // 1-row ref side
+      "q12_star_join" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      "q31_dedup_ngram_jaccard" -> Seq("CartesianProduct" -> false),
+      "q50_ann_bruteforce" -> Seq("BroadcastNestedLoopJoin" -> true,
+        "CartesianProduct" -> false),
+      "q60_events_hourly" -> Seq("HashAggregate" -> true))
+
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val checks = expectations.getOrElse(name, Nil)
+      val failures = checks.collect {
+        case (s, true) if !plan.contains(s) => s"MISSING '$s'"
+        case (s, false) if plan.contains(s) => s"FORBIDDEN '$s'"
+      }
+      if (failures.nonEmpty) {
+        bad += failures.size
+        println(s"== $name: ${failures.mkString("; ")}")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } else {
+        val scans = plan.linesIterator.filter(_.contains("PushedFilters")).take(2)
+          .map(_.trim.take(120)).mkString(" | ")
+        println(s"ok $name${if (scans.nonEmpty) s"  [$scans]" else ""}")
+      }
+    }
+    println(s"audit complete: $bad expectation failures")
+    spark.stop()
+  }
+}

@@ -77,16 +77,21 @@ object Clustering {
   def fit(rfm: DataFrame, k: Int = 4, maxIters: Int = 300,
           tol: Double = 1e-4, seed: Long = 42L): Segmentation = {
     val (features, scaler) = standardize(rfm)
+    val n = rfm.count()
+    validateK(k, n)
     // k-means|| init samples rows in partition order, and within-partition
     // order after a shuffle is not stable across runs — pin both so a seeded
     // fit is bit-reproducible (the reference is unseeded and nondeterministic,
-    // SURVEY §7.4; we promise strictly more).
+    // SURVEY §7.4; we promise strictly more). Partition count follows data
+    // size: every Lloyd's iteration is one job over these partitions, and
+    // hundreds of near-empty tasks per iteration dominated wall-clock on
+    // small-SF fits (a 1000-executor cluster re-tunes via the same formula).
+    val numParts = math.max(1, math.min(64, n / 4096)).toInt
     val cached = features
-      .repartition(col("custkey"))
+      .repartition(numParts, col("custkey"))
       .sortWithinPartitions(col("custkey"))
       .cache()
     try {
-      validateK(k, cached.count())
       val model = new KMeans()
         .setK(k).setMaxIter(maxIters).setTol(tol)
         .setDistanceMeasure("euclidean").setSeed(seed)

@@ -41,15 +41,28 @@ object SimilaritySearch {
     }
   }
 
-  /** Sign-LSH bucket key: bit i = sign of dot(u, plane_i). */
+  /** Sign-LSH bucket key: bit i = sign of dot(u, plane_i).
+    *
+    * The dot product is one `zip_with` against an array LITERAL per plane —
+    * not per-dimension `element_at` terms: Catalyst inlines the (expensive,
+    * aggregate-bearing) normalization expression into every reference of
+    * `u`, so the per-dim form exploded to planes×dims copies and dominated
+    * wall-clock with codegen/compile time. One reference per plane keeps the
+    * expression tree linear in the plane count. */
   def signKey(u: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = p.indices.map(d => element_at(u, d + 1) * lit(p(d)))
-        .reduce(_ + _)
+      val dot = aggregate(
+        zip_with(u, array(p.map(lit).toIndexedSeq: _*), (x, w) => x * w),
+        lit(0.0d), (acc, x) => acc + x)
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** embeddings → (vec_id, u: array<double> L2-normalized). */
+  /** embeddings → (vec_id, u: array<double> L2-normalized).
+    *
+    * Cached: every consumer references `u` many times (bucket keys, dot
+    * products, window sorts), and without a materialization barrier Catalyst
+    * re-inlines the normalize+norm-aggregate expression at every reference —
+    * at 100 TB this would also be the natural "prepared vectors" table. */
   private[operators] def normalized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
@@ -57,6 +70,7 @@ object SimilaritySearch {
         sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
       .filter(col("norm") > 0)
       .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
+      .cache()
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{Clustering, Retail, Rfm}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Application/orchestration surface — the Spark mirror of the reference's
+  * CLI contract (SURVEY §2.5):
+  *  - [[Config]] ↔ clap `Args` (reference `src/cli.rs:6-37`), same defaults;
+  *  - [[parseRfmValues]] ↔ `Args::parse_rfm_values` (`src/cli.rs:42-66`);
+  *  - [[runFullPipeline]] ↔ `run_full_pipeline` (`src/main.rs:84-162`);
+  *  - [[runPredictionMode]] ↔ `run_prediction_mode` (`src/main.rs:31-81`);
+  *  - PNG rendering (reference `src/viz.rs`) is out of engine scope; the
+  *    console statistics report (S6) is preserved and the two charts' data
+  *    feeds are exposed as queries (scatter: `Clustering.scatterData`;
+  *    bars: `Clustering.clusterSizes`).
+  */
+object GraftApp {
+
+  /** Reference `Args` with identical defaults (`src/cli.rs:6-37`). `input`
+    * may be a retail CSV path or a testdata sf directory. */
+  final case class Config(
+      input: String = "data.csv",
+      clusters: Int = 4,
+      output: String = "cluster_plot.png",
+      predict: Option[String] = None,
+      maxIters: Int = 300,
+      tolerance: Double = 1e-4,
+      verbose: Boolean = false)
+
+  /** "R,F,M" → three doubles; arity and parse errors surfaced with the
+    * reference's conditions (`src/cli.rs:42-66`). */
+  def parseRfmValues(s: String): Array[Double] = {
+    val parts = s.split(",").map(_.trim)
+    require(parts.length == 3,
+      s"Expected 3 comma-separated values (R,F,M), got ${parts.length}")
+    parts.map { p =>
+      try p.toDouble
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"Invalid numeric value: '$p'")
+      }
+    }
+  }
+
+  /** Load RFM features from either surface: a retail CSV (reference schema)
+    * or a testdata directory (orders parquet). */
+  def loadRfm(spark: SparkSession, input: String): DataFrame =
+    if (input.endsWith(".csv"))
+      Retail.requireNonEmpty(Retail.loadAndProcess(spark, input), "RFM aggregation")
+    else
+      Retail.requireNonEmpty(Rfm.rfmOrders(spark, input), "RFM aggregation")
+
+  /** Full pipeline: load → fit → stats report (reference `src/main.rs:84-162`).
+    * Returns the fitted segmentation and prints the S6 report. */
+  def runFullPipeline(spark: SparkSession, cfg: Config): Clustering.Segmentation = {
+    val t0 = System.nanoTime()
+    val rfm = loadRfm(spark, cfg.input)
+    val seg = Clustering.fit(rfm, cfg.clusters, cfg.maxIters, cfg.tolerance)
+    val report = Clustering.clusterReport(seg)
+    println(report)
+    if (cfg.verbose)
+      println(f"Total pipeline time: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    seg
+  }
+
+  /** Prediction mode: full refit then classify one point (reference
+    * `src/main.rs:31-81` — the model is re-trained per invocation there;
+    * the session fit-cache in [[Clustering]] is our documented deviation). */
+  def runPredictionMode(spark: SparkSession, cfg: Config, rfmStr: String): Int = {
+    val point = parseRfmValues(rfmStr)
+    val seg = runFullPipeline(spark, cfg.copy(verbose = false))
+    val cluster = Clustering.predictCluster(seg, point)
+    val size = seg.predictions
+      .filter(org.apache.spark.sql.functions.col("prediction") === cluster).count()
+    val total = seg.predictions.count()
+    println(f"Predicted cluster: $cluster ($size customers, " +
+      f"${size.toDouble / total * 100}%.1f%% of base)")
+    cluster
+  }
+
+  /** CLI entry: `--input X -k N --predict "R,F,M" --max-iters N
+    * --tolerance T --verbose` (reference `src/main.rs:11-28` dispatch). */
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args.toList, Config())
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try cfg.predict match {
+      case Some(p) => runPredictionMode(spark, cfg, p)
+      case None => runFullPipeline(spark, cfg)
+    } finally spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parseArgs(args: List[String], cfg: Config): Config = args match {
+    case Nil => cfg
+    case "--input" :: v :: rest => parseArgs(rest, cfg.copy(input = v))
+    case ("-k" | "--clusters") :: v :: rest =>
+      parseArgs(rest, cfg.copy(clusters = v.toInt))
+    case "--output" :: v :: rest => parseArgs(rest, cfg.copy(output = v))
+    case "--predict" :: v :: rest => parseArgs(rest, cfg.copy(predict = Some(v)))
+    case "--max-iters" :: v :: rest => parseArgs(rest, cfg.copy(maxIters = v.toInt))
+    case "--tolerance" :: v :: rest =>
+      parseArgs(rest, cfg.copy(tolerance = v.toDouble))
+    case "--verbose" :: rest => parseArgs(rest, cfg.copy(verbose = true))
+    case other :: _ =>
+      throw new IllegalArgumentException(s"Unknown argument: $other")
+  }
+}

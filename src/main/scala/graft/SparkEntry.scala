@@ -30,7 +30,11 @@ object SparkEntry {
     "q11_window_rank" -> ((s, dir) => Relational.windowRank(s, dir)),
     "q12_star_join" -> ((s, dir) => Relational.starJoin(s, dir)),
     "q13_semi_anti_join" -> ((s, dir) => Relational.semiAntiJoin(s, dir)),
+    "q14_set_union" -> ((s, dir) => SetOps.setUnion(s, dir)),
+    "q15_set_intersect" -> ((s, dir) => SetOps.setIntersect(s, dir)),
+    "q16_set_except" -> ((s, dir) => SetOps.setExcept(s, dir)),
     // ML surface (seeded, deterministic; not SQL-expressible → rows-only check)
+    "q25_scatter_data" -> ((s, dir) => Clustering.scatterData(s, dir)),
     "q20_cluster_sizes" -> ((s, dir) => Clustering.clusterSizes(s, dir)),
     "q21_centroids" -> ((s, dir) => Clustering.centroids(s, dir)),
     "q22_inertia" -> ((s, dir) => Clustering.inertia(s, dir)),
@@ -80,6 +84,9 @@ object SparkEntry {
     "q11_window_rank" -> Relational.windowRankSql,
     "q12_star_join" -> Relational.starJoinSql,
     "q13_semi_anti_join" -> Relational.semiAntiJoinSql,
+    "q14_set_union" -> SetOps.setUnionSql,
+    "q15_set_intersect" -> SetOps.setIntersectSql,
+    "q16_set_except" -> SetOps.setExceptSql,
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q40_text_stats" -> TextAnalysis.textStatsSql,

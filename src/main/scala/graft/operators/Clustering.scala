@@ -175,6 +175,18 @@ object Clustering {
       .toDF("cluster", "cluster_size", "cluster_pct")
   }
 
+  /** S4 data feed — the scatter chart's input (reference
+    * `create_cluster_visualization`, `src/viz.rs:20-115`: Frequency vs
+    * Monetary in normalized space, point color = cluster). PNG rendering is
+    * out of engine scope; this exposes exactly the data the chart consumes. */
+  def scatterData(spark: SparkSession, dir: String): DataFrame = {
+    val seg = fitOnDir(spark, dir)
+    seg.predictions.select(col("custkey"),
+      round(col("frequency_z"), 6).as("frequency_z"),
+      round(col("monetary_z"), 6).as("monetary_z"),
+      col("prediction").cast(LongType).as("cluster"))
+  }
+
   /** A10 — the reference's exact sampled silhouette: Euclidean, pairwise
     * within the first min(n,100) rows only, 0 for degenerate points
     * (reference `src/model.rs:64-119`; sample size `src/main.rs:131-133`).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorExprs.dot_product
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.ml.linalg.{Vector => MLVector, Vectors => MLVectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -202,8 +203,7 @@ object Dedup {
     a.join(b, Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        aggregate(zip_with(col("ua"), col("ub"), (x, y) => x * y),
-          lit(0.0d), (acc, x) => acc + x).as("cosine"))
+        dot_product(col("ua"), col("ub")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .distinct()

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorExprs.{dot_product, l2_norm}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -51,9 +52,7 @@ object SimilaritySearch {
     * expression tree linear in the plane count. */
   def signKey(u: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(u, array(p.map(lit).toIndexedSeq: _*), (x, w) => x * w),
-        lit(0.0d), (acc, x) => acc + x)
+      val dot = dot_product(u, array(p.map(lit).toIndexedSeq: _*))
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -66,14 +65,12 @@ object SimilaritySearch {
   private[operators] def normalized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("norm",
-        sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("norm", l2_norm(col("v")))
       .filter(col("norm") > 0)
       .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
       .cache()
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = dot_product(a, b)
 
   /** Exact cosine top-k: the first `nQueries` vec_ids (deterministic query
     * set) against the whole table. Output: (query_id, neighbor_id, cosine),
@@ -139,8 +136,8 @@ object SimilaritySearch {
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val probeSets = queries.withColumn("probes",
       slice(array_sort(array(centroids.map { case (i, c) =>
-        struct((lit(1.0) - c.indices.map(d => element_at(col("qu"), d + 1) * lit(c(d)))
-          .reduce(_ + _)).as("d"), lit(i).as("cid"))
+        struct((lit(1.0) - dot_product(col("qu"),
+          array(c.map(lit).toIndexedSeq: _*))).as("d"), lit(i).as("cid"))
       }: _*)), 1, nprobe))
       .select(col("query_id"), col("qu"),
         explode(col("probes.cid")).as("coarse_id"))
@@ -161,8 +158,7 @@ object SimilaritySearch {
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label").cast(LongType).as("label"),
-        sqrt(aggregate(col("embedding").cast(ArrayType(DoubleType)),
-          lit(0.0d), (acc, x) => acc + x * x)).as("norm"))
+        l2_norm(col("embedding").cast(ArrayType(DoubleType))).as("norm"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         round(min(col("norm")), 6).as("min_norm"),

@@ -97,7 +97,12 @@ object Clustering {
         .setDistanceMeasure("euclidean").setSeed(seed)
         .setFeaturesCol("features").setPredictionCol("prediction")
         .fit(cached)
-      val predictions = model.transform(cached)
+      // materialize predictions while the feature cache is alive: every
+      // downstream stat (sizes, silhouette, predict-mode counts) re-actions
+      // this frame, and without the cache each action replays the whole
+      // scan+aggregate+transform lineage
+      val predictions = model.transform(cached).cache()
+      predictions.count()
       Segmentation(model, scaler, predictions, model.summary.trainingCost)
     } finally cached.unpersist()
   }

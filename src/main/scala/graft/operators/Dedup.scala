@@ -2,8 +2,8 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorExprs.dot_product
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.ml.linalg.{Vector => MLVector, Vectors => MLVectors}
+
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -101,28 +101,57 @@ object Dedup {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin
 
-  /** MinHash-LSH near-duplicate pairs: shingles → sparse term vector
-    * (HashingTF, 2^18 features) → seeded MinHash signatures →
-    * `approxSimilarityJoin` (band-bucket join under the hood) at Jaccard
-    * distance ≤ 0.5. The LSH path is the 100 TB scale plan: candidate
-    * generation is hash-bucket collision, never all-pairs. Seeded →
-    * deterministic; not SQL-expressible → rows-only check. */
+  /** MinHash-LSH near-duplicate pairs, built directly on the dataflow (no
+    * MLlib detour — `approxSimilarityJoin` spends most of its time in
+    * generic-row plumbing at this shape):
+    *
+    *  1. signature: `numHashes` min-hashes per doc — `array_min` over
+    *     `xxhash64(i, shingle)` (seeded by the hash index, deterministic);
+    *  2. banding: signature split into `bands` rows of `r = numHashes/bands`
+    *     values, bucket key = xxhash64 of the band slice. A pair collides in
+    *     some band with probability 1−(1−J^r)^bands — the standard S-curve;
+    *  3. candidates: self-join on (band, key) — bucket-collision cost, never
+    *     all-pairs;
+    *  4. estimate: fraction of agreeing signature positions, thresholded.
+    *
+    * At 100 TB this is exactly the production shape: one narrow map for
+    * signatures, one exchange on band keys, join output bounded by
+    * colliding pairs. Rows-only driver check (not SQL-expressible); the
+    * recall-vs-exact-Jaccard spec pins quality. */
   def minhashDedup(spark: SparkSession, dir: String,
-                   numTables: Int = 8, maxDist: Double = 0.5): DataFrame = {
+                   numHashes: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"), shingleCol(col("text")).as("sh"))
+    val sig = docs
+      .select(col("doc_id"), shingleCol(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("tf")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val vecs = tf.transform(sh).cache()
-    val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
-      .setNumHashTables(numTables).setSeed(42L)
-    val model = mh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxDist, "dist")
-      .select(col("datasetA.doc_id").as("doc_a"),
-        col("datasetB.doc_id").as("doc_b"),
-        round(lit(1.0) - col("dist"), 6).as("jaccard_est"))
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("sh"), s => xxhash64(lit(i), s)))): _*)
+          .as("sig"))
+      .cache()
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * r + 1, r)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF("doc_a", "sig_a", "band", "key")
+    val b = banded.toDF("doc_b", "sig_b", "band", "key")
+    a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast(DoubleType) / numHashes)
+          .as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard_est"), 6).as("jaccard_est"))
   }
 
   /** SimHash 64-bit signatures + banded near-dup candidates.

@@ -98,8 +98,11 @@ object TextAnalysis {
     *    sequential `aggregate` fold — content AND order sensitive, unlike
     *    the bag-of-words hashes. Spark-only (xxhash64 is not in DuckDB),
     *    covered by the norm_md5 oracle on the same rows. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprintOn(Tables.documents(spark, dir))
+
+  /** [[fingerprint]] over an arbitrary documents-shaped frame. */
+  def fingerprintOn(d: DataFrame): DataFrame = {
     val normalized = regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
     val M = 2147483647L // 2^31 − 1

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Clustering
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties (SURVEY §5: stronger than the reference's
+  * invariant-only tests — seeded determinism lets us assert on arbitrary
+  * generated inputs). Raw ScalaCheck driver (scalatestplus glue is not in
+  * the offline cache); sample counts kept small because each trial runs a
+  * full Spark job. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private val rfmRows: Gen[List[(Long, Double, Double, Double)]] = for {
+    n <- Gen.choose(8, 40)
+    rows <- Gen.listOfN(n, for {
+      r <- Gen.choose(0.0, 400.0)
+      f <- Gen.choose(1.0, 50.0)
+      m <- Gen.choose(1.0, 1e6)
+    } yield (r, f, m))
+  } yield rows.zipWithIndex.map { case ((r, f, m), i) => (i.toLong, r, f, m) }
+
+  private def check(name: String, prop: Prop, samples: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(samples), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("scaler: mean≈0, population σ≈1 on any non-constant input") {
+    check("scaler", Prop.forAll(rfmRows) { rows =>
+      val df = rows.toDF("custkey", "recency", "frequency", "monetary")
+      val (z, stats) = Clustering.standardize(df)
+      val vals = z.select("monetary_z").collect().map(_.getDouble(0))
+      val mean = vals.sum / vals.length
+      val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+      val sdOk = rows.map(_._4).distinct.length <= 1 || math.abs(sd - 1.0) < 1e-6
+      math.abs(mean) < 1e-8 && sdOk && stats.sd.forall(_ >= 1e-8)
+    }, samples = 8)
+  }
+
+  test("kmeans: labels in range, sizes sum to n, inertia finite, silhouette bounded") {
+    check("kmeans", Prop.forAll(Gen.choose(3, 5), rfmRows) { (k, rows) =>
+      val df = rows.toDF("custkey", "recency", "frequency", "monetary")
+      val seg = Clustering.fit(df, k = k, maxIters = 20)
+      val labels = seg.predictions.select("prediction").collect().map(_.getInt(0))
+      val s = Clustering.silhouetteSampled(seg.predictions, 50)
+      labels.length == rows.length &&
+        labels.forall(l => l >= 0 && l < k) &&
+        seg.inertia >= 0 && java.lang.Double.isFinite(seg.inertia) &&
+        s >= -1.0 && s <= 1.0
+    }, samples = 5)
+  }
+
+  test("rolling hash: always in [0, 2^31-1) for arbitrary text") {
+    val texts = Gen.listOfN(30,
+      Gen.listOf(Gen.oneOf("spark", "data", "a", "the", "join", "über", "文"))
+        .map(_.mkString(" ")))
+    check("rolling", Prop.forAll(texts) { ts =>
+      val df = ts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      df.createOrReplaceTempView("documents_prop")
+      val withHash = graft.operators.TextAnalysis
+        .fingerprintOn(df)
+        .select("rolling_hash").collect().map(_.getLong(0))
+      withHash.forall(h => h >= 0 && h < 2147483647L)
+    }, samples = 10)
+  }
+}

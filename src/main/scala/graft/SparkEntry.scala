@@ -53,7 +53,11 @@ object SparkEntry {
     "q44_rolling_hash" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q43_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     // Event/time-series analytics (events)
+    "q17_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
     "q60_events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
+    // Structured Streaming execution, driven to completion, oracle-checked
+    "q64_stream_hourly" -> ((s, dir) =>
+      streaming.EventStreams.hourlyStreamQuery(s, dir)),
     "q61_events_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
     "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
@@ -93,7 +97,10 @@ object SparkEntry {
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,
     "q53_embedding_stats" -> SimilaritySearch.embeddingStatsSql,
+    "q17_percentiles" -> Relational.percentilesSql,
+    "q43_lang_id" -> TextAnalysis.langIdSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
+    "q64_stream_hourly" -> Events.hourlyAggSql,
     "q61_events_sessionize" -> Events.sessionizeSql,
     "q62_events_running" -> Events.runningAggSql,
     "q63_events_daily_top" -> Events.dailyTopEventsSql,

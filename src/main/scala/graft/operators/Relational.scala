@@ -210,6 +210,32 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, c_mktsegment""".stripMargin
 
+  /** Exact percentiles (median & p90 of order totals per market segment) —
+    * `percentile` is Spark's exact interpolating implementation, matching
+    * DuckDB's `quantile_cont` formula; rounded to absorb last-ulp division
+    * differences. At scale the exact form needs a per-group sort — the
+    * documented trade-off vs `approx_percentile` (t-digest, no sort), which
+    * is the 100 TB default but is estimator-specific and so not
+    * oracle-comparable. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+  }
+
+  val percentilesSql: String =
+    """SELECT c_mktsegment AS mktsegment,
+      |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |       count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** Semi/anti joins — extension (§2.6 lists them absent in the reference):
     * customers with no orders (anti) vs with at least one order (semi),
     * counted per market segment. Both are broadcast-able from the orders'

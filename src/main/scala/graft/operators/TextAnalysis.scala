@@ -154,4 +154,26 @@ object TextAnalysis {
         .otherwise(lit("und")).as("lang_pred"))
       .withColumn("agrees", (col("lang_pred") === col("lang_label")).cast(IntegerType))
   }
+
+  /** DuckDB oracle for [[langId]], generated from the same [[LangProfiles]]
+    * so both engines score identical word lists. DuckDB's `list_sort(...)[-1]`
+    * over structs reproduces Spark's `greatest(struct...)` max-by-(hits,lang)
+    * semantics including the lexicographically-last tiebreak. */
+  val langIdSql: String = {
+    val structs = LangProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
+      val list = profile.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"{'hits': len(list_filter(string_split(lower(text), ' '), w -> w IN $list)), 'lang': '$lang'}"
+    }.mkString(",\n      ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS lang_label,
+       |    (list_sort([
+       |      $structs
+       |    ]))[-1] AS best
+       |  FROM documents)
+       |SELECT doc_id, lang_label,
+       |       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+       |       CAST(CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END = lang_label
+       |            AS INTEGER) AS agrees
+       |FROM scored""".stripMargin
+  }
 }

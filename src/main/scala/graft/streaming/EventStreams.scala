@@ -105,6 +105,27 @@ object EventStreams {
       }
   }
 
+  /** Contract query: the tumbling-window aggregate executed as a REAL
+    * Structured Streaming query (micro-batched file source → watermark →
+    * stateful window aggregate → memory sink, driven to completion), with
+    * output shaped to match the batch oracle — value sums go through
+    * DECIMAL so the micro-batch accumulation order cannot move the result.
+    * This makes streaming execution itself oracle-checked against DuckDB. */
+  def hourlyStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
+    val streamed = readEvents(spark, dir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(24, 6))).cast(DoubleType)
+          .as("value_sum"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("value_sum"))
+    runToBatch(spark, streamed, s"hourly_stream_${math.abs(dir.hashCode)}",
+      OutputMode.Complete)
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result (local test harness). */
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,

@@ -91,6 +91,32 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
   }
 
+  /** [[bruteForceTopK]] with the ranking done by the [[graft.functions.TopKAgg]]
+    * typed aggregator instead of a window: candidates shrink to k rows per
+    * query MAP-SIDE before the exchange (partial aggregation), instead of
+    * shipping and sorting every candidate inside the window partition. Same
+    * results (spec-asserted); strictly better shuffle volume at scale —
+    * k·queries rows instead of n·queries. */
+  def bruteForceTopKAgg(spark: SparkSession, dir: String,
+                        nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val emb = normalized(spark, dir)
+    val queries = emb.orderBy(col("vec_id")).limit(nQueries)
+      .toDF("query_id", "qu")
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("u"), col("qu")))
+    val topk = udaf(graft.functions.TopKAgg.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("vec_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        round(col("col._1"), 6).as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rk"))
+  }
+
   /** Sign-LSH bucketed ANN: same query set and output shape as
     * [[bruteForceTopK]], but candidates are restricted to the query's
     * hyperplane-sign bucket. Recall < 1 by construction; at scale the

@@ -88,6 +88,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("top-k aggregator produces identical results to the window ranking") {
+    val win = SimilaritySearch.bruteForceTopK(spark, dir, nQueries = 4, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val agg = SimilaritySearch.bruteForceTopKAgg(spark, dir, nQueries = 4, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(agg == win)
+  }
+
   test("text stats: counts consistent") {
     val s = TextAnalysis.textStats(spark, dir).collect()
     s.foreach { r =>

@@ -61,6 +61,7 @@ object SparkEntry {
     "q61_events_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
     "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
+    "q65_asof_join" -> ((s, dir) => Events.asofLastPurchase(s, dir)),
     // Similarity search (embeddings)
     "q50_ann_bruteforce" -> ((s, dir) => SimilaritySearch.bruteForceTopK(s, dir)),
     "q51_ann_signlsh" -> ((s, dir) => SimilaritySearch.signLshTopK(s, dir)),
@@ -105,5 +106,6 @@ object SparkEntry {
     "q61_events_sessionize" -> Events.sessionizeSql,
     "q62_events_running" -> Events.runningAggSql,
     "q63_events_daily_top" -> Events.dailyTopEventsSql,
+    "q65_asof_join" -> Events.asofLastPurchaseSql,
   )
 }

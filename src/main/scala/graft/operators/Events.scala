@@ -109,6 +109,60 @@ object Events {
       |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg
       |FROM events""".stripMargin
 
+  /** As-of join — the canonical operator Spark lacks natively (SURVEY §2.6
+    * lists every join family as absent in the reference; DuckDB ships ASOF
+    * JOIN, which is the oracle here). For every `click` event: the same
+    * user's most recent `purchase` at-or-before the click.
+    *
+    * Composed from built-ins (preference (a) of the custom-operator ladder —
+    * the semantics fit, so no custom SparkPlan is warranted): tag both
+    * streams, union, then one window pass per user ordered by
+    * (time, purchases-first) carries the last purchase forward via
+    * `last(_, ignoreNulls)`. One shuffle on user_id, in-partition sort —
+    * the same cost profile a dedicated as-of SparkPlan would have.
+    * Purchases are pre-deduplicated per (user, ms) with max(event_id) so
+    * ties are deterministic on both engines. */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Rfm.epochMs(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t"), col("event_id").as("click_id"),
+        lit(null).cast(LongType).as("purchase_id"),
+        lit(null).cast(LongType).as("purchase_t"),
+        lit(0).as("is_r"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("t"))
+      .agg(max(col("event_id")).as("purchase_id"))
+      .select(col("user_id"), col("t"), lit(null).cast(LongType).as("click_id"),
+        col("purchase_id"), col("t").as("purchase_t"), lit(1).as("is_r"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_purchase_id",
+        last(col("purchase_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_purchase_t",
+        last(col("purchase_t"), ignoreNulls = true).over(w))
+      .filter(col("is_r") === 0)
+      .select(col("click_id"), col("user_id"),
+        col("asof_purchase_id").as("purchase_id"),
+        col("asof_purchase_t").as("purchase_t"))
+  }
+
+  val asofLastPurchaseSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+      |         event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+      |         max(event_id) AS purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.click_id, c.user_id, p.purchase_id, p.t AS purchase_t
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin
+
   /** Top event values per type per day — dense_rank over a composite
     * partition, exercising rank-function family beyond row_number. */
   def dailyTopEvents(spark: SparkSession, dir: String): DataFrame = {

@@ -85,8 +85,10 @@ object Clustering {
     // SURVEY §7.4; we promise strictly more). Partition count follows data
     // size: every Lloyd's iteration is one job over these partitions, and
     // hundreds of near-empty tasks per iteration dominated wall-clock on
-    // small-SF fits (a 1000-executor cluster re-tunes via the same formula).
-    val numParts = math.max(1, math.min(64, n / 4096)).toInt
+    // small-SF fits. Rows here are 3 doubles — ~64k rows/task is still only
+    // ~1.5 MB, so iteration cost is scheduling-bound until well past that
+    // (a billion-customer table still yields ~15k tasks via this formula).
+    val numParts = math.max(1, math.min(1 << 14, n / 65536)).toInt
     val cached = features
       .repartition(numParts, col("custkey"))
       .sortWithinPartitions(col("custkey"))

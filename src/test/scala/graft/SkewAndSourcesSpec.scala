@@ -53,6 +53,25 @@ class SkewAndSourcesSpec extends AnyFunSuite {
         .filter(col("o_orderpriority").startsWith("1")).count())
   }
 
+  test("csv and json sinks round-trip the RFM result") {
+    val rfm = graft.operators.Rfm.rfmOrders(spark, dir)
+    val expected = rfm.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+
+    val csvOut = Files.createTempDirectory("graft_csv").toString
+    rfm.write.mode("overwrite").option("header", true).csv(csvOut)
+    val csvBack = spark.read.option("header", true)
+      .schema(rfm.schema).csv(csvOut).collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(csvBack == expected)
+
+    val jsonOut = Files.createTempDirectory("graft_json").toString
+    rfm.write.mode("overwrite").json(jsonOut)
+    val jsonBack = spark.read.schema(rfm.schema).json(jsonOut).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(jsonBack == expected)
+  }
+
   test("bucketed table join avoids the exchange on the bucketed key") {
     val s = spark // warehouse dir is a tmp dir set at session creation
     Tables.orders(s, dir).write.mode("overwrite")

@@ -51,6 +51,7 @@ object SparkEntry {
     "q41_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "q42_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintOracle(s, dir)),
     "q44_rolling_hash" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q45_corpus_prep" -> ((s, dir) => CorpusPrep.corpusPrep(s, dir)),
     "q43_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     // Event/time-series analytics (events)
     "q17_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q40_text_stats" -> TextAnalysis.textStatsSql,
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q45_corpus_prep" -> CorpusPrep.corpusPrepSql,
     "q53_embedding_stats" -> SimilaritySearch.embeddingStatsSql,
     "q17_percentiles" -> Relational.percentilesSql,
     "q43_lang_id" -> TextAnalysis.langIdSql,

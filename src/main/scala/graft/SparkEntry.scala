@@ -55,6 +55,8 @@ object SparkEntry {
     "q43_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     // Event/time-series analytics (events)
     "q17_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
+    "q18_rollup" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
+    "q19_approx_distinct" -> ((s, dir) => Relational.approxDistinct(s, dir)),
     "q60_events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
     // Structured Streaming execution, driven to completion, oracle-checked
     "q64_stream_hourly" -> ((s, dir) =>
@@ -102,6 +104,7 @@ object SparkEntry {
     "q45_corpus_prep" -> CorpusPrep.corpusPrepSql,
     "q53_embedding_stats" -> SimilaritySearch.embeddingStatsSql,
     "q17_percentiles" -> Relational.percentilesSql,
+    "q18_rollup" -> Relational.rollupRevenueSql,
     "q43_lang_id" -> TextAnalysis.langIdSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,

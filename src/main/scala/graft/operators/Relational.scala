@@ -236,6 +236,50 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** ROLLUP grouping — multi-level aggregate (region → region+segment →
+    * grand total) in ONE pass: Spark expands grouping sets before the hash
+    * aggregate, so the cost is one scan + one exchange regardless of how
+    * many levels roll up. Null grouping cells are coalesced to '(all)' so
+    * both engines sort/compare identically. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"),
+      col("c_mktsegment"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+        .as("revenue"), count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("mktsegment"),
+        col("revenue"), col("n_orders"))
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT coalesce(r_name, '(all)') AS region,
+      |       coalesce(c_mktsegment, '(all)') AS mktsegment,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, c_mktsegment)""".stripMargin
+
+  /** Approximate distinct counting (HyperLogLog++) — the 100 TB default for
+    * cardinality: constant memory per group, order-independent merge, no
+    * expand. Estimator internals differ across engines, so this is
+    * spec-checked against the exact count (≤5% relative error) rather than
+    * oracle-compared. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   /** Semi/anti joins — extension (§2.6 lists them absent in the reference):
     * customers with no orders (anti) vs with at least one order (semi),
     * counted per market segment. Both are broadcast-able from the orders'

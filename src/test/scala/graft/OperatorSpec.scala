@@ -96,6 +96,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg == win)
   }
 
+  test("approx distinct within 5% of exact per group") {
+    Relational.approxDistinct(spark, dir).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("text stats: counts consistent") {
     val s = TextAnalysis.textStats(spark, dir).collect()
     s.foreach { r =>

@@ -65,6 +65,7 @@ object SparkEntry {
     "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
     "q65_asof_join" -> ((s, dir) => Events.asofLastPurchase(s, dir)),
+    "q66_range_join" -> ((s, dir) => Events.rangeJoinClicksBeforeErrors(s, dir)),
     // Similarity search (embeddings)
     "q50_ann_bruteforce" -> ((s, dir) => SimilaritySearch.bruteForceTopK(s, dir)),
     "q51_ann_signlsh" -> ((s, dir) => SimilaritySearch.signLshTopK(s, dir)),
@@ -112,5 +113,6 @@ object SparkEntry {
     "q62_events_running" -> Events.runningAggSql,
     "q63_events_daily_top" -> Events.dailyTopEventsSql,
     "q65_asof_join" -> Events.asofLastPurchaseSql,
+    "q66_range_join" -> Events.rangeJoinSql,
   )
 }

@@ -163,6 +163,44 @@ object Events {
       |FROM clicks c ASOF LEFT JOIN purch p
       |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin
 
+  /** Range (interval) join — "clicks by the same user within the 30 minutes
+    * before each error", banded: a naive inequality join degenerates to a
+    * nested-loop at scale, so each error explodes to its two candidate
+    * window-sized bins and the join runs as an EQUI-join on (user, bin) with an
+    * exact range filter after. Shuffle cost tracks matching-bin pairs, not
+    * the cross product — the standard bin-bucket range-join technique.
+    * Output: (error_id, n_recent_clicks), errors with ≥1 match. */
+  def rangeJoinClicksBeforeErrors(spark: SparkSession, dir: String,
+                                  windowMs: Long = 30 * 60 * 1000): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Rfm.epochMs(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("t").as("t_err"), col("event_id").as("error_id"))
+      .withColumn("bin", explode(array((expr(s"t_err DIV $windowMs") - 1),
+        expr(s"t_err DIV $windowMs"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("t_click"),
+        expr(s"t_click DIV $windowMs").as("bin"))
+    errors.join(clicks, Seq("user_id", "bin"))
+      .filter(col("t_err") - col("t_click") >= 0 &&
+        col("t_err") - col("t_click") <= windowMs)
+      .groupBy(col("error_id"))
+      .agg(count(lit(1)).as("n_recent_clicks"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+      |         event_id, event_type
+      |  FROM events)
+      |SELECT e.event_id AS error_id, count(*) AS n_recent_clicks
+      |FROM ev e JOIN ev c
+      |  ON e.user_id = c.user_id
+      | AND e.event_type = 'error' AND c.event_type = 'click'
+      | AND e.t - c.t >= 0 AND e.t - c.t <= 1800000
+      |GROUP BY e.event_id""".stripMargin
+
   /** Top event values per type per day — dense_rank over a composite
     * partition, exercising rank-function family beyond row_number. */
   def dailyTopEvents(spark: SparkSession, dir: String): DataFrame = {

@@ -15,9 +15,9 @@ import org.apache.spark.sql.types._
   * Three tiers, ordered by scale:
   *  - [[bruteForceTopK]] — exact cosine top-k for a small broadcast query
   *    set against the full table. The data side streams once; per-row work
-  *    is a codegen'd `zip_with`/`aggregate` dot product. This is the
-  *    correctness baseline and is the right plan whenever |queries| is small
-  *    enough to broadcast (the common batch-scoring case).
+  *    is the native codegen dot product ([[graft.functions.VectorExprs]]).
+  *    This is the correctness baseline and is the right plan whenever
+  *    |queries| is small enough to broadcast (the common batch-scoring case).
   *  - [[signLshTopK]] — random-hyperplane sign-LSH: each vector reduces to a
   *    small bucket key; queries only score vectors sharing their bucket.
   *    Candidate cost tracks bucket occupancy, not table size.

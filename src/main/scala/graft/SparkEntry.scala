@@ -52,10 +52,12 @@ object SparkEntry {
     "q42_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintOracle(s, dir)),
     "q44_rolling_hash" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q45_corpus_prep" -> ((s, dir) => CorpusPrep.corpusPrep(s, dir)),
+    "q46_edit_distance" -> ((s, dir) => TextAnalysis.editDistancePairs(s, dir)),
     "q43_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     // Event/time-series analytics (events)
     "q17_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
     "q18_rollup" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
+    "q09_histogram" -> ((s, dir) => Relational.histogram(s, dir)),
     "q19_approx_distinct" -> ((s, dir) => Relational.approxDistinct(s, dir)),
     "q60_events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
     // Structured Streaming execution, driven to completion, oracle-checked
@@ -66,6 +68,7 @@ object SparkEntry {
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
     "q65_asof_join" -> ((s, dir) => Events.asofLastPurchase(s, dir)),
     "q66_range_join" -> ((s, dir) => Events.rangeJoinClicksBeforeErrors(s, dir)),
+    "q67_session_window" -> ((s, dir) => Events.sessionWindows(s, dir)),
     // Similarity search (embeddings)
     "q50_ann_bruteforce" -> ((s, dir) => SimilaritySearch.bruteForceTopK(s, dir)),
     "q51_ann_signlsh" -> ((s, dir) => SimilaritySearch.signLshTopK(s, dir)),
@@ -106,6 +109,9 @@ object SparkEntry {
     "q53_embedding_stats" -> SimilaritySearch.embeddingStatsSql,
     "q17_percentiles" -> Relational.percentilesSql,
     "q18_rollup" -> Relational.rollupRevenueSql,
+    "q09_histogram" -> Relational.histogramSql,
+    "q46_edit_distance" -> TextAnalysis.editDistancePairsSql,
+    "q67_session_window" -> Events.sessionWindowsSql,
     "q43_lang_id" -> TextAnalysis.langIdSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,

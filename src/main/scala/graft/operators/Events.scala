@@ -163,6 +163,40 @@ object Events {
       |FROM clicks c ASOF LEFT JOIN purch p
       |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin
 
+  /** Native gap-based session windows (`session_window`, the batch form of
+    * the streaming operator): one row per (user, session), where a session
+    * extends until a 30-minute silence. Spark defines the window end as
+    * last event + gap; the oracle reproduces that from the same
+    * lag/running-sum sessionization used by [[sessionize]]. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        Rfm.epochMs(col("session_window.start")).as("start_ms"),
+        Rfm.epochMs(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+
+  val sessionWindowsSql: String =
+    """WITH evts AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_ms,
+      |         CASE WHEN lag(ts_ms) OVER w IS NULL
+      |                OR ts_ms - lag(ts_ms) OVER w > 30*60*1000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM evts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+      |numbered AS (
+      |  SELECT user_id, ts_ms,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts_ms) AS start_ms,
+      |       max(ts_ms) + 30*60*1000 AS end_ms,
+      |       count(*) AS n_events
+      |FROM numbered GROUP BY user_id, session_id""".stripMargin
+
   /** Range (interval) join — "clicks by the same user within the 30 minutes
     * before each error", banded: a naive inequality join degenerates to a
     * nested-loop at scale, so each error explodes to its two candidate

@@ -280,6 +280,30 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** Equal-width histogram — the one-pass distributed histogram: bucket id
+    * per row is pure arithmetic (width_bucket semantics, written out
+    * explicitly so both engines evaluate the identical expression — this
+    * DuckDB build lacks the function, and engine-internal bucketing
+    * arithmetic could differ in the last ulp at exact bucket boundaries),
+    * then a count per bucket. 12 buckets of 50k over [0, 600k). */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    val bucket = when(x < 0.0, 0L)
+      .when(x >= 600000.0, 13L)
+      .otherwise(floor(x / 50000.0).cast(LongType) + 1L)
+    Tables.orders(spark, dir)
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val histogramSql: String =
+    """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+      |            WHEN o_totalprice >= 600000.0 THEN 13
+      |            ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+      |       count(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Semi/anti joins — extension (§2.6 lists them absent in the reference):
     * customers with no orders (anti) vs with at least one order (semi),
     * counted per market segment. Both are broadcast-able from the orders'

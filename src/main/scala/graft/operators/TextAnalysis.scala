@@ -126,6 +126,38 @@ object TextAnalysis {
       |      ' +', ' ', 'g')) AS norm_md5
       |FROM documents""".stripMargin
 
+  /** Edit-distance confirmation of the near-duplicate pairs: joins the
+    * 25 shingle-Jaccard pairs back to their texts and scores Levenshtein
+    * distance (both engines implement the standard DP edit distance) plus a
+    * normalized similarity. Exercises the string-function family on a
+    * bounded pair set — never all-pairs: Levenshtein is O(len²) per pair,
+    * so at scale it only ever runs as a post-filter on LSH candidates,
+    * exactly as composed here. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pairs = Dedup.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    pairs
+      .join(docs.toDF("doc_a", "text_a"), Seq("doc_a"))
+      .join(docs.toDF("doc_b", "text_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast(LongType).as("edit_dist"),
+        round(lit(1.0) -
+          levenshtein(col("text_a"), col("text_b")).cast(DoubleType) /
+            greatest(length(col("text_a")), length(col("text_b"))), 6)
+          .as("lev_sim"))
+  }
+
+  val editDistancePairsSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSql}))
+       |SELECT p.doc_a, p.doc_b,
+       |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |       round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |                   / greatest(length(a.text), length(b.text)), 6) AS lev_sim
+       |FROM pairs p
+       |JOIN documents a ON p.doc_a = a.doc_id
+       |JOIN documents b ON p.doc_b = b.doc_id""".stripMargin
+
   /** Language identification via stopword-profile scoring: each language has
     * a tiny function-word profile; the predicted language maximizes the
     * count of profile hits (deterministic tiebreak). An honest n-gram

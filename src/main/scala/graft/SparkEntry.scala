@@ -69,6 +69,8 @@ object SparkEntry {
     "q65_asof_join" -> ((s, dir) => Events.asofLastPurchase(s, dir)),
     "q66_range_join" -> ((s, dir) => Events.rangeJoinClicksBeforeErrors(s, dir)),
     "q67_session_window" -> ((s, dir) => Events.sessionWindows(s, dir)),
+    "q68_json_extract" -> ((s, dir) => Events.jsonExtract(s, dir)),
+    "q69_pivot" -> ((s, dir) => Events.pivotEventCounts(s, dir)),
     // Similarity search (embeddings)
     "q50_ann_bruteforce" -> ((s, dir) => SimilaritySearch.bruteForceTopK(s, dir)),
     "q51_ann_signlsh" -> ((s, dir) => SimilaritySearch.signLshTopK(s, dir)),
@@ -112,6 +114,8 @@ object SparkEntry {
     "q09_histogram" -> Relational.histogramSql,
     "q46_edit_distance" -> TextAnalysis.editDistancePairsSql,
     "q67_session_window" -> Events.sessionWindowsSql,
+    "q68_json_extract" -> Events.jsonExtractSql,
+    "q69_pivot" -> Events.pivotEventCountsSql,
     "q43_lang_id" -> TextAnalysis.langIdSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,

@@ -163,6 +163,50 @@ object Events {
       |FROM clicks c ASOF LEFT JOIN purch p
       |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin
 
+  /** JSON extraction — `props` is a JSON payload column; `get_json_object`
+    * (codegen'd Jackson path evaluation, no UDF) pulls `$.k` and aggregates
+    * it per event type. At scale, stable-schema JSON should move to
+    * `from_json` with an explicit schema once (or be materialized to a
+    * struct column at ingest); path-extraction is the ad-hoc form. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |       count(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+      |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+      |       min(CAST(props->>'k' AS BIGINT)) AS k_min,
+      |       max(CAST(props->>'k' AS BIGINT)) AS k_max
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Pivot (crosstab) — per-user event counts, one column per event type.
+    * Spark's `pivot` with an EXPLICIT value list compiles to conditional
+    * aggregation in a single pass (no second pass to discover values, no
+    * extra shuffle) — the only scale-safe form; the oracle is the same
+    * conditional aggregation spelled out. */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val pivotEventCountsSql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (event_type = 'click') AS click,
+      |       count(*) FILTER (event_type = 'error') AS error,
+      |       count(*) FILTER (event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (event_type = 'signup') AS signup,
+      |       count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Native gap-based session windows (`session_window`, the batch form of
     * the streaming operator): one row per (user, session), where a session
     * extends until a 30-minute silence. Spark defines the window end as

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped keyed cache for prepared intermediate frames (normalized
+  * embeddings, shingle index, text-stat projections, coarse-quantizer
+  * assignments).
+  *
+  * Why this exists: several operators reference the same expensive derived
+  * frame (e.g. the L2-normalized embedding table) and Catalyst performs no
+  * common-subexpression elimination across `Project`s — every reference
+  * re-inlines the full lineage. A `.cache()` barrier fixes that WITHIN one
+  * query, but a per-call `.cache()` creates a NEW cached plan per
+  * invocation: repeated calls (Verify runs all 55 queries, Bench runs each
+  * twice) accumulate orphaned cache entries for the life of the session.
+  *
+  * The registry gives each derived frame ONE cached instance per
+  * (application, logical key): first caller pays materialization, every
+  * later query — including a different query reusing the same preparation —
+  * hits the same cached plan. At production scale the equivalent artifact is
+  * a persisted "prepared" table (the normalized-vectors parquet, the shingle
+  * index); session caching is the local-mode stand-in with the same
+  * dataflow shape.
+  */
+object CacheRegistry {
+
+  private val frames =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Get-or-build the cached frame for `key`. `build` runs at most once per
+    * (appId, key); the result is `.cache()`d (lazy — materialized by the
+    * first action that touches it). */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    frames.getOrElseUpdate(
+      (spark.sparkContext.applicationId, key), build.cache())
+
+  /** Drop and unpersist every frame registered by `spark`'s application —
+    * test/benchmark hygiene for long-lived sessions. */
+  def clear(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    frames.keys.filter(_._1 == appId).foreach { k =>
+      frames.remove(k).foreach(_.unpersist())
+    }
+  }
+}

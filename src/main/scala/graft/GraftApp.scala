@@ -43,10 +43,18 @@ object GraftApp {
   }
 
   /** Load RFM features from either surface: a retail CSV (reference schema)
-    * or a testdata directory (orders parquet). */
+    * or a testdata directory (orders parquet). Both branches emit the same
+    * lowercase schema (custkey, recency, frequency, monetary) — the CSV
+    * branch renames `CustomerID` so [[Clustering.fit]]'s key column
+    * (`custkey`) resolves on either surface (Spark resolves the feature
+    * columns case-insensitively, but no casing of `CustomerID` is
+    * `custkey`). */
   def loadRfm(spark: SparkSession, input: String): DataFrame =
     if (input.endsWith(".csv"))
-      Retail.requireNonEmpty(Retail.loadAndProcess(spark, input), "RFM aggregation")
+      Retail.requireNonEmpty(
+        Retail.loadAndProcess(spark, input)
+          .withColumnRenamed("CustomerID", "custkey"),
+        "RFM aggregation")
     else
       Retail.requireNonEmpty(Rfm.rfmOrders(spark, input), "RFM aggregation")
 

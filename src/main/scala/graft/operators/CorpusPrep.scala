@@ -20,6 +20,11 @@ object CorpusPrep {
 
   def corpusPrep(spark: SparkSession, dir: String,
                  minQuality: Double = 0.5): DataFrame = {
+    // lang + quality + token counts all come from the ONE cached textBase
+    // projection (shared with q40/q41), so the lang/stats/toks "joins" of
+    // the logical composition collapse into a single narrow select; the
+    // near-dup pair join reuses the session-cached shingle index. The only
+    // remaining heavyweight stage is the dedup self-join — as designed.
     val stats = TextAnalysis.textStats(spark, dir)
       .select(col("doc_id"), col("quality"))
     val toks = TextAnalysis.tokenCount(spark, dir)

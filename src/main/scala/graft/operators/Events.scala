@@ -227,8 +227,11 @@ object Events {
       |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
       |flagged AS (
       |  SELECT user_id, ts_ms,
+      |         -- >= (not >): session_window events cover [t, t+gap), so an
+      |         -- event at exactly lastTs+gap does not overlap the previous
+      |         -- window and Spark starts a NEW session on the exact boundary
       |         CASE WHEN lag(ts_ms) OVER w IS NULL
-      |                OR ts_ms - lag(ts_ms) OVER w > 30*60*1000
+      |                OR ts_ms - lag(ts_ms) OVER w >= 30*60*1000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM evts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
       |numbered AS (

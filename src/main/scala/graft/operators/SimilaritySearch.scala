@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorExprs.{dot_product, l2_norm}
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -58,17 +58,20 @@ object SimilaritySearch {
 
   /** embeddings → (vec_id, u: array<double> L2-normalized).
     *
-    * Cached: every consumer references `u` many times (bucket keys, dot
-    * products, window sorts), and without a materialization barrier Catalyst
-    * re-inlines the normalize+norm-aggregate expression at every reference —
-    * at 100 TB this would also be the natural "prepared vectors" table. */
+    * Cached via [[graft.CacheRegistry]], ONE instance per (session, dir):
+    * every consumer references `u` many times (bucket keys, dot products,
+    * window sorts), and without a materialization barrier Catalyst
+    * re-inlines the normalize+norm expression at every reference; a
+    * per-call `.cache()` would instead leak one orphaned cached plan per
+    * invocation. At 100 TB this is the natural persisted
+    * "prepared vectors" table. */
   private[operators] def normalized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("norm", l2_norm(col("v")))
-      .filter(col("norm") > 0)
-      .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
-      .cache()
+    graft.CacheRegistry.cached(spark, s"normalized:$dir")(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+        .withColumn("norm", l2_norm(col("v")))
+        .filter(col("norm") > 0)
+        .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u")))
 
   private def dot(a: Column, b: Column): Column = dot_product(a, b)
 
@@ -140,20 +143,36 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
   }
 
+  /** Session cache for the fitted IVF coarse quantizer + its assignment
+    * table, keyed like [[Clustering]]'s fit cache: the model is an index
+    * artifact — at scale it is FIT ONCE when the table is (re)built and the
+    * assignments are persisted partitioned by `coarse_id`; refitting per
+    * query (the round-1 shape) charged every probe a full K-Means run. */
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), (KMeansModel, DataFrame)]
+
+  private def ivfIndex(spark: SparkSession, dir: String,
+                       nlist: Int): (KMeansModel, DataFrame) =
+    ivfCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, nlist), {
+        val emb = normalized(spark, dir)
+          .withColumn("features", array_to_vector(col("u")))
+        val km = new KMeans().setK(nlist).setSeed(42L)
+          .setDistanceMeasure("euclidean").setFeaturesCol("features")
+          .setPredictionCol("coarse_id").setMaxIter(20)
+        val model = km.fit(emb)
+        val assigned = graft.CacheRegistry.cached(spark, s"ivf:$nlist:$dir")(
+          model.transform(emb).select(col("vec_id"), col("u"), col("coarse_id")))
+        (model, assigned)
+      })
+
   /** IVF ANN: seeded coarse K-Means (nlist centroids) over unit vectors;
     * each query scores only vectors whose coarse cell is among its `nprobe`
     * nearest centroids. */
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val emb = normalized(spark, dir)
-      .withColumn("features", array_to_vector(col("u")))
-      .cache()
-    val km = new KMeans().setK(nlist).setSeed(42L)
-      .setDistanceMeasure("euclidean").setFeaturesCol("features")
-      .setPredictionCol("coarse_id").setMaxIter(20)
-    val model = km.fit(emb)
-    val assigned = model.transform(emb).select(col("vec_id"), col("u"), col("coarse_id"))
+    val (model, assigned) = ivfIndex(spark, dir, nlist)
     // nprobe nearest centroids per query, via the same centroid literals
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)

@@ -23,29 +23,53 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(text, " ")
 
+  /** The BPE-ish pre-tokenizer pattern (letter runs / single digits /
+    * single non-alnum marks — the shape GPT-2 style pre-tokenizers use). */
+  private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** Shared per-document scalar projection, computed ONCE per (session,
+    * dir) and cached: every raw count the text queries need — the word
+    * split, both regex extractions and the stopword filter each run exactly
+    * once here, instead of once per consuming query (and, because Catalyst
+    * does not CSE across Projects, once per REFERENCE inside each query:
+    * the quality blend alone referenced the stopword filter twice).
+    * [[textStats]], [[tokenCount]] and [[graft.operators.CorpusPrep]] are
+    * arithmetic-only selects over this frame. At 100 TB this is the
+    * "document stats" companion table a corpus pipeline materializes
+    * anyway; 8 longs + lang per document, far narrower than the text. */
+  private[operators] def textBase(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"textbase:$dir") {
+      val ws = words(col("text"))
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(ws).cast(LongType).as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+          .cast(LongType).as("n_alnum"),
+        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+          .cast(LongType).as("n_punct"),
+        size(filter(ws, w => w.isin(Stopwords: _*))).cast(LongType).as("n_stop"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast(LongType).as("n_bpe"))
+    }
+
   /** Per-document statistics + quality score.
     *
     * Quality is a deterministic rational blend (no transcendentals — libm
     * differences would break cross-engine exactness):
     * 0.4·stopword_ratio + 0.3·min(1, n_words/100) + 0.3·(1 − punct_ratio). */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val ws = words(col("text"))
-    val nWords = size(ws).cast(LongType)
-    val nAlnum = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
-      .cast(LongType)
-    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
-      .cast(LongType)
-    val nStop = size(filter(ws, w => w.isin(Stopwords: _*))).cast(LongType)
-    val stopRatio = nStop.cast(DoubleType) / nWords.cast(DoubleType)
-    val punctRatio = nPunct.cast(DoubleType) / length(col("text")).cast(DoubleType)
-    val lenScore = least(lit(1.0), nWords.cast(DoubleType) / 100.0)
-    d.select(col("doc_id"),
-      length(col("text")).cast(LongType).as("n_chars_calc"),
-      nWords.as("n_words"),
-      nAlnum.as("n_alnum_tokens"),
-      nPunct.as("n_punct"),
-      nStop.as("n_stopwords"),
+    val base = textBase(spark, dir)
+    val stopRatio = col("n_stop").cast(DoubleType) / col("n_words").cast(DoubleType)
+    val punctRatio = col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType)
+    val lenScore = least(lit(1.0), col("n_words").cast(DoubleType) / 100.0)
+    base.select(col("doc_id"),
+      col("n_chars").as("n_chars_calc"),
+      col("n_words"),
+      col("n_alnum").as("n_alnum_tokens"),
+      col("n_punct"),
+      col("n_stop").as("n_stopwords"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(lit(0.4) * stopRatio + lit(0.3) * lenScore +
         lit(0.3) * (lit(1.0) - punctRatio), 6).as("quality"))
@@ -69,18 +93,13 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
-  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
-    * (letter runs / single digits / single non-alnum marks — the shape GPT-2
-    * style pre-tokenizers use). Per-document counts; global totals are one
-    * extra aggregate away. */
-  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val bpe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
-    d.select(col("doc_id"),
-      size(words(col("text"))).cast(LongType).as("ws_tokens"),
-      size(regexp_extract_all(col("text"), lit(bpe), lit(0))).cast(LongType)
-        .as("bpe_tokens"))
-  }
+  /** Token counting: whitespace tokens plus the [[BpePattern]] regex
+    * segmentation. Per-document counts from the shared [[textBase]]
+    * projection; global totals are one extra aggregate away. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    textBase(spark, dir).select(col("doc_id"),
+      col("n_words").as("ws_tokens"),
+      col("n_bpe").as("bpe_tokens"))
 
   val tokenCountSql: String =
     """SELECT doc_id,

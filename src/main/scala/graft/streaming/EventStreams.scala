@@ -38,8 +38,10 @@ object EventStreams {
     val streamDir =
       if (Files.isDirectory(src)) src
       else {
+        // keyed by the FULL sanitized source path — a hashCode key could
+        // collide across two sf dirs and silently reuse stale staged data
         val staged = Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_stream_${math.abs(src.toString.hashCode)}")
+          s"graft_stream_${sanitize(src.toString)}")
         Files.createDirectories(staged)
         Files.copy(src, staged.resolve("events.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
@@ -122,9 +124,18 @@ object EventStreams {
           .as("value_sum"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("value_sum"))
-    runToBatch(spark, streamed, s"hourly_stream_${math.abs(dir.hashCode)}",
+    runToBatch(spark, streamed, s"hourly_stream_${sanitize(dir)}",
       OutputMode.Complete)
   }
+
+  /** Injective path → identifier mapping (also a valid memory-sink table
+    * name): every non-alphanumeric char becomes `_x<hex>_`, so distinct
+    * paths can never collide the way a hashCode key could. */
+  private[graft] def sanitize(path: String): String =
+    path.map {
+      case c if c.isLetterOrDigit => c.toString
+      case c => f"_x${c.toInt}%02x_"
+    }.mkString
 
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result (local test harness). */

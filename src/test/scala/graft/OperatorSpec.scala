@@ -53,6 +53,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("shingles: sub-k-word docs yield empty sets, dedup doesn't crash") {
+    import spark.implicits._
+    // sequence(0, size-k) on a <k-word doc would produce the DESCENDING
+    // array [0,-1] and element_at(ws, 0) throws — the guard must branch
+    val docs = Seq(
+      (1L, "one two"), (2L, "solo"), (3L, ""),
+      (4L, "alpha beta gamma delta"), (5L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)))
+  }
+
+  test("df cap: generous cap keeps every planted pair; cap=1 kills the index") {
+    val docs = graft.Tables.documents(spark, dir)
+    val uncapped = Dedup.ngramJaccard(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardOn(docs, maxDf = Some(100L))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped && uncapped.nonEmpty)
+    // any shingle shared by a pair has df >= 2, so cap 1 leaves no candidates
+    assert(Dedup.ngramJaccardOn(docs, maxDf = Some(1L)).isEmpty)
+  }
+
+  test("simhash aggregator matches an independent driver-side fold") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x z"), (2L, "hello world hello world again"),
+      (3L, "x y x z w")).toDF("doc_id", "text")
+    val got = Dedup.simhashOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: per-bit ONES count (not the aggregator's ±1 votes);
+    // bit set iff 2·ones − n > 0
+    val toks = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = toks.groupBy(_._1).map { case (id, hs) =>
+      val n = hs.length
+      var sig = 0L
+      (0 until 64).foreach { b =>
+        val ones = hs.count { case (_, h) => ((h >>> b) & 1L) == 1L }
+        if (2L * ones - n > 0) sig |= 1L << b
+      }
+      id -> sig
+    }
+    assert(got == expected)
+  }
+
   test("minhash and exact jaccard agree on the planted near-dups") {
     val exact = Dedup.ngramJaccard(spark, dir).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

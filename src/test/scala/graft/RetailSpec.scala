@@ -65,6 +65,21 @@ class RetailSpec extends AnyFunSuite {
     }
   }
 
+  /** The full CLI path over the CSV surface (C3/C4): fit must resolve its
+    * key column on CSV-derived RFM — loadRfm normalizes CustomerID→custkey
+    * so Clustering.fit / silhouetteSampled / clusterReport all run. */
+  test("full pipeline + prediction mode run end-to-end on a CSV input") {
+    val path = writeCsv(integrationCsv)
+    val seg = GraftApp.runFullPipeline(spark,
+      GraftApp.Config(input = path, clusters = 3))
+    assert(seg.model.getK == 3)
+    assert(seg.predictions.count() == 4)
+    assert(seg.predictions.columns.contains("custkey"))
+    val cluster = GraftApp.runPredictionMode(spark,
+      GraftApp.Config(input = path, clusters = 3), "30,10,500.0")
+    assert(cluster >= 0 && cluster < 3)
+  }
+
   test("empty guard fires on all-filtered input") {
     val bad =
       """InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country

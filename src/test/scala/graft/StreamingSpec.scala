@@ -37,6 +37,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(slid.agg(sum("n")).head().getLong(0) == events * 4)
   }
 
+  test("staging key is injective: two distinct dirs stream in one JVM") {
+    // a hashCode-keyed staging dir could collide and reuse stale data; the
+    // sanitized-path key must give each source its own staging area
+    assert(EventStreams.sanitize("/a/b") != EventStreams.sanitize("/a_b"))
+    val n1 = EventStreams.hourlyStreamQuery(spark, GraftTestSession.Sf0001)
+      .agg(sum("n")).head().getLong(0)
+    val n2 = EventStreams.hourlyStreamQuery(spark, GraftTestSession.Sf001)
+      .agg(sum("n")).head().getLong(0)
+    assert(n1 == graft.Tables.events(spark, GraftTestSession.Sf0001).count())
+    assert(n2 == graft.Tables.events(spark, GraftTestSession.Sf001).count())
+    assert(n1 != n2)
+  }
+
   test("stateful session counts: totals match event counts per user") {
     val sessions = EventStreams.runToBatch(spark,
       EventStreams.sessionCounts(spark,

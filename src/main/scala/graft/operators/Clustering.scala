@@ -118,7 +118,7 @@ object Clustering {
 
   private def fitOnDir(spark: SparkSession, dir: String, k: Int = 4): Segmentation =
     fitCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, k),
-      fit(Rfm.rfmOrders(spark, dir), k))
+      fit(Rfm.rfmPrepared(spark, dir), k))
 
   /** A7 — cluster sizes + percentages (reference `src/model.rs:53-61`,
     * percentages `src/main.rs:125-129`). Seeded → deterministic, but kept

@@ -29,7 +29,7 @@ object CorpusPrep {
       .select(col("doc_id"), col("quality"))
     val toks = TextAnalysis.tokenCount(spark, dir)
       .select(col("doc_id"), col("bpe_tokens"))
-    val dupLosers = Dedup.ngramJaccard(spark, dir)
+    val dupLosers = Dedup.ngramPairsPrepared(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
       .join(stats, Seq("doc_id"))

@@ -102,6 +102,16 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame =
     ngramJaccardOnIndex(shingleIndex(spark, dir), threshold)
 
+  /** Session-cached near-duplicate pair list at the default threshold — the
+    * "dedup index" artifact downstream corpus stages consume (corpus prep's
+    * anti-join, the edit-distance confirm). A production pipeline
+    * materializes the pair list once per corpus snapshot and every consumer
+    * reads it; the q31 contract query itself stays on the uncached
+    * [[ngramJaccard]] so the bench keeps measuring the real self-join. */
+  def ngramPairsPrepared(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"ngrampairs:$dir")(
+      ngramJaccard(spark, dir))
+
   /** [[ngramJaccard]] over an arbitrary documents-shaped frame (doc_id,
     * text). With `maxDf` set, both the candidate join AND the Jaccard
     * denominators use the capped shingle universe — i.e. similarity over

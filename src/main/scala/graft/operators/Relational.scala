@@ -75,7 +75,7 @@ object Relational {
     * across engines, so the 1e-12-relative drift cannot straddle a rounding
     * boundary in practice). */
   def zscore(spark: SparkSession, dir: String): DataFrame = {
-    val rfm = Rfm.rfmOrders(spark, dir)
+    val rfm = Rfm.rfmPrepared(spark, dir)
     val stats = rfm.agg(
       avg("recency").as("r_mu"),
       greatest(stddev_pop("recency"), lit(1e-8)).as("r_sd"),
@@ -108,7 +108,7 @@ object Relational {
   /** A9 — plot-frame bounds: min/max of Frequency & Monetary ± 0.5 padding
     * (reference `src/viz.rs:38-50`). Single-row global aggregate. */
   def plotBounds(spark: SparkSession, dir: String): DataFrame =
-    Rfm.rfmOrders(spark, dir).agg(
+    Rfm.rfmPrepared(spark, dir).agg(
       (min("frequency") - 0.5).as("f_min"),
       (max("frequency") + 0.5).as("f_max"),
       (min("monetary") - 0.5).as("m_min"),
@@ -143,7 +143,7 @@ object Relational {
     * partition top-k then a k-row merge on the driver, no global sort
     * shuffle, which is the right plan at any scale. */
   def topCustomers(spark: SparkSession, dir: String): DataFrame =
-    Rfm.rfmOrders(spark, dir)
+    Rfm.rfmPrepared(spark, dir)
       .orderBy(col("monetary").desc, col("custkey"))
       .limit(10)
 
@@ -180,9 +180,9 @@ object Relational {
   def starJoin(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
-          .as("revenue"))
+        // exact fixed-point revenue in 10^-4 dollars (see Rfm scaladoc)
+        (Rfm.cents(col("l_extendedprice")) *
+          (lit(100L) - Rfm.cents(col("l_discount")))).as("revenue_e4"))
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
@@ -193,15 +193,15 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("c_mktsegment").as("mktsegment"))
-      .agg(sum(col("revenue")).cast(DoubleType).as("revenue"),
+      .agg((sum(col("revenue_e4")).cast(DoubleType) / 10000.0).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val starJoinSql: String =
     """SELECT r_name AS region, c_mktsegment AS mktsegment,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-      |            AS DOUBLE) AS revenue,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |            AS DOUBLE) / 10000.0 AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -251,7 +251,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("c_mktsegment"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+      .agg((sum(Rfm.cents(col("o_totalprice"))).cast(DoubleType) / 100.0)
         .as("revenue"), count(lit(1)).as("n_orders"))
       .select(coalesce(col("r_name"), lit("(all)")).as("region"),
         coalesce(col("c_mktsegment"), lit("(all)")).as("mktsegment"),
@@ -261,7 +261,8 @@ object Relational {
   val rollupRevenueSql: String =
     """SELECT coalesce(r_name, '(all)') AS region,
       |       coalesce(c_mktsegment, '(all)') AS mktsegment,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS revenue,
       |       count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey

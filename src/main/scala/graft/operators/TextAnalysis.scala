@@ -154,7 +154,8 @@ object TextAnalysis {
     * exactly as composed here. */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val pairs = Dedup.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = Dedup.ngramPairsPrepared(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
     pairs
       .join(docs.toDF("doc_a", "text_a"), Seq("doc_a"))
       .join(docs.toDF("doc_b", "text_b"), Seq("doc_b"))

@@ -9,10 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[parseRfmValues]] ↔ `Args::parse_rfm_values` (`src/cli.rs:42-66`);
   *  - [[runFullPipeline]] ↔ `run_full_pipeline` (`src/main.rs:84-162`);
   *  - [[runPredictionMode]] ↔ `run_prediction_mode` (`src/main.rs:31-81`);
-  *  - PNG rendering (reference `src/viz.rs`) is out of engine scope; the
-  *    console statistics report (S6) is preserved and the two charts' data
-  *    feeds are exposed as queries (scatter: `Clustering.scatterData`;
-  *    bars: `Clustering.clusterSizes`).
+  *  - chart-file sinks (S4/S5, reference `src/viz.rs`) are rendered by
+  *    [[graft.operators.Charts]] at `--output` (+ `_sizes` suffix) in full
+  *    pipeline mode; the console statistics report (S6) is preserved and the
+  *    two charts' data feeds are also exposed as queries (scatter:
+  *    `Clustering.scatterData`; bars: `Clustering.clusterSizes`).
   */
 object GraftApp {
 
@@ -58,12 +59,15 @@ object GraftApp {
     else
       Retail.requireNonEmpty(Rfm.rfmOrders(spark, input), "RFM aggregation")
 
-  /** Full pipeline: load → fit → stats report (reference `src/main.rs:84-162`).
-    * Returns the fitted segmentation and prints the S6 report. */
+  /** Full pipeline: load → fit → chart files → stats report (reference
+    * `src/main.rs:84-162`, which calls `generate_visualization_report` —
+    * `src/viz.rs:199-215` — writing the scatter PNG at `--output` and the
+    * size chart at the `_sizes`-suffixed path). Returns the fitted
+    * segmentation and prints the S6 report. */
   def runFullPipeline(spark: SparkSession, cfg: Config): Clustering.Segmentation = {
     val t0 = System.nanoTime()
-    val rfm = loadRfm(spark, cfg.input)
-    val seg = Clustering.fit(rfm, cfg.clusters, cfg.maxIters, cfg.tolerance)
+    val seg = fitFromConfig(spark, cfg)
+    operators.Charts.visualizationReport(seg, cfg.output)
     val report = Clustering.clusterReport(seg)
     println(report)
     if (cfg.verbose)
@@ -71,12 +75,19 @@ object GraftApp {
     seg
   }
 
+  /** Load + fit only — shared by both modes. Prediction mode deliberately
+    * does NOT render charts (reference `run_prediction_mode`,
+    * `src/main.rs:31-81`, fits and prints but never touches `src/viz.rs`). */
+  private def fitFromConfig(spark: SparkSession, cfg: Config): Clustering.Segmentation =
+    Clustering.fit(loadRfm(spark, cfg.input), cfg.clusters, cfg.maxIters,
+      cfg.tolerance)
+
   /** Prediction mode: full refit then classify one point (reference
     * `src/main.rs:31-81` — the model is re-trained per invocation there;
     * the session fit-cache in [[Clustering]] is our documented deviation). */
   def runPredictionMode(spark: SparkSession, cfg: Config, rfmStr: String): Int = {
     val point = parseRfmValues(rfmStr)
-    val seg = runFullPipeline(spark, cfg.copy(verbose = false))
+    val seg = fitFromConfig(spark, cfg)
     val cluster = Clustering.predictCluster(seg, point)
     val size = seg.predictions
       .filter(org.apache.spark.sql.functions.col("prediction") === cluster).count()

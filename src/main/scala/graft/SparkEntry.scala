@@ -34,6 +34,8 @@ object SparkEntry {
     "q15_set_intersect" -> ((s, dir) => SetOps.setIntersect(s, dir)),
     "q16_set_except" -> ((s, dir) => SetOps.setExcept(s, dir)),
     // ML surface (seeded, deterministic; not SQL-expressible → rows-only check)
+    // CSV-ingest surface (S1+P2): deterministic fixture → real CSV pipeline
+    "q26_csv_rfm" -> ((s, dir) => Retail.csvRfmQuery(s, dir)),
     "q25_scatter_data" -> ((s, dir) => Clustering.scatterData(s, dir)),
     "q20_cluster_sizes" -> ((s, dir) => Clustering.clusterSizes(s, dir)),
     "q21_centroids" -> ((s, dir) => Clustering.centroids(s, dir)),
@@ -102,6 +104,7 @@ object SparkEntry {
     "q14_set_union" -> SetOps.setUnionSql,
     "q15_set_intersect" -> SetOps.setIntersectSql,
     "q16_set_except" -> SetOps.setExceptSql,
+    "q26_csv_rfm" -> Retail.csvRfmSql,
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q40_text_stats" -> TextAnalysis.textStatsSql,

@@ -1,0 +1,208 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.awt.{BasicStroke, Color, Font, RenderingHints}
+import java.io.File
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** S4/S5 — chart-file sinks (reference `src/viz.rs`).
+  *
+  * The reference renders two PNGs with Plotters:
+  *  - scatter of Frequency vs Monetary in normalized space, points colored by
+  *    cluster, centroids as squares (`src/viz.rs:20-115`; 800×600, white
+  *    background, bounds padded ±0.5, point radius 4, centroid half-width 0.1
+  *    in data space, palette RED/BLUE/GREEN/YELLOW/MAGENTA with BLACK
+  *    fallback — `src/viz.rs:8`);
+  *  - bar chart of cluster sizes (`src/viz.rs:118-160`; 600×400, bars at
+  *    cluster_id ±0.4, y domain 0..max*1.1).
+  *
+  * Re-expressed with the JDK's `BufferedImage`/`ImageIO` (no imaging
+  * dependency; headless-safe). Chart rendering is inherently a driver-side
+  * sink, so the scale discipline is in what reaches the driver:
+  *  - plot BOUNDS are computed distributed (one min/max aggregate over the
+  *    full data — same ±0.5 padding as A9/q07);
+  *  - the POINT SAMPLE is capped at [[MaxRenderPoints]] rows taken in custkey
+  *    order (deterministic; an 800×600 canvas cannot resolve more anyway).
+  *    The reference collects every row (`src/viz.rs:72-86`) — fine at 4k
+  *    customers, not at 10^9; the cap is the documented deviation.
+  *  - the bar chart needs k rows and the centroids k×3 doubles.
+  */
+object Charts {
+
+  // BufferedImage rasterization needs no display, but font metrics touch the
+  // toolkit — pin headless before any AWT class initializes.
+  System.setProperty("java.awt.headless", "true")
+
+  /** Reference palette `CLUSTER_COLORS` (`src/viz.rs:8`) + BLACK fallback. */
+  val ClusterColors: Array[Color] =
+    Array(Color.RED, Color.BLUE, Color.GREEN, Color.YELLOW, Color.MAGENTA)
+
+  /** Driver-side point cap for the scatter sink (see scaladoc above). */
+  val MaxRenderPoints = 10000
+
+  private def colorOf(cluster: Int): Color =
+    if (cluster >= 0 && cluster < ClusterColors.length) ClusterColors(cluster)
+    else Color.BLACK
+
+  /** `base.png` → `base_sizes.png` (reference `src/viz.rs:206`). */
+  def sizesPath(basePath: String): String =
+    basePath.replace(".png", "_sizes.png")
+
+  private def newCanvas(w: Int, h: Int): (BufferedImage, java.awt.Graphics2D) = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_ANTIALIASING,
+      RenderingHints.VALUE_ANTIALIAS_ON)
+    g.setColor(Color.WHITE)
+    g.fillRect(0, 0, w, h)
+    (img, g)
+  }
+
+  private def writePng(img: BufferedImage, path: String): File = {
+    val f = new File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    ImageIO.write(img, "png", f)
+    f
+  }
+
+  /** Axis helper: draws the plot frame, ~6 ticks per axis with numeric
+    * labels, and the axis descriptions (reference `configure_mesh`,
+    * `src/viz.rs:64-69`). Returns data→pixel mapping functions. */
+  private def drawAxes(g: java.awt.Graphics2D,
+                       left: Int, top: Int, right: Int, bottom: Int,
+                       xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+                       xDesc: String, yDesc: String, title: String,
+                       width: Int): (Double => Int, Double => Int) = {
+    val px = (x: Double) =>
+      left + ((x - xMin) / (xMax - xMin) * (right - left)).round.toInt
+    val py = (y: Double) =>
+      bottom - ((y - yMin) / (yMax - yMin) * (bottom - top)).round.toInt
+
+    g.setColor(Color.BLACK)
+    g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 20))
+    val fm = g.getFontMetrics
+    g.drawString(title, (width - fm.stringWidth(title)) / 2, top - 12)
+
+    g.setStroke(new BasicStroke(1f))
+    g.drawRect(left, top, right - left, bottom - top)
+
+    g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 11))
+    val ticks = 6
+    (0 to ticks).foreach { i =>
+      val xv = xMin + (xMax - xMin) * i / ticks
+      val yv = yMin + (yMax - yMin) * i / ticks
+      val xpix = px(xv); val ypix = py(yv)
+      g.setColor(new Color(220, 220, 220))
+      g.drawLine(xpix, top, xpix, bottom)
+      g.drawLine(left, ypix, right, ypix)
+      g.setColor(Color.BLACK)
+      g.drawLine(xpix, bottom, xpix, bottom + 4)
+      g.drawLine(left - 4, ypix, left, ypix)
+      val xl = f"$xv%.1f"; val yl = f"$yv%.1f"
+      g.drawString(xl, xpix - g.getFontMetrics.stringWidth(xl) / 2, bottom + 16)
+      g.drawString(yl, left - 8 - g.getFontMetrics.stringWidth(yl), ypix + 4)
+    }
+    g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 13))
+    g.drawString(xDesc,
+      (left + right - g.getFontMetrics.stringWidth(xDesc)) / 2, bottom + 34)
+    val old = g.getTransform
+    g.rotate(-math.Pi / 2, 16, (top + bottom) / 2)
+    g.drawString(yDesc, 16 - g.getFontMetrics.stringWidth(yDesc) / 2,
+      (top + bottom) / 2)
+    g.setTransform(old)
+    (px, py)
+  }
+
+  /** S4 — scatter PNG (reference `create_cluster_visualization`,
+    * `src/viz.rs:20-115`). `points` are (frequency_z, monetary_z, cluster);
+    * `centroids` are (frequency_z, monetary_z) per cluster id; bounds are the
+    * FULL-data min/max (computed distributed by the caller), padded ±0.5
+    * exactly as the reference (`src/viz.rs:38-51`). */
+  def renderScatter(points: Seq[(Double, Double, Int)],
+                    centroids: Seq[(Double, Double)],
+                    xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+                    path: String,
+                    title: String =
+                      "Customer Segmentation: Frequency vs Monetary (Colored by Cluster)")
+      : File = {
+    val (w, h) = (800, 600)
+    val (img, g) = newCanvas(w, h)
+    // margins mirror the reference layout: margin 10, x label area 50,
+    // y label area 60, caption band on top (src/viz.rs:57-62)
+    val (left, top, right, bottom) = (10 + 60, 10 + 40, w - 10, h - 10 - 50)
+    val (px, py) = drawAxes(g, left, top, right, bottom,
+      xMin, xMax, yMin, yMax,
+      "Frequency (Normalized)", "Monetary (Normalized)", title, w)
+
+    points.foreach { case (x, y, c) =>
+      g.setColor(colorOf(c))
+      g.fillOval(px(x) - 4, py(y) - 4, 8, 8)
+    }
+    // centroid squares: data-space half-width 0.1 (src/viz.rs:96-101)
+    centroids.zipWithIndex.foreach { case ((cx, cy), i) =>
+      g.setColor(colorOf(i))
+      val (x0, y0) = (px(cx - 0.1), py(cy + 0.1))
+      g.fillRect(x0, y0, math.max(2, px(cx + 0.1) - x0),
+        math.max(2, py(cy - 0.1) - y0))
+      g.setColor(Color.BLACK)
+      g.drawRect(x0, y0, math.max(2, px(cx + 0.1) - x0),
+        math.max(2, py(cy - 0.1) - y0))
+    }
+    g.dispose()
+    val f = writePng(img, path)
+    println(s"Cluster visualization saved to: $path")
+    f
+  }
+
+  /** S5 — cluster-size bar chart PNG (reference `create_cluster_size_chart`,
+    * `src/viz.rs:118-160`): 600×400, bars at cluster_id ±0.4, y domain
+    * 0..max*1.1 with max floored at 1. */
+  def renderSizeChart(sizes: Seq[(Int, Long)], path: String): File = {
+    val (w, h) = (600, 400)
+    val (img, g) = newCanvas(w, h)
+    val k = if (sizes.isEmpty) 1 else sizes.map(_._1).max + 1
+    val maxSize = math.max(1L, if (sizes.isEmpty) 1L else sizes.map(_._2).max)
+    val (left, top, right, bottom) = (10 + 50, 10 + 40, w - 10, h - 10 - 40)
+    val (px, py) = drawAxes(g, left, top, right, bottom,
+      0.0, k.toDouble, 0.0, maxSize * 1.1,
+      "Cluster ID", "Number of Customers", "Cluster Sizes", w)
+    sizes.foreach { case (id, size) =>
+      g.setColor(if (id >= 0 && id < ClusterColors.length) ClusterColors(id)
+                 else Color.BLUE) // reference fallback is BLUE here (viz.rs:144)
+      val x0 = px(id + 0.5 - 0.4)
+      g.fillRect(x0, py(size.toDouble), px(id + 0.5 + 0.4) - x0,
+        bottom - py(size.toDouble))
+    }
+    g.dispose()
+    val f = writePng(img, path)
+    println(s"Cluster size chart saved to: $path")
+    f
+  }
+
+  /** S4+S5+S6 — full visualization report (reference
+    * `generate_visualization_report`, `src/viz.rs:199-215`): scatter at
+    * `basePath`, size chart at `basePath` with `_sizes` suffix. The caller
+    * (GraftApp) prints the S6 console statistics. */
+  def visualizationReport(seg: Clustering.Segmentation, basePath: String): Unit = {
+    val b = seg.predictions.agg(
+      min("frequency_z"), max("frequency_z"),
+      min("monetary_z"), max("monetary_z")).head()
+    val sample = seg.predictions
+      .orderBy(col("custkey"))
+      .select(col("frequency_z"), col("monetary_z"), col("prediction"))
+      .limit(MaxRenderPoints)
+      .collect()
+      .map((r: Row) => (r.getDouble(0), r.getDouble(1), r.getInt(2)))
+      .toSeq
+    val cents = seg.model.clusterCenters.map(c => (c(1), c(2))).toSeq
+    renderScatter(sample, cents,
+      b.getDouble(0) - 0.5, b.getDouble(1) + 0.5,
+      b.getDouble(2) - 0.5, b.getDouble(3) + 0.5, basePath)
+    val sizes = seg.predictions.groupBy("prediction").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    renderSizeChart(sizes, sizesPath(basePath))
+  }
+}

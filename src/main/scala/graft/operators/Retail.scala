@@ -109,4 +109,85 @@ object Retail {
       throw new IllegalArgumentException(s"No valid data after $stage")
     df
   }
+
+  // ---------------------------------------------------------------------------
+  // q26 — oracle-checked CSV-ingest contract query (S1+P2 end-to-end).
+  // The parquet contract queries never exercise the CSV scan + string-date
+  // parse, so this one round-trips a deterministic retail fixture through
+  // `loadAndProcess` and lets DuckDB's read_csv recompute it.
+  // ---------------------------------------------------------------------------
+
+  /** Fixed fixture path shared by the Spark query and the DuckDB oracle SQL
+    * (the driver runs Verify first, which writes the file). */
+  val Q26FixturePath = "/tmp/graft_fixtures/retail_q26.csv"
+
+  /** Deterministic fixture in the reference unit-fixture shape
+    * (`src/data.rs:233-254`) plus the dirt `loadAndProcess` must tolerate:
+    * both date formats, a C-prefixed cancellation with negative quantity, a
+    * zero-price row, a null CustomerID. All prices are multiples of 0.25
+    * (binary-exact doubles), so the raw double `sum(TotalAmount)` is exact
+    * and order-independent — the one contract query where money does NOT go
+    * through the fixed-point cents path, because the operator under test is
+    * reference-parity `rfmFeatures` itself. */
+  val Q26Fixture: String =
+    """InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country
+      |536365,85123A,WHITE HANGING HEART,6,12/01/2010 08:26:00,2.25,17850,United Kingdom
+      |536365,71053,WHITE METAL LANTERN,6,12/01/2010 08:26:00,3.50,17850,United Kingdom
+      |536366,22633,HAND WARMER UNION JACK,6,12/01/2010 08:28:00,1.75,17850,United Kingdom
+      |536367,84406B,COAT HANGER,8,2011-11-20T10:00:00,2.75,13047,United Kingdom
+      |C536368,22632,HAND WARMER RED,-6,12/01/2010 08:35:00,1.75,17850,United Kingdom
+      |536369,85123E,BIG SPENDER ITEM,10,2011-12-05T12:00:00,50.00,12345,United Kingdom
+      |536370,85123F,SECOND INVOICE,5,2011-12-05T12:30:00,20.00,12345,United Kingdom
+      |536371,85123G,OLD PURCHASE,3,01/15/2010 14:00:00,10.00,98765,United Kingdom
+      |536372,BAD1,ZERO PRICE,5,12/01/2010 09:00:00,0.00,17850,United Kingdom
+      |536373,BAD2,NO CUSTOMER,2,12/01/2010 09:30:00,5.00,,United Kingdom
+      |""".stripMargin
+
+  private def writeQ26Fixture(): Unit = {
+    val p = java.nio.file.Paths.get(Q26FixturePath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, Q26Fixture)
+  }
+
+  /** The q26 contract query: write the fixture, ingest it with the real CSV
+    * pipeline, emit the contract's lowercase column names. `dir` is unused —
+    * CSV ingest is the surface under test, not the parquet testdata. */
+  def csvRfmQuery(spark: SparkSession, dir: String): DataFrame = {
+    writeQ26Fixture()
+    loadAndProcess(spark, Q26FixturePath).select(
+      col("CustomerID").as("custkey"),
+      col("Recency").as("recency"),
+      col("Frequency").as("frequency"),
+      col("Monetary").as("monetary"))
+  }
+
+  /** DuckDB mirror of [[csvRfmQuery]]: same clean filter, same dual-format
+    * `try_strptime` fallback as `cleanTransactions`'s `try_to_timestamp`
+    * coalesce, same epoch-µs recency arithmetic in the same operation order
+    * (exact int64 diff, then /1e6, then /86400 — bit-identical IEEE ops). */
+  val csvRfmSql: String = {
+    val refUs = java.time.Instant.parse(DefaultReferenceDate).toEpochMilli * 1000L
+    s"""WITH raw AS (
+       |  SELECT * FROM read_csv('$Q26FixturePath', header=true, columns={
+       |    'InvoiceNo':'VARCHAR','StockCode':'VARCHAR','Description':'VARCHAR',
+       |    'Quantity':'INTEGER','InvoiceDate':'VARCHAR','UnitPrice':'DOUBLE',
+       |    'CustomerID':'BIGINT','Country':'VARCHAR'})
+       |), clean AS (
+       |  SELECT CustomerID, InvoiceNo,
+       |         coalesce(try_strptime(InvoiceDate, '%m/%d/%Y %H:%M:%S'),
+       |                  try_strptime(InvoiceDate, '%Y-%m-%dT%H:%M:%S')) AS ts,
+       |         Quantity * UnitPrice AS amount
+       |  FROM raw
+       |  WHERE Quantity > 0 AND UnitPrice > 0 AND CustomerID IS NOT NULL
+       |), agg AS (
+       |  SELECT CustomerID AS custkey,
+       |         ($refUs - epoch_us(max(ts))) / 1000000.0 / 86400.0 AS recency,
+       |         CAST(count(DISTINCT InvoiceNo) AS DOUBLE) AS frequency,
+       |         sum(amount) AS monetary
+       |  FROM clean GROUP BY CustomerID
+       |)
+       |SELECT custkey, recency, frequency, monetary FROM agg
+       |WHERE recency >= 0 AND frequency > 0 AND monetary > 0
+       |""".stripMargin
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Charts
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import javax.imageio.ImageIO
+
+/** S4/S5 chart-sink specs — mirrors the reference's viz tests
+  * (`src/viz.rs:268-302`: render to a temp path, assert the file exists). */
+class ChartsSpec extends AnyFunSuite {
+
+  private def tmpPng(name: String): String =
+    Files.createTempDirectory("charts").resolve(name).toString
+
+  test("scatter renders a valid 800x600 PNG with points and centroids") {
+    val path = tmpPng("test_plot.png")
+    val points = Seq((-1.0, -1.0, 0), (1.0, 1.0, 1), (0.5, -0.5, 2),
+      (-0.2, 0.8, 7)) // cluster 7 exercises the BLACK fallback
+    val f = Charts.renderScatter(points, Seq((-1.0, -1.0), (1.0, 1.0)),
+      -1.5, 1.5, -1.5, 1.5, path)
+    assert(f.exists() && f.length() > 0)
+    val img = ImageIO.read(f)
+    assert(img.getWidth == 800 && img.getHeight == 600)
+  }
+
+  test("size chart renders a valid 600x400 PNG") {
+    val path = tmpPng("test_sizes.png")
+    val f = Charts.renderSizeChart(Seq((0, 10L), (1, 25L), (2, 5L)), path)
+    assert(f.exists() && f.length() > 0)
+    val img = ImageIO.read(f)
+    assert(img.getWidth == 600 && img.getHeight == 400)
+  }
+
+  test("size chart survives degenerate inputs (empty, zero sizes)") {
+    val f0 = Charts.renderSizeChart(Seq.empty, tmpPng("empty.png"))
+    assert(f0.exists() && f0.length() > 0)
+    val f1 = Charts.renderSizeChart(Seq((0, 0L), (1, 0L)), tmpPng("zero.png"))
+    assert(f1.exists() && f1.length() > 0)
+  }
+
+  test("sizes path rewrite matches the reference's replace semantics") {
+    // reference src/viz.rs:206: base.replace(".png", "_sizes.png")
+    assert(Charts.sizesPath("/tmp/x/cluster_plot.png") ==
+      "/tmp/x/cluster_plot_sizes.png")
+  }
+}

@@ -70,11 +70,17 @@ class RetailSpec extends AnyFunSuite {
     * so Clustering.fit / silhouetteSampled / clusterReport all run. */
   test("full pipeline + prediction mode run end-to-end on a CSV input") {
     val path = writeCsv(integrationCsv)
+    val outDir = Files.createTempDirectory("graft_charts")
+    val outPng = outDir.resolve("cluster_plot.png").toString
     val seg = GraftApp.runFullPipeline(spark,
-      GraftApp.Config(input = path, clusters = 3))
+      GraftApp.Config(input = path, clusters = 3, output = outPng))
     assert(seg.model.getK == 3)
     assert(seg.predictions.count() == 4)
     assert(seg.predictions.columns.contains("custkey"))
+    // --output honored: both chart files created (reference src/viz.rs:268-302)
+    assert(new java.io.File(outPng).length() > 0)
+    assert(new java.io.File(
+      graft.operators.Charts.sizesPath(outPng)).length() > 0)
     val cluster = GraftApp.runPredictionMode(spark,
       GraftApp.Config(input = path, clusters = 3), "30,10,500.0")
     assert(cluster >= 0 && cluster < 3)

@@ -28,7 +28,13 @@ object Bench {
     // stalls unrelated to the engine (a 500-row narrow map was observed at
     // 0.5s and 87s across runs at near-zero CPU pressure); min-of-2 reports
     // steady-state throughput instead of host noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional focus filter for local iteration: comma-separated name
+    // prefixes, e.g. SPARK_GRAFT_ONLY=q50,q51. Driver runs unfiltered.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

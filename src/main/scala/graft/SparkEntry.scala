@@ -56,6 +56,10 @@ object SparkEntry {
     "q45_corpus_prep" -> ((s, dir) => CorpusPrep.corpusPrep(s, dir)),
     "q46_edit_distance" -> ((s, dir) => TextAnalysis.editDistancePairs(s, dir)),
     "q43_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    // Deterministic sampling / split surface (documents)
+    "q47_train_split" -> ((s, dir) => Sampling.trainValTestSplit(s, dir)),
+    "q48_hash_sample" -> ((s, dir) => Sampling.hashSample(s, dir)),
+    "q49_mixture_rebalance" -> ((s, dir) => Sampling.mixtureRebalance(s, dir)),
     // Event/time-series analytics (events)
     "q17_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
     "q18_rollup" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
@@ -120,6 +124,9 @@ object SparkEntry {
     "q68_json_extract" -> Events.jsonExtractSql,
     "q69_pivot" -> Events.pivotEventCountsSql,
     "q43_lang_id" -> TextAnalysis.langIdSql,
+    "q47_train_split" -> Sampling.trainValTestSplitSql,
+    "q48_hash_sample" -> Sampling.hashSampleSql,
+    "q49_mixture_rebalance" -> Sampling.mixtureRebalanceSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,
     "q61_events_sessionize" -> Events.sessionizeSql,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic content-addressed sampling — the split/subsample ops a
+  * training-data pipeline runs before anything touches a trainer (no
+  * reference counterpart; extension surface like [[Dedup]]).
+  *
+  * Everything here keys on `md5(cast(doc_id as string))` instead of `rand()`:
+  *  - reproducible across runs, engines, partitionings and retries (a task
+  *    retry with `rand()` silently changes the sample);
+  *  - a document keeps its split assignment when the corpus is re-ingested —
+  *    the property that keeps eval sets uncontaminated across crawls;
+  *  - embarrassingly parallel: a narrow map, no shuffle, no state.
+  *
+  * The uniform variate is `conv(hex[0:8], 16, 10) / 2^32` — the first 32
+  * md5 bits as a double in [0,1). All thresholds compare that same double on
+  * both engines (one division — IEEE-identical), so the DuckDB oracle is
+  * hash-exact, not approximate.
+  *
+  * Scale notes: all three ops are single narrow projections/filters over the
+  * scan (plus, for [[mixtureRebalance]], a broadcast join of per-source
+  * rates — |sources| rows). At 100 TB they run at scan speed with zero
+  * exchanges on the big side.
+  */
+object Sampling {
+
+  /** First 32 bits of md5(doc_id) as a uniform double in [0,1). */
+  private[operators] def hashUnit(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType).cast(DoubleType) / 4294967296.0
+
+  /** First hex nibble of md5(doc_id) — 16 equal buckets. */
+  private def hexBucket(id: Column): Column =
+    substring(md5(id.cast(StringType)), 1, 1)
+
+  /** q47 — deterministic train/val/test assignment: 16 md5 nibble buckets,
+    * 0–b → train (75%), c–d → val (12.5%), e–f → test (12.5%). Per-doc
+    * output so the oracle checks every assignment, not just the counts. */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val b = hexBucket(col("doc_id"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      b.as("bucket"),
+      when(b < "c", "train").when(b < "e", "val").otherwise("test").as("split"))
+  }
+
+  val trainValTestSplitSql: String =
+    """SELECT doc_id, bucket,
+      |       CASE WHEN bucket < 'c' THEN 'train'
+      |            WHEN bucket < 'e' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+      |      FROM documents)""".stripMargin
+
+  /** q48 — deterministic fractional subsample: keep docs whose md5 variate
+    * falls below `rate`. The 100 TB story for "give me 5% of the corpus,
+    * the same 5% every time". */
+  def hashSample(spark: SparkSession, dir: String,
+                 rate: Double = 0.25): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(hashUnit(col("doc_id")) < rate)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  val hashSampleSql: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |           / 4294967296.0 AS u
+      |  FROM documents)
+      |WHERE u < 0.25""".stripMargin
+
+  /** q49 — mixture rebalance: downsample every language to the size of the
+    * smallest language (uniform mixture; testdata langs are genuinely skewed
+    * — en ≈ 3.4× fr — so this REALLY drops rows). Per-lang keep rate =
+    * min_count / lang_count; a doc survives iff its md5 variate is below its
+    * language's rate. The per-lang rate table is a broadcast join (|langs|
+    * rows) — the big side never shuffles. */
+  def mixtureRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("min_n"))
+    val rates = counts.crossJoin(minN)
+      .select(col("lang"),
+        (col("min_n").cast(DoubleType) / col("n").cast(DoubleType)).as("rate"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(hashUnit(col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val mixtureRebalanceSql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+      |), rates AS (
+      |  SELECT lang,
+      |         CAST((SELECT min(n) FROM counts) AS DOUBLE) / CAST(n AS DOUBLE)
+      |           AS rate
+      |  FROM counts
+      |)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN rates r ON d.lang = r.lang
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        / 4294967296.0 < r.rate""".stripMargin
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic-sampling invariants (q47–q49). */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("train/val/test split is total, deterministic, and ~75/12.5/12.5") {
+    val s1 = Sampling.trainValTestSplit(spark, dir)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(n == 500) // every doc assigned exactly once
+    // md5 nibbles are uniform: expect 375/62.5/62.5 ±5σ (σ≈9.7 for train)
+    assert(math.abs(counts("train") - 0.75 * n) < 50)
+    assert(math.abs(counts("val") - 0.125 * n) < 40)
+    assert(math.abs(counts("test") - 0.125 * n) < 40)
+    // rerun → identical assignment (content-addressed, no rand())
+    val s2 = Sampling.trainValTestSplit(spark, dir)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
+  test("hash sample keeps a stable subset near the nominal rate") {
+    val full = Sampling.hashSample(spark, dir, rate = 1.0).count()
+    val quarter = Sampling.hashSample(spark, dir, rate = 0.25)
+    val tenth = Sampling.hashSample(spark, dir, rate = 0.1)
+    assert(full == 500)
+    assert(math.abs(quarter.count() - 125) < 45) // ±~4.6σ
+    // nested property: lowering the rate only removes rows, never swaps them
+    assert(tenth.exceptAll(quarter).isEmpty)
+  }
+
+  test("mixture rebalance equalizes language counts at ~min lang size") {
+    val docs = Tables.documents(spark, dir)
+    val minN = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)
+    val balanced = Sampling.mixtureRebalance(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(balanced.size == 5) // no language dropped entirely
+    balanced.foreach { case (lang, c) =>
+      // binomial(n_lang, min/n_lang) has mean minN; allow ±5σ (σ ≤ ~7 here)
+      assert(math.abs(c - minN) < 40, s"$lang: $c vs target $minN")
+    }
+  }
+}

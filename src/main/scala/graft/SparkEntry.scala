@@ -48,6 +48,7 @@ object SparkEntry {
     "q32_dedup_minhash" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
     "q33_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q34_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    "q35_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     // Text analysis (documents)
     "q40_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q41_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q26_csv_rfm" -> Retail.csvRfmSql,
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q35_dedup_clusters" -> Dedup.dedupClustersSql,
     "q40_text_stats" -> TextAnalysis.textStatsSql,
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,

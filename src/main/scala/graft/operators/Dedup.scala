@@ -260,6 +260,75 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Distributed connected components by iterative min-label propagation —
+    * the step that turns a near-dup PAIR list into dedup CLUSTERS (pairs are
+    * not actionable: {a,b}, {b,c} must collapse to one surviving doc for
+    * {a,b,c}).
+    *
+    * Algorithm: label(v) starts as min(v, neighbors(v)); each round
+    * re-propagates labels across edges and keeps the per-node min; converged
+    * when no label changes. Rounds needed = graph diameter (≤ log n with the
+    * star-contraction variants; near-dup graphs are overwhelmingly tiny
+    * cliques, so 1–2 rounds dominate in practice). Every round is one
+    * shuffle join on `node` — the standard iterative-MapReduce CC dataflow
+    * (cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — the simple propagation variant, which is the right trade at
+    * clique-heavy near-dup shape).
+    *
+    * Each round `localCheckpoint`s the label frame: without a lineage cut,
+    * round i's plan nests i joins deep and Catalyst re-optimization cost
+    * compounds; at production scale this would be a reliable checkpoint or a
+    * per-round materialized table instead. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node"), col("dst").as("label"))
+      .union(edges.select(col("src").as("node"), col("src").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = prop.union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.withColumnRenamed("label", "old").as("o"), "node")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** q35 — dedup cluster assignment over the n-gram near-dup pair graph:
+    * every doc that appears in a ≥0.5-Jaccard pair, labeled with its
+    * component's minimum doc_id (the canonical survivor). Oracle: DuckDB
+    * recursive-CTE transitive closure over the same pair query. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      ngramPairsPrepared(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${ngramJaccardSql}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs over `embeddings`: vectors are
     * L2-normalized, candidate pairs come from BANDED sign-LSH (16
     * deterministic hyperplanes split into 4 bands of 4 — a pair is a

@@ -183,4 +183,28 @@ class OperatorSpec extends AnyFunSuite {
     val total = Events.hourlyAgg(spark, dir).agg(sum("n")).head().getLong(0)
     assert(total == graft.Tables.events(spark, dir).count())
   }
+
+  test("connected components: multi-hop chains collapse to the min id") {
+    import spark.implicits._
+    // path 1-2-3-4 needs >1 propagation round; {10,11} is a separate pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup clusters: both docs of every near-dup pair share a cluster") {
+    val pairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+    // the cluster label is the component's own min member
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
 }

@@ -107,6 +107,72 @@ object EventStreams {
       }
   }
 
+  // `ts` (the watermarked event-time column) must stay in the encoder:
+  // EventTimeTimeout requires the grouped input to carry the watermark
+  // attribute, not just descend from a watermark node
+  final case class StampedEvent(user_id: Long, ts_ms: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  final case class SessionRecord(user_id: Long, start_ms: Long, end_ms: Long,
+                                 n_events: Long)
+
+  /** Streaming session EMITTER via flatMapGroupsWithState + event-time
+    * timeout — the missing half of [[sessionCounts]]: that one keeps
+    * per-user running counts forever; this one EMITS each closed session
+    * downstream and then frees its state, which is the shape an ingest
+    * pipeline actually needs (sessions feed a sink; state stays bounded by
+    * the number of OPEN sessions inside the watermark horizon, not by the
+    * number of users ever seen).
+    *
+    * Mechanics: one `OpenSession` per user in state; events in a batch are
+    * folded in time order, closing a session whenever the gap exceeds
+    * `gapMin` (strictly `>`, same as [[sessionCounts]] and the batch
+    * `Events.sessionize`). The open session registers an event-time timeout
+    * at `lastMs + gap`; when the WATERMARK passes it, the callback fires
+    * with `hasTimedOut`, the final session is emitted, and the state is
+    * dropped. Sessions still open when the watermark stalls (end-of-stream)
+    * are correctly NOT emitted — they are not provably closed yet. */
+  def sessionEmitter(spark: SparkSession, events: DataFrame,
+                     gapMin: Int = 30,
+                     watermarkDelay: String = "10 minutes"): Dataset[SessionRecord] = {
+    import spark.implicits._
+    val gapMs = gapMin * 60L * 1000
+    events
+      .select(col("user_id"), col("ts").cast(TimestampType).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("ts"))
+      .as[StampedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRecord](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionRecord(uid, s.startMs, s.lastMs, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            val closed = Seq.newBuilder[SessionRecord]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open = open match {
+                case Some(s) if e.ts_ms - s.lastMs > gapMs =>
+                  closed += SessionRecord(uid, s.startMs, s.lastMs, s.n)
+                  Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+                case Some(s) =>
+                  Some(OpenSession(s.startMs, e.ts_ms, s.n + 1))
+                case None =>
+                  Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Contract query: the tumbling-window aggregate executed as a REAL
     * Structured Streaming query (micro-batched file source → watermark →
     * stateful window aggregate → memory sink, driven to completion), with

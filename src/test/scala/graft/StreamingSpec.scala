@@ -71,4 +71,37 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(streamSessions == batchSessions)
   }
+
+  test("session emitter: every emitted session is a real closed session") {
+    val gapMs = 30L * 60 * 1000
+    val emitted = EventStreams.runToBatch(spark,
+      EventStreams.sessionEmitter(spark,
+        EventStreams.readEvents(spark, dir)).toDF(),
+      "session_emitter_test", OutputMode.Append)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(emitted.nonEmpty) // watermark passed at least some timeouts
+    assert(emitted.distinct.length == emitted.length) // exactly-once emission
+    // ground truth: fold the full event log per user with the same strict
+    // >30min gap rule the batch sessionizer uses
+    val expected = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .as("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).flatMap { case (uid, rows) =>
+        val ts = rows.map(_._2).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var (start, last, n) = (ts.head, ts.head, 1L)
+        ts.tail.foreach { t =>
+          if (t - last > gapMs) {
+            sessions += ((uid, start, last, n)); start = t; last = t; n = 1
+          } else { last = t; n += 1 }
+        }
+        sessions += ((uid, start, last, n)) // trailing (possibly unemitted)
+        sessions
+      }.toSet
+    emitted.foreach(s => assert(expected.contains(s), s"phantom session $s"))
+  }
 }

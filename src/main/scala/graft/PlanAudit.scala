@@ -31,7 +31,13 @@ object PlanAudit {
       "q31_dedup_ngram_jaccard" -> Seq("CartesianProduct" -> false),
       "q50_ann_bruteforce" -> Seq("BroadcastNestedLoopJoin" -> true,
         "CartesianProduct" -> false),
-      "q60_events_hourly" -> Seq("HashAggregate" -> true))
+      "q60_events_hourly" -> Seq("HashAggregate" -> true),
+      // deterministic sampling: pure narrow maps — any exchange is a bug
+      "q47_train_split" -> Seq("Exchange" -> false),
+      "q48_hash_sample" -> Seq("Exchange" -> false),
+      // rebalance: the big side must join the 5-row rate table broadcast
+      "q49_mixture_rebalance" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false))
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -57,6 +57,9 @@ object SparkEntry {
     "q45_corpus_prep" -> ((s, dir) => CorpusPrep.corpusPrep(s, dir)),
     "q46_edit_distance" -> ((s, dir) => TextAnalysis.editDistancePairs(s, dir)),
     "q43_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    // Corpus-prep extensions (q55+: chunking / repetition quality signals)
+    "q55_chunking" -> ((s, dir) => TextAnalysis.chunkDocuments(s, dir)),
+    "q56_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
     // Deterministic sampling / split surface (documents)
     "q47_train_split" -> ((s, dir) => Sampling.trainValTestSplit(s, dir)),
     "q48_hash_sample" -> ((s, dir) => Sampling.hashSample(s, dir)),
@@ -126,6 +129,8 @@ object SparkEntry {
     "q68_json_extract" -> Events.jsonExtractSql,
     "q69_pivot" -> Events.pivotEventCountsSql,
     "q43_lang_id" -> TextAnalysis.langIdSql,
+    "q55_chunking" -> TextAnalysis.chunkDocumentsSql,
+    "q56_repetition" -> TextAnalysis.repetitionStatsSql,
     "q47_train_split" -> Sampling.trainValTestSplitSql,
     "q48_hash_sample" -> Sampling.hashSampleSql,
     "q49_mixture_rebalance" -> Sampling.mixtureRebalanceSql,

@@ -228,4 +228,71 @@ object TextAnalysis {
        |            AS INTEGER) AS agrees
        |FROM scored""".stripMargin
   }
+
+  /** q55 — fixed-size token chunking: split every document into
+    * back-to-back windows of `chunkSize` whitespace tokens (the
+    * context-window packing step before tokenization proper). Emits one row
+    * per chunk with its token count and the md5 of the chunk text — the
+    * shape a downstream tokenizer/trainer consumes without re-reading the
+    * source doc. A pure narrow map (generate indices → slice → hash,
+    * one posexplode), no shuffle; the per-chunk HASH keeps the output
+    * narrow where emitting chunk text would multiply the corpus. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     chunkSize: Int = 32): DataFrame = {
+    val ws = words(col("text"))
+    val nChunks = floor((size(ws) + chunkSize - 1) / chunkSize).cast(IntegerType)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          struct(
+            least(lit(chunkSize), size(ws) - i * chunkSize)
+              .cast(LongType).as("n_tokens"),
+            md5(concat_ws(" ", slice(ws, i * chunkSize + 1, lit(chunkSize))))
+              .as("chunk_md5")))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+        col("col.n_tokens").as("n_tokens"), col("col.chunk_md5").as("chunk_md5"))
+  }
+
+  val chunkDocumentsSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), ch AS (
+      |  SELECT doc_id, unnest(range((len(w) + 31) // 32)) AS i, w FROM ws
+      |)
+      |SELECT doc_id, i AS chunk_idx,
+      |       CAST(least(32, len(w) - i * 32) AS BIGINT) AS n_tokens,
+      |       md5(array_to_string(w[i*32+1 : i*32+32], ' ')) AS chunk_md5
+      |FROM ch""".stripMargin
+
+  /** q56 — within-document repetition signals (the Gopher/C4-style quality
+    * filters exact dedup cannot see): distinct-token ratio and top-token
+    * mass per document. One shuffle on (doc_id, token) with map-side
+    * partial counts; at 100 TB the token explode never leaves the map task
+    * un-aggregated. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("repetition"),
+        round(col("top_count").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("top_word_frac"))
+
+  val repetitionStatsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), counts AS (
+      |  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+      |)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
+      |       round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+      |         AS repetition,
+      |       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+      |         AS top_word_frac
+      |FROM counts GROUP BY doc_id""".stripMargin
 }

@@ -184,6 +184,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(total == graft.Tables.events(spark, dir).count())
   }
 
+  test("chunking: per-doc token counts reassemble to the word count") {
+    val perDoc = TextAnalysis.chunkDocuments(spark, dir)
+      .groupBy("doc_id").agg(sum("n_tokens").as("total"))
+    val words = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val mismatches = perDoc.join(words, "doc_id")
+      .filter(col("total") =!= col("n")).count()
+    assert(mismatches == 0)
+    // every chunk except a doc's last is exactly full
+    val nonFull = TextAnalysis.chunkDocuments(spark, dir)
+      .withColumn("max_idx",
+        max("chunk_idx").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("chunk_idx") < col("max_idx") && col("n_tokens") =!= 32)
+    assert(nonFull.isEmpty)
+  }
+
   test("connected components: multi-hop chains collapse to the min id") {
     import spark.implicits._
     // path 1-2-3-4 needs >1 propagation round; {10,11} is a separate pair

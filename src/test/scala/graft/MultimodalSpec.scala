@@ -31,6 +31,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("payload"), "payload column should be pruned from scan")
   }
 
+  test("ImageIoCodec decodes real PNG bytes distributed; corrupt rows drop") {
+    import spark.implicits._
+    // three 8x8 solid-color PNGs with known luminance -> known histogram bin
+    def png(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val meta = Multimodal.MediaMeta("image", 8, 8, 0, 0L)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(0x000000), meta), // lum 0   -> bin 0
+      Multimodal.MediaRow(2L, png(0xFFFFFF), meta), // lum 255 -> bin 15
+      Multimodal.MediaRow(3L, png(0x808080), meta), // lum 128 -> bin 8
+      Multimodal.MediaRow(4L, "not an image".getBytes, meta)) // dropped
+    val feats = Multimodal.decode(rows.toDS().repartition(2),
+      Multimodal.ImageIoCodec).collect().map(f => f.media_id -> f).toMap
+    assert(feats.keySet == Set(1L, 2L, 3L)) // corrupt payload filtered out
+    assert(feats(1L).features(0) == 1.0f)
+    assert(feats(2L).features(15) == 1.0f)
+    assert(feats(3L).features(8) == 1.0f)
+    assert(feats.values.forall(_.features.sum == 1.0f)) // mass normalized
+  }
+
   test("frame sampling: stride-4 counts follow byte length") {
     val media = Multimodal.mediaTable(spark, dir)
       .select(col("media_id"), col("meta.nBytes").as("nb"),

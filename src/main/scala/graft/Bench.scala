@@ -24,10 +24,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one tiny action to initialize codegen/scheduler before timing
     spark.range(1000).selectExpr("sum(id)").collect()
-    // Per query: best of 2 back-to-back runs. The host shows multi-second
+    // Per query: best of 3 back-to-back runs. The host shows multi-second
     // stalls unrelated to the engine (a 500-row narrow map was observed at
-    // 0.5s and 87s across runs at near-zero CPU pressure); min-of-2 reports
-    // steady-state throughput instead of host noise.
+    // 0.5s and 87s across runs at near-zero CPU pressure; round 2 saw a
+    // query stall in BOTH of 2 runs — 0.29s steady state read as 2.2s), so
+    // min-of-3 reports steady-state throughput instead of host noise.
     // Optional focus filter for local iteration: comma-separated name
     // prefixes, e.g. SPARK_GRAFT_ONLY=q50,q51. Driver runs unfiltered.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -35,7 +36,7 @@ object Bench {
       only.forall(_.exists(n.startsWith))
     }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -60,6 +60,7 @@ object SparkEntry {
     // Corpus-prep extensions (q55+: chunking / repetition quality signals)
     "q55_chunking" -> ((s, dir) => TextAnalysis.chunkDocuments(s, dir)),
     "q56_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
+    "q57_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(s, dir)),
     // Deterministic sampling / split surface (documents)
     "q47_train_split" -> ((s, dir) => Sampling.trainValTestSplit(s, dir)),
     "q48_hash_sample" -> ((s, dir) => Sampling.hashSample(s, dir)),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q43_lang_id" -> TextAnalysis.langIdSql,
     "q55_chunking" -> TextAnalysis.chunkDocumentsSql,
     "q56_repetition" -> TextAnalysis.repetitionStatsSql,
+    "q57_vocabulary" -> TextAnalysis.vocabularySql,
     "q47_train_split" -> Sampling.trainValTestSplitSql,
     "q48_hash_sample" -> Sampling.hashSampleSql,
     "q49_mixture_rebalance" -> Sampling.mixtureRebalanceSql,

@@ -264,6 +264,25 @@ object TextAnalysis {
       |       md5(array_to_string(w[i*32+1 : i*32+32], ' ')) AS chunk_md5
       |FROM ch""".stripMargin
 
+  /** q57 — corpus vocabulary: top-k tokens by global frequency with
+    * deterministic (count desc, token asc) ordering — the input a tokenizer
+    * trainer consumes. Token counts partial-aggregate map-side; the final
+    * top-k is a `TakeOrderedAndProject` (per-partition k then a k-row
+    * driver merge), never a global sort shuffle. */
+  def vocabulary(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  val vocabularySql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC
+      |LIMIT 50""".stripMargin
+
   /** q56 — within-document repetition signals (the Gopher/C4-style quality
     * filters exact dedup cannot see): distinct-token ratio and top-token
     * mass per document. One shuffle on (doc_id, token) with map-side

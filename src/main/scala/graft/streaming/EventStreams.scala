@@ -173,6 +173,20 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop re-delivered events by `event_id` with
+    * state bounded by the watermark horizon (`dropDuplicatesWithinWatermark`
+    * — the at-least-once → effectively-once ingest repair step). Plain
+    * `dropDuplicates` on a stream keeps every key forever; the
+    * within-watermark variant expires each key once the watermark passes
+    * its event time, which is the only state contract that survives an
+    * unbounded stream. */
+  def dedupStream(events: DataFrame,
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Contract query: the tumbling-window aggregate executed as a REAL
     * Structured Streaming query (micro-batched file source → watermark →
     * stateful window aggregate → memory sink, driven to completion), with

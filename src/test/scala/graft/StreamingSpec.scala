@@ -72,6 +72,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamSessions == batchSessions)
   }
 
+  test("streaming dedup drops redelivered events within the watermark") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // stage the SAME events file twice = every event delivered twice
+    val src = Paths.get(s"$dir/events.parquet")
+    val staged = Files.createTempDirectory("graft_dupstream")
+    Files.copy(src, staged.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, staged.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val doubled = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val n = graft.Tables.events(spark, dir).count()
+    val raw = EventStreams.runToBatch(spark,
+      doubled.select("event_id"), "dup_raw_test")
+    assert(raw.count() == 2 * n) // both deliveries arrive without dedup
+    val deduped = EventStreams.runToBatch(spark,
+      EventStreams.dedupStream(doubled).select("event_id"), "dedup_test")
+    assert(deduped.count() == n)
+    assert(deduped.distinct().count() == n)
+  }
+
   test("session emitter: every emitted session is a real closed session") {
     val gapMs = 30L * 60 * 1000
     val emitted = EventStreams.runToBatch(spark,

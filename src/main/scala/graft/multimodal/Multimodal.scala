@@ -105,6 +105,37 @@ object Multimodal {
     media.mapPartitions(rows => codec.decodeBatch(rows))(
       org.apache.spark.sql.Encoders.product[MediaFeatures])
 
+  /** Partition-batched REAL image resize (JDK Graphics2D bilinear):
+    * payload in → resized-PNG payload out, metadata struct updated to the
+    * new dimensions and byte size. Undecodable payloads are dropped (same
+    * quality-filter semantics as [[ImageIoCodec]]). Stays a narrow map —
+    * payloads never leave their executor. */
+  def resizeImages(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] =
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, width, height, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val bytes = bos.toByteArray
+            Some(MediaRow(r.media_id, bytes,
+              r.meta.copy(width = width, height = height,
+                nBytes = bytes.length.toLong)))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }(org.apache.spark.sql.Encoders.product[MediaRow])
+
   /** Synthesize a media table from `documents`: payload = utf-8 bytes of the
     * text (deterministic fake blob), metadata derived per row. Kind cycles
     * image/audio/video so downstream per-kind routing is exercised. */

@@ -57,6 +57,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.values.forall(_.features.sum == 1.0f)) // mass normalized
   }
 
+  test("resizeImages produces decodable images at the target dimensions") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val meta = Multimodal.MediaMeta("image", 16, 16, 0, 0L)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(16, 16, 0x336699), meta),
+      Multimodal.MediaRow(2L, "junk".getBytes, meta)) // dropped
+    val resized = Multimodal.resizeImages(rows.toDS(), 4, 4).collect()
+    assert(resized.map(_.media_id).toSeq == Seq(1L))
+    val r = resized.head
+    assert(r.meta.width == 4 && r.meta.height == 4)
+    assert(r.meta.nBytes == r.payload.length.toLong)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    // solid color survives bilinear resampling exactly
+    assert((back.getRGB(2, 2) & 0xFFFFFF) == 0x336699)
+  }
+
   test("frame sampling: stride-4 counts follow byte length") {
     val media = Multimodal.mediaTable(spark, dir)
       .select(col("media_id"), col("meta.nBytes").as("nb"),

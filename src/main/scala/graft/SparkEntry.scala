@@ -88,6 +88,7 @@ object SparkEntry {
     "q52_ann_ivf" -> ((s, dir) => SimilaritySearch.ivfTopK(s, dir)),
     "q54_ann_topk_agg" -> ((s, dir) => SimilaritySearch.bruteForceTopKAgg(s, dir)),
     "q53_embedding_stats" -> ((s, dir) => SimilaritySearch.embeddingStats(s, dir)),
+    "q58_quantize_int8" -> ((s, dir) => SimilaritySearch.quantizeInt8(s, dir)),
     // Multimodal plumbing (stub codec; rows-only checks)
     "q70_media_features" -> ((s, dir) => multimodal.Multimodal.featureSummary(s, dir)),
     "q71_media_wide_images" -> ((s, dir) => multimodal.Multimodal.wideImages(s, dir)),
@@ -122,6 +123,7 @@ object SparkEntry {
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,
     "q45_corpus_prep" -> CorpusPrep.corpusPrepSql,
     "q53_embedding_stats" -> SimilaritySearch.embeddingStatsSql,
+    "q58_quantize_int8" -> SimilaritySearch.quantizeInt8Sql,
     "q17_percentiles" -> Relational.percentilesSql,
     "q18_rollup" -> Relational.rollupRevenueSql,
     "q09_histogram" -> Relational.histogramSql,

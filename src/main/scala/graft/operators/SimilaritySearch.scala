@@ -197,6 +197,58 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
   }
 
+  /** q58 — int8 scalar quantization of the embedding table: per-dimension
+    * corpus min/max (the quantizer "model", a 64×2 artifact computed in one
+    * distributed pass and inlined as literals — exactly how hyperplanes and
+    * centroids are handled), then each value maps to
+    * round((x−lo)/(hi−lo)·255)−128 ∈ [−128,127]. This is the 4× compression
+    * step a production ANN index runs before storage; at 100 TB the stats
+    * pass is one narrow scan + a 64-row aggregate, and quantization itself
+    * is a narrow map. Output codes are emitted as a joined string so the
+    * DuckDB oracle compares the full code vector exactly (array columns
+    * don't round-trip the compare harness). Constant dimensions (hi = lo)
+    * quantize to 0 by convention on both engines. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
+      .groupBy(col("pos")).agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+      .orderBy(col("pos")).collect()
+    val lo = array(dims.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val hi = array(dims.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    val q = transform(sequence(lit(0), lit(dims.length - 1)), i => {
+      val x = element_at(v, i + 1)
+      val l = element_at(lo, i + 1)
+      val h = element_at(hi, i + 1)
+      when(h > l,
+        (round((x - l) / (h - l) * 255.0) - 128.0).cast(LongType))
+        .otherwise(lit(0L))
+    })
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      lit(dims.length.toLong).as("n_dims"),
+      concat_ws(",", q).as("codes"))
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH dims AS (
+      |  SELECT i AS pos, min(v[i]) AS lo, max(v[i]) AS hi
+      |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |       unnest(range(1, 65)) AS r(i)
+      |  GROUP BY i
+      |), model AS (
+      |  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+      |  FROM dims
+      |)
+      |SELECT vec_id, CAST(64 AS BIGINT) AS n_dims,
+      |       array_to_string(list_transform(range(1, 65), i ->
+      |         CASE WHEN his[i] > los[i]
+      |              THEN CAST(round((v[i] - los[i]) / (his[i] - los[i]) * 255.0)
+      |                        - 128.0 AS BIGINT)
+      |              ELSE 0 END), ',') AS codes
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |     model""".stripMargin
+
   /** Per-label embedding statistics (count + mean/max vector norm). The
     * norm fold is sequential per row → deterministic; oracle-checked against
     * DuckDB list_* functions. */

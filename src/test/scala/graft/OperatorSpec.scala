@@ -184,6 +184,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(total == graft.Tables.events(spark, dir).count())
   }
 
+  test("int8 quantization: codes in range, reconstruction within half a step") {
+    val codes = SimilaritySearch.quantizeInt8(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong)).toMap
+    assert(codes.size == 500)
+    assert(codes.values.forall(a => a.length == 64 &&
+      a.forall(c => c >= -128 && c <= 127)))
+    // dequantize one pass and bound the error by half a quantization step
+    val originals = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = originals.values.toSeq.transpose(_.toSeq)
+    val lo = dims.map(_.min).toArray
+    val hi = dims.map(_.max).toArray
+    originals.foreach { case (id, v) =>
+      val q = codes(id)
+      v.indices.foreach { i =>
+        val step = (hi(i) - lo(i)) / 255.0
+        val back = lo(i) + (q(i) + 128.0) * step
+        assert(math.abs(back - v(i)) <= step / 2 + 1e-9,
+          s"vec $id dim $i: $back vs ${v(i)} (step $step)")
+      }
+    }
+  }
+
   test("chunking: per-doc token counts reassemble to the word count") {
     val perDoc = TextAnalysis.chunkDocuments(spark, dir)
       .groupBy("doc_id").agg(sum("n_tokens").as("total"))

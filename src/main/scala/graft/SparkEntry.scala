@@ -70,6 +70,7 @@ object SparkEntry {
     "q18_rollup" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
     "q09_histogram" -> ((s, dir) => Relational.histogram(s, dir)),
     "q19_approx_distinct" -> ((s, dir) => Relational.approxDistinct(s, dir)),
+    "q59_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     "q60_events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
     // Structured Streaming execution, driven to completion, oracle-checked
     "q64_stream_hourly" -> ((s, dir) =>
@@ -138,6 +139,7 @@ object SparkEntry {
     "q47_train_split" -> Sampling.trainValTestSplitSql,
     "q48_hash_sample" -> Sampling.hashSampleSql,
     "q49_mixture_rebalance" -> Sampling.mixtureRebalanceSql,
+    "q59_funnel" -> Events.funnelSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,
     "q61_events_sessionize" -> Events.sessionizeSql,

@@ -302,4 +302,64 @@ object Events {
       |                            ORDER BY value DESC, event_id) AS rk
       |  FROM events)
       |WHERE rk <= 3""".stripMargin
+
+  /** q59 — ordered conversion funnel: how many users progressed
+    * signup → view → click → purchase, where each step's timestamp is the
+    * FIRST occurrence strictly after the previous step AND within a 24 h
+    * conversion window of it (the exact ordered-windowed funnel, not the
+    * loose min-per-type approximation that overcounts users who purchased
+    * before signing up).
+    *
+    * Shape: one stage pass per step — a filter on `event_type` (pushed to
+    * the parquet scan, so each pass reads only its step's rows) joined to
+    * the previous stage's per-user time, then a min aggregate. Join and
+    * aggregate both key on user_id, so each stage is one exchange and the
+    * join output feeds the aggregate without reshuffling. */
+  def funnel(spark: SparkSession, dir: String,
+             stepWindowMs: Long = 86400000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), Rfm.epochMs(col("ts")).as("ts_ms"))
+    def firstAfter(prev: DataFrame, prevCol: String,
+                   step: String, out: String): DataFrame =
+      ev.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts_ms") > col(prevCol) &&
+          col("ts_ms") <= col(prevCol) + stepWindowMs)
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as(out))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+    val t2 = firstAfter(t1, "t1", "view", "t2")
+    val t3 = firstAfter(t2, "t2", "click", "t3")
+    val t4 = firstAfter(t3, "t3", "purchase", "t4")
+    Seq(("1_signup", t1), ("2_view", t2), ("3_click", t3), ("4_purchase", t4))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+          col("n_users"))
+      }.reduce(_.unionAll(_))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+      |  FROM events
+      |), t1 AS (
+      |  SELECT user_id, min(ts_ms) AS t1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), t2 AS (
+      |  SELECT ev.user_id, min(ts_ms) AS t2 FROM ev JOIN t1 USING (user_id)
+      |  WHERE event_type = 'view' AND ts_ms > t1 AND ts_ms <= t1 + 86400000
+      |  GROUP BY ev.user_id
+      |), t3 AS (
+      |  SELECT ev.user_id, min(ts_ms) AS t3 FROM ev JOIN t2 USING (user_id)
+      |  WHERE event_type = 'click' AND ts_ms > t2 AND ts_ms <= t2 + 86400000
+      |  GROUP BY ev.user_id
+      |), t4 AS (
+      |  SELECT ev.user_id, min(ts_ms) AS t4 FROM ev JOIN t3 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_ms > t3 AND ts_ms <= t3 + 86400000
+      |  GROUP BY ev.user_id
+      |)
+      |SELECT '1_signup' AS stage, count(*) AS n_users FROM t1
+      |UNION ALL SELECT '2_view', count(*) FROM t2
+      |UNION ALL SELECT '3_click', count(*) FROM t3
+      |UNION ALL SELECT '4_purchase', count(*) FROM t4""".stripMargin
 }

@@ -95,6 +95,8 @@ object SparkEntry {
     "q71_media_wide_images" -> ((s, dir) => multimodal.Multimodal.wideImages(s, dir)),
     "q72_media_frame_sample" -> ((s, dir) =>
       multimodal.Multimodal.frameSample(s, dir).drop("frame_indices")),
+    // Events extended (q73+)
+    "q73_retention" -> ((s, dir) => Events.cohortRetention(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +149,6 @@ object SparkEntry {
     "q63_events_daily_top" -> Events.dailyTopEventsSql,
     "q65_asof_join" -> Events.asofLastPurchaseSql,
     "q66_range_join" -> Events.rangeJoinSql,
+    "q73_retention" -> Events.cohortRetentionSql,
   )
 }

@@ -335,7 +335,7 @@ object Events {
       .map { case (name, df) =>
         df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
           col("n_users"))
-      }.reduce(_.unionAll(_))
+      }.reduce(_.union(_))
   }
 
   val funnelSql: String =
@@ -362,4 +362,43 @@ object Events {
       |UNION ALL SELECT '2_view', count(*) FROM t2
       |UNION ALL SELECT '3_click', count(*) FROM t3
       |UNION ALL SELECT '4_purchase', count(*) FROM t4""".stripMargin
+
+  /** q73 — weekly cohort retention: users are cohorted by the week of
+    * their first event; for every (cohort week, week offset) cell, count
+    * the distinct users still active that many weeks later — the classic
+    * retention triangle. Two shuffles on user_id (the per-user weekly
+    * activity set and the first-week join feed the same hash
+    * partitioning), then one aggregate on the small (cohort, offset) key.
+    * Week offsets are exact integer arithmetic on UTC week-start epochs. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 7L * 24 * 3600 * 1000
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"),
+        Rfm.epochMs(date_trunc("week", col("ts").cast(TimestampType)))
+          .as("wk_ms"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("wk_ms")).as("cohort_ms"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_ms"),
+        ((col("wk_ms") - col("cohort_ms")) / weekMs).cast(LongType)
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(timestamp_millis(col("cohort_ms")).as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id,
+      |         epoch_ms(date_trunc('week', CAST(ts AS TIMESTAMP))) AS wk_ms
+      |  FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(wk_ms) AS cohort_ms FROM activity GROUP BY user_id
+      |)
+      |SELECT make_timestamp(cohort_ms * 1000) AS cohort_week,
+      |       CAST((wk_ms - cohort_ms) / 604800000 AS BIGINT) AS week_offset,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM activity a JOIN cohorts USING (user_id)
+      |GROUP BY cohort_ms, (wk_ms - cohort_ms) / 604800000""".stripMargin
 }

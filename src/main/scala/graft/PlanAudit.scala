@@ -37,6 +37,11 @@ object PlanAudit {
       "q48_hash_sample" -> Seq("Exchange" -> false),
       // rebalance: the big side must join the 5-row rate table broadcast
       "q49_mixture_rebalance" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // quantize: the encode pass is a pure narrow map (stats are literals)
+      "q58_quantize_int8" -> Seq("Exchange" -> false),
+      // funnel: per-stage type filters must reach the parquet scan
+      "q59_funnel" -> Seq("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)" -> true,
         "CartesianProduct" -> false))
 
     var bad = 0

@@ -29,10 +29,18 @@ object CacheRegistry {
 
   /** Get-or-build the cached frame for `key`. `build` runs at most once per
     * (appId, key); the result is `.cache()`d (lazy — materialized by the
-    * first action that touches it). */
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    * first action that touches it). Entries belonging to STOPPED sessions
+    * are purged on every call — a JVM that runs several sessions back to
+    * back (sequential test suites, repeated CLI invocations under one sbt)
+    * must not pin dead-session plans for its lifetime. */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    frames.filterInPlace { case (_, df) =>
+      !df.sparkSession.sparkContext.isStopped // dead entries just drop; their
+      // cached blocks died with the session's executors already
+    }
     frames.getOrElseUpdate(
       (spark.sparkContext.applicationId, key), build.cache())
+  }
 
   /** Drop and unpersist every frame registered by `spark`'s application —
     * test/benchmark hygiene for long-lived sessions. */

@@ -67,9 +67,11 @@ object GraftApp {
   def runFullPipeline(spark: SparkSession, cfg: Config): Clustering.Segmentation = {
     val t0 = System.nanoTime()
     val seg = fitFromConfig(spark, cfg)
-    operators.Charts.visualizationReport(seg, cfg.output)
+    // reference order: Step 3 prints cluster statistics, Step 4 renders the
+    // charts (`src/main.rs:124-151`) — keep the console output sequence
     val report = Clustering.clusterReport(seg)
     println(report)
+    operators.Charts.visualizationReport(seg, cfg.output)
     if (cfg.verbose)
       println(f"Total pipeline time: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     seg

@@ -310,6 +310,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a silent non-converged return would emit two labels for one real
+    // component — fail loudly instead (diameter > maxIters is pathological
+    // for near-dup graphs, which are overwhelmingly small cliques)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "raise maxIters for graphs with larger diameter")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

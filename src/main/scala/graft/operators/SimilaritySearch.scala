@@ -234,14 +234,14 @@ object SimilaritySearch {
     """WITH dims AS (
       |  SELECT i AS pos, min(v[i]) AS lo, max(v[i]) AS hi
       |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |       unnest(range(1, 65)) AS r(i)
+      |       unnest(range(1, len(v) + 1)) AS r(i)
       |  GROUP BY i
       |), model AS (
       |  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
       |  FROM dims
       |)
-      |SELECT vec_id, CAST(64 AS BIGINT) AS n_dims,
-      |       array_to_string(list_transform(range(1, 65), i ->
+      |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+      |       array_to_string(list_transform(range(1, len(v) + 1), i ->
       |         CASE WHEN his[i] > los[i]
       |              THEN CAST(round((v[i] - los[i]) / (his[i] - los[i]) * 255.0)
       |                        - 128.0 AS BIGINT)

@@ -159,7 +159,14 @@ object EventStreams {
                   closed += SessionRecord(uid, s.startMs, s.lastMs, s.n)
                   Some(OpenSession(e.ts_ms, e.ts_ms, 1))
                 case Some(s) =>
-                  Some(OpenSession(s.startMs, e.ts_ms, s.n + 1))
+                  // events sort within a batch, but an event from a LATER
+                  // batch may be older than the carried lastMs (late but
+                  // inside the watermark). min/max instead of overwrite —
+                  // a plain `lastMs = e.ts_ms` would rewind the session
+                  // clock and a following on-time event could falsely
+                  // split the session
+                  Some(OpenSession(math.min(s.startMs, e.ts_ms),
+                    math.max(s.lastMs, e.ts_ms), s.n + 1))
                 case None =>
                   Some(OpenSession(e.ts_ms, e.ts_ms, 1))
               }

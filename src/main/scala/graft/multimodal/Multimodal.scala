@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * analogue of arrow-batched pandas UDFs: one JVM-side batch loop per
   * partition, no per-row closure dispatch in the hot path).
   *
-  * Two codecs ship behind the same boundary: [[ImageIoCodec]] is a REAL
+  * Three codecs ship behind the same boundary: [[ImageIoCodec]] is a REAL
   * image decoder (JDK `javax.imageio` — PNG/BMP/JPEG/GIF, spec-driven with
-  * actual PNG bytes); [[StubCodec]] is the deterministic fake used by the
-  * contract queries, whose synthetic payloads are not decodable media (and
-  * which stands in for audio/video codecs absent from this container). The
-  * Spark-side plumbing is identical for both and is the part that matters
+  * actual PNG bytes); [[WavPcmCodec]] is a REAL audio decoder (JDK
+  * `javax.sound.sampled` — WAV/PCM, spec-driven with a synthesized sine
+  * wave); [[StubCodec]] is the deterministic fake used by the contract
+  * queries, whose synthetic payloads are not decodable media (and which
+  * stands in for video codecs genuinely absent from this container). The
+  * Spark-side plumbing is identical for all and is the part that matters
   * at 100 TB:
   *  - payloads stay in executors; nothing ever collects binary to the driver;
   *  - feature extraction is a narrow map — zero shuffles;
@@ -94,6 +96,56 @@ object Multimodal {
             }
             val n = (img.getWidth.toLong * img.getHeight).toFloat
             Some(MediaFeatures(r.media_id, r.meta.kind, hist.map(_ / n), 1))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+  }
+
+  /** REAL audio codec on the JDK's `javax.sound.sampled` (WAV/PCM — no
+    * external libraries): decodes the RIFF container, converts samples to
+    * normalized [−1,1] doubles, and emits [rms, zero_crossing_rate,
+    * duration_seconds] as the feature vector with `n_frames` = PCM frame
+    * count. Same drop-on-undecodable semantics as [[ImageIoCodec]].
+    * Supports 8/16-bit PCM, mono or multi-channel (channels interleave;
+    * stats run over all samples). */
+  object WavPcmCodec extends MediaCodec {
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.flatMap { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          in.close()
+          val bits = fmt.getSampleSizeInBits
+          if (fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              (bits != 8 && bits != 16)) None
+          else {
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = bytes.length / (bits / 8)
+            var sumSq = 0.0
+            var crossings = 0L
+            var prevNeg = false
+            var i = 0
+            while (i < n) { // batch-local tight loop, no boxing
+              val s = if (bits == 16) bb.getShort(i * 2) / 32768.0
+                      else bb.get(i) / 128.0
+              sumSq += s * s
+              val neg = s < 0
+              if (i > 0 && neg != prevNeg) crossings += 1
+              prevNeg = neg
+              i += 1
+            }
+            val frames = n / math.max(1, fmt.getChannels)
+            val rms = if (n == 0) 0f else math.sqrt(sumSq / n).toFloat
+            val zcr = if (n <= 1) 0f else crossings.toFloat / (n - 1)
+            val dur = if (fmt.getSampleRate <= 0) 0f
+                      else frames / fmt.getSampleRate
+            Some(MediaFeatures(r.media_id, r.meta.kind,
+              Array(rms, zcr, dur), frames))
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       }

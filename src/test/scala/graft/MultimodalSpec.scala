@@ -57,6 +57,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.values.forall(_.features.sum == 1.0f)) // mass normalized
   }
 
+  test("WavPcmCodec decodes a real sine WAV: rms, zcr, duration, frames") {
+    import spark.implicits._
+    // 0.5 s of a 440 Hz sine at 16 kHz, 16-bit mono PCM, amplitude 0.5
+    val rate = 16000
+    val nFrames = rate / 2
+    val samples = Array.tabulate(nFrames)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    val pcm = java.nio.ByteBuffer.allocate(nFrames * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val meta = Multimodal.MediaMeta("audio", 0, 0, rate, 0L)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, bos.toByteArray, meta),
+      Multimodal.MediaRow(2L, "static noise".getBytes, meta)) // dropped
+    val feats = Multimodal.decode(rows.toDS().repartition(2),
+      Multimodal.WavPcmCodec).collect().map(f => f.media_id -> f).toMap
+    assert(feats.keySet == Set(1L))
+    val f = feats(1L)
+    assert(f.n_frames == nFrames)
+    assert(math.abs(f.features(2) - 0.5f) < 1e-4) // duration
+    // sine rms = amplitude/sqrt(2) ≈ 0.3536
+    assert(math.abs(f.features(0) - 0.5 / math.sqrt(2)) < 1e-3)
+    // 440 Hz crosses zero ~880 times/s -> zcr ≈ 880/16000 = 0.055
+    assert(math.abs(f.features(1) - 880.0 / rate) < 0.005)
+  }
+
   test("resizeImages produces decodable images at the target dimensions") {
     import spark.implicits._
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {

@@ -97,6 +97,7 @@ object SparkEntry {
       multimodal.Multimodal.frameSample(s, dir).drop("frame_indices")),
     // Events extended (q73+)
     "q73_retention" -> ((s, dir) => Events.cohortRetention(s, dir)),
+    "q74_packing" -> ((s, dir) => TextAnalysis.sequencePacking(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,5 +151,6 @@ object SparkEntry {
     "q65_asof_join" -> Events.asofLastPurchaseSql,
     "q66_range_join" -> Events.rangeJoinSql,
     "q73_retention" -> Events.cohortRetentionSql,
+    "q74_packing" -> TextAnalysis.sequencePackingSql,
   )
 }

@@ -283,6 +283,59 @@ object TextAnalysis {
       |ORDER BY n DESC, token ASC
       |LIMIT 50""".stripMargin
 
+  /** q74 — sequence packing: assign documents (in doc_id order) to
+    * fixed-capacity training bins by running token count; a doc lands in
+    * the bin where its tokens START (contiguous fill, capacity 2048).
+    *
+    * The running sum is a TWO-PHASE DISTRIBUTED PREFIX SCAN, not a global
+    * single-partition window (`Window.orderBy` with no partition key drags
+    * the whole table through one task — the classic scale trap for cumsum):
+    *  1. range-repartition by doc_id so partition i holds an ordered slice;
+    *  2. per-partition token totals → collected (one row per partition) →
+    *     exclusive prefix offsets computed driver-side and broadcast back;
+    *  3. within-partition window cumsum + the partition's offset.
+    * Identical values to the naive global window (the DuckDB oracle), at
+    * any partition count. */
+  def sequencePacking(spark: SparkSession, dir: String,
+                      capacity: Long = 2048L,
+                      partitions: Int = 8): DataFrame = {
+    // localCheckpoint pins ONE materialized range partitioning: the offsets
+    // collect and the final query must observe identical partition
+    // boundaries, and two separate evaluations of repartitionByRange may
+    // sample different range splits
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast(LongType).as("n_tokens"))
+      .repartitionByRange(partitions, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = toks.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = toks.rdd.getNumPartitions
+    // exclusive prefix over ALL partition ids (empty partitions count 0)
+    val offs = (0 until nParts).map(totals.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).dropRight(1)
+    val offsetCol = element_at(array(offs.map(lit): _*), col("pid") + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offsetCol)
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("start_tok") / capacity).cast(LongType).as("bin_id"))
+  }
+
+  val sequencePackingSql: String =
+    """SELECT doc_id, n_tokens,
+      |       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+      |FROM (
+      |  SELECT doc_id, n_tokens,
+      |         sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT doc_id,
+      |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |        FROM documents))""".stripMargin
+
   /** q56 — within-document repetition signals (the Gopher/C4-style quality
     * filters exact dedup cannot see): distinct-token ratio and top-token
     * mass per document. One shuffle on (doc_id, token) with map-side

@@ -208,6 +208,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: partition-count invariant, bins filled in order") {
+    def run(p: Int) = TextAnalysis.sequencePacking(spark, dir, partitions = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val p1 = run(1) // single partition == the naive global cumsum
+    val p8 = run(8)
+    assert(p1.sameElements(p8)) // distributed prefix scan changes nothing
+    // bins are monotone in doc order and every bin start is below capacity
+    assert(p8.map(_._3).sliding(2).forall(w => w(0) <= w(1)))
+    val binTokens = p8.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    // a bin only overflows by the straddling doc that started inside it
+    binTokens.foreach { case (bin, total) =>
+      val maxDoc = p8.filter(_._3 == bin).map(_._2).max
+      assert(total < 2048 + maxDoc, s"bin $bin holds $total tokens")
+    }
+  }
+
   test("chunking: per-doc token counts reassemble to the word count") {
     val perDoc = TextAnalysis.chunkDocuments(spark, dir)
       .groupBy("doc_id").agg(sum("n_tokens").as("total"))

@@ -36,13 +36,23 @@ object Bench {
       only.forall(_.exists(n.startsWith))
     }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
+      }
+      var times = List.fill(3)(once())
+      // stall guard: when even the best run is slow AND the three runs
+      // disagree wildly, the stall likely hit every run — take up to two
+      // extra samples (round 2 observed a 0.96 s query report 12 s because
+      // one ~40 s host stall spanned all three back-to-back runs)
+      var extra = 0
+      while (extra < 2 && times.min > 2.0 && times.max / times.min > 3.0) {
+        times = once() :: times
+        extra += 1
       }
       name -> times.min
     }

@@ -118,10 +118,16 @@ object Multimodal {
           val bytes = in.readAllBytes()
           in.close()
           val bits = fmt.getSampleSizeInBits
-          if (fmt.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-              (bits != 8 && bits != 16)) None
+          val enc = fmt.getEncoding
+          import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+          // the WAV spec stores 8-bit audio UNSIGNED and 16-bit SIGNED —
+          // requiring signed for both would silently drop every valid
+          // 8-bit file as if it were corrupt
+          val ok = (bits == 16 && enc == PCM_SIGNED) ||
+            (bits == 8 && (enc == PCM_SIGNED || enc == PCM_UNSIGNED))
+          if (!ok) None
           else {
+            val unsigned8 = bits == 8 && enc == PCM_UNSIGNED
             val bb = java.nio.ByteBuffer.wrap(bytes).order(
               if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
               else java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -132,6 +138,7 @@ object Multimodal {
             var i = 0
             while (i < n) { // batch-local tight loop, no boxing
               val s = if (bits == 16) bb.getShort(i * 2) / 32768.0
+                      else if (unsigned8) ((bb.get(i) & 0xFF) - 128) / 128.0
                       else bb.get(i) / 128.0
               sumSq += s * s
               val neg = s < 0

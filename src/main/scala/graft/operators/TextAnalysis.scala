@@ -296,15 +296,22 @@ object TextAnalysis {
     *  3. within-partition window cumsum + the partition's offset.
     * Identical values to the naive global window (the DuckDB oracle), at
     * any partition count. */
+  /** Bin capacity shared by [[sequencePacking]]'s default and the oracle
+    * SQL — a caller passing a custom capacity must not compare against
+    * [[sequencePackingSql]], which pins this value. */
+  val PackingCapacity = 2048L
+
   def sequencePacking(spark: SparkSession, dir: String,
-                      capacity: Long = 2048L,
+                      capacity: Long = PackingCapacity,
                       partitions: Int = 8): DataFrame = {
     // localCheckpoint pins ONE materialized range partitioning: the offsets
     // collect and the final query must observe identical partition
     // boundaries, and two separate evaluations of repartitionByRange may
-    // sample different range splits
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(words(col("text"))).cast(LongType).as("n_tokens"))
+    // sample different range splits. Token counts come from the cached
+    // textBase projection (same `size(split)` expression) rather than a
+    // fresh re-split of the raw text.
+    val toks = textBase(spark, dir)
+      .select(col("doc_id"), col("n_words").as("n_tokens"))
       .repartitionByRange(partitions, col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
@@ -326,15 +333,15 @@ object TextAnalysis {
   }
 
   val sequencePackingSql: String =
-    """SELECT doc_id, n_tokens,
-      |       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
-      |FROM (
-      |  SELECT doc_id, n_tokens,
-      |         sum(n_tokens) OVER (ORDER BY doc_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      |  FROM (SELECT doc_id,
-      |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      |        FROM documents))""".stripMargin
+    s"""SELECT doc_id, n_tokens,
+       |       CAST(floor((cum - n_tokens) / $PackingCapacity.0) AS BIGINT) AS bin_id
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT doc_id,
+       |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents))""".stripMargin
 
   /** q56 — within-document repetition signals (the Gopher/C4-style quality
     * filters exact dedup cannot see): distinct-token ratio and top-token

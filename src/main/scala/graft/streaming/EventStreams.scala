@@ -99,8 +99,12 @@ object EventStreams {
           val sorted = rows.toSeq.sortBy(_.ts_ms)
           val next = sorted.foldLeft(prev) { (s, e) =>
             val newSession = s.lastMs == Long.MinValue || e.ts_ms - s.lastMs > gapMs
+            // max, not overwrite: a cross-batch out-of-order event must not
+            // rewind the session clock (same late-event rule as
+            // [[sessionEmitter]]'s merge branch)
             UserSessionState(s.nEvents + 1,
-              s.nSessions + (if (newSession) 1 else 0), e.ts_ms)
+              s.nSessions + (if (newSession) 1 else 0),
+              math.max(s.lastMs, e.ts_ms))
           }
           state.update(next)
           UserSessions(uid, next.nEvents, next.nSessions)

@@ -87,6 +87,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f.features(0) - 0.5 / math.sqrt(2)) < 1e-3)
     // 440 Hz crosses zero ~880 times/s -> zcr ≈ 880/16000 = 0.055
     assert(math.abs(f.features(1) - 880.0 / rate) < 0.005)
+
+    // 8-bit WAVs are UNSIGNED per the WAV spec — must decode, not drop
+    val pcm8 = Array.tabulate(nFrames)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 127 + 128).toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      rate.toFloat, 8, 1, 1, rate.toFloat, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8), fmt8, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    val f8 = Multimodal.decode(
+      Seq(Multimodal.MediaRow(3L, bos8.toByteArray, meta)).toDS(),
+      Multimodal.WavPcmCodec).collect()
+    assert(f8.length == 1 && f8.head.n_frames == nFrames)
+    assert(math.abs(f8.head.features(0) - 0.5 / math.sqrt(2)) < 0.02)
   }
 
   test("resizeImages produces decodable images at the target dimensions") {

@@ -28,6 +28,7 @@ object SparkEntry {
     "q08_distinct_count" -> ((s, dir) => Relational.distinctCount(s, dir)),
     "q10_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
     "q11_window_rank" -> ((s, dir) => Relational.windowRank(s, dir)),
+    "q75_rank_functions" -> ((s, dir) => Relational.rankFunctions(s, dir)),
     "q12_star_join" -> ((s, dir) => Relational.starJoin(s, dir)),
     "q13_semi_anti_join" -> ((s, dir) => Relational.semiAntiJoin(s, dir)),
     "q14_set_union" -> ((s, dir) => SetOps.setUnion(s, dir)),
@@ -113,6 +114,7 @@ object SparkEntry {
     "q08_distinct_count" -> Relational.distinctCountSql,
     "q10_top_customers" -> Relational.topCustomersSql,
     "q11_window_rank" -> Relational.windowRankSql,
+    "q75_rank_functions" -> Relational.rankFunctionsSql,
     "q12_star_join" -> Relational.starJoinSql,
     "q13_semi_anti_join" -> Relational.semiAntiJoinSql,
     "q14_set_union" -> SetOps.setUnionSql,

@@ -173,6 +173,44 @@ object Relational {
       |  FROM orders)
       |WHERE rn <= 3""".stripMargin
 
+  /** q75 — the remaining ranking-function family in one window pass:
+    * rank / dense_rank (gap vs no-gap tie semantics), ntile quartiles,
+    * percent_rank. Customers rank within their nation by account balance
+    * ROUNDED TO THOUSANDS — the rounding manufactures real ties so
+    * rank ≠ dense_rank is actually exercised, not vacuously equal. One
+    * exchange on the partition key; all five functions share a single
+    * window sort. */
+  def rankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val bal = round(col("c_acctbal"), -3)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(bal.desc, col("c_custkey"))
+    val wTies = Window.partitionBy(col("c_nationkey")).orderBy(bal.desc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"),
+        col("c_nationkey").cast(LongType).as("nationkey"),
+        bal.as("bal"),
+        row_number().over(w).cast(LongType).as("rn"),
+        rank().over(wTies).cast(LongType).as("rnk"),
+        dense_rank().over(wTies).cast(LongType).as("drnk"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        round(percent_rank().over(wTies), 6).as("pct_rank"))
+  }
+
+  val rankFunctionsSql: String =
+    """SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+      |       round(c_acctbal, -3) AS bal,
+      |       row_number() OVER (PARTITION BY c_nationkey
+      |         ORDER BY round(c_acctbal, -3) DESC, c_custkey) AS rn,
+      |       rank() OVER (PARTITION BY c_nationkey
+      |         ORDER BY round(c_acctbal, -3) DESC) AS rnk,
+      |       dense_rank() OVER (PARTITION BY c_nationkey
+      |         ORDER BY round(c_acctbal, -3) DESC) AS drnk,
+      |       ntile(4) OVER (PARTITION BY c_nationkey
+      |         ORDER BY round(c_acctbal, -3) DESC, c_custkey) AS quartile,
+      |       round(percent_rank() OVER (PARTITION BY c_nationkey
+      |         ORDER BY round(c_acctbal, -3) DESC), 6) AS pct_rank
+      |FROM customer""".stripMargin
+
   /** Broadcast-join star query — extension: revenue per region/market
     * segment. Dimension tables (region, nation, customer at this grain) are
     * broadcast; the only shuffle is the final group-aggregate. At 100 TB the

@@ -38,8 +38,18 @@ object CacheRegistry {
       !df.sparkSession.sparkContext.isStopped // dead entries just drop; their
       // cached blocks died with the session's executors already
     }
-    frames.getOrElseUpdate(
-      (spark.sparkContext.applicationId, key), build.cache())
+    val k = (spark.sparkContext.applicationId, key)
+    frames.get(k).getOrElse {
+      // TrieMap.getOrElseUpdate may evaluate `build` in two racing threads
+      // and silently orphan the loser's cached plan — exactly the leak this
+      // registry exists to prevent. putIfAbsent keeps one winner; the loser
+      // unpersists its (lazy, so still unmaterialized) duplicate.
+      val candidate = build.cache()
+      frames.putIfAbsent(k, candidate) match {
+        case Some(winner) => candidate.unpersist(); winner
+        case None         => candidate
+      }
+    }
   }
 
   /** Drop and unpersist every frame registered by `spark`'s application —

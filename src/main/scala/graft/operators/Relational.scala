@@ -179,37 +179,52 @@ object Relational {
     * ROUNDED TO THOUSANDS — the rounding manufactures real ties so
     * rank ≠ dense_rank is actually exercised, not vacuously equal. One
     * exchange on the partition key; all five functions share a single
-    * window sort. */
+    * window sort.
+    *
+    * All cross-engine-compared values are exact integers: the thousand-
+    * rounding runs in long-cents arithmetic ((cents+50000) floor-div 1e5 —
+    * half rounds toward +inf), and percent_rank is emitted as
+    * floor(1e6·(rank−1)/(n−1)) rather than a rounded double. `round()` on
+    * doubles diverges between Spark (BigDecimal HALF_UP) and DuckDB
+    * (float rounding), which round 2's oracle run caught. */
   def rankFunctions(spark: SparkSession, dir: String): DataFrame = {
-    val bal = round(col("c_acctbal"), -3)
+    // cents→thousand-dollars: floor((cents+50000)/1e5)·1000, all exact.
+    val bal = floor((Rfm.cents(col("c_acctbal")) + lit(50000L)) / lit(100000.0)) * 1000
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(bal.desc, col("c_custkey"))
     val wTies = Window.partitionBy(col("c_nationkey")).orderBy(bal.desc)
+    val cnt = count(lit(1)).over(Window.partitionBy(col("c_nationkey")))
+    val rnk = rank().over(wTies).cast(LongType)
     Tables.customer(spark, dir)
       .select(col("c_custkey").as("custkey"),
         col("c_nationkey").cast(LongType).as("nationkey"),
         bal.as("bal"),
         row_number().over(w).cast(LongType).as("rn"),
-        rank().over(wTies).cast(LongType).as("rnk"),
+        rnk.as("rnk"),
         dense_rank().over(wTies).cast(LongType).as("drnk"),
         ntile(4).over(w).cast(LongType).as("quartile"),
-        round(percent_rank().over(wTies), 6).as("pct_rank"))
+        when(cnt > 1, floor((rnk - 1) * lit(1000000.0) / (cnt - 1)))
+          .otherwise(0L).as("pct_rank_e6"))
   }
 
   val rankFunctionsSql: String =
     """SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
-      |       round(c_acctbal, -3) AS bal,
-      |       row_number() OVER (PARTITION BY c_nationkey
-      |         ORDER BY round(c_acctbal, -3) DESC, c_custkey) AS rn,
-      |       rank() OVER (PARTITION BY c_nationkey
-      |         ORDER BY round(c_acctbal, -3) DESC) AS rnk,
-      |       dense_rank() OVER (PARTITION BY c_nationkey
-      |         ORDER BY round(c_acctbal, -3) DESC) AS drnk,
-      |       ntile(4) OVER (PARTITION BY c_nationkey
-      |         ORDER BY round(c_acctbal, -3) DESC, c_custkey) AS quartile,
-      |       round(percent_rank() OVER (PARTITION BY c_nationkey
-      |         ORDER BY round(c_acctbal, -3) DESC), 6) AS pct_rank
-      |FROM customer""".stripMargin
+      |       bal,
+      |       row_number() OVER wtb AS rn,
+      |       rank() OVER wt AS rnk,
+      |       dense_rank() OVER wt AS drnk,
+      |       ntile(4) OVER wtb AS quartile,
+      |       CASE WHEN count(*) OVER wp > 1
+      |            THEN CAST(floor((rank() OVER wt - 1) * 1000000.0
+      |                            / (count(*) OVER wp - 1)) AS BIGINT)
+      |            ELSE 0 END AS pct_rank_e6
+      |FROM (SELECT c_custkey, c_nationkey,
+      |             CAST(floor((CAST(round(c_acctbal * 100) AS BIGINT) + 50000)
+      |                        / 100000.0) AS BIGINT) * 1000 AS bal
+      |      FROM customer)
+      |WINDOW wp AS (PARTITION BY c_nationkey),
+      |       wt AS (PARTITION BY c_nationkey ORDER BY bal DESC),
+      |       wtb AS (PARTITION BY c_nationkey ORDER BY bal DESC, c_custkey)""".stripMargin
 
   /** Broadcast-join star query — extension: revenue per region/market
     * segment. Dimension tables (region, nation, customer at this grain) are

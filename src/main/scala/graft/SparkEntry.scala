@@ -62,6 +62,11 @@ object SparkEntry {
     "q55_chunking" -> ((s, dir) => TextAnalysis.chunkDocuments(s, dir)),
     "q56_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
     "q57_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(s, dir)),
+    // Corpus hygiene (q76–q79: decontamination / PII / quality / repetition)
+    "q76_decontaminate" -> ((s, dir) => CorpusFilters.decontaminate(s, dir)),
+    "q77_pii_redact" -> ((s, dir) => CorpusFilters.piiRedact(s, dir)),
+    "q78_quality_gates" -> ((s, dir) => CorpusFilters.qualityGates(s, dir)),
+    "q79_intradoc_repetition" -> ((s, dir) => CorpusFilters.intraDocRepetition(s, dir)),
     // Deterministic sampling / split surface (documents)
     "q47_train_split" -> ((s, dir) => Sampling.trainValTestSplit(s, dir)),
     "q48_hash_sample" -> ((s, dir) => Sampling.hashSample(s, dir)),
@@ -99,6 +104,10 @@ object SparkEntry {
     // Events extended (q73+)
     "q73_retention" -> ((s, dir) => Events.cohortRetention(s, dir)),
     "q74_packing" -> ((s, dir) => TextAnalysis.sequencePacking(s, dir)),
+    "q80_gapfill_hourly" -> ((s, dir) => Events.gapFillHourly(s, dir)),
+    // Sources/maintenance extensions (q81+)
+    "q81_json_ingest" -> ((s, dir) => JsonSource.jsonIngest(s, dir)),
+    "q82_merge_upsert" -> ((s, dir) => Merge.upsertCustomers(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,6 +150,10 @@ object SparkEntry {
     "q55_chunking" -> TextAnalysis.chunkDocumentsSql,
     "q56_repetition" -> TextAnalysis.repetitionStatsSql,
     "q57_vocabulary" -> TextAnalysis.vocabularySql,
+    "q76_decontaminate" -> CorpusFilters.decontaminateSql(),
+    "q77_pii_redact" -> CorpusFilters.piiRedactSql,
+    "q78_quality_gates" -> CorpusFilters.qualityGatesSql,
+    "q79_intradoc_repetition" -> CorpusFilters.intraDocRepetitionSql(),
     "q47_train_split" -> Sampling.trainValTestSplitSql,
     "q48_hash_sample" -> Sampling.hashSampleSql,
     "q49_mixture_rebalance" -> Sampling.mixtureRebalanceSql,
@@ -154,5 +167,8 @@ object SparkEntry {
     "q66_range_join" -> Events.rangeJoinSql,
     "q73_retention" -> Events.cohortRetentionSql,
     "q74_packing" -> TextAnalysis.sequencePackingSql,
+    "q80_gapfill_hourly" -> Events.gapFillHourlySql,
+    "q81_json_ingest" -> JsonSource.jsonIngestSql,
+    "q82_merge_upsert" -> Merge.upsertCustomersSql,
   )
 }

@@ -1,0 +1,278 @@
+package graft.operators
+
+import graft.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-hygiene operators for a training-data pipeline: benchmark
+  * decontamination, PII redaction, heuristic quality gates, and
+  * intra-document repetition removal. The reference has no analog — these
+  * extend the engine's document surface (SURVEY §7.5) and are designed
+  * Spark-first for the 100 TB case.
+  *
+  * Scale design notes:
+  *  - Decontamination joins the corpus against the *benchmark* n-gram index,
+  *    which is tiny by construction (eval sets are MBs, corpora are TBs) —
+  *    the benchmark side broadcasts and the corpus streams once, zero
+  *    exchanges on the big side.
+  *  - PII redaction and quality gates are narrow per-row projections (regex +
+  *    arithmetic inside whole-stage codegen); they run at scan speed.
+  *  - Repetition removal shuffles (doc_id, gram) once; everything downstream
+  *    of the explode re-aggregates on doc_id, so cost is O(tokens), not
+  *    O(pairs).
+  *
+  * Float determinism: every cross-engine-compared double is produced by a
+  * single IEEE division of exact integers (see [[Sampling]] scaladoc);
+  * booleans and counts are exact by construction.
+  */
+object CorpusFilters {
+
+  // ---------------------------------------------------------------- q76
+
+  /** First hex nibble of md5(doc_id) — the same 16-bucket selector as
+    * [[Sampling.trainValTestSplit]], so "benchmark membership" is
+    * deterministic and reproducible on both engines. */
+  private def hexNibble(id: Column): Column =
+    substring(md5(id.cast(StringType)), 1, 1)
+
+  /** Word k-grams at each position (NOT distinct — position-preserving),
+    * guarded for short documents like [[Dedup.shingleCol]]. */
+  private def gramArray(text: Column, k: Int): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** q76 — benchmark decontamination. Documents whose md5 nibble is 'f'
+    * form the held-out "benchmark" (the stand-in for eval sets like MMLU
+    * dumps); every other document is training corpus. A training document
+    * is contaminated when it shares at least one word `k`-gram with any
+    * benchmark document — the standard n-gram-overlap decontamination rule.
+    *
+    * Output: one row per contaminated training doc with the count of
+    * distinct shared grams. The benchmark gram index is broadcast: at
+    * 100 TB the corpus side never shuffles, and the scan's gram explode
+    * stays inside codegen.
+    */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = hexNibble(col("doc_id")) === "f"
+    val grams = (side: DataFrame) => side.select(col("doc_id"),
+      explode(array_distinct(gramArray(col("text"), k))).as("gram"))
+    val bench = grams(docs.filter(isBench))
+      .select(col("gram")).distinct()
+    val train = grams(docs.filter(!isBench))
+    train.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // train grams are distinct-per-doc
+  }
+
+  def decontaminateSql(k: Int = 4): String = {
+    val idx = (1 to k).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_bench,
+       |         unnest(list_distinct(list_transform(
+       |           range(len(ws) - ${k - 1}), i -> $idx))) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |), bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench)
+       |SELECT g.doc_id, count(*) AS n_shared
+       |FROM grams g JOIN bench b ON g.gram = b.gram
+       |WHERE NOT g.is_bench
+       |GROUP BY g.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q77
+
+  /** Identical regex source strings for Spark (java.util.regex) and DuckDB
+    * (RE2) — restricted to the common subset: character classes, bounded
+    * repetition, word boundaries. No lookaround, no backrefs. */
+  private val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val PhoneRe = """\b555-[0-9]{4}\b"""
+  private val Ipv4Re = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  /** The corpus is synthetic word soup, so PII is *planted* deterministically
+    * in-query (same expression on both engines): every 5th doc gains an
+    * email, every 7th a phone number, every 11th an IPv4 — overlaps
+    * included, so multi-hit documents are exercised. */
+  private def plantedText(docId: Column, text: Column): Column =
+    concat(text,
+      when(docId % 5 === 0,
+        concat(lit(" contact user"), docId.cast(StringType),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(docId % 7 === 0,
+        concat(lit(" call 555-"),
+          lpad((docId % 10000).cast(StringType), 4, "0"),
+          lit(" today"))).otherwise(lit("")),
+      when(docId % 11 === 0,
+        concat(lit(" host 10.0."), (docId % 256).cast(StringType),
+          lit("."), (docId % 100).cast(StringType),
+          lit(" up"))).otherwise(lit("")))
+
+  /** q77 — PII detection + redaction: per-type match counts and the fully
+    * redacted text (emails→<EMAIL>, phones→<PHONE>, IPs→<IP>). One narrow
+    * projection, three codegen'd regex passes, no shuffle — scan-speed at
+    * any scale. The redacted string itself is oracle-compared, so the
+    * replacement semantics (all-occurrences, leftmost-longest within the
+    * common regex subset) are pinned cross-engine. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = plantedText(col("doc_id"), col("text"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast(LongType).as("n_email"),
+      size(regexp_extract_all(aug, lit(PhoneRe), lit(0))).cast(LongType).as("n_phone"),
+      size(regexp_extract_all(aug, lit(Ipv4Re), lit(0))).cast(LongType).as("n_ip"),
+      redacted.as("redacted"))
+  }
+
+  val piiRedactSql: String = {
+    val aug =
+      """text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g') AS redacted
+       |FROM (SELECT doc_id, $aug AS aug FROM documents)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q78
+
+  /** q78 — Gopher-style heuristic quality gates (Rae et al. 2021, "Scaling
+    * Language Models", §A1.1 — adapted thresholds for the synthetic
+    * corpus): word-count bounds, mean word length band, stopword fraction,
+    * single-word dominance, type-token ratio. Emits every per-rule flag plus
+    * the composite, so downstream mixture decisions can re-weight rules
+    * without recomputing.
+    *
+    * One explode + one doc_id re-aggregation (token-linear, single
+    * exchange); every flag and ratio is exact-integer arithmetic plus one
+    * IEEE division. */
+  def qualityGates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wc = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("n_chars"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = wc.groupBy(col("doc_id"), col("n_chars"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_cnt"),
+        sum(when(col("word").isin("the", "a"), col("cnt")).otherwise(0L))
+          .as("n_stop"))
+    val nW = col("n_words").cast(DoubleType)
+    stats.select(
+      col("doc_id"),
+      col("n_words"),
+      (col("n_chars").cast(DoubleType) / nW).as("mean_wlen"),
+      (col("n_stop").cast(DoubleType) / nW).as("stop_frac"),
+      (col("max_cnt").cast(DoubleType) / nW).as("dominance"),
+      (col("n_distinct").cast(DoubleType) / nW).as("ttr"),
+      (col("n_words") >= 15 && col("n_words") <= 100).as("pass_len"),
+      (col("n_chars") * 10L >= col("n_words") * 35L &&
+        col("n_chars") * 10L <= col("n_words") * 60L).as("pass_wlen"),
+      (col("n_stop") * 50L >= col("n_words")).as("pass_stop"),
+      (col("max_cnt") * 5L <= col("n_words")).as("pass_dom"),
+      (col("n_distinct") * 10L >= col("n_words") * 3L).as("pass_ttr"))
+      .withColumn("pass_all",
+        col("pass_len") && col("pass_wlen") && col("pass_stop") &&
+          col("pass_dom") && col("pass_ttr"))
+  }
+
+  val qualityGatesSql: String =
+    """WITH wc AS (
+      |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT doc_id, n_chars, word, count(*) AS cnt
+      |  FROM wc GROUP BY doc_id, n_chars, word
+      |), stats AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(sum(cnt) AS BIGINT) AS n_words,
+      |         count(*) AS n_distinct,
+      |         max(cnt) AS max_cnt,
+      |         CAST(sum(CASE WHEN word IN ('the','a') THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
+      |  FROM cnt GROUP BY doc_id, n_chars
+      |)
+      |SELECT doc_id, n_words,
+      |       CAST(n_chars AS DOUBLE) / n_words AS mean_wlen,
+      |       CAST(n_stop AS DOUBLE) / n_words AS stop_frac,
+      |       CAST(max_cnt AS DOUBLE) / n_words AS dominance,
+      |       CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+      |       n_words >= 15 AND n_words <= 100 AS pass_len,
+      |       n_chars * 10 >= n_words * 35 AND n_chars * 10 <= n_words * 60 AS pass_wlen,
+      |       n_stop * 50 >= n_words AS pass_stop,
+      |       max_cnt * 5 <= n_words AS pass_dom,
+      |       n_distinct * 10 >= n_words * 3 AS pass_ttr,
+      |       (n_words >= 15 AND n_words <= 100)
+      |         AND (n_chars * 10 >= n_words * 35 AND n_chars * 10 <= n_words * 60)
+      |         AND (n_stop * 50 >= n_words)
+      |         AND (max_cnt * 5 <= n_words)
+      |         AND (n_distinct * 10 >= n_words * 3) AS pass_all
+      |FROM stats""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+
+  /** q79 — intra-document repetition removal: a position's word `k`-gram is
+    * *redundant* when the same gram already occurred earlier in the same
+    * document (the streaming-dedup view of boilerplate/loop removal). Emits
+    * per-doc totals, redundant-position count, distinct-gram count, and the
+    * redundancy ratio.
+    *
+    * Plan: position-preserving gram explode → min(pos) window per
+    * (doc_id, gram) → doc_id re-aggregation. The window and the
+    * re-aggregation hash-partition on doc_id-rooted keys, so this is one
+    * exchange over O(tokens) rows — no pairwise anything. */
+  def intraDocRepetition(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("gram"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(gramArray(col("text"), k)).as(Seq("pos", "gram")))
+      .withColumn("first_pos", min(col("pos")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("pos") > col("first_pos"), 1L).otherwise(0L)).as("n_dup"),
+        count_distinct(col("gram")).as("n_distinct"))
+      .withColumn("dup_ratio",
+        col("n_dup").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
+  def intraDocRepetitionSql(k: Int = 3): String = {
+    val idx = (1 to k).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, unnest(range(len(ws) - ${k - 1})) AS i, ws
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |), g AS (
+       |  SELECT doc_id, i AS pos, $idx AS gram FROM pos
+       |), f AS (
+       |  SELECT doc_id, pos, gram,
+       |         min(pos) OVER (PARTITION BY doc_id, gram) AS first_pos
+       |  FROM g
+       |)
+       |SELECT doc_id,
+       |       count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN pos > first_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       count(DISTINCT gram) AS n_distinct,
+       |       CAST(sum(CASE WHEN pos > first_pos THEN 1 ELSE 0 END) AS BIGINT)
+       |         / CAST(count(*) AS DOUBLE) AS dup_ratio
+       |FROM f GROUP BY doc_id""".stripMargin
+  }
+}

@@ -401,4 +401,44 @@ object Events {
       |       count(DISTINCT a.user_id) AS n_users
       |FROM activity a JOIN cohorts USING (user_id)
       |GROUP BY cohort_ms, (wk_ms - cohort_ms) / 604800000""".stripMargin
+
+  /** q80 — time-series gap-fill/resample: hourly event counts per type with
+    * ZERO rows for silent hours, over the global [min hour, max hour] span.
+    * The dense grid comes from `sequence(min, max, 1 hour)` crossed with the
+    * distinct type list — both post-aggregation miniatures (hours × types
+    * rows), so at 100 TB the big table is touched exactly once by the
+    * counting aggregate; the left join that densifies runs on the tiny
+    * aggregated side. This is the standard "resample before charting /
+    * anomaly detection" primitive. */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts").cast(TimestampType)).as("hour"),
+        col("event_type"))
+    val counts = ev.groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = ev.agg(min(col("hour")).as("min_h"), max(col("hour")).as("max_h"))
+      .select(explode(sequence(col("min_h"), col("max_h"),
+        expr("interval 1 hour"))).as("hour"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    grid.join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val gapFillHourlySql: String =
+    """WITH ev AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type
+      |  FROM events
+      |), counts AS (
+      |  SELECT hour, event_type, count(*) AS n FROM ev GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT unnest(generate_series(min_h, max_h, INTERVAL 1 HOUR)) AS hour
+      |  FROM (SELECT min(hour) AS min_h, max(hour) AS max_h FROM ev)
+      |), gt AS (
+      |  SELECT g.hour, t.event_type
+      |  FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+      |)
+      |SELECT gt.hour, gt.event_type, coalesce(c.n, 0) AS n
+      |FROM gt LEFT JOIN counts c
+      |  ON gt.hour = c.hour AND gt.event_type = c.event_type""".stripMargin
 }

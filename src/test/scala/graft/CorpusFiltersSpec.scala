@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{CorpusFilters, Events, JsonSource, Merge}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the corpus-hygiene (q76–q79) and source/maintenance
+  * (q80–q82) operators. The exact values are pinned by the DuckDB oracles;
+  * these specs pin the *semantic* properties the oracle comparison can't
+  * express (monotonicity, determinism, conservation laws). */
+class CorpusFiltersSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("decontamination flags only training docs, monotone in k") {
+    val k4 = CorpusFilters.decontaminate(spark, dir, k = 4)
+    // no benchmark doc (md5 nibble 'f') ever appears in the output
+    val benchIds = Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+      .select("doc_id")
+    assert(k4.join(benchIds, "doc_id").isEmpty)
+    // a LONGER gram is strictly harder to share: contaminated(k=5) ⊆ (k=4)
+    val k5 = CorpusFilters.decontaminate(spark, dir, k = 5)
+    assert(k5.select("doc_id").exceptAll(k4.select("doc_id")).isEmpty)
+  }
+
+  test("PII redaction removes every planted match and only planted docs") {
+    val out = CorpusFilters.piiRedact(spark, dir).cache()
+    // redacted text never re-matches any pattern
+    assert(out.filter(col("redacted").rlike("@[a-z]")).isEmpty)
+    assert(out.filter(col("redacted").rlike("""555-[0-9]{4}""")).isEmpty)
+    assert(out.filter(
+      col("redacted").rlike("""\b[0-9]{1,3}\.[0-9]{1,3}\.""")).isEmpty)
+    // counts match the planting rule exactly
+    val bad = out.filter(
+      (col("doc_id") % 5 === 0) =!= (col("n_email") === 1) ||
+        (col("doc_id") % 7 === 0) =!= (col("n_phone") === 1) ||
+        (col("doc_id") % 11 === 0) =!= (col("n_ip") === 1))
+    assert(bad.isEmpty)
+    out.unpersist()
+  }
+
+  test("quality gates: composite == conjunction of per-rule flags") {
+    val g = CorpusFilters.qualityGates(spark, dir)
+    val broken = g.filter(col("pass_all") =!=
+      (col("pass_len") && col("pass_wlen") && col("pass_stop") &&
+        col("pass_dom") && col("pass_ttr")))
+    assert(broken.isEmpty)
+    // every document is scored exactly once
+    assert(g.count() == 500 && g.select("doc_id").distinct().count() == 500)
+  }
+
+  test("intra-doc repetition: conservation n_distinct + n_dup == n_grams") {
+    val r = CorpusFilters.intraDocRepetition(spark, dir)
+    // every position is either a first occurrence (counted in n_distinct)
+    // or a repeat (counted in n_dup)
+    val broken = r.filter(col("n_distinct") + col("n_dup") =!= col("n_grams"))
+    assert(broken.isEmpty)
+    assert(r.filter(col("dup_ratio") < 0 || col("dup_ratio") >= 1).isEmpty)
+  }
+
+  test("gap-fill emits a dense hour×type grid with conserved total") {
+    val filled = Events.gapFillHourly(spark, dir).cache()
+    val types = filled.select("event_type").distinct().count()
+    val hours = filled.select("hour").distinct().count()
+    assert(filled.count() == types * hours) // dense grid, no holes
+    // zero-filling adds rows, never events
+    val total = filled.agg(sum("n")).head().getLong(0)
+    assert(total == Tables.events(spark, dir).count())
+    assert(filled.filter(col("n") === 0).count() > 0) // gaps actually exist
+    filled.unpersist()
+  }
+
+  test("json ingest tolerates corrupt lines and keeps exact sums") {
+    val out = JsonSource.jsonIngest(spark, dir).cache()
+    val byType = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byType("CORRUPT").getLong(1) == 2)
+    assert(byType("click").getLong(1) == 5) // ids 1,3,5,8,12
+    assert(byType("click").getLong(2) == 825) // 1.25+0.75+0+4.00+2.25 in cents
+    assert(byType("buy").getLong(3) == 11) // meta.k: 7+1+3
+    assert(byType("view").getLong(4) == 3) // tags a,b,c
+    out.unpersist()
+  }
+
+  test("merge upsert: actions partition the result, balances move exactly") {
+    val m = Merge.upsertCustomers(spark, dir).cache()
+    val base = Tables.customer(spark, dir)
+    val nBase = base.count()
+    val nIns = m.filter(col("action") === "insert").count()
+    assert(m.count() == nBase + nIns) // SCD1: no deletes, no duplication
+    // every inserted key is original key + 10M and carries mktsegment NEW
+    assert(m.filter(col("action") === "insert")
+      .filter(col("custkey") < 10000000L || col("mktsegment") =!= "NEW")
+      .isEmpty)
+    // updated rows differ from base by exactly +50000 cents
+    val joined = m.filter(col("action") === "update")
+      .join(base.select(col("c_custkey").as("custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("orig_c")), "custkey")
+    assert(joined.filter(col("bal_c") - col("orig_c") =!= 50000L).isEmpty)
+    m.unpersist()
+  }
+}

@@ -81,6 +81,8 @@ object SparkEntry {
     // Structured Streaming execution, driven to completion, oracle-checked
     "q64_stream_hourly" -> ((s, dir) =>
       streaming.EventStreams.hourlyStreamQuery(s, dir)),
+    "q83_stream_interval_join" -> ((s, dir) =>
+      streaming.EventStreams.intervalJoinQuery(s, dir)),
     "q61_events_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
     "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
@@ -160,6 +162,7 @@ object SparkEntry {
     "q59_funnel" -> Events.funnelSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,
+    "q83_stream_interval_join" -> streaming.EventStreams.intervalJoinSql,
     "q61_events_sessionize" -> Events.sessionizeSql,
     "q62_events_running" -> Events.runningAggSql,
     "q63_events_daily_top" -> Events.dailyTopEventsSql,

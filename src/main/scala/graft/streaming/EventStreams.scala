@@ -219,6 +219,49 @@ object EventStreams {
       OutputMode.Complete)
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * errors arriving within the following 60 minutes. Both sides carry a
+    * watermark AND the join predicate bounds event-time distance, which is
+    * exactly what lets Spark evict buffered rows: a click older than
+    * (watermark − 60 min) can never match a future error, so state stays
+    * bounded by the horizon, not the stream length. Inner joins emit on
+    * match (no watermark wait), so results stream out with no added
+    * latency. The streaming twin of `Events.rangeJoinClicksBeforeErrors`'s
+    * unbinned core. */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, prefix: String) =
+      readEvents(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").cast(TimestampType).as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    side("click", "c").join(side("error", "e"),
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("interval 60 minutes"))
+  }
+
+  /** Contract query: [[intervalJoinStream]] driven to completion, output
+    * shaped for the DuckDB oracle (ids + the exact millisecond delay). */
+  def intervalJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark,
+      intervalJoinStream(spark, dir)
+        .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+          col("e_id").as("error_id"),
+          (unix_millis(col("e_ts")) - unix_millis(col("c_ts"))).as("delay_ms")),
+      s"interval_join_${sanitize(dir)}")
+
+  val intervalJoinSql: String =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      |       e.event_id AS error_id,
+      |       epoch_ms(CAST(e.ts AS TIMESTAMP)) - epoch_ms(CAST(c.ts AS TIMESTAMP)) AS delay_ms
+      |FROM events c JOIN events e
+      |  ON c.user_id = e.user_id
+      | AND c.event_type = 'click' AND e.event_type = 'error'
+      | AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE""".stripMargin
+
   /** Injective path → identifier mapping (also a valid memory-sink table
     * name): every non-alphanumeric char becomes `_x<hex>_`, so distinct
     * paths can never collide the way a hashCode key could. */

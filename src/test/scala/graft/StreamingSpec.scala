@@ -125,4 +125,23 @@ class StreamingSpec extends AnyFunSuite {
       }.toSet
     emitted.foreach(s => assert(expected.contains(s), s"phantom session $s"))
   }
+
+  test("stream-stream interval join == batch join on the same predicate") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.intervalJoinQuery(spark, dir)
+    def side(tpe: String, p: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${p}_user"),
+        col("ts").cast(org.apache.spark.sql.types.TimestampType).as(s"${p}_ts"),
+        col("event_id").as(s"${p}_id"))
+    val batch = side("click", "c").join(side("error", "e"),
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("interval 60 minutes"))
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("e_id").as("error_id"),
+        (unix_millis(col("e_ts")) - unix_millis(col("c_ts"))).as("delay_ms"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }

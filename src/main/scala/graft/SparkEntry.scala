@@ -107,6 +107,9 @@ object SparkEntry {
     "q73_retention" -> ((s, dir) => Events.cohortRetention(s, dir)),
     "q74_packing" -> ((s, dir) => TextAnalysis.sequencePacking(s, dir)),
     "q80_gapfill_hourly" -> ((s, dir) => Events.gapFillHourly(s, dir)),
+    "q84_decontam_bloom" -> ((s, dir) => CorpusFilters.decontaminateBloom(s, dir)),
+    "q85_hll_sketches" -> ((s, dir) => Sketches.hllUserSketches(s, dir)),
+    "q86_cube_revenue" -> ((s, dir) => Relational.cubeRevenue(s, dir)),
     // Sources/maintenance extensions (q81+)
     "q81_json_ingest" -> ((s, dir) => JsonSource.jsonIngest(s, dir)),
     "q82_merge_upsert" -> ((s, dir) => Merge.upsertCustomers(s, dir)),
@@ -171,6 +174,10 @@ object SparkEntry {
     "q73_retention" -> Events.cohortRetentionSql,
     "q74_packing" -> TextAnalysis.sequencePackingSql,
     "q80_gapfill_hourly" -> Events.gapFillHourlySql,
+    // q84 bloom path is PROVEN identical to the exact path (FPs exactly
+    // confirmed), so it reuses q76's oracle verbatim.
+    "q84_decontam_bloom" -> CorpusFilters.decontaminateSql(),
+    "q86_cube_revenue" -> Relational.cubeRevenueSql,
     "q81_json_ingest" -> JsonSource.jsonIngestSql,
     "q82_merge_upsert" -> Merge.upsertCustomersSql,
   )

@@ -86,6 +86,43 @@ object CorpusFilters {
        |GROUP BY g.doc_id""".stripMargin
   }
 
+  /** q84 — the 100 TB decontamination path: identical semantics to
+    * [[decontaminate]], with a Bloom-filter semi-join reduction in front of
+    * the exact confirm join.
+    *
+    * Why: broadcast-joining the exact benchmark gram SET costs its full
+    * string footprint on every executor. A Bloom filter over the same grams
+    * is ~10 bits/item at 1% FP — two orders of magnitude smaller — and
+    * discards ~99% of corpus grams before they reach the join. False
+    * positives are then eliminated by the same exact (still tiny) broadcast
+    * join, so the operator's RESULT is bit-identical to the exact path —
+    * which is why this query reuses q76's DuckDB oracle verbatim: the
+    * optimization is proven invisible, not assumed.
+    *
+    * The filter itself is built with `DataFrameStatFunctions.bloomFilter`
+    * (distributed aggregation, driver gets only the bitset) and shipped as
+    * a broadcast variable. The membership probe is the one deliberate UDF
+    * in the codebase: the sketch lives outside Catalyst's type system, and
+    * the probe sits behind a 99%-selective gate, not in a hot arithmetic
+    * loop. */
+  def decontaminateBloom(spark: SparkSession, dir: String, k: Int = 4,
+                         fpp: Double = 0.01): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = hexNibble(col("doc_id")) === "f"
+    val grams = (side: DataFrame) => side.select(col("doc_id"),
+      explode(array_distinct(gramArray(col("text"), k))).as("gram"))
+    val benchGrams = grams(docs.filter(isBench)).select(col("gram")).distinct()
+    val nBench = math.max(benchGrams.count(), 1L) // sketch sizing pass
+    val bloom = benchGrams.stat.bloomFilter("gram", nBench, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContain(g))
+    grams(docs.filter(!isBench))
+      .filter(mightContain(col("gram"))) // sketch gate: drops ~(1-fpp) junk
+      .join(broadcast(benchGrams), "gram") // exact confirm: kills FPs
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ---------------------------------------------------------------- q77
 
   /** Identical regex source strings for Spark (java.util.regex) and DuckDB

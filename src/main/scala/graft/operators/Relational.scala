@@ -323,6 +323,39 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, c_mktsegment)""".stripMargin
 
+  /** q86 — full CUBE (every grouping-set combination) over market segment ×
+    * order year, with an explicit grouping-bit column so subtotal rows are
+    * machine-distinguishable from a real `(all)` segment. `gid` is built
+    * from per-column `grouping()` bits (2·seg + yr) rather than
+    * `grouping_id()`, pinning the bit order identically on both engines.
+    * Same plan shape as rollup: one expanded aggregate, one exchange. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("yr"))
+      .agg((sum(Rfm.cents(col("o_totalprice"))).cast(DoubleType) / 100.0)
+        .as("revenue"), count(lit(1)).as("n_orders"),
+        (grouping(col("c_mktsegment")) * 2 + grouping(col("yr")))
+          .cast(LongType).as("gid"))
+      .select(coalesce(col("c_mktsegment"), lit("(all)")).as("mktsegment"),
+        coalesce(col("yr"), lit(-1)).cast(LongType).as("yr"),
+        col("revenue"), col("n_orders"), col("gid"))
+  }
+
+  val cubeRevenueSql: String =
+    """SELECT coalesce(c_mktsegment, '(all)') AS mktsegment,
+      |       CAST(coalesce(year(o_orderdate), -1) AS BIGINT) AS yr,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS revenue,
+      |       count(*) AS n_orders,
+      |       CAST(grouping(c_mktsegment) * 2 + grouping(year(o_orderdate))
+      |            AS BIGINT) AS gid
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, year(o_orderdate))""".stripMargin
+
   /** Approximate distinct counting (HyperLogLog++) — the 100 TB default for
     * cardinality: constant memory per group, order-independent merge, no
     * expand. Estimator internals differ across engines, so this is

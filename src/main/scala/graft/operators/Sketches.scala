@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mergeable-sketch surface: pre-aggregated HyperLogLog sketches that can be
+  * stored, shipped, and unioned later — the 100 TB pattern for distinct
+  * counting where the raw data is touched ONCE and every downstream rollup
+  * (per type, per week, global, cross-dataset) merges constant-size sketch
+  * buffers instead of rescanning.
+  *
+  * Uses Spark's Apache DataSketches-backed `hll_sketch_agg` /
+  * `hll_union_agg` / `hll_sketch_estimate` (binary-compatible with the
+  * DataSketches ecosystem, so sketches survive parquet round-trips to other
+  * engines). Distinct from [[Relational.approxDistinct]], which estimates
+  * inline with HLL++ but never materializes a reusable sketch. */
+object Sketches {
+
+  /** q85 — two-level sketch pipeline over events: (day × type) sketches of
+    * distinct users — the shape you'd persist — then a type-level merge via
+    * `hll_union_agg` WITHOUT re-reading events. Output per event type:
+    * merged-estimate, max single-day estimate, and day count. Deterministic
+    * for a fixed dataset (DataSketches HLL is hash-based, not sampled), but
+    * not SQL-expressible in DuckDB → invariant spec + rows-only driver
+    * check, like q19. */
+  def hllUserSketches(spark: SparkSession, dir: String,
+                      lgConfigK: Int = 12): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts").cast(TimestampType)).as("day"),
+        col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_users"),
+        max(hll_sketch_estimate(col("sk"))).as("max_daily_est"),
+        count(lit(1)).cast(LongType).as("n_days"))
+  }
+}

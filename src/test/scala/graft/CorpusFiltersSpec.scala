@@ -24,6 +24,42 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(k5.select("doc_id").exceptAll(k4.select("doc_id")).isEmpty)
   }
 
+  test("bloom-prefiltered decontamination is bit-identical to exact") {
+    val exact = CorpusFilters.decontaminate(spark, dir)
+    val bloom = CorpusFilters.decontaminateBloom(spark, dir)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    // even at an absurd FP rate the exact confirm join holds the line
+    val sloppy = CorpusFilters.decontaminateBloom(spark, dir, fpp = 0.5)
+    assert(sloppy.exceptAll(exact).isEmpty && exact.exceptAll(sloppy).isEmpty)
+  }
+
+  test("HLL sketch merge estimates distinct users within 5% of exact") {
+    val est = graft.operators.Sketches.hllUserSketches(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n) <= math.max(1L, (0.05 * n).toLong),
+        s"type $t: est ${est(t)} vs exact $n")
+    }
+  }
+
+  test("cube: gid marks grouping sets and subtotals reconcile") {
+    val cube = graft.operators.Relational.cubeRevenue(spark, dir).cache()
+    // exactly 4 grouping sets: detail, by-segment, by-year, grand total
+    assert(cube.select("gid").distinct().count() == 4)
+    val grand = cube.filter(col("gid") === 3)
+    assert(grand.count() == 1 &&
+      grand.head().getString(0) == "(all)" && grand.head().getLong(1) == -1L)
+    // detail rows sum to the grand total (exact cents → exact doubles)
+    val detailSum = cube.filter(col("gid") === 0)
+      .agg(sum("n_orders")).head().getLong(0)
+    assert(detailSum == grand.head().getAs[Long]("n_orders"))
+    cube.unpersist()
+  }
+
   test("PII redaction removes every planted match and only planted docs") {
     val out = CorpusFilters.piiRedact(spark, dir).cache()
     // redacted text never re-matches any pattern

@@ -38,13 +38,28 @@ object CorpusFilters {
     substring(md5(id.cast(StringType)), 1, 1)
 
   /** Word k-grams at each position (NOT distinct — position-preserving),
-    * guarded for short documents like [[Dedup.shingleCol]]. */
-  private def gramArray(text: Column, k: Int): Column = {
-    val ws = split(text, " ")
+    * guarded for short documents like [[Dedup.shingleCol]].
+    *
+    * `ws` MUST be a pre-materialized array ATTRIBUTE (its own projection),
+    * never an inline `split(...)` expression: `transform` lambdas evaluate
+    * interpreted (outside codegen's subexpression elimination), so an
+    * inline split would re-tokenize the document for every `element_at` —
+    * measured 10× slower on the sf0.1 corpus. CollapseProject keeps the
+    * split projection separate because a non-cheap alias referenced more
+    * than once is not re-inlined. */
+  private def gramExpr(ws: Column, k: Int): Column =
     when(size(ws) >= k,
       transform(sequence(lit(0), size(ws) - k),
         i => concat_ws(" ", (1 to k).map(j => element_at(ws, i + j)): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
+
+  /** (doc_id, gram) rows with the words array materialized first — see
+    * [[gramExpr]]. */
+  private def gramRows(docs: DataFrame, k: Int, distinctPerDoc: Boolean): DataFrame = {
+    val grams = gramExpr(col("ws"), k)
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(if (distinctPerDoc) array_distinct(grams) else grams).as("gram"))
   }
 
   /** q76 — benchmark decontamination. Documents whose md5 nibble is 'f'
@@ -61,11 +76,9 @@ object CorpusFilters {
   def decontaminate(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isBench = hexNibble(col("doc_id")) === "f"
-    val grams = (side: DataFrame) => side.select(col("doc_id"),
-      explode(array_distinct(gramArray(col("text"), k))).as("gram"))
-    val bench = grams(docs.filter(isBench))
+    val bench = gramRows(docs.filter(isBench), k, distinctPerDoc = true)
       .select(col("gram")).distinct()
-    val train = grams(docs.filter(!isBench))
+    val train = gramRows(docs.filter(!isBench), k, distinctPerDoc = true)
     train.join(broadcast(bench), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared")) // train grams are distinct-per-doc
@@ -109,14 +122,13 @@ object CorpusFilters {
                          fpp: Double = 0.01): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isBench = hexNibble(col("doc_id")) === "f"
-    val grams = (side: DataFrame) => side.select(col("doc_id"),
-      explode(array_distinct(gramArray(col("text"), k))).as("gram"))
-    val benchGrams = grams(docs.filter(isBench)).select(col("gram")).distinct()
+    val benchGrams = gramRows(docs.filter(isBench), k, distinctPerDoc = true)
+      .select(col("gram")).distinct()
     val nBench = math.max(benchGrams.count(), 1L) // sketch sizing pass
     val bloom = benchGrams.stat.bloomFilter("gram", nBench, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => g != null && bloomBc.value.mightContain(g))
-    grams(docs.filter(!isBench))
+    gramRows(docs.filter(!isBench), k, distinctPerDoc = true)
       .filter(mightContain(col("gram"))) // sketch gate: drops ~(1-fpp) junk
       .join(broadcast(benchGrams), "gram") // exact confirm: kills FPs
       .groupBy(col("doc_id"))
@@ -281,8 +293,9 @@ object CorpusFilters {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("gram"))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        posexplode(gramArray(col("text"), k)).as(Seq("pos", "gram")))
+        posexplode(gramExpr(col("ws"), k)).as(Seq("pos", "gram")))
       .withColumn("first_pos", min(col("pos")).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

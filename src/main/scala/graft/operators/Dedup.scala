@@ -41,14 +41,21 @@ object Dedup {
     * an empty one) and `element_at(ws, 0)` then throws
     * INVALID_INDEX_OF_ZERO; DuckDB's `range(len-2)` is empty on the same
     * input, so the guarded form is also what keeps oracle parity. */
-  private[operators] def shingleCol(text: org.apache.spark.sql.Column, k: Int = 3) = {
-    val ws = split(text, " ")
+  private[operators] def shingleCol(ws: org.apache.spark.sql.Column, k: Int = 3) = {
     when(size(ws) >= k,
       array_distinct(transform(
         sequence(lit(0), size(ws) - k),
         i => concat_ws(" ", (1 to k).map(j => element_at(ws, i + j)): _*))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** `split(text)` materialized in its own projection BEFORE [[shingleCol]]
+    * consumes it: `transform` lambdas run interpreted (no codegen
+    * subexpression elimination), so an inline split would re-tokenize the
+    * document for every `element_at` — ~k·|shingles| times per row, a
+    * measured ~10× slowdown (see CorpusFilters.gramExpr). */
+  private[operators] def withWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
 
   /** Exploded (doc_id, shingle) inverted-index input.
     *
@@ -59,7 +66,8 @@ object Dedup {
     *              `None` = uncapped (exact oracle semantics). */
   private[operators] def shingles(docs: DataFrame, k: Int = 3,
                                   maxDf: Option[Long] = None): DataFrame = {
-    val idx = docs.select(col("doc_id"), explode(shingleCol(col("text"), k)).as("shingle"))
+    val idx = withWords(docs)
+      .select(col("doc_id"), explode(shingleCol(col("ws"), k)).as("shingle"))
     maxDf match {
       case None => idx
       case Some(cap) =>
@@ -189,7 +197,8 @@ object Dedup {
     val r = numHashes / bands
     val sig = graft.CacheRegistry.cached(spark, s"minhash:$numHashes:$dir")(
       Tables.documents(spark, dir)
-        .select(col("doc_id"), shingleCol(col("text")).as("sh"))
+        .transform(withWords)
+        .select(col("doc_id"), shingleCol(col("ws")).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"),
           array((0 until numHashes).map(i =>

@@ -239,9 +239,13 @@ object TextAnalysis {
     * narrow where emitting chunk text would multiply the corpus. */
   def chunkDocuments(spark: SparkSession, dir: String,
                      chunkSize: Int = 32): DataFrame = {
-    val ws = words(col("text"))
+    // words materialized first: the transform lambda references `ws` per
+    // chunk (size + slice), and HOF lambdas evaluate interpreted — an
+    // inline split would re-tokenize per reference (see Dedup.withWords)
+    val ws = col("ws")
     val nChunks = floor((size(ws) + chunkSize - 1) / chunkSize).cast(IntegerType)
     Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1), i =>
           struct(

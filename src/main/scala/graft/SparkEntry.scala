@@ -71,6 +71,7 @@ object SparkEntry {
     "q47_train_split" -> ((s, dir) => Sampling.trainValTestSplit(s, dir)),
     "q48_hash_sample" -> ((s, dir) => Sampling.hashSample(s, dir)),
     "q49_mixture_rebalance" -> ((s, dir) => Sampling.mixtureRebalance(s, dir)),
+    "q87_domain_cap" -> ((s, dir) => Sampling.domainCap(s, dir)),
     // Event/time-series analytics (events)
     "q17_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
     "q18_rollup" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "q47_train_split" -> Sampling.trainValTestSplitSql,
     "q48_hash_sample" -> Sampling.hashSampleSql,
     "q49_mixture_rebalance" -> Sampling.mixtureRebalanceSql,
+    "q87_domain_cap" -> Sampling.domainCapSql(),
     "q59_funnel" -> Events.funnelSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,

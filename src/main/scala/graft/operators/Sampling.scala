@@ -105,4 +105,35 @@ object Sampling {
       |FROM documents d JOIN rates r ON d.lang = r.lang
       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        / 4294967296.0 < r.rate""".stripMargin
+
+  /** q87 — per-source document cap (the C4/RefinedWeb "domain cap": no
+    * single domain may dominate the mixture). Keeps at most `cap` documents
+    * per source, selected by deterministic content-hash rank — the same
+    * "reservoir, but reproducible" trick as [[hashSample]]: rank by the
+    * md5 variate instead of `rand()`, so reruns and retried partitions
+    * agree.
+    *
+    * Plan: one exchange on `source` + window row_number. At 100 TB with a
+    * mega-domain (the skew case) the better physical shape is the map-side
+    * [[graft.functions.TopKAgg]] aggregator (k·|sources| shuffle rows
+    * instead of n; proven equivalent to window ranking in its spec) — the
+    * window form is kept here because it is the ORACLE-expressible one. */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), hashUnit(col("doc_id")).as("u"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  def domainCapSql(cap: Int = 10): String =
+    s"""SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |                      / 4294967296.0, doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $cap""".stripMargin
 }

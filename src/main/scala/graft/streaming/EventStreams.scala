@@ -216,7 +216,7 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("value_sum"))
     runToBatch(spark, streamed, s"hourly_stream_${sanitize(dir)}",
-      OutputMode.Complete)
+      OutputMode.Complete, shufflePartitions = Some(8))
   }
 
   /** Stream-stream interval join: each click joined to the same user's
@@ -250,7 +250,8 @@ object EventStreams {
         .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
           col("e_id").as("error_id"),
           (unix_millis(col("e_ts")) - unix_millis(col("c_ts"))).as("delay_ms")),
-      s"interval_join_${sanitize(dir)}")
+      s"interval_join_${sanitize(dir)}",
+      shufflePartitions = Some(8))
 
   val intervalJoinSql: String =
     """SELECT c.user_id AS user_id, c.event_id AS click_id,
@@ -272,15 +273,29 @@ object EventStreams {
     }.mkString
 
   /** Drive a streaming DataFrame to completion against a memory sink and
-    * return the materialized result (local test harness). */
+    * return the materialized result (local test harness).
+    *
+    * `shufflePartitions` caps the STATEFUL partition count for this one
+    * query: each shuffle partition owns its own state-store instance(s) —
+    * a stream-stream join carries four per partition — and on a local
+    * micro-batch run the store setup dominates wall-clock while the actual
+    * state is kilobytes. The session default is restored afterwards; at
+    * production scale this knob belongs to the cluster conf (state
+    * partitioning is fixed at first checkpoint), not the operator. */
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
-                 mode: OutputMode = OutputMode.Append): DataFrame = {
-    val q = streamed.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+                 mode: OutputMode = OutputMode.Append,
+                 shufflePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    shufflePartitions.foreach(p => spark.conf.set(key, p.toString))
+    try {
+      val q = streamed.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prior)
     spark.table(name)
   }
 }

@@ -118,6 +118,23 @@ class CorpusFiltersSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("domain cap keeps at most N per source, deterministically") {
+    val capped = graft.operators.Sampling.domainCap(spark, dir, cap = 7).cache()
+    val over = capped.groupBy("source").count().filter(col("count") > 7)
+    assert(over.isEmpty)
+    assert(capped.filter(col("rk") < 1 || col("rk") > 7).isEmpty)
+    // sources with >= 7 docs are capped EXACTLY at 7 (no under-fill)
+    val bigSources = Tables.documents(spark, dir)
+      .groupBy("source").count().filter(col("count") >= 7).select("source")
+    val exact = capped.groupBy("source").count()
+      .join(bigSources, "source").filter(col("count") =!= 7)
+    assert(exact.isEmpty)
+    // deterministic: rerun yields the identical kept set
+    val rerun = graft.operators.Sampling.domainCap(spark, dir, cap = 7)
+    assert(capped.exceptAll(rerun).isEmpty && rerun.exceptAll(capped).isEmpty)
+    capped.unpersist()
+  }
+
   test("merge upsert: actions partition the result, balances move exactly") {
     val m = Merge.upsertCustomers(spark, dir).cache()
     val base = Tables.customer(spark, dir)

@@ -62,6 +62,7 @@ object SparkEntry {
     "q55_chunking" -> ((s, dir) => TextAnalysis.chunkDocuments(s, dir)),
     "q56_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
     "q57_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(s, dir)),
+    "q88_vocab_encode" -> ((s, dir) => TextAnalysis.vocabEncode(s, dir)),
     // Corpus hygiene (q76–q79: decontamination / PII / quality / repetition)
     "q76_decontaminate" -> ((s, dir) => CorpusFilters.decontaminate(s, dir)),
     "q77_pii_redact" -> ((s, dir) => CorpusFilters.piiRedact(s, dir)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "q55_chunking" -> TextAnalysis.chunkDocumentsSql,
     "q56_repetition" -> TextAnalysis.repetitionStatsSql,
     "q57_vocabulary" -> TextAnalysis.vocabularySql,
+    "q88_vocab_encode" -> TextAnalysis.vocabEncodeSql(),
     "q76_decontaminate" -> CorpusFilters.decontaminateSql(),
     "q77_pii_redact" -> CorpusFilters.piiRedactSql,
     "q78_quality_gates" -> CorpusFilters.qualityGatesSql,

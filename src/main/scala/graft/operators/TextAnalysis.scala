@@ -287,6 +287,59 @@ object TextAnalysis {
       |ORDER BY n DESC, token ASC
       |LIMIT 50""".stripMargin
 
+  /** q88 — vocabulary encoding: tokenize every document against a
+    * corpus-derived fixed dictionary (top-`vocabSize` tokens by frequency,
+    * deterministic (count desc, token) tiebreak; everything else → OOV
+    * id 0) and emit the ORDERED id sequence per document — the
+    * dictionary-encode step every training pipeline runs before packing.
+    *
+    * Scale shape: the dictionary is a global top-k (tiny) built once and
+    * BROADCAST; the corpus side is one posexplode + broadcast-hash lookup +
+    * one doc_id re-aggregation. Order is carried by `pos` through the
+    * aggregate (array_sort on (pos, id) structs), so no window over the
+    * token stream is needed. The id sequence is emitted comma-joined:
+    * array columns don't round-trip the driver compare (q58 convention). */
+  def vocabEncode(spark: SparkSession, dir: String,
+                  vocabSize: Int = 20): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("w"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("w"))).cast(LongType).as("id"))
+      .filter(col("id") <= vocabSize) // dictionary: tiny by construction
+    tokens.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id").cast(StringType)), ",").as("ids_str"))
+  }
+
+  def vocabEncodeSql(vocabSize: Int = 20): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), pos AS (
+       |  SELECT doc_id, unnest(range(len(ws))) AS pos, ws FROM base
+       |), tok AS (
+       |  SELECT doc_id, pos, ws[pos + 1] AS w FROM pos
+       |), cnt AS (
+       |  SELECT w, count(*) AS n FROM tok GROUP BY w
+       |), vocab AS (
+       |  SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS id
+       |  FROM cnt QUALIFY id <= $vocabSize
+       |), enc AS (
+       |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+       |  FROM tok t LEFT JOIN vocab v USING (w)
+       |)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_str
+       |FROM enc GROUP BY doc_id""".stripMargin
+
   /** q74 — sequence packing: assign documents (in doc_id order) to
     * fixed-capacity training bins by running token count; a doc lands in
     * the bin where its tokens START (contiguous fill, capacity 2048).

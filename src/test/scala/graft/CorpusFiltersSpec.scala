@@ -135,6 +135,24 @@ class CorpusFiltersSpec extends AnyFunSuite {
     capped.unpersist()
   }
 
+  test("vocab encode: id sequence is total, ordered, and within range") {
+    val enc = graft.operators.TextAnalysis.vocabEncode(spark, dir, vocabSize = 20)
+      .cache()
+    // every token got exactly one id (sequence length == token count)
+    val broken = enc.filter(
+      size(split(col("ids_str"), ",")) =!= col("n_tokens"))
+    assert(broken.isEmpty)
+    // ids stay in [0, vocabSize]
+    val outOfRange = enc.select(explode(split(col("ids_str"), ",")).as("id"))
+      .filter(col("id").cast("long") < 0 || col("id").cast("long") > 20)
+    assert(outOfRange.isEmpty)
+    // OOV accounting: n_oov equals the zeros in the sequence
+    val zeros = enc.select(col("doc_id"), col("n_oov"),
+      size(filter(split(col("ids_str"), ","), x => x === "0")).as("z"))
+    assert(zeros.filter(col("z") =!= col("n_oov")).isEmpty)
+    enc.unpersist()
+  }
+
   test("merge upsert: actions partition the result, balances move exactly") {
     val m = Merge.upsertCustomers(spark, dir).cache()
     val base = Tables.customer(spark, dir)

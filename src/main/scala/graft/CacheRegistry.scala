@@ -40,15 +40,15 @@ object CacheRegistry {
     }
     val k = (spark.sparkContext.applicationId, key)
     frames.get(k).getOrElse {
-      // TrieMap.getOrElseUpdate may evaluate `build` in two racing threads
-      // and silently orphan the loser's cached plan — exactly the leak this
-      // registry exists to prevent. putIfAbsent keeps one winner; the loser
-      // unpersists its (lazy, so still unmaterialized) duplicate.
+      // Two racing threads may both evaluate `build`; putIfAbsent keeps one
+      // winner in the map. The loser must NOT unpersist: builds for a key
+      // are deterministic, so both cache() calls hit the SAME canonicalized
+      // plan — CacheManager dedupes the second into a no-op, and an
+      // unpersist here would uncache the winner's (shared) entry, leaving
+      // the registry handing out a permanently-uncached frame. For the same
+      // reason the loser's build leaves no orphan to clean up.
       val candidate = build.cache()
-      frames.putIfAbsent(k, candidate) match {
-        case Some(winner) => candidate.unpersist(); winner
-        case None         => candidate
-      }
+      frames.putIfAbsent(k, candidate).getOrElse(candidate)
     }
   }
 

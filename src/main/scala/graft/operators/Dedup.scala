@@ -41,13 +41,19 @@ object Dedup {
     * an empty one) and `element_at(ws, 0)` then throws
     * INVALID_INDEX_OF_ZERO; DuckDB's `range(len-2)` is empty on the same
     * input, so the guarded form is also what keeps oracle parity. */
-  private[operators] def shingleCol(ws: org.apache.spark.sql.Column, k: Int = 3) = {
+  /** Position-preserving word k-grams (one per start position, duplicates
+    * kept) — the base primitive; [[shingleCol]] is its distinct form and
+    * CorpusFilters' gram builders reuse it, so the short-document guard
+    * lives in exactly one place. */
+  private[operators] def gramCol(ws: org.apache.spark.sql.Column, k: Int = 3) =
     when(size(ws) >= k,
-      array_distinct(transform(
+      transform(
         sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", (1 to k).map(j => element_at(ws, i + j)): _*))))
+        i => concat_ws(" ", (1 to k).map(j => element_at(ws, i + j)): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  private[operators] def shingleCol(ws: org.apache.spark.sql.Column, k: Int = 3) =
+    array_distinct(gramCol(ws, k))
 
   /** `split(text)` materialized in its own projection BEFORE [[shingleCol]]
     * consumes it: `transform` lambdas run interpreted (no codegen

@@ -416,10 +416,16 @@ object Events {
         col("event_type"))
     val counts = ev.groupBy(col("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val grid = ev.agg(min(col("hour")).as("min_h"), max(col("hour")).as("max_h"))
+    // the hour span and the type list are derivable from the aggregated
+    // miniature (counts preserves exactly the hour/type domain) — deriving
+    // them from `ev` would issue two more full fact-table scans; sharing
+    // the counts subplan lets exchange reuse collapse all three references
+    // to one scan
+    val grid = counts
+      .agg(min(col("hour")).as("min_h"), max(col("hour")).as("max_h"))
       .select(explode(sequence(col("min_h"), col("max_h"),
         expr("interval 1 hour"))).as("hour"))
-      .crossJoin(ev.select(col("event_type")).distinct())
+      .crossJoin(counts.select(col("event_type")).distinct())
     grid.join(counts, Seq("hour", "event_type"), "left")
       .select(col("hour"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"))

@@ -34,7 +34,7 @@ object Sampling {
       .cast(LongType).cast(DoubleType) / 4294967296.0
 
   /** First hex nibble of md5(doc_id) — 16 equal buckets. */
-  private def hexBucket(id: Column): Column =
+  private[operators] def hexBucket(id: Column): Column =
     substring(md5(id.cast(StringType)), 1, 1)
 
   /** q47 — deterministic train/val/test assignment: 16 md5 nibble buckets,

@@ -304,11 +304,15 @@ object TextAnalysis {
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    // top-k FIRST via distributed TakeOrdered (the q57 shape), THEN the
+    // global-window ranking over the <=k survivors: a bare Window.orderBy
+    // over the full distinct-token table would drag every token through one
+    // task — the single-partition cumsum trap sequencePacking documents
     val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(vocabSize)
       .select(col("w"), row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("w"))).cast(LongType).as("id"))
-      .filter(col("id") <= vocabSize) // dictionary: tiny by construction
     tokens.join(broadcast(vocab), Seq("w"), "left")
       .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
       .groupBy(col("doc_id"))

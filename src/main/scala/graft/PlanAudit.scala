@@ -42,6 +42,24 @@ object PlanAudit {
       "q58_quantize_int8" -> Seq("Exchange" -> false),
       // funnel: per-stage type filters must reach the parquet scan
       "q59_funnel" -> Seq("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)" -> true,
+        "CartesianProduct" -> false),
+      // decontamination: benchmark gram index must broadcast — the corpus
+      // side may never shuffle into the join
+      "q76_decontaminate" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      "q84_decontam_bloom" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // PII redaction: pure narrow projection — any exchange is a bug
+      "q77_pii_redact" -> Seq("Exchange" -> false),
+      // gap-fill: grid × types is a miniature cross join (BNLJ on 1-row
+      // bounds is fine); a CartesianProduct over the fact table is not
+      "q80_gapfill_hourly" -> Seq("CartesianProduct" -> false),
+      // merge: equi-join on the key, never a cross product
+      "q82_merge_upsert" -> Seq("CartesianProduct" -> false),
+      // cube: grouping sets execute via Expand, one aggregate
+      "q86_cube_revenue" -> Seq("Expand" -> true, "CartesianProduct" -> false),
+      // vocab encode: the dictionary side must broadcast
+      "q88_vocab_encode" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false))
 
     var bad = 0

@@ -85,6 +85,8 @@ object SparkEntry {
       streaming.EventStreams.hourlyStreamQuery(s, dir)),
     "q83_stream_interval_join" -> ((s, dir) =>
       streaming.EventStreams.intervalJoinQuery(s, dir)),
+    "q89_stream_enrich" -> ((s, dir) =>
+      streaming.EventStreams.enrichStreamQuery(s, dir)),
     "q61_events_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
     "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
@@ -170,6 +172,7 @@ object SparkEntry {
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,
     "q83_stream_interval_join" -> streaming.EventStreams.intervalJoinSql,
+    "q89_stream_enrich" -> streaming.EventStreams.enrichStreamSql,
     "q61_events_sessionize" -> Events.sessionizeSql,
     "q62_events_running" -> Events.runningAggSql,
     "q63_events_daily_top" -> Events.dailyTopEventsSql,

@@ -263,6 +263,37 @@ object EventStreams {
       | AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
       | AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE""".stripMargin
 
+  /** q89 — stream-static enrichment join: the purchase stream joined to the
+    * (static, broadcastable) customer dimension, aggregated by market
+    * segment. The static side needs no watermark and no state — Spark
+    * re-plans it per micro-batch like any batch dimension join, which is
+    * exactly the production "enrich events with reference data" shape. With
+    * the stream-stream interval join (q83) this completes the streaming
+    * join matrix. Money rides the exact long-cents path so micro-batch
+    * accumulation order cannot move the sum. */
+  def enrichStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val streamed = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+      .select(col("c_mktsegment").as("mktsegment"), col("n"),
+        col("value_cents"))
+    runToBatch(spark, streamed, s"enrich_stream_${sanitize(dir)}",
+      OutputMode.Complete, shufflePartitions = Some(8))
+  }
+
+  val enrichStreamSql: String =
+    """SELECT c_mktsegment AS mktsegment, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS value_cents
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE event_type = 'purchase'
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** Injective path → identifier mapping (also a valid memory-sink table
     * name): every non-alphanumeric char becomes `_x<hex>_`, so distinct
     * paths can never collide the way a hashCode key could. */

@@ -126,6 +126,21 @@ class StreamingSpec extends AnyFunSuite {
     emitted.foreach(s => assert(expected.contains(s), s"phantom session $s"))
   }
 
+  test("stream-static enrichment join == batch join+agg") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.enrichStreamQuery(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("c_mktsegment").as("mktsegment"), col("n"), col("value_cents"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-stream interval join == batch join on the same predicate") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.intervalJoinQuery(spark, dir)

@@ -158,6 +158,59 @@ object Multimodal {
       }
   }
 
+  /** REAL multi-frame codec on `javax.imageio`'s sequence reader API
+    * (animated GIF — the one multi-frame container the JDK decodes
+    * natively). This is the temporal-media path a video codec plugs into:
+    * `n_frames` is the ACTUAL frame count from the container index, and the
+    * feature vector is the per-frame mean luminance sequence (capped at 16
+    * frames — the "frame sample" a video pipeline would embed), so
+    * downstream ops see real per-frame temporal structure, not a stub
+    * stride. Same drop-on-undecodable semantics as the other codecs.
+    * Single-frame stills decode too (n_frames = 1), making this a strict
+    * generalization of [[ImageIoCodec]]'s shape. */
+  object GifFramesCodec extends MediaCodec {
+    val MaxFrames = 16
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.flatMap { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); None }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true) // random access: frame count
+              val n = reader.getNumImages(true)
+              if (n <= 0) None
+              else {
+                val feats = new Array[Float](math.min(n, MaxFrames))
+                var f = 0
+                while (f < feats.length) {
+                  val img = reader.read(f)
+                  var sum = 0L
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) { // tight loop, no boxing
+                      val rgb = img.getRGB(x, y)
+                      sum += (((rgb >> 16) & 0xFF) * 299 +
+                        ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  feats(f) = sum.toFloat / (img.getWidth * img.getHeight)
+                  f += 1
+                }
+                Some(MediaFeatures(r.media_id, r.meta.kind, feats, n))
+              }
+            } finally { reader.dispose(); iis.close() }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+  }
+
   /** Partition-batched decode over any media frame — the single pipeline
     * both codecs (and a production native codec) plug into. */
   def decode(media: Dataset[MediaRow], codec: MediaCodec): Dataset[MediaFeatures] =

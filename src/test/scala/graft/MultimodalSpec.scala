@@ -132,6 +132,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert((back.getRGB(2, 2) & 0xFFFFFF) == 0x336699)
   }
 
+  test("GifFramesCodec decodes a real 3-frame animated GIF distributed") {
+    import spark.implicits._
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    // author a real multi-frame GIF with javax.imageio's sequence writer:
+    // three 8x8 solid-gray frames at distinct levels (gray survives GIF
+    // palette quantization exactly)
+    val levels = Seq(32, 128, 224)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    levels.foreach { l =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(l, l, l)); g.fillRect(0, 0, 8, 8)
+      g.dispose()
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+
+    val meta = Multimodal.MediaMeta("video", 8, 8, 0, bos.size().toLong)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, bos.toByteArray, meta),
+      Multimodal.MediaRow(2L, "not a gif".getBytes, meta)) // dropped
+    val out = Multimodal.decode(rows.toDS(), Multimodal.GifFramesCodec)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L)) // corrupt row dropped
+    val f = out.head
+    assert(f.n_frames == 3, s"expected 3 frames, got ${f.n_frames}")
+    // per-frame mean luminance tracks the authored gray levels
+    assert(f.features.length == 3)
+    f.features.zip(levels).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 2f, s"frame luminance $got vs $want")
+    }
+    // frames arrive in temporal order: strictly increasing brightness
+    assert(f.features.sliding(2).forall(p => p(0) < p(1)))
+  }
+
   test("frame sampling: stride-4 counts follow byte length") {
     val media = Multimodal.mediaTable(spark, dir)
       .select(col("media_id"), col("meta.nBytes").as("nb"),

@@ -24,6 +24,7 @@ object SparkEntry {
     "q04_rfm" -> ((s, dir) => Rfm.rfmOrders(s, dir)),
     "q05_rfm_lineitem" -> ((s, dir) => Rfm.rfmLineitem(s, dir)),
     "q06_zscore" -> ((s, dir) => Relational.zscore(s, dir)),
+    "q90_pipeline_e2e" -> ((s, dir) => Relational.pipelineE2e(s, dir)),
     "q07_plot_bounds" -> ((s, dir) => Relational.plotBounds(s, dir)),
     "q08_distinct_count" -> ((s, dir) => Relational.distinctCount(s, dir)),
     "q10_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
@@ -128,6 +129,8 @@ object SparkEntry {
     "q04_rfm" -> Rfm.rfmOrdersSql,
     "q05_rfm_lineitem" -> Rfm.rfmLineitemSql,
     "q06_zscore" -> Relational.zscoreSql,
+    // q90 fuses the whole pipeline into one plan; result must equal q06
+    "q90_pipeline_e2e" -> Relational.zscoreSql,
     "q07_plot_bounds" -> Relational.plotBoundsSql,
     "q08_distinct_count" -> Relational.distinctCountSql,
     "q10_top_customers" -> Relational.topCustomersSql,

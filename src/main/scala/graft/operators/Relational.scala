@@ -74,8 +74,21 @@ object Relational {
     * the last-ulp level, and rounding absorbs it (inputs are bit-identical
     * across engines, so the 1e-12-relative drift cannot straddle a rounding
     * boundary in practice). */
-  def zscore(spark: SparkSession, dir: String): DataFrame = {
-    val rfm = Rfm.rfmPrepared(spark, dir)
+  def zscore(spark: SparkSession, dir: String): DataFrame =
+    zscoreOn(Rfm.rfmPrepared(spark, dir))
+
+  /** q90 — the reference pipeline as ONE fused plan, no prepared-frame
+    * caches anywhere: orders scan → clean filters → RFM aggregate → global
+    * scaler stats → z-scored features, exactly the dataflow the Rust
+    * reference runs as its single in-memory pass (src/main.rs steps 1–3).
+    * This is the apples-to-apples bench number against BASELINE.md: q04/q06
+    * measure stages separately (and q06 serves from the session-prepared
+    * RFM artifact); q90 re-executes the whole lineage end-to-end on every
+    * run. Same oracle SQL as q06 — the fusion must be invisible. */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame =
+    zscoreOn(Rfm.rfmOrders(spark, dir))
+
+  private def zscoreOn(rfm: DataFrame): DataFrame = {
     val stats = rfm.agg(
       avg("recency").as("r_mu"),
       greatest(stddev_pop("recency"), lit(1e-8)).as("r_sd"),

@@ -22,6 +22,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the graft optimizer rule runs in every harness session, so the
+    // full oracle gate exercises it (see graft.plans.GraftExtensions)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
     // one tiny action to initialize codegen/scheduler before timing
     spark.range(1000).selectExpr("sum(id)").collect()
     // Per query: best of 3 back-to-back runs. The host shows multi-second

@@ -19,6 +19,10 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the graft optimizer rule runs in every harness session, so the
+    // full oracle gate exercises it (see graft.plans.GraftExtensions)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
 
     // (substring, mustBePresent) — checked on the pre-execution physical
     // plan (AQE may still improve joins at runtime; codegen stages only

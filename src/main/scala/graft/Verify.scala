@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the graft optimizer rule runs in every harness session, so the
+    // full oracle gate exercises it (see graft.plans.GraftExtensions)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
     new java.io.File(outDir).mkdirs()
     // Local-iteration focus filter (same contract as Bench): the driver sets
     // nothing and gets every query; SPARK_GRAFT_ONLY=q75,q31 narrows the dump.

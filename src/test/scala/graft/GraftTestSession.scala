@@ -16,6 +16,8 @@ object GraftTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
     s
   }
   val Sf0001 = "/root/testdata/sf0.001"

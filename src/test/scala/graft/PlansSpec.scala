@@ -1,0 +1,82 @@
+package graft
+
+import graft.plans.MaterializeHofDependencies
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.plans.MaterializeHofDependencies]]: the optimizer rule that
+  * hoists lambda-invariant expensive expressions out of interpreted HOF
+  * lambdas (the measured 10× trap — BENCH.md round-3 note). */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** The trap shape: split(text) inlined as both HOF input and inside the
+    * lambda via element_at — re-tokenizes per element when interpreted. */
+  private def trapQuery = {
+    val ws = split(col("text"), " ")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      transform(sequence(lit(0), greatest(size(ws) - 3, lit(0))),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3))).as("grams"))
+  }
+
+  private def withRule[A](f: => A): A = {
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior :+ MaterializeHofDependencies
+    try f finally spark.experimental.extraOptimizations = prior
+  }
+
+  private def withoutRule[A](f: => A): A = {
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prior.filterNot(_ eq MaterializeHofDependencies)
+    try f finally spark.experimental.extraOptimizations = prior
+  }
+
+  test("rule hoists the lambda-invariant split into a child projection") {
+    val optimized = withRule(trapQuery.queryExecution.optimizedPlan)
+    assert(optimized.toString.contains("_hofMat"),
+      s"expected materialized alias in:\n$optimized")
+    // the lambda body no longer contains a split: exactly one split remains,
+    // in the injected child projection
+    val splits = optimized.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s
+      })
+    }.flatten.size
+    assert(splits == 1, s"expected exactly one split, got $splits")
+  }
+
+  test("rule preserves results exactly") {
+    val with_ = withRule(trapQuery.collect())
+    val without = withoutRule(trapQuery.collect())
+    assert(with_.map(_.toString).sorted.toSeq ==
+      without.map(_.toString).sorted.toSeq)
+  }
+
+  test("rule is a no-op on already-materialized and non-HOF plans") {
+    // hand-fixed shape (the repo convention): ws is already an attribute
+    val fixed = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        transform(col("ws"), w => upper(w)).as("up"))
+    val plain = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    withRule {
+      assert(!fixed.queryExecution.optimizedPlan.toString.contains("_hofMat"))
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("_hofMat"))
+    }
+  }
+
+  test("rule never hoists lambda-dependent or nondeterministic expressions") {
+    // md5(w) DEPENDS on the lambda variable — must stay inside the lambda
+    val dependent = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(transform(col("ws"), w => md5(w)).as("hashes"))
+    withRule {
+      assert(!dependent.queryExecution.optimizedPlan.toString.contains("_hofMat"))
+    }
+  }
+}

@@ -64,6 +64,8 @@ object SparkEntry {
     "q56_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
     "q57_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(s, dir)),
     "q88_vocab_encode" -> ((s, dir) => TextAnalysis.vocabEncode(s, dir)),
+    "q92_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
+    "q93_pmi_collocations" -> ((s, dir) => TextAnalysis.pmiCollocations(s, dir)),
     // Corpus hygiene (q76–q79: decontamination / PII / quality / repetition)
     "q76_decontaminate" -> ((s, dir) => CorpusFilters.decontaminate(s, dir)),
     "q77_pii_redact" -> ((s, dir) => CorpusFilters.piiRedact(s, dir)),
@@ -118,6 +120,7 @@ object SparkEntry {
     // Sources/maintenance extensions (q81+)
     "q81_json_ingest" -> ((s, dir) => JsonSource.jsonIngest(s, dir)),
     "q82_merge_upsert" -> ((s, dir) => Merge.upsertCustomers(s, dir)),
+    "q91_scd2_history" -> ((s, dir) => Merge.scd2History(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,6 +166,8 @@ object SparkEntry {
     "q56_repetition" -> TextAnalysis.repetitionStatsSql,
     "q57_vocabulary" -> TextAnalysis.vocabularySql,
     "q88_vocab_encode" -> TextAnalysis.vocabEncodeSql(),
+    "q92_tfidf" -> TextAnalysis.tfidfTopTermsSql,
+    "q93_pmi_collocations" -> TextAnalysis.pmiCollocationsSql,
     "q76_decontaminate" -> CorpusFilters.decontaminateSql(),
     "q77_pii_redact" -> CorpusFilters.piiRedactSql,
     "q78_quality_gates" -> CorpusFilters.qualityGatesSql,
@@ -190,5 +195,6 @@ object SparkEntry {
     "q86_cube_revenue" -> Relational.cubeRevenueSql,
     "q81_json_ingest" -> JsonSource.jsonIngestSql,
     "q82_merge_upsert" -> Merge.upsertCustomersSql,
+    "q91_scd2_history" -> Merge.scd2HistorySql,
   )
 }

@@ -287,6 +287,125 @@ object TextAnalysis {
       |ORDER BY n DESC, token ASC
       |LIMIT 50""".stripMargin
 
+  /** q92 — TF-IDF top terms per document: term frequency × inverse document
+    * frequency, top `k` terms per doc with a deterministic
+    * (score desc, term asc) tiebreak.
+    *
+    * Determinism: idf uses the LINEAR variant `N/df` instead of `log(N/df)`
+    * — `log` is not correctly-rounded on either engine, so a log-based
+    * score could differ in the last bit between JVM and C math libraries
+    * and break the hash compare. Here `idf_e6 = (N * 1e6) div df` and
+    * `score_e6 = tf * idf_e6` are pure BIGINT chains, identical on both
+    * engines by construction. Linear idf preserves the "rarer ⇒ higher"
+    * ranking within a fixed tf and is an accepted idf weighting variant.
+    *
+    * Scale shape: tf is one exchange on (doc_id, term) with map-side
+    * partial counts; df derives from tf (vocabulary-sized, tiny) and is
+    * BROADCAST back, as is the 1-row corpus count — the big side shuffles
+    * once for tf and once for the per-doc top-k window. At 100 TB the df
+    * table is still only |vocab| rows, so the broadcast never degrades. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_e6", col("tf") * expr("(n_docs * 1000000) div df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_e6").desc, col("term"))).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_e6"), col("rk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, term, tf, df, score_e6, rk FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         tf.tf * ((n.n_docs * 1000000) // df.df) AS score_e6,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY tf.doc_id
+      |           ORDER BY tf.tf * ((n.n_docs * 1000000) // df.df) DESC,
+      |                    tf.term ASC) AS BIGINT) AS rk
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |) WHERE rk <= 5""".stripMargin
+
+  /** q93 — PMI bigram collocations: adjacent word pairs scored by the
+    * pointwise-mutual-information ratio `p(x,y) / (p(x)·p(y))`, min support
+    * `c_xy ≥ 5`. High ratio ⇒ the pair co-occurs far more than independent
+    * unigram frequencies predict — the standard collocation detector.
+    *
+    * Determinism: the score is the PMI *argument* (PMI itself is its log —
+    * a monotone map, so the ranking is identical) scaled to an exact BIGINT
+    * via one fully-parenthesized integer chain, evaluated in the same order
+    * on both engines:
+    * `ratio_e6 = (((((c_xy * t_u) div c_x) * t_u) div c_y) * 1e6) div t_b`.
+    *
+    * Scale shape: bigrams come from one `zip_with` over the shifted word
+    * array — zero joins to FORM pairs (the posexplode/self-join alternative
+    * would shuffle the whole token stream twice). Unigram and bigram count
+    * tables are vocabulary-sized → both BROADCAST onto the bigram counts;
+    * the two 1-row totals ride along the same broadcasts. One real exchange
+    * (bigram groupBy) end to end. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minSupport: Long = 5L): DataFrame = {
+    val withWs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = withWs.select(explode(zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val cXy = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+    val uni = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tUni = uni.agg(sum(col("c")).as("t_u"))
+    val tBi = cXy.agg(sum(col("c_xy")).as("t_b"))
+    cXy.filter(col("c_xy") >= minSupport)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), "w2")
+      .crossJoin(broadcast(tUni)).crossJoin(broadcast(tBi))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("(((((c_xy * t_u) div c_x) * t_u) div c_y) * 1000000) div t_b")
+          .as("ratio_e6"))
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), bg AS (
+      |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM d, unnest(range(1, len(ws))) AS t(i)
+      |), c_xy AS (
+      |  SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2
+      |), uni AS (
+      |  SELECT w, count(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w
+      |), t_u AS (SELECT CAST(sum(c) AS BIGINT) AS t_u FROM uni),
+      |   t_b AS (SELECT CAST(sum(c_xy) AS BIGINT) AS t_b FROM c_xy)
+      |SELECT c_xy.w1, c_xy.w2, c_xy.c_xy, ux.c AS c_x, uy.c AS c_y,
+      |       (((((c_xy.c_xy * t_u.t_u) // ux.c) * t_u.t_u) // uy.c)
+      |         * 1000000) // t_b.t_b AS ratio_e6
+      |FROM c_xy
+      |JOIN uni ux ON c_xy.w1 = ux.w
+      |JOIN uni uy ON c_xy.w2 = uy.w
+      |CROSS JOIN t_u CROSS JOIN t_b
+      |WHERE c_xy.c_xy >= 5""".stripMargin
+
   /** q88 — vocabulary encoding: tokenize every document against a
     * corpus-derived fixed dictionary (top-`vocabSize` tokens by frequency,
     * deterministic (count desc, token) tiebreak; everything else → OOV

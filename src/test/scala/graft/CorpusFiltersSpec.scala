@@ -170,4 +170,26 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(joined.filter(col("bal_c") - col("orig_c") =!= 50000L).isEmpty)
     m.unpersist()
   }
+
+  test("scd2: versions are dense, intervals chain, exactly one current row") {
+    val h = Merge.scd2History(spark, dir).cache()
+    // exactly one open (is_current) version per key, and it is the max version
+    val perKey = h.groupBy("custkey").agg(
+      sum(col("is_current")).as("n_open"),
+      max(col("version")).as("max_v"),
+      count(lit(1)).as("n_v"))
+    assert(perKey.filter(col("n_open") =!= 1L || col("max_v") =!= col("n_v"))
+      .isEmpty) // dense 1..n versioning, single open interval
+    // validity intervals chain exactly: eff_to of version v = eff_from of v+1
+    val next = h.select(col("custkey"), (col("version") - 1L).as("version"),
+      col("eff_from_ms").as("next_from"))
+    val chained = h.join(next, Seq("custkey", "version"))
+    assert(chained.filter(col("eff_to_ms") =!= col("next_from")).isEmpty)
+    // change suppression: consecutive versions never carry the same value
+    val prev = h.select(col("custkey"), (col("version") + 1L).as("version"),
+      col("price_c").as("prev_c"))
+    assert(h.join(prev, Seq("custkey", "version"))
+      .filter(col("price_c") === col("prev_c")).isEmpty)
+    h.unpersist()
+  }
 }

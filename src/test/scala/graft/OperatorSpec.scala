@@ -164,6 +164,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf: k rows per doc, rarer term outscores commoner at equal tf") {
+    val t = TextAnalysis.tfidfTopTerms(spark, dir).cache()
+    val perDoc = t.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) <= 5))
+    // within a doc, equal tf ⇒ the lower-df term must score >= (linear idf)
+    val viol = t.as("a").join(t.as("b"),
+      col("a.doc_id") === col("b.doc_id") && col("a.tf") === col("b.tf") &&
+        col("a.df") < col("b.df") && col("a.score_e6") < col("b.score_e6"))
+    assert(viol.isEmpty)
+    t.unpersist()
+  }
+
+  test("pmi: support floor holds, repeated-bigram ratio beats independence") {
+    val p = TextAnalysis.pmiCollocations(spark, dir).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getLong(2) >= 5) // c_xy min support
+      assert(r.getLong(5) >= 0) // ratio_e6 nonnegative
+    }
+    // at least one genuine collocation: ratio above independence (1e6)
+    assert(p.exists(_.getLong(5) > 1000000L))
+  }
+
   test("rolling hash stays in modular range and differs across docs") {
     val f = TextAnalysis.fingerprint(spark, dir).collect()
     f.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < 2147483647L))

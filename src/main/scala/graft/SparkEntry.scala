@@ -121,6 +121,7 @@ object SparkEntry {
     "q81_json_ingest" -> ((s, dir) => JsonSource.jsonIngest(s, dir)),
     "q82_merge_upsert" -> ((s, dir) => Merge.upsertCustomers(s, dir)),
     "q91_scd2_history" -> ((s, dir) => Merge.scd2History(s, dir)),
+    "q94_zorder" -> ((s, dir) => Layout.zorderSample(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -196,5 +197,6 @@ object SparkEntry {
     "q81_json_ingest" -> JsonSource.jsonIngestSql,
     "q82_merge_upsert" -> Merge.upsertCustomersSql,
     "q91_scd2_history" -> Merge.scd2HistorySql,
+    "q94_zorder" -> Layout.zorderSampleSql,
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: multi-dimensional clustering (Z-order) for
+  * data skipping, the write-side half of scan pruning.
+  *
+  * Why it matters at 100 TB: parquet readers prune row groups / files by
+  * min-max statistics. Sorting by ONE column makes only that column's
+  * stats selective; interleaving the bits of TWO quantized columns into a
+  * single Z-value and range-partitioning + sorting by it bounds EVERY
+  * partition in a small rectangle of the 2-D key space, so filters on
+  * either dimension (or both) skip most of the data. This is the same
+  * technique table formats expose as `OPTIMIZE ... ZORDER BY`, built here
+  * from public first principles: quantize → interleave → repartitionByRange
+  * → sortWithinPartitions.
+  *
+  * Everything is exact integer arithmetic (quantization by integer
+  * multiply-divide, interleave by shift/and/or), codegen-friendly and
+  * hash-identical to the DuckDB oracle.
+  */
+object Layout {
+
+  private val Bits = 16
+
+  /** Interleave the low 16 bits of `x` (even positions) and `y` (odd
+    * positions) into a 32-bit Morton/Z value. Pure shift-and-or tree —
+    * stays inside whole-stage codegen. */
+  private[operators] def zInterleave(x: Column, y: Column): Column =
+    (0 until Bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Quantize attribute `name` into [0, 65535] given inclusive global
+    * bounds (attribute names, not arbitrary columns: the `div` integer
+    * division only exists in SQL-expression form). */
+  private def quant(name: String, minName: String, maxName: String): Column =
+    expr(s"(($name - $minName) * 65535) div greatest($maxName - $minName, 1)")
+
+  /** q94 — per-row Z-values for `orders` over the 2-D key
+    * (o_custkey, epoch-ms of o_orderdate): the deterministic core of the
+    * Z-order layout, oracle-checked bit for bit. Global bounds come from a
+    * 1-row aggregate broadcast into the plan (no driver round trip). */
+  def zorderSample(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      col("o_custkey").as("x"),
+      Rfm.epochMs(col("o_orderdate")).as("y"))
+    val bounds = o.agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+      min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    o.crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"),
+        quant("x", "min_x", "max_x").as("xq"),
+        quant("y", "min_y", "max_y").as("yq"))
+      .withColumn("zval", zInterleave(col("xq"), col("yq")))
+  }
+
+  val zorderSampleSql: String = {
+    val interleave = (0 until Bits).map { i =>
+      s"(((xq >> $i) & 1) << ${2 * i}) | (((yq >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey AS x, epoch_ms(o_orderdate) AS y
+       |  FROM orders
+       |), b AS (
+       |  SELECT min(x) AS min_x, max(x) AS max_x,
+       |         min(y) AS min_y, max(y) AS max_y FROM o
+       |), q AS (
+       |  SELECT o_orderkey,
+       |         ((x - min_x) * 65535) // greatest(max_x - min_x, 1) AS xq,
+       |         ((y - min_y) * 65535) // greatest(max_y - min_y, 1) AS yq
+       |  FROM o CROSS JOIN b
+       |)
+       |SELECT o_orderkey, xq, yq, ($interleave) AS zval FROM q""".stripMargin
+  }
+
+  /** The actual layout operator: cluster `df` into `numPartitions` ranges
+    * of the Z-value of (`xCol`, `yCol`) and sort within each — the shape a
+    * writer hands to a partitioned/bucketed parquet sink. One range
+    * exchange (with sampled bounds), no extra shuffle for the sort. */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+                   numPartitions: Int): DataFrame = {
+    val bounds = df.agg(
+      min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+      min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("zval", zInterleave(
+        quant(xCol, "min_x", "max_x"),
+        quant(yCol, "min_y", "max_y")))
+      .drop("min_x", "max_x", "min_y", "max_y")
+      .repartitionByRange(numPartitions, col("zval"))
+      .sortWithinPartitions(col("zval"))
+  }
+}

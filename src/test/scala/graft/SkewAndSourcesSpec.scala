@@ -72,6 +72,32 @@ class SkewAndSourcesSpec extends AnyFunSuite {
     assert(jsonBack == expected)
   }
 
+  test("zorder layout: every partition is bounded in BOTH dimensions") {
+    import graft.operators.Layout
+    val parts = 8
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("x"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("y"))
+    def extentSums(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val e = df.groupBy(spark_partition_id().as("pid"))
+        .agg((max("x") - min("x")).cast("double").as("ex"),
+          (max("y") - min("y")).cast("double").as("ey"))
+        .agg(avg("ex").as("ax"), avg("ey").as("ay")).head()
+      (e.getDouble(0), e.getDouble(1))
+    }
+    val bounds = o.agg((max("x") - min("x")).cast("double"),
+      (max("y") - min("y")).cast("double")).head()
+    val (rx, ry) = (bounds.getDouble(0), bounds.getDouble(1))
+    // one-dimensional sort: the non-sort dimension stays unbounded
+    val (sx, sy) = extentSums(o.repartitionByRange(parts, col("y")))
+    assert(sy < 0.3 * ry) // sorted dim prunes
+    assert(sx > 0.8 * rx) // non-sort dim does NOT
+    // z-order: BOTH dims bounded well below the full range per partition
+    val (zx, zy) = extentSums(Layout.zorderLayout(o, "x", "y", parts))
+    assert(zx < 0.7 * rx, s"z-layout x extent $zx vs range $rx")
+    assert(zy < 0.7 * ry, s"z-layout y extent $zy vs range $ry")
+  }
+
   test("bucketed table join avoids the exchange on the bucketed key") {
     val s = spark // warehouse dir is a tmp dir set at session creation
     Tables.orders(s, dir).write.mode("overwrite")
@@ -83,5 +109,33 @@ class SkewAndSourcesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
       s"bucketed aggregate should not reshuffle:\n${plan.take(800)}")
     assert(agg.count() == Tables.orders(s, dir).select("o_custkey").distinct().count())
+  }
+
+  test("co-bucketed two-table join runs with zero shuffle exchanges") {
+    val s = spark
+    Tables.orders(s, dir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bkt_join")
+    Tables.lineitem(s, dir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bkt_join")
+    val j = s.table("lineitem_bkt_join")
+      .join(s.table("orders_bkt_join"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    // disable broadcast so the join itself must pick a shuffle-free SMJ
+    val plan = GraftTestSession.withConf(s,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      j.queryExecution.executedPlan.toString
+    }
+    // the only exchange allowed is the one for the FINAL custkey aggregate;
+    // the join keys must come straight out of the bucketed scans
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join sides must not reshuffle:\n${plan.take(1200)}")
+    val expected = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
   }
 }

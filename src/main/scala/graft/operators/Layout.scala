@@ -78,6 +78,29 @@ object Layout {
        |SELECT o_orderkey, xq, yq, ($interleave) AS zval FROM q""".stripMargin
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each. The partition count comes from the ACTUAL on-disk
+    * byte size (the file-index statistics Spark already collected — no
+    * extra pass over the data), so the operator self-tunes: a directory of
+    * ten thousand 100 KB files and one of ten 1 GB files both land on the
+    * target. `repartition` (round-robin) rather than `coalesce`: coalesce
+    * would glue ADJACENT small files into uneven outputs and, worse,
+    * collapse the read parallelism of everything upstream of the write.
+    *
+    * At cluster scale this is the maintenance job that keeps scan-task
+    * startup cost amortized: readers pay per-file open/footer overhead, so
+    * 100 TB fragmented into 100 KB files is unusable regardless of layout.
+    * Returns (compacted frame, chosen partition count). */
+  def compactionPlan(spark: SparkSession, inputDir: String,
+                     targetBytes: Long): (DataFrame, Int) = {
+    val df = spark.read.parquet(inputDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1,
+      (bytes / BigInt(math.max(targetBytes, 1L))).toInt +
+        (if (bytes % BigInt(math.max(targetBytes, 1L)) > 0) 1 else 0))
+    (df.repartition(parts), parts)
+  }
+
   /** The actual layout operator: cluster `df` into `numPartitions` ranges
     * of the Z-value of (`xCol`, `yCol`) and sort within each — the shape a
     * writer hands to a partitioned/bucketed parquet sink. One range

@@ -111,6 +111,37 @@ class SkewAndSourcesSpec extends AnyFunSuite {
     assert(agg.count() == Tables.orders(s, dir).select("o_custkey").distinct().count())
   }
 
+  test("compaction sizes output from on-disk bytes and preserves rows") {
+    import graft.operators.Layout
+    val frag = Files.createTempDirectory("graft_frag").toString
+    Tables.orders(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    val small = parquetFiles(frag)
+    assert(small.length == 64)
+    val total = small.map(_.length()).sum
+    // target a quarter of the data per file → ~4 output files (±1 for
+    // rounding; stats include estimation overhead)
+    val (compacted, parts) = Layout.compactionPlan(spark, frag, total / 4)
+    assert(parts >= 3 && parts <= 8, s"unexpected partition count $parts")
+    val out = Files.createTempDirectory("graft_compact").toString
+    compacted.write.mode("overwrite").parquet(out)
+    assert(parquetFiles(out).length == parts)
+    assert(spark.read.parquet(out).count() == Tables.orders(spark, dir).count())
+  }
+
+  test("orc sink round-trips the RFM result") {
+    val rfm = graft.operators.Rfm.rfmOrders(spark, dir)
+    val expected = rfm.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    val out = Files.createTempDirectory("graft_orc").toString
+    rfm.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(back == expected)
+  }
+
   test("co-bucketed two-table join runs with zero shuffle exchanges") {
     val s = spark
     Tables.orders(s, dir).write.mode("overwrite")

@@ -122,6 +122,7 @@ object SparkEntry {
     "q82_merge_upsert" -> ((s, dir) => Merge.upsertCustomers(s, dir)),
     "q91_scd2_history" -> ((s, dir) => Merge.scd2History(s, dir)),
     "q94_zorder" -> ((s, dir) => Layout.zorderSample(s, dir)),
+    "q95_pagerank" -> ((s, dir) => Graph.pagerank(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,5 +199,6 @@ object SparkEntry {
     "q82_merge_upsert" -> Merge.upsertCustomersSql,
     "q91_scd2_history" -> Merge.scd2HistorySql,
     "q94_zorder" -> Layout.zorderSampleSql,
+    "q95_pagerank" -> Graph.pagerankSql,
   )
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on the star schema: PageRank over the
+  * bipartite customer↔part purchase graph (edges from lineitem⋈orders,
+  * reversed duplicates make the graph undirected so rank mass circulates).
+  *
+  * Determinism strategy: ranks are FIXED-POINT LONGS (1e12 = rank 1.0) and
+  * every update is an integer chain — `contrib = rank div degree`,
+  * `rank' = 0.15·R0 + (0.85 · Σ contrib)` as `150e9 + (sum·85) div 100` —
+  * so partial-aggregation order cannot move a bit and the DuckDB oracle
+  * (same chain, unrolled CTEs) hash-matches exactly. A double-typed
+  * PageRank would be order-dependent under Spark's parallel sum.
+  *
+  * Scale shape: the edge list is built once (one join + distinct) and
+  * reused by every iteration; each iteration is ONE shuffle (groupBy dst)
+  * joined against the vocabulary-sized degree table. Iterations are
+  * unrolled into the plan (fixed count, no driver loop state); for
+  * convergence-driven runs the dedupClusters pattern (iterate +
+  * localCheckpoint) applies unchanged.
+  */
+object Graph {
+
+  private val R0 = 1000000000000L // fixed-point 1.0
+  private val Teleport = R0 * 15 / 100
+
+  /** Distinct undirected (as two directed) edges custkey↔partkey, node ids
+    * disjointified: customer c → 2c, part p → 2p+1. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_partkey") * 2 + 1).as("p"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+  }
+
+  /** q95 — 3 fixed iterations of integer PageRank; returns (node, rank_e12)
+    * for every node. */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var ranks = deg.select(col("src").as("node"), lit(R0).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = e.join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(Teleport) + expr("(s * 85) div 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_e12"))
+  }
+
+  val pagerankSql: String = {
+    def iter(prev: String, k: Int): String =
+      s"""it$k AS (
+         |  SELECT e.dst AS node,
+         |         150000000000 + (CAST(sum(r.r // d.d) AS BIGINT) * 85) // 100 AS r
+         |  FROM edges e JOIN deg d ON e.src = d.src
+         |  JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), edges AS (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM pairs
+       |), deg AS (
+       |  SELECT src, count(*) AS d FROM edges GROUP BY src
+       |), it0 AS (
+       |  SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg
+       |), ${iter("it0", 1)}, ${iter("it1", 2)}, ${iter("it2", 3)}
+       |SELECT node, r AS rank_e12 FROM it3""".stripMargin
+  }
+}

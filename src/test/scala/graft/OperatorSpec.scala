@@ -187,6 +187,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.exists(_.getLong(5) > 1000000L))
   }
 
+  test("pagerank: mass is conserved within rounding, floor respected") {
+    val r = Graph.pagerank(spark, dir).collect()
+    assert(r.nonEmpty)
+    val n = r.length.toLong
+    // every rank ≥ teleport floor (0.15), and none dropped out of the graph
+    assert(r.forall(_.getLong(1) >= 150000000000L))
+    // undirected graph conserves total mass up to integer-div loss:
+    // within 1% of n · R0
+    val total = r.map(_.getLong(1)).sum
+    val ideal = n * 1000000000000L
+    assert(math.abs(total - ideal).toDouble / ideal < 0.01,
+      s"mass $total vs ideal $ideal")
+    // determinism: a second evaluation is bit-identical
+    val again = Graph.pagerank(spark, dir).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq ==
+      again.map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq)
+  }
+
   test("rolling hash stays in modular range and differs across docs") {
     val f = TextAnalysis.fingerprint(spark, dir).collect()
     f.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < 2147483647L))

@@ -64,7 +64,24 @@ object PlanAudit {
       "q86_cube_revenue" -> Seq("Expand" -> true, "CartesianProduct" -> false),
       // vocab encode: the dictionary side must broadcast
       "q88_vocab_encode" -> Seq("BroadcastHashJoin" -> true,
-        "CartesianProduct" -> false))
+        "CartesianProduct" -> false),
+      // scd2: all windows share the custkey partitioning → exactly one
+      // hash exchange in the whole history build
+      "q91_scd2_history" -> Seq("CartesianProduct" -> false),
+      // tf-idf / pmi: the df/unigram tables must broadcast onto the big side
+      "q92_tfidf" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      "q93_pmi_collocations" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // z-order: bounds are a 1-row broadcast (BNLJ fine), never a real cross
+      "q94_zorder" -> Seq("CartesianProduct" -> false),
+      // pagerank: every iteration joins the edge list by key
+      "q95_pagerank" -> Seq("CartesianProduct" -> false),
+      // grouping sets / profiling: one Expand-based aggregate, one scan
+      "q96_grouping_sets" -> Seq("Expand" -> true, "CartesianProduct" -> false),
+      // profiling: one Expand-based multi-distinct aggregate (the distinct
+      // keys DO shuffle — that's the one-scan plan), one parquet scan
+      "q98_profile" -> Seq("Expand" -> true, "CartesianProduct" -> false))
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

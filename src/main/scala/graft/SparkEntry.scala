@@ -123,6 +123,9 @@ object SparkEntry {
     "q91_scd2_history" -> ((s, dir) => Merge.scd2History(s, dir)),
     "q94_zorder" -> ((s, dir) => Layout.zorderSample(s, dir)),
     "q95_pagerank" -> ((s, dir) => Graph.pagerank(s, dir)),
+    "q96_grouping_sets" -> ((s, dir) => Relational.groupingSetsRevenue(s, dir)),
+    "q97_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
+    "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,5 +203,8 @@ object SparkEntry {
     "q91_scd2_history" -> Merge.scd2HistorySql,
     "q94_zorder" -> Layout.zorderSampleSql,
     "q95_pagerank" -> Graph.pagerankSql,
+    "q96_grouping_sets" -> Relational.groupingSetsRevenueSql,
+    // q97 CMS estimates are not SQL-expressible → rows-only + spec
+    "q98_profile" -> Profiling.profileLineitemSql,
   )
 }

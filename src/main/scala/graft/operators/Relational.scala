@@ -369,6 +369,42 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY CUBE (c_mktsegment, year(o_orderdate))""".stripMargin
 
+  /** q96 — explicit GROUPING SETS: the general form cube/rollup specialize.
+    * Exactly the three business rollups ((segment, year), (segment), ())
+    * in ONE pass over the join — Catalyst plans a single Expand + aggregate
+    * (asserted in PlanAudit), versus three scans for a UNION ALL of
+    * separate GROUP BYs. gid disambiguates rows per set cross-engine. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("yr")), Seq(col("c_mktsegment")),
+          Seq.empty),
+        col("c_mktsegment"), col("yr"))
+      .agg((sum(Rfm.cents(col("o_totalprice"))).cast(DoubleType) / 100.0)
+        .as("revenue"), count(lit(1)).as("n_orders"),
+        (grouping(col("c_mktsegment")) * 2 + grouping(col("yr")))
+          .cast(LongType).as("gid"))
+      .select(coalesce(col("c_mktsegment"), lit("(all)")).as("mktsegment"),
+        coalesce(col("yr"), lit(-1)).cast(LongType).as("yr"),
+        col("revenue"), col("n_orders"), col("gid"))
+  }
+
+  val groupingSetsRevenueSql: String =
+    """SELECT coalesce(c_mktsegment, '(all)') AS mktsegment,
+      |       CAST(coalesce(year(o_orderdate), -1) AS BIGINT) AS yr,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS revenue,
+      |       count(*) AS n_orders,
+      |       CAST(grouping(c_mktsegment) * 2 + grouping(year(o_orderdate))
+      |            AS BIGINT) AS gid
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)),
+      |                        (c_mktsegment), ())""".stripMargin
+
   /** Approximate distinct counting (HyperLogLog++) — the 100 TB default for
     * cardinality: constant memory per group, order-independent merge, no
     * expand. Estimator internals differ across engines, so this is

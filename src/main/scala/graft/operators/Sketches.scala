@@ -39,4 +39,30 @@ object Sketches {
         max(hll_sketch_estimate(col("sk"))).as("max_daily_est"),
         count(lit(1)).cast(LongType).as("n_days"))
   }
+
+  /** q97 — Count-Min-Sketch heavy hitters over `events.user_id`: the
+    * sketch answers point frequency queries in O(depth) with bounded
+    * overestimate (`est ≤ true + ε·N` w.p. ≥ δ), never underestimating —
+    * THE structure for frequency estimation when the key space is too big
+    * for an exact groupBy. Built through Spark's public
+    * `df.stat.countMinSketch` (one distributed pass, commutative integer
+    * merge of per-partition sketches → deterministic for a fixed seed
+    * regardless of partition order), then every key's estimate is emitted
+    * next to its exact count so the error contract is *visible in the
+    * output* and pinned by the spec. Not SQL-expressible → rows-only
+    * driver check + invariant spec, like q19/q85.
+    *
+    * At 100 TB the exact side of this query is the thing you CANNOT run
+    * (that's the point of the sketch); it exists here as the ground truth
+    * the estimates are validated against at test scale. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+                      eps: Double = 0.001, confidence: Double = 0.99,
+                      seed: Int = 42): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sketch = ev.stat.countMinSketch(col("user_id"), eps, confidence, seed)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val est = udf((u: Long) => bc.value.estimateCount(u))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+      .withColumn("est_n", est(col("user_id")))
+  }
 }

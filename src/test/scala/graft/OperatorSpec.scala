@@ -187,6 +187,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.exists(_.getLong(5) > 1000000L))
   }
 
+  test("cms: never underestimates, overestimate bounded, deterministic") {
+    val r = Sketches.cmsHeavyHitters(spark, dir).collect()
+    assert(r.nonEmpty)
+    val n = r.map(_.getLong(1)).sum // total stream length
+    // CMS guarantee: est >= true ALWAYS; est <= true + eps*N w.h.p. —
+    // allow the union-bound slack across |keys| point queries
+    assert(r.forall(x => x.getLong(2) >= x.getLong(1)))
+    val bound = math.max(1L, (2 * 0.001 * n).toLong)
+    val violations = r.count(x => x.getLong(2) - x.getLong(1) > bound)
+    assert(violations <= math.max(1, r.length / 20),
+      s"$violations of ${r.length} estimates beyond 2εN=$bound")
+    val again = Sketches.cmsHeavyHitters(spark, dir).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(2))).sortBy(_._1).toSeq ==
+      again.map(x => (x.getLong(0), x.getLong(2))).sortBy(_._1).toSeq)
+  }
+
+  test("grouping sets: per-set subtotals reconcile with the grand total") {
+    val g = Relational.groupingSetsRevenue(spark, dir).collect()
+    val grand = g.filter(_.getLong(4) == 3)
+    val bySeg = g.filter(_.getLong(4) == 1)
+    val byBoth = g.filter(_.getLong(4) == 0)
+    assert(grand.length == 1 && bySeg.nonEmpty && byBoth.nonEmpty)
+    assert(grand.length + bySeg.length + byBoth.length == g.length) // only 3 sets
+    def cents(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => math.round(r.getDouble(2) * 100)).sum
+    assert(cents(bySeg) == cents(grand.toArray))
+    assert(cents(byBoth) == cents(grand.toArray))
+    assert(bySeg.map(_.getLong(3)).sum == grand.head.getLong(3))
+  }
+
   test("pagerank: mass is conserved within rounding, floor respected") {
     val r = Graph.pagerank(spark, dir).collect()
     assert(r.nonEmpty)

@@ -9,12 +9,20 @@ import org.apache.spark.sql.functions._
   * cardinality and min/max over a table — the validation pass a pipeline
   * runs before training data is trusted.
   *
-  * Scale shape: ONE pass over the table. The multi-column exact distincts
-  * compile to a single Expand-based aggregate (the q08/q19 shape — the
-  * scale-correct plan: ×k row expansion in the map stage beats k separate
-  * scans of a 100 TB table), and the per-column min/max/null counters ride
-  * the same aggregate. The wide 1-row result is then unpivoted driver-free
-  * with `stack`.
+  * Scale shape: one NARROW scan per column, unioned — deliberately NOT the
+  * single Expand-based multi-distinct (q08/q19's shape). With k mixed
+  * string/long columns the Expand plan inflates the shuffle ×k AND falls
+  * back to SortAggregate over the expanded rows (string min/max keys defeat
+  * the mutable hash-agg buffer), measured 10 s at sf0.1 vs ~1 s for this
+  * plan. On columnar storage the union reads each column exactly once — the
+  * same total I/O as one wide scan.
+  *
+  * Each branch is `groupBy(value).count` (two-phase HASH aggregate with
+  * map-side partials — the only per-row work) and then derives ALL the
+  * metrics from the distinct-value table: n_rows = Σcnt, n_null = cnt of
+  * the null key, n_distinct = non-null key count, min/max over the keys.
+  * The row-volume path never sorts; the residual sort-based aggregate runs
+  * over the already-tiny distinct set.
   *
   * Only integer/string columns are profiled with min/max: double rendering
   * differs between engines ("1.0E7" vs "10000000.0"), which would break the
@@ -29,20 +37,17 @@ object Profiling {
     * per column (col_name, n_rows, n_null, n_distinct, min_s, max_s). */
   def profileLineitem(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val aggs = count(lit(1)).as("n_rows") +: Cols.flatMap { c =>
-      Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
-    }
-    val wide = li.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = Cols.map { c =>
-      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c"
-    }.mkString(", ")
-    wide.select(col("n_rows"), expr(
-      s"stack(${Cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_s, max_s)"))
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_s"), col("max_s"))
+    Cols.map { c =>
+      li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionAll _)
   }
 
   val profileLineitemSql: String = Cols.map { c =>

@@ -187,6 +187,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.exists(_.getLong(5) > 1000000L))
   }
 
+  test("profile: one row per column, counts consistent") {
+    val p = Profiling.profileLineitem(spark, dir).collect()
+    assert(p.length == 6)
+    val n = p.head.getLong(1)
+    p.foreach { r =>
+      assert(r.getLong(1) == n) // same table ⇒ same row count everywhere
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= n) // nulls within range
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n - r.getLong(2))
+      assert(r.getString(4) != null && r.getString(5) != null)
+    }
+  }
+
   test("cms: never underestimates, overestimate bounded, deterministic") {
     val r = Sketches.cmsHeavyHitters(spark, dir).collect()
     assert(r.nonEmpty)

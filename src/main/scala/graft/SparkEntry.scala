@@ -126,6 +126,7 @@ object SparkEntry {
     "q96_grouping_sets" -> ((s, dir) => Relational.groupingSetsRevenue(s, dir)),
     "q97_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
+    "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -206,5 +207,6 @@ object SparkEntry {
     "q96_grouping_sets" -> Relational.groupingSetsRevenueSql,
     // q97 CMS estimates are not SQL-expressible → rows-only + spec
     "q98_profile" -> Profiling.profileLineitemSql,
+    "q99_anomalies" -> Events.anomaliesSql,
   )
 }

@@ -447,4 +447,57 @@ object Events {
       |SELECT gt.hour, gt.event_type, coalesce(c.n, 0) AS n
       |FROM gt LEFT JOIN counts c
       |  ON gt.hour = c.hour AND gt.event_type = c.event_type""".stripMargin
+
+  /** q99 — rolling-window anomaly detection: flag events whose value sits
+    * more than 3σ from the mean of the same user's trailing 7-day window
+    * (window statistics include the current row; ≥5 events required).
+    *
+    * The 3σ test runs ENTIRELY in integers: with per-window count n,
+    * Σcents s and Σcents² q, `|x−μ| > 3σ  ⟺  (n·x − s)² > 9·(n·q − s²)`
+    * (both sides multiplied by n²) — no float mean, no float stddev, no
+    * cross-engine accumulation-order drift; a stddev-based formulation
+    * would be order-dependent under Spark's parallel aggregation. The
+    * frame is RANGE-based on epoch-ms, so same-timestamp peers enter the
+    * window together on both engines — a ROWS frame would be ambiguous
+    * under timestamp ties.
+    *
+    * Scale shape: one exchange (user_id), one sort, three frame aggregates
+    * sharing the same window spec. State per row is three longs regardless
+    * of window width. */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-604800000L, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        Rfm.epochMs(col("ts")).as("ts_ms"),
+        Rfm.cents(col("value")).as("v_c"))
+      .withColumn("n_w", count(lit(1)).over(win))
+      .withColumn("s_w", sum(col("v_c")).over(win))
+      .withColumn("q_w", sum(col("v_c") * col("v_c")).over(win))
+      .filter(col("n_w") >= 5 &&
+        (col("n_w") * col("v_c") - col("s_w")) *
+          (col("n_w") * col("v_c") - col("s_w")) >
+          lit(9L) * (col("n_w") * col("q_w") - col("s_w") * col("s_w")))
+      .select(col("event_id"), col("user_id"), col("v_c"), col("n_w"))
+  }
+
+  val anomaliesSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+      |         CAST(round(value * 100) AS BIGINT) AS v_c
+      |  FROM events
+      |), w AS (
+      |  SELECT event_id, user_id, v_c,
+      |         count(*) OVER win AS n_w,
+      |         CAST(sum(v_c) OVER win AS BIGINT) AS s_w,
+      |         CAST(sum(v_c * v_c) OVER win AS BIGINT) AS q_w
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms
+      |                 RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id, v_c, n_w FROM w
+      |WHERE n_w >= 5
+      |  AND (n_w * v_c - s_w) * (n_w * v_c - s_w)
+      |      > 9 * (n_w * q_w - s_w * s_w)""".stripMargin
 }

@@ -187,6 +187,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.exists(_.getLong(5) > 1000000L))
   }
 
+  test("anomalies: every flag reproduces against a brute-force window") {
+    val flagged = Events.anomalies(spark, dir).collect()
+    assert(flagged.nonEmpty)
+    // brute-force the same trailing windows driver-side on the tiny SF
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    val expected = ev.filter { case (_, u, t, x) =>
+      val w = byUser(u).filter(e => e._3 >= t - 604800000L && e._3 <= t)
+      val n = w.length.toLong
+      val s = w.map(_._4).sum
+      val q = w.map(e => e._4 * e._4).sum
+      n >= 5 && (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+    }.map(_._1).toSet
+    assert(flagged.map(_.getLong(0)).toSet == expected)
+  }
+
   test("profile: one row per column, counts consistent") {
     val p = Profiling.profileLineitem(spark, dir).collect()
     assert(p.length == 6)

@@ -172,8 +172,8 @@ object SparkEntry {
     "q56_repetition" -> TextAnalysis.repetitionStatsSql,
     "q57_vocabulary" -> TextAnalysis.vocabularySql,
     "q88_vocab_encode" -> TextAnalysis.vocabEncodeSql(),
-    "q92_tfidf" -> TextAnalysis.tfidfTopTermsSql,
-    "q93_pmi_collocations" -> TextAnalysis.pmiCollocationsSql,
+    "q92_tfidf" -> TextAnalysis.tfidfTopTermsSql(),
+    "q93_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
     "q76_decontaminate" -> CorpusFilters.decontaminateSql(),
     "q77_pii_redact" -> CorpusFilters.piiRedactSql,
     "q78_quality_gates" -> CorpusFilters.qualityGatesSql,

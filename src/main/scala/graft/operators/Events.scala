@@ -461,6 +461,15 @@ object Events {
     * window together on both engines — a ROWS frame would be ambiguous
     * under timestamp ties.
     *
+    * Magnitude contract (documented, not guarded — ANSI Spark throws on
+    * breach rather than corrupting): the chain needs `n_w·q_w ≤ 2^63`, i.e.
+    * per-window `Σ(cents²)·count` under 9.2e18 — comfortably true for
+    * transactional values (holds up to e.g. ~$30 M single values, or
+    * 10 000-event windows of ~$9 k values). Corpora beyond that should
+    * promote `v_c` to `DecimalType(38,0)` — same expressions, exact at any
+    * magnitude, at ~2× the aggregate cost (q04's long-cents scaladoc
+    * documents the trade).
+    *
     * Scale shape: one exchange (user_id), one sort, three frame aggregates
     * sharing the same window spec. State per row is three longs regardless
     * of window width. */

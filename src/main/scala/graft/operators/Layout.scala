@@ -107,15 +107,17 @@ object Layout {
     * exchange (with sampled bounds), no extra shuffle for the sort. */
   def zorderLayout(df: DataFrame, xCol: String, yCol: String,
                    numPartitions: Int): DataFrame = {
+    // internal names are prefixed so a caller frame that already carries
+    // zval/min_x/... columns can neither collide nor be clobbered
     val bounds = df.agg(
-      min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
-      min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+      min(col(xCol)).as("__zmin_x"), max(col(xCol)).as("__zmax_x"),
+      min(col(yCol)).as("__zmin_y"), max(col(yCol)).as("__zmax_y"))
     df.crossJoin(broadcast(bounds))
-      .withColumn("zval", zInterleave(
-        quant(xCol, "min_x", "max_x"),
-        quant(yCol, "min_y", "max_y")))
-      .drop("min_x", "max_x", "min_y", "max_y")
-      .repartitionByRange(numPartitions, col("zval"))
-      .sortWithinPartitions(col("zval"))
+      .withColumn("__zval", zInterleave(
+        quant(xCol, "__zmin_x", "__zmax_x"),
+        quant(yCol, "__zmin_y", "__zmax_y")))
+      .repartitionByRange(numPartitions, col("__zval"))
+      .sortWithinPartitions(col("__zval"))
+      .drop("__zmin_x", "__zmax_x", "__zmin_y", "__zmax_y", "__zval")
   }
 }

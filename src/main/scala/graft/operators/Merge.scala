@@ -54,11 +54,16 @@ object Merge {
     * suppressed (no version churn), and the open version has NULL
     * `eff_to_ms` / `is_current = 1`.
     *
-    * Scale notes: every window below partitions by `custkey`, so Catalyst
-    * plans ONE hash exchange and reuses the sort across the dedup, the
-    * change-suppression lag and the versioning lead — the whole history
-    * build is a single shuffle regardless of input size. All arithmetic is
-    * integer (epoch-ms + long cents): hash-exact vs the oracle. */
+    * Scale notes: every window below partitions by `custkey` ONLY — the
+    * same-timestamp dedup deliberately avoids a (custkey, ts_ms) window
+    * partition (which would not satisfy the later custkey windows'
+    * distribution and would force a second hash exchange): sorting the
+    * custkey partition by (ts_ms, orderkey DESC) puts each timestamp
+    * group's winner first, so `lag(ts_ms) <> ts_ms` keeps exactly the
+    * max-orderkey row per timestamp. One exchange for the whole history
+    * build regardless of input size (the later windows re-sort in place,
+    * never re-shuffle). All arithmetic is integer (epoch-ms + long cents):
+    * hash-exact vs the oracle. */
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byKeyTs = Window.partitionBy(col("custkey")).orderBy(col("ts_ms"))
@@ -68,10 +73,10 @@ object Merge {
       Rfm.cents(col("o_totalprice")).as("price_c"),
       col("o_orderkey"))
     val dedup = changes
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("custkey"), col("ts_ms"))
-          .orderBy(col("o_orderkey").desc)))
-      .filter(col("rn") === 1)
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(
+        Window.partitionBy(col("custkey"))
+          .orderBy(col("ts_ms"), col("o_orderkey").desc)))
+      .filter(col("prev_ts").isNull || col("prev_ts") =!= col("ts_ms"))
       .select(col("custkey"), col("ts_ms"), col("price_c"))
     val versioned = dedup
       .withColumn("prev_c", lag(col("price_c"), 1).over(byKeyTs))
@@ -91,11 +96,13 @@ object Merge {
       |  SELECT o_custkey AS custkey,
       |         epoch_ms(o_orderdate) AS ts_ms,
       |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
-      |         row_number() OVER (PARTITION BY o_custkey, o_orderdate
-      |                            ORDER BY o_orderkey DESC) AS rn
+      |         lag(epoch_ms(o_orderdate)) OVER (
+      |           PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey DESC) AS prev_ts
       |  FROM orders
       |), dedup AS (
-      |  SELECT custkey, ts_ms, price_c FROM changes WHERE rn = 1
+      |  SELECT custkey, ts_ms, price_c FROM changes
+      |  WHERE prev_ts IS NULL OR prev_ts <> ts_ms
       |), delta AS (
       |  SELECT custkey, ts_ms, price_c,
       |         lag(price_c) OVER (PARTITION BY custkey ORDER BY ts_ms) AS prev_c

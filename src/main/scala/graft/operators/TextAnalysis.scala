@@ -322,8 +322,8 @@ object TextAnalysis {
         col("score_e6"), col("rk"))
   }
 
-  val tfidfTopTermsSql: String =
-    """WITH tok AS (
+  def tfidfTopTermsSql(k: Int = 5): String =
+    s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
       |), tf AS (
       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
@@ -338,7 +338,7 @@ object TextAnalysis {
       |           ORDER BY tf.tf * ((n.n_docs * 1000000) // df.df) DESC,
       |                    tf.term ASC) AS BIGINT) AS rk
       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
-      |) WHERE rk <= 5""".stripMargin
+      |) WHERE rk <= $k""".stripMargin
 
   /** q93 — PMI bigram collocations: adjacent word pairs scored by the
     * pointwise-mutual-information ratio `p(x,y) / (p(x)·p(y))`, min support
@@ -349,14 +349,19 @@ object TextAnalysis {
     * a monotone map, so the ranking is identical) scaled to an exact BIGINT
     * via one fully-parenthesized integer chain, evaluated in the same order
     * on both engines:
-    * `ratio_e6 = (((((c_xy * t_u) div c_x) * t_u) div c_y) * 1e6) div t_b`.
+    * `d = (t_u * 1e6) div t_b;  ratio_e6 = (((c_xy * d) div c_x) * t_u) div c_y`.
+    * The `d`-first ordering bounds every intermediate by ~`1.1e6 · t_u`
+    * (`c_xy ≤ c_x` caps the first quotient at `d`), so the chain stays
+    * inside Long up to ~8e12 corpus tokens (tens of TB of text) — a naive
+    * `c_xy·t_u·t_u` ordering would overflow ANSI Spark at ~2e6 tokens.
     *
     * Scale shape: bigrams come from one `zip_with` over the shifted word
     * array — zero joins to FORM pairs (the posexplode/self-join alternative
     * would shuffle the whole token stream twice). Unigram and bigram count
     * tables are vocabulary-sized → both BROADCAST onto the bigram counts;
-    * the two 1-row totals ride along the same broadcasts. One real exchange
-    * (bigram groupBy) end to end. */
+    * the two 1-row totals ride along the same broadcasts. Two corpus-side
+    * passes total (bigram groupBy, unigram groupBy — the oracle scans
+    * identically); everything after the two count tables is broadcast-only. */
   def pmiCollocations(spark: SparkSession, dir: String,
                       minSupport: Long = 5L): DataFrame = {
     val withWs = Tables.documents(spark, dir)
@@ -379,12 +384,12 @@ object TextAnalysis {
       .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), "w2")
       .crossJoin(broadcast(tUni)).crossJoin(broadcast(tBi))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
-        expr("(((((c_xy * t_u) div c_x) * t_u) div c_y) * 1000000) div t_b")
+        expr("(((c_xy * ((t_u * 1000000) div t_b)) div c_x) * t_u) div c_y")
           .as("ratio_e6"))
   }
 
-  val pmiCollocationsSql: String =
-    """WITH d AS (
+  def pmiCollocationsSql(minSupport: Long = 5L): String =
+    s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |), bg AS (
       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
@@ -398,13 +403,13 @@ object TextAnalysis {
       |), t_u AS (SELECT CAST(sum(c) AS BIGINT) AS t_u FROM uni),
       |   t_b AS (SELECT CAST(sum(c_xy) AS BIGINT) AS t_b FROM c_xy)
       |SELECT c_xy.w1, c_xy.w2, c_xy.c_xy, ux.c AS c_x, uy.c AS c_y,
-      |       (((((c_xy.c_xy * t_u.t_u) // ux.c) * t_u.t_u) // uy.c)
-      |         * 1000000) // t_b.t_b AS ratio_e6
+      |       (((c_xy.c_xy * ((t_u.t_u * 1000000) // t_b.t_b)) // ux.c)
+      |         * t_u.t_u) // uy.c AS ratio_e6
       |FROM c_xy
       |JOIN uni ux ON c_xy.w1 = ux.w
       |JOIN uni uy ON c_xy.w2 = uy.w
       |CROSS JOIN t_u CROSS JOIN t_b
-      |WHERE c_xy.c_xy >= 5""".stripMargin
+      |WHERE c_xy.c_xy >= $minSupport""".stripMargin
 
   /** q88 — vocabulary encoding: tokenize every document against a
     * corpus-derived fixed dictionary (top-`vocabSize` tokens by frequency,

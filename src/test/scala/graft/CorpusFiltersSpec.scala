@@ -171,6 +171,13 @@ class CorpusFiltersSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("scd2: the whole history build is ONE hash exchange") {
+    val plan = Merge.scd2History(spark, dir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly one shuffle, got $exchanges:\n${plan.take(1500)}")
+  }
+
   test("scd2: versions are dense, intervals chain, exactly one current row") {
     val h = Merge.scd2History(spark, dir).cache()
     // exactly one open (is_current) version per key, and it is the max version

@@ -90,6 +90,8 @@ object SparkEntry {
       streaming.EventStreams.intervalJoinQuery(s, dir)),
     "q89_stream_enrich" -> ((s, dir) =>
       streaming.EventStreams.enrichStreamQuery(s, dir)),
+    "q100_stream_anomalies" -> ((s, dir) =>
+      streaming.EventStreams.anomalyStreamQuery(s, dir)),
     "q61_events_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
     "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
@@ -208,5 +210,8 @@ object SparkEntry {
     // q97 CMS estimates are not SQL-expressible → rows-only + spec
     "q98_profile" -> Profiling.profileLineitemSql,
     "q99_anomalies" -> Events.anomaliesSql,
+    // the streaming gate emits the identical flag set (StreamingSpec pins
+    // stream-vs-batch equality); the oracle is shared with q99
+    "q100_stream_anomalies" -> Events.anomaliesSql,
   )
 }

@@ -118,6 +118,11 @@ object EventStreams {
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
   final case class SessionRecord(user_id: Long, start_ms: Long, end_ms: Long,
                                  n_events: Long)
+  final case class ValuedEvent(event_id: Long, user_id: Long, ts_ms: Long,
+                               v_c: Long, ts: java.sql.Timestamp)
+  final case class WindowBuf(ts_ms: Seq[Long], v_c: Seq[Long])
+  final case class AnomalyFlag(event_id: Long, user_id: Long, v_c: Long,
+                               n_w: Long)
 
   /** Streaming session EMITTER via flatMapGroupsWithState + event-time
     * timeout — the missing half of [[sessionCounts]]: that one keeps
@@ -183,6 +188,78 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming 3σ anomaly gate — the streaming twin of
+    * [[graft.operators.Events.anomalies]]: every user's trailing 7-day
+    * window (count / Σcents / Σcents² kept as an explicit per-key buffer in
+    * `flatMapGroupsWithState`) flags values where
+    * `(n·x − s)² > 9·(n·q − s²)` with `n ≥ 5` — the same exact-integer
+    * cross-multiplied test, so a flag here is bit-identical to the batch
+    * operator's.
+    *
+    * Semantics per micro-batch: each group's rows are processed in
+    * (ts, event_id) order, and timestamp PEERS enter the window before any
+    * of them is evaluated — matching the batch RANGE frame exactly. State
+    * is pruned to the 7-day horizon as it advances and removed via
+    * event-time timeout once the watermark passes the last event + 7 days,
+    * so state per user is bounded by the window's event density. A late
+    * (within-watermark) arrival folds in with the knowledge available at
+    * its processing time — the standard streaming relaxation; the local
+    * single-batch harness run is exactly batch-equivalent (asserted in
+    * StreamingSpec and by the shared q99 oracle). */
+  def anomalyStream(spark: SparkSession, events: DataFrame,
+                    windowMs: Long = 604800000L,
+                    watermarkDelay: String = "10 minutes"): Dataset[AnomalyFlag] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast(TimestampType).as("ts"),
+        round(col("value") * 100).cast(LongType).as("v_c"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("v_c"), col("ts"))
+      .as[ValuedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[WindowBuf, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[WindowBuf]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (uid, rows, state: GroupState[WindowBuf]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var buf = state.getOption.map(b => b.ts_ms.zip(b.v_c))
+            .getOrElse(Seq.empty)
+          val out = Seq.newBuilder[AnomalyFlag]
+          sorted.groupBy(_.ts_ms).toSeq.sortBy(_._1).foreach {
+            case (t, peers) =>
+              buf = buf.filter(_._1 >= t - windowMs) ++
+                peers.map(e => (e.ts_ms, e.v_c))
+              val n = buf.length.toLong
+              if (n >= 5) {
+                val s = buf.iterator.map(_._2).sum
+                val q = buf.iterator.map(x => x._2 * x._2).sum
+                peers.foreach { e =>
+                  val d = n * e.v_c - s
+                  if (d * d > 9 * (n * q - s * s))
+                    out += AnomalyFlag(e.event_id, uid, e.v_c, n)
+                }
+              }
+          }
+          val lastTs = math.max(sorted.last.ts_ms,
+            state.getOption.map(b => if (b.ts_ms.isEmpty) 0L else b.ts_ms.max)
+              .getOrElse(0L))
+          buf = buf.filter(_._1 >= lastTs - windowMs)
+          state.update(WindowBuf(buf.map(_._1), buf.map(_._2)))
+          state.setTimeoutTimestamp(lastTs + windowMs)
+          out.result().iterator
+      }
+  }
+
+  /** q100 — the streaming anomaly gate driven to completion on the staged
+    * file stream; shares q99's DuckDB oracle. */
+  def anomalyStreamQuery(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, anomalyStream(spark, readEvents(spark, dir)).toDF(),
+      s"anomaly_stream_${sanitize(dir)}", OutputMode.Append,
+      shufflePartitions = Some(8))
 
   /** Streaming exact dedup: drop re-delivered events by `event_id` with
     * state bounded by the watermark horizon (`dropDuplicatesWithinWatermark`

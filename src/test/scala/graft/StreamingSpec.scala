@@ -126,6 +126,15 @@ class StreamingSpec extends AnyFunSuite {
     emitted.foreach(s => assert(expected.contains(s), s"phantom session $s"))
   }
 
+  test("streaming anomaly gate flags the identical event set as batch") {
+    val streamed = EventStreams.anomalyStreamQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Events.anomalies(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrichment join == batch join+agg") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.enrichStreamQuery(spark, dir)

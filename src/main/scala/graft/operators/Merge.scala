@@ -64,21 +64,28 @@ object Merge {
     * build regardless of input size (the later windows re-sort in place,
     * never re-shuffle). All arithmetic is integer (epoch-ms + long cents):
     * hash-exact vs the oracle. */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byKeyTs = Window.partitionBy(col("custkey")).orderBy(col("ts_ms"))
-    val changes = Tables.orders(spark, dir).select(
+  /** Raw change feed (custkey, ts_ms, price_c, okey) from `orders`. */
+  private def rawChanges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
       col("o_custkey").as("custkey"),
       Rfm.epochMs(col("o_orderdate")).as("ts_ms"),
       Rfm.cents(col("o_totalprice")).as("price_c"),
-      col("o_orderkey"))
+      col("o_orderkey").as("okey"))
+
+  /** The SCD2 versioning core over a (custkey, ts_ms, price_c, okey)
+    * change feed; `src_okey` (the winning change's id) is carried through
+    * so an incremental merge can replay history rows against a new batch
+    * with the original tie-break priority. */
+  private def scd2Versions(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKeyTs = Window.partitionBy(col("custkey")).orderBy(col("ts_ms"))
     val dedup = changes
       .withColumn("prev_ts", lag(col("ts_ms"), 1).over(
         Window.partitionBy(col("custkey"))
-          .orderBy(col("ts_ms"), col("o_orderkey").desc)))
+          .orderBy(col("ts_ms"), col("okey").desc)))
       .filter(col("prev_ts").isNull || col("prev_ts") =!= col("ts_ms"))
-      .select(col("custkey"), col("ts_ms"), col("price_c"))
-    val versioned = dedup
+      .select(col("custkey"), col("ts_ms"), col("price_c"), col("okey"))
+    dedup
       .withColumn("prev_c", lag(col("price_c"), 1).over(byKeyTs))
       .filter(col("prev_c").isNull || col("prev_c") =!= col("price_c"))
       .select(
@@ -86,9 +93,49 @@ object Merge {
         row_number().over(byKeyTs).cast(LongType).as("version"),
         col("ts_ms").as("eff_from_ms"),
         lead(col("ts_ms"), 1).over(byKeyTs).as("eff_to_ms"),
-        col("price_c"))
-    versioned.withColumn("is_current",
-      when(col("eff_to_ms").isNull, 1L).otherwise(0L))
+        col("price_c"),
+        col("okey").as("src_okey"))
+      .withColumn("is_current",
+        when(col("eff_to_ms").isNull, 1L).otherwise(0L))
+  }
+
+  private val Scd2PublicCols = Seq("custkey", "version", "eff_from_ms",
+    "eff_to_ms", "price_c", "is_current")
+
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Versions(rawChanges(spark, dir))
+      .select(Scd2PublicCols.map(col): _*)
+
+  /** q101 — INCREMENTAL SCD2 maintenance: fold a new CDC batch into an
+    * existing history without rebuilding untouched keys. The split is
+    * deterministic (orders with `okey % 7 == 0` arrive as the new batch;
+    * the rest are the standing history), and the oracle is the FULL
+    * rebuild over all of `orders` (q91's SQL) — the incremental path is
+    * proven equivalent to recomputation, which is the whole contract of
+    * incremental view maintenance.
+    *
+    * Scale shape: keys untouched by the batch stream through one left_anti
+    * join — no window, no re-versioning, no state; only the (usually tiny)
+    * set of affected keys replays `scd2Versions` over (their existing
+    * version rows, re-expressed as change points via `src_okey`) ∪ (the
+    * new batch). Cost scales with the batch's key footprint, not the
+    * history size — at a 100 TB dimension that is the difference between a
+    * merge and a rebuild. Suppression idempotence makes the replay exact:
+    * surviving version rows ARE change points, so re-running dedup +
+    * change-suppression over them cannot alter them. */
+  def scd2IncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val all = rawChanges(spark, dir)
+    val hist = scd2Versions(all.filter(col("okey") % 7 =!= 0))
+    val batch = all.filter(col("okey") % 7 === 0)
+    val affected = batch.select(col("custkey")).distinct()
+    val untouched = hist.join(affected, Seq("custkey"), "left_anti")
+    val replayed = scd2Versions(
+      hist.join(affected, Seq("custkey"), "left_semi")
+        .select(col("custkey"), col("eff_from_ms").as("ts_ms"),
+          col("price_c"), col("src_okey").as("okey"))
+        .unionAll(batch))
+    untouched.select(Scd2PublicCols.map(col): _*)
+      .unionAll(replayed.select(Scd2PublicCols.map(col): _*))
   }
 
   val scd2HistorySql: String =

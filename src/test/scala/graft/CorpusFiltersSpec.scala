@@ -178,6 +178,13 @@ class CorpusFiltersSpec extends AnyFunSuite {
       s"expected exactly one shuffle, got $exchanges:\n${plan.take(1500)}")
   }
 
+  test("scd2 incremental merge equals the full rebuild") {
+    val inc = Merge.scd2IncrementalMerge(spark, dir)
+    val full = Merge.scd2History(spark, dir)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    assert(inc.count() == full.count() && inc.count() > 0)
+  }
+
   test("scd2: versions are dense, intervals chain, exactly one current row") {
     val h = Merge.scd2History(spark, dir).cache()
     // exactly one open (is_current) version per key, and it is the max version

@@ -76,6 +76,7 @@ object SparkEntry {
     "q48_hash_sample" -> ((s, dir) => Sampling.hashSample(s, dir)),
     "q49_mixture_rebalance" -> ((s, dir) => Sampling.mixtureRebalance(s, dir)),
     "q87_domain_cap" -> ((s, dir) => Sampling.domainCap(s, dir)),
+    "q102_weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
     // Event/time-series analytics (events)
     "q17_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
     "q18_rollup" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
@@ -185,6 +186,7 @@ object SparkEntry {
     "q48_hash_sample" -> Sampling.hashSampleSql,
     "q49_mixture_rebalance" -> Sampling.mixtureRebalanceSql,
     "q87_domain_cap" -> Sampling.domainCapSql(),
+    "q102_weighted_sample" -> Sampling.weightedSampleSql(),
     "q59_funnel" -> Events.funnelSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,

@@ -136,4 +136,63 @@ object Sampling {
        |                      / 4294967296.0, doc_id) AS BIGINT) AS rk
        |  FROM documents)
        |WHERE rk <= $cap""".stripMargin
+
+  /** First 32 md5 bits of an id as a Long in [0, 2^32) — the integer form
+    * of [[hashUnit]] for arithmetic that must stay in exact Longs. */
+  private[operators] def hashU32(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast(LongType)
+
+  /** q102 — weighted sample of `k` orders, inclusion probability ∝
+    * o_totalprice, via PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM
+    * 2007): each item draws a uniform u and gets priority key u / w; the k
+    * smallest keys form the sample. For items below the inclusion threshold
+    * t = (k+1)-th key, P(u/w < t) = t·w — proportional to weight — and the
+    * estimator ŵ = max(w, 1/t) is unbiased for subset sums.
+    *
+    * Chosen over Efraimidis–Spirakis (key u^(1/w)) because priority keys
+    * need NO transcendental: u is the integer md5 variate, w is exact
+    * cents, and the key is one Long multiply + integer division —
+    * bit-identical on both engines ([[graft.operators.Rfm]] scaladoc
+    * explains why ln/exp would break the oracle hash). u32·10^6 ≤ 4.3·10^15
+    * stays far under Long overflow.
+    *
+    * Plan shape: narrow projection + TakeOrderedAndProject — per-partition
+    * top-k, merge of k·parts rows, no global sort. At 100 TB this is a scan
+    * plus a k-row-per-partition reduction, the same shape as q10. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        Rfm.cents(col("o_totalprice")).as("w_cents"),
+        hashU32(col("o_orderkey")).as("__u32"))
+      .withColumn("pkey", expr("(__u32 * 1000000) div w_cents"))
+      .orderBy(col("pkey"), col("o_orderkey"))
+      .limit(k)
+      .select(col("o_orderkey"), col("w_cents"), col("pkey"))
+
+  def weightedSampleSql(k: Int = 100): String =
+    s"""SELECT o_orderkey,
+       |       CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+       |       ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+       |         * 1000000 // CAST(round(o_totalprice * 100) AS BIGINT) AS pkey
+       |FROM orders
+       |ORDER BY pkey, o_orderkey
+       |LIMIT $k""".stripMargin
+
+  /** Generic Efraimidis–Spirakis weighted reservoir (key = -ln(u)/w,
+    * bottom-k) for library callers who want the textbook distribution and
+    * don't need cross-engine hash equality: u comes from a seeded xxhash64
+    * of the id (deterministic per seed — reproducible across retries and
+    * partitionings, unlike `rand()`), mapped to (0, 1]. Rows with
+    * non-positive weight are excluded (they have zero inclusion mass).
+    * Same TakeOrderedAndProject plan shape as [[weightedSample]]. */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: Column,
+                        k: Int, seed: Long): DataFrame = {
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(4294967296L))
+      .cast(DoubleType) + 1.0) / 4294967296.0
+    df.filter(weightCol > 0)
+      .withColumn("__es_key", -log(u) / weightCol.cast(DoubleType))
+      .orderBy(col("__es_key"), col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
 }

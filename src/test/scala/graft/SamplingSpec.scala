@@ -34,6 +34,48 @@ class SamplingSpec extends AnyFunSuite {
     assert(tenth.exceptAll(quarter).isEmpty)
   }
 
+  test("priority sample (q102) is deterministic and weight-biased") {
+    val k = 100
+    val s1 = Sampling.weightedSample(spark, dir, k).cache()
+    try {
+      assert(s1.count() == k)
+      // rerun → identical sample (content-addressed priorities)
+      val s2 = Sampling.weightedSample(spark, dir, k)
+      assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+      // inclusion ∝ weight ⇒ the sample's mean weight must sit clearly above
+      // the population mean (heavier orders are over-represented)
+      val sampleMean = s1.agg(avg("w_cents")).head().getDouble(0)
+      val popMean = Tables.orders(spark, dir)
+        .agg(avg(round(col("o_totalprice") * 100))).head().getDouble(0)
+      assert(sampleMean > popMean * 1.1,
+        s"sample mean $sampleMean not above population mean $popMean")
+      // keys are sorted ascending and unique per order
+      val keys = s1.orderBy("pkey", "o_orderkey").collect().map(_.getLong(2))
+      assert(keys.sameElements(keys.sorted))
+    } finally s1.unpersist()
+  }
+
+  test("E-S weighted reservoir: deterministic, k rows, heavy item always in") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, if (i == 7) 1e9 else 1.0))
+      .toDF("id", "w")
+    (1L to 5L).foreach { seed =>
+      val s = Sampling.weightedReservoir(df, "id", col("w"), k = 10, seed)
+        .collect()
+      assert(s.length == 10, s"seed $seed")
+      assert(s.exists(_.getLong(0) == 7L),
+        s"seed $seed: overwhelming weight must be sampled")
+      // deterministic per seed
+      val again = Sampling.weightedReservoir(df, "id", col("w"), 10, seed)
+        .collect()
+      assert(s.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+    }
+    // zero/negative weights never appear
+    val withZero = df.withColumn("w", when(col("id") <= 100, 0.0).otherwise(col("w")))
+    val s = Sampling.weightedReservoir(withZero, "id", col("w"), 50, 1L).collect()
+    assert(s.forall(_.getLong(0) > 100))
+  }
+
   test("mixture rebalance equalizes language counts at ~min lang size") {
     val docs = Tables.documents(spark, dir)
     val minN = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)

@@ -125,6 +125,7 @@ object SparkEntry {
     "q82_merge_upsert" -> ((s, dir) => Merge.upsertCustomers(s, dir)),
     "q91_scd2_history" -> ((s, dir) => Merge.scd2History(s, dir)),
     "q101_scd2_incremental" -> ((s, dir) => Merge.scd2IncrementalMerge(s, dir)),
+    "q103_snapshot_diff" -> ((s, dir) => Merge.snapshotDiffCustomers(s, dir)),
     "q94_zorder" -> ((s, dir) => Layout.zorderSample(s, dir)),
     "q95_pagerank" -> ((s, dir) => Graph.pagerank(s, dir)),
     "q96_grouping_sets" -> ((s, dir) => Relational.groupingSetsRevenue(s, dir)),
@@ -209,6 +210,7 @@ object SparkEntry {
     "q91_scd2_history" -> Merge.scd2HistorySql,
     // incremental maintenance must equal the full rebuild — same oracle
     "q101_scd2_incremental" -> Merge.scd2HistorySql,
+    "q103_snapshot_diff" -> Merge.snapshotDiffCustomersSql,
     "q94_zorder" -> Layout.zorderSampleSql,
     "q95_pagerank" -> Graph.pagerankSql,
     "q96_grouping_sets" -> Relational.groupingSetsRevenueSql,

@@ -168,6 +168,91 @@ object Merge {
       |                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM vers""".stripMargin
 
+  /** Generic snapshot diff (CDC changelog derivation): compare two full
+    * snapshots of a keyed table and emit one row per CHANGED key —
+    * `insert` (key only in `next`), `delete` (key only in `prev`), or
+    * `update` (present in both, any compared column differs). Unchanged
+    * keys are dropped, so downstream incremental consumers process |delta|
+    * rows, not |table|. This is the batch-side primitive that turns
+    * periodic full dumps into a change feed (the inverse of [[scd2History]],
+    * which folds a feed into versions).
+    *
+    * Null-safe: column comparison uses `<=>` so NULL→value and value→NULL
+    * transitions count as updates, and two NULLs as unchanged.
+    *
+    * Scale notes: one hash exchange per side on the key — the minimum for
+    * any diff — and the filter on change_type is applied before the
+    * projection, so the shuffle output is the only materialized cost. No
+    * row explosion (full-outer on a unique key). At 100 TB both snapshots
+    * stream through the join; with bucketed snapshot storage on the key the
+    * exchanges disappear entirely. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val p = prev.select(col(keyCol) +: compareCols.map(c =>
+      col(c).as(s"old_$c")): _*)
+    val n = next.select(col(keyCol) +: compareCols.map(c =>
+      col(c).as(s"new_$c")): _*)
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    // presence flags, not value-nullness: a key whose every compared column
+    // is NULL must still read as present on its side
+    val pf = p.withColumn("__in_old", lit(1))
+    val nf = n.withColumn("__in_new", lit(1))
+    pf.join(nf, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change_type").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
+
+  /** q103 — CDC changelog between two deterministic `customer` snapshots:
+    * next = prev with balances bumped +500.00 on custkey ≡ 3 (mod 10),
+    * keys ≡ 0 (mod 97) deleted, and fresh keys (+20M) for custkey ≡ 0
+    * (mod 89). Output: only the changed keys with old/new balance cents and
+    * the change type — exactly what an incremental downstream would apply. */
+  def snapshotDiffCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"),
+        Rfm.cents(col("c_acctbal")).as("bal_c"))
+    val next = base.filter(col("custkey") % 97 =!= 0)
+      .select(col("custkey"),
+        when(col("custkey") % 10 === 3, col("bal_c") + 50000L)
+          .otherwise(col("bal_c")).as("bal_c"))
+      .unionAll(base.filter(col("custkey") % 89 === 0)
+        .select((col("custkey") + 20000000L).as("custkey"), col("bal_c")))
+    snapshotDiff(base, next, "custkey", Seq("bal_c"))
+  }
+
+  val snapshotDiffCustomersSql: String =
+    """WITH prev AS (
+      |  SELECT c_custkey AS custkey,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer
+      |), nxt AS (
+      |  SELECT custkey,
+      |         CASE WHEN custkey % 10 = 3 THEN bal_c + 50000
+      |              ELSE bal_c END AS bal_c
+      |  FROM prev WHERE custkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT custkey + 20000000 AS custkey, bal_c FROM prev
+      |  WHERE custkey % 89 = 0
+      |)
+      |SELECT coalesce(p.custkey, n.custkey) AS custkey,
+      |       p.bal_c AS old_bal_c,
+      |       n.bal_c AS new_bal_c,
+      |       CASE WHEN p.custkey IS NULL THEN 'insert'
+      |            WHEN n.custkey IS NULL THEN 'delete'
+      |            WHEN p.bal_c IS DISTINCT FROM n.bal_c THEN 'update'
+      |       END AS change_type
+      |FROM prev p FULL OUTER JOIN nxt n ON p.custkey = n.custkey
+      |WHERE CASE WHEN p.custkey IS NULL THEN 'insert'
+      |           WHEN n.custkey IS NULL THEN 'delete'
+      |           WHEN p.bal_c IS DISTINCT FROM n.bal_c THEN 'update'
+      |      END IS NOT NULL""".stripMargin
+
   val upsertCustomersSql: String =
     """WITH base AS (
       |  SELECT c_custkey AS custkey,

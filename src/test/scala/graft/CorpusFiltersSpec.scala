@@ -171,6 +171,42 @@ class CorpusFiltersSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("snapshot diff: null-safe change detection on a synthetic feed") {
+    import spark.implicits._
+    val prev = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, None),
+      (4L, Option(40L)), (5L, None)).toDF("k", "v")
+    val next = Seq((1L, Option(10L)), (2L, None), (3L, Option(30L)),
+      (5L, None), (6L, Option(60L))).toDF("k", "v")
+    val d = Merge.snapshotDiff(prev, next, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // 1: unchanged (dropped), 5: NULL==NULL unchanged (dropped)
+    assert(d == Map(2L -> "update", // value → NULL is an update
+      3L -> "update", // NULL → value is an update
+      4L -> "delete", 6L -> "insert"))
+  }
+
+  test("snapshot diff (q103): changelog applies back to the next snapshot") {
+    val diff = Merge.snapshotDiffCustomers(spark, dir).cache()
+    // inserts are exactly the +20M synthetic keys; deletes only base keys
+    assert(diff.filter(col("change_type") === "insert")
+      .filter(col("custkey") < 20000000L).isEmpty)
+    assert(diff.filter(col("change_type") === "delete")
+      .filter(col("custkey") % 97 =!= 0).isEmpty)
+    // updates move the balance by exactly +500.00
+    assert(diff.filter(col("change_type") === "update")
+      .filter(col("new_bal_c") - col("old_bal_c") =!= 50000L).isEmpty)
+    // changelog is minimal: no row where old and new agree
+    assert(diff.filter(col("old_bal_c") <=> col("new_bal_c"))
+      .filter(col("change_type") === "update").isEmpty)
+    // |inserts| and |deletes| match the modular populations they encode
+    val base = Tables.customer(spark, dir)
+    assert(diff.filter(col("change_type") === "delete").count() ==
+      base.filter(col("c_custkey") % 97 === 0).count())
+    assert(diff.filter(col("change_type") === "insert").count() ==
+      base.filter(col("c_custkey") % 89 === 0).count())
+    diff.unpersist()
+  }
+
   test("scd2: the whole history build is ONE hash exchange") {
     val plan = Merge.scd2History(spark, dir).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

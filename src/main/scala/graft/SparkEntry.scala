@@ -127,6 +127,7 @@ object SparkEntry {
     "q101_scd2_incremental" -> ((s, dir) => Merge.scd2IncrementalMerge(s, dir)),
     "q103_snapshot_diff" -> ((s, dir) => Merge.snapshotDiffCustomers(s, dir)),
     "q94_zorder" -> ((s, dir) => Layout.zorderSample(s, dir)),
+    "q104_hilbert" -> ((s, dir) => Layout.hilbertSample(s, dir)),
     "q95_pagerank" -> ((s, dir) => Graph.pagerank(s, dir)),
     "q96_grouping_sets" -> ((s, dir) => Relational.groupingSetsRevenue(s, dir)),
     "q97_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
@@ -212,6 +213,7 @@ object SparkEntry {
     "q101_scd2_incremental" -> Merge.scd2HistorySql,
     "q103_snapshot_diff" -> Merge.snapshotDiffCustomersSql,
     "q94_zorder" -> Layout.zorderSampleSql,
+    "q104_hilbert" -> Layout.hilbertSampleSql,
     "q95_pagerank" -> Graph.pagerankSql,
     "q96_grouping_sets" -> Relational.groupingSetsRevenueSql,
     // q97 CMS estimates are not SQL-expressible → rows-only + spec

@@ -101,6 +101,131 @@ object Layout {
     (df.repartition(parts), parts)
   }
 
+  /** Hilbert-curve index of the 16-bit quantized pair in columns
+    * (`xName`, `yName`) → new column `out` in [0, 4^16). Classic top-down
+    * state machine (per level: extract quadrant bits, accumulate
+    * s²·gray-code, reflect-then-swap when ry=0), unrolled over the 16
+    * levels as CHAINED PROJECTIONS — one `withColumn` batch per level with
+    * the quadrant bits materialized as temp columns. Building it as a
+    * single Column would nest each level's CASE inside the next (the state
+    * update references both x and y twice), exploding the expression tree
+    * ~4× per level; separate projections keep it linear and Catalyst's
+    * CollapseProject leaves multiply-referenced non-trivial aliases alone.
+    *
+    * All arithmetic is 64-bit integer (two's-complement `&` on possibly
+    * negative reflected intermediates behaves identically in Spark and
+    * DuckDB, verified exhaustively on the 8-bit grid), so the index is
+    * oracle-exact. The XOR in the d-increment `(3·rx)⊕ry` is folded to
+    * arithmetic (`rx=0 → ry, rx=1 → 3-ry`) so no engine-specific bitwise
+    * XOR syntax is needed. */
+  private[graft] def hilbertCols(df: DataFrame, xName: String,
+                                     yName: String, out: String): DataFrame = {
+    var cur = df
+      .withColumn("__hx", col(xName).cast("long"))
+      .withColumn("__hy", col(yName).cast("long"))
+      .withColumn(out, lit(0L))
+    for (i <- (Bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(out, col(out) + lit(s * s) *
+          when(col("__rx") === 0L, col("__ry"))
+            .otherwise(lit(3L) - col("__ry")))
+        .withColumn("__nx",
+          when(col("__ry") === 1L, col("__hx"))
+            .when(col("__rx") === 1L, lit(s - 1L) - col("__hy"))
+            .otherwise(col("__hy")))
+        .withColumn("__hy",
+          when(col("__ry") === 1L, col("__hy"))
+            .when(col("__rx") === 1L, lit(s - 1L) - col("__hx"))
+            .otherwise(col("__hx")))
+        .withColumn("__hx", col("__nx"))
+    }
+    cur.drop("__hx", "__hy", "__nx", "__rx", "__ry")
+  }
+
+  /** q104 — per-row Hilbert index for `orders` over the same quantized 2-D
+    * key as [[zorderSample]] (q94), oracle-checked bit for bit. Hilbert
+    * ordering dominates Morton for layout because the curve never jumps:
+    * consecutive index values are always grid-adjacent, so range buckets
+    * tile into tighter rectangles and min-max pruning skips more files —
+    * the comparison spec measures exactly that on this data. */
+  def hilbertSample(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      col("o_custkey").as("x"),
+      Rfm.epochMs(col("o_orderdate")).as("y"))
+    val bounds = o.agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+      min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    hilbertCols(
+      o.crossJoin(broadcast(bounds))
+        .select(col("o_orderkey"),
+          quant("x", "min_x", "max_x").as("xq"),
+          quant("y", "min_y", "max_y").as("yq")),
+      "xq", "yq", "hval")
+  }
+
+  val hilbertSampleSql: String = {
+    val levels = new StringBuilder
+    var step = 0
+    for (i <- (Bits - 1) to 0 by -1) {
+      val s = 1L << i
+      levels ++=
+        s""", l${step + 1} AS (
+           |  SELECT o_orderkey, xq, yq,
+           |    d + CAST(${s * s} AS BIGINT) * (CASE WHEN (hx & $s) > 0
+           |                      THEN 3 - (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)
+           |                      ELSE (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) END) AS d,
+           |    CASE WHEN (hy & $s) > 0 THEN hx
+           |         WHEN (hx & $s) > 0 THEN ${s - 1} - hy
+           |         ELSE hy END AS hx,
+           |    CASE WHEN (hy & $s) > 0 THEN hy
+           |         WHEN (hx & $s) > 0 THEN ${s - 1} - hx
+           |         ELSE hx END AS hy
+           |  FROM l$step)""".stripMargin
+      step += 1
+    }
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey AS x, epoch_ms(o_orderdate) AS y
+       |  FROM orders
+       |), b AS (
+       |  SELECT min(x) AS min_x, max(x) AS max_x,
+       |         min(y) AS min_y, max(y) AS max_y FROM o
+       |), q AS (
+       |  SELECT o_orderkey,
+       |         ((x - min_x) * 65535) // greatest(max_x - min_x, 1) AS xq,
+       |         ((y - min_y) * 65535) // greatest(max_y - min_y, 1) AS yq
+       |  FROM o CROSS JOIN b
+       |), l0 AS (
+       |  SELECT o_orderkey, xq, yq, xq AS hx, yq AS hy, CAST(0 AS BIGINT) AS d
+       |  FROM q
+       |)$levels
+       |SELECT o_orderkey, xq, yq, d AS hval FROM l$step""".stripMargin
+  }
+
+  /** Hilbert analog of [[zorderLayout]]: range-cluster `df` by the Hilbert
+    * index of (`xCol`, `yCol`). Same cost shape — one range exchange with
+    * sampled bounds — tighter per-partition rectangles (see the layout
+    * comparison spec). */
+  def hilbertLayout(df: DataFrame, xCol: String, yCol: String,
+                    numPartitions: Int): DataFrame = {
+    val bounds = df.agg(
+      min(col(xCol)).as("__hmin_x"), max(col(xCol)).as("__hmax_x"),
+      min(col(yCol)).as("__hmin_y"), max(col(yCol)).as("__hmax_y"))
+    hilbertCols(
+      df.crossJoin(broadcast(bounds))
+        .withColumn("__hqx", quant(xCol, "__hmin_x", "__hmax_x"))
+        .withColumn("__hqy", quant(yCol, "__hmin_y", "__hmax_y")),
+      "__hqx", "__hqy", "__hval")
+      .repartitionByRange(numPartitions, col("__hval"))
+      .sortWithinPartitions(col("__hval"))
+      .drop("__hmin_x", "__hmax_x", "__hmin_y", "__hmax_y",
+        "__hqx", "__hqy", "__hval")
+  }
+
   /** The actual layout operator: cluster `df` into `numPartitions` ranges
     * of the Z-value of (`xCol`, `yCol`) and sort within each — the shape a
     * writer hands to a partitioned/bucketed parquet sink. One range

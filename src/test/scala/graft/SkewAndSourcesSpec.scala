@@ -98,6 +98,56 @@ class SkewAndSourcesSpec extends AnyFunSuite {
     assert(zy < 0.7 * ry, s"z-layout y extent $zy vs range $ry")
   }
 
+  test("hilbert index: bijective on a subgrid, unit steps on the full curve") {
+    import graft.operators.Layout
+    // 64×64 grid through the full 16-bit transform: indices must be unique
+    // (restriction of a bijection) and non-negative
+    val grid = spark.range(64).select(col("id").as("gx"))
+      .crossJoin(spark.range(64).select(col("id").as("gy")))
+    val h = Layout.hilbertCols(grid, "gx", "gy", "h").cache()
+    try {
+      assert(h.select("h").distinct().count() == 64L * 64)
+      assert(h.filter(col("h") < 0).isEmpty)
+      // the low-order 4096 curve positions cover exactly the 64×64 subgrid
+      // (Hilbert property: a prefix of the curve fills a quadrant), and
+      // consecutive positions are grid-adjacent — |Δx|+|Δy| = 1
+      val low = h.filter(col("h") < 4096L)
+      assert(low.count() == 4096)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+      val steps = low
+        .withColumn("px", lag(col("gx"), 1).over(w))
+        .withColumn("py", lag(col("gy"), 1).over(w))
+        .filter(col("px").isNotNull)
+        .filter(abs(col("gx") - col("px")) + abs(col("gy") - col("py")) =!= 1)
+      assert(steps.isEmpty, "curve must take unit steps")
+    } finally h.unpersist()
+  }
+
+  test("hilbert layout beats or matches morton on partition locality") {
+    import graft.operators.Layout
+    val parts = 8
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("x"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("y"))
+    // per-partition normalized semi-perimeter of the bounding rectangle,
+    // averaged over partitions — lower = tighter tiles = better pruning
+    def semiPerim(df: org.apache.spark.sql.DataFrame,
+                  rx: Double, ry: Double): Double =
+      df.groupBy(spark_partition_id().as("pid"))
+        .agg(((max("x") - min("x")) / rx + (max("y") - min("y")) / ry)
+          .as("sp"))
+        .agg(avg("sp")).head().getDouble(0)
+    val b = o.agg((max("x") - min("x")).cast("double"),
+      (max("y") - min("y")).cast("double")).head()
+    val (rx, ry) = (b.getDouble(0), b.getDouble(1))
+    val hil = semiPerim(Layout.hilbertLayout(o, "x", "y", parts), rx, ry)
+    val mor = semiPerim(Layout.zorderLayout(o, "x", "y", parts), rx, ry)
+    // both curves bound the partitions well below the full 2.0 range...
+    assert(hil < 1.4 && mor < 1.4, s"hilbert $hil, morton $mor")
+    // ...and Hilbert (jump-free) is at least as tight as Morton up to noise
+    assert(hil <= mor * 1.1, s"hilbert $hil should not lose to morton $mor")
+  }
+
   test("bucketed table join avoids the exchange on the bucketed key") {
     val s = spark // warehouse dir is a tmp dir set at session creation
     Tables.orders(s, dir).write.mode("overwrite")

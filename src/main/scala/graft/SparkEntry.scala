@@ -133,6 +133,7 @@ object SparkEntry {
     "q97_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
+    "q105_transitions" -> ((s, dir) => Events.transitionMatrix(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,6 +220,7 @@ object SparkEntry {
     // q97 CMS estimates are not SQL-expressible → rows-only + spec
     "q98_profile" -> Profiling.profileLineitemSql,
     "q99_anomalies" -> Events.anomaliesSql,
+    "q105_transitions" -> Events.transitionMatrixSql,
     // the streaming gate emits the identical flag set (StreamingSpec pins
     // stream-vs-batch equality); the oracle is shared with q99
     "q100_stream_anomalies" -> Events.anomaliesSql,

@@ -473,6 +473,52 @@ object Events {
     * Scale shape: one exchange (user_id), one sort, three frame aggregates
     * sharing the same window spec. State per row is three longs regardless
     * of window width. */
+  /** q105 — first-order Markov transition matrix over per-user event
+    * sequences: for every ordered pair of event types, how many times did a
+    * user's `prev` event lead directly to `next`, and what fraction of
+    * `prev`'s outgoing transitions is that (integer ppm — `div`, not a
+    * float divide, so the oracle hash is exact). The sequence order is
+    * tie-safe: (ts_ms, event_id) — two events in the same millisecond
+    * order deterministically on both engines.
+    *
+    * Plan: one hash exchange on user_id for the lag window, one exchange
+    * for the pair aggregate, then a window over `prev_type` on the
+    * |types|² result — the last is a few-row post-aggregation step, never
+    * a scale concern. The big-side cost is the two exchanges, the minimum
+    * for sequence-then-aggregate. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        Rfm.epochMs(col("ts")).as("ts_ms"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("(n * 1000000) div sum(n) OVER (PARTITION BY prev_type)"))
+  }
+
+  val transitionMatrixSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id)
+      |           AS prev_type
+      |  FROM events
+      |), pairs AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT prev_type, next_type, n,
+      |       CAST((n * 1000000) //
+      |         CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+      |         AS BIGINT) AS p_ppm
+      |FROM pairs""".stripMargin
+
   def anomalies(spark: SparkSession, dir: String): DataFrame = {
     val win = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
       .rangeBetween(-604800000L, 0)

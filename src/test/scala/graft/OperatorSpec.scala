@@ -187,6 +187,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.exists(_.getLong(5) > 1000000L))
   }
 
+  test("transition matrix (q105) reconciles with event totals") {
+    val tm = Events.transitionMatrix(spark, dir).cache()
+    try {
+      val ev = Tables.events(spark, dir)
+      // every user contributes (events - 1) transitions
+      val totalPairs = tm.agg(sum("n")).head().getLong(0)
+      val nEvents = ev.count()
+      val nUsers = ev.select("user_id").distinct().count()
+      assert(totalPairs == nEvents - nUsers)
+      // outgoing ppm shares per prev_type sum to ~1e6 (floor rounding may
+      // drop at most |next types| - 1 ppm)
+      val shares = tm.groupBy("prev_type")
+        .agg(sum("p_ppm").as("s"), count(lit(1)).as("k")).collect()
+      shares.foreach { r =>
+        val (s, k) = (r.getLong(1), r.getLong(2))
+        assert(s <= 1000000L && s > 1000000L - k, s"${r.getString(0)}: $s")
+      }
+      // matrix is over the real event-type alphabet, no null rows
+      assert(tm.filter(col("prev_type").isNull || col("next_type").isNull)
+        .isEmpty)
+    } finally tm.unpersist()
+  }
+
   test("anomalies: every flag reproduces against a brute-force window") {
     val flagged = Events.anomalies(spark, dir).collect()
     assert(flagged.nonEmpty)

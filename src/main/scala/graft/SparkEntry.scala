@@ -93,6 +93,8 @@ object SparkEntry {
       streaming.EventStreams.enrichStreamQuery(s, dir)),
     "q100_stream_anomalies" -> ((s, dir) =>
       streaming.EventStreams.anomalyStreamQuery(s, dir)),
+    "q106_stream_dedup" -> ((s, dir) =>
+      streaming.EventStreams.dedupStreamQuery(s, dir)),
     "q61_events_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
     "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
@@ -224,5 +226,7 @@ object SparkEntry {
     // the streaming gate emits the identical flag set (StreamingSpec pins
     // stream-vs-batch equality); the oracle is shared with q99
     "q100_stream_anomalies" -> Events.anomaliesSql,
+    // double-delivered stream must collapse to the original table exactly
+    "q106_stream_dedup" -> streaming.EventStreams.dedupStreamSql,
   )
 }

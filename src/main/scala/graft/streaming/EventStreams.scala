@@ -275,6 +275,38 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** q106 — [[dedupStream]] as an oracle-checked contract query: the source
+    * file is staged TWICE (a deterministic at-least-once redelivery — every
+    * event arrives two times), streamed through the within-watermark dedup,
+    * and the output must collapse back to exactly the original `events`
+    * table, row for row. Money rides the long-cents path; output carries no
+    * timestamp so micro-batch boundaries cannot move the hash. */
+  def dedupStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$dir/events.parquet")
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_dup_${sanitize(src.toString)}")
+    Files.createDirectories(staged)
+    Files.copy(src, staged.resolve("events_a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, staged.resolve("events_b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val doubled = spark.readStream
+      .schema(eventSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val deduped = dedupStream(doubled)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("v_c"))
+    runToBatch(spark, deduped, s"dedup_stream_${sanitize(dir)}",
+      OutputMode.Append, shufflePartitions = Some(8))
+  }
+
+  val dedupStreamSql: String =
+    """SELECT event_id, user_id, event_type,
+      |       CAST(round(value * 100) AS BIGINT) AS v_c
+      |FROM events""".stripMargin
+
   /** Contract query: the tumbling-window aggregate executed as a REAL
     * Structured Streaming query (micro-batched file source → watermark →
     * stateful window aggregate → memory sink, driven to completion), with

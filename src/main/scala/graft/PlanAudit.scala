@@ -84,7 +84,16 @@ object PlanAudit {
       // expanded rows on string keys (measured 10 s vs ~1 s at sf0.1); the
       // per-row path must stay hash (residual sorts only touch the
       // distinct-value table)
-      "q98_profile" -> Seq("Expand" -> false, "CartesianProduct" -> false))
+      "q98_profile" -> Seq("Expand" -> false, "CartesianProduct" -> false),
+      // boilerplate: the df-capped lexicon must broadcast; removal is an
+      // anti-join on (doc_id, pos) — never anything pairwise
+      "q107_boilerplate" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // semantic dedup: the pairwise stage is an equi-join on coarse_id
+      "q108_semantic_dedup" -> Seq("CartesianProduct" -> false),
+      // hashed classifier: pure narrow map — any exchange is a bug
+      "q109_quality_classifier" -> Seq("Exchange" -> false,
+        "CartesianProduct" -> false))
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -51,6 +51,7 @@ object SparkEntry {
     "q33_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q34_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q35_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    "q108_semantic_dedup" -> ((s, dir) => Dedup.semanticDedup(s, dir)),
     // Text analysis (documents)
     "q40_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q41_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -71,6 +72,8 @@ object SparkEntry {
     "q77_pii_redact" -> ((s, dir) => CorpusFilters.piiRedact(s, dir)),
     "q78_quality_gates" -> ((s, dir) => CorpusFilters.qualityGates(s, dir)),
     "q79_intradoc_repetition" -> ((s, dir) => CorpusFilters.intraDocRepetition(s, dir)),
+    "q107_boilerplate" -> ((s, dir) => CorpusFilters.boilerplateRemove(s, dir)),
+    "q109_quality_classifier" -> ((s, dir) => TextAnalysis.linearQualityScore(s, dir)),
     // Deterministic sampling / split surface (documents)
     "q47_train_split" -> ((s, dir) => Sampling.trainValTestSplit(s, dir)),
     "q48_hash_sample" -> ((s, dir) => Sampling.hashSample(s, dir)),
@@ -187,6 +190,8 @@ object SparkEntry {
     "q77_pii_redact" -> CorpusFilters.piiRedactSql,
     "q78_quality_gates" -> CorpusFilters.qualityGatesSql,
     "q79_intradoc_repetition" -> CorpusFilters.intraDocRepetitionSql(),
+    "q107_boilerplate" -> CorpusFilters.boilerplateRemoveSql(),
+    "q109_quality_classifier" -> TextAnalysis.linearQualityScoreSql,
     "q47_train_split" -> Sampling.trainValTestSplitSql,
     "q48_hash_sample" -> Sampling.hashSampleSql,
     "q49_mixture_rebalance" -> Sampling.mixtureRebalanceSql,

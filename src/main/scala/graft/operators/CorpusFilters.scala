@@ -335,4 +335,95 @@ object CorpusFilters {
        |         / CAST(count(*) AS DOUBLE) AS dup_ratio
        |FROM f GROUP BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q107
+
+  /** q107 — cross-document boilerplate removal (the C4/RefinedWeb rule,
+    * word-gram form): a word `n`-gram that appears in ≥ `minDf` distinct
+    * documents is *boilerplate* (headers, footers, navigation chrome,
+    * license blurbs); every token position covered by any boilerplate-gram
+    * occurrence is removed, and each document is re-assembled from its
+    * surviving tokens in order.
+    *
+    * Output is per-document and fully exact: original/kept/removed token
+    * counts plus the md5 of the cleaned text, so the oracle pins the exact
+    * reconstructed string, not just the counts. Documents whose every
+    * token is boilerplate survive with `n_kept = 0` and the md5 of "".
+    *
+    * Plan shape, scan → result:
+    *  1. positional gram explode (O(tokens) rows, codegen);
+    *  2. the boilerplate lexicon: distinct (doc, gram) → df ≥ cap — one
+    *     hash aggregate on `gram`;
+    *  3. covered positions: gram rows ⋈ lexicon → explode the n covered
+    *     offsets → distinct (doc_id, pos);
+    *  4. token rows anti-join covered on (doc_id, pos), re-aggregate per
+    *     doc with an order-restoring `array_sort(collect_list(struct))`.
+    * Everything after the explode hash-partitions on doc_id-rooted keys or
+    * `gram`; cost is O(tokens), never O(pairs). The lexicon join is hinted
+    * broadcast — the df-capped boilerplate set is the small side whenever
+    * the threshold is meaningful (it is the corpus' REPEATED content);
+    * for an adversarial corpus where it is not, drop the hint and AQE
+    * falls back to a shuffle join on `gram`, same asymptotics. */
+  def boilerplateRemove(spark: SparkSession, dir: String,
+                        n: Int = 4, minDf: Long = 3L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = Dedup.withWords(docs)
+    val grams = words.select(col("doc_id"),
+      posexplode(Dedup.gramCol(col("ws"), n)).as(Seq("pos", "gram")))
+    val lexicon = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"))
+    // no distinct: left_anti ignores duplicate right-side keys, so the
+    // dedup exchange would be pure overhead
+    val covered = grams.join(broadcast(lexicon), Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+    val toks = words.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "w")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w"))).as("clean_text"))
+    words.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit("")).cast(BinaryType)).as("clean_md5"))
+  }
+
+  def boilerplateRemoveSql(n: Int = 4, minDf: Long = 3L): String = {
+    val gram = (1 to n).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, i AS pos, $gram AS gram
+       |  FROM (SELECT doc_id, unnest(range(len(ws) - ${n - 1})) AS i, ws
+       |        FROM words)
+       |), lexicon AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+       |  WHERE df >= $minDf
+       |), covered AS (
+       |  SELECT DISTINCT g.doc_id, g.pos + d AS pos
+       |  FROM g JOIN lexicon USING (gram), unnest(range($n)) AS t(d)
+       |), toks AS (
+       |  SELECT doc_id, i AS pos, ws[i+1] AS w
+       |  FROM (SELECT doc_id, unnest(range(len(ws))) AS i, ws FROM words)
+       |), kept AS (
+       |  SELECT t.doc_id, count(*) AS n_kept,
+       |         string_agg(t.w, ' ' ORDER BY t.pos) AS clean_text
+       |  FROM toks t ANTI JOIN covered c
+       |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       |       COALESCE(k.n_kept, 0) AS n_kept,
+       |       CAST(len(w.ws) AS BIGINT) - COALESCE(k.n_kept, 0) AS n_removed,
+       |       md5(COALESCE(k.clean_text, '')) AS clean_md5
+       |FROM words w LEFT JOIN kept k ON w.doc_id = k.doc_id""".stripMargin
+  }
 }

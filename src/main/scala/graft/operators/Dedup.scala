@@ -392,4 +392,41 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .distinct()
   }
+
+  /** q108 — SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with a coarse K-Means and
+    * pruning near-identical pairs WITHIN each cluster only. The coarse
+    * quantizer is the session's IVF index
+    * ([[SimilaritySearch.ivfAssignments]]) — one fitted model serves both
+    * ANN probes and dedup, exactly as a production vector store would
+    * persist one partitioned assignment table for both uses.
+    *
+    * Rule (greedy-by-id, deterministic): a vector is REMOVED iff some
+    * lower-id vector in the same cluster has cosine ≥ `threshold` with it;
+    * its keeper is the lowest such id. Output: one row per removed vector
+    * with its keeper and the maximum offending cosine.
+    *
+    * Scale: the pairwise stage is per-cluster, so cost is
+    * Σ_c |c|² / 2 ≪ n²/2 — the SemDeDup point. The join shuffles once on
+    * `coarse_id`; at 100 TB the assignment table is persisted partitioned
+    * by `coarse_id`, making this a partition-local self-join, and oversized
+    * clusters are bounded by raising `nlist` (cluster size ≈ n/nlist).
+    * Not SQL-expressible (K-Means) → rows-only driver check; DedupSpec
+    * pins the invariants (pairs are same-cluster, above threshold, subset
+    * of the exact all-pairs rule; keeper < removed). */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    nlist: Int = 16, threshold: Double = 0.3): DataFrame = {
+    val assigned = SimilaritySearch.ivfAssignments(spark, dir, nlist)
+    val keep = assigned.select(col("coarse_id"),
+      col("vec_id").as("keeper"), col("u").as("uk"))
+    val rm = assigned.select(col("coarse_id"),
+      col("vec_id").as("vec_id"), col("u").as("ur"))
+    keep.join(rm, Seq("coarse_id"))
+      .filter(col("keeper") < col("vec_id"))
+      .withColumn("cosine", dot_product(col("uk"), col("ur")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("keeper")).as("keeper_id"),
+        round(max(col("cosine")), 6).as("max_cosine"))
+  }
 }

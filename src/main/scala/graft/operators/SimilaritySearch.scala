@@ -166,6 +166,13 @@ object SimilaritySearch {
         (model, assigned)
       })
 
+  /** The IVF coarse-assignment table (vec_id, u, coarse_id) for reuse by
+    * [[Dedup.semanticDedup]] — the SemDeDup partitioner is exactly the ANN
+    * index's coarse quantizer, so both share one fitted model per session. */
+  private[operators] def ivfAssignments(spark: SparkSession, dir: String,
+                                        nlist: Int): DataFrame =
+    ivfIndex(spark, dir, nlist)._2
+
   /** IVF ANN: seeded coarse K-Means (nlist centroids) over unit vectors;
     * each query scores only vectors whose coarse cell is among its `nprobe`
     * nearest centroids. */

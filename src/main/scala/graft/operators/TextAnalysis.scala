@@ -559,4 +559,61 @@ object TextAnalysis {
       |       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
       |         AS top_word_frac
       |FROM counts GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+
+  /** q109 — hashed linear quality classifier (the fastText-style scorer
+    * corpus pipelines run to keep/drop documents at scan speed): each
+    * document's unigram and bigram features hash to signed integer weights,
+    * the document's score is the plain sum, and `keep` is the sign test.
+    *
+    * The "weight table" IS the hash — w(feat) = (first md5 byte) − 128 ∈
+    * [−128, 127] — which keeps the classifier a pure narrow map with
+    * nothing to broadcast and makes it bit-identical cross-engine (a real
+    * trained weight vector would broadcast exactly like [[vocabEncode]]'s
+    * dictionary and change nothing structurally). All compared values are
+    * exact integers except `avg_e6`, which is floor() of one IEEE division
+    * of exact integers — the [[Sampling]] determinism rule.
+    *
+    * Plan: a pure narrow map — per-document scores fold over the token
+    * array with `aggregate` (sum of Longs, order-free ⇒ exact), so there is
+    * ZERO exchange: no explode, no groupBy, no join. At 100 TB the
+    * classifier runs at scan speed in the same stage as [[textStats]],
+    * which is the whole reason these scorers are viable on full corpora. */
+  def linearQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    def w(t: Column): Column =
+      conv(substring(md5(t), 1, 2), 16, 10).cast(LongType) - 128L
+    def scoreOf(feats: Column): Column =
+      aggregate(feats, lit(0L), (acc, x) => acc + w(x))
+    graft.operators.Dedup.withWords(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("ws"),
+        graft.operators.Dedup.gramCol(col("ws"), 2).as("bi"))
+      .select(col("doc_id"),
+        (size(col("ws")) + size(col("bi"))).cast(LongType).as("n_feats"),
+        (scoreOf(col("ws")) + scoreOf(col("bi"))).as("score"))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        floor(col("score").cast(DoubleType) * 1000000.0 /
+          col("n_feats").cast(DoubleType)).cast(LongType).as("avg_e6"),
+        (col("score") >= 0).as("keep"))
+  }
+
+  val linearQualityScoreSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), feats AS (
+      |  SELECT doc_id, unnest(ws) AS feat FROM words
+      |  UNION ALL
+      |  SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS feat
+      |  FROM (SELECT doc_id, unnest(range(len(ws) - 1)) AS i, ws FROM words)
+      |), s AS (
+      |  SELECT doc_id, count(*) AS n_feats,
+      |         CAST(sum(('0x' || substr(md5(feat), 1, 2))::BIGINT - 128)
+      |              AS BIGINT) AS score
+      |  FROM feats GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_feats, score,
+      |       CAST(floor(CAST(score AS DOUBLE) * 1000000.0
+      |                  / CAST(n_feats AS DOUBLE)) AS BIGINT) AS avg_e6,
+      |       score >= 0 AS keep
+      |FROM s""".stripMargin
 }

@@ -33,6 +33,51 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(sloppy.exceptAll(exact).isEmpty && exact.exceptAll(sloppy).isEmpty)
   }
 
+  test("boilerplate removal: token conservation, untouched docs keep md5") {
+    val out = CorpusFilters.boilerplateRemove(spark, dir).collect()
+    assert(out.length ==
+      Tables.documents(spark, dir).count().toInt)
+    // conservation: kept + removed == original token count, both non-negative
+    out.foreach { r =>
+      val (n, kept, rm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept + rm == n && kept >= 0 && rm >= 0)
+    }
+    // something was actually removed at the default threshold (the corpus
+    // genuinely repeats 4-grams across docs), but not everything
+    val totalRm = out.map(_.getLong(3)).sum
+    assert(totalRm > 0 && totalRm < out.map(_.getLong(1)).sum)
+    // a doc with zero removals reconstructs EXACTLY: clean_md5 == md5(text)
+    val untouched = CorpusFilters.boilerplateRemove(spark, dir)
+      .filter(col("n_removed") === 0)
+      .join(Tables.documents(spark, dir), "doc_id")
+      .filter(col("clean_md5") =!= md5(col("text").cast("binary")))
+    assert(untouched.isEmpty)
+    // monotone in the df threshold: a stricter lexicon removes no more
+    val strict = CorpusFilters.boilerplateRemove(spark, dir, minDf = 4L)
+      .select(col("doc_id"), col("n_removed").as("rm_strict"))
+    val joined = CorpusFilters.boilerplateRemove(spark, dir)
+      .select(col("doc_id"), col("n_removed"))
+      .join(strict, "doc_id").collect()
+    joined.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("quality classifier: feature counting law and sign rule") {
+    val docs = Tables.documents(spark, dir)
+    val out = graft.operators.TextAnalysis.linearQualityScore(spark, dir)
+    // unigrams (n) + bigrams (n-1): n_feats == 2*n_words - 1 for n >= 2
+    val law = out.join(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words")), "doc_id")
+      .filter(col("n_words") >= 2)
+      .filter(col("n_feats") =!= col("n_words") * 2 - 1)
+    assert(law.isEmpty)
+    // keep is exactly the sign test
+    assert(out.filter(col("keep") =!= (col("score") >= 0)).isEmpty)
+    // weights genuinely straddle zero (scores are not one-sided)
+    val scores = out.select("score").collect().map(_.getLong(0))
+    assert(scores.exists(_ < 0) && scores.exists(_ > 0))
+  }
+
   test("HLL sketch merge estimates distinct users within 5% of exact") {
     val est = graft.operators.Sketches.hllUserSketches(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

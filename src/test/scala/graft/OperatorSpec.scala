@@ -116,6 +116,39 @@ class OperatorSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))
   }
 
+  test("semantic dedup: greedy-by-id within clusters, subset of exact rule") {
+    val tau = 0.3
+    val sem = Dedup.semanticDedup(spark, dir, threshold = tau).collect()
+    assert(sem.nonEmpty)
+    // keeper strictly precedes the removed vector
+    sem.foreach(r => assert(r.getLong(1) < r.getLong(0)))
+    // exact (cluster-blind) greedy rule: removed iff ANY lower-id vector is
+    // within tau. SemDeDup restricts candidates to one coarse cell, so its
+    // removals must be a subset, and every reported cosine must hold exactly.
+    val u = graft.functions.VectorExprs
+    val emb = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .selectExpr("vec_id",
+        "transform(v, x -> x / sqrt(aggregate(v, 0d, (a, e) -> a + e * e))) as u")
+    val a = emb.toDF("ka", "ua")
+    val b = emb.toDF("kb", "ub")
+    val exactRemoved = a.crossJoin(b).filter(col("ka") < col("kb"))
+      .withColumn("cos", u.dot_product(col("ua"), col("ub")))
+      .filter(col("cos") >= tau)
+      .select(col("kb")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val semRemoved = sem.map(_.getLong(0)).toSet
+    assert(semRemoved.subsetOf(exactRemoved))
+    // each (keeper, removed) pair really is within tau, recomputed exactly
+    val pairs = Dedup.semanticDedup(spark, dir, threshold = tau)
+      .join(a, col("keeper_id") === col("ka"))
+      .join(b, col("vec_id") === col("kb"))
+      .withColumn("cos", u.dot_product(col("ua"), col("ub")))
+      .collect()
+    pairs.foreach(r => assert(
+      r.getDouble(r.fieldIndex("cos")) >= tau - 1e-9))
+  }
+
   test("ann brute force: k rows per query, descending cosine, no self-match") {
     val r = SimilaritySearch.bruteForceTopK(spark, dir, nQueries = 3, k = 5).collect()
     val byQuery = r.groupBy(_.getLong(0))

@@ -26,6 +26,8 @@ object Bench {
     // full oracle gate exercises it (see graft.plans.GraftExtensions)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
     // one tiny action to initialize codegen/scheduler before timing
     spark.range(1000).selectExpr("sum(id)").collect()
     // Per query: best of 3 back-to-back runs. The host shows multi-second

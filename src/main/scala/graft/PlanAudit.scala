@@ -23,6 +23,8 @@ object PlanAudit {
     // full oracle gate exercises it (see graft.plans.GraftExtensions)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
 
     // (substring, mustBePresent) — checked on the pre-execution physical
     // plan (AQE may still improve joins at runtime; codegen stages only
@@ -93,6 +95,10 @@ object PlanAudit {
       "q108_semantic_dedup" -> Seq("CartesianProduct" -> false),
       // hashed classifier: pure narrow map — any exchange is a bug
       "q109_quality_classifier" -> Seq("Exchange" -> false,
+        "CartesianProduct" -> false),
+      // custom as-of: the dedicated exec must plan (no fallback) and the
+      // composed form's union+window machinery must be absent
+      "q110_asof_native" -> Seq("AsOfJoin" -> true, "Window" -> false,
         "CartesianProduct" -> false))
 
     var bad = 0

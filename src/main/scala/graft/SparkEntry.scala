@@ -102,6 +102,7 @@ object SparkEntry {
     "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
     "q65_asof_join" -> ((s, dir) => Events.asofLastPurchase(s, dir)),
+    "q110_asof_native" -> ((s, dir) => Events.asofLastPurchaseNative(s, dir)),
     "q66_range_join" -> ((s, dir) => Events.rangeJoinClicksBeforeErrors(s, dir)),
     "q67_session_window" -> ((s, dir) => Events.sessionWindows(s, dir)),
     "q68_json_extract" -> ((s, dir) => Events.jsonExtract(s, dir)),
@@ -206,6 +207,8 @@ object SparkEntry {
     "q62_events_running" -> Events.runningAggSql,
     "q63_events_daily_top" -> Events.dailyTopEventsSql,
     "q65_asof_join" -> Events.asofLastPurchaseSql,
+    // the custom-operator path must produce the identical result
+    "q110_asof_native" -> Events.asofLastPurchaseSql,
     "q66_range_join" -> Events.rangeJoinSql,
     "q73_retention" -> Events.cohortRetentionSql,
     "q74_packing" -> TextAnalysis.sequencePackingSql,

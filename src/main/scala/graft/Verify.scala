@@ -19,6 +19,8 @@ object Verify {
     // full oracle gate exercises it (see graft.plans.GraftExtensions)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
     new java.io.File(outDir).mkdirs()
     // Local-iteration focus filter (same contract as Bench): the driver sets
     // nothing and gets every query; SPARK_GRAFT_ONLY=q75,q31 narrows the dump.

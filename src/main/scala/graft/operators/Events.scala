@@ -150,6 +150,27 @@ object Events {
         col("asof_purchase_t").as("purchase_t"))
   }
 
+  /** q110 — the same as-of semantics through the CUSTOM operator
+    * ([[graft.plans.AsOfJoin]] logical node → [[graft.plans.GraftStrategies]]
+    * → [[graft.plans.AsOfJoinExec]] sorted-merge): rung (c) of the
+    * custom-operator ladder, proven hash-exact against DuckDB's native
+    * `ASOF LEFT JOIN` — the same oracle as q65, so the composed and the
+    * custom implementations are pinned to each other through the oracle. */
+  def asofLastPurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Rfm.epochMs(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user_id"), col("t").as("p_t"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.plans.AsOfJoinPlan
+      .asofJoin(spark, clicks, purchases, "user_id", "t", "p_user_id", "p_t")
+      .select(col("click_id"), col("user_id"),
+        col("purchase_id"), col("p_t").as("purchase_t"))
+  }
+
   val asofLastPurchaseSql: String =
     """WITH clicks AS (
       |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,

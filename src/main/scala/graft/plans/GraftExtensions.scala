@@ -8,12 +8,16 @@ import org.apache.spark.sql.SparkSessionExtensions
   * spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
   * }}}
   *
-  * injects [[MaterializeHofDependencies]] into the optimizer. The harness
-  * mains (Verify/Bench/PlanAudit) and the test session attach the same rule
-  * through `spark.experimental.extraOptimizations`, so every oracle-checked
-  * query in the contract suite runs WITH the rule — its correctness is
-  * gated by the full DuckDB compare, not just its own spec. */
+  * injects [[MaterializeHofDependencies]] into the optimizer and
+  * [[GraftStrategies]] (the [[AsOfJoin]] planner) into the planner. The
+  * harness mains (Verify/Bench/PlanAudit) and the test session attach the
+  * same rule/strategy through `spark.experimental.extraOptimizations` /
+  * `extraStrategies`, so every oracle-checked query in the contract suite
+  * runs WITH them — their correctness is gated by the full DuckDB compare,
+  * not just their own specs. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => MaterializeHofDependencies)
+    ext.injectPlannerStrategy(_ => GraftStrategies)
+  }
 }

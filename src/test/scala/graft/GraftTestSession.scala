@@ -18,6 +18,8 @@ object GraftTestSession {
     s.sparkContext.setLogLevel("WARN")
     s.experimental.extraOptimizations =
       s.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
+    s.experimental.extraStrategies =
+      s.experimental.extraStrategies :+ graft.plans.GraftStrategies
     s
   }
   val Sf0001 = "/root/testdata/sf0.001"

@@ -79,4 +79,31 @@ class PlansSpec extends AnyFunSuite {
       assert(!dependent.queryExecution.optimizedPlan.toString.contains("_hofMat"))
     }
   }
+
+  test("custom as-of join: plans through AsOfJoinExec, equals composed form") {
+    val native = graft.operators.Events.asofLastPurchaseNative(spark, dir)
+    val plan = native.queryExecution.executedPlan.toString
+    // the custom physical operator actually plans (no fallback — SparkPlan
+    // node names strip the Exec suffix), the union-window machinery of the
+    // composed form is absent, and EnsureRequirements gave each side one
+    // exchange + sort
+    assert(plan.contains("AsOfJoin") && plan.contains("Sort "))
+    assert(!plan.contains("Window"))
+    val composed = graft.operators.Events.asofLastPurchase(spark, dir)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // no-match clicks (users with no prior purchase) survive with nulls
+    assert(native.filter(col("purchase_id").isNull).count() ==
+      composed.filter(col("purchase_id").isNull).count())
+  }
+
+  test("as-of join handles empty right side and all-null padding") {
+    import org.apache.spark.sql.functions.{lit => l}
+    val left = spark.range(4).selectExpr("id as k", "id * 10 as t")
+    val right = spark.range(0).selectExpr("id as rk", "id as rt")
+      .filter(l(false))
+    val out = graft.plans.AsOfJoinPlan
+      .asofJoin(spark, left, right, "k", "t", "rk", "rt").collect()
+    assert(out.length == 4 && out.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
 }

@@ -99,7 +99,9 @@ object PlanAudit {
       // custom as-of: the dedicated exec must plan (no fallback) and the
       // composed form's union+window machinery must be absent
       "q110_asof_native" -> Seq("AsOfJoin" -> true, "Window" -> false,
-        "CartesianProduct" -> false))
+        "CartesianProduct" -> false),
+      // incremental dedup: batch ⋈ index equi-joins only
+      "q111_incremental_dedup" -> Seq("CartesianProduct" -> false))
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

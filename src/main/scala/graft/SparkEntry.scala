@@ -52,6 +52,7 @@ object SparkEntry {
     "q34_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q35_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "q108_semantic_dedup" -> ((s, dir) => Dedup.semanticDedup(s, dir)),
+    "q111_incremental_dedup" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
     // Text analysis (documents)
     "q40_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q41_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -167,6 +168,7 @@ object SparkEntry {
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q35_dedup_clusters" -> Dedup.dedupClustersSql,
+    "q111_incremental_dedup" -> Dedup.incrementalDedupSql(),
     "q40_text_stats" -> TextAnalysis.textStatsSql,
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,

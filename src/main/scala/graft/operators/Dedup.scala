@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.VectorExprs.dot_product
 
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -429,4 +429,124 @@ object Dedup {
       .agg(min(col("keeper")).as("keeper_id"),
         round(max(col("cosine")), 6).as("max_cosine"))
   }
+
+  /** q111 — incremental ingestion dedup: the production flow where a NEW
+    * batch (docs whose md5 nibble is 'a' — the same deterministic selector
+    * family as [[Sampling]]) lands against an EXISTING corpus, and each new
+    * document gets a verdict:
+    *
+    *  - `exact`  — byte-identical text already in the corpus, or in an
+    *               earlier (lower-id) doc of the same batch; evidence = the
+    *               lowest matching doc_id;
+    *  - `near`   — 3-gram Jaccard ≥ `threshold` against some EXISTING doc;
+    *               evidence = the best match (max Jaccard, ties → lowest id);
+    *  - `new`    — neither.
+    *
+    * Scale story (the point of the operator): both probes are joins of the
+    * BATCH against persisted index artifacts — the md5 table and the
+    * shingle inverted index ([[shingleIndex]] is the session stand-in).
+    * Cost scales with the batch and its collision counts, never with
+    * corpus², and never recomputes the corpus side: exactly how a daily
+    * crawl lands against a 100 TB corpus. One exchange on `h`, one on
+    * `shingle`, re-aggregation on the batch's doc_id. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame =
+    incrementalDedupCore(Tables.documents(spark, dir),
+      shingleIndex(spark, dir), threshold)
+
+  /** [[incrementalDedup]] over an arbitrary (doc_id, text) frame — library
+    * form for callers with their own corpus (builds an uncached index). */
+  def incrementalDedupOn(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    incrementalDedupCore(docs, shingles(docs), threshold)
+
+  private def incrementalDedupCore(docs: DataFrame, shingleIdx: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val isNewId = (c: Column) => Sampling.hexBucket(c) === "a"
+    val hashed = docs
+      .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"),
+        isNewId(col("doc_id")).as("is_new"))
+    val newDocs = hashed.filter(col("is_new"))
+    val exact = newDocs
+      .join(hashed.toDF("m_id", "h", "m_is_new"), Seq("h"))
+      .filter((!col("m_is_new") || col("m_id") < col("doc_id")) &&
+        col("m_id") =!= col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("m_id")).as("exact_id"))
+    val sh = shingleIdx
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.filter(isNewId(col("doc_id")))
+    val b = sh.filter(!isNewId(col("doc_id"))).toDF("m_id", "shingle")
+    val near = a.hint("shuffle_hash").join(b, Seq("shingle"))
+      .groupBy(col("doc_id"), col("m_id")).agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("doc_id", "na"), Seq("doc_id"))
+      .join(sizes.toDF("m_id", "nb"), Seq("m_id"))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("m_id"))
+    val bestNear = near.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("m_id").as("near_id"),
+        round(col("jaccard"), 6).as("near_jaccard"))
+    newDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(bestNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"),
+        when(col("exact_id").isNull, col("near_jaccard")).as("jaccard"))
+  }
+
+  def incrementalDedupSql(threshold: Double = 0.5): String =
+    s"""WITH flags AS (
+       |  SELECT doc_id, text,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a' AS is_new
+       |  FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, md5(text) AS h, is_new FROM flags
+       |), exact AS (
+       |  SELECT n.doc_id, min(m.doc_id) AS exact_id
+       |  FROM hashed n JOIN hashed m
+       |    ON n.is_new AND n.h = m.h AND m.doc_id <> n.doc_id
+       |       AND (NOT m.is_new OR m.doc_id < n.doc_id)
+       |  GROUP BY n.doc_id
+       |), shingled AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3]))) AS shingle
+       |  FROM documents
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
+       |), common AS (
+       |  SELECT a.doc_id, b.doc_id AS m_id, count(*) AS c
+       |  FROM shingled a JOIN shingled b ON a.shingle = b.shingle
+       |  WHERE substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 1) = 'a'
+       |    AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) <> 'a'
+       |  GROUP BY 1, 2
+       |), near AS (
+       |  SELECT common.doc_id, m_id,
+       |         CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jraw
+       |  FROM common
+       |  JOIN sizes sa ON common.doc_id = sa.doc_id
+       |  JOIN sizes sb ON common.m_id = sb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold
+       |), best AS (
+       |  SELECT doc_id, m_id AS near_id, round(jraw, 6) AS near_jaccard,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY jraw DESC, m_id) AS rk
+       |  FROM near
+       |)
+       |SELECT f.doc_id,
+       |       CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+       |            WHEN b.near_id IS NOT NULL THEN 'near'
+       |            ELSE 'new' END AS verdict,
+       |       COALESCE(e.exact_id, b.near_id) AS match_id,
+       |       CASE WHEN e.exact_id IS NULL THEN b.near_jaccard END AS jaccard
+       |FROM (SELECT doc_id FROM flags WHERE is_new) f
+       |LEFT JOIN exact e ON f.doc_id = e.doc_id
+       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON f.doc_id = b.doc_id""".stripMargin
 }

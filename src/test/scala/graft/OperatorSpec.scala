@@ -149,6 +149,39 @@ class OperatorSpec extends AnyFunSuite {
       r.getDouble(r.fieldIndex("cos")) >= tau - 1e-9))
   }
 
+  test("incremental dedup: verdict laws on testdata and a synthetic batch") {
+    val out = Dedup.incrementalDedup(spark, dir).collect()
+    // exactly one verdict row per new-batch (md5 nibble 'a') doc
+    val newCount = Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "a")
+      .count()
+    assert(out.length == newCount && newCount > 0)
+    // near evidence always points OUTSIDE the batch; exact/near carry a
+    // match, 'new' carries none
+    out.foreach { r =>
+      r.getString(1) match {
+        case "new" => assert(r.isNullAt(2) && r.isNullAt(3))
+        case "near" => assert(!r.isNullAt(2) && r.getDouble(3) >= 0.5)
+        case "exact" => assert(!r.isNullAt(2) && r.isNullAt(3))
+      }
+    }
+    // synthetic corpus exercising the exact path: id 4 (nibble 'a') is a
+    // byte-copy of existing id 1; id 14 ('a') copies id 4 — must match the
+    // EXISTING doc 1 (lowest id), not its batch sibling
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta", 2L -> "totally different words here now",
+      4L -> "alpha beta gamma delta epsilon zeta", 14L -> "alpha beta gamma delta epsilon zeta",
+      37L -> "unique fresh content nothing shared anywhere")
+      .toDF("doc_id", "text")
+    val syn = Dedup.incrementalDedupOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(syn(4L) == ("exact", 1L))
+    assert(syn(14L) == ("exact", 1L))
+    assert(syn(37L)._1 == "new")
+  }
+
   test("ann brute force: k rows per query, descending cosine, no self-match") {
     val r = SimilaritySearch.bruteForceTopK(spark, dir, nQueries = 3, k = 5).collect()
     val byQuery = r.groupBy(_.getLong(0))

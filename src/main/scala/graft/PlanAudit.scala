@@ -101,7 +101,14 @@ object PlanAudit {
       "q110_asof_native" -> Seq("AsOfJoin" -> true, "Window" -> false,
         "CartesianProduct" -> false),
       // incremental dedup: batch ⋈ index equi-joins only
-      "q111_incremental_dedup" -> Seq("CartesianProduct" -> false))
+      "q111_incremental_dedup" -> Seq("CartesianProduct" -> false),
+      // stratified sample: the allocation table must broadcast onto the
+      // ranked docs (1-row totals ride BNLJ; never a real cross product)
+      "q112_stratified_sample" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // weighted median: both windows + the crossing pick share ONE
+      // exchange on the flag
+      "q113_weighted_median" -> Seq("CartesianProduct" -> false))
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -81,6 +81,8 @@ object SparkEntry {
     "q49_mixture_rebalance" -> ((s, dir) => Sampling.mixtureRebalance(s, dir)),
     "q87_domain_cap" -> ((s, dir) => Sampling.domainCap(s, dir)),
     "q102_weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
+    "q112_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
+    "q113_weighted_median" -> ((s, dir) => Relational.weightedMedian(s, dir)),
     // Event/time-series analytics (events)
     "q17_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
     "q18_rollup" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
@@ -200,6 +202,8 @@ object SparkEntry {
     "q49_mixture_rebalance" -> Sampling.mixtureRebalanceSql,
     "q87_domain_cap" -> Sampling.domainCapSql(),
     "q102_weighted_sample" -> Sampling.weightedSampleSql(),
+    "q112_stratified_sample" -> Sampling.stratifiedSampleSql(),
+    "q113_weighted_median" -> Relational.weightedMedianSql,
     "q59_funnel" -> Events.funnelSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,

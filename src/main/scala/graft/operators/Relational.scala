@@ -239,6 +239,57 @@ object Relational {
       |       wt AS (PARTITION BY c_nationkey ORDER BY bal DESC),
       |       wtb AS (PARTITION BY c_nationkey ORDER BY bal DESC, c_custkey)""".stripMargin
 
+  /** q113 — exact grouped WEIGHTED median: per return flag, the smallest
+    * price x with Σ(quantity | price ≤ x) ≥ half the flag's total quantity
+    * — the lower weighted median, the robust statistic quality pipelines
+    * use where `avg` is skew-fragile. No approx-percentile sketch: one
+    * cumulative-sum window over the flag's (price, key) order finds the
+    * crossing row, and everything is exact integers (prices in long cents,
+    * quantities rounded to long), so the oracle is hash-exact.
+    *
+    * Plan: ONE exchange on the flag; the running sum, the total and the
+    * crossing-row pick all share that partitioning (the q91 windows-share-
+    * the-exchange discipline). The qualifying row is the min cumulative
+    * weight among crossers — cumw is strictly increasing (weights ≥ 1), so
+    * `min_by` is deterministic without a second window pass. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("flag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val whole = Window.partitionBy(col("flag"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        Rfm.cents(col("l_extendedprice")).as("cents"),
+        round(col("l_quantity")).cast(LongType).as("wq"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("cumw", sum(col("wq"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_w", sum(col("wq")).over(whole))
+      .filter(col("cumw") * 2 >= col("total_w"))
+      .groupBy(col("flag"))
+      .agg(min_by(col("cents"), col("cumw")).as("median_cents"),
+        min(col("total_w")).as("total_w"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH items AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |         CAST(round(l_quantity) AS BIGINT) AS wq,
+      |         l_orderkey, l_linenumber
+      |  FROM lineitem
+      |), cum AS (
+      |  SELECT flag, cents, wq,
+      |         sum(wq) OVER (PARTITION BY flag
+      |           ORDER BY cents, l_orderkey, l_linenumber
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |         sum(wq) OVER (PARTITION BY flag) AS total_w
+      |  FROM items
+      |)
+      |SELECT flag,
+      |       CAST(min_by(cents, cumw) AS BIGINT) AS median_cents,
+      |       CAST(min(total_w) AS BIGINT) AS total_w
+      |FROM cum WHERE cumw * 2 >= total_w GROUP BY flag""".stripMargin
+
   /** Broadcast-join star query — extension: revenue per region/market
     * segment. Dimension tables (region, nation, customer at this grain) are
     * broadcast; the only shuffle is the final group-aggregate. At 100 TB the

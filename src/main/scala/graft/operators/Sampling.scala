@@ -178,6 +178,76 @@ object Sampling {
        |ORDER BY pkey, o_orderkey
        |LIMIT $k""".stripMargin
 
+  /** q112 — stratified sample with EXACT largest-remainder allocation
+    * (Hamilton apportionment): a total budget of `total` documents is
+    * split across `source` strata proportionally to their sizes —
+    * `quota_s = ⌊total·n_s/n⌋` plus one extra for the strata with the
+    * largest remainders until the budget is met. Every step is integer
+    * arithmetic: the remainder comparison uses `total·n_s − ⌊⌋·n` directly
+    * (no rational division), so allocation is bit-exact cross-engine and
+    * Σ quotas == total BY CONSTRUCTION, not by rounding luck. Within a
+    * stratum, membership is the deterministic md5-variate rank
+    * ([[hashUnit]]) — re-runs, retries and re-ingests pick the same docs.
+    *
+    * Plan: per-source counts (|sources| rows) → remainder ranking via one
+    * tiny window → quotas broadcast back onto the doc ranking (one window
+    * over `source`, the same exchange [[domainCap]] uses) → rank ≤ quota.
+    * At 100 TB: one scan, one exchange on `source` (salt if a mega-source
+    * dominates — [[graft.operators.Skew]]), and a dimension-sized
+    * allocation table. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       total: Long = 200L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val n = counts.agg(sum(col("ns")).as("n"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy((lit(total) * col("ns") - col("q0") * col("n")).desc,
+        col("source"))
+    val quotas = counts.crossJoin(broadcast(n))
+      .withColumn("q0", floor(lit(total) * col("ns") / col("n")).cast(LongType))
+      .withColumn("spill_rank", row_number().over(wRem).cast(LongType))
+      .crossJoin(broadcast(counts.crossJoin(n)
+        .agg((lit(total) -
+          sum(floor(lit(total) * col("ns") / col("n")))).as("spill"))))
+      .select(col("source"),
+        (col("q0") + when(col("spill_rank") <= col("spill"), 1L)
+          .otherwise(0L)).as("quota"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), hashUnit(col("doc_id")).as("u"))
+      .withColumn("rk", row_number().over(wDoc).cast(LongType))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+  }
+
+  def stratifiedSampleSql(total: Long = 200L): String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS ns FROM documents GROUP BY source
+       |), tot AS (SELECT sum(ns) AS n FROM counts),
+       |base AS (
+       |  SELECT source, ns, n,
+       |         CAST(floor($total * ns / n) AS BIGINT) AS q0
+       |  FROM counts, tot
+       |), spill AS (
+       |  SELECT $total - sum(q0) AS s FROM base
+       |), quotas AS (
+       |  SELECT source,
+       |         q0 + CASE WHEN row_number() OVER (
+       |                ORDER BY $total * ns - q0 * n DESC, source)
+       |              <= (SELECT s FROM spill) THEN 1 ELSE 0 END AS quota
+       |  FROM base
+       |), ranked AS (
+       |  SELECT doc_id, source,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |                      / 4294967296.0, doc_id) AS BIGINT) AS rk
+       |  FROM documents
+       |)
+       |SELECT r.doc_id, r.source, r.rk, q.quota
+       |FROM ranked r JOIN quotas q ON r.source = q.source
+       |WHERE r.rk <= q.quota""".stripMargin
+
   /** Generic Efraimidis–Spirakis weighted reservoir (key = -ln(u)/w,
     * bottom-k) for library callers who want the textbook distribution and
     * don't need cross-engine hash equality: u comes from a seeded xxhash64

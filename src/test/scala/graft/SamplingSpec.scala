@@ -76,6 +76,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(s.forall(_.getLong(0) > 100))
   }
 
+  test("stratified sample: exact budget, Hamilton allocation law, stable") {
+    val total = 123L // deliberately not divisible — remainders must spill
+    val out = Sampling.stratifiedSample(spark, dir, total).collect()
+    assert(out.length == total) // Σ quotas == budget BY CONSTRUCTION
+    // allocation law: every stratum within 1 of its exact proportional share
+    val ns = Tables.documents(spark, dir).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = ns.values.sum
+    val got = out.groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length }
+    got.foreach { case (s, q) =>
+      val exact = total.toDouble * ns(s) / n
+      assert(math.abs(q - exact) < 1.0, s"$s: $q vs $exact")
+    }
+    // determinism: same sample on a second run
+    val again = Sampling.stratifiedSample(spark, dir, total).collect()
+      .map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+  }
+
+  test("weighted median: equals the brute-force definition per flag") {
+    val rows = Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag", "cast(round(l_extendedprice*100) as long) c",
+        "cast(round(l_quantity) as long) w").collect()
+      .groupBy(_.getString(0))
+    val got = graft.operators.Relational.weightedMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (flag, rs) =>
+      val sorted = rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val tw = sorted.map(_._2).sum
+      var cum = 0L
+      val med = sorted.find { case (_, w) => cum += w; cum * 2 >= tw }.get._1
+      assert(got(flag) == ((med, tw)), s"$flag")
+    }
+  }
+
   test("mixture rebalance equalizes language counts at ~min lang size") {
     val docs = Tables.documents(spark, dir)
     val minN = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)

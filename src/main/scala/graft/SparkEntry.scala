@@ -143,6 +143,7 @@ object SparkEntry {
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
     "q105_transitions" -> ((s, dir) => Events.transitionMatrix(s, dir)),
+    "q114_session_paths" -> ((s, dir) => Events.sessionPaths(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,6 +238,7 @@ object SparkEntry {
     "q98_profile" -> Profiling.profileLineitemSql,
     "q99_anomalies" -> Events.anomaliesSql,
     "q105_transitions" -> Events.transitionMatrixSql,
+    "q114_session_paths" -> Events.sessionPathsSql,
     // the streaming gate emits the identical flag set (StreamingSpec pins
     // stream-vs-batch equality); the oracle is shared with q99
     "q100_stream_anomalies" -> Events.anomaliesSql,

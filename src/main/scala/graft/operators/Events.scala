@@ -150,6 +150,72 @@ object Events {
         col("asof_purchase_t").as("purchase_t"))
   }
 
+  /** q114 — session path mining: the distribution of opening event-type
+    * trigrams across 30-minute-gap sessions ("what do the first three
+    * steps of a session look like") — the sequence-analytics complement of
+    * [[transitionMatrix]]'s one-step Markov view.
+    *
+    * The per-session ordinal is derived INSIDE the user partitioning
+    * (row_number minus the session's opening row_number, both over the
+    * same (user, time, id) window) rather than re-windowing on
+    * (user, session) — so sessionization, ordinal, and the trigram
+    * assembly all share ONE exchange on user_id; the only other exchange
+    * is the final |paths|-sized count (≤ |event types|³ rows). Path text
+    * is assembled order-safely via array_sort(collect_list(struct)). */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = Tables.events(spark, dir)
+      .select(col("user_id"), Rfm.epochMs(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("rn_user", row_number().over(w).cast(LongType))
+      .withColumn("session_id", sum(col("ns")).over(wc))
+      .withColumn("start_rn",
+        max(when(col("ns") === 1L, col("rn_user"))).over(wc))
+    g.filter(col("rn_user") - col("start_rn") < 3)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(">", transform(
+          array_sort(collect_list(struct(col("rn_user"), col("event_type")))),
+          s => s.getField("event_type"))).as("path"))
+      .filter(col("n") === 3)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  val sessionPathsSql: String =
+    """WITH evts AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+      |         event_id, event_type
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, ts_ms, event_id, event_type,
+      |         CASE WHEN lag(ts_ms) OVER w IS NULL
+      |                OR ts_ms - lag(ts_ms) OVER w > 30*60*1000
+      |              THEN 1 ELSE 0 END AS ns,
+      |         row_number() OVER w AS rn_user
+      |  FROM evts
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |), g AS (
+      |  SELECT user_id, ts_ms, event_id, event_type, rn_user,
+      |         sum(ns) OVER w2 AS session_id,
+      |         max(CASE WHEN ns = 1 THEN rn_user END) OVER w2 AS start_rn
+      |  FROM f
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), trio AS (
+      |  SELECT user_id, session_id, count(*) AS n,
+      |         string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+      |  FROM g WHERE rn_user - start_rn < 3
+      |  GROUP BY user_id, session_id
+      |)
+      |SELECT path, count(*) AS n_sessions
+      |FROM trio WHERE n = 3 GROUP BY path""".stripMargin
+
   /** q110 — the same as-of semantics through the CUSTOM operator
     * ([[graft.plans.AsOfJoin]] logical node → [[graft.plans.GraftStrategies]]
     * → [[graft.plans.AsOfJoinExec]] sorted-merge): rung (c) of the

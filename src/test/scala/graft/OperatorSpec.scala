@@ -149,6 +149,31 @@ class OperatorSpec extends AnyFunSuite {
       r.getDouble(r.fieldIndex("cos")) >= tau - 1e-9))
   }
 
+  test("session paths: trigram shape and conservation vs sessionization") {
+    val paths = Events.sessionPaths(spark, dir).collect()
+    assert(paths.nonEmpty)
+    // every path is exactly three steps
+    paths.foreach(r => assert(r.getString(0).split(">").length == 3))
+    // Σ n_sessions == number of sessions with ≥3 events, counted by the
+    // independent per-user sessionization (avg_events * n_sessions is not
+    // enough — recount sessions directly)
+    val bySession = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_millis(cast(ts as timestamp)) as ts_ms")
+      .collect().groupBy(_.getLong(0)).values.map { rows =>
+        val ts = rows.map(_.getLong(1)).sorted
+        val sizes = scala.collection.mutable.ArrayBuffer(0L)
+        var prev = Long.MinValue
+        ts.foreach { t =>
+          if (prev != Long.MinValue && t - prev <= 30L * 60 * 1000)
+            sizes(sizes.length - 1) += 1
+          else sizes += 1
+          prev = t
+        }
+        sizes.count(_ >= 3)
+      }.sum
+    assert(paths.map(_.getLong(1)).sum == bySession)
+  }
+
   test("incremental dedup: verdict laws on testdata and a synthetic batch") {
     val out = Dedup.incrementalDedup(spark, dir).collect()
     // exactly one verdict row per new-batch (md5 nibble 'a') doc

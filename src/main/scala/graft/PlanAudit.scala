@@ -108,7 +108,9 @@ object PlanAudit {
         "CartesianProduct" -> false),
       // weighted median: both windows + the crossing pick share ONE
       // exchange on the flag
-      "q113_weighted_median" -> Seq("CartesianProduct" -> false))
+      "q113_weighted_median" -> Seq("CartesianProduct" -> false),
+      // triangles: wedge + closing joins are equi-joins on edge keys
+      "q115_triangles" -> Seq("CartesianProduct" -> false))
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -94,4 +94,58 @@ object Graph {
        |), ${iter("it0", 1)}, ${iter("it1", 2)}, ${iter("it2", 3)}
        |SELECT node, r AS rank_e12 FROM it3""".stripMargin
   }
+
+  /** Distinct ordered co-purchase edges (u < v): two parts are connected
+    * when some order contains both. Session-cached like [[edges]] — the
+    * triangle join references it three times. */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"copurchase-edges:$dir") {
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      l.toDF("ok", "u").join(l.toDF("ok", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v"))
+        .distinct()
+    }
+
+  /** q115 — triangle participation per part over the co-purchase graph:
+    * for every part, the number of part-triangles it closes (the local
+    * clustering-coefficient numerator — "parts whose co-purchase
+    * neighborhoods are themselves co-purchased", the basket-affinity
+    * signal).
+    *
+    * Shape: edges are oriented by id (u < v), so the wedge join
+    * e1(u,v) ⋈ e2(v,w) enumerates each candidate u<v<w once and the
+    * closing join against e3(u,w) confirms it — three shuffles on edge
+    * keys, each triangle counted exactly once, then a corner-explode
+    * re-aggregation. At production scale the orientation should be by
+    * DEGREE (low→high), which bounds wedge fan-out by O(m^1.5) even with
+    * power-law hubs; id-orientation keeps the oracle trivially mirrorable
+    * and is exact regardless. The per-order pair build is bounded by
+    * lines-per-order², the natural basket size. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(spark, dir)
+    val tri = e.toDF("u", "v")
+      .join(e.toDF("v", "w"), Seq("v"))
+      .join(e.toDF("u", "w"), Seq("u", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val triangleCountsSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), tri AS (
+      |  SELECT e1.u, e1.v, e2.v AS w
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+      |), corners AS (
+      |  SELECT u AS part FROM tri
+      |  UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w FROM tri
+      |)
+      |SELECT part, count(*) AS n_triangles FROM corners GROUP BY part""".stripMargin
 }

@@ -149,6 +149,25 @@ class OperatorSpec extends AnyFunSuite {
       r.getDouble(r.fieldIndex("cos")) >= tau - 1e-9))
   }
 
+  test("triangle counts: corner conservation and a hand-built clique") {
+    val out = Graph.triangleCounts(spark, dir).collect()
+    // Σ per-part participation = 3 × (total triangles): every triangle has
+    // exactly three corners
+    assert(out.map(_.getLong(1)).sum % 3 == 0)
+    assert(out.forall(_.getLong(1) > 0))
+    // the same pipeline on a synthetic 4-clique basket: C(4,3)=4 triangles,
+    // every part in exactly 3 of them — checked through the PUBLIC operator
+    // path by pointing it at a tmp dir shaped like testdata
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    Seq((1L, 101L), (1L, 102L), (1L, 103L), (1L, 104L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val clique = Graph.triangleCounts(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clique == Map(101L -> 3L, 102L -> 3L, 103L -> 3L, 104L -> 3L))
+  }
+
   test("session paths: trigram shape and conservation vs sessionization") {
     val paths = Events.sessionPaths(spark, dir).collect()
     assert(paths.nonEmpty)

@@ -110,7 +110,11 @@ object PlanAudit {
       // exchange on the flag
       "q113_weighted_median" -> Seq("CartesianProduct" -> false),
       // triangles: wedge + closing joins are equi-joins on edge keys
-      "q115_triangles" -> Seq("CartesianProduct" -> false))
+      "q115_triangles" -> Seq("CartesianProduct" -> false),
+      // robust scale: the 3-row median/MAD tables broadcast back onto the
+      // scan — the big side never re-shuffles for the scaling
+      "q116_robust_scale" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false))
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -83,6 +83,7 @@ object SparkEntry {
     "q102_weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
     "q112_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
     "q113_weighted_median" -> ((s, dir) => Relational.weightedMedian(s, dir)),
+    "q116_robust_scale" -> ((s, dir) => Relational.robustScale(s, dir)),
     // Event/time-series analytics (events)
     "q17_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
     "q18_rollup" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
@@ -206,6 +207,7 @@ object SparkEntry {
     "q102_weighted_sample" -> Sampling.weightedSampleSql(),
     "q112_stratified_sample" -> Sampling.stratifiedSampleSql(),
     "q113_weighted_median" -> Relational.weightedMedianSql,
+    "q116_robust_scale" -> Relational.robustScaleSql,
     "q59_funnel" -> Events.funnelSql,
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,

@@ -290,6 +290,81 @@ object Relational {
       |       CAST(min(total_w) AS BIGINT) AS total_w
       |FROM cum WHERE cumw * 2 >= total_w GROUP BY flag""".stripMargin
 
+  /** Lower median of `valCol` per `grp`, via the cumulative-count crossing
+    * row ([[weightedMedian]] with unit weights): the value at the first
+    * position whose running count reaches half the group's size, ordered by
+    * (value, tie columns) for determinism. One exchange on `grp`. */
+  private def lowerMedian(df: DataFrame, grp: String, valCol: String,
+                          ties: Seq[String], out: String): DataFrame = {
+    val ord = Window.partitionBy(col(grp))
+      .orderBy((col(valCol) +: ties.map(col)): _*)
+    df.withColumn("__rn", row_number().over(ord).cast(LongType))
+      .withColumn("__tot", count(lit(1)).over(Window.partitionBy(col(grp))))
+      .filter(col("__rn") * 2 >= col("__tot"))
+      .groupBy(col(grp))
+      .agg(min_by(col(valCol), col("__rn")).as(out))
+  }
+
+  /** q116 — robust scaling (median / MAD), the outlier-immune scaler a
+    * quality pipeline uses where the z-score's mean/σ are skew-fragile:
+    * per return flag, center = lower median of price cents, spread = lower
+    * median of |cents − median| (the MAD), output = every row's robust
+    * score in exact micro-units, `⌊10⁶·(cents − med) / mad⌋`.
+    *
+    * Exactness: medians are SELECTED values (never interpolated), so both
+    * passes stay in long cents; the one division is IEEE on exact integers
+    * ((cents−med)·10⁶ < 2⁵³). Plan: two crossing-row median passes (one
+    * exchange on the flag each) whose 3-row results broadcast back onto
+    * the scan — the big side is never re-shuffled for the scaling itself. */
+  def robustScale(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        Rfm.cents(col("l_extendedprice")).as("cents"),
+        col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"))
+    val med = lowerMedian(items, "flag", "cents",
+      Seq("l_orderkey", "l_linenumber"), "med")
+    val withMed = items.join(broadcast(med), Seq("flag"))
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = lowerMedian(withMed, "flag", "dev",
+      Seq("l_orderkey", "l_linenumber"), "mad")
+    withMed.join(broadcast(mad), Seq("flag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("flag"),
+        col("cents"), col("med"), col("mad"),
+        floor((col("cents") - col("med")).cast(DoubleType) * 1000000.0 /
+          col("mad").cast(DoubleType)).cast(LongType).as("robust_e6"))
+  }
+
+  val robustScaleSql: String =
+    """WITH items AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |         l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+      |  FROM lineitem
+      |), m1 AS (
+      |  SELECT flag, min_by(cents, rn) AS med FROM (
+      |    SELECT flag, cents,
+      |           row_number() OVER (PARTITION BY flag
+      |             ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+      |           count(*) OVER (PARTITION BY flag) AS tot
+      |    FROM items)
+      |  WHERE rn * 2 >= tot GROUP BY flag
+      |), devs AS (
+      |  SELECT i.*, m1.med, abs(i.cents - m1.med) AS dev
+      |  FROM items i JOIN m1 USING (flag)
+      |), m2 AS (
+      |  SELECT flag, min_by(dev, rn) AS mad FROM (
+      |    SELECT flag, dev,
+      |           row_number() OVER (PARTITION BY flag
+      |             ORDER BY dev, l_orderkey, l_linenumber) AS rn,
+      |           count(*) OVER (PARTITION BY flag) AS tot
+      |    FROM devs)
+      |  WHERE rn * 2 >= tot GROUP BY flag
+      |)
+      |SELECT d.l_orderkey, d.l_linenumber, d.flag, d.cents, d.med, m2.mad,
+      |       CAST(floor(CAST(d.cents - d.med AS DOUBLE) * 1000000.0
+      |                  / CAST(m2.mad AS DOUBLE)) AS BIGINT) AS robust_e6
+      |FROM devs d JOIN m2 USING (flag)""".stripMargin
+
   /** Broadcast-join star query — extension: revenue per region/market
     * segment. Dimension tables (region, nation, customer at this grain) are
     * broadcast; the only shuffle is the final group-aggregate. At 100 TB the

@@ -149,6 +149,27 @@ class OperatorSpec extends AnyFunSuite {
       r.getDouble(r.fieldIndex("cos")) >= tau - 1e-9))
   }
 
+  test("robust scale: median laws, positive MAD, zero-at-center") {
+    val out = Relational.robustScale(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(2)).foreach { case (_, rows) =>
+      val med = rows.head.getLong(4)
+      val mad = rows.head.getLong(5)
+      assert(mad > 0)
+      // lower-median law: at least half the rows are ≤ med, and med is an
+      // actual data value
+      val n = rows.length
+      assert(rows.count(_.getLong(3) <= med) * 2 >= n)
+      assert(rows.exists(_.getLong(3) == med))
+      // a row sitting exactly at the center scores exactly 0
+      rows.filter(_.getLong(3) == med)
+        .foreach(r => assert(r.getLong(6) == 0L))
+      // scores are monotone in cents
+      val sorted = rows.sortBy(_.getLong(3)).map(_.getLong(6))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("triangle counts: corner conservation and a hand-built clique") {
     val out = Graph.triangleCounts(spark, dir).collect()
     // Σ per-part participation = 3 × (total triangles): every triangle has

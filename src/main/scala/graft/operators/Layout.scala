@@ -118,7 +118,21 @@ object Layout {
     * oracle-exact. The XOR in the d-increment `(3·rx)⊕ry` is folded to
     * arithmetic (`rx=0 → ry, rx=1 → 3-ry`) so no engine-specific bitwise
     * XOR syntax is needed. */
+  /** Hilbert index via the native codegen expression
+    * ([[graft.functions.SpatialExprs.HilbertIndex]]): plan depth 1 instead
+    * of the ~100-Project unrolled chain below — the chain's per-call
+    * Catalyst analysis/codegen overhead measured ~2 s at sf0.1 while the
+    * row work is trivial. Kept bit-identical to [[hilbertColsUnrolled]]
+    * (spec cross-checks them on the exhaustive grid), which is also what
+    * the q104 DuckDB oracle pins. */
   private[graft] def hilbertCols(df: DataFrame, xName: String,
+                                 yName: String, out: String): DataFrame =
+    df.withColumn(out, graft.functions.SpatialExprs.hilbert_index(
+      col(xName).cast("long"), col(yName).cast("long"), Bits))
+
+  /** The original unrolled-projection form — the readable reference
+    * implementation the expression is checked against. */
+  private[graft] def hilbertColsUnrolled(df: DataFrame, xName: String,
                                      yName: String, out: String): DataFrame = {
     var cur = df
       .withColumn("__hx", col(xName).cast("long"))

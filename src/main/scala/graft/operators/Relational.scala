@@ -536,11 +536,20 @@ object Relational {
     * expand. Estimator internals differ across engines, so this is
     * spec-checked against the exact count (≤5% relative error) rather than
     * oracle-compared. */
+  /** HLL++ estimate beside the exact distinct count. Both aggregates run
+    * over the PRE-DEDUPLICATED (flag, part) pairs instead of mixing a
+    * distinct and a plain aggregate in one `agg` — that mixed form plans
+    * through Expand (every input row duplicated per aggregate family),
+    * while this shape is two ordinary hash aggregates with map-side
+    * partials. HLL is duplicate-insensitive, so feeding it deduped rows
+    * leaves the estimate identical. Measured 1.5 → 0.7 s at sf0.1. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag").as("returnflag"))
+      .select(col("l_returnflag").as("returnflag"), col("l_partkey"))
+      .distinct()
+      .groupBy(col("returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
 
   /** Equal-width histogram — the one-pass distributed histogram: bucket id
     * per row is pure arithmetic (width_bucket semantics, written out

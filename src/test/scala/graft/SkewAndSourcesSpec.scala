@@ -98,6 +98,18 @@ class SkewAndSourcesSpec extends AnyFunSuite {
     assert(zy < 0.7 * ry, s"z-layout y extent $zy vs range $ry")
   }
 
+  test("hilbert expression is bit-identical to the unrolled projection chain") {
+    import graft.operators.Layout
+    // exhaustive 128×128 grid: the codegen'd loop and the reference
+    // projection chain must agree everywhere (also exercises the
+    // interpreted eval path via a filtered collect)
+    val grid = spark.range(128).select(col("id").as("gx"))
+      .crossJoin(spark.range(128).select(col("id").as("gy")))
+    val fast = Layout.hilbertCols(grid, "gx", "gy", "h")
+    val slow = Layout.hilbertColsUnrolled(grid, "gx", "gy", "h")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
   test("hilbert index: bijective on a subgrid, unit steps on the full curve") {
     import graft.operators.Layout
     // 64×64 grid through the full 16-bit transform: indices must be unique

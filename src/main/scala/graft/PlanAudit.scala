@@ -114,6 +114,9 @@ object PlanAudit {
       // robust scale: the 3-row median/MAD tables broadcast back onto the
       // scan — the big side never re-shuffles for the scaling
       "q116_robust_scale" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // association rules: part-count dims broadcast onto the pair counts
+      "q117_association_rules" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false))
 
     var bad = 0

@@ -140,6 +140,7 @@ object SparkEntry {
     "q104_hilbert" -> ((s, dir) => Layout.hilbertSample(s, dir)),
     "q95_pagerank" -> ((s, dir) => Graph.pagerank(s, dir)),
     "q115_triangles" -> ((s, dir) => Graph.triangleCounts(s, dir)),
+    "q117_association_rules" -> ((s, dir) => Graph.associationRules(s, dir)),
     "q96_grouping_sets" -> ((s, dir) => Relational.groupingSetsRevenue(s, dir)),
     "q97_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
@@ -237,6 +238,7 @@ object SparkEntry {
     "q104_hilbert" -> Layout.hilbertSampleSql,
     "q95_pagerank" -> Graph.pagerankSql,
     "q115_triangles" -> Graph.triangleCountsSql,
+    "q117_association_rules" -> Graph.associationRulesSql(),
     "q96_grouping_sets" -> Relational.groupingSetsRevenueSql,
     // q97 CMS estimates are not SQL-expressible → rows-only + spec
     "q98_profile" -> Profiling.profileLineitemSql,

@@ -4,6 +4,7 @@ import graft.Tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Iterative graph analytics on the star schema: PageRank over the
   * bipartite customer↔part purchase graph (edges from lineitem⋈orders,
@@ -132,6 +133,63 @@ object Graph {
       .groupBy(col("part"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** q117 — association rules over baskets (market-basket affinity): for
+    * every ordered part pair {u < v} co-purchased in ≥ `minSupport`
+    * orders, the support count, both directional confidences, and lift —
+    * all in exact parts-per-million (ppm) of integer counts, so the
+    * oracle is hash-exact with no float drift.
+    *
+    *   supp(u,v) = |orders ∋ both| ;  conf(u→v) = supp/|orders ∋ u| ;
+    *   lift = supp·N / (|∋u|·|∋v|)   (ppm-scaled, floor)
+    *
+    * Plan: the pair build is per-order (bounded by basket²), the
+    * per-part order counts are a broadcast dimension, and the ppm math is
+    * a narrow projection — one shuffle for pair counts, one for part
+    * counts. The lift numerator supp·N·10⁶ ≤ 10¹⁸ stays inside Long. */
+  def associationRules(spark: SparkSession, dir: String,
+                       minSupport: Long = 3L): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val orderCount = l.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_orders"))
+    val pairs = l.toDF("ok", "u").join(l.toDF("ok", "v"), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= minSupport)
+    pairs
+      .join(broadcast(orderCount.toDF("u", "nu")), Seq("u"))
+      .join(broadcast(orderCount.toDF("v", "nv")), Seq("v"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("u"), col("v"), col("supp"),
+        floor(col("supp") * lit(1000000L) / col("nu")).cast(LongType)
+          .as("conf_uv_ppm"),
+        floor(col("supp") * lit(1000000L) / col("nv")).cast(LongType)
+          .as("conf_vu_ppm"),
+        floor(col("supp") * col("n_orders") * lit(1000000L) /
+          (col("nu") * col("nv"))).cast(LongType).as("lift_ppm"))
+  }
+
+  def associationRulesSql(minSupport: Long = 3L): String =
+    s"""WITH l AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), oc AS (
+       |  SELECT pk, count(*) AS n FROM l GROUP BY pk
+       |), tot AS (SELECT count(*) AS n_orders FROM orders),
+       |pairs AS (
+       |  SELECT a.pk AS u, b.pk AS v, count(*) AS supp
+       |  FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |)
+       |SELECT u, v, supp,
+       |       CAST(floor(supp * 1000000 / nu.n) AS BIGINT) AS conf_uv_ppm,
+       |       CAST(floor(supp * 1000000 / nv.n) AS BIGINT) AS conf_vu_ppm,
+       |       CAST(floor(supp * n_orders * 1000000 / (nu.n * nv.n)) AS BIGINT)
+       |         AS lift_ppm
+       |FROM pairs
+       |JOIN oc nu ON pairs.u = nu.pk
+       |JOIN oc nv ON pairs.v = nv.pk, tot""".stripMargin
 
   val triangleCountsSql: String =
     """WITH e AS (

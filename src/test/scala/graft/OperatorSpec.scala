@@ -149,6 +149,27 @@ class OperatorSpec extends AnyFunSuite {
       r.getDouble(r.fieldIndex("cos")) >= tau - 1e-9))
   }
 
+  test("association rules: ppm bounds and brute-force agreement") {
+    val rules = Graph.associationRules(spark, dir, minSupport = 2L).collect()
+    assert(rules.nonEmpty)
+    rules.foreach { r =>
+      val (supp, cu, cv) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(supp >= 2 && cu > 0 && cu <= 1000000L && cv > 0 && cv <= 1000000L)
+    }
+    // brute-force one rule end-to-end from the raw table
+    val first = rules.minBy(r => (r.getLong(0), r.getLong(1)))
+    val (u, v) = (first.getLong(0), first.getLong(1))
+    val baskets = Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val nu = baskets.count(_._2.contains(u))
+    val nv = baskets.count(_._2.contains(v))
+    val supp = baskets.count(b => b._2.contains(u) && b._2.contains(v))
+    assert(first.getLong(2) == supp)
+    assert(first.getLong(3) == supp * 1000000L / nu)
+    assert(first.getLong(4) == supp * 1000000L / nv)
+  }
+
   test("robust scale: median laws, positive MAD, zero-at-center") {
     val out = Relational.robustScale(spark, dir).collect()
     assert(out.nonEmpty)

@@ -67,7 +67,10 @@ object Bench {
     // 3-decimal (ms) precision keeps the line compact: the driver stores a
     // bounded tail of the run's output, and 90+ queries at full double
     // precision overflowed it in round 2 (the JSON line arrived truncated).
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would corrupt the JSON line this exists to emit
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -26,6 +26,10 @@ object SpatialExprs {
     * chain for ANY long inputs (two's-complement masking). */
   case class HilbertIndex(left: Expression, right: Expression, bits: Int)
       extends BinaryExpression {
+    // bits=0 would shift by -1 (s = Long.MinValue, silent all-zero output);
+    // bits>31 overflows s*s — fail construction, not rows
+    require(bits >= 1 && bits <= 31,
+      s"hilbert bits must be in [1, 31], got $bits")
     override def dataType: DataType = LongType
 
     override def checkInputDataTypes(): TypeCheckResult =

@@ -471,10 +471,9 @@ object Dedup {
       .filter((!col("m_is_new") || col("m_id") < col("doc_id")) &&
         col("m_id") =!= col("doc_id"))
       .groupBy(col("doc_id")).agg(min(col("m_id")).as("exact_id"))
-    val sh = shingleIdx
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.filter(isNewId(col("doc_id")))
-    val b = sh.filter(!isNewId(col("doc_id"))).toDF("m_id", "shingle")
+    val sizes = shingleIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = shingleIdx.filter(isNewId(col("doc_id")))
+    val b = shingleIdx.filter(!isNewId(col("doc_id"))).toDF("m_id", "shingle")
     val near = a.hint("shuffle_hash").join(b, Seq("shingle"))
       .groupBy(col("doc_id"), col("m_id")).agg(count(lit(1)).as("c"))
       .join(sizes.toDF("doc_id", "na"), Seq("doc_id"))

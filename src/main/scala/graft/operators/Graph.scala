@@ -101,8 +101,11 @@ object Graph {
     * triangle join references it three times. */
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.cached(spark, s"copurchase-edges:$dir") {
+      // pre-dedup (order, part): d duplicate lines per pair would emit d²
+      // join copies the trailing distinct then has to collapse
       val l = Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
       l.toDF("ok", "u").join(l.toDF("ok", "v"), Seq("ok"))
         .filter(col("u") < col("v"))
         .select(col("u"), col("v"))
@@ -146,7 +149,11 @@ object Graph {
     * Plan: the pair build is per-order (bounded by basket²), the
     * per-part order counts are a broadcast dimension, and the ppm math is
     * a narrow projection — one shuffle for pair counts, one for part
-    * counts. The lift numerator supp·N·10⁶ ≤ 10¹⁸ stays inside Long. */
+    * counts. Exactness bound: the engines divide as doubles, so ppm values
+    * are exact-floor only while the lift numerator supp·N·10⁶ stays below
+    * 2⁵³ (supp·N < 9·10⁹ — far above any per-pair basket count here); past
+    * that, both engines round identically (oracle still matches) but the
+    * floor may be off-by-one from true integer arithmetic. */
   def associationRules(spark: SparkSession, dir: String,
                        minSupport: Long = 3L): DataFrame = {
     val l = Tables.lineitem(spark, dir)

@@ -327,7 +327,12 @@ object Relational {
       .withColumn("dev", abs(col("cents") - col("med")))
     val mad = lowerMedian(withMed, "flag", "dev",
       Seq("l_orderkey", "l_linenumber"), "mad")
+    // mad = 0 (≥ half the group at one value) would divide by zero — Spark
+    // silently emits ±Infinity→Long saturation while DuckDB errors; unit
+    // spread for the degenerate group (scikit-learn RobustScaler's rule)
+    // keeps both engines defined and identical
     withMed.join(broadcast(mad), Seq("flag"))
+      .withColumn("mad", greatest(col("mad"), lit(1L)))
       .select(col("l_orderkey"), col("l_linenumber"), col("flag"),
         col("cents"), col("med"), col("mad"),
         floor((col("cents") - col("med")).cast(DoubleType) * 1000000.0 /
@@ -360,9 +365,11 @@ object Relational {
       |    FROM devs)
       |  WHERE rn * 2 >= tot GROUP BY flag
       |)
-      |SELECT d.l_orderkey, d.l_linenumber, d.flag, d.cents, d.med, m2.mad,
+      |SELECT d.l_orderkey, d.l_linenumber, d.flag, d.cents, d.med,
+      |       greatest(m2.mad, 1) AS mad,
       |       CAST(floor(CAST(d.cents - d.med AS DOUBLE) * 1000000.0
-      |                  / CAST(m2.mad AS DOUBLE)) AS BIGINT) AS robust_e6
+      |                  / CAST(greatest(m2.mad, 1) AS DOUBLE)) AS BIGINT)
+      |         AS robust_e6
       |FROM devs d JOIN m2 USING (flag)""".stripMargin
 
   /** Broadcast-join star query — extension: revenue per region/market

@@ -203,12 +203,16 @@ object Sampling {
     val wRem = org.apache.spark.sql.expressions.Window
       .orderBy((lit(total) * col("ns") - col("q0") * col("n")).desc,
         col("source"))
+    // the spill budget (total − Σ q0) comes from an unpartitioned window
+    // over the same |sources|-row frame the remainder ranking already
+    // single-partitions — not from a second counts aggregation, which
+    // would re-scan documents once more per run
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
     val quotas = counts.crossJoin(broadcast(n))
       .withColumn("q0", floor(lit(total) * col("ns") / col("n")).cast(LongType))
       .withColumn("spill_rank", row_number().over(wRem).cast(LongType))
-      .crossJoin(broadcast(counts.crossJoin(n)
-        .agg((lit(total) -
-          sum(floor(lit(total) * col("ns") / col("n")))).as("spill"))))
+      .withColumn("spill", lit(total) - sum(col("q0")).over(wAll))
       .select(col("source"),
         (col("q0") + when(col("spill_rank") <= col("spill"), 1L)
           .otherwise(0L)).as("quota"))

@@ -143,6 +143,8 @@ object SparkEntry {
     "q117_association_rules" -> ((s, dir) => Graph.associationRules(s, dir)),
     "q96_grouping_sets" -> ((s, dir) => Relational.groupingSetsRevenue(s, dir)),
     "q97_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
+    "q118_approx_quantiles" -> ((s, dir) => Sketches.approxQuantiles(s, dir)),
+    "q119_pit_enrich" -> ((s, dir) => Merge.pitEnrichOrders(s, dir)),
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
     "q105_transitions" -> ((s, dir) => Events.transitionMatrix(s, dir)),
@@ -240,7 +242,9 @@ object SparkEntry {
     "q115_triangles" -> Graph.triangleCountsSql,
     "q117_association_rules" -> Graph.associationRulesSql(),
     "q96_grouping_sets" -> Relational.groupingSetsRevenueSql,
-    // q97 CMS estimates are not SQL-expressible → rows-only + spec
+    // q97 CMS / q118 GK-sketch estimates are not SQL-expressible →
+    // rows-only + error-bound specs
+    "q119_pit_enrich" -> Merge.pitEnrichOrdersSql,
     "q98_profile" -> Profiling.profileLineitemSql,
     "q99_anomalies" -> Events.anomaliesSql,
     "q105_transitions" -> Events.transitionMatrixSql,

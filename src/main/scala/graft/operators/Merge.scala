@@ -168,6 +168,46 @@ object Merge {
       |                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM vers""".stripMargin
 
+  /** q119 — point-in-time (PIT) enrichment against the SCD2 dimension: each
+    * order picks up the customer price version IN EFFECT at its own
+    * timestamp (`eff_from ≤ ts < eff_to`, open current version) — the
+    * dimension-time-travel lookup every warehouse join-to-history needs,
+    * and the consumer-side proof that [[scd2History]]'s intervals really
+    * partition time: an inner join yields exactly one version per order.
+    *
+    * Plan: equi-join on custkey + interval post-filter. Version counts per
+    * key are small by construction (change-suppressed), so the fan-out
+    * before the filter is bounded by versions-per-key, not history rows;
+    * at 100 TB the same key partitioning serves both sides, and a
+    * skew-prone key set would route through the as-of operator
+    * ([[graft.plans.AsOfJoin]] on eff_from) instead. */
+  def pitEnrichOrders(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2History(spark, dir)
+    val facts = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        Rfm.epochMs(col("o_orderdate")).as("ts_ms"))
+    facts.join(dim, Seq("custkey"))
+      .filter(col("ts_ms") >= col("eff_from_ms") &&
+        (col("eff_to_ms").isNull || col("ts_ms") < col("eff_to_ms")))
+      .select(col("o_orderkey"), col("custkey"), col("ts_ms"),
+        col("version"), col("price_c"))
+  }
+
+  val pitEnrichOrdersSql: String = {
+    val dim = scd2HistorySql.replace("\n", "\n  ")
+    s"""WITH dim AS (
+       |  $dim
+       |), facts AS (
+       |  SELECT o_orderkey, o_custkey AS custkey,
+       |         epoch_ms(o_orderdate) AS ts_ms
+       |  FROM orders
+       |)
+       |SELECT f.o_orderkey, f.custkey, f.ts_ms, d.version, d.price_c
+       |FROM facts f JOIN dim d ON f.custkey = d.custkey
+       |WHERE f.ts_ms >= d.eff_from_ms
+       |  AND (d.eff_to_ms IS NULL OR f.ts_ms < d.eff_to_ms)""".stripMargin
+  }
+
   /** Generic snapshot diff (CDC changelog derivation): compare two full
     * snapshots of a keyed table and emit one row per CHANGED key —
     * `insert` (key only in `next`), `delete` (key only in `prev`), or

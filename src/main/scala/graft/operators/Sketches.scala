@@ -85,4 +85,34 @@ object Sketches {
       .groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
       .withColumn("est_n", est(col("user_id")))
   }
+
+  /** q118 — mergeable approximate quantiles (Greenwald–Khanna via
+    * `percentile_approx`): per event type, approximate p50/p95/p99 of
+    * `value` at 1/accuracy relative-rank error, beside the EXACT
+    * interpolated quantiles for error accounting. Completes the sketch
+    * family (HLL distincts, CMS counts, Bloom membership — this is the
+    * rank/quantile member): one pass, fixed-size state per group,
+    * partial-aggregable — the shape that works when the exact sort-based
+    * percentile (q17) is too expensive to run corpus-wide at 100 TB.
+    *
+    * The sketch's merged result can depend on partial-merge order, so the
+    * contract query is rows-only; the spec bounds each approximation
+    * against the exact value by the sketch's rank-error guarantee. */
+  def approxQuantiles(spark: SparkSession, dir: String,
+                      accuracy: Int = 1000): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_q"))
+    ev.groupBy(col("event_type"))
+      .agg(expr(s"percentile_approx(value, array(0.5, 0.95, 0.99), $accuracy)")
+        .as("approx_q"))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        round(element_at(col("approx_q"), 1), 6).as("p50"),
+        round(element_at(col("approx_q"), 2), 6).as("p95"),
+        round(element_at(col("approx_q"), 3), 6).as("p99"),
+        round(element_at(col("exact_q"), 1), 6).as("p50_exact"),
+        round(element_at(col("exact_q"), 2), 6).as("p95_exact"),
+        round(element_at(col("exact_q"), 3), 6).as("p99_exact"))
+  }
 }

@@ -149,6 +149,43 @@ class OperatorSpec extends AnyFunSuite {
       r.getDouble(r.fieldIndex("cos")) >= tau - 1e-9))
   }
 
+  test("approx quantiles: within the sketch's rank-error window of exact") {
+    val rows = Sketches.approxQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+    rows.foreach { r =>
+      val vals = ev.filter(col("event_type") === r.getString(0))
+        .select("value").collect().map(_.getDouble(0)).sorted
+      def rankOf(x: Double): Double =
+        vals.count(_ <= x).toDouble / vals.length
+      // GK at accuracy=1000 guarantees 0.001 rank error; allow 0.02 slack
+      Seq(1 -> 0.50, 2 -> 0.95, 3 -> 0.99).foreach { case (i, q) =>
+        val rk = rankOf(r.getDouble(i))
+        assert(math.abs(rk - q) <= 0.02, s"${r.getString(0)} p$q rank $rk")
+      }
+    }
+  }
+
+  test("pit enrichment: exactly one valid version per order, boundary = new") {
+    val out = Merge.pitEnrichOrders(spark, dir)
+    val nOrders = Tables.orders(spark, dir).count()
+    assert(out.count() == nOrders) // intervals partition time: 1 hit each
+    // every matched version really contains the order timestamp
+    val dim = Merge.scd2History(spark, dir)
+    val bad = out.join(dim, Seq("custkey", "version"))
+      .filter(col("ts_ms") < col("eff_from_ms") ||
+        (col("eff_to_ms").isNotNull && col("ts_ms") >= col("eff_to_ms")))
+    assert(bad.isEmpty)
+    // an order ON a version boundary reads the version that starts there
+    // (half-open [from, to)): its ts equals its version's eff_from for the
+    // order that CREATED the version — spot-check via change points
+    val boundary = out.join(
+      dim.select(col("custkey"), col("version"),
+        col("eff_from_ms").as("ts_ms")),
+      Seq("custkey", "version", "ts_ms"), "left_semi")
+    assert(boundary.count() > 0)
+  }
+
   test("association rules: ppm bounds and brute-force agreement") {
     val rules = Graph.associationRules(spark, dir, minSupport = 2L).collect()
     assert(rules.nonEmpty)

@@ -53,6 +53,7 @@ object SparkEntry {
     "q35_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "q108_semantic_dedup" -> ((s, dir) => Dedup.semanticDedup(s, dir)),
     "q111_incremental_dedup" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
+    "q120_novelty" -> ((s, dir) => Dedup.noveltyScore(s, dir)),
     // Text analysis (documents)
     "q40_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q41_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -177,6 +178,7 @@ object SparkEntry {
     "q31_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q35_dedup_clusters" -> Dedup.dedupClustersSql,
     "q111_incremental_dedup" -> Dedup.incrementalDedupSql(),
+    "q120_novelty" -> Dedup.noveltyScoreSql,
     "q40_text_stats" -> TextAnalysis.textStatsSql,
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,

@@ -430,6 +430,50 @@ object Dedup {
         round(max(col("cosine")), 6).as("max_cosine"))
   }
 
+  /** q120 — n-gram novelty score: per document, the fraction (exact ppm)
+    * of its distinct 3-gram shingles that occur in NO other document —
+    * the inverse signal of boilerplate/near-dup: high novelty marks
+    * original content worth keeping, low novelty marks templated or
+    * recycled text. Quality pipelines use it beside [[ngramJaccard]]
+    * (pairwise) as the cheap corpus-wide aggregate view of duplication.
+    *
+    * Plan: the shared session shingle index → gram document frequency
+    * (one hash aggregate on `shingle`, the same key the index is already
+    * exploded on) → per-doc re-aggregation counting df=1 grams. O(grams),
+    * two exchanges, no pairwise anything — this is the operator that
+    * STAYS feasible at 100 TB when pairwise Jaccard needs LSH. */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        floor(col("n_unique") * lit(1000000L) /
+          col("n_shingles")).cast(LongType).as("novelty_ppm"))
+  }
+
+  val noveltyScoreSql: String =
+    """WITH shingled AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2] || ' ' ||
+      |         string_split(text, ' ')[i+3]))) AS shingle
+      |  FROM documents
+      |), freq AS (
+      |  SELECT shingle, count(*) AS df FROM shingled GROUP BY shingle
+      |)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_unique,
+      |       CAST(floor(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+      |                       AS BIGINT) * 1000000
+      |                  / count(*)) AS BIGINT) AS novelty_ppm
+      |FROM shingled JOIN freq USING (shingle)
+      |GROUP BY doc_id""".stripMargin
+
   /** q111 — incremental ingestion dedup: the production flow where a NEW
     * batch (docs whose md5 nibble is 'a' — the same deterministic selector
     * family as [[Sampling]]) lands against an EXISTING corpus, and each new

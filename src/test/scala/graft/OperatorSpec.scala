@@ -149,6 +149,33 @@ class OperatorSpec extends AnyFunSuite {
       r.getDouble(r.fieldIndex("cos")) >= tau - 1e-9))
   }
 
+  test("novelty: range, conservation of unique grams, near-dups score low") {
+    val out = Dedup.noveltyScore(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    // Σ n_unique across docs == number of corpus shingles with df == 1,
+    // recomputed independently from the raw text
+    import spark.implicits._
+    val dfOne = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        // 0-based subscripts: starts 0..size-3 inclusive = size-2 grams
+        "transform(sequence(0, greatest(size(ws) - 3, 0))," +
+          " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))).as("g"))
+      .groupBy(col("g")).agg(countDistinct(col("doc_id")).as("d"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 1).count()
+    assert(out.map(_.getLong(2)).sum == dfOne)
+    // planted near-duplicates (jaccard >= 0.5) cannot be mostly-unique
+    val nd = Dedup.ngramJaccard(spark, dir).select("doc_a").collect()
+      .map(_.getLong(0)).toSet
+    val nov = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    nd.foreach(id => assert(nov(id) < 700000L, s"doc $id"))
+  }
+
   test("approx quantiles: within the sketch's rank-error window of exact") {
     val rows = Sketches.approxQuantiles(spark, dir).collect()
     assert(rows.nonEmpty)

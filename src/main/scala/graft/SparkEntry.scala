@@ -145,6 +145,7 @@ object SparkEntry {
     "q96_grouping_sets" -> ((s, dir) => Relational.groupingSetsRevenue(s, dir)),
     "q97_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
     "q118_approx_quantiles" -> ((s, dir) => Sketches.approxQuantiles(s, dir)),
+    "q121_salted_agg" -> ((s, dir) => Skew.saltedUserAgg(s, dir)),
     "q119_pit_enrich" -> ((s, dir) => Merge.pitEnrichOrders(s, dir)),
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
@@ -247,6 +248,8 @@ object SparkEntry {
     // q97 CMS / q118 GK-sketch estimates are not SQL-expressible →
     // rows-only + error-bound specs
     "q119_pit_enrich" -> Merge.pitEnrichOrdersSql,
+    // the salted two-phase plan must be indistinguishable from plain GROUP BY
+    "q121_salted_agg" -> Skew.saltedUserAggSql,
     "q98_profile" -> Profiling.profileLineitemSql,
     "q99_anomalies" -> Events.anomaliesSql,
     "q105_transitions" -> Events.transitionMatrixSql,

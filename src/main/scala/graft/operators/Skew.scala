@@ -44,4 +44,34 @@ object Skew {
       .groupBy(col("__key"))
       .agg(merge.head, merge.tail: _*)
       .withColumnRenamed("__key", "key")
+
+  /** q121 — the salted two-phase aggregate as an ORACLE-GATED contract
+    * query: per-user event count and exact value sum (long cents) computed
+    * through 8 salt buckets, oracle-compared against the plain one-phase
+    * GROUP BY the salting must be indistinguishable from. This puts the
+    * skew pattern itself — not just its spec — under the driver's
+    * hash-exact gate: the sum rides integer cents, so the partial/merge
+    * split cannot move a bit.
+    *
+    * Scale: this is the groupBy shape AQE cannot fix (it splits skewed
+    * JOIN partitions, not aggregation groups); a heavy-hitter user_id
+    * spreads across 8 sub-groups whose partials merge in a second,
+    * key-count-sized exchange. */
+  def saltedUserAgg(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    saltedAggregate(
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          (org.apache.spark.sql.functions.round(col("value") * 100))
+            .cast("long").as("v_c")),
+      key = col("user_id"), stable = col("event_id"), saltBuckets = 8,
+      partial = Seq(count(lit(1)).as("pn"), sum(col("v_c")).as("ps")),
+      merge = Seq(sum(col("pn")).as("n"), sum(col("ps")).as("v_sum_c")))
+      .withColumnRenamed("key", "user_id")
+
+  val saltedUserAggSql: String =
+    """SELECT user_id, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS v_sum_c
+      |FROM events GROUP BY user_id""".stripMargin
 }

@@ -117,7 +117,9 @@ object PlanAudit {
         "CartesianProduct" -> false),
       // association rules: part-count dims broadcast onto the pair counts
       "q117_association_rules" -> Seq("BroadcastHashJoin" -> true,
-        "CartesianProduct" -> false))
+        "CartesianProduct" -> false),
+      // bfs: every expansion is an equi-join on the node key
+      "q122_bfs_hops" -> Seq("CartesianProduct" -> false))
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -142,6 +142,7 @@ object SparkEntry {
     "q95_pagerank" -> ((s, dir) => Graph.pagerank(s, dir)),
     "q115_triangles" -> ((s, dir) => Graph.triangleCounts(s, dir)),
     "q117_association_rules" -> ((s, dir) => Graph.associationRules(s, dir)),
+    "q122_bfs_hops" -> ((s, dir) => Graph.bfsHops(s, dir)),
     "q96_grouping_sets" -> ((s, dir) => Relational.groupingSetsRevenue(s, dir)),
     "q97_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
     "q118_approx_quantiles" -> ((s, dir) => Sketches.approxQuantiles(s, dir)),
@@ -244,6 +245,7 @@ object SparkEntry {
     "q95_pagerank" -> Graph.pagerankSql,
     "q115_triangles" -> Graph.triangleCountsSql,
     "q117_association_rules" -> Graph.associationRulesSql(),
+    "q122_bfs_hops" -> Graph.bfsHopsSql(),
     "q96_grouping_sets" -> Relational.groupingSetsRevenueSql,
     // q97 CMS / q118 GK-sketch estimates are not SQL-expressible →
     // rows-only + error-bound specs

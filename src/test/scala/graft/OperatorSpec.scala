@@ -213,6 +213,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(boundary.count() > 0)
   }
 
+  test("bfs hops: seeds at zero, every level-h node has a level-(h-1) edge") {
+    val dist = Graph.bfsHops(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.nonEmpty && dist.values.forall(d => d >= 0 && d <= 3))
+    dist.foreach { case (n, d) => if (n % 100 == 0) assert(d == 0L) }
+    // parent property: a node at distance h has a neighbor at h-1
+    val edges: Set[(Long, Long)] = Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey ok", "l_partkey pk").distinct().collect()
+      .groupBy(_.getLong(0)).values.toSeq.flatMap { rs =>
+        val ps = rs.map(_.getLong(1)).toSeq
+        ps.flatMap(a => ps.collect { case b if a < b => (a, b) })
+      }.toSet
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    dist.foreach { case (n, d) =>
+      if (d > 0) assert(nbrs(n).exists(m => dist.get(m).contains(d - 1)), s"$n")
+    }
+  }
+
   test("association rules: ppm bounds and brute-force agreement") {
     val rules = Graph.associationRules(spark, dir, minSupport = 2L).collect()
     assert(rules.nonEmpty)

@@ -58,4 +58,63 @@ object Profiling {
        |       CAST(max($c) AS VARCHAR) AS max_s
        |FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
+
+  /** Benford's-law expected first-digit frequencies, log10(1+1/d), as
+    * exact ppm literals — constants, so no transcendental runs in either
+    * engine. */
+  private val BenfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L,
+      45757L)
+
+  /** q123 — Benford first-digit screen over order totals (the standard
+    * numeric-forgery / data-corruption tripwire in data-quality suites):
+    * per leading digit of the price in cents, the observed count, observed
+    * share in exact ppm, the Benford expectation, and the absolute
+    * deviation. A synthetic-uniform or fat-fingered column jumps out as a
+    * large dev_ppm; the screen itself is one narrow map + a 9-row
+    * aggregate, scan-speed at any size.
+    *
+    * The leading digit comes from the STRING of the exact long cents —
+    * integer-to-string is engine-stable where double formatting is not. */
+  def benfordScreen(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Rfm.cents(col("o_totalprice"))
+    // reduceRight: otherwise() only applies to a when()-column, so the
+    // chain must nest to the right
+    val expected = BenfordPpm.zipWithIndex
+      .map { case (p, i) => when(col("digit") === (i + 1).toLong, lit(p)) }
+      .reduceRight((w, rest) => w.otherwise(rest))
+    Tables.orders(spark, dir)
+      .filter(cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .select(col("digit"), col("n"),
+        floor(col("n") * lit(1000000L) / col("total")).cast("long")
+          .as("obs_ppm"),
+        expected.as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+  }
+
+  val benfordScreenSql: String = {
+    val cases = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN digit = ${i + 1} THEN $p" }
+      .mkString(" ")
+    s"""WITH digits AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders
+       |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+       |), counts AS (
+       |  SELECT digit, count(*) AS n FROM digits GROUP BY digit
+       |)
+       |SELECT digit, n,
+       |       CAST(floor(n * 1000000 / (SELECT sum(n) FROM counts))
+       |            AS BIGINT) AS obs_ppm,
+       |       CAST(CASE $cases END AS BIGINT) AS benford_ppm,
+       |       abs(CAST(floor(n * 1000000 / (SELECT sum(n) FROM counts))
+       |                AS BIGINT) - CAST(CASE $cases END AS BIGINT))
+       |         AS dev_ppm
+       |FROM counts""".stripMargin
+  }
 }

@@ -213,6 +213,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(boundary.count() > 0)
   }
 
+  test("benford screen: digit cover, ppm budgets, uniform data flagged") {
+    val rows = Profiling.benfordScreen(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.keySet == (1L to 9L).toSet)
+    // the Benford constants are a partition of 1e6 exactly; observed ppm
+    // floors may undershoot by at most 8 in total
+    assert(rows.values.map(_._3).sum == 1000000L)
+    val obsSum = rows.values.map(_._2).sum
+    assert(obsSum > 1000000L - 9 && obsSum <= 1000000L)
+    rows.values.foreach { case (_, obs, ben, dev) =>
+      assert(dev == math.abs(obs - ben))
+    }
+    // the synthetic uniform-ish prices are NOT Benford — the screen must
+    // actually flag them (that is its job on corrupted/generated columns)
+    assert(rows.values.map(_._4).max > 50000L)
+  }
+
   test("bfs hops: seeds at zero, every level-h node has a level-(h-1) edge") {
     val dist = Graph.bfsHops(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

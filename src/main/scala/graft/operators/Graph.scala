@@ -150,6 +150,7 @@ object Graph {
     * state. The same unrolled-iteration discipline as q95 — and like q95
     * the edge list is the session-cached artifact. */
   def bfsHops(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     // undirected edges cached PRE-PARTITIONED on src: every round joins on
     // src, and the frontier side arrives hash-partitioned on the same key
     // from its groupBy — so no round re-shuffles the edge list (the
@@ -178,6 +179,9 @@ object Graph {
   }
 
   def bfsHopsSql(maxHops: Int = 3): String = {
+    // maxHops = 0 would render a dangling comma after d0 (invalid SQL)
+    // while the Spark side returns a valid seeds-only frame
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val rounds = (1 to maxHops).map { h =>
       s"""d$h AS (
          |  SELECT node, min(d) AS d FROM (

@@ -99,14 +99,14 @@ object Sketches {
     * contract query is rows-only; the spec bounds each approximation
     * against the exact value by the sketch's rank-error guarantee. */
   def approxQuantiles(spark: SparkSession, dir: String,
-                      accuracy: Int = 1000): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val exact = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_q"))
-    ev.groupBy(col("event_type"))
+                      accuracy: Int = 1000): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      // both aggregates in ONE pass: neither is distinct-based, so they
+      // share the hash aggregate — one scan, one exchange, no join
       .agg(expr(s"percentile_approx(value, array(0.5, 0.95, 0.99), $accuracy)")
-        .as("approx_q"))
-      .join(exact, Seq("event_type"))
+        .as("approx_q"),
+        expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_q"))
       .select(col("event_type"),
         round(element_at(col("approx_q"), 1), 6).as("p50"),
         round(element_at(col("approx_q"), 2), 6).as("p95"),
@@ -114,5 +114,4 @@ object Sketches {
         round(element_at(col("exact_q"), 1), 6).as("p50_exact"),
         round(element_at(col("exact_q"), 2), 6).as("p95_exact"),
         round(element_at(col("exact_q"), 3), 6).as("p99_exact"))
-  }
 }

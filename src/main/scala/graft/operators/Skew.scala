@@ -62,8 +62,7 @@ object Skew {
     saltedAggregate(
       graft.Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"),
-          (org.apache.spark.sql.functions.round(col("value") * 100))
-            .cast("long").as("v_c")),
+          Rfm.cents(col("value")).as("v_c")),
       key = col("user_id"), stable = col("event_id"), saltBuckets = 8,
       partial = Seq(count(lit(1)).as("pn"), sum(col("v_c")).as("ps")),
       merge = Seq(sum(col("pn")).as("n"), sum(col("ps")).as("v_sum_c")))

@@ -161,12 +161,14 @@ class OperatorSpec extends AnyFunSuite {
     import spark.implicits._
     val dfOne = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // match gramCol's short-doc guard: < 3 words → no shingles (without
+      // it, concat_ws would fabricate a 1-2 word "gram" from nulls)
+      .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         // 0-based subscripts: starts 0..size-3 inclusive = size-2 grams
-        "transform(sequence(0, greatest(size(ws) - 3, 0))," +
+        "transform(sequence(0, size(ws) - 3)," +
           " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))).as("g"))
-      .groupBy(col("g")).agg(countDistinct(col("doc_id")).as("d"),
-        count(lit(1)).as("n"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
       .filter(col("n") === 1).count()
     assert(out.map(_.getLong(2)).sum == dfOne)
     // planted near-duplicates (jaccard >= 0.5) cannot be mostly-unique

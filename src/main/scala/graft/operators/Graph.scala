@@ -96,21 +96,150 @@ object Graph {
        |SELECT node, r AS rank_e12 FROM it3""".stripMargin
   }
 
-  /** Distinct ordered co-purchase edges (u < v): two parts are connected
-    * when some order contains both. Session-cached like [[edges]] — the
-    * triangle join references it three times. */
-  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.CacheRegistry.cached(spark, s"copurchase-edges:$dir") {
+  /** Convergence-driven PageRank — the production loop shape next to the
+    * fixed-unroll contract query ([[pagerank]]): the SAME integer update
+    * chain, iterated until the largest per-node rank movement drops to
+    * `tolE12` fixed-point units (or `maxIters`, the runaway guard), with
+    * a `localCheckpoint` lineage cut per round — the
+    * [[graft.operators.Dedup]] connected-components discipline; without
+    * the cut each round's plan embeds the previous round's and planning
+    * cost compounds. A convergence loop necessarily takes one driver-side
+    * decision (a scalar max-delta) per round — that is the loop control,
+    * not a data collect; the rank table itself never leaves executors.
+    *
+    * Returns (ranks, iterations-run). Because the update chain is
+    * bit-identical, the result after k rounds equals [[pagerank]] with
+    * `iters = k` exactly — GraphSpec pins this. */
+  def pagerankConverged(spark: SparkSession, dir: String,
+                        tolE12: Long = 1000000L,
+                        maxIters: Int = 20): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(tolE12 >= 0, s"tolE12 must be >= 0, got $tolE12")
+    val e = edges(spark, dir)
+    val deg = graft.CacheRegistry.cached(spark, s"graph-deg:$dir")(
+      e.groupBy(col("src")).agg(count(lit(1)).as("d")))
+    var ranks = deg.select(col("src").as("node"), lit(R0).as("r"))
+      .localCheckpoint(true)
+    var it = 0
+    var delta = Long.MaxValue
+    // do-while shape: the first round always runs (delta is only defined
+    // once two consecutive rank vectors exist)
+    while (it < maxIters && (it == 0 || delta > tolE12)) {
+      val next = e.join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(Teleport) + expr("(s * 85) div 100")).as("r"))
+        .localCheckpoint(true)
+      // undirected graph: every node has in- and out-edges, so the node
+      // sets match and an inner join sees every node
+      val d = next.toDF("node", "r2").join(ranks, "node")
+        .agg(max(abs(col("r2") - col("r")))).head()
+      delta = if (d.isNullAt(0)) 0L else d.getLong(0)
+      ranks = next
+      it += 1
+    }
+    (ranks.select(col("node"), col("r").as("rank_e12")), it)
+  }
+
+  /** Distinct (order, part) basket rows, optionally capped at `maxBasket`
+    * parts per order. The per-order pair build downstream is quadratic in
+    * basket size — bounded (≤7) on TPC-H-shaped data but quadratic on a
+    * 10k-item hot basket — so production runs set a cap; the contract
+    * queries run uncapped so the DuckDB oracle stays exact (same
+    * documented pattern as the q31 `maxDf` stop-shingle cap). The cap
+    * keeps the `maxBasket` smallest partkeys per order: deterministic,
+    * and a windowed rank over the order key — one shuffle, no skew (the
+    * window key IS the hot key being bounded, and each order's group is
+    * streamed, not materialized). */
+  private[graft] def cappedBaskets(l: DataFrame, maxBasket: Int): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    if (maxBasket == Int.MaxValue) l
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ok")).orderBy(col("pk"))
+      l.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxBasket).drop("rn")
+    }
+  }
+
+  /** Distinct ordered co-purchase edges (u < v by id): two parts are
+    * connected when some order contains both. Session-cached like
+    * [[edges]] — the triangle join references it three times. */
+  private[graft] def copurchaseEdges(spark: SparkSession, dir: String,
+                                     maxBasket: Int = Int.MaxValue): DataFrame =
+    graft.CacheRegistry.cached(spark, s"copurchase-edges:$dir:$maxBasket") {
       // pre-dedup (order, part): d duplicate lines per pair would emit d²
       // join copies the trailing distinct then has to collapse
       val l = Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      l.toDF("ok", "u").join(l.toDF("ok", "v"), Seq("ok"))
-        .filter(col("u") < col("v"))
-        .select(col("u"), col("v"))
-        .distinct()
+      copurchasePairs(cappedBaskets(l, maxBasket))
     }
+
+  /** The per-order pair build from a distinct (ok, pk) basket table:
+    * self-join per order, id-ordered (u < v), distinct across orders. */
+  private[graft] def copurchasePairs(l: DataFrame): DataFrame =
+    l.toDF("ok", "u").join(l.toDF("ok", "v"), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
+      .distinct()
+
+  /** Degree-orientation of an undirected edge list: each edge {a,b}
+    * directed from the endpoint with the smaller (degree, id) key to the
+    * larger, carrying the dst endpoint's (degree, id) so the wedge join
+    * can order out-neighborhoods without re-joining degrees.
+    *
+    * Why: wedges are enumerated per node over its OUT-neighborhood, so
+    * per-node fan-out is C(outdeg, 2). Under (degree, id) orientation a
+    * hub's edges all point INTO it (every neighbor has smaller degree),
+    * so outdeg is bounded by O(√m) and total wedge volume by O(m^1.5) —
+    * the arboricity bound — even on power-law graphs where id-orientation
+    * would make one hub emit O(d²) wedge rows. Degrees are computed from
+    * the edge list itself (one aggregate over both endpoints), then
+    * joined onto each edge — two shuffles total, amortized by the cache. */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val srcFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e.join(deg.toDF("u", "du"), "u")
+      .join(deg.toDF("v", "dv"), "v")
+      .select(
+        when(srcFirst, col("u")).otherwise(col("v")).as("src"),
+        when(srcFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(srcFirst, col("dv")).otherwise(col("du")).as("dd"))
+  }
+
+  /** Degree-oriented wedge candidates (a, b, c) with b ≺ c in the
+    * (degree, id) order: for each node a, all ordered pairs of its
+    * out-neighbors. Every triangle a ≺ b ≺ c is generated exactly once,
+    * as the wedge at its minimum corner. */
+  private[graft] def orientedWedges(oriented: DataFrame): DataFrame =
+    oriented.select(col("src").as("a"), col("dst").as("b"), col("dd").as("db"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("c"),
+        col("dd").as("dc")), Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+
+  /** Triangle participation per node over an undirected (u < v by id)
+    * edge list — the degree-oriented wedge algorithm shared by the spec
+    * harness and [[triangleCounts]]. */
+  private[graft] def triangleCountsFromEdges(e: DataFrame): DataFrame =
+    triangleCountsFromOriented(orientByDegree(e))
+
+  private def triangleCountsFromOriented(oriented: DataFrame): DataFrame = {
+    // closing edge b—c with b ≺ c: if present it is oriented b→c, so one
+    // equi-join on both endpoints confirms the triangle
+    val tri = orientedWedges(oriented)
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 
   /** q115 — triangle participation per part over the co-purchase graph:
     * for every part, the number of part-triangles it closes (the local
@@ -118,24 +247,23 @@ object Graph {
     * neighborhoods are themselves co-purchased", the basket-affinity
     * signal).
     *
-    * Shape: edges are oriented by id (u < v), so the wedge join
-    * e1(u,v) ⋈ e2(v,w) enumerates each candidate u<v<w once and the
-    * closing join against e3(u,w) confirms it — three shuffles on edge
-    * keys, each triangle counted exactly once, then a corner-explode
-    * re-aggregation. At production scale the orientation should be by
-    * DEGREE (low→high), which bounds wedge fan-out by O(m^1.5) even with
-    * power-law hubs; id-orientation keeps the oracle trivially mirrorable
-    * and is exact regardless. The per-order pair build is bounded by
-    * lines-per-order², the natural basket size. */
-  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val e = copurchaseEdges(spark, dir)
-    val tri = e.toDF("u", "v")
-      .join(e.toDF("v", "w"), Seq("v"))
-      .join(e.toDF("u", "w"), Seq("u", "w"))
-    tri.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
-      .groupBy(col("part"))
-      .agg(count(lit(1)).as("n_triangles"))
-  }
+    * Shape: edges are oriented by (DEGREE, id), low→high, so the wedge
+    * join enumerates each candidate triangle once at its minimum-degree
+    * corner and the closing join confirms it — three shuffles on edge
+    * keys, per-node wedge fan-out bounded by O(√m) out-degree even with
+    * power-law hubs (see [[orientByDegree]]; GraphSpec plants a hub and
+    * pins the bound). The result is orientation-invariant, so the oracle
+    * mirrors the simpler id-oriented enumeration. The per-order pair
+    * build is bounded by lines-per-order² — the natural basket size here;
+    * hot-basket data sets [[cappedBaskets]]' `maxBasket`.
+    *
+    * The ORIENTED edge list is the session-cached artifact (not just the
+    * undirected one): the wedge join references it three times, and an
+    * uncached orientation would recompute its degree join per reference. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsFromOriented(
+      graft.CacheRegistry.cached(spark, s"copurchase-oriented:$dir")(
+        orientByDegree(copurchaseEdges(spark, dir))))
 
   /** q122 — bounded-hop BFS over the co-purchase graph: shortest hop count
     * (≤ `maxHops`) from the seed set (parts with partkey % 100 == 0) to
@@ -218,11 +346,11 @@ object Graph {
     * Plan: the pair build is per-order (bounded by basket²), the
     * per-part order counts are a broadcast dimension, and the ppm math is
     * a narrow projection — one shuffle for pair counts, one for part
-    * counts. Exactness bound: the engines divide as doubles, so ppm values
-    * are exact-floor only while the lift numerator supp·N·10⁶ stays below
-    * 2⁵³ (supp·N < 9·10⁹ — far above any per-pair basket count here); past
-    * that, both engines round identically (oracle still matches) but the
-    * floor may be off-by-one from true integer arithmetic. */
+    * counts. Exactness: every ppm is an INTEGER floor-division — the
+    * confidences on longs (supp·10⁶ < 2⁶³ at any real scale), the lift
+    * through DECIMAL(38,0) so supp·N·10⁶ cannot overflow even at 10⁹
+    * orders — and the oracle mirrors with DuckDB `//` on HUGEINT, so
+    * both sides are exact-floor at every scale, no double rounding. */
   def associationRules(spark: SparkSession, dir: String,
                        minSupport: Long = 3L): DataFrame = {
     val l = Tables.lineitem(spark, dir)
@@ -239,12 +367,10 @@ object Graph {
       .join(broadcast(orderCount.toDF("v", "nv")), Seq("v"))
       .crossJoin(broadcast(nOrders))
       .select(col("u"), col("v"), col("supp"),
-        floor(col("supp") * lit(1000000L) / col("nu")).cast(LongType)
-          .as("conf_uv_ppm"),
-        floor(col("supp") * lit(1000000L) / col("nv")).cast(LongType)
-          .as("conf_vu_ppm"),
-        floor(col("supp") * col("n_orders") * lit(1000000L) /
-          (col("nu") * col("nv"))).cast(LongType).as("lift_ppm"))
+        expr("(supp * 1000000L) div nu").as("conf_uv_ppm"),
+        expr("(supp * 1000000L) div nv").as("conf_vu_ppm"),
+        expr("""(CAST(supp AS DECIMAL(38,0)) * n_orders * 1000000)
+                div (CAST(nu AS DECIMAL(38,0)) * nv)""").as("lift_ppm"))
   }
 
   def associationRulesSql(minSupport: Long = 3L): String =
@@ -259,10 +385,10 @@ object Graph {
        |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
        |)
        |SELECT u, v, supp,
-       |       CAST(floor(supp * 1000000 / nu.n) AS BIGINT) AS conf_uv_ppm,
-       |       CAST(floor(supp * 1000000 / nv.n) AS BIGINT) AS conf_vu_ppm,
-       |       CAST(floor(supp * n_orders * 1000000 / (nu.n * nv.n)) AS BIGINT)
-       |         AS lift_ppm
+       |       supp * 1000000 // nu.n AS conf_uv_ppm,
+       |       supp * 1000000 // nv.n AS conf_vu_ppm,
+       |       CAST(CAST(supp AS HUGEINT) * n_orders * 1000000
+       |            // (CAST(nu.n AS HUGEINT) * nv.n) AS BIGINT) AS lift_ppm
        |FROM pairs
        |JOIN oc nu ON pairs.u = nu.pk
        |JOIN oc nv ON pairs.v = nv.pk, tot""".stripMargin

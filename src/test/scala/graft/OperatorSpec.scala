@@ -313,6 +313,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(clique == Map(101L -> 3L, 102L -> 3L, 103L -> 3L, 104L -> 3L))
   }
 
+  test("degree orientation: hub wedge fan-out stays near-linear") {
+    import spark.implicits._
+    // hub 0 ↔ spokes 1..200 plus a spoke ring — the power-law shape that
+    // kills id-orientation: with hub id 0, id-oriented wedges at the hub
+    // alone are C(200,2) = 19900. Degree orientation points every
+    // hub edge INTO the hub (spoke degree 3 ≪ hub degree 200), so hub
+    // out-degree is 0 and total wedge volume is bounded by the spokes'
+    // C(≤3,2) each — near-linear in the edge count.
+    val spokes = (1L to 200L)
+    val hubEdges = spokes.map(s => (0L, s))
+    val ring = (1L until 200L).map(i => (i, i + 1)) :+ (1L, 200L)
+    val e = (hubEdges ++ ring).toDF("u", "v")
+    val nEdges = e.count()
+    val wedges = Graph.orientedWedges(Graph.orientByDegree(e))
+    assert(wedges.count() <= 3 * nEdges,
+      s"wedge volume ${wedges.count()} not near-linear in $nEdges edges")
+    // and the counts are still exact: one triangle {0, i, i+1} per ring
+    // edge → hub participates in all 200, each spoke in exactly 2
+    val tri = Graph.triangleCountsFromEdges(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri(0L) == 200L)
+    spokes.foreach(s => assert(tri(s) == 2L, s"spoke $s"))
+  }
+
+  test("hot-basket cap bounds the co-purchase pair build") {
+    import spark.implicits._
+    // one 300-part order: uncapped pair build is C(300,2) = 44850 rows;
+    // capped at 20 it is C(20,2) = 190, keeping the 20 smallest partkeys
+    // (deterministic). A second small order must pass through untouched.
+    val l = ((1L to 300L).map(p => (1L, p)) ++ Seq((2L, 1000L), (2L, 1001L)))
+      .toDF("ok", "pk")
+    assert(Graph.copurchasePairs(l).count() == 44850 + 1)
+    val capped = Graph.copurchasePairs(Graph.cappedBaskets(l, 20))
+    assert(capped.count() == 190 + 1)
+    val kept = capped.select("u").union(capped.select("v"))
+      .distinct().as[Long].collect().toSet
+    assert(kept == ((1L to 20L).toSet ++ Set(1000L, 1001L)))
+    intercept[IllegalArgumentException](Graph.cappedBaskets(l, 1))
+  }
+
+  test("convergence pagerank equals the unrolled form at its iteration count") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // guard exit: tol 0 never converges, so the loop runs exactly maxIters
+    // rounds and must equal the unrolled contract form bit-for-bit
+    val (g, kg) = Graph.pagerankConverged(spark, dir, tolE12 = 0L, maxIters = 3)
+    assert(kg == 3)
+    assert(asMap(g) == asMap(Graph.pagerank(spark, dir, iters = 3)))
+    // tolerance exit: an infinite tol accepts the first round's delta, so
+    // the loop stops at k = 1 — the convergence test, not the guard, ended it
+    val (c, kc) = Graph.pagerankConverged(spark, dir,
+      tolE12 = Long.MaxValue, maxIters = 12)
+    assert(kc == 1)
+    assert(asMap(c) == asMap(Graph.pagerank(spark, dir, iters = 1)))
+    // observed one-round movement at k=1 really is ≤ the tol that stopped a
+    // mid-tol run: derive a tol from data, re-run, and pin the exit round
+    val r1 = asMap(Graph.pagerank(spark, dir, iters = 1))
+    val r2 = asMap(Graph.pagerank(spark, dir, iters = 2))
+    val d12 = r1.map { case (n, r) => math.abs(r2(n) - r) }.max
+    val (m, km) = Graph.pagerankConverged(spark, dir,
+      tolE12 = d12, maxIters = 12)
+    // delta after round 2 is measured against round 1 → stops at k = 2
+    assert(km == 2, s"expected the derived tol to stop round 2, ran $km")
+    assert(asMap(m) == r2)
+  }
+
   test("session paths: trigram shape and conservation vs sessionization") {
     val paths = Events.sessionPaths(spark, dir).collect()
     assert(paths.nonEmpty)

@@ -109,20 +109,31 @@ object Events {
       |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg
       |FROM events""".stripMargin
 
-  /** As-of join — the canonical operator Spark lacks natively (SURVEY §2.6
-    * lists every join family as absent in the reference; DuckDB ships ASOF
-    * JOIN, which is the oracle here). For every `click` event: the same
-    * user's most recent `purchase` at-or-before the click.
-    *
-    * Composed from built-ins (preference (a) of the custom-operator ladder —
-    * the semantics fit, so no custom SparkPlan is warranted): tag both
-    * streams, union, then one window pass per user ordered by
-    * (time, purchases-first) carries the last purchase forward via
-    * `last(_, ignoreNulls)`. One shuffle on user_id, in-partition sort —
-    * the same cost profile a dedicated as-of SparkPlan would have.
-    * Purchases are pre-deduplicated per (user, ms) with max(event_id) so
-    * ties are deterministic on both engines. */
-  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+  /** q65 — as-of join, the canonical operator Spark lacks natively
+    * (SURVEY §2.6; DuckDB ships ASOF JOIN, the oracle here). For every
+    * `click` event: the same user's most recent `purchase` at-or-before
+    * the click. Routed through the custom [[graft.plans.AsOfJoinExec]]
+    * ([[asofLastPurchaseNative]]) — the exec strictly dominates the
+    * composed union+window form: each side shuffles once on its own key,
+    * rows never widen with cross-side null columns, and the right stream
+    * does not pay the left's sort volume (see the AsOfJoinPlan scaladoc).
+    * The composed form is kept as [[asofLastPurchaseComposed]], pinned
+    * equal to this one in PlansSpec — both stay hash-exact vs the DuckDB
+    * `ASOF LEFT JOIN` oracle. */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame =
+    asofLastPurchaseNative(spark, dir)
+
+  /** The union+window composition of the same as-of semantics (preference
+    * rung (a) of the custom-operator ladder): tag both streams, union,
+    * one window pass per user ordered by (time, purchases-first) carrying
+    * the last purchase forward via `last(_, ignoreNulls)`. One shuffle on
+    * user_id — same asymptotics as the exec, but every right row travels
+    * through the left-width sort, which is why the native exec is the
+    * default path. Kept as the compositional cross-check (PlansSpec pins
+    * it equal to [[asofLastPurchaseNative]]). Purchases are
+    * pre-deduplicated per (user, ms) with max(event_id) so ties are
+    * deterministic on both engines. */
+  def asofLastPurchaseComposed(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), Rfm.epochMs(col("ts")).as("t"),
         col("event_id"), col("event_type"))

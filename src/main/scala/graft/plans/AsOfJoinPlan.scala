@@ -162,6 +162,15 @@ object AsOfJoinPlan {
         case other => throw new IllegalArgumentException(
           s"$name did not resolve to an attribute: $other")
       }
+    // shared attribute exprIds (same DataFrame on both sides, or un-aliased
+    // projections of one plan) would duplicate attributes in the output and
+    // UnsafeProjection would silently bind right columns to the left
+    // occurrence — wrong values, no error. Fail loudly instead.
+    val shared = left.queryExecution.analyzed.outputSet
+      .intersect(right.queryExecution.analyzed.outputSet)
+    require(shared.isEmpty,
+      s"as-of join sides share attributes ${shared.toSeq.map(_.name).mkString(", ")} — " +
+        "alias the right side (toDF/select ... as) before joining")
     GraftColumnBridge.ofRows(spark, AsOfJoin(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       attr(left, leftKey), attr(left, leftTime),

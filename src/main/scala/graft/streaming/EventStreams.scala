@@ -422,6 +422,15 @@ object EventStreams {
     * state is kilobytes. The session default is restored afterwards; at
     * production scale this knob belongs to the cluster conf (state
     * partitioning is fixed at first checkpoint), not the operator. */
+  /** Data micro-batch count (numInputRows > 0) of the thread's last
+    * [[runToBatch]] drive — spec instrumentation for the fixed-cost claim:
+    * the whole finite file source processes in ONE data batch regardless
+    * of row count, so wall-clock differences between runs of the same
+    * streaming query are engine fixed overhead (query start, state-store
+    * setup, micro-batch planning), not per-row cost. */
+  private val lastBatchesHolder = new ThreadLocal[Int]
+  private[graft] def lastRunDataBatches: Int = lastBatchesHolder.get()
+
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
                  mode: OutputMode = OutputMode.Append,
                  shufflePartitions: Option[Int] = None): DataFrame = {
@@ -434,7 +443,10 @@ object EventStreams {
         .format("memory")
         .queryName(name)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        lastBatchesHolder.set(q.recentProgress.count(_.numInputRows > 0))
+      } finally q.stop()
     } finally spark.conf.set(key, prior)
     spark.table(name)
   }

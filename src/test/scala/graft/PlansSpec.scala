@@ -89,12 +89,25 @@ class PlansSpec extends AnyFunSuite {
     // exchange + sort
     assert(plan.contains("AsOfJoin") && plan.contains("Sort "))
     assert(!plan.contains("Window"))
-    val composed = graft.operators.Events.asofLastPurchase(spark, dir)
+    // q65's default path routes through the same native exec
+    assert(graft.operators.Events.asofLastPurchase(spark, dir)
+      .queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val composed = graft.operators.Events.asofLastPurchaseComposed(spark, dir)
     assert(native.exceptAll(composed).isEmpty &&
       composed.exceptAll(native).isEmpty)
     // no-match clicks (users with no prior purchase) survive with nulls
     assert(native.filter(col("purchase_id").isNull).count() ==
       composed.filter(col("purchase_id").isNull).count())
+  }
+
+  test("as-of join rejects sides sharing attribute exprIds") {
+    // the same plan on both sides: outputs alias each other, and binding
+    // would silently read left values for right columns — must fail loudly
+    val df = spark.range(4).selectExpr("id as k", "id * 10 as t")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan.asofJoin(spark, df, df, "k", "t", "k", "t")
+    }
+    assert(e.getMessage.contains("alias the right side"))
   }
 
   test("as-of join handles empty right side and all-null padding") {

@@ -179,14 +179,19 @@ object SparkEntry {
     "q26_csv_rfm" -> Retail.csvRfmSql,
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q34_dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "q35_dedup_clusters" -> Dedup.dedupClustersSql,
     "q111_incremental_dedup" -> Dedup.incrementalDedupSql(),
     "q120_novelty" -> Dedup.noveltyScoreSql,
     "q40_text_stats" -> TextAnalysis.textStatsSql,
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q44_rolling_hash" -> TextAnalysis.fingerprintRollingSql,
     "q45_corpus_prep" -> CorpusPrep.corpusPrepSql,
+    "q50_ann_bruteforce" -> SimilaritySearch.bruteForceTopKSql(),
+    "q51_ann_signlsh" -> SimilaritySearch.signLshTopKSql(),
     "q53_embedding_stats" -> SimilaritySearch.embeddingStatsSql,
+    "q54_ann_topk_agg" -> SimilaritySearch.bruteForceTopKSql(),
     "q58_quantize_int8" -> SimilaritySearch.quantizeInt8Sql,
     "q17_percentiles" -> Relational.percentilesSql,
     "q18_rollup" -> Relational.rollupRevenueSql,

@@ -368,7 +368,9 @@ object Dedup {
     * The default threshold is calibrated to the testdata (its max
     * inter-vector cosine is ≈0.37 — no planted embedding near-dups), so the
     * operator demonstrably returns confirmed pairs; production callers pass
-    * their own threshold. Not SQL-expressible portably → rows-only check. */
+    * their own threshold. Oracle-checked since round 4: the hyperplanes
+    * are seed-fixed literals, so [[embeddingNearDupSql]] reproduces the
+    * banding, the sign keys, and the exact-cosine confirm bit-for-bit. */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double = 0.3): DataFrame = {
     val emb = SimilaritySearch.normalized(spark, dir)
@@ -391,6 +393,38 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .distinct()
+  }
+
+  /** Oracle for [[embeddingNearDup]]: plane literals + the same 0-seeded
+    * sequential folds (see [[SimilaritySearch.bruteForceTopKSql]] for why
+    * the doubles are bit-identical). Pairs deduplicate before the cosine
+    * confirm (a pair colliding in two bands is one candidate); the Spark
+    * side deduplicates after — same final set, cosine is a function of
+    * the pair. */
+  def embeddingNearDupSql(threshold: Double = 0.3): String = {
+    val planes = SimilaritySearch.hyperplanes(16, 64)
+    val bandKeys = (0 until 4).map { band =>
+      SimilaritySearch.signKeySql("u", planes.slice(band * 4, band * 4 + 4))
+    }
+    val bandCase = bandKeys.zipWithIndex
+      .map { case (k, b) => s"WHEN $b THEN $k" }
+      .mkString("CASE b.band ", " ", " END")
+    s"""WITH ${SimilaritySearch.unitVectorsSql}, banded AS (
+       |  SELECT vec_id, u, b.band AS band, $bandCase AS key
+       |  FROM un, (SELECT unnest(range(4)) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key
+       |  WHERE a.vec_id < c.vec_id
+       |), confirmed AS (
+       |  SELECT p.vec_a, p.vec_b,
+       |         ${SimilaritySearch.dotColsSql("x.u", "y.u")} AS cos_raw
+       |  FROM cand p
+       |  JOIN un x ON p.vec_a = x.vec_id
+       |  JOIN un y ON p.vec_b = y.vec_id
+       |)
+       |SELECT vec_a, vec_b, round(cos_raw, 6) AS cosine
+       |FROM confirmed WHERE cos_raw >= $threshold""".stripMargin
   }
 
   /** q108 — SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic

@@ -94,6 +94,33 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
   }
 
+  /** Oracle for [[bruteForceTopK]] AND [[bruteForceTopKAgg]] (same rows by
+    * construction — the aggregator path is additionally spec-pinned to the
+    * window path): the identical float→double cast, 0-seeded left-to-right
+    * norm and dot folds (`list_reduce` seeds with the first element, equal
+    * to a 0.0 seed bit-for-bit), the same (cosine DESC, vec_id) tiebreak,
+    * and the same 6-dp round. Doubles hash-match because both engines run
+    * the SAME operations in the SAME order — the custom codegen
+    * expressions ([[graft.functions.VectorExprs]]) are plain sequential
+    * loops, deliberately not reassociated/vectorized. */
+  def bruteForceTopKSql(nQueries: Int = 5, k: Int = 10): String =
+    s"""WITH $unitVectorsSql, q AS (
+       |  SELECT vec_id AS query_id, u AS qu FROM un ORDER BY vec_id LIMIT $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         ${dotColsSql("e.u", "q.qu")} AS cos_raw
+       |  FROM un e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       |       CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $k""".stripMargin
+
   /** [[bruteForceTopK]] with the ranking done by the [[graft.functions.TopKAgg]]
     * typed aggregator instead of a window: candidates shrink to k rows per
     * query MAP-SIDE before the exchange (partial aggregation), instead of
@@ -141,6 +168,81 @@ object SimilaritySearch {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
+  }
+
+  /** Oracle for [[signLshTopK]]: the hyperplanes are SEED-FIXED MODEL
+    * CONSTANTS, so the SQL embeds them as literal double lists —
+    * `Double.toString` is the shortest round-trip representation, so
+    * DuckDB parses back the bit-identical double, and the sign test,
+    * bucket key, bucket join, and ranking all reproduce exactly (same
+    * 0-seeded left-to-right folds as [[bruteForceTopKSql]]). This turns
+    * the LSH operator's actual (approximate-recall) OUTPUT into an
+    * oracle-checked contract — the approximation is in the algorithm, not
+    * in any engine nondeterminism. */
+  /** The sequential-fold dot product against a LITERAL plane, as DuckDB
+    * SQL — `Double.toString` round-trips bit-exactly through the parser. */
+  private[operators] def dotLitSql(uCol: String, p: Array[Double]): String = {
+    val lits = p.map(_.toString).mkString("[", ", ", "]")
+    s"""list_reduce(list_transform(range(1, len($uCol) + 1),
+       |              i -> $uCol[i] * ($lits)[i]),
+       |            (x, y) -> x + y)""".stripMargin
+  }
+
+  /** The sequential-fold dot product of two list columns, as DuckDB SQL. */
+  private[operators] def dotColsSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |              i -> $a[i] * $b[i]),
+       |            (x, y) -> x + y)""".stripMargin
+
+  /** Shared oracle prefix: embeddings → unit vectors `un(vec_id, u)`,
+    * mirroring [[normalized]] (float→double cast, 0-seeded sum-of-squares
+    * fold, norm > 0 filter). */
+  private[operators] val unitVectorsSql: String =
+    """unit AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), normed AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_reduce(list_transform(v, x -> x * x),
+      |                          (a, b) -> a + b)) AS nrm
+      |  FROM unit
+      |), un AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+      |  FROM normed WHERE nrm > 0
+      |)""".stripMargin
+
+  /** The banded sign-key expression for [[signKey]]'s plane slice, as
+    * DuckDB SQL (bit i = 1<<i within the slice). */
+  private[operators] def signKeySql(uCol: String,
+                                    planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotLitSql(uCol, p)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  def signLshTopKSql(nQueries: Int = 5, k: Int = 10,
+                     nPlanes: Int = 6): String = {
+    val planes = hyperplanes(nPlanes, 64)
+    val keyExpr = signKeySql("u", planes)
+    s"""WITH $unitVectorsSql, keyed AS (
+       |  SELECT vec_id, u, $keyExpr AS key FROM un
+       |), q AS (
+       |  SELECT vec_id AS query_id, u AS qu, key
+       |  FROM keyed ORDER BY vec_id LIMIT $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         ${dotColsSql("e.u", "q.qu")} AS cos_raw
+       |  FROM keyed e JOIN q ON e.key = q.key
+       |  WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       |       CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $k""".stripMargin
   }
 
   /** Session cache for the fitted IVF coarse quantizer + its assignment

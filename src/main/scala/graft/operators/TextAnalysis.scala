@@ -111,12 +111,16 @@ object TextAnalysis {
     *  - `norm_md5`: md5 of the normalized text (lowercase, punctuation
     *    stripped, whitespace collapsed) — the canonical "fuzzy-exact" dedup
     *    key; oracle-checked.
-    *  - `rolling`: order-sensitive polynomial rolling hash over word
-    *    xxhash64s, mod 2^31−1 with base 1000003 (modular form keeps the
-    *    ANSI-mode long multiply from overflowing), computed with a
+    *  - `rolling`: order-sensitive polynomial rolling hash over per-word
+    *    integer values, mod 2^31−1 with base 1000003 (modular form keeps
+    *    the ANSI-mode long multiply from overflowing), computed with a
     *    sequential `aggregate` fold — content AND order sensitive, unlike
-    *    the bag-of-words hashes. Spark-only (xxhash64 is not in DuckDB),
-    *    covered by the norm_md5 oracle on the same rows. */
+    *    the bag-of-words hashes. The word value is the first 60 bits of
+    *    the word's md5 (both engines produce identical md5 hex, so the
+    *    whole chain is pure integer arithmetic and ORACLE-CHECKED — q44
+    *    hash-matches a DuckDB `list_reduce` of the same fold). For a
+    *    production pipeline that doesn't need engine portability,
+    *    `pmod(xxhash64(w), M)` is the drop-in cheaper word value. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprintOn(Tables.documents(spark, dir))
 
@@ -125,14 +129,31 @@ object TextAnalysis {
     val normalized = regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
     val M = 2147483647L // 2^31 − 1
+    // conv() parses 15 hex chars (60 bits — fits a long, stays positive)
     val rolling = aggregate(
-      transform(words(col("text")), w => pmod(xxhash64(w), lit(M))),
+      transform(words(col("text")),
+        w => pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType),
+          lit(M))),
       lit(0L),
       (acc, h) => pmod(acc * lit(1000003L) + h, lit(M)))
     d.select(col("doc_id"),
       md5(normalized.cast(BinaryType)).as("norm_md5"),
       rolling.as("rolling_hash"))
   }
+
+  /** Oracle for the FULL [[fingerprint]] including the rolling hash: the
+    * same fold in DuckDB (`list_reduce` seeds with the first element,
+    * which equals Spark's 0-seeded fold because (0·B + h₁) mod M = h₁;
+    * word lists are never empty — split('') is ['']). */
+  val fingerprintRollingSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      ' +', ' ', 'g')) AS norm_md5,
+      |  list_reduce(
+      |    list_transform(string_split(text, ' '),
+      |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647),
+      |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_hash
+      |FROM documents""".stripMargin
 
   /** Oracle for [[fingerprint]] minus the Spark-only rolling hash column —
     * the driver compares what both engines can compute. */

@@ -438,7 +438,10 @@ object Dedup {
     * Rule (greedy-by-id, deterministic): a vector is REMOVED iff some
     * lower-id vector in the same cluster has cosine ≥ `threshold` with it;
     * its keeper is the lowest such id. Output: one row per removed vector
-    * with its keeper and the maximum offending cosine.
+    * with its keeper and the cosine TO THAT KEEPER (`keeper_cosine`) —
+    * keeper and cosine come from one struct-min, never decoupled (a
+    * min(keeper) next to an independent max(cosine) would pair the keeper
+    * id with a similarity measured against some other vector).
     *
     * Scale: the pairwise stage is per-cluster, so cost is
     * Σ_c |c|² / 2 ≪ n²/2 — the SemDeDup point. The join shuffles once on
@@ -460,8 +463,9 @@ object Dedup {
       .withColumn("cosine", dot_product(col("uk"), col("ur")))
       .filter(col("cosine") >= threshold)
       .groupBy(col("vec_id"))
-      .agg(min(col("keeper")).as("keeper_id"),
-        round(max(col("cosine")), 6).as("max_cosine"))
+      .agg(min(struct(col("keeper"), col("cosine"))).as("m"))
+      .select(col("vec_id"), col("m.keeper").as("keeper_id"),
+        round(col("m.cosine"), 6).as("keeper_cosine"))
   }
 
   /** q120 — n-gram novelty score: per document, the fraction (exact ppm)

@@ -74,6 +74,12 @@ object Profiling {
     * large dev_ppm; the screen itself is one narrow map + a 9-row
     * aggregate, scan-speed at any size.
     *
+    * ALWAYS emits all nine digits: the observed counts left-join a 9-row
+    * digit domain, so a digit absent from the data surfaces as n = 0 with
+    * its full expected share as deviation — a pathologically skewed column
+    * (every price starting with 1) must show eight loud zero rows, not
+    * silently drop them.
+    *
     * The leading digit comes from the STRING of the exact long cents —
     * integer-to-string is engine-stable where double formatting is not. */
   def benfordScreen(spark: SparkSession, dir: String): DataFrame = {
@@ -83,10 +89,13 @@ object Profiling {
     val expected = BenfordPpm.zipWithIndex
       .map { case (p, i) => when(col("digit") === (i + 1).toLong, lit(p)) }
       .reduceRight((w, rest) => w.otherwise(rest))
-    Tables.orders(spark, dir)
+    val counts = Tables.orders(spark, dir)
       .filter(cents > 0)
       .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    spark.range(1, 10).select(col("id").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("total", sum(col("n")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
       .select(col("digit"), col("n"),
@@ -105,8 +114,12 @@ object Profiling {
        |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
        |  FROM orders
        |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
-       |), counts AS (
+       |), raw AS (
        |  SELECT digit, count(*) AS n FROM digits GROUP BY digit
+       |), counts AS (
+       |  SELECT d.digit, COALESCE(r.n, 0) AS n
+       |  FROM (SELECT unnest(range(1, 10)) AS digit) d
+       |  LEFT JOIN raw r ON d.digit = r.digit
        |)
        |SELECT digit, n,
        |       CAST(floor(n * 1000000 / (SELECT sum(n) FROM counts))

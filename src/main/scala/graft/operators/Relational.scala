@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -242,33 +242,23 @@ object Relational {
   /** q113 — exact grouped WEIGHTED median: per return flag, the smallest
     * price x with Σ(quantity | price ≤ x) ≥ half the flag's total quantity
     * — the lower weighted median, the robust statistic quality pipelines
-    * use where `avg` is skew-fragile. No approx-percentile sketch: one
-    * cumulative-sum window over the flag's (price, key) order finds the
-    * crossing row, and everything is exact integers (prices in long cents,
-    * quantities rounded to long), so the oracle is hash-exact.
+    * use where `avg` is skew-fragile. No approx-percentile sketch:
+    * everything is exact integers (prices in long cents, quantities
+    * rounded to long), so the oracle is hash-exact.
     *
-    * Plan: ONE exchange on the flag; the running sum, the total and the
-    * crossing-row pick all share that partitioning (the q91 windows-share-
-    * the-exchange discipline). The qualifying row is the min cumulative
-    * weight among crossers — cumw is strictly increasing (weights ≥ 1), so
-    * `min_by` is deterministic without a second window pass. */
-  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Window.partitionBy(col("flag"))
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-    val whole = Window.partitionBy(col("flag"))
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag").as("flag"),
-        Rfm.cents(col("l_extendedprice")).as("cents"),
-        round(col("l_quantity")).cast(LongType).as("wq"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("cumw", sum(col("wq"))
-        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total_w", sum(col("wq")).over(whole))
-      .filter(col("cumw") * 2 >= col("total_w"))
-      .groupBy(col("flag"))
-      .agg(min_by(col("cents"), col("cumw")).as("median_cents"),
-        min(col("total_w")).as("total_w"))
-  }
+    * Runs on [[crossingMedian]] — the distributed crossing-value search —
+    * so no task ever owns a whole flag's rows (the round-3 plan windowed
+    * by the 3-value flag, which serializes each group into ONE task at any
+    * cluster size; the oracle SQL keeps that naive shape, proving the
+    * distributed form value-identical). */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame =
+    crossingMedian(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"),
+          Rfm.cents(col("l_extendedprice")).as("cents"),
+          round(col("l_quantity")).cast(LongType).as("wq")),
+      grp = "flag", valCol = "cents", w = col("wq"), out = "median_cents")
+      .select(col("flag"), col("median_cents"), col("__tot").as("total_w"))
 
   val weightedMedianSql: String =
     """WITH items AS (
@@ -290,20 +280,61 @@ object Relational {
       |       CAST(min(total_w) AS BIGINT) AS total_w
       |FROM cum WHERE cumw * 2 >= total_w GROUP BY flag""".stripMargin
 
-  /** Lower median of `valCol` per `grp`, via the cumulative-count crossing
-    * row ([[weightedMedian]] with unit weights): the value at the first
-    * position whose running count reaches half the group's size, ordered by
-    * (value, tie columns) for determinism. One exchange on `grp`. */
-  private def lowerMedian(df: DataFrame, grp: String, valCol: String,
-                          ties: Seq[String], out: String): DataFrame = {
-    val ord = Window.partitionBy(col(grp))
-      .orderBy((col(valCol) +: ties.map(col)): _*)
-    df.withColumn("__rn", row_number().over(ord).cast(LongType))
-      .withColumn("__tot", count(lit(1)).over(Window.partitionBy(col(grp))))
-      .filter(col("__rn") * 2 >= col("__tot"))
+  /** Exact lower (weighted) median per group, scale-safe: the smallest
+    * value v with 2·W(≤ v) ≥ W_total, found by a DISTRIBUTED
+    * crossing-value search instead of a per-group window — a window
+    * partitioned by a low-cardinality group key (3 return flags) puts each
+    * whole group in ONE task at any cluster size, the quiet serialization
+    * trap in exact grouped medians. Shape (the q74 sequence-packing
+    * prefix-scan discipline):
+    *  1. range-partition the raw (group, value, weight) rows by
+    *     (group, value) — ONE shuffle, the same count as the naive form —
+    *     and tag `spark_partition_id`;
+    *  2. per-(partition, group) subtotals — a P×G-row miniature whose
+    *     per-group exclusive-prefix window orders ≤ P rows per group, NOT
+    *     the data-sized serialization it replaces;
+    *  3. broadcast the offsets back; within-partition cumulative + offset
+    *     = global cumulative; crossing value = min(value) with 2·cum ≥
+    *     total (rows tying on value order arbitrarily in the cumulative,
+    *     but the CROSSING VALUE is tie-invariant: a value v crosses iff
+    *     2·W(≤v) ≥ total, regardless of intra-value order).
+    * Steps 2 and 3 reference the SAME range exchange inside one plan, so
+    * ReuseExchange materializes the sampled boundaries once and both
+    * subtrees see identical partition ids — no checkpoint, no driver
+    * round-trip (the partition-invariance spec and the oracle both catch
+    * any reuse failure). Every data-sized window is bounded by one
+    * partition's histogram slice. The value returned is rank-determined,
+    * so it equals the naive window-by-group form exactly — the DuckDB
+    * oracles keep the naive shape and hash-match. Returns
+    * (grp, out, __tot). */
+  private[graft] def crossingMedian(df: DataFrame, grp: String,
+                                    valCol: String, w: Column, out: String,
+                                    partitions: Int = 8): DataFrame = {
+    val hist = df.select(col(grp), col(valCol), w.as("__w"))
+      .repartitionByRange(partitions, col(grp), col(valCol))
+      .withColumn("__pid", spark_partition_id())
+    val offW = Window.partitionBy(col(grp)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("__pid"), col(grp))
+      .agg(sum(col("__w")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
+      .withColumn("__tot", sum(col("__t")).over(Window.partitionBy(col(grp))))
+      .select(col("__pid"), col(grp), col("__off"), col("__tot"))
+    val inPart = Window.partitionBy(col("__pid"), col(grp))
+      .orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.join(broadcast(offsets), Seq("__pid", grp))
+      .withColumn("__cum", sum(col("__w")).over(inPart) + col("__off"))
+      .filter(col("__cum") * 2 >= col("__tot"))
       .groupBy(col(grp))
-      .agg(min_by(col(valCol), col("__rn")).as(out))
+      .agg(min(col(valCol)).as(out), min(col("__tot")).as("__tot"))
   }
+
+  /** Lower median of `valCol` per `grp` — [[crossingMedian]] with unit
+    * weights. */
+  private def lowerMedian(df: DataFrame, grp: String, valCol: String,
+                          out: String): DataFrame =
+    crossingMedian(df, grp, valCol, lit(1L), out).drop("__tot")
 
   /** q116 — robust scaling (median / MAD), the outlier-immune scaler a
     * quality pipeline uses where the z-score's mean/σ are skew-fragile:
@@ -313,20 +344,19 @@ object Relational {
     *
     * Exactness: medians are SELECTED values (never interpolated), so both
     * passes stay in long cents; the one division is IEEE on exact integers
-    * ((cents−med)·10⁶ < 2⁵³). Plan: two crossing-row median passes (one
-    * exchange on the flag each) whose 3-row results broadcast back onto
-    * the scan — the big side is never re-shuffled for the scaling itself. */
+    * ((cents−med)·10⁶ < 2⁵³). Plan: two [[crossingMedian]] passes — the
+    * distributed crossing-value search, no per-flag serialization — whose
+    * 3-row results broadcast back onto the scan; the big side is never
+    * re-shuffled for the scaling itself. */
   def robustScale(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("flag"),
         Rfm.cents(col("l_extendedprice")).as("cents"),
         col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"))
-    val med = lowerMedian(items, "flag", "cents",
-      Seq("l_orderkey", "l_linenumber"), "med")
+    val med = lowerMedian(items, "flag", "cents", "med")
     val withMed = items.join(broadcast(med), Seq("flag"))
       .withColumn("dev", abs(col("cents") - col("med")))
-    val mad = lowerMedian(withMed, "flag", "dev",
-      Seq("l_orderkey", "l_linenumber"), "mad")
+    val mad = lowerMedian(withMed, "flag", "dev", "mad")
     // mad = 0 (≥ half the group at one value) would divide by zero — Spark
     // silently emits ±Infinity→Long saturation while DuckDB errors; unit
     // spread for the degenerate group (scikit-learn RobustScaler's rule)

@@ -295,6 +295,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(first.getLong(4) == supp * 1000000L / nv)
   }
 
+  test("crossing median: partition-count invariant, equals naive window form") {
+    import spark.implicits._
+    // skewed synthetic: group "a" holds 90% of the rows — the shape where
+    // a window-by-group median serializes; the distributed search must
+    // return the identical rank-determined value at ANY partition count
+    val rows = (1L to 9000L).map(i => ("a", (i * 7) % 1000, 1L + i % 3)) ++
+      (1L to 1000L).map(i => ("b", (i * 13) % 500, 1L))
+    val df = rows.toDF("flag", "cents", "wq")
+    def naive(): Map[String, (Long, Long)] = {
+      val byG = rows.groupBy(_._1)
+      byG.map { case (g, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
+        val tot = sorted.map(_._2).sum
+        var cum = 0L
+        val v = sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+        g -> (v, tot)
+      }
+    }
+    Seq(2, 8, 32).foreach { p =>
+      val got = Relational.crossingMedian(df, "flag", "cents", col("wq"),
+        "med", partitions = p)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == naive(), s"partitions=$p")
+    }
+  }
+
   test("robust scale: median laws, positive MAD, zero-at-center") {
     val out = Relational.robustScale(spark, dir).collect()
     assert(out.nonEmpty)

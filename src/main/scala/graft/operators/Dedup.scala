@@ -184,36 +184,44 @@ object Dedup {
     * generic-row plumbing at this shape):
     *
     *  1. signature: `numHashes` min-hashes per doc — `array_min` over
-    *     `xxhash64(i, shingle)` (seeded by the hash index, deterministic);
+    *     H(i, shingle), where H is the first 60 bits of md5("i:"+shingle):
+    *     the q44 portable-hash basis, bit-identical in DuckDB, which puts
+    *     the LSH operator's actual output under the ORACLE gate
+    *     (`xxhash64(i, s)` is the cheaper drop-in where cross-engine
+    *     checkability isn't needed — same trade as the rolling hash);
     *  2. banding: signature split into `bands` rows of `r = numHashes/bands`
-    *     values, bucket key = xxhash64 of the band slice. A pair collides in
-    *     some band with probability 1−(1−J^r)^bands — the standard S-curve;
+    *     values, bucket key = the band's value slice itself (exact — no
+    *     second hash to port). A pair collides in some band with
+    *     probability 1−(1−J^r)^bands — the standard S-curve;
     *  3. candidates: self-join on (band, key) — bucket-collision cost, never
     *     all-pairs;
-    *  4. estimate: fraction of agreeing signature positions, thresholded.
+    *  4. estimate: fraction of agreeing signature positions, thresholded
+    *     (an exact /numHashes rational — no float drift).
     *
     * At 100 TB this is exactly the production shape: one narrow map for
     * signatures, one exchange on band keys, join output bounded by
-    * colliding pairs. Rows-only driver check (not SQL-expressible); the
-    * recall-vs-exact-Jaccard spec pins quality. */
+    * colliding pairs. Oracle-checked since round 4 ([[minhashDedupSql]]);
+    * the recall-vs-exact-Jaccard spec pins quality. */
   def minhashDedup(spark: SparkSession, dir: String,
                    numHashes: Int = 16, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = graft.CacheRegistry.cached(spark, s"minhash:$numHashes:$dir")(
+    val sig = graft.CacheRegistry.cached(spark, s"minhash-md5:$numHashes:$dir")(
       Tables.documents(spark, dir)
         .transform(withWords)
         .select(col("doc_id"), shingleCol(col("ws")).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"),
           array((0 until numHashes).map(i =>
-            array_min(transform(col("sh"), s => xxhash64(lit(i), s)))): _*)
+            array_min(transform(col("sh"), s =>
+              conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
+                .cast(LongType)))): _*)
             .as("sig")))
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * r + 1, r)).as("key"))): _*)).as("bk"))
+          slice(col("sig"), b * r + 1, r).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.toDF("doc_a", "sig_a", "band", "key")
@@ -230,6 +238,48 @@ object Dedup {
       .filter(col("jaccard_est") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard_est"), 6).as("jaccard_est"))
+  }
+
+  /** Oracle for [[minhashDedup]] at its contract parameters: the same
+    * shingles (q31's construction), the same md5-basis min-hashes, value-
+    * slice band keys (DuckDB list equality), and the exact /numHashes
+    * agreement estimate. */
+  def minhashDedupSql(numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): String = {
+    val r = numHashes / bands
+    val mins = (0 until numHashes).map { i =>
+      s"""list_min(list_transform(sh, s ->
+         |      ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))""".stripMargin
+    }.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3])) AS sh
+       |  FROM documents
+       |), sigs AS (
+       |  SELECT doc_id, $mins AS sig
+       |  FROM ws WHERE len(sh) > 0
+       |), banded AS (
+       |  SELECT doc_id, sig, b.band AS band,
+       |         sig[b.band * $r + 1 : b.band * $r + $r] AS key
+       |  FROM sigs, (SELECT unnest(range($bands)) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key
+       |  WHERE a.doc_id < c.doc_id
+       |), est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(list_sum(list_transform(range($numHashes), i ->
+       |           CASE WHEN sa.sig[i + 1] = sb.sig[i + 1] THEN 1 ELSE 0 END))
+       |           AS DOUBLE) / $numHashes AS je
+       |  FROM cand p
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id
+       |)
+       |SELECT doc_a, doc_b, round(je, 6) AS jaccard_est
+       |FROM est WHERE je >= $threshold""".stripMargin
   }
 
   /** SimHash 64-bit signatures + banded near-dup candidates.

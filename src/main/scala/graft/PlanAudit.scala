@@ -106,21 +106,26 @@ object PlanAudit {
       // ranked docs (1-row totals ride BNLJ; never a real cross product)
       "q112_stratified_sample" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false),
-      // weighted median: both windows + the crossing pick share ONE
-      // exchange on the flag
-      "q113_weighted_median" -> Seq("CartesianProduct" -> false),
       // triangles: wedge + closing joins are equi-joins on edge keys
       "q115_triangles" -> Seq("CartesianProduct" -> false),
-      // robust scale: the 3-row median/MAD tables broadcast back onto the
-      // scan — the big side never re-shuffles for the scaling
-      "q116_robust_scale" -> Seq("BroadcastHashJoin" -> true,
-        "CartesianProduct" -> false),
       // association rules: part-count dims broadcast onto the pair counts
       // (no q122 entry: bfsHops returns a localCheckpoint-truncated frame,
       // so its executedPlan is a checkpoint scan — any expectation on it
       // would be vacuously green; its join shape is pinned by the oracle
       // and the parent-property spec instead)
       "q117_association_rules" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // fingerprints: pure narrow maps over the document scan
+      "q42_fingerprint" -> Seq("Exchange" -> false),
+      "q44_rolling_hash" -> Seq("Exchange" -> false),
+      // minhash/knn: banded equi-joins only, offsets/dims broadcast
+      "q32_dedup_minhash" -> Seq("CartesianProduct" -> false),
+      "q124_knn_join" -> Seq("CartesianProduct" -> false),
+      // distributed crossing-median: the offsets miniature must broadcast
+      // back onto the range-partitioned rows; nothing pairwise anywhere
+      "q113_weighted_median" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      "q116_robust_scale" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false))
 
     var bad = 0

@@ -181,6 +181,7 @@ object SparkEntry {
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q32_dedup_minhash" -> Dedup.minhashDedupSql(),
+    "q33_dedup_simhash" -> Dedup.simhashPairsSql(),
     "q34_dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "q35_dedup_clusters" -> Dedup.dedupClustersSql,
     "q111_incremental_dedup" -> Dedup.incrementalDedupSql(),

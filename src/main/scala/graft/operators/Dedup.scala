@@ -282,19 +282,25 @@ object Dedup {
        |FROM est WHERE je >= $threshold""".stripMargin
   }
 
-  /** SimHash 64-bit signatures + banded near-dup candidates.
+  /** SimHash signatures + banded near-dup candidates.
     *
-    * Signature: every (doc, token) gets xxhash64(token); each of the 64 bits
-    * votes +1/−1 weighted by token count; the sign of each bit-sum forms the
-    * signature. The 64 bit-votes are ONE typed aggregate
-    * ([[graft.functions.SimHashAgg]] — buffer = a single packed
-    * `array<bigint>` of counters, still map-side partial-aggregable) rather
-    * than 64 independent `sum(when(...))` columns: same results, one
-    * aggregation buffer instead of 64, and none of the 64-wide codegen-unit
-    * compile cost that made the column form the slowest query in the
-    * round-1 bench. Near-dup candidates then join on any equal 16-bit band
-    * (4 bands) and are confirmed by Hamming distance ≤ 3 via
-    * `bit_count(a XOR b)`. */
+    * Signature: every (doc, token) gets the q44 portable md5 hash (first
+    * 60 bits — the width a signed BIGINT carries losslessly in BOTH
+    * engines, which is what lets the operator's actual output sit under
+    * the ORACLE gate; bits 60–63 vote all-negative and stay clear, so the
+    * effective signature is 60-bit and the top band keys carry 12
+    * informative bits — coarser buckets there, more candidates, never
+    * fewer). Each bit votes +1/−1 weighted by token count; the sign of
+    * each bit-sum forms the signature. The bit-votes are ONE typed
+    * aggregate ([[graft.functions.SimHashAgg]] — buffer = a single packed
+    * `array<bigint>` of counters, still map-side partial-aggregable)
+    * rather than 64 independent `sum(when(...))` columns: same results,
+    * one aggregation buffer instead of 64, and none of the 64-wide
+    * codegen-unit compile cost that made the column form the slowest
+    * query in the round-1 bench. Near-dup candidates then join on any
+    * equal 16-bit band (4 bands) and are confirmed by Hamming distance
+    * ≤ 3 via `bit_count(a XOR b)`. (`xxhash64` is the cheaper full-64-bit
+    * swap where cross-engine checkability isn't needed.) */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOn(Tables.documents(spark, dir))
 
@@ -303,7 +309,8 @@ object Dedup {
     val simhashAgg = udaf(graft.functions.SimHashAgg,
       org.apache.spark.sql.Encoders.scalaLong)
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType).as("h"))
       .groupBy(col("doc_id"))
       .agg(simhashAgg(col("h")).as("simhash"))
   }
@@ -312,7 +319,7 @@ object Dedup {
     * Hamming ≤ maxHamming confirm. */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = graft.CacheRegistry.cached(spark, s"simhash:$dir")(
+    val sig = graft.CacheRegistry.cached(spark, s"simhash-md5:$dir")(
       simhash(spark, dir))
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -331,6 +338,39 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Oracle for [[simhashPairs]]: the identical md5-basis token hashes,
+    * per-bit vote unpivot (a (doc, bit) aggregate instead of the packed
+    * Spark aggregator — same sums), value-identical banding and Hamming
+    * confirm. */
+  def simhashPairsSql(maxHamming: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM toks
+       |), votes AS (
+       |  SELECT doc_id, b.b AS b,
+       |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hs, (SELECT unnest(range(60)) AS b) b
+       |  GROUP BY doc_id, b.b
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+       |              AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, simhash, b.band AS band,
+       |         (simhash >> (b.band * 16)) & 65535 AS key
+       |  FROM sigs, (SELECT unnest(range(4)) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |         bit_count(xor(a.simhash, c.simhash)) AS hamming
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key
+       |  WHERE a.doc_id < c.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM cand WHERE hamming <= $maxHamming""".stripMargin
 
   /** Distributed connected components by iterative min-label propagation —
     * the step that turns a near-dup PAIR list into dedup CLUSTERS (pairs are

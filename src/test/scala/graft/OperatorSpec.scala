@@ -85,11 +85,17 @@ class OperatorSpec extends AnyFunSuite {
     val got = Dedup.simhashOn(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reference: per-bit ONES count (not the aggregator's ±1 votes);
-    // bit set iff 2·ones − n > 0
+    // bit set iff 2·ones − n > 0. Token hash = the md5-60bit portable
+    // basis the operator uses (q44/q32/q33 trick), recomputed here
+    // driver-side from first principles
     val toks = docs
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .select($"doc_id", xxhash64($"tok").as("h"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .collect().map { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getString(1).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        r.getLong(0) -> java.lang.Long.parseLong(hex.take(15), 16)
+      }
     val expected = toks.groupBy(_._1).map { case (id, hs) =>
       val n = hs.length
       var sig = 0L

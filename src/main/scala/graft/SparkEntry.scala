@@ -80,6 +80,7 @@ object SparkEntry {
     "q47_train_split" -> ((s, dir) => Sampling.trainValTestSplit(s, dir)),
     "q48_hash_sample" -> ((s, dir) => Sampling.hashSample(s, dir)),
     "q49_mixture_rebalance" -> ((s, dir) => Sampling.mixtureRebalance(s, dir)),
+    "q125_temperature_mix" -> ((s, dir) => Sampling.temperatureMixture(s, dir)),
     "q87_domain_cap" -> ((s, dir) => Sampling.domainCap(s, dir)),
     "q102_weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
     "q112_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -264,6 +265,7 @@ object SparkEntry {
     "q98_profile" -> Profiling.profileLineitemSql,
     "q123_benford" -> Profiling.benfordScreenSql,
     "q124_knn_join" -> SimilaritySearch.knnJoinSql(),
+    "q125_temperature_mix" -> Sampling.temperatureMixtureSql,
     "q99_anomalies" -> Events.anomaliesSql,
     "q105_transitions" -> Events.transitionMatrixSql,
     "q114_session_paths" -> Events.sessionPathsSql,

@@ -106,6 +106,49 @@ object Sampling {
       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        / 4294967296.0 < r.rate""".stripMargin
 
+  /** q125 — TEMPERATURE-weighted mixture (τ = 0.5): per-language keep
+    * probability √(min_n / n_l) — the standard compromise between the
+    * uniform mixture ([[mixtureRebalance]]'s min_n/n_l, which starves big
+    * languages) and the natural mixture (keep everything, which drowns
+    * small ones); multilingual-pretraining recipes sample languages with
+    * probability ∝ p^τ and τ≈0.5–0.7 for exactly this reason. Same
+    * content-addressed decision as every sampler here: a doc survives iff
+    * its md5 variate < its language's rate — deterministic, rerun- and
+    * retry-stable, exchange-free on the big side (the |langs|-row rate
+    * table broadcasts).
+    *
+    * Oracle-exact DESPITE the square root: IEEE 754 requires division and
+    * sqrt to be correctly rounded, so `sqrt(min_n / n_l)` is bit-identical
+    * in the JVM and DuckDB's libm — unlike `pow`, whose rounding is
+    * library-dependent and which this formulation deliberately avoids
+    * (general τ would need pow; τ = 0.5 is the exactness-safe point). */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("min_n"))
+    val rates = counts.crossJoin(minN)
+      .select(col("lang"),
+        sqrt(col("min_n").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("rate"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(hashUnit(col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val temperatureMixtureSql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+      |), rates AS (
+      |  SELECT lang,
+      |         sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE)
+      |              / CAST(n AS DOUBLE)) AS rate
+      |  FROM counts
+      |)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN rates r ON d.lang = r.lang
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        / 4294967296.0 < r.rate""".stripMargin
+
   /** q87 — per-source document cap (the C4/RefinedWeb "domain cap": no
     * single domain may dominate the mixture). Keeps at most `cap` documents
     * per source, selected by deterministic content-hash rank — the same

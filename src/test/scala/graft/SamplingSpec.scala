@@ -123,4 +123,29 @@ class SamplingSpec extends AnyFunSuite {
       assert(math.abs(c - minN) < 40, s"$lang: $c vs target $minN")
     }
   }
+
+  test("temperature mixture sits between uniform and natural per language") {
+    val natural = Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = natural.values.min
+    val temp = Sampling.temperatureMixture(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(temp.keySet == natural.keySet) // no language dropped
+    natural.foreach { case (lang, n) =>
+      // expectation is sqrt(minN·n): above the uniform target minN (unless
+      // this IS the smallest language, where rate = 1 keeps everything),
+      // below the natural count; ±5σ binomial slack
+      val mean = math.sqrt(minN.toDouble * n)
+      val sd = 5 * math.sqrt(mean)
+      assert(temp(lang) <= n)
+      assert(math.abs(temp(lang) - mean) < sd.max(15),
+        s"$lang: ${temp(lang)} vs E=$mean")
+      if (n > minN * 2) assert(temp(lang) > minN, s"$lang under uniform")
+    }
+    // the smallest language survives in full: rate = sqrt(1) = 1
+    val smallest = natural.minBy(_._2)._1
+    assert(temp(smallest) == natural(smallest))
+  }
 }

@@ -549,6 +549,76 @@ object TextAnalysis {
        |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |        FROM documents))""".stripMargin
 
+  /** Distributed dense per-group ordinal (1-based rank of each row within
+    * its group under `ordCols` order) WITHOUT a per-group window — the
+    * serialization-free twin of `row_number().over(partitionBy(grp))`,
+    * built on the [[sequencePacking]] offset discipline in one plan:
+    * range-partition by (grp, ordCols), per-(partition, group) counts form
+    * a P×G miniature whose per-group exclusive-prefix window orders ≤ P
+    * rows, broadcast back, within-partition row_number + offset. The two
+    * references to the range exchange share one materialization
+    * (ReuseExchange), so partition ids agree; `ordCols` MUST be a total
+    * order per group (include a unique id) — equal keys could otherwise
+    * land on either side of a range boundary and make ordinals unstable. */
+  private[graft] def groupedOrdinal(df: DataFrame, grp: String,
+                                    ordCols: Seq[String],
+                                    partitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = df
+      .repartitionByRange(partitions, (col(grp) +: ordCols.map(col)): _*)
+      .withColumn("__pid", spark_partition_id())
+    val offW = Window.partitionBy(col(grp)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = part.groupBy(col("__pid"), col(grp))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .select(col("__pid"), col(grp), col("__off"))
+    val inPart = Window.partitionBy(col("__pid"), col(grp))
+      .orderBy(ordCols.map(col): _*)
+    part.join(broadcast(offsets), Seq("__pid", grp))
+      .withColumn("__ord",
+        row_number().over(inPart).cast(LongType) + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** q126 — length-bucketed batch assembly: documents bucketed by word
+    * count (`bucketWidth`-wide ranges), then packed into fixed-size
+    * batches of `batchSize` docs in (length, id) order within each bucket
+    * — the standard padding-efficiency move for training batch assembly:
+    * sequences in a batch pad to the batch max, so batching similar
+    * lengths bounds pad waste by `bucketWidth` tokens per sequence.
+    *
+    * The per-bucket ordinal comes from [[groupedOrdinal]] — buckets are
+    * few (lengths/width), exactly the low-cardinality group shape where a
+    * plain window would serialize each bucket into one task. Everything
+    * is integer arithmetic; the oracle mirrors with a naive window. */
+  def lengthBatches(spark: SparkSession, dir: String,
+                    bucketWidth: Int = 32, batchSize: Int = 16): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1, "width/size must be >= 1")
+    val toks = textBase(spark, dir)
+      .select(col("doc_id"), col("n_words"))
+      .withColumn("bucket", expr(s"n_words div $bucketWidth"))
+    groupedOrdinal(toks, "bucket", Seq("n_words", "doc_id"))
+      .select(col("doc_id"), col("n_words"), col("bucket"),
+        expr(s"(__ord - 1) div $batchSize").as("batch_id"))
+  }
+
+  def lengthBatchesSql(bucketWidth: Int = 32, batchSize: Int = 16): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, n_words, n_words // $bucketWidth AS bucket FROM toks
+       |), r AS (
+       |  SELECT doc_id, n_words, bucket,
+       |         row_number() OVER (PARTITION BY bucket
+       |                            ORDER BY n_words, doc_id) AS rn
+       |  FROM b
+       |)
+       |SELECT doc_id, n_words, bucket, (rn - 1) // $batchSize AS batch_id
+       |FROM r""".stripMargin
+
   /** q56 — within-document repetition signals (the Gopher/C4-style quality
     * filters exact dedup cannot see): distinct-token ratio and top-token
     * mass per document. One shuffle on (doc_id, token) with map-side

@@ -321,6 +321,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(sample.getDouble(2) == bf.map(_.getDouble(2)).max)
   }
 
+  test("length batches: bounded size and spread; ordinal partition-invariant") {
+    import spark.implicits._
+    val out = TextAnalysis.lengthBatches(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // per (bucket, batch): ≤ batchSize members, and only the LAST batch of
+    // a bucket may be partial; in-batch length spread < bucketWidth
+    out.groupBy(t => (t._3, t._4)).foreach { case ((b, batch), rows) =>
+      assert(rows.length <= 16, s"bucket $b batch $batch overfull")
+      val lens = rows.map(_._2)
+      assert(lens.max - lens.min < 32, s"bucket $b batch $batch spread")
+      lens.foreach(l => assert(l / 32 == b))
+    }
+    out.groupBy(_._3).foreach { case (b, rows) =>
+      val partial = rows.groupBy(_._4).count(_._2.length < 16)
+      assert(partial <= 1, s"bucket $b has $partial partial batches")
+    }
+    // groupedOrdinal is partition-count invariant (unique ord keys): the
+    // same batch assignment at 2, 8, and 32 range partitions
+    val toks = (1L to 5000L).map(i => (i, (i * 37) % 200))
+      .toDF("doc_id", "n_words").withColumn("bucket", expr("n_words div 32"))
+    def ords(p: Int) = TextAnalysis.groupedOrdinal(
+        toks, "bucket", Seq("n_words", "doc_id"), partitions = p)
+      .select("doc_id", "__ord").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = ords(2)
+    assert(ords(8) == base && ords(32) == base)
+  }
+
   test("crossing median: partition-count invariant, equals naive window form") {
     import spark.implicits._
     // skewed synthetic: group "a" holds 90% of the rows — the shape where

@@ -330,6 +330,76 @@ object Relational {
       .agg(min(col(valCol)).as(out), min(col("__tot")).as("__tot"))
   }
 
+  /** Inclusive running sum of `valCol` per `grp` in `ordCols` order,
+    * distributed — the same range-partition + P×G offset-prefix shape as
+    * [[crossingMedian]], returning every row with its `__cum` instead of
+    * just the crossing one. `ordCols` must be unique per group. */
+  private[graft] def groupedCumSum(df: DataFrame, grp: String,
+                                   ordCols: Seq[String], valCol: String,
+                                   partitions: Int = 8): DataFrame = {
+    val part = df
+      .repartitionByRange(partitions, (col(grp) +: ordCols.map(col)): _*)
+      .withColumn("__pid", spark_partition_id())
+    val offW = Window.partitionBy(col(grp)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = part.groupBy(col("__pid"), col(grp))
+      .agg(sum(col(valCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
+      .select(col("__pid"), col(grp), col("__off"))
+    val inPart = Window.partitionBy(col("__pid"), col(grp))
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part.join(broadcast(offsets), Seq("__pid", grp))
+      .withColumn("__cum", sum(col(valCol)).over(inPart) + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** The q75 rank family WITHOUT per-nation windows — the port the
+    * low-cardinality window inventory (COVERAGE.md) promises: every rank
+    * function derives from distributed ordinals/cumulatives,
+    *  - rn   = [[TextAnalysis.groupedOrdinal]] over (−bal, custkey);
+    *  - rnk  = 1 + (count of strictly-greater bals), from the per-value
+    *           histogram's [[groupedCumSum]];
+    *  - drnk = the VALUE's ordinal in the same histogram;
+    *  - quartile = Spark's ntile law applied to (rn, n): first n mod 4
+    *           tiles carry ⌈n/4⌉ rows;
+    *  - pct_rank_e6 = exact integer floor over (rnk − 1, n − 1).
+    * Value-identical to [[rankFunctions]] (spec-pinned); the windowed form
+    * stays the contract query, this is the documented scale path. */
+  def rankFunctionsDistributed(spark: SparkSession, dir: String): DataFrame = {
+    val bal = floor((Rfm.cents(col("c_acctbal")) + lit(50000L)) / lit(100000.0)) * 1000
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"),
+        col("c_nationkey").cast(LongType).as("nationkey"),
+        bal.as("bal"), (-bal).as("negbal"))
+    val withRn = TextAnalysis.groupedOrdinal(
+      base, "nationkey", Seq("negbal", "custkey"))
+      .withColumnRenamed("__ord", "rn")
+    val hist = base.groupBy(col("nationkey"), col("negbal"))
+      .agg(count(lit(1)).as("nv"))
+    val histRanked = TextAnalysis.groupedOrdinal(
+        groupedCumSum(hist, "nationkey", Seq("negbal"), "nv"),
+        "nationkey", Seq("negbal"))
+      .select(col("nationkey"), col("negbal"),
+        (col("__cum") - col("nv") + 1).as("rnk"), col("__ord").as("drnk"))
+    val cnt = base.groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+    val size = expr("n div 4")
+    val rem = expr("n % 4")
+    withRn
+      .join(histRanked, Seq("nationkey", "negbal"))
+      .join(broadcast(cnt), Seq("nationkey"))
+      .select(col("custkey"), col("nationkey"), col("bal"), col("rn"),
+        col("rnk"), col("drnk"),
+        when(col("rn") <= rem * (size + 1),
+          expr("(rn - 1) div (n div 4 + 1)") + 1)
+          .otherwise(rem + expr("(rn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4)") + 1)
+          .cast(LongType).as("quartile"),
+        when(col("n") > 1,
+          floor((col("rnk") - 1) * lit(1000000.0) / (col("n") - 1))
+            .cast(LongType))
+          .otherwise(lit(0L)).as("pct_rank_e6"))
+  }
+
   /** Lower median of `valCol` per `grp` — [[crossingMedian]] with unit
     * weights. */
   private def lowerMedian(df: DataFrame, grp: String, valCol: String,

@@ -350,6 +350,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(ords(8) == base && ords(32) == base)
   }
 
+  test("distributed rank family equals the windowed q75 contract output") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).sortBy(t => (t._2, t._4)).toSeq
+    val windowed = canon(Relational.rankFunctions(spark, dir))
+    val distributed = canon(Relational.rankFunctionsDistributed(spark, dir))
+    assert(distributed == windowed)
+  }
+
   test("crossing median: partition-count invariant, equals naive window form") {
     import spark.implicits._
     // skewed synthetic: group "a" holds 90% of the rows — the shape where

@@ -126,6 +126,13 @@ object PlanAudit {
       "q113_weighted_median" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false),
       "q116_robust_scale" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // temperature mixture: the |langs|-row rate table broadcasts; the
+      // document side never shuffles
+      "q125_temperature_mix" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // length batches: the P×B ordinal-offset miniature broadcasts
+      "q126_length_batches" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false))
 
     var bad = 0

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -108,6 +108,85 @@ object Events {
       |         ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id
       |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg
       |FROM events""".stripMargin
+
+  /** [[runningAgg]] WITHOUT the per-type window — the last entry in
+    * COVERAGE.md's low-cardinality window inventory (5 event types ⇒ the
+    * windowed form serializes each type into one task at any scale).
+    * Range-partition by (type, ts, id) + the P×T offset-prefix miniature:
+    *  - running_n is the distributed ordinal (local row_number + offset);
+    *  - the 5-row moving average is frame-local for rows at local rank ≥ 5
+    *    (their whole frame sits inside the partition — identical window
+    *    computation on the identical frame);
+    *  - the ≤ 4·P·T BOUNDARY rows (local rank ≤ 4) rebuild their frame
+    *    explicitly: each (partition, type) contributes its last ≤ 4 values
+    *    as a miniature `tail`; a per-type window over the pid-ordered
+    *    miniature accumulates the running last-4 (`flatten` preserves old→
+    *    new order); a boundary row at local rank ℓ takes the final
+    *    4−(ℓ−1) of that carry, prepends it to its frame-ordered local
+    *    values, and left-folds the sum in true frame order — so the double
+    *    additions happen in exactly the window's order and the rounded
+    *    average is bit-identical (spec-pinned against [[runningAgg]]).
+    * The windowed form stays the q62 contract; this is the scale path. */
+  def runningAggDistributed(spark: SparkSession, dir: String,
+                            partitions: Int = 8): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        Rfm.epochMs(col("ts")).as("ts_ms"), col("value"))
+    // localCheckpoint pins ONE materialized range partitioning: the plan
+    // references it from three subtrees (offsets, tails, row ranks), and a
+    // re-evaluated repartitionByRange can SAMPLE DIFFERENT boundaries —
+    // observed: the offsets evaluation split a type 8/194 while the rank
+    // evaluation split it 97/105, corrupting every offset. The checkpoint
+    // is the q74 discipline; at scale this is the persisted sorted layout.
+    val part = base.repartitionByRange(partitions,
+        col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offW = Window.partitionBy(col("event_type")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = part.groupBy(col("__pid"), col("event_type"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .select(col("__pid"), col("event_type"), col("__off"), col("__c"))
+    val inW = Window.partitionBy(col("__pid"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    // both window columns compute BEFORE any filter: a window after a
+    // filter would see only the surviving rows and restart every frame
+    val ranked = part.join(broadcast(offsets), Seq("__pid", "event_type"))
+      .withColumn("__rl", row_number().over(inW).cast(LongType))
+      .withColumn("running_n", col("__rl") + col("__off"))
+      .withColumn("__frame",
+        collect_list(col("value")).over(inW.rowsBetween(-4, 0)))
+      .withColumn("__mv",
+        round(avg(col("value")).over(inW.rowsBetween(-4, 0)), 6))
+    val interior = ranked.filter(col("__rl") >= 5)
+      .select(col("event_id"), col("event_type"), col("running_n"),
+        col("__mv").as("moving_avg"))
+    // per-(pid, type) tail: the partition's last ≤4 values in time order
+    val tails = ranked.filter(col("__rl") > col("__c") - 4)
+      .groupBy(col("__pid"), col("event_type"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts_ms"), col("event_id"),
+          col("value")))),
+        s => s.getField("value")).as("tail"))
+    val last4 = (a: Column) =>
+      when(size(a) > 4, slice(a, -4, 4)).otherwise(a)
+    val prevTails = tails
+      .withColumn("__carry", last4(coalesce(
+        flatten(collect_list(col("tail")).over(offW)),
+        array().cast(ArrayType(DoubleType)))))
+      .select(col("__pid"), col("event_type"), col("__carry"))
+    val need = (lit(4L) - (col("__rl") - 1)).cast(IntegerType)
+    val taken = when(need >= size(col("__carry")), col("__carry"))
+      .otherwise(slice(col("__carry"), -need, need))
+    val boundary = ranked.filter(col("__rl") <= 4)
+      .join(broadcast(prevTails), Seq("__pid", "event_type"))
+      .withColumn("__vals", concat(taken, col("__frame")))
+      .select(col("event_id"), col("event_type"), col("running_n"),
+        round(aggregate(col("__vals"), lit(0.0), (acc, x) => acc + x) /
+          size(col("__vals")), 6).as("moving_avg"))
+    interior.unionByName(boundary)
+  }
 
   /** q65 — as-of join, the canonical operator Spark lacks natively
     * (SURVEY §2.6; DuckDB ships ASOF JOIN, the oracle here). For every

@@ -298,11 +298,12 @@ object Relational {
     *     total (rows tying on value order arbitrarily in the cumulative,
     *     but the CROSSING VALUE is tie-invariant: a value v crosses iff
     *     2·W(≤v) ≥ total, regardless of intra-value order).
-    * Steps 2 and 3 reference the SAME range exchange inside one plan, so
-    * ReuseExchange materializes the sampled boundaries once and both
-    * subtrees see identical partition ids — no checkpoint, no driver
-    * round-trip (the partition-invariance spec and the oracle both catch
-    * any reuse failure). Every data-sized window is bounded by one
+    * The range partitioning is pinned with an eager `localCheckpoint`:
+    * the offsets subtree and the row subtree must see the SAME sampled
+    * boundaries, and relying on ReuseExchange to unify two references
+    * proved fragile (the running-agg port observed two evaluations
+    * sampling different splits); the checkpoint is the q74 discipline and
+    * at scale is the persisted sorted layout. Every data-sized window is bounded by one
     * partition's histogram slice. The value returned is rank-determined,
     * so it equals the naive window-by-group form exactly — the DuckDB
     * oracles keep the naive shape and hash-match. Returns
@@ -313,6 +314,7 @@ object Relational {
     val hist = df.select(col(grp), col(valCol), w.as("__w"))
       .repartitionByRange(partitions, col(grp), col(valCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val offW = Window.partitionBy(col(grp)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = hist.groupBy(col("__pid"), col(grp))
@@ -340,6 +342,7 @@ object Relational {
     val part = df
       .repartitionByRange(partitions, (col(grp) +: ordCols.map(col)): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val offW = Window.partitionBy(col(grp)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = part.groupBy(col("__pid"), col(grp))

@@ -555,9 +555,10 @@ object TextAnalysis {
     * built on the [[sequencePacking]] offset discipline in one plan:
     * range-partition by (grp, ordCols), per-(partition, group) counts form
     * a P×G miniature whose per-group exclusive-prefix window orders ≤ P
-    * rows, broadcast back, within-partition row_number + offset. The two
-    * references to the range exchange share one materialization
-    * (ReuseExchange), so partition ids agree; `ordCols` MUST be a total
+    * rows, broadcast back, within-partition row_number + offset. The range
+    * partitioning is pinned by an eager `localCheckpoint` so every
+    * reference sees the same sampled boundaries (ReuseExchange proved
+    * fragile for this — see `Relational.crossingMedian`); `ordCols` MUST be a total
     * order per group (include a unique id) — equal keys could otherwise
     * land on either side of a range boundary and make ordinals unstable. */
   private[graft] def groupedOrdinal(df: DataFrame, grp: String,
@@ -567,6 +568,7 @@ object TextAnalysis {
     val part = df
       .repartitionByRange(partitions, (col(grp) +: ordCols.map(col)): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val offW = Window.partitionBy(col(grp)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = part.groupBy(col("__pid"), col(grp))

@@ -350,6 +350,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(ords(8) == base && ords(32) == base)
   }
 
+  test("distributed running agg equals the windowed q62 contract output") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._2, t._3)).toSeq
+    val windowed = canon(Events.runningAgg(spark, dir))
+    // bit-identical at several partition counts: boundary frames rebuild
+    // and fold in true frame order, so the rounded doubles cannot move
+    Seq(2, 8, 32).foreach { p =>
+      assert(canon(Events.runningAggDistributed(spark, dir, p)) == windowed,
+        s"partitions=$p")
+    }
+  }
+
   test("distributed rank family equals the windowed q75 contract output") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -81,8 +81,13 @@ object Bench {
     //    a pointer), a few hundred bytes — always survives the tail.
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(
+    // an unwritable CWD must not discard the measured run: the stdout
+    // summary below is the artifact of record either way
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LATEST.json"), full + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] BENCH_LATEST.json write failed: $e")
+    }
     val slowest = results.sortBy(-_._2).take(12)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_shown":${slowest.size},"queries":${qjson(slowest)},"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
     spark.stop()

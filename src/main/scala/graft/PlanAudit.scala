@@ -133,16 +133,40 @@ object PlanAudit {
         "CartesianProduct" -> false),
       // length batches: the P×B ordinal-offset miniature broadcasts
       "q126_length_batches" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // distributed running agg / rank family: the offset miniatures must
+      // broadcast back onto the range-partitioned rows
+      "q62_events_running" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      "q75_rank_functions" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false))
+
+    // Regex-matched expectations, for shapes a plain substring cannot pin
+    // (window specs embed column ids). These forbid the low-cardinality
+    // window trap in the q62/q75 contract plans: a window partitioned
+    // SOLELY by the 5-value event_type (resp. 25-value nation key) and
+    // ordered by full-data columns serializes each group into ONE task at
+    // any cluster size. The distributed twins' miniature windows (per-type
+    // P×G offset prefixes ordered by __pid) do NOT match these patterns.
+    val regexExpectations: Map[String, Seq[(String, Boolean)]] = Map(
+      "q62_events_running" -> Seq(
+        """windowspecdefinition\(event_type#\d+, ts_ms#""" -> false),
+      "q75_rank_functions" -> Seq(
+        """windowspecdefinition\(c_nationkey#""" -> false,
+        """windowspecdefinition\(nationkey#\d+L?, negbal#""" -> false))
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       val checks = expectations.getOrElse(name, Nil)
+      val reChecks = regexExpectations.getOrElse(name, Nil)
       val failures = checks.collect {
         case (s, true) if !plan.contains(s) => s"MISSING '$s'"
         case (s, false) if plan.contains(s) => s"FORBIDDEN '$s'"
+      } ++ reChecks.collect {
+        case (re, true) if re.r.findFirstIn(plan).isEmpty => s"MISSING ~'$re'"
+        case (re, false) if re.r.findFirstIn(plan).isDefined => s"FORBIDDEN ~'$re'"
       }
       if (failures.nonEmpty) {
         bad += failures.size

@@ -29,7 +29,7 @@ object SparkEntry {
     "q08_distinct_count" -> ((s, dir) => Relational.distinctCount(s, dir)),
     "q10_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
     "q11_window_rank" -> ((s, dir) => Relational.windowRank(s, dir)),
-    "q75_rank_functions" -> ((s, dir) => Relational.rankFunctions(s, dir)),
+    "q75_rank_functions" -> ((s, dir) => Relational.rankFunctionsDistributed(s, dir)),
     "q12_star_join" -> ((s, dir) => Relational.starJoin(s, dir)),
     "q13_semi_anti_join" -> ((s, dir) => Relational.semiAntiJoin(s, dir)),
     "q14_set_union" -> ((s, dir) => SetOps.setUnion(s, dir)),
@@ -106,7 +106,7 @@ object SparkEntry {
     "q106_stream_dedup" -> ((s, dir) =>
       streaming.EventStreams.dedupStreamQuery(s, dir)),
     "q61_events_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
-    "q62_events_running" -> ((s, dir) => Events.runningAgg(s, dir)),
+    "q62_events_running" -> ((s, dir) => Events.runningAggDistributed(s, dir)),
     "q63_events_daily_top" -> ((s, dir) => Events.dailyTopEvents(s, dir)),
     "q65_asof_join" -> ((s, dir) => Events.asofLastPurchase(s, dir)),
     "q110_asof_native" -> ((s, dir) => Events.asofLastPurchaseNative(s, dir)),

@@ -155,36 +155,48 @@ object Events {
     val ranked = part.join(broadcast(offsets), Seq("__pid", "event_type"))
       .withColumn("__rl", row_number().over(inW).cast(LongType))
       .withColumn("running_n", col("__rl") + col("__off"))
+      // frames collect STRUCTS, not bare values: collect_list drops null
+      // inputs, so a null `value` near a boundary would shift positions and
+      // pull an extra older carry value; wrapping in a (never-null) struct
+      // keeps frame positions dense while the avg below still skips the
+      // null payloads exactly like the window's avg does
       .withColumn("__frame",
-        collect_list(col("value")).over(inW.rowsBetween(-4, 0)))
+        collect_list(struct(col("value"))).over(inW.rowsBetween(-4, 0)))
       .withColumn("__mv",
         round(avg(col("value")).over(inW.rowsBetween(-4, 0)), 6))
     val interior = ranked.filter(col("__rl") >= 5)
       .select(col("event_id"), col("event_type"), col("running_n"),
         col("__mv").as("moving_avg"))
-    // per-(pid, type) tail: the partition's last ≤4 values in time order
+    // per-(pid, type) tail: the partition's last ≤4 rows in time order
     val tails = ranked.filter(col("__rl") > col("__c") - 4)
       .groupBy(col("__pid"), col("event_type"))
       .agg(transform(
         array_sort(collect_list(struct(col("ts_ms"), col("event_id"),
           col("value")))),
-        s => s.getField("value")).as("tail"))
+        s => struct(s.getField("value").as("value"))).as("tail"))
     val last4 = (a: Column) =>
       when(size(a) > 4, slice(a, -4, 4)).otherwise(a)
     val prevTails = tails
       .withColumn("__carry", last4(coalesce(
         flatten(collect_list(col("tail")).over(offW)),
-        array().cast(ArrayType(DoubleType)))))
+        array().cast("array<struct<value:double>>"))))
       .select(col("__pid"), col("event_type"), col("__carry"))
     val need = (lit(4L) - (col("__rl") - 1)).cast(IntegerType)
     val taken = when(need >= size(col("__carry")), col("__carry"))
       .otherwise(slice(col("__carry"), -need, need))
+    // frame-ordered left fold over the NON-NULL payloads ÷ their count —
+    // the window avg's exact semantics (null only when the frame is all
+    // null), with additions in true frame order for bit-identity
+    val nn = filter(concat(taken, col("__frame")),
+      s => s.getField("value").isNotNull)
     val boundary = ranked.filter(col("__rl") <= 4)
       .join(broadcast(prevTails), Seq("__pid", "event_type"))
-      .withColumn("__vals", concat(taken, col("__frame")))
+      .withColumn("__nn", nn)
       .select(col("event_id"), col("event_type"), col("running_n"),
-        round(aggregate(col("__vals"), lit(0.0), (acc, x) => acc + x) /
-          size(col("__vals")), 6).as("moving_avg"))
+        when(size(col("__nn")) > 0,
+          round(aggregate(col("__nn"), lit(0.0),
+            (acc, s) => acc + s.getField("value")) / size(col("__nn")), 6))
+          .as("moving_avg"))
     interior.unionByName(boundary)
   }
 

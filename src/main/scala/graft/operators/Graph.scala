@@ -142,11 +142,27 @@ object Graph {
       val d = next.toDF("node", "r2").join(ranks, "node")
         .agg(max(abs(col("r2") - col("r")))).head()
       delta = if (d.isNullAt(0)) 0L else d.getLong(0)
+      // the superseded round's checkpointed blocks are dead once delta is
+      // computed — without this, up to maxIters rank tables stay cached
+      // for the session lifetime (the FINAL table stays live for the caller)
+      releaseLocalCheckpoint(ranks)
       ranks = next
       it += 1
     }
     (ranks.select(col("node"), col("r").as("rank_e12")), it)
   }
+
+  /** Unpersist the RDD behind a `localCheckpoint(true)`-produced frame.
+    * `Dataset.unpersist` cannot do this (the checkpoint persists the RDD
+    * directly, not through the cache manager), so walk to the `LogicalRDD`
+    * leaf and release its blocks. Non-blocking: late readers of an
+    * in-flight block still succeed. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Distinct (order, part) basket rows, optionally capped at `maxBasket`
     * parts per order. The per-order pair build downstream is quadratic in

@@ -428,8 +428,16 @@ object EventStreams {
     * of row count, so wall-clock differences between runs of the same
     * streaming query are engine fixed overhead (query start, state-store
     * setup, micro-batch planning), not per-row cost. */
-  private val lastBatchesHolder = new ThreadLocal[Int]
-  private[graft] def lastRunDataBatches: Int = lastBatchesHolder.get()
+  private val lastBatchesHolder: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => -1)
+  private[graft] def lastRunDataBatches: Int = {
+    val n = lastBatchesHolder.get()
+    // -1 = never populated on THIS thread (no successful runToBatch drive);
+    // a silent 0 here would read as "no data batches" and mask the error
+    require(n >= 0,
+      "lastRunDataBatches read before a successful runToBatch on this thread")
+    n
+  }
 
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
                  mode: OutputMode = OutputMode.Append,

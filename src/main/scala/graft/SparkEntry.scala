@@ -276,5 +276,13 @@ object SparkEntry {
     "q100_stream_anomalies" -> Events.anomaliesSql,
     // double-delivered stream must collapse to the original table exactly
     "q106_stream_dedup" -> streaming.EventStreams.dedupStreamSql,
-  )
+  ) ++
+    // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
+    // double literals, buildable only after the fit has run — Verify dumps
+    // oracleSql after executing every query, so the driver's full run
+    // always includes them; a narrowed run that skipped the ML queries
+    // omits them and the driver falls back to the rows-only check.
+    Clustering.oracleEntries ++
+    SimilaritySearch.oracleEntries ++
+    Dedup.semanticOracleEntries
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.linalg.{Vector, Vectors}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -116,17 +116,65 @@ object Clustering {
   private val fitCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), Segmentation]
 
-  private def fitOnDir(spark: SparkSession, dir: String, k: Int = 4): Segmentation =
-    fitCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, k),
+  private def fitOnDir(spark: SparkSession, dir: String, k: Int = 4): Segmentation = {
+    val seg = fitCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, k),
       fit(Rfm.rfmPrepared(spark, dir), k))
+    // capture the fit's constants for oracle-literal embedding (below);
+    // Verify dumps oracleSql AFTER running queries, so a run that exercised
+    // any ML read-out has the dir-specific literals here by dump time
+    captured = Some((seg.scaler, seg.model.clusterCenters.map(_.toArray)))
+    seg
+  }
+
+  // ---- literal-centroid read-outs ------------------------------------------
+  // Once fitted, the scaler (μ, σ) and the k×3 centroids are MODEL CONSTANTS.
+  // Every read-out below derives from them with plain arithmetic, so both
+  // engines can run the IDENTICAL expression tree on the identical literals
+  // (`Double.toString` round-trips bit-exactly through the DuckDB parser —
+  // the proven q51 hyperplane trick): the fit stays spec-land, the oracle
+  // verifies every read-out's math end to end. Cluster labels use the
+  // reference's own predict definition — EXACT euclidean argmin with
+  // first-min tie-break (`src/model.rs:26-50`) — rather than MLlib's
+  // bound-pruned findClosest; ClusteringSpec pins the two assignments equal.
+
+  @volatile private var captured: Option[(ScalerStats, Array[Array[Double]])] = None
+
+  /** Squared euclidean distance of the z-point to centroid `c`, in the
+    * shared shape `((dr² + df²) + dm²)` both engines evaluate identically. */
+  private def distCol(c: Array[Double]): Column = {
+    val dr = col("recency_z") - lit(c(0))
+    val df0 = col("frequency_z") - lit(c(1))
+    val dm = col("monetary_z") - lit(c(2))
+    dr * dr + df0 * df0 + dm * dm
+  }
+
+  /** First-min argmin over pre-computed `__d{i}` columns. */
+  private def firstMin(n: Int): Column = {
+    val base: Column = lit((n - 1).toLong)
+    (0 until n - 1).foldRight(base) { (i, acc) =>
+      val cond = ((i + 1) until n)
+        .map(j => col(s"__d$i") <= col(s"__d$j")).reduce(_ && _)
+      when(cond, lit(i.toLong)).otherwise(acc)
+    }
+  }
+
+  /** Predictions + per-centroid `__d{i}` squared distances + the explicit
+    * argmin `cluster` label (reference `src/model.rs:26-50`). */
+  def labeledPredictions(seg: Segmentation): DataFrame = {
+    val centers = seg.model.clusterCenters.map(_.toArray)
+    val withD = centers.zipWithIndex.foldLeft(seg.predictions) {
+      case (df, (c, i)) => df.withColumn(s"__d$i", distCol(c))
+    }
+    withD.withColumn("cluster", firstMin(centers.length))
+  }
 
   /** A7 — cluster sizes + percentages (reference `src/model.rs:53-61`,
-    * percentages `src/main.rs:125-129`). Seeded → deterministic, but kept
-    * out of the DuckDB oracle set (k-means is not SQL-expressible). */
+    * percentages `src/main.rs:125-129`). Oracle-gated via literal
+    * centroids ([[clusterSizesSql]]). */
   def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
     val seg = fitOnDir(spark, dir)
     val total = seg.predictions.count().toDouble
-    seg.predictions.groupBy(col("prediction").cast(LongType).as("cluster"))
+    labeledPredictions(seg).groupBy(col("cluster"))
       .agg(count(lit(1)).as("size"))
       .withColumn("pct", round(col("size") / total * 100.0, 2))
       .orderBy(col("cluster"))
@@ -143,11 +191,21 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
-  /** A8 — inertia / WCSS (reference `compute_inertia`, `src/model.rs:198-215`;
-    * same definition as MLlib's trainingCost). */
+  /** A8 — inertia / WCSS (reference `compute_inertia`, `src/model.rs:198-215`:
+    * Σ over points of squared distance to the FINAL assigned centroid —
+    * computed distributed, post-fit, exactly like the reference, rather than
+    * read off MLlib's last-iteration trainingCost). The per-point minimum
+    * rounds to 6 dp and sums in exact DECIMAL so partition order cannot move
+    * the result and the oracle reproduces it bit-for-bit; the 6-dp grid is
+    * 5 orders finer than the reference's own %.2f display
+    * (`src/viz.rs:178`). ClusteringSpec pins this against a sequential
+    * driver-side recomputation and against trainingCost. */
   def inertia(spark: SparkSession, dir: String): DataFrame = {
     val seg = fitOnDir(spark, dir)
-    spark.createDataFrame(Seq(Tuple1(seg.inertia))).toDF("inertia")
+    val k = seg.model.clusterCenters.length
+    labeledPredictions(seg)
+      .agg(sum(round(least((0 until k).map(i => col(s"__d$i")): _*), 6)
+        .cast(DecimalType(38, 6))).cast(DoubleType).as("inertia"))
   }
 
   /** M9 — nearest-centroid argmin for one scaled point (reference
@@ -175,7 +233,7 @@ object Clustering {
   def predictQuery(spark: SparkSession, dir: String): DataFrame = {
     val seg = fitOnDir(spark, dir)
     val cluster = predictCluster(seg, Array(30.0, 10.0, 500.0))
-    val size = seg.predictions.filter(col("prediction") === cluster).count()
+    val size = labeledPredictions(seg).filter(col("cluster") === cluster).count()
     val total = seg.predictions.count()
     val pct = math.rint(size.toDouble / total * 10000.0) / 100.0
     spark.createDataFrame(Seq((cluster.toLong, size, pct)))
@@ -188,26 +246,32 @@ object Clustering {
     * out of engine scope; this exposes exactly the data the chart consumes. */
   def scatterData(spark: SparkSession, dir: String): DataFrame = {
     val seg = fitOnDir(spark, dir)
-    seg.predictions.select(col("custkey"),
+    labeledPredictions(seg).select(col("custkey"),
       round(col("frequency_z"), 6).as("frequency_z"),
       round(col("monetary_z"), 6).as("monetary_z"),
-      col("prediction").cast(LongType).as("cluster"))
+      col("cluster"))
   }
 
   /** A10 — the reference's exact sampled silhouette: Euclidean, pairwise
     * within the first min(n,100) rows only, 0 for degenerate points
     * (reference `src/model.rs:64-119`; sample size `src/main.rs:131-133`).
     * "First" rows are made deterministic by custkey order. */
-  def silhouetteSampled(predictions: DataFrame, sampleSize: Int = 100): Double = {
-    val sample: Array[(Vector, Int)] = predictions
+  def silhouetteSampled(labeled: DataFrame, sampleSize: Int = 100): Double = {
+    val sample: Array[(Array[Double], Long)] = labeled
       .orderBy(col("custkey"))
-      .select(col("features"), col("prediction"))
+      .select(col("recency_z"), col("frequency_z"), col("monetary_z"),
+        col("cluster"))
       .limit(sampleSize)
       .collect()
-      .map(r => (r.getAs[Vector](0), r.getInt(1)))
+      .map(r => (Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)),
+        r.getLong(3)))
     val n = sample.length
     if (n < 2) return 0.0
-    def dist(a: Vector, b: Vector) = math.sqrt(Vectors.sqdist(a, b))
+    // ((dr² + df²) + dm²) then sqrt — the shape the oracle SQL mirrors
+    def dist(a: Array[Double], b: Array[Double]) = {
+      val dr = a(0) - b(0); val df0 = a(1) - b(1); val dm = a(2) - b(2)
+      math.sqrt(dr * dr + df0 * df0 + dm * dm)
+    }
     val scores = sample.indices.map { i =>
       val (xi, ci) = sample(i)
       val byCluster = sample.indices.filter(_ != i)
@@ -226,11 +290,17 @@ object Clustering {
   }
 
   /** Silhouette as a 1-row query (report-only metric in the reference —
-    * printed, never persisted: `src/viz.rs:163-193`). */
+    * printed with 3 decimals, never persisted: `src/viz.rs:163-193`).
+    * Rounded to 6 dp with Spark SQL's own double-round rule
+    * (shortest-repr HALF_UP) so the [[silhouetteSql]] oracle — whose a/b
+    * means aggregate in engine order rather than sample order — lands on
+    * the identical grid point. */
   def silhouetteQuery(spark: SparkSession, dir: String): DataFrame = {
     val seg = fitOnDir(spark, dir)
-    val s = silhouetteSampled(seg.predictions)
-    spark.createDataFrame(Seq(Tuple1(s))).toDF("silhouette")
+    val s = silhouetteSampled(labeledPredictions(seg))
+    val r = java.math.BigDecimal.valueOf(s)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    spark.createDataFrame(Seq(Tuple1(r))).toDF("silhouette")
   }
 
   /** S6 — console cluster-statistics report (reference
@@ -239,7 +309,7 @@ object Clustering {
     val sizes = seg.predictions.groupBy("prediction").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = sizes.values.sum.toDouble
-    val silhouette = silhouetteSampled(seg.predictions)
+    val silhouette = silhouetteSampled(labeledPredictions(seg))
     val sb = new StringBuilder
     sb.append(s"Number of clusters: ${seg.model.getK}\n")
     (0 until seg.model.getK).foreach { c =>
@@ -252,5 +322,137 @@ object Clustering {
       sb.append(f"Centroid $i: R=${c(0)}%.3f F=${c(1)}%.3f M=${c(2)}%.3f\n")
     }
     sb.toString
+  }
+
+  // ---- DuckDB oracles for the literal-centroid read-outs -------------------
+
+  /** Shared CTE prefix: the q04-proven RFM derivation, z-scores from the
+    * literal scaler, per-centroid squared distances in the [[distCol]]
+    * shape. `Double.toString` round-trips bit-exactly through the parser,
+    * so every arithmetic step lands on the identical doubles. */
+  private def zdCtes(sc: ScalerStats, cs: Array[Array[Double]]): String = {
+    val ds = cs.zipWithIndex.map { case (c, i) =>
+      s"""(recency_z - ${c(0)}) * (recency_z - ${c(0)}) +
+         |           (frequency_z - ${c(1)}) * (frequency_z - ${c(1)}) +
+         |           (monetary_z - ${c(2)}) * (monetary_z - ${c(2)}) AS __d$i""".stripMargin
+    }.mkString(",\n         ")
+    s"""${Rfm.rfmCtes},
+       |z AS (
+       |  SELECT custkey,
+       |         (recency - ${sc.mu(0)}) / ${sc.sd(0)} AS recency_z,
+       |         (frequency - ${sc.mu(1)}) / ${sc.sd(1)} AS frequency_z,
+       |         (monetary - ${sc.mu(2)}) / ${sc.sd(2)} AS monetary_z
+       |  FROM rfm),
+       |d AS (
+       |  SELECT *,
+       |         $ds
+       |  FROM z)""".stripMargin
+  }
+
+  /** First-min argmin CASE over `__d{i}` — textual mirror of [[firstMin]]. */
+  private def firstMinSql(n: Int): String = {
+    val whens = (0 until n - 1).map { i =>
+      val conds = ((i + 1) until n).map(j => s"__d$i <= __d$j").mkString(" AND ")
+      s"WHEN $conds THEN $i"
+    }.mkString(" ")
+    s"CAST(CASE $whens ELSE ${n - 1} END AS BIGINT)"
+  }
+
+  private def clusterSizesSql(sc: ScalerStats, cs: Array[Array[Double]]): String =
+    s"""WITH ${zdCtes(sc, cs)},
+       |lab AS (SELECT ${firstMinSql(cs.length)} AS cluster FROM d),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM lab)
+       |SELECT cluster, count(*) AS size,
+       |       round(CAST(count(*) AS DOUBLE) / total * 100.0, 2) AS pct
+       |FROM lab CROSS JOIN tot
+       |GROUP BY cluster, total""".stripMargin
+
+  private def inertiaSql(sc: ScalerStats, cs: Array[Array[Double]]): String = {
+    val least = cs.indices.map(i => s"__d$i").mkString("least(", ", ", ")")
+    s"""WITH ${zdCtes(sc, cs)}
+       |SELECT CAST(SUM(CAST(round($least, 6) AS DECIMAL(38,6))) AS DOUBLE)
+       |         AS inertia
+       |FROM d""".stripMargin
+  }
+
+  /** The probe point's z and distances as ALL-LITERAL arithmetic — DuckDB
+    * re-derives the predicted cluster itself (reference probe
+    * `README.md:144-147`, argmin `src/model.rs:26-50` with the `(c - p)`
+    * diff order of `Vectors.sqdist`). `cluster_pct` uses round-half-even
+    * to mirror `math.rint`. */
+  private def predictSql(sc: ScalerStats, cs: Array[Array[Double]]): String = {
+    val pds = cs.zipWithIndex.map { case (c, i) =>
+      s"""(${c(0)} - pr) * (${c(0)} - pr) + (${c(1)} - pf) * (${c(1)} - pf) +
+         |           (${c(2)} - pm) * (${c(2)} - pm) AS __d$i""".stripMargin
+    }.mkString(",\n         ")
+    s"""WITH ${zdCtes(sc, cs)},
+       |lab AS (SELECT ${firstMinSql(cs.length)} AS cluster FROM d),
+       |probe0 AS (SELECT (30.0 - ${sc.mu(0)}) / ${sc.sd(0)} AS pr,
+       |                  (10.0 - ${sc.mu(1)}) / ${sc.sd(1)} AS pf,
+       |                  (500.0 - ${sc.mu(2)}) / ${sc.sd(2)} AS pm),
+       |probed AS (
+       |  SELECT $pds
+       |  FROM probe0),
+       |probe AS (SELECT ${firstMinSql(cs.length)} AS cluster FROM probed),
+       |sz AS (SELECT count(*) AS cluster_size FROM lab JOIN probe USING (cluster)),
+       |tot AS (SELECT count(*) AS total FROM lab)
+       |SELECT probe.cluster, sz.cluster_size,
+       |       round_even(CAST(sz.cluster_size AS DOUBLE)
+       |                  / CAST(tot.total AS DOUBLE) * 10000.0, 0) / 100.0
+       |         AS cluster_pct
+       |FROM probe CROSS JOIN sz CROSS JOIN tot""".stripMargin
+  }
+
+  private def scatterSql(sc: ScalerStats, cs: Array[Array[Double]]): String =
+    s"""WITH ${zdCtes(sc, cs)}
+       |SELECT custkey, round(frequency_z, 6) AS frequency_z,
+       |       round(monetary_z, 6) AS monetary_z,
+       |       ${firstMinSql(cs.length)} AS cluster
+       |FROM d""".stripMargin
+
+  /** The reference's exact sampled silhouette (`src/model.rs:64-119`) as a
+    * self-join CTE over the first min(n,100) custkeys. a/b means aggregate
+    * in engine order (the Scala loop sums in sample order) — a few-ulp
+    * wobble absorbed by the shared 6-dp round. */
+  private def silhouetteSql(sc: ScalerStats, cs: Array[Array[Double]]): String =
+    s"""WITH ${zdCtes(sc, cs)},
+       |samp AS (
+       |  SELECT custkey, recency_z AS rz, frequency_z AS fz, monetary_z AS mz,
+       |         ${firstMinSql(cs.length)} AS cluster
+       |  FROM d ORDER BY custkey LIMIT 100),
+       |pairs AS (
+       |  SELECT a.custkey AS ck, a.cluster AS ca, b.cluster AS cb,
+       |         sqrt((a.rz - b.rz) * (a.rz - b.rz) +
+       |              (a.fz - b.fz) * (a.fz - b.fz) +
+       |              (a.mz - b.mz) * (a.mz - b.mz)) AS dist
+       |  FROM samp a JOIN samp b ON a.custkey <> b.custkey),
+       |percl AS (SELECT ck, ca, cb, avg(dist) AS md
+       |          FROM pairs GROUP BY ck, ca, cb),
+       |ab AS (SELECT ck,
+       |              coalesce(max(CASE WHEN cb = ca THEN md END), 0.0) AS av,
+       |              min(CASE WHEN cb <> ca THEN md END) AS bv
+       |       FROM percl GROUP BY ck),
+       |scores AS (SELECT CASE WHEN bv IS NULL THEN 0.0
+       |                       WHEN greatest(av, bv) = 0.0 THEN 0.0
+       |                       ELSE (bv - av) / greatest(av, bv) END AS s
+       |           FROM ab),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM samp)
+       |SELECT round(sum(s) / n, 6) AS silhouette
+       |FROM scores CROSS JOIN n GROUP BY n""".stripMargin
+
+  /** Oracle entries for the ML read-outs, buildable once a fit has run this
+    * session (Verify runs every query before dumping oracleSql, so the
+    * driver's full run always has them; a narrowed run that skipped the ML
+    * queries simply omits them — the driver then falls back to the old
+    * rows-only check). Single-dir by construction: Verify/Bench drive one
+    * sfDir per process, so the captured literals are that dir's fit. */
+  def oracleEntries: Map[String, String] = captured match {
+    case None => Map.empty
+    case Some((sc, cs)) => Map(
+      "q20_cluster_sizes" -> clusterSizesSql(sc, cs),
+      "q22_inertia" -> inertiaSql(sc, cs),
+      "q23_predict" -> predictSql(sc, cs),
+      "q24_silhouette" -> silhouetteSql(sc, cs),
+      "q25_scatter_data" -> scatterSql(sc, cs))
   }
 }

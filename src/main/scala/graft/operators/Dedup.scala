@@ -558,6 +558,36 @@ object Dedup {
         round(col("m.cosine"), 6).as("keeper_cosine"))
   }
 
+  /** Oracle for [[semanticDedup]] given the session's fitted coarse
+    * centroids as literals ([[SimilaritySearch.coarseLabCtes]] re-derives
+    * the cell assignment in SQL): the per-cell keeper<removed self-join,
+    * threshold, and struct-min keeper pick (expressed as first-row-by-keeper
+    * — keeper is unique per pair group, so min-struct ≡ order-by-keeper
+    * limit 1) all replay in DuckDB; only the seeded coarse fit stays
+    * spec-land. */
+  def semanticDedupSql(centers: Array[Array[Double]],
+                       threshold: Double = 0.3): String =
+    s"""WITH ${SimilaritySearch.coarseLabCtes(centers)}, hits AS (
+       |  SELECT r.vec_id, k.vec_id AS keeper_id,
+       |         ${SimilaritySearch.dotColsSql("k.u", "r.u")} AS cos_raw
+       |  FROM lab k JOIN lab r ON k.coarse_id = r.coarse_id
+       |  WHERE k.vec_id < r.vec_id
+       |), kept AS (
+       |  SELECT vec_id, keeper_id, cos_raw,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY keeper_id) AS rn
+       |  FROM hits WHERE cos_raw >= $threshold
+       |)
+       |SELECT vec_id, keeper_id, round(cos_raw, 6) AS keeper_cosine
+       |FROM kept WHERE rn = 1""".stripMargin
+
+  /** q108's oracle entry, buildable once the IVF index has been fitted
+    * this session. */
+  def semanticOracleEntries: Map[String, String] =
+    SimilaritySearch.capturedCoarseCenters match {
+      case None => Map.empty
+      case Some(cs) => Map("q108_semantic_dedup" -> semanticDedupSql(cs))
+    }
+
   /** q120 — n-gram novelty score: per document, the fraction (exact ppm)
     * of its distinct 3-gram shingles that occur in NO other document —
     * the inverse signal of boilerplate/near-dup: high novelty marks

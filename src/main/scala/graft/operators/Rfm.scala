@@ -78,22 +78,29 @@ object Rfm {
   def rfmPrepared(spark: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.cached(spark, s"rfm:$dir")(rfmOrders(spark, dir))
 
-  /** DuckDB oracle for [[rfmOrders]] — same arithmetic, same column names. */
-  val rfmOrdersSql: String =
-    """WITH ref AS (SELECT max(epoch_ms(o_orderdate)) + 86400000 AS ref_ms FROM orders),
+  /** [[rfmOrdersSql]]'s body as reusable CTE clauses ending in `rfm` —
+    * the ML-read-out oracles ([[Clustering]]) build their z-score/argmin
+    * SQL on top of the identical RFM derivation. */
+  private[operators] val rfmCtes: String =
+    """ref AS (SELECT max(epoch_ms(o_orderdate)) + 86400000 AS ref_ms FROM orders),
       |agg AS (
       |  SELECT o_custkey AS custkey,
       |         max(epoch_ms(o_orderdate)) AS last_ms,
       |         CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS frequency,
       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
       |           / 100.0 AS monetary
-      |  FROM orders GROUP BY o_custkey)
-      |SELECT custkey,
-      |       CAST(ref_ms - last_ms AS DOUBLE) / 86400000.0 AS recency,
-      |       frequency, monetary
-      |FROM agg CROSS JOIN ref
-      |WHERE CAST(ref_ms - last_ms AS DOUBLE) / 86400000.0 >= 0
-      |  AND frequency > 0 AND monetary > 0""".stripMargin
+      |  FROM orders GROUP BY o_custkey),
+      |rfm AS (
+      |  SELECT custkey,
+      |         CAST(ref_ms - last_ms AS DOUBLE) / 86400000.0 AS recency,
+      |         frequency, monetary
+      |  FROM agg CROSS JOIN ref
+      |  WHERE CAST(ref_ms - last_ms AS DOUBLE) / 86400000.0 >= 0
+      |    AND frequency > 0 AND monetary > 0)""".stripMargin
+
+  /** DuckDB oracle for [[rfmOrders]] — same arithmetic, same column names. */
+  val rfmOrdersSql: String =
+    s"WITH $rfmCtes\nSELECT custkey, recency, frequency, monetary FROM rfm"
 
   /** Join-variant RFM: monetary from lineitem revenue
     * `sum(l_extendedprice*(1-l_discount))` with the P1-style clean filter

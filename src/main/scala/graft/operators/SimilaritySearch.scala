@@ -308,9 +308,41 @@ object SimilaritySearch {
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), (KMeansModel, DataFrame)]
 
+  /** Explicit coarse assignment from literal centroids: per-centroid squared
+    * distance in the norm form `(u·u + ‖c‖²) − 2·(u·c)` with the
+    * sequential-fold dots of [[graft.functions.VectorExprs]], then first-min
+    * argmin — the exact expression shape the oracle SQL mirrors, and the
+    * exact-euclidean argmin MLlib's bound-pruned findClosest approximates
+    * (SimilaritySpec pins the two equal). `‖c‖²` is folded at BUILD time
+    * (model constant) and embedded as one literal on both engines. */
+  private[graft] def withCoarseId(df: DataFrame,
+                                  centers: Array[Array[Double]]): DataFrame = {
+    val withSu = df.withColumn("__su", dot_product(col("u"), col("u")))
+    val withD = centers.zipWithIndex.foldLeft(withSu) { case (acc, (c, i)) =>
+      val c2 = c.map(x => x * x).foldLeft(0.0)(_ + _)
+      acc.withColumn(s"__cd$i", col("__su") + lit(c2) -
+        lit(2.0) * dot_product(col("u"), array(c.map(lit).toIndexedSeq: _*)))
+    }
+    val n = centers.length
+    val cid = (0 until n - 1).foldRight(lit(n - 1): Column) { (i, acc) =>
+      val cond = ((i + 1) until n)
+        .map(j => col(s"__cd$i") <= col(s"__cd$j")).reduce(_ && _)
+      when(cond, lit(i)).otherwise(acc)
+    }
+    withD.withColumn("coarse_id", cid)
+      .drop("__su").drop((0 until n).map(i => s"__cd$i"): _*)
+  }
+
+  /** Coarse centroids of the last fitted IVF index this session, for
+    * oracle-literal embedding (see [[Clustering.oracleEntries]] for the
+    * mechanism — Verify dumps oracleSql after the queries run). */
+  @volatile private var capturedCoarse: Option[Array[Array[Double]]] = None
+  private[operators] def capturedCoarseCenters: Option[Array[Array[Double]]] =
+    capturedCoarse
+
   private def ivfIndex(spark: SparkSession, dir: String,
-                       nlist: Int): (KMeansModel, DataFrame) =
-    ivfCache.getOrElseUpdate(
+                       nlist: Int): (KMeansModel, DataFrame) = {
+    val res = ivfCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, nlist), {
         val emb = normalized(spark, dir)
           .withColumn("features", array_to_vector(col("u")))
@@ -318,10 +350,21 @@ object SimilaritySearch {
           .setDistanceMeasure("euclidean").setFeaturesCol("features")
           .setPredictionCol("coarse_id").setMaxIter(20)
         val model = km.fit(emb)
+        val centers = model.clusterCenters.map(_.toArray)
         val assigned = graft.CacheRegistry.cached(spark, s"ivf:$nlist:$dir")(
-          model.transform(emb).select(col("vec_id"), col("u"), col("coarse_id")))
+          withCoarseId(normalized(spark, dir), centers)
+            .select(col("vec_id"), col("u"), col("coarse_id")))
         (model, assigned)
       })
+    capturedCoarse = Some(res._1.clusterCenters.map(_.toArray))
+    res
+  }
+
+  /** Test hook: the fitted coarse model and the explicit-argmin assignment
+    * table, for the OperatorSpec parity pin. */
+  private[graft] def ivfIndexForSpec(spark: SparkSession, dir: String,
+                                     nlist: Int = 16): (KMeansModel, DataFrame) =
+    ivfIndex(spark, dir, nlist)
 
   /** The IVF coarse-assignment table (vec_id, u, coarse_id) for reuse by
     * [[Dedup.semanticDedup]] — the SemDeDup partitioner is exactly the ANN
@@ -359,6 +402,74 @@ object SimilaritySearch {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
+  }
+
+  /** CTEs ending in `lab(vec_id, u, coarse_id)` — the SQL mirror of
+    * [[withCoarseId]] over the unit vectors, shared by the q52 oracle and
+    * [[Dedup.semanticDedupSql]]. */
+  private[operators] def coarseLabCtes(centers: Array[Array[Double]]): String = {
+    val n = centers.length
+    val ds = centers.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).foldLeft(0.0)(_ + _)
+      s"__su + $c2 - 2.0 * ${dotLitSql("u", c)} AS __cd$i"
+    }.mkString(",\n         ")
+    val whens = (0 until n - 1).map { i =>
+      val conds = ((i + 1) until n).map(j => s"__cd$i <= __cd$j").mkString(" AND ")
+      s"WHEN $conds THEN $i"
+    }.mkString(" ")
+    s"""$unitVectorsSql, sud AS (
+       |  SELECT vec_id, u, ${dotColsSql("u", "u")} AS __su FROM un
+       |), dd AS (
+       |  SELECT vec_id, u,
+       |         $ds
+       |  FROM sud
+       |), lab AS (
+       |  SELECT vec_id, u, CASE $whens ELSE ${n - 1} END AS coarse_id FROM dd
+       |)""".stripMargin
+  }
+
+  /** Oracle for [[ivfTopK]] given the fitted coarse centroids as literals:
+    * DuckDB re-derives cell assignment, the nprobe probe set (1 − qu·c
+    * ranked with cid tie-break — the struct-sort in [[ivfTopK]]), the exact
+    * per-cell scoring, and the ranking — the whole read path; only the
+    * seeded coarse FIT stays spec-land. */
+  def ivfTopKSql(centers: Array[Array[Double]], nQueries: Int = 5,
+                 k: Int = 10, nprobe: Int = 2): String = {
+    val probeCase = centers.zipWithIndex.map { case (c, i) =>
+      s"WHEN $i THEN 1.0 - ${dotLitSql("qu", c)}"
+    }.mkString("CASE cid ", " ", " END")
+    s"""WITH ${coarseLabCtes(centers)}, q AS (
+       |  SELECT vec_id AS query_id, u AS qu FROM lab ORDER BY vec_id LIMIT $nQueries
+       |), cand AS (
+       |  SELECT query_id, qu, cid, $probeCase AS pd
+       |  FROM q, (SELECT unnest(range(${centers.length})) AS cid)
+       |), probes AS (
+       |  SELECT query_id, qu, cid
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY pd, cid) AS pr
+       |        FROM cand)
+       |  WHERE pr <= $nprobe
+       |), scored AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |         ${dotColsSql("e.u", "p.qu")} AS cos_raw
+       |  FROM lab e JOIN probes p ON e.coarse_id = p.cid
+       |  WHERE e.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       |       CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
+  /** Oracle entries buildable once the IVF index has been fitted this
+    * session (always true by oracle-dump time in a full Verify run). */
+  def oracleEntries: Map[String, String] = capturedCoarseCenters match {
+    case None => Map.empty
+    case Some(cs) => Map("q52_ann_ivf" -> ivfTopKSql(cs))
   }
 
   /** q58 — int8 scalar quantization of the embedding table: per-dimension

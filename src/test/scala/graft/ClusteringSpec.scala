@@ -66,8 +66,44 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("silhouette in [-1, 1] (reference src/model.rs:64-119)") {
-    val s = Clustering.silhouetteSampled(seg.predictions)
+    val s = Clustering.silhouetteSampled(Clustering.labeledPredictions(seg))
     assert(s >= -1.0 && s <= 1.0)
+  }
+
+  test("explicit literal-centroid argmin equals MLlib transform on EVERY row") {
+    // the oracle-gated read-outs label via the reference's exact-euclidean
+    // first-min argmin (src/model.rs:26-50); MLlib's findClosest is a
+    // bound-pruned variant of the same argmin — pin them equal over the
+    // full table so a divergence (a genuine near-tie) would surface here
+    // rather than as an unexplained oracle mismatch
+    val rows = Clustering.labeledPredictions(seg)
+      .select("prediction", "cluster").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0).toLong == r.getLong(1)))
+  }
+
+  test("distributed decimal-sum inertia equals sequential recompute and tracks trainingCost") {
+    val lab = Clustering.labeledPredictions(seg)
+    val centers = seg.model.clusterCenters.map(_.toArray)
+    // sequential driver-side recompute of Σ round(min_c d², 6)
+    val expected = lab
+      .select("recency_z", "frequency_z", "monetary_z").collect()
+      .map { r =>
+        val p = Array(r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        val dmin = centers.map { c =>
+          val dr = p(0) - c(0); val df = p(1) - c(1); val dm = p(2) - c(2)
+          dr * dr + df * df + dm * dm
+        }.min
+        BigDecimal(java.math.BigDecimal.valueOf(dmin)
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+      }.sum
+    val got = Clustering.inertia(spark, GraftTestSession.Sf0001)
+      .head().getDouble(0)
+    assert(math.abs(got - expected.toDouble) < 1e-9,
+      s"decimal inertia $got vs sequential $expected")
+    // and the explicit post-fit inertia is the converged trainingCost
+    assert(math.abs(got - seg.inertia) / seg.inertia < 1e-2,
+      s"explicit $got vs trainingCost ${seg.inertia}")
   }
 
   test("seeded fit is deterministic across invocations") {

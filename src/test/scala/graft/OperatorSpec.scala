@@ -584,6 +584,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("q52: explicit literal-centroid coarse assignment equals MLlib transform on every vector") {
+    // the oracle re-derives IVF cell membership from centroid literals via
+    // exact-euclidean first-min argmin; MLlib's findClosest is the
+    // bound-pruned variant — a genuine near-tie divergence must surface
+    // here, not as an oracle mismatch
+    val (model, assigned) = SimilaritySearch.ivfIndexForSpec(spark, dir)
+    val viaModel = model.transform(assigned
+      .withColumnRenamed("coarse_id", "explicit")
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(col("u"))))
+    assert(viaModel.count() > 0)
+    assert(viaModel.filter(col("coarse_id") =!= col("explicit")).count() == 0)
+  }
+
   test("top-k aggregator produces identical results to the window ranking") {
     val win = SimilaritySearch.bruteForceTopK(spark, dir, nQueries = 4, k = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet

@@ -45,7 +45,7 @@ class PropertySpec extends AnyFunSuite {
       val df = rows.toDF("custkey", "recency", "frequency", "monetary")
       val seg = Clustering.fit(df, k = k, maxIters = 20)
       val labels = seg.predictions.select("prediction").collect().map(_.getInt(0))
-      val s = Clustering.silhouetteSampled(seg.predictions, 50)
+      val s = Clustering.silhouetteSampled(Clustering.labeledPredictions(seg), 50)
       labels.length == rows.length &&
         labels.forall(l => l >= 0 && l < k) &&
         seg.inertia >= 0 && java.lang.Double.isFinite(seg.inertia) &&

@@ -139,7 +139,27 @@ object PlanAudit {
       "q62_events_running" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false),
       "q75_rank_functions" -> Seq("BroadcastHashJoin" -> true,
-        "CartesianProduct" -> false))
+        "CartesianProduct" -> false),
+      // q74 packing shares the offset-prefix pin checked below
+      "q74_packing" -> Seq("CartesianProduct" -> false))
+
+    // Offset-prefix partitioning pin (machine check for the round-4
+    // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix
+    // primitive (groupedOrdinal, groupedCumSum, crossingMedian,
+    // runningAggDistributed, sequencePacking) range-partitions ONCE and
+    // eagerly localCheckpoints, because two separate evaluations of one
+    // repartitionByRange may SAMPLE DIFFERENT boundaries and corrupt the
+    // offsets. In the executed plan that pin shows as: the checkpoint
+    // barrier is present (Scan ExistingRDD) and NO live range exchange
+    // remains (a `rangepartitioning` Exchange in any consumer plan would
+    // be a second, independently-sampled evaluation site).
+    val offsetPrefixQueries = Seq("q62_events_running", "q74_packing",
+      "q75_rank_functions", "q113_weighted_median", "q116_robust_scale",
+      "q126_length_batches")
+    val offsetPrefixChecks: Map[String, Seq[(String, Boolean)]] =
+      offsetPrefixQueries.map(q => q -> Seq(
+        "Scan ExistingRDD" -> true,
+        "rangepartitioning" -> false)).toMap
 
     // Regex-matched expectations, for shapes a plain substring cannot pin
     // (window specs embed column ids). These forbid the low-cardinality
@@ -159,7 +179,8 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
-      val checks = expectations.getOrElse(name, Nil)
+      val checks = expectations.getOrElse(name, Nil) ++
+        offsetPrefixChecks.getOrElse(name, Nil)
       val reChecks = regexExpectations.getOrElse(name, Nil)
       val failures = checks.collect {
         case (s, true) if !plan.contains(s) => s"MISSING '$s'"

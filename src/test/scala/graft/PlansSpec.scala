@@ -110,6 +110,40 @@ class PlansSpec extends AnyFunSuite {
     assert(e.getMessage.contains("alias the right side"))
   }
 
+  test("bucketed as-of join: both exchanges vanish, values unchanged") {
+    // AsOfJoinExec declares ClusteredDistribution per side — the same
+    // contract SortMergeJoin uses — so co-bucketed layouts (the 100 TB
+    // deployment shape: both sides written bucketed by user) must satisfy
+    // it straight off the scans, leaving NO exchange anywhere in the plan
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("t"),
+        col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user_id"), col("t").as("p_t"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    clicks.write.mode("overwrite")
+      .bucketBy(8, "user_id").sortBy("user_id", "t")
+      .saveAsTable("asof_clicks_bkt")
+    purchases.write.mode("overwrite")
+      .bucketBy(8, "p_user_id").sortBy("p_user_id", "p_t")
+      .saveAsTable("asof_purch_bkt")
+    val joined = graft.plans.AsOfJoinPlan.asofJoin(spark,
+      spark.table("asof_clicks_bkt"), spark.table("asof_purch_bkt"),
+      "user_id", "t", "p_user_id", "p_t")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native exec must plan:\n${plan.take(600)}")
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of must run with zero exchanges:\n${plan.take(1200)}")
+    // and the shuffle-free plan returns exactly the shuffled plan's rows
+    val baseline = graft.plans.AsOfJoinPlan.asofJoin(spark,
+      clicks, purchases, "user_id", "t", "p_user_id", "p_t")
+    assert(joined.exceptAll(baseline).isEmpty &&
+      baseline.exceptAll(joined).isEmpty)
+  }
+
   test("as-of join handles empty right side and all-null padding") {
     import org.apache.spark.sql.functions.{lit => l}
     val left = spark.range(4).selectExpr("id as k", "id * 10 as t")

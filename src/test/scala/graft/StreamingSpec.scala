@@ -67,6 +67,30 @@ class StreamingSpec extends AnyFunSuite {
       s"10x rows changed the batch count ($small -> $large): cost is not flat")
   }
 
+  test("every streaming contract query processes its source in one data micro-batch") {
+    // the q64 fixed-cost argument, extended to the whole streaming
+    // surface: each contract query consumes its finite staged source in a
+    // single data micro-batch at test scale, so any future multi-second
+    // bench swing on q83/q89/q100/q106 is attributable to per-run fixed
+    // overhead (or host scheduling) without re-measurement archaeology —
+    // there is no per-row path that could scale it
+    val drives: Seq[(String, () => Any)] = Seq(
+      "q83_interval_join" ->
+        (() => EventStreams.intervalJoinQuery(spark, GraftTestSession.Sf0001)),
+      "q89_enrich" ->
+        (() => EventStreams.enrichStreamQuery(spark, GraftTestSession.Sf0001)),
+      "q100_anomalies" ->
+        (() => EventStreams.anomalyStreamQuery(spark, GraftTestSession.Sf0001)),
+      "q106_dedup" ->
+        (() => EventStreams.dedupStreamQuery(spark, GraftTestSession.Sf0001)))
+    drives.foreach { case (name, run) =>
+      run()
+      val batches = EventStreams.lastRunDataBatches
+      assert(batches >= 1 && batches <= 2,
+        s"$name ran $batches data micro-batches — cost is no longer flat")
+    }
+  }
+
   test("stateful session counts: totals match event counts per user") {
     val sessions = EventStreams.runToBatch(spark,
       EventStreams.sessionCounts(spark,

@@ -62,7 +62,18 @@ object Bench {
         times = once() :: times
         extra += 1
       }
-      name -> times.min
+      name -> times
+    }
+    def minOf(ts: List[Double]): Double = ts.min
+    // median alongside min (round-5): min is the steady-state throughput
+    // claim, but a stall that covers EVERY sample defeats it (r4's committed
+    // q107 = 3.97 s vs 1.69 s steady state); min≈median says the samples
+    // agree, min≪median flags residual stall contamination in the round's
+    // artifact without re-measurement archaeology
+    def medianOf(ts: List[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would corrupt the JSON line this exists to emit
@@ -71,7 +82,9 @@ object Bench {
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val mins = results.map { case (n, ts) => n -> minOf(ts) }
+    val medians = results.map { case (n, ts) => n -> medianOf(ts) }
+    val total = mins.map(_._2).sum
     // The driver stores a bounded TAIL of stdout; at 116+ queries the full
     // per-query map (~3.3 KB) no longer fits it (r3's line arrived
     // truncated and parsed:null). Two artifacts instead:
@@ -80,7 +93,7 @@ object Bench {
     //  - ONE compact stdout line (total + the slowest 12 queries +
     //    a pointer), a few hundred bytes — always survives the tail.
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(mins)},"medians":${qjson(medians)},"sf":"$sfDir"}"""
     // an unwritable CWD must not discard the measured run: the stdout
     // summary below is the artifact of record either way
     try java.nio.file.Files.writeString(
@@ -88,7 +101,7 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] BENCH_LATEST.json write failed: $e")
     }
-    val slowest = results.sortBy(-_._2).take(12)
+    val slowest = mins.sortBy(-_._2).take(12)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_shown":${slowest.size},"queries":${qjson(slowest)},"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
     spark.stop()
   }

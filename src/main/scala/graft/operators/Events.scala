@@ -85,12 +85,19 @@ object Events {
   /** Sliding-window running aggregates: per event_type, the running count
     * and 5-row moving average of `value` ordered by time — the batch analog
     * of a sliding stream window, exercising RANGE/ROWS frames. */
-  def runningAgg(spark: SparkSession, dir: String): DataFrame = {
+  def runningAgg(spark: SparkSession, dir: String): DataFrame =
+    runningAggOn(Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        Rfm.epochMs(col("ts")).as("ts_ms"), col("value")))
+
+  /** [[runningAgg]]'s windowed core over a prepared
+    * (event_id, event_type, ts_ms, value) frame — exposed so specs can pin
+    * the distributed twin on synthetic frames (null values, crafted
+    * boundaries) the testdata never produces. */
+  private[graft] def runningAggOn(base: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts_ms"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"),
-        Rfm.epochMs(col("ts")).as("ts_ms"), col("value"))
+    base
       .withColumn("running_n",
         count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("moving_avg",
@@ -126,12 +133,18 @@ object Events {
     *    values, and left-folds the sum in true frame order — so the double
     *    additions happen in exactly the window's order and the rounded
     *    average is bit-identical (spec-pinned against [[runningAgg]]).
-    * The windowed form stays the q62 contract; this is the scale path. */
+    * This form SHIPS as the q62 contract (round 5); the windowed form is
+    * the spec twin and the DuckDB oracle's shape. */
   def runningAggDistributed(spark: SparkSession, dir: String,
-                            partitions: Int = 8): DataFrame = {
-    val base = Tables.events(spark, dir)
+                            partitions: Int = 8): DataFrame =
+    runningAggDistributedOn(Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
-        Rfm.epochMs(col("ts")).as("ts_ms"), col("value"))
+        Rfm.epochMs(col("ts")).as("ts_ms"), col("value")), partitions)
+
+  /** [[runningAggDistributed]]'s core over a prepared frame (see
+    * [[runningAggOn]]). */
+  private[graft] def runningAggDistributedOn(base: DataFrame,
+                                             partitions: Int): DataFrame = {
     // localCheckpoint pins ONE materialized range partitioning: the plan
     // references it from three subtrees (offsets, tails, row ranks), and a
     // re-evaluated repartitionByRange can SAMPLE DIFFERENT boundaries —

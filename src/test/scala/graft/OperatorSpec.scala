@@ -363,6 +363,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed running agg: null values at boundaries match the window exactly") {
+    // the boundary rebuild collects STRUCT-wrapped frames because
+    // collect_list drops bare nulls — a null near a partition boundary
+    // would otherwise shift frame positions and pull an extra older carry
+    // value. Synthetic frame: every 7th value null, several partition
+    // counts so nulls land in boundary carries.
+    import spark.implicits._
+    val rows = (1L to 400L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b", 1000L + i,
+        if (i % 7 == 0) None else Some(i.toDouble / 3.0))
+    }
+    val base = rows.toDF("event_id", "event_type", "ts_ms", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)))).sortBy(t => (t._2, t._3)).toSeq
+    val windowed = canon(Events.runningAggOn(base))
+    Seq(2, 5, 16).foreach { p =>
+      assert(canon(Events.runningAggDistributedOn(base, p)) == windowed,
+        s"partitions=$p")
+    }
+  }
+
   test("distributed rank family equals the windowed q75 contract output") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -503,6 +525,19 @@ class OperatorSpec extends AnyFunSuite {
     // delta after round 2 is measured against round 1 → stops at k = 2
     assert(km == 2, s"expected the derived tol to stop round 2, ran $km")
     assert(asMap(m) == r2)
+  }
+
+  test("convergence pagerank releases superseded checkpointed rank tables") {
+    // each round eagerly localCheckpoints the new rank table; without the
+    // per-round release the session would retain up to maxIters dead RDDs
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val (g, k) = Graph.pagerankConverged(spark, dir, tolE12 = 0L, maxIters = 4)
+    assert(g.count() > 0 && k == 4)
+    val leaked = sc.getPersistentRDDs.size - before
+    // allowed survivors: the FINAL rank table (live for the caller) and the
+    // shared edge/degree caches if this call created them
+    assert(leaked <= 3, s"$leaked persistent RDDs retained for $k rounds")
   }
 
   test("session paths: trigram shape and conservation vs sessionization") {

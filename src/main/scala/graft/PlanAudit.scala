@@ -141,7 +141,18 @@ object PlanAudit {
       "q75_rank_functions" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false),
       // q74 packing shares the offset-prefix pin checked below
-      "q74_packing" -> Seq("CartesianProduct" -> false))
+      "q74_packing" -> Seq("CartesianProduct" -> false),
+      // literal-centroid ML read-outs (round 5): label arithmetic is
+      // scalar expressions over the CACHED feature table; nothing in the
+      // family may go pairwise (an Exchange->false pin is NOT expressible
+      // here — InMemoryTableScan prints the cached BUILD plan, whose
+      // materialized fit exchange is not a live shuffle)
+      "q20_cluster_sizes" -> Seq("CartesianProduct" -> false),
+      "q22_inertia" -> Seq("CartesianProduct" -> false),
+      "q25_scatter_data" -> Seq("CartesianProduct" -> false),
+      // IVF: probe sets broadcast onto the cell-partitioned table
+      "q52_ann_ivf" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

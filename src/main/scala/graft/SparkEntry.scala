@@ -71,6 +71,8 @@ object SparkEntry {
     "q93_pmi_collocations" -> ((s, dir) => TextAnalysis.pmiCollocations(s, dir)),
     // Corpus hygiene (q76–q79: decontamination / PII / quality / repetition)
     "q76_decontaminate" -> ((s, dir) => CorpusFilters.decontaminate(s, dir)),
+    "q127_contamination_score" -> ((s, dir) =>
+      CorpusFilters.contaminationScore(s, dir)),
     "q77_pii_redact" -> ((s, dir) => CorpusFilters.piiRedact(s, dir)),
     "q78_quality_gates" -> ((s, dir) => CorpusFilters.qualityGates(s, dir)),
     "q79_intradoc_repetition" -> ((s, dir) => CorpusFilters.intraDocRepetition(s, dir)),
@@ -213,6 +215,7 @@ object SparkEntry {
     "q92_tfidf" -> TextAnalysis.tfidfTopTermsSql(),
     "q93_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
     "q76_decontaminate" -> CorpusFilters.decontaminateSql(),
+    "q127_contamination_score" -> CorpusFilters.contaminationScoreSql(),
     "q77_pii_redact" -> CorpusFilters.piiRedactSql,
     "q78_quality_gates" -> CorpusFilters.qualityGatesSql,
     "q79_intradoc_repetition" -> CorpusFilters.intraDocRepetitionSql(),

@@ -146,6 +146,60 @@ object CorpusFilters {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** q127 — contamination-FRACTION scoring (the GPT-3 appendix-C rule
+    * generalized): for EVERY training document, the fraction (exact ppm) of
+    * its distinct word k-grams that appear in the eval set, plus a dirty
+    * flag at `dirtyPpm`. Distinct from [[decontaminate]] (q76), which emits
+    * only overlapping docs with a raw count: a release pipeline needs the
+    * complete per-doc coverage — 0-overlap docs included — because the
+    * *fraction* is what the keep/drop/flag policy thresholds on.
+    *
+    * Plan: ONE pass over the training gram index — the broadcast eval-gram
+    * index LEFT-joins onto each gram as a hit tag, then a single doc_id
+    * aggregation computes total and hit counts together (no second shuffle,
+    * no join of two aggregates). Exact integer arithmetic end to end, so
+    * the DuckDB oracle is hash-exact. At 100 TB: corpus side never
+    * shuffles except the one doc_id aggregate; eval index is the same
+    * session-cached broadcast artifact q76/q84 share. */
+  def contaminationScore(spark: SparkSession, dir: String, k: Int = 4,
+                         dirtyPpm: Long = 100000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hits = benchGrams(spark, dir, k).withColumn("__hit", lit(1L))
+    gramRows(docs.filter(!isBenchDoc), k, distinctPerDoc = true)
+      .join(broadcast(hits), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        floor(col("n_shared") * lit(1000000L) / col("n_grams"))
+          .cast(LongType).as("contamination_ppm"),
+        (floor(col("n_shared") * lit(1000000L) / col("n_grams"))
+          >= dirtyPpm).cast(LongType).as("is_contaminated"))
+  }
+
+  def contaminationScoreSql(k: Int = 4, dirtyPpm: Long = 100000L): String = {
+    val idx = (1 to k).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_bench,
+       |         unnest(list_distinct(list_transform(
+       |           range(len(ws) - ${k - 1}), i -> $idx))) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |), bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |         AS n_shared,
+       |       CAST(floor(CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END)
+       |                       AS BIGINT) * 1000000 / count(*)) AS BIGINT)
+       |         AS contamination_ppm,
+       |       CAST(CAST(floor(CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END)
+       |                            AS BIGINT) * 1000000 / count(*)) AS BIGINT)
+       |            >= $dirtyPpm AS BIGINT) AS is_contaminated
+       |FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+       |WHERE NOT g.is_bench
+       |GROUP BY g.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q77
 
   /** Identical regex source strings for Spark (java.util.regex) and DuckDB

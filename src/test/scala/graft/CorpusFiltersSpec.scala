@@ -24,6 +24,29 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(k5.select("doc_id").exceptAll(k4.select("doc_id")).isEmpty)
   }
 
+  test("contamination score: complete coverage, q76-consistent, bounded ppm") {
+    val score = CorpusFilters.contaminationScore(spark, dir).cache()
+    // every training doc with ≥ k words gets a row — including 0-overlap
+    // docs (the fraction is what release policies threshold on)
+    val trainWithGrams = Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select("doc_id")
+    assert(score.count() == trainWithGrams.count())
+    // the positive-overlap slice IS q76: same docs, same shared counts
+    val q76 = CorpusFilters.decontaminate(spark, dir)
+      .select(col("doc_id"), col("n_shared"))
+    val pos = score.filter(col("n_shared") > 0)
+      .select(col("doc_id"), col("n_shared"))
+    assert(pos.exceptAll(q76).isEmpty && q76.exceptAll(pos).isEmpty)
+    // ppm ∈ [0, 1e6]; shared never exceeds total; flag matches threshold
+    assert(score.filter(col("n_shared") > col("n_grams") ||
+      col("contamination_ppm") < 0 || col("contamination_ppm") > 1000000 ||
+      (col("is_contaminated") === 1) =!=
+        (col("contamination_ppm") >= 100000L)).isEmpty)
+    score.unpersist()
+  }
+
   test("bloom-prefiltered decontamination is bit-identical to exact") {
     val exact = CorpusFilters.decontaminate(spark, dir)
     val bloom = CorpusFilters.decontaminateBloom(spark, dir)

@@ -152,6 +152,10 @@ object PlanAudit {
       "q25_scatter_data" -> Seq("CartesianProduct" -> false),
       // IVF: probe sets broadcast onto the cell-partitioned table
       "q52_ann_ivf" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // contamination score: eval-gram index broadcasts as a left-join hit
+      // tag; the corpus side must never shuffle before its one aggregate
+      "q127_contamination_score" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4

@@ -190,10 +190,21 @@ object PlanAudit {
         """windowspecdefinition\(c_nationkey#""" -> false,
         """windowspecdefinition\(nationkey#\d+L?, negbal#""" -> false))
 
+    // SPARK_GRAFT_DUMP=q52,q108 prints the full formatted plan of matching
+    // queries — the local-iteration escape hatch for inspecting codegen
+    // spans and exchange placement without editing this file
+    val dump = sys.env.get("SPARK_GRAFT_DUMP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
+      if (dump.exists(_.exists(name.startsWith))) {
+        println(s"==== plan dump: $name ====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
       val checks = expectations.getOrElse(name, Nil) ++
         offsetPrefixChecks.getOrElse(name, Nil)
       val reChecks = regexExpectations.getOrElse(name, Nil)

@@ -156,7 +156,9 @@ object PlanAudit {
       // contamination score: eval-gram index broadcasts as a left-join hit
       // tag; the corpus side must never shuffle before its one aggregate
       "q127_contamination_score" -> Seq("BroadcastHashJoin" -> true,
-        "CartesianProduct" -> false))
+        "CartesianProduct" -> false),
+      // release pipeline: doc_id semi/anti joins only, nothing pairwise
+      "q128_release_pipeline" -> Seq("CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

@@ -73,6 +73,8 @@ object SparkEntry {
     "q76_decontaminate" -> ((s, dir) => CorpusFilters.decontaminate(s, dir)),
     "q127_contamination_score" -> ((s, dir) =>
       CorpusFilters.contaminationScore(s, dir)),
+    "q128_release_pipeline" -> ((s, dir) =>
+      CorpusFilters.releasePipeline(s, dir)),
     "q77_pii_redact" -> ((s, dir) => CorpusFilters.piiRedact(s, dir)),
     "q78_quality_gates" -> ((s, dir) => CorpusFilters.qualityGates(s, dir)),
     "q79_intradoc_repetition" -> ((s, dir) => CorpusFilters.intraDocRepetition(s, dir)),
@@ -216,6 +218,7 @@ object SparkEntry {
     "q93_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
     "q76_decontaminate" -> CorpusFilters.decontaminateSql(),
     "q127_contamination_score" -> CorpusFilters.contaminationScoreSql(),
+    "q128_release_pipeline" -> CorpusFilters.releasePipelineSql(),
     "q77_pii_redact" -> CorpusFilters.piiRedactSql,
     "q78_quality_gates" -> CorpusFilters.qualityGatesSql,
     "q79_intradoc_repetition" -> CorpusFilters.intraDocRepetitionSql(),

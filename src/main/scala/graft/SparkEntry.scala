@@ -290,5 +290,9 @@ object SparkEntry {
     // omits them and the driver falls back to the rows-only check.
     Clustering.oracleEntries ++
     SimilaritySearch.oracleEntries ++
-    Dedup.semanticOracleEntries
+    Dedup.semanticOracleEntries ++
+    // Sketch soft-oracles (round 6): captured estimates as literals, bound
+    // flags re-derived against DuckDB's own exact aggregates
+    Relational.sketchOracleEntries ++
+    Sketches.oracleEntries
 }

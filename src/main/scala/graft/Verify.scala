@@ -22,6 +22,9 @@ object Verify {
     spark.experimental.extraStrategies =
       spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
     new java.io.File(outDir).mkdirs()
+    // pin the run's dir so dynamically built oracles (literal centroids,
+    // sketch estimates) select THIS run's captures — see graft.OracleCapture
+    OracleCapture.currentDir = Some(sfDir)
     // Local-iteration focus filter (same contract as Bench): the driver sets
     // nothing and gets every query; SPARK_GRAFT_ONLY=q75,q31 narrows the dump.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -119,10 +119,12 @@ object Clustering {
   private def fitOnDir(spark: SparkSession, dir: String, k: Int = 4): Segmentation = {
     val seg = fitCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, k),
       fit(Rfm.rfmPrepared(spark, dir), k))
-    // capture the fit's constants for oracle-literal embedding (below);
-    // Verify dumps oracleSql AFTER running queries, so a run that exercised
-    // any ML read-out has the dir-specific literals here by dump time
-    captured = Some((seg.scaler, seg.model.clusterCenters.map(_.toArray)))
+    // capture the fit's constants for oracle-literal embedding (below),
+    // keyed by (dir, k) so a process that fits on two dirs or non-default k
+    // can never pair a dump with the wrong fit's literals; Verify dumps
+    // oracleSql AFTER running queries, so a run that exercised any ML
+    // read-out has the dir-specific literals here by dump time
+    captured.put(dir, k, (seg.scaler, seg.model.clusterCenters.map(_.toArray)))
     seg
   }
 
@@ -137,7 +139,8 @@ object Clustering {
   // first-min tie-break (`src/model.rs:26-50`) — rather than MLlib's
   // bound-pruned findClosest; ClusteringSpec pins the two assignments equal.
 
-  @volatile private var captured: Option[(ScalerStats, Array[Array[Double]])] = None
+  private val captured =
+    new graft.OracleCapture.Captured[Int, (ScalerStats, Array[Array[Double]])]
 
   /** Squared euclidean distance of the z-point to centroid `c`, in the
     * shared shape `((dr² + df²) + dm²)` both engines evaluate identically. */
@@ -445,9 +448,9 @@ object Clustering {
     * session (Verify runs every query before dumping oracleSql, so the
     * driver's full run always has them; a narrowed run that skipped the ML
     * queries simply omits them — the driver then falls back to the old
-    * rows-only check). Single-dir by construction: Verify/Bench drive one
-    * sfDir per process, so the captured literals are that dir's fit. */
-  def oracleEntries: Map[String, String] = captured match {
+    * rows-only check). The contract queries fit with k=4 on the harness's
+    * pinned dir — [[graft.OracleCapture]] selects exactly that capture. */
+  def oracleEntries: Map[String, String] = captured.get(4) match {
     case None => Map.empty
     case Some((sc, cs)) => Map(
       "q20_cluster_sizes" -> clusterSizesSql(sc, cs),

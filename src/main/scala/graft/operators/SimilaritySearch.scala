@@ -333,12 +333,16 @@ object SimilaritySearch {
       .drop("__su").drop((0 until n).map(i => s"__cd$i"): _*)
   }
 
-  /** Coarse centroids of the last fitted IVF index this session, for
+  /** Coarse centroids of the fitted IVF index, keyed by (dir, nlist) for
     * oracle-literal embedding (see [[Clustering.oracleEntries]] for the
-    * mechanism — Verify dumps oracleSql after the queries run). */
-  @volatile private var capturedCoarse: Option[Array[Array[Double]]] = None
+    * mechanism — Verify dumps oracleSql after the queries run; the keying
+    * means an `ivfIndexForSpec(nlist != 16)` run or a second dir can never
+    * leak its centers into the contract oracle). */
+  private val capturedCoarse =
+    new graft.OracleCapture.Captured[Int, Array[Array[Double]]]
+  /** The contract queries' coarse centers (nlist = 16, pinned dir). */
   private[operators] def capturedCoarseCenters: Option[Array[Array[Double]]] =
-    capturedCoarse
+    capturedCoarse.get(16)
 
   private def ivfIndex(spark: SparkSession, dir: String,
                        nlist: Int): (KMeansModel, DataFrame) = {
@@ -356,7 +360,7 @@ object SimilaritySearch {
             .select(col("vec_id"), col("u"), col("coarse_id")))
         (model, assigned)
       })
-    capturedCoarse = Some(res._1.clusterCenters.map(_.toArray))
+    capturedCoarse.put(dir, nlist, res._1.clusterCenters.map(_.toArray))
     res
   }
 

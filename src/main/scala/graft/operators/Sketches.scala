@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,28 +16,98 @@ import org.apache.spark.sql.types._
   * `hll_union_agg` / `hll_sketch_estimate` (binary-compatible with the
   * DataSketches ecosystem, so sketches survive parquet round-trips to other
   * engines). Distinct from [[Relational.approxDistinct]], which estimates
-  * inline with HLL++ but never materializes a reusable sketch. */
+  * inline with HLL++ but never materializes a reusable sketch.
+  *
+  * ==Soft oracles (round 6)==
+  * Sketch INTERNALS are engine-specific, so no portable SQL can recompute an
+  * estimate — but the estimates are deterministic for a fixed dataset, and
+  * each one carries a published error bound against an EXACT quantity DuckDB
+  * can compute independently. So each sketch query emits
+  * `(group, estimate, within_bound)` where `within_bound` compares the
+  * estimate to the exact value, and its oracle freezes the session's
+  * estimates as literals (the [[Clustering.oracleEntries]] capture
+  * mechanism) while re-deriving the exact side and the bound check in
+  * DuckDB. The estimate column is thereby an export-path check
+  * (self-consistent by construction); the `within_bound` flag is the genuine
+  * cross-engine gate — it only matches when both engines' exact aggregates
+  * and bound arithmetic agree, and a bound violation would flip the flag
+  * identically on both sides (captured literal vs same literal), so the gate
+  * is exact, never flaky. */
 object Sketches {
 
   /** q85 — two-level sketch pipeline over events: (day × type) sketches of
     * distinct users — the shape you'd persist — then a type-level merge via
     * `hll_union_agg` WITHOUT re-reading events. Output per event type:
-    * merged-estimate, max single-day estimate, and day count. Deterministic
-    * for a fixed dataset (DataSketches HLL is hash-based, not sampled), but
-    * not SQL-expressible in DuckDB → invariant spec + rows-only driver
-    * check, like q19. */
+    * merged estimate and max single-day estimate beside their soft-oracle
+    * flags (vs exact distinct users / exact max daily distinct, both within
+    * 5% ≈ 3σ of the lgK=12 sketch's 1.6% rsd — integer arithmetic:
+    * `|est − exact|·100 ≤ 5·exact`), plus the day count, which DuckDB
+    * recomputes exactly. Deterministic for a fixed dataset: register-max
+    * union is merge-order independent and the post-union estimate is
+    * register-based. */
   def hllUserSketches(spark: SparkSession, dir: String,
                       lgConfigK: Int = 12): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(to_date(col("ts").cast(TimestampType)).as("day"),
-        col("event_type"))
+    val ev = Tables.events(spark, dir)
+    val day = to_date(col("ts").cast(TimestampType)).as("day")
+    val daily = ev.groupBy(day, col("event_type"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
-    daily.groupBy(col("event_type"))
+    val sk = daily.groupBy(col("event_type"))
       .agg(
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
           .as("est_users"),
         max(hll_sketch_estimate(col("sk"))).as("max_daily_est"),
         count(lit(1)).cast(LongType).as("n_days"))
+    // exact sides for the bound flags: one extra pass each at test scale
+    // (at 100 TB these are the passes the sketch EXISTS to avoid — here
+    // they are the ground truth the estimates are gated against)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("xu"))
+    val exactDaily = ev.groupBy(col("event_type"), day)
+      .agg(countDistinct(col("user_id")).as("du"))
+      .groupBy(col("event_type"))
+      .agg(max(col("du")).as("xd"))
+    val out = sk.join(exact, Seq("event_type")).join(exactDaily, Seq("event_type"))
+      .select(col("event_type"), col("est_users"), col("max_daily_est"),
+        col("n_days"),
+        (abs(col("est_users") - col("xu")) * lit(100L) <= lit(5L) * col("xu"))
+          .as("users_ok"),
+        (abs(col("max_daily_est") - col("xd")) * lit(100L) <= lit(5L) * col("xd"))
+          .as("daily_ok"))
+    capturedHll.put(dir, lgConfigK, hllCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, lgConfigK),
+      sk.select("event_type", "est_users", "max_daily_est")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq))
+    out
+  }
+
+  private val hllCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), Seq[(String, Long, Long)]]
+  private val capturedHll =
+    new graft.OracleCapture.Captured[Int, Seq[(String, Long, Long)]]
+
+  /** [[hllUserSketches]]'s soft oracle: captured estimates as VALUES
+    * literals; exact distinct users, exact max-daily distinct, the day
+    * count, and both bound flags re-derived by DuckDB. */
+  private def hllSketchesSql(est: Seq[(String, Long, Long)]): String = {
+    val values = est.sortBy(_._1).map { case (t, eu, ed) =>
+      s"('$t', CAST($eu AS BIGINT), CAST($ed AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH est(event_type, est_users, max_daily_est) AS (VALUES $values),
+       |exact AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS xu
+       |  FROM events GROUP BY 1),
+       |daily AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |         count(DISTINCT user_id) AS du
+       |  FROM events GROUP BY 1, 2),
+       |exact_daily AS (
+       |  SELECT event_type, max(du) AS xd, count(*) AS n_days
+       |  FROM daily GROUP BY 1)
+       |SELECT event_type, est_users, max_daily_est, n_days,
+       |       abs(est_users - xu) * 100 <= 5 * xu AS users_ok,
+       |       abs(max_daily_est - xd) * 100 <= 5 * xd AS daily_ok
+       |FROM est JOIN exact USING (event_type)
+       |         JOIN exact_daily USING (event_type)""".stripMargin
   }
 
   /** q97 — Count-Min-Sketch heavy hitters over `events.user_id`: the
@@ -48,9 +118,8 @@ object Sketches {
     * `df.stat.countMinSketch` (one distributed pass, commutative integer
     * merge of per-partition sketches → deterministic for a fixed seed
     * regardless of partition order), then every key's estimate is emitted
-    * next to its exact count so the error contract is *visible in the
-    * output* and pinned by the spec. Not SQL-expressible → rows-only
-    * driver check + invariant spec, like q19/q85.
+    * next to its exact count and the CMS contract as a `within_bound` flag
+    * (`est ≥ true AND (est − true)/ε ≤ N` in exact integer arithmetic).
     *
     * At 100 TB the exact side of this query is the thing you CANNOT run
     * (that's the point of the sketch); it exists here as the ground truth
@@ -76,42 +145,144 @@ object Sketches {
       })._2
   }
 
+  private val cmsEstCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Long, Long)]]
+  private val capturedCms =
+    new graft.OracleCapture.Captured[(Double, Double, Int), Seq[(Long, Long)]]
+
   def cmsHeavyHitters(spark: SparkSession, dir: String,
                       eps: Double = 0.001, confidence: Double = 0.99,
                       seed: Int = 42): DataFrame = {
     val bc = cmsSketch(spark, dir, eps, confidence, seed)
     val est = udf((u: Long) => bc.value.estimateCount(u))
-    Tables.events(spark, dir)
+    val base = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
       .withColumn("est_n", est(col("user_id")))
+    // ε⁻¹ as an exact integer so the bound check is integer arithmetic on
+    // both engines: est − true ≤ ε·N  ⇔  (est − true)·(1/ε) ≤ N for
+    // integer counts
+    val invEps = math.round(1.0 / eps)
+    val tot = Tables.events(spark, dir).agg(count(lit(1)).as("n_total"))
+    val out = base.crossJoin(broadcast(tot))
+      .withColumn("within_bound",
+        col("est_n") >= col("true_n") &&
+          (col("est_n") - col("true_n")) * lit(invEps) <= col("n_total"))
+      .drop("n_total")
+    capturedCms.put(dir, (eps, confidence, seed), cmsEstCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, s"$dir:$eps:$confidence:$seed"),
+      base.select("user_id", "est_n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq))
+    out
+  }
+
+  /** [[cmsHeavyHitters]]'s soft oracle: captured per-key estimates as VALUES
+    * literals; exact counts, stream length, and the CMS
+    * never-underestimate + ε·N bound re-derived by DuckDB. */
+  private def cmsHeavyHittersSql(est: Seq[(Long, Long)], invEps: Long): String = {
+    val values = est.sortBy(_._1).map { case (u, e) =>
+      s"(CAST($u AS BIGINT), CAST($e AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH est(user_id, est_n) AS (VALUES $values),
+       |ex AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM events)
+       |SELECT user_id, true_n, est_n,
+       |       est_n >= true_n AND (est_n - true_n) * $invEps <= n_total
+       |         AS within_bound
+       |FROM est JOIN ex USING (user_id) CROSS JOIN tot""".stripMargin
   }
 
   /** q118 — mergeable approximate quantiles (Greenwald–Khanna via
     * `percentile_approx`): per event type, approximate p50/p95/p99 of
-    * `value` at 1/accuracy relative-rank error, beside the EXACT
-    * interpolated quantiles for error accounting. Completes the sketch
+    * `value` at 1/accuracy relative-rank error. Completes the sketch
     * family (HLL distincts, CMS counts, Bloom membership — this is the
     * rank/quantile member): one pass, fixed-size state per group,
     * partial-aggregable — the shape that works when the exact sort-based
     * percentile (q17) is too expensive to run corpus-wide at 100 TB.
     *
-    * The sketch's merged result can depend on partial-merge order, so the
-    * contract query is rows-only; the spec bounds each approximation
-    * against the exact value by the sketch's rank-error guarantee. */
+    * The GK merge can depend on partial-merge order, so the sketch runs
+    * ONCE per session (an eager capture, like the CMS broadcast) and the
+    * contract output derives from the captured values: each quantile
+    * beside a rank-window flag — `p{q}_ok` ⇔ at least ⌈(q−ε)n⌉ values ≤ v
+    * and fewer than (q+ε)n values < v — the sketch's actual guarantee,
+    * checked in exact integer counts + one shared double product per side,
+    * identically computable by DuckDB (no cross-engine interpolation). */
   def approxQuantiles(spark: SparkSession, dir: String,
-                      accuracy: Int = 1000): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      // both aggregates in ONE pass: neither is distinct-based, so they
-      // share the hash aggregate — one scan, one exchange, no join
-      .agg(expr(s"percentile_approx(value, array(0.5, 0.95, 0.99), $accuracy)")
-        .as("approx_q"),
-        expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_q"))
-      .select(col("event_type"),
-        round(element_at(col("approx_q"), 1), 6).as("p50"),
-        round(element_at(col("approx_q"), 2), 6).as("p95"),
-        round(element_at(col("approx_q"), 3), 6).as("p99"),
-        round(element_at(col("exact_q"), 1), 6).as("p50_exact"),
-        round(element_at(col("exact_q"), 2), 6).as("p95_exact"),
-        round(element_at(col("exact_q"), 3), 6).as("p99_exact"))
+                      accuracy: Int = 1000): DataFrame = {
+    val probes = gkCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, accuracy),
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(expr(s"percentile_approx(value, array(0.5, 0.95, 0.99), $accuracy)")
+          .as("q"))
+        .collect().map { r =>
+          val q = r.getSeq[Double](1)
+          (r.getString(0), q(0), q(1), q(2))
+        }.toSeq)
+    capturedGk.put(dir, accuracy, probes)
+    val eps = 1.0 / accuracy
+    val litDf = spark.createDataFrame(probes)
+      .toDF("event_type", "p50", "p95", "p99")
+    val j = Tables.events(spark, dir).select(col("event_type"), col("value"))
+      .join(broadcast(litDf), Seq("event_type"))
+    def le(p: Column) = sum(when(col("value") <= p, 1L).otherwise(0L))
+    def lt(p: Column) = sum(when(col("value") < p, 1L).otherwise(0L))
+    val a = j.groupBy(col("event_type"), col("p50"), col("p95"), col("p99"))
+      .agg(count(lit(1)).as("n"),
+        le(col("p50")).as("le50"), lt(col("p50")).as("lt50"),
+        le(col("p95")).as("le95"), lt(col("p95")).as("lt95"),
+        le(col("p99")).as("le99"), lt(col("p99")).as("lt99"))
+    def ok(q: Double, leC: Column, ltC: Column): Column =
+      leC.cast(DoubleType) >= lit(q - eps) * col("n").cast(DoubleType) &&
+        ltC.cast(DoubleType) <= lit(q + eps) * col("n").cast(DoubleType)
+    a.select(col("event_type"), col("p50"), col("p95"), col("p99"),
+      ok(0.50, col("le50"), col("lt50")).as("p50_ok"),
+      ok(0.95, col("le95"), col("lt95")).as("p95_ok"),
+      ok(0.99, col("le99"), col("lt99")).as("p99_ok"))
+  }
+
+  private val gkCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), Seq[(String, Double, Double, Double)]]
+  private val capturedGk =
+    new graft.OracleCapture.Captured[Int, Seq[(String, Double, Double, Double)]]
+
+  /** [[approxQuantiles]]'s soft oracle: captured quantiles as VALUES double
+    * literals (`Double.toString` round-trips bit-exactly through the DuckDB
+    * parser); the rank-window flags re-derived from exact counts. */
+  private def approxQuantilesSql(probes: Seq[(String, Double, Double, Double)],
+                                 accuracy: Int): String = {
+    val eps = 1.0 / accuracy
+    val values = probes.sortBy(_._1).map { case (t, a, b, c) =>
+      s"('$t', CAST($a AS DOUBLE), CAST($b AS DOUBLE), CAST($c AS DOUBLE))"
+    }.mkString(", ")
+    def ok(q: Double, le: String, lt: String) =
+      s"CAST($le AS DOUBLE) >= ${q - eps} * CAST(n AS DOUBLE) AND " +
+        s"CAST($lt AS DOUBLE) <= ${q + eps} * CAST(n AS DOUBLE)"
+    s"""WITH est(event_type, p50, p95, p99) AS (VALUES $values),
+       |j AS (
+       |  SELECT e.event_type, e.value, p50, p95, p99
+       |  FROM events e JOIN est USING (event_type)),
+       |a AS (
+       |  SELECT event_type, p50, p95, p99, count(*) AS n,
+       |         sum(CASE WHEN value <= p50 THEN 1 ELSE 0 END) AS le50,
+       |         sum(CASE WHEN value <  p50 THEN 1 ELSE 0 END) AS lt50,
+       |         sum(CASE WHEN value <= p95 THEN 1 ELSE 0 END) AS le95,
+       |         sum(CASE WHEN value <  p95 THEN 1 ELSE 0 END) AS lt95,
+       |         sum(CASE WHEN value <= p99 THEN 1 ELSE 0 END) AS le99,
+       |         sum(CASE WHEN value <  p99 THEN 1 ELSE 0 END) AS lt99
+       |  FROM j GROUP BY 1, 2, 3, 4)
+       |SELECT event_type, p50, p95, p99,
+       |       ${ok(0.50, "le50", "lt50")} AS p50_ok,
+       |       ${ok(0.95, "le95", "lt95")} AS p95_ok,
+       |       ${ok(0.99, "le99", "lt99")} AS p99_ok
+       |FROM a""".stripMargin
+  }
+
+  /** Soft-oracle entries for the sketch queries, buildable once each sketch
+    * has run this session on the harness's pinned dir (contract params). */
+  def oracleEntries: Map[String, String] =
+    capturedHll.get(12).map(e => "q85_hll_sketches" -> hllSketchesSql(e)).toMap ++
+      capturedCms.get((0.001, 0.99, 42))
+        .map(e => "q97_cms_heavy_hitters" -> cmsHeavyHittersSql(e, 1000L)).toMap ++
+      capturedGk.get(1000)
+        .map(e => "q118_approx_quantiles" -> approxQuantilesSql(e, 1000)).toMap
 }

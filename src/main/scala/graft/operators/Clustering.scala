@@ -295,16 +295,15 @@ object Clustering {
 
   /** Silhouette as a 1-row query (report-only metric in the reference —
     * printed with 3 decimals, never persisted: `src/viz.rs:163-193`).
-    * Rounded to 6 dp with Spark SQL's own double-round rule
-    * (shortest-repr HALF_UP) so the [[silhouetteSql]] oracle — whose a/b
-    * means aggregate in engine order rather than sample order — lands on
-    * the identical grid point. */
+    * Emitted at FULL precision: the [[silhouetteSql]] oracle now sums every
+    * mean and the final score in the same deterministic sample order as
+    * [[silhouetteSampled]]'s loop (ordered `list_reduce` folds), so both
+    * engines produce the bit-identical double and no rounding grid — with
+    * its cross-engine midpoint-rule exposure — is needed at all. */
   def silhouetteQuery(spark: SparkSession, dir: String): DataFrame = {
     val seg = fitOnDir(spark, dir)
     val s = silhouetteSampled(labeledPredictions(seg))
-    val r = java.math.BigDecimal.valueOf(s)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    spark.createDataFrame(Seq(Tuple1(r))).toDF("silhouette")
+    spark.createDataFrame(Seq(Tuple1(s))).toDF("silhouette")
   }
 
   /** S6 — console cluster-statistics report (reference
@@ -335,17 +334,18 @@ object Clustering {
     * shape. `Double.toString` round-trips bit-exactly through the parser,
     * so every arithmetic step lands on the identical doubles. */
   private def zdCtes(sc: ScalerStats, cs: Array[Array[Double]]): String = {
+    import SqlLit.dbl
     val ds = cs.zipWithIndex.map { case (c, i) =>
-      s"""(recency_z - ${c(0)}) * (recency_z - ${c(0)}) +
-         |           (frequency_z - ${c(1)}) * (frequency_z - ${c(1)}) +
-         |           (monetary_z - ${c(2)}) * (monetary_z - ${c(2)}) AS __d$i""".stripMargin
+      s"""(recency_z - ${dbl(c(0))}) * (recency_z - ${dbl(c(0))}) +
+         |           (frequency_z - ${dbl(c(1))}) * (frequency_z - ${dbl(c(1))}) +
+         |           (monetary_z - ${dbl(c(2))}) * (monetary_z - ${dbl(c(2))}) AS __d$i""".stripMargin
     }.mkString(",\n         ")
     s"""${Rfm.rfmCtes},
        |z AS (
        |  SELECT custkey,
-       |         (recency - ${sc.mu(0)}) / ${sc.sd(0)} AS recency_z,
-       |         (frequency - ${sc.mu(1)}) / ${sc.sd(1)} AS frequency_z,
-       |         (monetary - ${sc.mu(2)}) / ${sc.sd(2)} AS monetary_z
+       |         (recency - ${dbl(sc.mu(0))}) / ${dbl(sc.sd(0))} AS recency_z,
+       |         (frequency - ${dbl(sc.mu(1))}) / ${dbl(sc.sd(1))} AS frequency_z,
+       |         (monetary - ${dbl(sc.mu(2))}) / ${dbl(sc.sd(2))} AS monetary_z
        |  FROM rfm),
        |d AS (
        |  SELECT *,
@@ -385,15 +385,16 @@ object Clustering {
     * diff order of `Vectors.sqdist`). `cluster_pct` uses round-half-even
     * to mirror `math.rint`. */
   private def predictSql(sc: ScalerStats, cs: Array[Array[Double]]): String = {
+    import SqlLit.dbl
     val pds = cs.zipWithIndex.map { case (c, i) =>
-      s"""(${c(0)} - pr) * (${c(0)} - pr) + (${c(1)} - pf) * (${c(1)} - pf) +
-         |           (${c(2)} - pm) * (${c(2)} - pm) AS __d$i""".stripMargin
+      s"""(${dbl(c(0))} - pr) * (${dbl(c(0))} - pr) + (${dbl(c(1))} - pf) * (${dbl(c(1))} - pf) +
+         |           (${dbl(c(2))} - pm) * (${dbl(c(2))} - pm) AS __d$i""".stripMargin
     }.mkString(",\n         ")
     s"""WITH ${zdCtes(sc, cs)},
        |lab AS (SELECT ${firstMinSql(cs.length)} AS cluster FROM d),
-       |probe0 AS (SELECT (30.0 - ${sc.mu(0)}) / ${sc.sd(0)} AS pr,
-       |                  (10.0 - ${sc.mu(1)}) / ${sc.sd(1)} AS pf,
-       |                  (500.0 - ${sc.mu(2)}) / ${sc.sd(2)} AS pm),
+       |probe0 AS (SELECT (30.0 - ${dbl(sc.mu(0))}) / ${dbl(sc.sd(0))} AS pr,
+       |                  (10.0 - ${dbl(sc.mu(1))}) / ${dbl(sc.sd(1))} AS pf,
+       |                  (500.0 - ${dbl(sc.mu(2))}) / ${dbl(sc.sd(2))} AS pm),
        |probed AS (
        |  SELECT $pds
        |  FROM probe0),
@@ -407,6 +408,22 @@ object Clustering {
        |FROM probe CROSS JOIN sz CROSS JOIN tot""".stripMargin
   }
 
+  /** q21's oracle — honestly an EXPORT-PATH check, not a fit check: the
+    * centroids are the captured constants themselves, so this VALUES-literal
+    * query gates the export serialization (row shape, cluster ids, column
+    * order, double round-trip through createDataFrame → parquet) rather
+    * than the K-Means math. The math is already oracle-verified through
+    * q20/q22/q23/q25, which re-derive every read-out FROM these constants
+    * against DuckDB's independent arithmetic. */
+  private def centroidsSql(cs: Array[Array[Double]]): String = {
+    import SqlLit.dbl
+    val values = cs.zipWithIndex.map { case (c, i) =>
+      s"(CAST($i AS BIGINT), ${dbl(c(0))}, ${dbl(c(1))}, ${dbl(c(2))})"
+    }.mkString(", ")
+    s"""SELECT * FROM (VALUES $values)
+       |  AS t(cluster, recency_z, frequency_z, monetary_z)""".stripMargin
+  }
+
   private def scatterSql(sc: ScalerStats, cs: Array[Array[Double]]): String =
     s"""WITH ${zdCtes(sc, cs)}
        |SELECT custkey, round(frequency_z, 6) AS frequency_z,
@@ -415,9 +432,13 @@ object Clustering {
        |FROM d""".stripMargin
 
   /** The reference's exact sampled silhouette (`src/model.rs:64-119`) as a
-    * self-join CTE over the first min(n,100) custkeys. a/b means aggregate
-    * in engine order (the Scala loop sums in sample order) — a few-ulp
-    * wobble absorbed by the shared 6-dp round. */
+    * self-join CTE over the first min(n,100) custkeys. Every sum — the
+    * per-(point, cluster) distance means and the final score sum — folds
+    * SEQUENTIALLY in ascending-custkey order via `list_reduce`, the exact
+    * order [[silhouetteSampled]]'s Scala loop uses (a 0.0-seeded left fold
+    * equals a first-element-seeded one for these operands), so the oracle
+    * reproduces the Scala double BIT-FOR-BIT and the result ships unrounded
+    * — no engine-order wobble, no midpoint rounding-rule exposure. */
   private def silhouetteSql(sc: ScalerStats, cs: Array[Array[Double]]): String =
     s"""WITH ${zdCtes(sc, cs)},
        |samp AS (
@@ -426,22 +447,27 @@ object Clustering {
        |  FROM d ORDER BY custkey LIMIT 100),
        |pairs AS (
        |  SELECT a.custkey AS ck, a.cluster AS ca, b.cluster AS cb,
+       |         b.custkey AS ck_b,
        |         sqrt((a.rz - b.rz) * (a.rz - b.rz) +
        |              (a.fz - b.fz) * (a.fz - b.fz) +
        |              (a.mz - b.mz) * (a.mz - b.mz)) AS dist
        |  FROM samp a JOIN samp b ON a.custkey <> b.custkey),
-       |percl AS (SELECT ck, ca, cb, avg(dist) AS md
+       |percl AS (SELECT ck, ca, cb,
+       |                 list_reduce(list(dist ORDER BY ck_b),
+       |                             (x, y) -> x + y) / count(*) AS md
        |          FROM pairs GROUP BY ck, ca, cb),
        |ab AS (SELECT ck,
        |              coalesce(max(CASE WHEN cb = ca THEN md END), 0.0) AS av,
        |              min(CASE WHEN cb <> ca THEN md END) AS bv
        |       FROM percl GROUP BY ck),
-       |scores AS (SELECT CASE WHEN bv IS NULL THEN 0.0
+       |scores AS (SELECT ck,
+       |                  CASE WHEN bv IS NULL THEN 0.0
        |                       WHEN greatest(av, bv) = 0.0 THEN 0.0
        |                       ELSE (bv - av) / greatest(av, bv) END AS s
        |           FROM ab),
        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM samp)
-       |SELECT round(sum(s) / n, 6) AS silhouette
+       |SELECT list_reduce(list(s ORDER BY ck), (x, y) -> x + y) / n
+       |         AS silhouette
        |FROM scores CROSS JOIN n GROUP BY n""".stripMargin
 
   /** Oracle entries for the ML read-outs, buildable once a fit has run this
@@ -454,6 +480,7 @@ object Clustering {
     case None => Map.empty
     case Some((sc, cs)) => Map(
       "q20_cluster_sizes" -> clusterSizesSql(sc, cs),
+      "q21_centroids" -> centroidsSql(cs),
       "q22_inertia" -> inertiaSql(sc, cs),
       "q23_predict" -> predictSql(sc, cs),
       "q24_silhouette" -> silhouetteSql(sc, cs),

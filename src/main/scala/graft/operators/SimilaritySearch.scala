@@ -180,9 +180,11 @@ object SimilaritySearch {
     * oracle-checked contract — the approximation is in the algorithm, not
     * in any engine nondeterminism. */
   /** The sequential-fold dot product against a LITERAL plane, as DuckDB
-    * SQL — `Double.toString` round-trips bit-exactly through the parser. */
+    * SQL — `Double.toString`+`E0` ([[SqlLit.dbl]]) round-trips bit-exactly
+    * through the parser's DOUBLE path (a bare decimal would detour through
+    * DECIMAL and can lose the last ulp). */
   private[operators] def dotLitSql(uCol: String, p: Array[Double]): String = {
-    val lits = p.map(_.toString).mkString("[", ", ", "]")
+    val lits = p.map(SqlLit.dbl).mkString("[", ", ", "]")
     s"""list_reduce(list_transform(range(1, len($uCol) + 1),
        |              i -> $uCol[i] * ($lits)[i]),
        |            (x, y) -> x + y)""".stripMargin
@@ -415,7 +417,7 @@ object SimilaritySearch {
     val n = centers.length
     val ds = centers.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).foldLeft(0.0)(_ + _)
-      s"__su + $c2 - 2.0 * ${dotLitSql("u", c)} AS __cd$i"
+      s"__su + ${SqlLit.dbl(c2)} - 2.0 * ${dotLitSql("u", c)} AS __cd$i"
     }.mkString(",\n         ")
     val whens = (0 until n - 1).map { i =>
       val conds = ((i + 1) until n).map(j => s"__cd$i <= __cd$j").mkString(" AND ")

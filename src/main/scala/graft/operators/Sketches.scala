@@ -252,7 +252,7 @@ object Sketches {
                                  accuracy: Int): String = {
     val eps = 1.0 / accuracy
     val values = probes.sortBy(_._1).map { case (t, a, b, c) =>
-      s"('$t', CAST($a AS DOUBLE), CAST($b AS DOUBLE), CAST($c AS DOUBLE))"
+      s"('$t', ${SqlLit.dbl(a)}, ${SqlLit.dbl(b)}, ${SqlLit.dbl(c)})"
     }.mkString(", ")
     def ok(q: Double, le: String, lt: String) =
       s"CAST($le AS DOUBLE) >= ${q - eps} * CAST(n AS DOUBLE) AND " +

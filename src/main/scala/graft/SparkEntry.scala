@@ -125,7 +125,8 @@ object SparkEntry {
     "q54_ann_topk_agg" -> ((s, dir) => SimilaritySearch.bruteForceTopKAgg(s, dir)),
     "q53_embedding_stats" -> ((s, dir) => SimilaritySearch.embeddingStats(s, dir)),
     "q58_quantize_int8" -> ((s, dir) => SimilaritySearch.quantizeInt8(s, dir)),
-    // Multimodal plumbing (stub codec; rows-only checks)
+    // Multimodal plumbing (REAL JDK codecs for image/audio since round 6;
+    // stub stands in for video only; rows-only checks — DuckDB can't decode)
     "q70_media_features" -> ((s, dir) => multimodal.Multimodal.featureSummary(s, dir)),
     "q71_media_wide_images" -> ((s, dir) => multimodal.Multimodal.wideImages(s, dir)),
     "q72_media_frame_sample" -> ((s, dir) =>

@@ -248,20 +248,84 @@ object Multimodal {
       }
     }(org.apache.spark.sql.Encoders.product[MediaRow])
 
-  /** Synthesize a media table from `documents`: payload = utf-8 bytes of the
-    * text (deterministic fake blob), metadata derived per row. Kind cycles
-    * image/audio/video so downstream per-kind routing is exercised. */
+  /** Deterministic REAL PNG: `w`×`h` RGB pixels from an integer hash of
+    * (id, x, y), encoded by the JDK's ImageIO PNG writer. Every payload the
+    * fixture emits is a decodable image whose dimensions match its
+    * metadata struct (pinned by MultimodalSpec). */
+  private[graft] def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { // batch-local tight loop, no boxing
+        val v = (id * 1103515245L + x * 2654435761L + y * 40503L) & 0xFFFFFFL
+        img.setRGB(x, y, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL WAV: a RIFF/PCM container (16-bit signed mono,
+    * little-endian) holding an id-keyed sine — frequency 100 + (id mod 32)·25
+    * Hz, 256 + (id mod 64)·16 samples, amplitude ~0.37 FS — so rms, zcr and
+    * duration are analytically checkable per row. */
+  private[graft] def synthWav(id: Long, sampleRate: Int): Array[Byte] = {
+    val n = 256 + (id % 64).toInt * 16
+    val freq = 100.0 + (id % 32) * 25.0
+    val out = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    out.put("RIFF".getBytes(ascii)).putInt(36 + n * 2).put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes(ascii)).putInt(n * 2)
+    var i = 0
+    while (i < n) { // batch-local tight loop, no boxing
+      out.putShort((math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Payload synthesis as a DETERMINISTIC scalar function so Catalyst column
+    * pruning drops the generation entirely for metadata-only queries (q71's
+    * pruned scan) — a real pipeline's analogue: don't fetch the blob unless
+    * the plan touches it. image → real PNG, audio → real WAV, video → the
+    * utf-8 text bytes ([[StubCodec]]'s stand-in; no video codec exists in
+    * the JDK). */
+  private val synthPayload =
+    udf((id: Long, kind: String, w: Int, h: Int, sr: Int, text: String) =>
+      kind match {
+        case "image" => synthPng(id, w, h)
+        case "audio" => synthWav(id, sr)
+        case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      })
+
+  /** Synthesize a media table from `documents`: REAL decodable payloads
+    * (PNG for image rows, WAV for audio rows — round 6; text bytes stand in
+    * for video), metadata derived per row. Kind cycles image/audio/video so
+    * downstream per-kind routing is exercised. `meta.nBytes` is the
+    * source-DECLARED size (text length) — the catalog estimate a pipeline
+    * budgets partitions with before materializing payloads; it is exact for
+    * the video rows the frame-sampler consumes. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
+    val kind =
+      element_at(kinds, (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))
+    val width = (pmod(col("doc_id"), lit(4)) * 16 + 16).cast(IntegerType)
+    val height = (pmod(col("doc_id"), lit(3)) * 16 + 16).cast(IntegerType)
+    val rate = lit(8000).cast(IntegerType)
     Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
-      col("text").cast(BinaryType).as("payload"),
-      struct(
-        element_at(kinds, (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))
-          .as("kind"),
-        (pmod(col("doc_id"), lit(4)) * 64 + 128).cast(IntegerType).as("width"),
-        (pmod(col("doc_id"), lit(3)) * 64 + 128).cast(IntegerType).as("height"),
-        lit(16000).cast(IntegerType).as("sampleRate"),
+      synthPayload(col("doc_id"), kind, width, height, rate, col("text"))
+        .as("payload"),
+      struct(kind.as("kind"), width.as("width"), height.as("height"),
+        rate.as("sampleRate"),
         length(col("text")).cast(LongType).as("nBytes")).as("meta"))
   }
 
@@ -278,9 +342,27 @@ object Multimodal {
     decode(sized.as[MediaRow], codec).toDF()
   }
 
+  /** Per-kind routed decode — the production shape: image rows through the
+    * REAL [[ImageIoCodec]], audio rows through the REAL [[WavPcmCodec]],
+    * video rows through [[StubCodec]] (the one stand-in left — no JDK video
+    * codec exists). Each branch is a pushdown-filtered narrow map; the union
+    * is plan-level only (no shuffle). Every image/audio payload in the
+    * fixture decodes, so a row lost here would be a real codec regression —
+    * MultimodalSpec pins output count == input count. */
+  def extractFeaturesRouted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+    def branch(kind: String, codec: MediaCodec): DataFrame =
+      decode(media.filter(col("meta.kind") === kind).as[MediaRow], codec).toDF()
+    branch("image", ImageIoCodec)
+      .unionByName(branch("audio", WavPcmCodec))
+      .unionByName(branch("video", StubCodec))
+  }
+
   /** Metadata-only pruning query: filters on the typed struct never touch
-    * payload bytes — Catalyst prunes the binary column out of the scan. */
-  def wideImages(spark: SparkSession, dir: String, minWidth: Int = 256): DataFrame =
+    * payload bytes — Catalyst prunes the binary column (and with it the
+    * whole payload synthesis) out of the plan. */
+  def wideImages(spark: SparkSession, dir: String, minWidth: Int = 48): DataFrame =
     mediaTable(spark, dir)
       .filter(col("meta.kind") === "image" && col("meta.width") >= minWidth)
       .select(col("media_id"), col("meta.width").as("width"),
@@ -299,10 +381,12 @@ object Multimodal {
         col("frame_indices"))
 
   /** Feature query for the driver contract: per-kind feature summary
-    * (mean of first histogram bin, total frames) — proves the whole
-    * decode path runs distributed and aggregates without collecting. */
+    * (mean of first feature, total frames) over the ROUTED decode — image
+    * and audio rows run the real JDK codecs (round 6), video the stub —
+    * proving the production decode path runs distributed and aggregates
+    * without collecting. */
   def featureSummary(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark, dir)
+    extractFeaturesRouted(spark, dir)
       .select(col("kind"), element_at(col("features"), 1).as("f0"), col("n_frames"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),

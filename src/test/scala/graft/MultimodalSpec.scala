@@ -174,6 +174,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.features.sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("contract fixture: every image/audio payload decodes with the REAL codecs") {
+    // q70's routed decode must lose NO rows: a dropped row would mean a
+    // synthesized payload the real codec could not decode — a regression in
+    // either the fixture or the codec
+    val media = Multimodal.mediaTable(spark, dir).cache()
+    try {
+      val byKind = media.groupBy(col("meta.kind")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val routed = Multimodal.extractFeaturesRouted(spark, dir)
+        .groupBy(col("kind")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(routed == byKind, s"routed $routed vs fixture $byKind")
+    } finally media.unpersist()
+  }
+
+  test("contract fixture features match a driver-side recomputation") {
+    import spark.implicits._
+    val rows = Multimodal.mediaTable(spark, dir).as[Multimodal.MediaRow]
+      .filter(r => r.media_id < 12).collect().sortBy(_.media_id)
+    assert(rows.exists(_.meta.kind == "image") && rows.exists(_.meta.kind == "audio"))
+    rows.filter(_.meta.kind == "image").foreach { r =>
+      // payload really is the deterministic PNG, at the metadata's dims
+      assert(r.payload.sameElements(
+        Multimodal.synthPng(r.media_id, r.meta.width, r.meta.height)))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == r.meta.width && img.getHeight == r.meta.height)
+      // decoded histogram == direct recomputation from the decoded pixels
+      val f = Multimodal.ImageIoCodec.decodeBatch(Iterator(r)).toSeq.head
+      val hist = new Array[Float](16)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 +
+          ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+        hist(lum >> 4) += 1f
+      }
+      val n = (img.getWidth * img.getHeight).toFloat
+      assert(f.features.toSeq == hist.map(_ / n).toSeq)
+    }
+    rows.filter(_.meta.kind == "audio").foreach { r =>
+      val f = Multimodal.WavPcmCodec.decodeBatch(Iterator(r)).toSeq.head
+      val nSamples = 256 + (r.media_id % 64).toInt * 16
+      assert(f.n_frames == nSamples)
+      // duration = frames / rate, exactly as the codec computes it
+      assert(f.features(2) == nSamples.toFloat / r.meta.sampleRate)
+      // sine rms ≈ amplitude/√2 = (12000/32768)/√2 ≈ 0.259
+      assert(math.abs(f.features(0) - 12000.0 / 32768 / math.sqrt(2)) < 0.01,
+        s"media ${r.media_id} rms ${f.features(0)}")
+      // zcr ≈ 2·freq/rate for a sine
+      val freq = 100.0 + (r.media_id % 32) * 25.0
+      assert(math.abs(f.features(1) - 2 * freq / r.meta.sampleRate) < 0.01,
+        s"media ${r.media_id} zcr ${f.features(1)}")
+    }
+  }
+
   test("frame sampling: stride-4 counts follow byte length") {
     val media = Multimodal.mediaTable(spark, dir)
       .select(col("media_id"), col("meta.nBytes").as("nb"),

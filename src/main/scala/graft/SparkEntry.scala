@@ -147,6 +147,7 @@ object SparkEntry {
     "q94_zorder" -> ((s, dir) => Layout.zorderSample(s, dir)),
     "q104_hilbert" -> ((s, dir) => Layout.hilbertSample(s, dir)),
     "q95_pagerank" -> ((s, dir) => Graph.pagerank(s, dir)),
+    "q129_pagerank_converged" -> ((s, dir) => Graph.pagerankConvergedQuery(s, dir)),
     "q115_triangles" -> ((s, dir) => Graph.triangleCounts(s, dir)),
     "q117_association_rules" -> ((s, dir) => Graph.associationRules(s, dir)),
     "q122_bfs_hops" -> ((s, dir) => Graph.bfsHops(s, dir)),
@@ -295,5 +296,7 @@ object SparkEntry {
     // Sketch soft-oracles (round 6): captured estimates as literals, bound
     // flags re-derived against DuckDB's own exact aggregates
     Relational.sketchOracleEntries ++
-    Sketches.oracleEntries
+    Sketches.oracleEntries ++
+    // q129: unrolled-CTE oracle at the CAPTURED convergence round count
+    Graph.oracleEntries
 }

@@ -404,10 +404,13 @@ object Relational {
   }
 
   /** Lower median of `valCol` per `grp` — [[crossingMedian]] with unit
-    * weights. */
+    * weights. 32 range partitions (vs the weighted-median default 8): q116
+    * runs this over the full 600k-row lineitem twice, and the in-partition
+    * window stage is the critical path — its parallelism IS the partition
+    * count. Result is partition-count invariant (spec-pinned). */
   private def lowerMedian(df: DataFrame, grp: String, valCol: String,
                           out: String): DataFrame =
-    crossingMedian(df, grp, valCol, lit(1L), out).drop("__tot")
+    crossingMedian(df, grp, valCol, lit(1L), out, partitions = 32).drop("__tot")
 
   /** q116 — robust scaling (median / MAD), the outlier-immune scaler a
     * quality pipeline uses where the z-score's mean/σ are skew-fragile:
@@ -422,10 +425,18 @@ object Relational {
     * 3-row results broadcast back onto the scan; the big side is never
     * re-shuffled for the scaling itself. */
   def robustScale(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag").as("flag"),
-        Rfm.cents(col("l_extendedprice")).as("cents"),
-        col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"))
+    // registry-cached: the projection feeds THREE consumers (median pass,
+    // MAD pass via the broadcast-joined devs, final scaling) and Catalyst
+    // re-inlines the parquet scan per reference — one 4-column
+    // materialization serves all, saving two full rescans per run (the
+    // round-5 audit's one flagged shave). At cluster scale the artifact is
+    // the same narrow projection persisted once; the plan shape above it is
+    // unchanged.
+    val items = graft.CacheRegistry.cached(spark, s"robust-items:$dir")(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"),
+          Rfm.cents(col("l_extendedprice")).as("cents"),
+          col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber")))
     val med = lowerMedian(items, "flag", "cents", "med")
     val withMed = items.join(broadcast(med), Seq("flag"))
       .withColumn("dev", abs(col("cents") - col("med")))

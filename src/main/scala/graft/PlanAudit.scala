@@ -158,7 +158,12 @@ object PlanAudit {
       "q127_contamination_score" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false),
       // release pipeline: doc_id semi/anti joins only, nothing pairwise
-      "q128_release_pipeline" -> Seq("CartesianProduct" -> false))
+      "q128_release_pipeline" -> Seq("CartesianProduct" -> false),
+      // partition pruning (round 6): the date predicate must reach the scan
+      // as a PARTITION filter — 29 of 30 event_date directories never open
+      "q130_partitioned_day" -> Seq(
+        "PartitionFilters: [isnotnull(event_date" -> true,
+        "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix
@@ -170,21 +175,33 @@ object PlanAudit {
     // barrier is present (Scan ExistingRDD) and NO live range exchange
     // remains (a `rangepartitioning` Exchange in any consumer plan would
     // be a second, independently-sampled evaluation site).
+    // Caveats on the two pins (round-6 ADVICE): `Scan ExistingRDD` is any
+    // RDD scan, which in these six plans can only be the checkpoint barrier
+    // (no other RDD source exists in them — revisit if one ever appears);
+    // the forbidden pattern is anchored to an actual Exchange NODE below so
+    // it cannot fire on incidental mentions of range partitioning — but an
+    // orderBy deliberately added to one of these queries would introduce a
+    // legitimate `Exchange rangepartitioning` and need its own carve-out.
     val offsetPrefixQueries = Seq("q62_events_running", "q74_packing",
       "q75_rank_functions", "q113_weighted_median", "q116_robust_scale",
       "q126_length_batches")
     val offsetPrefixChecks: Map[String, Seq[(String, Boolean)]] =
       offsetPrefixQueries.map(q => q -> Seq(
-        "Scan ExistingRDD" -> true,
-        "rangepartitioning" -> false)).toMap
+        "Scan ExistingRDD" -> true)).toMap
 
     // Regex-matched expectations, for shapes a plain substring cannot pin
-    // (window specs embed column ids). These forbid the low-cardinality
-    // window trap in the q62/q75 contract plans: a window partitioned
-    // SOLELY by the 5-value event_type (resp. 25-value nation key) and
-    // ordered by full-data columns serializes each group into ONE task at
-    // any cluster size. The distributed twins' miniature windows (per-type
-    // P×G offset prefixes ordered by __pid) do NOT match these patterns.
+    // (window specs embed column ids). The windowspecdefinition patterns
+    // forbid the low-cardinality window trap in the q62/q75 contract plans:
+    // a window partitioned SOLELY by the 5-value event_type (resp. 25-value
+    // nation key) and ordered by full-data columns serializes each group
+    // into ONE task at any cluster size. The distributed twins' miniature
+    // windows (per-type P×G offset prefixes ordered by __pid) do NOT match
+    // these patterns. The Exchange pattern is the offset-prefix forbid,
+    // anchored to the node name so only a LIVE range exchange (a second,
+    // independently-sampled repartitionByRange evaluation) trips it.
+    val offsetPrefixRegexChecks: Map[String, Seq[(String, Boolean)]] =
+      offsetPrefixQueries.map(q => q -> Seq(
+        """Exchange rangepartitioning\(""" -> false)).toMap
     val regexExpectations: Map[String, Seq[(String, Boolean)]] = Map(
       "q62_events_running" -> Seq(
         """windowspecdefinition\(event_type#\d+, ts_ms#""" -> false),
@@ -209,7 +226,8 @@ object PlanAudit {
       }
       val checks = expectations.getOrElse(name, Nil) ++
         offsetPrefixChecks.getOrElse(name, Nil)
-      val reChecks = regexExpectations.getOrElse(name, Nil)
+      val reChecks = regexExpectations.getOrElse(name, Nil) ++
+        offsetPrefixRegexChecks.getOrElse(name, Nil)
       val failures = checks.collect {
         case (s, true) if !plan.contains(s) => s"MISSING '$s'"
         case (s, false) if plan.contains(s) => s"FORBIDDEN '$s'"

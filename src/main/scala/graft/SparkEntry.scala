@@ -135,6 +135,7 @@ object SparkEntry {
     "q73_retention" -> ((s, dir) => Events.cohortRetention(s, dir)),
     "q74_packing" -> ((s, dir) => TextAnalysis.sequencePacking(s, dir)),
     "q80_gapfill_hourly" -> ((s, dir) => Events.gapFillHourly(s, dir)),
+    "q130_partitioned_day" -> ((s, dir) => PartitionedEvents.oneDayHourly(s, dir)),
     "q84_decontam_bloom" -> ((s, dir) => CorpusFilters.decontaminateBloom(s, dir)),
     "q85_hll_sketches" -> ((s, dir) => Sketches.hllUserSketches(s, dir)),
     "q86_cube_revenue" -> ((s, dir) => Relational.cubeRevenue(s, dir)),
@@ -249,6 +250,8 @@ object SparkEntry {
     "q73_retention" -> Events.cohortRetentionSql,
     "q74_packing" -> TextAnalysis.sequencePackingSql,
     "q80_gapfill_hourly" -> Events.gapFillHourlySql,
+    // partition-pruned scan vs the unpartitioned original: same rows
+    "q130_partitioned_day" -> PartitionedEvents.oneDayHourlySql,
     // q84 bloom path is PROVEN identical to the exact path (FPs exactly
     // confirmed), so it reuses q76's oracle verbatim.
     "q84_decontam_bloom" -> CorpusFilters.decontaminateSql(),

@@ -11,6 +11,45 @@ class SkewAndSourcesSpec extends AnyFunSuite {
   lazy val spark = GraftTestSession.spark
   val dir = GraftTestSession.Sf0001
 
+  test("partition pruning: the one-day scan opens only that day's files") {
+    import graft.operators.PartitionedEvents
+    val layout = new java.io.File(
+      PartitionedEvents.partitionedEventsDir(spark, dir))
+    // the fixture really is date-partitioned: one directory per day
+    val dayDirs = layout.listFiles().count(_.getName.startsWith("event_date="))
+    assert(dayDirs == 30, s"expected 30 event_date= dirs, got $dayDirs")
+    val totalFiles = layout.listFiles()
+      .filter(_.getName.startsWith("event_date="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val one = PartitionedEvents.oneDayHourly(spark, dir)
+    one.collect()
+    // the executed scan's own metric: files it actually read (AQE hides
+    // children behind AdaptiveSparkPlanExec and QueryStageExec leaves —
+    // walk through both wrappers to the real scan node)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(one.queryExecution.executedPlan)
+    assert(scan.nonEmpty, "expected a FileSourceScanExec in the plan")
+    val numFiles = scan.head.metrics("numFiles").value
+    assert(numFiles < totalFiles,
+      s"pruning read $numFiles of $totalFiles files — nothing was pruned")
+    // exactly the one matching day survives the partition filter
+    assert(numFiles == layout.listFiles()
+      .filter(_.getName == s"event_date=${PartitionedEvents.ContractDay}")
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum,
+      s"pruned scan read $numFiles files, not exactly the contract day's")
+    // and the plan carries the partition filter where PlanAudit pins it
+    assert(one.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(event_date"))
+  }
+
   test("salted aggregate equals plain aggregate") {
     val li = Tables.lineitem(spark, dir)
     val plain = li.groupBy(col("l_returnflag").as("key"))

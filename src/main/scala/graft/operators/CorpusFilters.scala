@@ -78,20 +78,26 @@ object CorpusFilters {
       .agg(count(lit(1)).as("n_shared")) // train grams are distinct-per-doc
   }
 
-  def decontaminateSql(k: Int = 4): String = {
+  /** The q76 gram + bench-index CTEs, shared verbatim by
+    * [[decontaminateSql]], [[contaminationScoreSql]] and
+    * [[releasePipelineSql]] (round-6 ADVICE: compose, don't copy). */
+  private[operators] def gramBenchCtes(k: Int): String = {
     val idx = (1 to k).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
-    s"""WITH grams AS (
+    s"""grams AS (
        |  SELECT doc_id,
        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_bench,
        |         unnest(list_distinct(list_transform(
        |           range(len(ws) - ${k - 1}), i -> $idx))) AS gram
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-       |), bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench)
+       |), bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench)""".stripMargin
+  }
+
+  def decontaminateSql(k: Int = 4): String =
+    s"""WITH ${gramBenchCtes(k)}
        |SELECT g.doc_id, count(*) AS n_shared
        |FROM grams g JOIN bench b ON g.gram = b.gram
        |WHERE NOT g.is_bench
        |GROUP BY g.doc_id""".stripMargin
-  }
 
   /** q84 — the 100 TB decontamination path: identical semantics to
     * [[decontaminate]], with a Bloom-filter semi-join reduction in front of
@@ -157,15 +163,20 @@ object CorpusFilters {
     * Plan: ONE pass over the training gram index — the broadcast eval-gram
     * index LEFT-joins onto each gram as a hit tag, then a single doc_id
     * aggregation computes total and hit counts together (no second shuffle,
-    * no join of two aggregates). Exact integer arithmetic end to end, so
-    * the DuckDB oracle is hash-exact. At 100 TB: corpus side never
-    * shuffles except the one doc_id aggregate; eval index is the same
-    * session-cached broadcast artifact q76/q84 share. */
+    * no join of two aggregates). Documents with fewer than `k` words
+    * produce no gram rows, so they ride a separate narrow-scan branch
+    * (round-6 ADVICE: complete coverage means the keep/drop/flag policy
+    * sees them too) emitting `n_grams = 0, contamination_ppm = 0` — a
+    * doc with no k-grams cannot overlap the eval set by this rule. Exact
+    * integer arithmetic end to end, so the DuckDB oracle is hash-exact.
+    * At 100 TB: corpus side never shuffles except the one doc_id
+    * aggregate; eval index is the same session-cached broadcast artifact
+    * q76/q84 share; the short-doc branch is a narrow filter+project. */
   def contaminationScore(spark: SparkSession, dir: String, k: Int = 4,
                          dirtyPpm: Long = 100000L): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val hits = benchGrams(spark, dir, k).withColumn("__hit", lit(1L))
-    gramRows(docs.filter(!isBenchDoc), k, distinctPerDoc = true)
+    val scored = gramRows(docs.filter(!isBenchDoc), k, distinctPerDoc = true)
       .join(broadcast(hits), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -175,17 +186,15 @@ object CorpusFilters {
           .cast(LongType).as("contamination_ppm"),
         (floor(col("n_shared") * lit(1000000L) / col("n_grams"))
           >= dirtyPpm).cast(LongType).as("is_contaminated"))
+    val short = docs.filter(!isBenchDoc)
+      .filter(size(split(col("text"), " ")) < k)
+      .select(col("doc_id"), lit(0L).as("n_grams"), lit(0L).as("n_shared"),
+        lit(0L).as("contamination_ppm"), lit(0L).as("is_contaminated"))
+    scored.unionByName(short)
   }
 
-  def contaminationScoreSql(k: Int = 4, dirtyPpm: Long = 100000L): String = {
-    val idx = (1 to k).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
-    s"""WITH grams AS (
-       |  SELECT doc_id,
-       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_bench,
-       |         unnest(list_distinct(list_transform(
-       |           range(len(ws) - ${k - 1}), i -> $idx))) AS gram
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-       |), bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench)
+  def contaminationScoreSql(k: Int = 4, dirtyPpm: Long = 100000L): String =
+    s"""WITH ${gramBenchCtes(k)}
        |SELECT g.doc_id, count(*) AS n_grams,
        |       CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
        |         AS n_shared,
@@ -197,8 +206,13 @@ object CorpusFilters {
        |            >= $dirtyPpm AS BIGINT) AS is_contaminated
        |FROM grams g LEFT JOIN bench b ON g.gram = b.gram
        |WHERE NOT g.is_bench
-       |GROUP BY g.doc_id""".stripMargin
-  }
+       |GROUP BY g.doc_id
+       |UNION ALL
+       |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
+       |  AND len(ws) < $k""".stripMargin
 
   /** q128 — the END-TO-END RELEASE PIPELINE as one fused plan: the
     * nightly corpus-release dataflow every stage above exists to serve,
@@ -390,8 +404,12 @@ object CorpusFilters {
           col("pass_dom") && col("pass_ttr"))
   }
 
-  val qualityGatesSql: String =
-    """WITH wc AS (
+  /** Shared SQL fragments (round-6 ADVICE): q78's word-stats CTEs and its
+    * pass-all predicate, composed — not copied — into [[releasePipelineSql]]
+    * so a threshold change propagates at build time instead of surfacing as
+    * an opaque q128 oracle mismatch at verify time. */
+  private[operators] val qualityStatsCtes: String =
+    """wc AS (
       |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
       |  FROM documents
       |), cnt AS (
@@ -404,23 +422,29 @@ object CorpusFilters {
       |         max(cnt) AS max_cnt,
       |         CAST(sum(CASE WHEN word IN ('the','a') THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
       |  FROM cnt GROUP BY doc_id, n_chars
-      |)
-      |SELECT doc_id, n_words,
-      |       CAST(n_chars AS DOUBLE) / n_words AS mean_wlen,
-      |       CAST(n_stop AS DOUBLE) / n_words AS stop_frac,
-      |       CAST(max_cnt AS DOUBLE) / n_words AS dominance,
-      |       CAST(n_distinct AS DOUBLE) / n_words AS ttr,
-      |       n_words >= 15 AND n_words <= 100 AS pass_len,
-      |       n_chars * 10 >= n_words * 35 AND n_chars * 10 <= n_words * 60 AS pass_wlen,
-      |       n_stop * 50 >= n_words AS pass_stop,
-      |       max_cnt * 5 <= n_words AS pass_dom,
-      |       n_distinct * 10 >= n_words * 3 AS pass_ttr,
-      |       (n_words >= 15 AND n_words <= 100)
+      |)""".stripMargin
+
+  private[operators] val qualityPassAll: String =
+    """(n_words >= 15 AND n_words <= 100)
       |         AND (n_chars * 10 >= n_words * 35 AND n_chars * 10 <= n_words * 60)
       |         AND (n_stop * 50 >= n_words)
       |         AND (max_cnt * 5 <= n_words)
-      |         AND (n_distinct * 10 >= n_words * 3) AS pass_all
-      |FROM stats""".stripMargin
+      |         AND (n_distinct * 10 >= n_words * 3)""".stripMargin
+
+  val qualityGatesSql: String =
+    s"""WITH $qualityStatsCtes
+       |SELECT doc_id, n_words,
+       |       CAST(n_chars AS DOUBLE) / n_words AS mean_wlen,
+       |       CAST(n_stop AS DOUBLE) / n_words AS stop_frac,
+       |       CAST(max_cnt AS DOUBLE) / n_words AS dominance,
+       |       CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+       |       n_words >= 15 AND n_words <= 100 AS pass_len,
+       |       n_chars * 10 >= n_words * 35 AND n_chars * 10 <= n_words * 60 AS pass_wlen,
+       |       n_stop * 50 >= n_words AS pass_stop,
+       |       max_cnt * 5 <= n_words AS pass_dom,
+       |       n_distinct * 10 >= n_words * 3 AS pass_ttr,
+       |       $qualityPassAll AS pass_all
+       |FROM stats""".stripMargin
 
   // ---------------------------------------------------------------- q79
 

@@ -12,6 +12,32 @@ class CorpusFiltersSpec extends AnyFunSuite {
   lazy val spark = GraftTestSession.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("contamination score: sub-k-word docs ride the n_grams=0 branch") {
+    // the driver fixture has no <4-word documents, so the short-doc branch
+    // is exercised against a synthetic documents table (doc_id 3 has md5
+    // nibble 'f' at none of 1..20 — all five ids below are training docs)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-short-docs")
+    val docs = Seq(
+      (1L, "one two three", "en", "web", 13L), // 3 words < k=4
+      (2L, "", "en", "web", 0L),               // empty text
+      (4L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L),
+      (5L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L),
+      (6L, "solo", "en", "web", 4L))           // 1 word
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(
+      new java.io.File(tmp.toFile, "documents.parquet").toString)
+    val out = graft.operators.CorpusFilters
+      .contaminationScore(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L, 6L)) // complete coverage
+    Seq(1L, 2L, 6L).foreach { id =>
+      assert(out(id) == ((0L, 0L, 0L, 0L)), s"doc $id: ${out(id)}")
+    }
+    assert(out(4L)._1 == 3 && out(5L)._1 == 3) // 6 words -> 3 grams
+  }
+
   test("decontamination flags only training docs, monotone in k") {
     val k4 = CorpusFilters.decontaminate(spark, dir, k = 4)
     // no benchmark doc (md5 nibble 'f') ever appears in the output
@@ -26,13 +52,19 @@ class CorpusFiltersSpec extends AnyFunSuite {
 
   test("contamination score: complete coverage, q76-consistent, bounded ppm") {
     val score = CorpusFilters.contaminationScore(spark, dir).cache()
-    // every training doc with ≥ k words gets a row — including 0-overlap
-    // docs (the fraction is what release policies threshold on)
-    val trainWithGrams = Tables.documents(spark, dir)
+    // EVERY training doc gets a row — 0-overlap docs AND sub-k-word docs
+    // (round 6: short docs ride the n_grams=0 branch; the fraction is what
+    // release policies threshold on, so absence would hide them from it)
+    val train = Tables.documents(spark, dir)
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
-      .filter(size(split(col("text"), " ")) >= 4)
       .select("doc_id")
-    assert(score.count() == trainWithGrams.count())
+    assert(score.count() == train.count())
+    assert(score.select("doc_id").exceptAll(train).isEmpty &&
+      train.exceptAll(score.select("doc_id")).isEmpty)
+    // short docs carry the zero convention end to end
+    assert(score.filter(col("n_grams") === 0)
+      .filter(col("n_shared") =!= 0 || col("contamination_ppm") =!= 0 ||
+        col("is_contaminated") =!= 0).isEmpty)
     // the positive-overlap slice IS q76: same docs, same shared counts
     val q76 = CorpusFilters.decontaminate(spark, dir)
       .select(col("doc_id"), col("n_shared"))

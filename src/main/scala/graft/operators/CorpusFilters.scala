@@ -248,40 +248,18 @@ object CorpusFilters {
   private def exactDedupKeepers(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(spark, dir).select(col("keep_doc_id").as("doc_id"))
 
-  def releasePipelineSql(rate: Double = 0.5, k: Int = 4): String = {
-    val idx = (1 to k).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
-    s"""WITH wc AS (
-       |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
-       |  FROM documents
-       |), cnt AS (
-       |  SELECT doc_id, n_chars, word, count(*) AS cnt
-       |  FROM wc GROUP BY doc_id, n_chars, word
-       |), stats AS (
-       |  SELECT doc_id, n_chars,
-       |         CAST(sum(cnt) AS BIGINT) AS n_words,
-       |         count(*) AS n_distinct,
-       |         max(cnt) AS max_cnt,
-       |         CAST(sum(CASE WHEN word IN ('the','a') THEN cnt ELSE 0 END)
-       |              AS BIGINT) AS n_stop
-       |  FROM cnt GROUP BY doc_id, n_chars
-       |), qual AS (
+  /** Composed from the SHARED fragments ([[qualityStatsCtes]],
+    * [[qualityPassAll]], [[gramBenchCtes]]) — the q78 thresholds and q76
+    * gram rule have exactly one SQL definition each, so a change there
+    * recomposes here at build time. */
+  def releasePipelineSql(rate: Double = 0.5, k: Int = 4): String =
+    s"""WITH $qualityStatsCtes, qual AS (
        |  SELECT doc_id, n_words FROM stats
-       |  WHERE (n_words >= 15 AND n_words <= 100)
-       |    AND (n_chars * 10 >= n_words * 35 AND n_chars * 10 <= n_words * 60)
-       |    AND (n_stop * 50 >= n_words)
-       |    AND (max_cnt * 5 <= n_words)
-       |    AND (n_distinct * 10 >= n_words * 3)
+       |  WHERE $qualityPassAll
        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
        |), keep AS (
        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-       |), grams AS (
-       |  SELECT doc_id,
-       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_bench,
-       |         unnest(list_distinct(list_transform(
-       |           range(len(ws) - ${k - 1}), i -> $idx))) AS gram
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-       |), bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench
-       |), contam AS (
+       |), ${gramBenchCtes(k)}, contam AS (
        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.gram = b.gram
        |  WHERE NOT g.is_bench
        |)
@@ -292,7 +270,6 @@ object CorpusFilters {
        |WHERE c.doc_id IS NULL
        |  AND ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT
        |        / 4294967296.0 < $rate""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q77
 

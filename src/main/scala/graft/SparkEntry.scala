@@ -122,6 +122,7 @@ object SparkEntry {
     "q50_ann_bruteforce" -> ((s, dir) => SimilaritySearch.bruteForceTopK(s, dir)),
     "q51_ann_signlsh" -> ((s, dir) => SimilaritySearch.signLshTopK(s, dir)),
     "q52_ann_ivf" -> ((s, dir) => SimilaritySearch.ivfTopK(s, dir)),
+    "q131_ann_filtered" -> ((s, dir) => SimilaritySearch.ivfFilteredTopK(s, dir)),
     "q54_ann_topk_agg" -> ((s, dir) => SimilaritySearch.bruteForceTopKAgg(s, dir)),
     "q53_embedding_stats" -> ((s, dir) => SimilaritySearch.embeddingStats(s, dir)),
     "q58_quantize_int8" -> ((s, dir) => SimilaritySearch.quantizeInt8(s, dir)),

@@ -259,6 +259,9 @@ object Relational {
           round(col("l_quantity")).cast(LongType).as("wq")),
       grp = "flag", valCol = "cents", w = col("wq"), out = "median_cents")
       .select(col("flag"), col("median_cents"), col("__tot").as("total_w"))
+      // (q116's 32-partition lever was measured HERE too and reverted: one
+      // crossing pass over weights doesn't amortize the extra checkpoint
+      // blocks — 1.55 s at 32 vs 1.19 s at the default 8)
 
   val weightedMedianSql: String =
     """WITH items AS (

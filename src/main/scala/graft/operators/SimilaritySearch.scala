@@ -410,6 +410,92 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
   }
 
+  /** q131 — FILTERED vector search, the production RAG/tenant shape: top-k
+    * cosine neighbors among vectors passing a metadata predicate (here:
+    * same `label` as the query — "search within my category"). The
+    * predicate composes with the IVF index, not around it: the label rides
+    * IN the indexed table (one session-cached join — at cluster scale the
+    * label is a column of the persisted index), candidates are filtered
+    * BEFORE scoring inside the probed cells, and the dot products run only
+    * on label-matching rows. Post-filtering (score-then-filter) would waste
+    * k slots on excluded vectors and miss matches; this is the
+    * pre-filtering shape vector stores ship for low-selectivity filters.
+    * Oracle: the q52 captured-centroid mechanism with the label joined into
+    * the lab CTE — DuckDB re-derives cells, probes, filter, scoring, and
+    * ranking end to end. */
+  def ivfFilteredTopK(spark: SparkSession, dir: String,
+                      nQueries: Int = 5, k: Int = 10,
+                      nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val (model, assigned) = ivfIndex(spark, dir, nlist)
+    val labeled = graft.CacheRegistry.cached(spark, s"ivf-labeled:$nlist:$dir")(
+      assigned.join(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        "vec_id"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val queries = labeled.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"),
+        col("label").as("qlabel"))
+    val probeSets = queries.withColumn("probes",
+      slice(array_sort(array(centroids.map { case (i, c) =>
+        struct((lit(1.0) - dot_product(col("qu"),
+          array(c.map(lit).toIndexedSeq: _*))).as("d"), lit(i).as("cid"))
+      }: _*)), 1, nprobe))
+      .select(col("query_id"), col("qu"), col("qlabel"),
+        explode(col("probes.cid")).as("coarse_id"))
+    val scored = labeled.join(broadcast(probeSets), Seq("coarse_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("label") === col("qlabel")) // predicate BEFORE scoring
+      .withColumn("cosine", dot(col("u"), col("qu")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("qlabel").cast(LongType).as("label"),
+        col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk").cast(LongType).as("rk"))
+  }
+
+  /** Oracle for [[ivfFilteredTopK]]: [[ivfTopKSql]]'s read path with the
+    * label joined into the indexed table and the equality predicate applied
+    * before scoring — DuckDB re-derives the entire filtered search. */
+  def ivfFilteredTopKSql(centers: Array[Array[Double]], nQueries: Int = 5,
+                         k: Int = 10, nprobe: Int = 2): String = {
+    val probeCase = centers.zipWithIndex.map { case (c, i) =>
+      s"WHEN $i THEN 1.0 - ${dotLitSql("qu", c)}"
+    }.mkString("CASE cid ", " ", " END")
+    s"""WITH ${coarseLabCtes(centers)}, lv AS (
+       |  SELECT l.vec_id, l.u, l.coarse_id, e.label
+       |  FROM lab l JOIN embeddings e USING (vec_id)
+       |), q AS (
+       |  SELECT vec_id AS query_id, u AS qu, label AS qlabel
+       |  FROM lv ORDER BY vec_id LIMIT $nQueries
+       |), cand AS (
+       |  SELECT query_id, qu, qlabel, cid, $probeCase AS pd
+       |  FROM q, (SELECT unnest(range(${centers.length})) AS cid)
+       |), probes AS (
+       |  SELECT query_id, qu, qlabel, cid
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY pd, cid) AS pr
+       |        FROM cand)
+       |  WHERE pr <= $nprobe
+       |), scored AS (
+       |  SELECT p.query_id, p.qlabel, e.vec_id AS neighbor_id,
+       |         ${dotColsSql("e.u", "p.qu")} AS cos_raw
+       |  FROM lv e JOIN probes p ON e.coarse_id = p.cid
+       |  WHERE e.vec_id <> p.query_id AND e.label = p.qlabel
+       |), ranked AS (
+       |  SELECT query_id, qlabel, neighbor_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(qlabel AS BIGINT) AS label, neighbor_id,
+       |       round(cos_raw, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
   /** CTEs ending in `lab(vec_id, u, coarse_id)` — the SQL mirror of
     * [[withCoarseId]] over the unit vectors, shared by the q52 oracle and
     * [[Dedup.semanticDedupSql]]. */
@@ -475,7 +561,9 @@ object SimilaritySearch {
     * session (always true by oracle-dump time in a full Verify run). */
   def oracleEntries: Map[String, String] = capturedCoarseCenters match {
     case None => Map.empty
-    case Some(cs) => Map("q52_ann_ivf" -> ivfTopKSql(cs))
+    case Some(cs) => Map(
+      "q52_ann_ivf" -> ivfTopKSql(cs),
+      "q131_ann_filtered" -> ivfFilteredTopKSql(cs))
   }
 
   /** q58 — int8 scalar quantization of the embedding table: per-dimension

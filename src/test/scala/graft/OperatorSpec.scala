@@ -633,6 +633,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaModel.filter(col("coarse_id") =!= col("explicit")).count() == 0)
   }
 
+  test("q131: filtered search respects the predicate and preserves q52's survivor order") {
+    import graft.operators.SimilaritySearch
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filtered = SimilaritySearch.ivfFilteredTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(filtered.nonEmpty)
+    // every neighbor really carries the query's label
+    filtered.foreach { case (q, lab, n, _) =>
+      assert(labels(q) == lab && labels(n) == lab, s"query $q neighbor $n")
+    }
+    // ranks are contiguous from 1 per query
+    filtered.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.size).toSeq)
+    }
+    // filtering preserves survivor order: any q52 result with the query's
+    // label must appear in q131 at a rank <= its unfiltered rank (same
+    // probe set, same ordering — dropping rows can only promote survivors)
+    val unfiltered = SimilaritySearch.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val fRank = filtered.map { case (q, _, n, rk) => (q, n) -> rk }.toMap
+    unfiltered.foreach { case (q, n, rk) =>
+      if (labels(q) == labels(n)) {
+        assert(fRank.contains((q, n)), s"survivor ($q,$n) missing from q131")
+        assert(fRank((q, n)) <= rk, s"survivor ($q,$n) demoted")
+      }
+    }
+  }
+
   test("top-k aggregator produces identical results to the window ranking") {
     val win = SimilaritySearch.bruteForceTopK(spark, dir, nQueries = 4, k = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet

@@ -163,6 +163,13 @@ object PlanAudit {
       // as a PARTITION filter — 29 of 30 event_date directories never open
       "q130_partitioned_day" -> Seq(
         "PartitionFilters: [isnotnull(event_date" -> true,
+        "CartesianProduct" -> false),
+      // filtered ANN: probe sets broadcast onto the labeled index
+      "q131_ann_filtered" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // mixture plan: the 5-row weight table broadcasts; the 1-row total
+      // rides BNLJ — nothing data-sized moves after the lang aggregate
+      "q132_mixture_plan" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4

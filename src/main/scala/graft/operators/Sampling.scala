@@ -149,6 +149,78 @@ object Sampling {
       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        / 4294967296.0 < r.rate""".stripMargin
 
+  /** q132 — token-budget mixture PLANNING (round 6): the "data recipe"
+    * computation run before every training-mix job — given per-language
+    * token availability and target mixture weights, derive each language's
+    * token allocation, single-pass sampling rate, and epoch/oversampling
+    * factor against a token budget of half the corpus.
+    *
+    * Semantics (all EXACT integer arithmetic, so the oracle hash-matches):
+    *  - `available_tokens` = Σ whitespace tokens per lang (q41's ws_tokens
+    *    definition);
+    *  - budget B = total available `div` 2;
+    *  - `target_tokens` = B · weight_ppm `div` 10⁶;
+    *  - `epochs_e6` = target·10⁶ `div` available, computed as
+    *    `(t div a)·10⁶ + ((t mod a)·10⁶ div a)` so the intermediate stays
+    *    under 2⁶³ for any a ≤ 9.2·10¹² (at a true 100 TB token census,
+    *    widen to DECIMAL(38,0) — same plan shape);
+    *    > 10⁶ means the language must repeat (oversample) to fill its slot;
+    *  - `rate_ppm` = min(10⁶, epochs_e6): the fraction sampled in one pass.
+    *
+    * Plan: one narrow token-count map + one 5-row lang aggregate; the 1-row
+    * total and the 5-row weight table broadcast onto it — nothing data-sized
+    * moves after the aggregate. The weight table is the policy input; it
+    * ships as literals the same way q49's mixture targets do. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val weights = Seq(("en", 400000L), ("de", 150000L), ("es", 150000L),
+      ("fr", 150000L), ("zh", 150000L))
+    val wDf = spark.createDataFrame(weights).toDF("lang", "weight_ppm")
+    val avail = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).as("available_tokens"))
+    val tot = avail.agg(sum(col("available_tokens")).as("total_tokens"))
+    avail.join(broadcast(wDf), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr("(total_tokens div 2) * weight_ppm div 1000000"))
+      .withColumn("epochs_e6",
+        expr("(target_tokens div available_tokens) * 1000000 + " +
+          "((target_tokens % available_tokens) * 1000000 div available_tokens)"))
+      .select(col("lang"), col("available_tokens"), col("weight_ppm"),
+        col("target_tokens"),
+        least(lit(1000000L), col("epochs_e6")).as("rate_ppm"),
+        col("epochs_e6"))
+  }
+
+  val mixturePlanSql: String =
+    """WITH w(lang, weight_ppm) AS (VALUES
+      |  ('en', CAST(400000 AS BIGINT)), ('de', CAST(150000 AS BIGINT)),
+      |  ('es', CAST(150000 AS BIGINT)), ('fr', CAST(150000 AS BIGINT)),
+      |  ('zh', CAST(150000 AS BIGINT))
+      |), avail AS (
+      |  SELECT lang,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |           AS available_tokens
+      |  FROM documents GROUP BY lang
+      |), tot AS (SELECT sum(available_tokens) AS total_tokens FROM avail
+      |), plan AS (
+      |  SELECT lang, available_tokens, weight_ppm,
+      |         (total_tokens // 2) * weight_ppm // 1000000 AS target_tokens
+      |  FROM avail JOIN w USING (lang) CROSS JOIN tot
+      |), e AS (
+      |  SELECT *,
+      |         (target_tokens // available_tokens) * 1000000 +
+      |         ((target_tokens % available_tokens) * 1000000
+      |            // available_tokens) AS epochs_e6
+      |  FROM plan
+      |)
+      |SELECT lang, available_tokens, weight_ppm,
+      |       CAST(target_tokens AS BIGINT) AS target_tokens,
+      |       CAST(least(1000000, epochs_e6) AS BIGINT) AS rate_ppm,
+      |       CAST(epochs_e6 AS BIGINT) AS epochs_e6
+      |FROM e""".stripMargin
+
   /** q87 — per-source document cap (the C4/RefinedWeb "domain cap": no
     * single domain may dominate the mixture). Keeps at most `cap` documents
     * per source, selected by deterministic content-hash rank — the same

@@ -148,4 +148,29 @@ class SamplingSpec extends AnyFunSuite {
     val smallest = natural.minBy(_._2)._1
     assert(temp(smallest) == natural(smallest))
   }
+
+  test("mixture plan: exact allocation laws against a driver-side recomputation") {
+    val plan = Sampling.mixturePlan(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(plan.keySet == Set("en", "de", "es", "fr", "zh"))
+    // recompute availability from the raw documents with q41's definition
+    val avail = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("a")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = avail.values.sum / 2
+    plan.foreach { case (lang, (a, w, target, rate, epochs)) =>
+      assert(a == avail(lang), s"$lang availability")
+      assert(target == budget * w / 1000000, s"$lang target")
+      val eExp = (BigInt(target) * 1000000 / BigInt(a)).toLong
+      assert(epochs == eExp, s"$lang epochs $epochs vs $eExp")
+      assert(rate == math.min(1000000L, epochs), s"$lang rate")
+    }
+    // weights are a full distribution; allocation loses < 1 token per lang
+    assert(plan.values.map(_._2).sum == 1000000L)
+    val planned = plan.values.map(_._3).sum
+    assert(planned <= budget && planned >= budget - plan.size)
+  }
 }

@@ -86,6 +86,7 @@ object SparkEntry {
     "q49_mixture_rebalance" -> ((s, dir) => Sampling.mixtureRebalance(s, dir)),
     "q125_temperature_mix" -> ((s, dir) => Sampling.temperatureMixture(s, dir)),
     "q132_mixture_plan" -> ((s, dir) => Sampling.mixturePlan(s, dir)),
+    "q133_quality_topp" -> ((s, dir) => Sampling.qualityTopP(s, dir)),
     "q126_length_batches" -> ((s, dir) => TextAnalysis.lengthBatches(s, dir)),
     "q87_domain_cap" -> ((s, dir) => Sampling.domainCap(s, dir)),
     "q102_weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
@@ -281,6 +282,7 @@ object SparkEntry {
     "q124_knn_join" -> SimilaritySearch.knnJoinSql(),
     "q125_temperature_mix" -> Sampling.temperatureMixtureSql,
     "q132_mixture_plan" -> Sampling.mixturePlanSql,
+    "q133_quality_topp" -> Sampling.qualityTopPSql(),
     "q126_length_batches" -> TextAnalysis.lengthBatchesSql(),
     "q99_anomalies" -> Events.anomaliesSql,
     "q105_transitions" -> Events.transitionMatrixSql,

@@ -221,6 +221,60 @@ object Sampling {
       |       CAST(epochs_e6 AS BIGINT) AS epochs_e6
       |FROM e""".stripMargin
 
+  /** q133 — top-p QUALITY-MASS curation (round 6): per source, keep the
+    * highest-quality documents whose running token mass stays within p
+    * (default 4/5) of the source's total — nucleus selection applied to
+    * corpus curation: a fixed token budget per domain goes to the best
+    * documents first, and the cut adapts to each domain's quality
+    * distribution instead of a global score threshold.
+    *
+    * Ranking key: q109's length-normalized linear score (`avg_e6`, exact
+    * integers), descending, doc_id tiebreak. The running mass uses the
+    * [[Relational.groupedCumSum]] offset-prefix primitive — 20 sources
+    * would otherwise serialize into 20 window tasks at any cluster size
+    * (the q75/q113 trap); here every data-sized scan is bounded by one
+    * range partition and only the P×G offset miniature is windowed. The
+    * oracle keeps the naive window shape, proving the distributed form
+    * value-identical. Keep rule in exact integers:
+    * `cum·pDen ≤ total·pNum`. */
+  def qualityTopP(spark: SparkSession, dir: String,
+                  pNum: Long = 4, pDen: Long = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("tokens"))
+    val scores = TextAnalysis.linearQualityScore(spark, dir)
+      .select(col("doc_id"), col("avg_e6"))
+    val base = docs.join(scores, "doc_id")
+      .withColumn("neg_avg", -col("avg_e6"))
+    val cum = Relational.groupedCumSum(base, "source",
+      Seq("neg_avg", "doc_id"), "tokens")
+    val tot = base.groupBy(col("source")).agg(sum(col("tokens")).as("__tot"))
+    cum.join(broadcast(tot), "source")
+      .filter(col("__cum") * pDen <= col("__tot") * pNum)
+      .select(col("doc_id"), col("source"), col("avg_e6"), col("tokens"),
+        col("__cum").as("cum_tokens"))
+  }
+
+  def qualityTopPSql(pNum: Long = 4, pDen: Long = 5): String =
+    s"""WITH q AS (${TextAnalysis.linearQualityScoreSql}
+       |), base AS (
+       |  SELECT d.doc_id, d.source,
+       |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tokens,
+       |         q.avg_e6
+       |  FROM documents d JOIN q USING (doc_id)
+       |), cum AS (
+       |  SELECT *,
+       |         sum(tokens) OVER (PARTITION BY source
+       |           ORDER BY avg_e6 DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS cum_tokens,
+       |         sum(tokens) OVER (PARTITION BY source) AS tot
+       |  FROM base
+       |)
+       |SELECT doc_id, source, avg_e6, tokens,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM cum WHERE cum_tokens * $pDen <= tot * $pNum""".stripMargin
+
   /** q87 — per-source document cap (the C4/RefinedWeb "domain cap": no
     * single domain may dominate the mixture). Keeps at most `cap` documents
     * per source, selected by deterministic content-hash rank — the same

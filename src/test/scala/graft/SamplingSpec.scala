@@ -149,6 +149,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(temp(smallest) == natural(smallest))
   }
 
+  test("quality top-p: equals the brute-force nucleus selection per source") {
+    val scores = graft.operators.TextAnalysis.linearQualityScore(spark, dir)
+      .select(col("doc_id"), col("avg_e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).flatMap { case (_, rs) =>
+      val tot = rs.map(_._3).sum
+      var cum = 0L
+      rs.sortBy { case (id, _, _) => (-scores(id), id) }
+        .iterator.takeWhile { case (_, _, t) => cum += t; cum * 5 <= tot * 4 }
+        .map(_._1)
+    }.toSet
+    val got = Sampling.qualityTopP(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("mixture plan: exact allocation laws against a driver-side recomputation") {
     val plan = Sampling.mixturePlan(spark, dir).collect()
       .map(r => r.getString(0) ->

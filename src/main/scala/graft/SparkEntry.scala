@@ -51,6 +51,7 @@ object SparkEntry {
     "q33_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q34_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q35_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    "q134_cluster_canonical" -> ((s, dir) => Dedup.clusterCanonical(s, dir)),
     "q108_semantic_dedup" -> ((s, dir) => Dedup.semanticDedup(s, dir)),
     "q111_incremental_dedup" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
     "q120_novelty" -> ((s, dir) => Dedup.noveltyScore(s, dir)),
@@ -196,6 +197,7 @@ object SparkEntry {
     "q33_dedup_simhash" -> Dedup.simhashPairsSql(),
     "q34_dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "q35_dedup_clusters" -> Dedup.dedupClustersSql,
+    "q134_cluster_canonical" -> Dedup.clusterCanonicalSql,
     "q111_incremental_dedup" -> Dedup.incrementalDedupSql(),
     "q120_novelty" -> Dedup.noveltyScoreSql,
     "q40_text_stats" -> TextAnalysis.textStatsSql,

@@ -433,8 +433,10 @@ object Dedup {
     connectedComponents(
       ngramPairsPrepared(spark, dir).select(col("doc_a"), col("doc_b")))
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (
+  /** The recursive-closure CTE chain ending in `cl(doc_id, cluster_id)` —
+    * shared by the q35 oracle and q134's canonical-pick oracle. */
+  private[operators] val clusterCtes: String =
+    s"""pairs AS (
        |${ngramJaccardSql}
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -444,9 +446,59 @@ object Dedup {
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), cl AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id, cluster_id FROM cl""".stripMargin
+
+  /** q134 — canonical-representative selection per near-dup cluster
+    * (round 6): production dedup keeps the BEST member of each duplicate
+    * cluster, not the arbitrary first — the keeper is the member with the
+    * highest q109 quality score (length-normalized, exact integers),
+    * doc_id tiebreak. Output per cluster: the canonical doc, its score,
+    * and the member count — the table a release pipeline anti-joins
+    * against to drop the n−1 losers.
+    *
+    * Plan: the session-cached cluster table (cluster-member-sized, tiny
+    * relative to the corpus) joins the quality scores on doc_id, then one
+    * aggregate per cluster picks the max (score, −doc_id) struct — an
+    * order-independent argmax with deterministic tie-break, no window.
+    * Oracle composes the shared recursive-closure CTEs with q109's SQL and
+    * a ranked window — naive shape, hash-exact. */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val clusters = dedupClusters(spark, dir)
+    val scores = TextAnalysis.linearQualityScore(spark, dir)
+      .select(col("doc_id"), col("avg_e6"))
+    clusters.join(scores, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(cnt(lit(1)).as("n_members"),
+        max(struct(col("avg_e6"), (-col("doc_id")).as("neg"))).as("best"))
+      .select(col("cluster_id"),
+        (-col("best.neg")).as("canonical_doc_id"),
+        col("best.avg_e6").as("avg_e6"), col("n_members"))
+  }
+
+  val clusterCanonicalSql: String =
+    s"""WITH RECURSIVE $clusterCtes, q AS (
+       |${TextAnalysis.linearQualityScoreSql}
+       |), j AS (
+       |  SELECT c.cluster_id, c.doc_id, q.avg_e6
+       |  FROM cl c JOIN q USING (doc_id)
+       |), ranked AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY avg_e6 DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM j
        |)
-       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |FROM reach GROUP BY src""".stripMargin
+       |SELECT cluster_id, doc_id AS canonical_doc_id, avg_e6,
+       |       CAST(n_members AS BIGINT) AS n_members
+       |FROM ranked WHERE rn = 1""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs over `embeddings`: vectors are
     * L2-normalized, candidate pairs come from BANDED sign-LSH (16

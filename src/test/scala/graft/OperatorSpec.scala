@@ -904,6 +904,27 @@ class OperatorSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("q134: canonical pick is the cluster's max-quality member, one per cluster") {
+    val members = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val scores = TextAnalysis.linearQualityScore(spark, dir)
+      .select(col("doc_id"), col("avg_e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.clusterCanonical(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val byCluster = members.groupBy(_._2)
+    assert(got.keySet == byCluster.keySet) // exactly one row per cluster
+    byCluster.foreach { case (c, ms) =>
+      val (canon, s, n) = got(c)
+      assert(n == ms.length, s"cluster $c member count")
+      assert(ms.exists(_._1 == canon), s"canonical $canon not in cluster $c")
+      // argmax law with doc_id tiebreak
+      val best = ms.map(_._1).minBy(id => (-scores(id), id))
+      assert(canon == best && s == scores(best), s"cluster $c pick")
+    }
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -483,7 +483,11 @@ object Dedup {
         col("best.avg_e6").as("avg_e6"), col("n_members"))
   }
 
-  val clusterCanonicalSql: String =
+  /** def, not val: this embeds `TextAnalysis.linearQualityScoreSql`, and a
+    * cross-object val would freeze `null` when Dedup's object initializer
+    * happens to run before TextAnalysis's (surfaced in the full Verify run,
+    * where Dedup is touched first). */
+  def clusterCanonicalSql: String =
     s"""WITH RECURSIVE $clusterCtes, q AS (
        |${TextAnalysis.linearQualityScoreSql}
        |), j AS (

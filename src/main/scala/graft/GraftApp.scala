@@ -26,7 +26,29 @@ object GraftApp {
       predict: Option[String] = None,
       maxIters: Int = 300,
       tolerance: Double = 1e-4,
-      verbose: Boolean = false)
+      verbose: Boolean = false,
+      help: Boolean = false)
+
+  /** clap-shaped help (the reference's derive layer prints this for
+    * `-h/--help` — `src/cli.rs:6-37` doc comments become the option help). */
+  private[graft] val HelpText: String =
+    """Customer segmentation CLI using K-Means clustering on RFM data
+      |
+      |Usage: graft.GraftApp [OPTIONS]
+      |
+      |Options:
+      |  -i, --input <INPUT>          Path to the input CSV file or a testdata
+      |                               directory [default: data.csv]
+      |  -k, --clusters <CLUSTERS>    Number of clusters for K-Means [default: 4]
+      |  -o, --output <OUTPUT>        Output path for the visualization plot
+      |                               [default: cluster_plot.png]
+      |  -p, --predict <PREDICT>      Prediction mode: R,F,M values as a
+      |                               comma-separated string, e.g. "30,10,500.0"
+      |      --max-iters <MAX_ITERS>  Maximum iterations for K-Means [default: 300]
+      |      --tolerance <TOLERANCE>  Tolerance for K-Means convergence
+      |                               [default: 1e-4]
+      |  -v, --verbose                Enable verbose output
+      |  -h, --help                   Print help""".stripMargin
 
   /** "R,F,M" → three doubles; arity and parse errors surfaced with the
     * reference's conditions (`src/cli.rs:42-66`). */
@@ -103,6 +125,7 @@ object GraftApp {
     * --tolerance T --verbose` (reference `src/main.rs:11-28` dispatch). */
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args.toList, Config())
+    if (cfg.help) { println(HelpText); return } // clap prints help and exits 0
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -139,16 +162,18 @@ object GraftApp {
   @annotation.tailrec
   private[graft] def parseArgs(args: List[String], cfg: Config): Config = args match {
     case Nil => cfg
-    case "--input" :: v :: rest => parseArgs(rest, cfg.copy(input = v))
+    case ("-i" | "--input") :: v :: rest => parseArgs(rest, cfg.copy(input = v))
     case ("-k" | "--clusters") :: v :: rest =>
       parseArgs(rest, cfg.copy(clusters = parseIntFlag("-k/--clusters", v)))
-    case "--output" :: v :: rest => parseArgs(rest, cfg.copy(output = v))
-    case "--predict" :: v :: rest => parseArgs(rest, cfg.copy(predict = Some(v)))
+    case ("-o" | "--output") :: v :: rest => parseArgs(rest, cfg.copy(output = v))
+    case ("-p" | "--predict") :: v :: rest =>
+      parseArgs(rest, cfg.copy(predict = Some(v)))
     case "--max-iters" :: v :: rest =>
       parseArgs(rest, cfg.copy(maxIters = parseIntFlag("--max-iters", v)))
     case "--tolerance" :: v :: rest =>
       parseArgs(rest, cfg.copy(tolerance = parseDoubleFlag("--tolerance", v)))
-    case "--verbose" :: rest => parseArgs(rest, cfg.copy(verbose = true))
+    case ("-v" | "--verbose") :: rest => parseArgs(rest, cfg.copy(verbose = true))
+    case ("-h" | "--help") :: rest => parseArgs(rest, cfg.copy(help = true))
     case other :: _ =>
       throw new IllegalArgumentException(s"Unknown argument: $other")
   }

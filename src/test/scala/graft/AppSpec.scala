@@ -26,6 +26,20 @@ class AppSpec extends AnyFunSuite {
       cfg.input == "data.csv" && cfg.output == "cluster_plot.png")
   }
 
+  test("short flags and --help parse like the reference's clap layer") {
+    val cfg = GraftApp.parseArgs(
+      List("-i", "in.csv", "-o", "out.png", "-p", "1,2,3", "-v"),
+      GraftApp.Config())
+    assert(cfg.input == "in.csv" && cfg.output == "out.png" &&
+      cfg.predict.contains("1,2,3") && cfg.verbose)
+    assert(GraftApp.parseArgs(List("-h"), GraftApp.Config()).help)
+    assert(GraftApp.parseArgs(List("--help"), GraftApp.Config()).help)
+    // help text names every flag it claims
+    Seq("--input", "--clusters", "--output", "--predict", "--max-iters",
+      "--tolerance", "--verbose", "--help").foreach(f =>
+      assert(GraftApp.HelpText.contains(f), f))
+  }
+
   test("numeric flags: clap-style errors name the flag (reference src/cli.rs:27-32)") {
     val badK = intercept[IllegalArgumentException](
       GraftApp.parseArgs(List("-k", "two"), GraftApp.Config()))

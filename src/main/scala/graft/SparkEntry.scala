@@ -55,6 +55,7 @@ object SparkEntry {
     "q108_semantic_dedup" -> ((s, dir) => Dedup.semanticDedup(s, dir)),
     "q111_incremental_dedup" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
     "q120_novelty" -> ((s, dir) => Dedup.noveltyScore(s, dir)),
+    "q135_repeated_spans" -> ((s, dir) => Dedup.repeatedSpans(s, dir)),
     // Text analysis (documents)
     "q40_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q41_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -200,6 +201,7 @@ object SparkEntry {
     "q134_cluster_canonical" -> Dedup.clusterCanonicalSql,
     "q111_incremental_dedup" -> Dedup.incrementalDedupSql(),
     "q120_novelty" -> Dedup.noveltyScoreSql,
+    "q135_repeated_spans" -> Dedup.repeatedSpansSql(),
     "q40_text_stats" -> TextAnalysis.textStatsSql,
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,

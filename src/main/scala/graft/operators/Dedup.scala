@@ -688,6 +688,127 @@ object Dedup {
       |FROM shingled JOIN freq USING (shingle)
       |GROUP BY doc_id""".stripMargin
 
+  /** q135 — cross-document repeated-SPAN map (the "ExactSubstr" dedup of
+    * Lee et al., *Deduplicating Training Data Makes Language Models Better*,
+    * at word granularity): a word `k`-gram whose exact text occurs in ≥ 2
+    * DISTINCT documents marks all `k` of its token positions as duplicated;
+    * adjacent duplicated positions merge into maximal spans — the units an
+    * excision pass would cut. Per document: token count, covered-token
+    * count, span count, longest span, and the exact coverage ppm. Documents
+    * with no duplicated span (including < k-word ones, which have no grams)
+    * appear with zeros — a cut policy must see every document.
+    *
+    * Distinct from its neighbors: q30 keys whole-document bytes, q31/q32
+    * score document PAIRS, q79 counts intra-doc repeats, q107 cuts a
+    * df≥cap boilerplate lexicon. This one finds ANY cross-doc repeated
+    * span (df ≥ 2) and reports WHERE it falls, position-exact.
+    *
+    * Plan, scan → result (all O(tokens), no pairwise term anywhere):
+    *  1. positional gram explode (codegen, narrow);
+    *  2. gram → distinct-doc df hash aggregate (key: gram);
+    *  3. df≥2 left-semi back onto the gram occurrences (key: gram — the
+    *     inverted-index discipline; a hot gram costs its occurrence count,
+    *     never occurrences²);
+    *  4. per-occurrence offset explode → distinct (doc_id, pos) — bounded
+    *     by the corpus token count;
+    *  5. gaps-and-islands: lag-break + running island sum + two
+    *     aggregations, ALL under the one doc_id hash partitioning (the
+    *     window key is high-cardinality — partitions with the data);
+    *  6. left join onto per-doc token counts for total coverage.
+    */
+  def repeatedSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    repeatedSpansOn(Tables.documents(spark, dir), k)
+
+  /** [[repeatedSpans]] over an arbitrary (doc_id, text) frame — library
+    * form, and the fixture entry the spec pins span boundaries with. */
+  def repeatedSpansOn(docs: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val words = withWords(docs)
+    val tokens = words.select(col("doc_id"),
+      size(col("ws")).cast(LongType).as("n_tokens"))
+    val grams = words.select(col("doc_id"),
+      posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram")))
+    val dup = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("gram"))
+    val covered = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+    val prev = lag(col("p"), 1).over(w)
+    val perDoc = covered
+      .withColumn("brk",
+        when(prev.isNull || col("p") - prev > 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("island")).agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("n_covered"), count(lit(1)).as("n_spans"),
+        max(col("len")).as("longest_span"))
+    tokens.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      .withColumn("covered_ppm",
+        floor(col("n_covered") * lit(1000000L) / col("n_tokens"))
+          .cast(LongType))
+  }
+
+  /** Oracle for [[repeatedSpans]]: the same positional grams (1-indexed
+    * DuckDB list reads at the same 0-based start positions), the same df≥2
+    * lexicon, offset explode, and gaps-and-islands windows — pure integer
+    * arithmetic end to end, so the hash gate is exact. */
+  def repeatedSpansSql(k: Int = 5): String = {
+    val idx = (1 to k).map(i => s"ws[pos+$i]").mkString(" || ' ' || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), grams AS (
+       |  SELECT doc_id, unnest(range(len(ws) - ${k - 1})) AS pos, ws
+       |  FROM words
+       |), g AS (
+       |  SELECT doc_id, pos, $idx AS gram FROM grams
+       |), dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+       |  ) WHERE df >= 2
+       |), covered AS (
+       |  SELECT DISTINCT doc_id, pos + o AS p
+       |  FROM g JOIN dup USING (gram)
+       |  CROSS JOIN (SELECT unnest(range($k)) AS o) offs
+       |), brk AS (
+       |  SELECT doc_id, p,
+       |         CASE WHEN lag(p) OVER dw IS NULL
+       |                OR p - lag(p) OVER dw > 1 THEN 1 ELSE 0 END AS b
+       |  FROM covered
+       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY p)
+       |), isl AS (
+       |  SELECT doc_id, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM brk
+       |), spans AS (
+       |  SELECT doc_id, island, count(*) AS len
+       |  FROM isl GROUP BY doc_id, island
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_covered,
+       |         count(*) AS n_spans, CAST(max(len) AS BIGINT) AS longest_span
+       |  FROM spans GROUP BY doc_id
+       |), toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT t.doc_id, t.n_tokens,
+       |       COALESCE(p.n_covered, 0) AS n_covered,
+       |       COALESCE(p.n_spans, 0) AS n_spans,
+       |       COALESCE(p.longest_span, 0) AS longest_span,
+       |       CAST(floor(COALESCE(p.n_covered, 0) * 1000000 / t.n_tokens)
+       |            AS BIGINT) AS covered_ppm
+       |FROM toks t LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+  }
+
   /** q111 — incremental ingestion dedup: the production flow where a NEW
     * batch (docs whose md5 nibble is 'a' — the same deterministic selector
     * family as [[Sampling]]) lands against an EXISTING corpus, and each new

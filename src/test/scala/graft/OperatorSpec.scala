@@ -66,6 +66,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs == Set((4L, 5L)))
   }
 
+  test("repeated spans: overlapping dup grams merge, disjoint spans count, " +
+    "uncovered and sub-k docs appear with zeros") {
+    import spark.implicits._
+    // k=5. "c1..c5" is duplicated across d1/d2/d5/d6/d7; "c2..c6" across
+    // d5/d6 (overlap → ONE merged span); "g1..g5" across d7/d8 (d7 gets a
+    // SECOND, disjoint span); d3 is unique and d4 has < k words.
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5 u1 u2 u3 u4 u5"),
+      (2L, "w0 c1 c2 c3 c4 c5 w6 w7 w8 w9 w10"),
+      (3L, "q1 q2 q3 q4 q5 q6"),
+      (4L, "s1 s2"),
+      (5L, "c1 c2 c3 c4 c5 c6 t1 t2 t3 t4"),
+      (6L, "r0 r1 c1 c2 c3 c4 c5 c6 r8 r9"),
+      (7L, "c1 c2 c3 c4 c5 m1 m2 m3 g1 g2 g3 g4 g5"),
+      (8L, "h1 h2 g1 g2 g3 g4 g5 h3 h4 h5")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpansOn(docs, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((10L, 5L, 1L, 5L, 500000L)))
+    assert(got(2L) == ((11L, 5L, 1L, 5L, 454545L)))
+    assert(got(3L) == ((6L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((2L, 0L, 0L, 0L, 0L)))
+    // overlapping duplicated grams (pos 0 and 1) merge into one 6-token span
+    assert(got(5L) == ((10L, 6L, 1L, 6L, 600000L)))
+    assert(got(6L) == ((10L, 6L, 1L, 6L, 600000L)))
+    // two DISJOINT spans in one doc stay two spans
+    assert(got(7L) == ((13L, 10L, 2L, 5L, 769230L)))
+    assert(got(8L) == ((10L, 5L, 1L, 5L, 500000L)))
+  }
+
   test("df cap: generous cap keeps every planted pair; cap=1 kills the index") {
     val docs = graft.Tables.documents(spark, dir)
     val uncapped = Dedup.ngramJaccard(spark, dir).select("doc_a", "doc_b")

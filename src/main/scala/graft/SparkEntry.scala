@@ -128,6 +128,7 @@ object SparkEntry {
     "q52_ann_ivf" -> ((s, dir) => SimilaritySearch.ivfTopK(s, dir)),
     "q131_ann_filtered" -> ((s, dir) => SimilaritySearch.ivfFilteredTopK(s, dir)),
     "q54_ann_topk_agg" -> ((s, dir) => SimilaritySearch.bruteForceTopKAgg(s, dir)),
+    "q136_hard_negatives" -> ((s, dir) => SimilaritySearch.hardNegatives(s, dir)),
     "q53_embedding_stats" -> ((s, dir) => SimilaritySearch.embeddingStats(s, dir)),
     "q58_quantize_int8" -> ((s, dir) => SimilaritySearch.quantizeInt8(s, dir)),
     // Multimodal plumbing (REAL JDK codecs for image/audio since round 6;
@@ -211,6 +212,7 @@ object SparkEntry {
     "q51_ann_signlsh" -> SimilaritySearch.signLshTopKSql(),
     "q53_embedding_stats" -> SimilaritySearch.embeddingStatsSql,
     "q54_ann_topk_agg" -> SimilaritySearch.bruteForceTopKSql(),
+    "q136_hard_negatives" -> SimilaritySearch.hardNegativesSql(),
     "q58_quantize_int8" -> SimilaritySearch.quantizeInt8Sql,
     "q17_percentiles" -> Relational.percentilesSql,
     "q18_rollup" -> Relational.rollupRevenueSql,

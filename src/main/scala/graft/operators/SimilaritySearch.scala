@@ -147,6 +147,76 @@ object SimilaritySearch {
         (col("pos") + 1).cast(LongType).as("rk"))
   }
 
+  /** q136 — hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors whose `label` DIFFERS
+    * from the query's — the "looks the same, means something else" examples
+    * an embedding model trains against (in-batch negatives are easy;
+    * high-cosine cross-label neighbors are the hard ones).
+    *
+    * Same exact-scoring discipline as [[bruteForceTopK]] (sequential-fold
+    * dots, bit-reproducible in DuckDB) with two twists that make it the
+    * production shape:
+    *  - the label predicate applies BEFORE ranking (label ≠ query's — a
+    *    per-query dynamic predicate, not q131's static one), so negatives
+    *    never crowd out of the top-k;
+    *  - ranking runs through [[graft.functions.TopKAgg]]: candidates
+    *    shrink to k per query MAP-SIDE, so the exchange carries k·queries
+    *    rows, not n·queries. Neighbor labels re-join onto that miniature
+    *    AFTER ranking.
+    * Self-match needs no special case — a vector shares its own label. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val lab = normalized(spark, dir).join(labels, Seq("vec_id"))
+    val queries = lab.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"),
+        col("label").as("query_label"))
+    val scored = lab.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("query_label"))
+      .withColumn("cosine", dot(col("u"), col("qu")))
+    val topk = udaf(graft.functions.TopKAgg.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("query_id"), col("query_label"))
+      .agg(topk(col("cosine"), col("vec_id")).as("nn"))
+      .select(col("query_id"), col("query_label"), posexplode(col("nn")))
+      .select(col("query_id"), col("query_label"), col("col._2").as("neighbor_id"),
+        round(col("col._1"), 6).as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rk"))
+      .join(labels.toDF("neighbor_id", "neighbor_label"), Seq("neighbor_id"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rk"))
+  }
+
+  /** Oracle for [[hardNegatives]]: q50's CTE chain with the label joined
+    * into the unit-vector table and the cross-label predicate applied
+    * before the window; same (cosine DESC, vec_id) tie-break and 6-dp
+    * round, so doubles hash-match bit-for-bit. */
+  def hardNegativesSql(nQueries: Int = 5, k: Int = 10): String =
+    s"""WITH $unitVectorsSql, lab AS (
+       |  SELECT un.vec_id, un.u, e.label FROM un
+       |  JOIN embeddings e USING (vec_id)
+       |), q AS (
+       |  SELECT vec_id AS query_id, u AS qu, label AS query_label
+       |  FROM lab ORDER BY vec_id LIMIT $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, q.query_label, l.vec_id AS neighbor_id,
+       |         l.label AS neighbor_label,
+       |         ${dotColsSql("l.u", "q.qu")} AS cos_raw
+       |  FROM lab l CROSS JOIN q
+       |  WHERE l.label <> q.query_label
+       |), ranked AS (
+       |  SELECT query_id, query_label, neighbor_id, neighbor_label, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |       round(cos_raw, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $k""".stripMargin
+
   /** Sign-LSH bucketed ANN: same query set and output shape as
     * [[bruteForceTopK]], but candidates are restricted to the query's
     * hyperplane-sign bucket. Recall < 1 by construction; at scale the

@@ -693,6 +693,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q136: hard negatives are cross-label only and equal the " +
+    "label-filtered full ranking in order") {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hn = SimilaritySearch.hardNegatives(spark, dir, nQueries = 3, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(5)))
+    assert(hn.length == 15)
+    hn.foreach { case (q, qLab, n, nLab, _) =>
+      assert(qLab == labels(q) && nLab == labels(n), s"label mismatch $q/$n")
+      assert(qLab != nLab, s"query $q got a SAME-label 'negative' $n")
+    }
+    hn.groupBy(_._1).values.foreach(rows =>
+      assert(rows.map(_._5).sorted.toSeq == (1L to 5L).toSeq))
+    // equality vs the unrestricted ranking: take the full brute-force
+    // order (raw-cosine ranks, so 6-dp display rounding cannot reorder),
+    // drop same-label rows, and the first 5 survivors per query must be
+    // exactly the hard-negative sequence
+    val full = SimilaritySearch.bruteForceTopK(spark, dir, nQueries = 3, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val expected = full.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._3).map(_._2)
+        .filter(n => labels(n) != labels(q)).take(5).toSeq
+    }
+    hn.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.sortBy(_._5).map(_._3).toSeq == expected(q),
+        s"query $q hard-negative order diverges from filtered full ranking")
+    }
+  }
+
   test("top-k aggregator produces identical results to the window ranking") {
     val win = SimilaritySearch.bruteForceTopK(spark, dir, nQueries = 4, k = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet

@@ -107,6 +107,8 @@ object SparkEntry {
       streaming.EventStreams.hourlyStreamQuery(s, dir)),
     "q83_stream_interval_join" -> ((s, dir) =>
       streaming.EventStreams.intervalJoinQuery(s, dir)),
+    "q137_stream_outer_join" -> ((s, dir) =>
+      streaming.EventStreams.intervalJoinLeftOuterQuery(s, dir)),
     "q89_stream_enrich" -> ((s, dir) =>
       streaming.EventStreams.enrichStreamQuery(s, dir)),
     "q100_stream_anomalies" -> ((s, dir) =>
@@ -248,6 +250,7 @@ object SparkEntry {
     "q60_events_hourly" -> Events.hourlyAggSql,
     "q64_stream_hourly" -> Events.hourlyAggSql,
     "q83_stream_interval_join" -> streaming.EventStreams.intervalJoinSql,
+    "q137_stream_outer_join" -> streaming.EventStreams.intervalJoinLeftOuterSql,
     "q89_stream_enrich" -> streaming.EventStreams.enrichStreamSql,
     "q61_events_sessionize" -> Events.sessionizeSql,
     "q62_events_running" -> Events.runningAggSql,

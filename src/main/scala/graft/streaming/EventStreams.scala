@@ -337,7 +337,8 @@ object EventStreams {
     * match (no watermark wait), so results stream out with no added
     * latency. The streaming twin of `Events.rangeJoinClicksBeforeErrors`'s
     * unbinned core. */
-  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+  def intervalJoinStream(spark: SparkSession, dir: String,
+                         joinType: String = "inner"): DataFrame = {
     def side(tpe: String, prefix: String) =
       readEvents(spark, dir)
         .filter(col("event_type") === tpe)
@@ -348,7 +349,8 @@ object EventStreams {
     side("click", "c").join(side("error", "e"),
       col("c_user") === col("e_user") &&
         col("e_ts") >= col("c_ts") &&
-        col("e_ts") <= col("c_ts") + expr("interval 60 minutes"))
+        col("e_ts") <= col("c_ts") + expr("interval 60 minutes"),
+      joinType)
   }
 
   /** Contract query: [[intervalJoinStream]] driven to completion, output
@@ -371,6 +373,58 @@ object EventStreams {
       | AND c.event_type = 'click' AND e.event_type = 'error'
       | AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
       | AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE""".stripMargin
+
+  /** q137 — stream-stream LEFT OUTER interval join: q83's join with the
+    * hard streaming semantics on top. A matched click emits normally; an
+    * UNMATCHED click emits a null-padded row only once the watermark
+    * proves no future error can still match it (state eviction), i.e. when
+    * `wm > c_ts + 60min` where `wm = min(max c_ts, max e_ts) − 1h` at
+    * end-of-input. Unmatched clicks ABOVE that frontier stay in state and
+    * are never emitted — exactly what an unbounded run would do, and the
+    * part an inner join never exercises.
+    *
+    * The null-padded rows flush in the watermark-advance NO-DATA
+    * micro-batch after the last data batch; [[runToBatch]]'s
+    * `awaitStateFlush` waits for that batch to commit before stopping the
+    * query (`processAllAvailable` alone only guarantees DATA batches).
+    *
+    * The oracle recomputes the frontier from the data — both engines see
+    * the same single-batch input, so the emitted set is deterministic. */
+  def intervalJoinLeftOuterQuery(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark,
+      intervalJoinStream(spark, dir, joinType = "left_outer")
+        .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+          col("e_id").as("error_id"),
+          (unix_millis(col("e_ts")) - unix_millis(col("c_ts"))).as("delay_ms")),
+      s"interval_join_lo_${sanitize(dir)}",
+      shufflePartitions = Some(8), awaitStateFlush = true)
+
+  val intervalJoinLeftOuterSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'
+      |), e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'error'
+      |), wm AS (
+      |  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM e))
+      |           - INTERVAL 1 HOUR AS w
+      |)
+      |SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+      |       epoch_ms(e.ts) - epoch_ms(c.ts) AS delay_ms
+      |FROM c JOIN e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE
+      |UNION ALL
+      |SELECT c.user_id, c.event_id AS click_id,
+      |       CAST(NULL AS BIGINT) AS error_id,
+      |       CAST(NULL AS BIGINT) AS delay_ms
+      |FROM c
+      |WHERE NOT EXISTS (
+      |        SELECT 1 FROM e
+      |        WHERE e.user_id = c.user_id
+      |          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE)
+      |  AND c.ts + INTERVAL 60 MINUTE < (SELECT w FROM wm)""".stripMargin
 
   /** q89 — stream-static enrichment join: the purchase stream joined to the
     * (static, broadcastable) customer dimension, aggregated by market
@@ -441,7 +495,8 @@ object EventStreams {
 
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
                  mode: OutputMode = OutputMode.Append,
-                 shufflePartitions: Option[Int] = None): DataFrame = {
+                 shufflePartitions: Option[Int] = None,
+                 awaitStateFlush: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
     shufflePartitions.foreach(p => spark.conf.set(key, p.toString))
@@ -453,6 +508,17 @@ object EventStreams {
         .start()
       try {
         q.processAllAvailable()
+        // processAllAvailable guarantees only DATA batches. Stateful sinks
+        // that emit on watermark advance (outer-join null padding, timeout
+        // state) flush in the subsequent NO-DATA micro-batch; wait for one
+        // zero-input batch to commit before reading the sink. Bounded: the
+        // no-data batch is triggered immediately after the watermark
+        // update, so the normal path exits in a few polls.
+        if (awaitStateFlush) {
+          val deadline = System.currentTimeMillis + 30000
+          while (!q.recentProgress.exists(_.numInputRows == 0) &&
+            System.currentTimeMillis < deadline) Thread.sleep(50)
+        }
         lastBatchesHolder.set(q.recentProgress.count(_.numInputRows > 0))
       } finally q.stop()
     } finally spark.conf.set(key, prior)

@@ -209,4 +209,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("q137: left-outer interval join = inner rows + null padding exactly " +
+    "for watermark-finalized unmatched clicks") {
+    import org.apache.spark.sql.types.TimestampType
+    val outerQ = EventStreams.intervalJoinLeftOuterQuery(spark, dir)
+    val inner = EventStreams.intervalJoinQuery(spark, dir)
+    // the matched part is EXACTLY the inner join
+    val matched = outerQ.filter(col("error_id").isNotNull)
+    assert(matched.exceptAll(inner).isEmpty && inner.exceptAll(matched).isEmpty)
+    // every outer row is null-padded in BOTH padded columns at once
+    assert(outerQ.filter(col("error_id").isNull =!= col("delay_ms").isNull)
+      .count() == 0)
+    // the outer set: unmatched clicks strictly below the end-of-input
+    // watermark frontier wm = min(max c_ts, max e_ts) - 1h; above it the
+    // row must stay in state (NOT emitted)
+    def side(tpe: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast(TimestampType).as("ts"))
+    val clicks = side("click"); val errors = side("error")
+    val wmMs = math.min(
+      clicks.agg(max(unix_millis(col("ts")))).head().getLong(0),
+      errors.agg(max(unix_millis(col("ts")))).head().getLong(0)) - 3600000L
+    val unmatched = clicks.join(
+      errors.toDF("e_user", "e_id", "e_ts"),
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("ts") &&
+        col("e_ts") <= col("ts") + expr("interval 60 minutes"), "left_anti")
+    val expectedOuter = unmatched
+      .filter(unix_millis(col("ts")) + 3600000L < wmMs)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val gotOuter = outerQ.filter(col("error_id").isNull)
+      .select(col("click_id")).collect().map(_.getLong(0)).toSet
+    assert(gotOuter == expectedOuter)
+    // and the frontier is REAL: some unmatched click above it was withheld
+    val withheld = unmatched
+      .filter(unix_millis(col("ts")) + 3600000L >= wmMs).count()
+    assert(withheld > 0, "fixture has no in-state tail — frontier untested")
+  }
 }

@@ -81,7 +81,7 @@ object SparkEntry {
     "q78_quality_gates" -> ((s, dir) => CorpusFilters.qualityGates(s, dir)),
     "q79_intradoc_repetition" -> ((s, dir) => CorpusFilters.intraDocRepetition(s, dir)),
     "q107_boilerplate" -> ((s, dir) => CorpusFilters.boilerplateRemove(s, dir)),
-    "q109_quality_classifier" -> ((s, dir) => TextAnalysis.linearQualityScore(s, dir)),
+    "q109_quality_classifier" -> ((s, dir) => TextAnalysis.qualityScores(s, dir)),
     // Deterministic sampling / split surface (documents)
     "q47_train_split" -> ((s, dir) => Sampling.trainValTestSplit(s, dir)),
     "q48_hash_sample" -> ((s, dir) => Sampling.hashSample(s, dir)),

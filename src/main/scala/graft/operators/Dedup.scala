@@ -430,8 +430,9 @@ object Dedup {
     * component's minimum doc_id (the canonical survivor). Oracle: DuckDB
     * recursive-CTE transitive closure over the same pair query. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      ngramPairsPrepared(spark, dir).select(col("doc_a"), col("doc_b")))
+    graft.CacheRegistry.cached(spark, s"dedupclusters:$dir")(
+      connectedComponents(
+        ngramPairsPrepared(spark, dir).select(col("doc_a"), col("doc_b"))))
 
   /** The recursive-closure CTE chain ending in `cl(doc_id, cluster_id)` —
     * shared by the q35 oracle and q134's canonical-pick oracle. */
@@ -472,7 +473,7 @@ object Dedup {
   def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
     val clusters = dedupClusters(spark, dir)
-    val scores = TextAnalysis.linearQualityScore(spark, dir)
+    val scores = TextAnalysis.qualityScores(spark, dir)
       .select(col("doc_id"), col("avg_e6"))
     clusters.join(scores, "doc_id")
       .groupBy(col("cluster_id"))

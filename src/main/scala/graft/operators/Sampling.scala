@@ -242,7 +242,7 @@ object Sampling {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast(LongType).as("tokens"))
-    val scores = TextAnalysis.linearQualityScore(spark, dir)
+    val scores = TextAnalysis.qualityScores(spark, dir)
       .select(col("doc_id"), col("avg_e6"))
     val base = docs.join(scores, "doc_id")
       .withColumn("neg_avg", -col("avg_e6"))

@@ -690,6 +690,16 @@ object TextAnalysis {
         (col("score") >= 0).as("keep"))
   }
 
+  /** Session-cached [[linearQualityScore]] table. Three queries consume it
+    * (q109's contract read-out, q133's curation mass, q134's canonical
+    * pick); the registry gives them ONE materialization. At scale this is
+    * the persisted quality-scores table a pipeline writes once and joins
+    * everywhere — the score fold (2·features md5s per doc, interpreted
+    * lambda) is exactly what you never want to run three times. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"quality:$dir")(
+      linearQualityScore(spark, dir))
+
   val linearQualityScoreSql: String =
     """WITH words AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

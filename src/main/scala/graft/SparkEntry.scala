@@ -89,6 +89,7 @@ object SparkEntry {
     "q125_temperature_mix" -> ((s, dir) => Sampling.temperatureMixture(s, dir)),
     "q132_mixture_plan" -> ((s, dir) => Sampling.mixturePlan(s, dir)),
     "q133_quality_topp" -> ((s, dir) => Sampling.qualityTopP(s, dir)),
+    "q138_global_shuffle" -> ((s, dir) => Sampling.globalShuffleShards(s, dir)),
     "q126_length_batches" -> ((s, dir) => TextAnalysis.lengthBatches(s, dir)),
     "q87_domain_cap" -> ((s, dir) => Sampling.domainCap(s, dir)),
     "q102_weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
@@ -292,6 +293,7 @@ object SparkEntry {
     "q125_temperature_mix" -> Sampling.temperatureMixtureSql,
     "q132_mixture_plan" -> Sampling.mixturePlanSql,
     "q133_quality_topp" -> Sampling.qualityTopPSql(),
+    "q138_global_shuffle" -> Sampling.globalShuffleShardsSql(),
     "q126_length_batches" -> TextAnalysis.lengthBatchesSql(),
     "q99_anomalies" -> Events.anomaliesSql,
     "q105_transitions" -> Events.transitionMatrixSql,

@@ -421,6 +421,52 @@ object Sampling {
        |FROM ranked r JOIN quotas q ON r.source = q.source
        |WHERE r.rk <= q.quota""".stripMargin
 
+  /** Seed prefix shared by [[globalShuffleShards]] and its oracle SQL —
+    * part of the shuffle's identity: a different seed is a different
+    * (equally valid) permutation, so the contract pins one. */
+  val ShuffleSeed = "shuf42"
+
+  /** q138 — deterministic global corpus shuffle + shard assignment, the
+    * "shuffle before sharding" step every training run does so that
+    * consecutive training examples are not neighbors in crawl order.
+    * Each doc draws a seeded 32-bit md5 variate (`u32`); its shard is
+    * `u32 mod shards` and its position within the shard is its dense rank
+    * under (u32, doc_id) — together (shard, pos) is a reproducible
+    * pseudo-random total order that any retry, re-ingest or backfill
+    * reproduces exactly (same property as [[hashUnit]]; `rand()` or
+    * zipWithIndex would not survive a task retry).
+    *
+    * Scale shape: shard assignment is a narrow map (no exchange); the
+    * within-shard position uses [[TextAnalysis.groupedOrdinal]] — ONE
+    * range partitioning plus a broadcast-back P×S offset miniature, never
+    * a one-task-per-shard window and never a global sort. Writing
+    * `partitionBy(shard)` sorted by pos then streams each shard file in
+    * training order at scan speed. */
+  def globalShuffleShards(spark: SparkSession, dir: String,
+                          shards: Int = 8): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val seeded = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(concat(lit(ShuffleSeed + ":"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType).as("u32"))
+      .withColumn("shard", pmod(col("u32"), lit(shards.toLong)))
+    TextAnalysis.groupedOrdinal(seeded, "shard", Seq("u32", "doc_id"))
+      .select(col("doc_id"), col("u32"), col("shard"),
+        col("__ord").as("pos"))
+  }
+
+  def globalShuffleShardsSql(shards: Int = 8): String =
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+       |  FROM documents
+       |)
+       |SELECT doc_id, u32, u32 % $shards AS shard,
+       |       CAST(row_number() OVER (PARTITION BY u32 % $shards
+       |                               ORDER BY u32, doc_id) AS BIGINT) AS pos
+       |FROM seeded""".stripMargin
+
   /** Generic Efraimidis–Spirakis weighted reservoir (key = -ln(u)/w,
     * bottom-k) for library callers who want the textbook distribution and
     * don't need cross-engine hash equality: u comes from a seeded xxhash64

@@ -194,4 +194,33 @@ class SamplingSpec extends AnyFunSuite {
     val planned = plan.values.map(_._3).sum
     assert(planned <= budget && planned >= budget - plan.size)
   }
+
+  test("global shuffle (q138): total, dense per shard, balanced, deterministic") {
+    val shards = 8
+    val s1 = Sampling.globalShuffleShards(spark, dir, shards).cache()
+    try {
+      assert(s1.count() == 500) // every doc placed exactly once
+      // positions are dense 1..n_s within each shard (a permutation)
+      val perShard = s1.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+          countDistinct("pos").as("d")).collect()
+      assert(perShard.length == shards)
+      perShard.foreach { r =>
+        val (n, lo, hi, d) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(lo == 1L && hi == n && d == n, s"shard ${r.get(0)} not dense")
+        // mod of a uniform u32: expect 62.5 ±5σ (σ≈7.4)
+        assert(math.abs(n - 500.0 / shards) < 40, s"shard ${r.get(0)} unbalanced")
+      }
+      // position order within a shard is exactly (u32, doc_id) order
+      val viol = s1.as("a").join(s1.as("b"),
+          col("a.shard") === col("b.shard") && col("a.pos") === col("b.pos") - 1)
+        .filter(col("a.u32") > col("b.u32") ||
+          (col("a.u32") === col("b.u32") && col("a.doc_id") >= col("b.doc_id")))
+        .count()
+      assert(viol == 0, "adjacent positions out of (u32, doc_id) order")
+      // rerun → identical permutation (content-addressed, retry-safe)
+      val s2 = Sampling.globalShuffleShards(spark, dir, shards)
+      assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    } finally s1.unpersist()
+  }
 }

@@ -167,6 +167,7 @@ object SparkEntry {
     "q121_salted_agg" -> ((s, dir) => Skew.saltedUserAgg(s, dir)),
     "q119_pit_enrich" -> ((s, dir) => Merge.pitEnrichOrders(s, dir)),
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
+    "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q123_benford" -> ((s, dir) => Profiling.benfordScreen(s, dir)),
     "q124_knn_join" -> ((s, dir) => SimilaritySearch.knnJoin(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
@@ -288,6 +289,7 @@ object SparkEntry {
     // the salted two-phase plan must be indistinguishable from plain GROUP BY
     "q121_salted_agg" -> Skew.saltedUserAggSql,
     "q98_profile" -> Profiling.profileLineitemSql,
+    "q139_dq_checks" -> Profiling.dqChecksSql,
     "q123_benford" -> Profiling.benfordScreenSql,
     "q124_knn_join" -> SimilaritySearch.knnJoinSql(),
     "q125_temperature_mix" -> Sampling.temperatureMixtureSql,

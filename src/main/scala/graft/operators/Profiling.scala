@@ -130,4 +130,147 @@ object Profiling {
        |         AS dev_ppm
        |FROM counts""".stripMargin
   }
+
+  /** q139 — rule-based data-quality constraint suite (the Deequ-style
+    * expectation run a pipeline gates ingestion on), long format: one row
+    * per rule with (rule, checked, violations, pass). Complements q98's
+    * statistical profile with hard pass/fail CONTRACTS: completeness,
+    * value-range, accepted-domain, key-uniqueness and referential
+    * integrity. NULL counts as a violation of every value rule (a null
+    * quantity is not "in [1, 50]"), stated identically in both engines.
+    *
+    * Scale shape, rule family by rule family:
+    *  - completeness/range/domain: ONE conditional-sum pass per table
+    *    (`sum(when(violated, 1))` fused into a single scan per table,
+    *    unpivoted with `stack`) — scan speed, no exchange beyond the
+    *    1-row final agg, regardless of how many rules share the table;
+    *  - uniqueness: one two-phase hash agg on the key (map-side partials;
+    *    violations = Σ(cnt−1) so each extra duplicate counts once);
+    *  - referential: one left join per FK against the DISTINCT key
+    *    projection of the dimension (orders→customer, lineitem→orders)
+    *    with the null-probe conditional sum — checked and violations in
+    *    the same pass; AQE broadcasts the key projection when small.
+    * The union is |rules| rows — nothing wide ever moves. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    def viol(bad: org.apache.spark.sql.Column) =
+      sum(when(bad, lit(1L)).otherwise(lit(0L)))
+
+    val ordersPass = orders.agg(
+      count(lit(1)).as("n"),
+      viol(col("o_custkey").isNull).as("v_ck"),
+      viol(col("o_totalprice").isNull || col("o_totalprice") <= 0).as("v_tp"),
+      viol(col("o_orderstatus").isNull ||
+        !col("o_orderstatus").isin("O", "F", "P")).as("v_st"),
+      viol(col("o_orderdate").isNull).as("v_dt"))
+      .select(expr(
+        """stack(4,
+          |  'orders_custkey_complete',   n, v_ck,
+          |  'orders_totalprice_positive', n, v_tp,
+          |  'orders_status_domain',      n, v_st,
+          |  'orders_orderdate_complete', n, v_dt)
+          |  AS (rule, checked, violations)""".stripMargin))
+
+    val liPass = lineitem.agg(
+      count(lit(1)).as("n"),
+      viol(col("l_quantity").isNull ||
+        !col("l_quantity").between(1, 50)).as("v_qty"),
+      viol(col("l_discount").isNull ||
+        !col("l_discount").between(0.0, 1.0)).as("v_dis"),
+      viol(col("l_extendedprice").isNull ||
+        col("l_extendedprice") <= 0).as("v_px"),
+      viol(col("l_returnflag").isNull ||
+        !col("l_returnflag").isin("R", "A", "N")).as("v_rf"))
+      .select(expr(
+        """stack(4,
+          |  'lineitem_quantity_range',   n, v_qty,
+          |  'lineitem_discount_range',   n, v_dis,
+          |  'lineitem_price_positive',   n, v_px,
+          |  'lineitem_returnflag_domain', n, v_rf)
+          |  AS (rule, checked, violations)""".stripMargin))
+
+    def unique(df: DataFrame, rule: String, keys: String*) =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("checked"),
+          sum(col("c") - 1).as("violations"))
+        .select(lit(rule).as("rule"), col("checked"), col("violations"))
+
+    def fk(fact: DataFrame, factKey: String, dim: DataFrame,
+           dimKey: String, rule: String) =
+      fact.select(col(factKey))
+        .join(dim.select(col(dimKey)).distinct(),
+          col(factKey) === col(dimKey), "left")
+        .agg(count(lit(1)).as("checked"),
+          viol(col(dimKey).isNull).as("violations"))
+        .select(lit(rule).as("rule"), col("checked"), col("violations"))
+
+    Seq(ordersPass, liPass,
+      unique(orders, "orders_pk_unique", "o_orderkey"),
+      unique(lineitem, "lineitem_pk_unique", "l_orderkey", "l_linenumber"),
+      fk(orders, "o_custkey", customer, "c_custkey", "orders_custkey_fk"),
+      fk(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_fk"))
+      .reduce(_ unionAll _)
+      .withColumn("pass", col("violations") === 0L)
+  }
+
+  val dqChecksSql: String =
+    """WITH o AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_ck,
+      |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+      |             THEN 1 ELSE 0 END) AS v_tp,
+      |    sum(CASE WHEN o_orderstatus IS NULL
+      |               OR o_orderstatus NOT IN ('O','F','P')
+      |             THEN 1 ELSE 0 END) AS v_st,
+      |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_dt
+      |  FROM orders
+      |), li AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN l_quantity IS NULL
+      |               OR l_quantity NOT BETWEEN 1 AND 50
+      |             THEN 1 ELSE 0 END) AS v_qty,
+      |    sum(CASE WHEN l_discount IS NULL
+      |               OR l_discount NOT BETWEEN 0.0 AND 1.0
+      |             THEN 1 ELSE 0 END) AS v_dis,
+      |    sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+      |             THEN 1 ELSE 0 END) AS v_px,
+      |    sum(CASE WHEN l_returnflag IS NULL
+      |               OR l_returnflag NOT IN ('R','A','N')
+      |             THEN 1 ELSE 0 END) AS v_rf
+      |  FROM lineitem
+      |), long AS (
+      |  SELECT 'orders_custkey_complete' AS rule, n AS checked, v_ck AS violations FROM o
+      |  UNION ALL SELECT 'orders_totalprice_positive', n, v_tp FROM o
+      |  UNION ALL SELECT 'orders_status_domain', n, v_st FROM o
+      |  UNION ALL SELECT 'orders_orderdate_complete', n, v_dt FROM o
+      |  UNION ALL SELECT 'lineitem_quantity_range', n, v_qty FROM li
+      |  UNION ALL SELECT 'lineitem_discount_range', n, v_dis FROM li
+      |  UNION ALL SELECT 'lineitem_price_positive', n, v_px FROM li
+      |  UNION ALL SELECT 'lineitem_returnflag_domain', n, v_rf FROM li
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique', sum(c), sum(c - 1)
+      |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_pk_unique', sum(c), sum(c - 1)
+      |  FROM (SELECT count(*) AS c FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber)
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk', count(*),
+      |         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |  FROM orders o2
+      |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON o2.o_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk', count(*),
+      |         sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |  FROM lineitem l2
+      |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+      |    ON l2.l_orderkey = ok.o_orderkey
+      |)
+      |SELECT rule, CAST(checked AS BIGINT) AS checked,
+      |       CAST(violations AS BIGINT) AS violations,
+      |       violations = 0 AS pass
+      |FROM long""".stripMargin
 }

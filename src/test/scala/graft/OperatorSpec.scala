@@ -818,6 +818,68 @@ class OperatorSpec extends AnyFunSuite {
     assert(flagged.map(_.getLong(0)).toSet == expected)
   }
 
+  test("dq checks (q139): testdata verdicts exact; injected violations counted exactly") {
+    val rules = Profiling.dqChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(rules.size == 12)
+    rules.foreach { case (rule, (checked, viol, pass)) =>
+      assert(checked > 0, s"$rule checked nothing")
+      assert(viol >= 0 && viol <= checked, s"$rule violations out of range")
+      assert(pass == (viol == 0), s"$rule pass flag inconsistent")
+    }
+    // the synthetic star schema passes every rule EXCEPT lineitem's
+    // composite key: the generator draws linenumbers independently, so
+    // (l_orderkey, l_linenumber) genuinely collides — the suite must
+    // report that, and the count must match an independent recomputation
+    rules.foreach { case (rule, (_, _, pass)) =>
+      if (rule != "lineitem_pk_unique") assert(pass, s"$rule should pass")
+    }
+    val li = Tables.lineitem(spark, dir)
+    val dupExpected = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(rules("lineitem_pk_unique")._2 == dupExpected && dupExpected > 0)
+
+    // fixture with one deliberate violation per rule family: the suite
+    // must COUNT them, not just detect presence
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq(
+      (1L, Some(1L), "O", 10.0, Some(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))),
+      // bad status + negative price + null date + dangling custkey
+      (2L, Some(99L), "X", -5.0, None),
+      // duplicate orderkey + null custkey
+      (2L, None: Option[Long], "F", 3.0, Some(java.sql.Timestamp.valueOf("1995-01-02 00:00:00"))))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq(
+      (1L, 1L, Some(5.0), Some(0.05), Some(100.0), "R"),
+      // duplicate (orderkey, linenumber) + every value rule broken
+      (1L, 1L, Some(60.0), Some(1.5), Some(-1.0), "Z"),
+      // dangling orderkey + all-null values
+      (42L, 2L, None: Option[Double], None: Option[Double], None: Option[Double],
+        null.asInstanceOf[String]))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val f = Profiling.dqChecks(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(f("orders_custkey_complete") == 1L)   // the null custkey
+    assert(f("orders_totalprice_positive") == 1L)
+    assert(f("orders_status_domain") == 1L)
+    assert(f("orders_orderdate_complete") == 1L)
+    assert(f("orders_pk_unique") == 1L)          // one extra copy of key 2
+    assert(f("orders_custkey_fk") == 2L)         // dangling 99 + null
+    assert(f("lineitem_quantity_range") == 2L)   // 60 + null
+    assert(f("lineitem_discount_range") == 2L)   // 1.5 + null
+    assert(f("lineitem_price_positive") == 2L)   // -1 + null
+    assert(f("lineitem_returnflag_domain") == 2L) // Z + null
+    assert(f("lineitem_pk_unique") == 1L)
+    assert(f("lineitem_orderkey_fk") == 1L)      // dangling 42
+  }
+
   test("profile: one row per column, counts consistent") {
     val p = Profiling.profileLineitem(spark, dir).collect()
     assert(p.length == 6)

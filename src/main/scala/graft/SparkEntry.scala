@@ -168,6 +168,8 @@ object SparkEntry {
     "q119_pit_enrich" -> ((s, dir) => Merge.pitEnrichOrders(s, dir)),
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
+    "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
+    "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
     "q123_benford" -> ((s, dir) => Profiling.benfordScreen(s, dir)),
     "q124_knn_join" -> ((s, dir) => SimilaritySearch.knnJoin(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
@@ -290,6 +292,8 @@ object SparkEntry {
     "q121_salted_agg" -> Skew.saltedUserAggSql,
     "q98_profile" -> Profiling.profileLineitemSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
+    "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
+    "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,
     "q123_benford" -> Profiling.benfordScreenSql,
     "q124_knn_join" -> SimilaritySearch.knnJoinSql(),
     "q125_temperature_mix" -> Sampling.temperatureMixtureSql,

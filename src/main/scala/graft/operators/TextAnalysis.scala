@@ -719,4 +719,71 @@ object TextAnalysis {
       |                  / CAST(n_feats AS DOUBLE)) AS BIGINT) AS avg_e6,
       |       score >= 0 AS keep
       |FROM s""".stripMargin
+
+  /** q141 — per-source corpus diversity: token and word-trigram
+    * type/token ratios per `source`. A corpus-health metric mixture
+    * planners read before weighting sources (a low trigram TTR source is
+    * template/boilerplate-heavy; a high one is diverse) — corpus-LEVEL,
+    * where q107/q79 score individual documents.
+    *
+    * Scale shape: the naive `count(DISTINCT gram)` plan Expand-doubles the
+    * exploded gram stream (q98's scaladoc measures that trap); instead each
+    * stream aggregates `groupBy(source, gram).count` FIRST — one shuffle
+    * whose map-side partials collapse every repeated gram — and the
+    * distinct count + occurrence total are then both read from the
+    * already-tiny distinct-value table (`count(*)` and `sum(cnt)`) with no
+    * second pass over row volume. Tokens and trigrams are separate
+    * explosions of the same materialized split projection
+    * ([[Dedup.withWords]] discipline), each pruned to (source, value). */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ws = docs.select(col("source"), split(col("text"), " ").as("ws"))
+
+    def ttr(valueStream: DataFrame, prefix: String): DataFrame =
+      valueStream.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as(s"total_$prefix"),
+          count(lit(1)).as(s"distinct_$prefix"),
+          round(count(lit(1)).cast(DoubleType) / sum(col("cnt")), 6)
+            .as(s"${prefix}_ttr"))
+
+    val tokens = ttr(ws.select(col("source"), explode(col("ws")).as("v")),
+      "tokens")
+    val grams = ttr(ws.select(col("source"),
+      explode(Dedup.gramCol(col("ws"), 3)).as("v")), "grams")
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(tokens, Seq("source"), "left")
+      .join(grams, Seq("source"), "left")
+  }
+
+  val sourceDiversitySql: String =
+    """WITH ws AS (
+      |  SELECT source, string_split(text, ' ') AS ws FROM documents
+      |), tok AS (
+      |  SELECT source, unnest(ws) AS v FROM ws
+      |), gr AS (
+      |  SELECT source,
+      |         unnest(list_transform(range(len(ws) - 2),
+      |           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS v
+      |  FROM ws
+      |), ta AS (
+      |  SELECT source, sum(cnt) AS total_tokens,
+      |         count(*) AS distinct_tokens,
+      |         round(count(*) * 1.0 / sum(cnt), 6) AS tokens_ttr
+      |  FROM (SELECT source, v, count(*) AS cnt FROM tok GROUP BY 1, 2)
+      |  GROUP BY source
+      |), ga AS (
+      |  SELECT source, sum(cnt) AS total_grams,
+      |         count(*) AS distinct_grams,
+      |         round(count(*) * 1.0 / sum(cnt), 6) AS grams_ttr
+      |  FROM (SELECT source, v, count(*) AS cnt FROM gr GROUP BY 1, 2)
+      |  GROUP BY source
+      |)
+      |SELECT d.source, d.n_docs,
+      |       ta.total_tokens, ta.distinct_tokens, ta.tokens_ttr,
+      |       ga.total_grams, ga.distinct_grams, ga.grams_ttr
+      |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) d
+      |LEFT JOIN ta ON d.source = ta.source
+      |LEFT JOIN ga ON d.source = ga.source""".stripMargin
 }

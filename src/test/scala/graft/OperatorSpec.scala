@@ -880,6 +880,76 @@ class OperatorSpec extends AnyFunSuite {
     assert(f("lineitem_orderkey_fk") == 1L)      // dangling 42
   }
 
+  test("blocked linkage (q140): exhaustive within blocks, distance exact, counts map back") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = Linkage.blockedLinkage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val counts = Tables.part(spark, dir).groupBy("p_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent reference: all-pairs over the (tiny) distinct domain,
+    // kept iff a blocking pass captures the pair AND the distance confirms
+    val names = counts.keys.toSeq.sorted
+    val expected = (for {
+      a <- names; b <- names if a < b
+      blocked = a.split(" ").head == b.split(" ").head ||
+        a.split(" ").last == b.split(" ").last
+      if blocked && lev(a, b) <= 3
+    } yield (a, b)).toSet
+    assert(got.keySet == expected)
+    got.foreach { case ((a, b), (d, na, nb)) =>
+      assert(d == lev(a, b).toLong, s"distance wrong for ($a,$b)")
+      assert(na == counts(a) && nb == counts(b), s"row counts wrong for ($a,$b)")
+    }
+    // blocking must also genuinely EXCLUDE something, or the "blocked"
+    // design claim is vacuous on this fixture
+    val unblockedClose = (for {
+      a <- names; b <- names if a < b
+      if lev(a, b) <= 3 &&
+        a.split(" ").head != b.split(" ").head &&
+        a.split(" ").last != b.split(" ").last
+    } yield (a, b)).toSet
+    assert(unblockedClose.forall(p => !got.contains(p)))
+  }
+
+  test("source diversity (q141): per-source TTRs exact vs independent recomputation") {
+    val rows = TextAnalysis.sourceDiversity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(rows.length == docs.map(_._1).distinct.length)
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val texts = bySource(src).map(_._2)
+      assert(r.getLong(1) == texts.length.toLong)
+      val toks = texts.flatMap(_.split(" ", -1))
+      val grams = texts.flatMap { t =>
+        val ws = t.split(" ", -1)
+        if (ws.length < 3) Seq.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSeq
+      }
+      assert(r.getLong(2) == toks.length.toLong, s"$src total_tokens")
+      assert(r.getLong(3) == toks.distinct.length.toLong, s"$src distinct_tokens")
+      assert(math.abs(r.getDouble(4) -
+        BigDecimal(toks.distinct.length.toDouble / toks.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getLong(5) == grams.length.toLong, s"$src total_grams")
+      assert(r.getLong(6) == grams.distinct.length.toLong, s"$src distinct_grams")
+      assert(r.getDouble(7) > 0 && r.getDouble(7) <= 1.0)
+    }
+  }
+
   test("profile: one row per column, counts consistent") {
     val p = Profiling.profileLineitem(spark, dir).collect()
     assert(p.length == 6)

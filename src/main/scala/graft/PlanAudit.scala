@@ -170,7 +170,21 @@ object PlanAudit {
       // mixture plan: the 5-row weight table broadcasts; the 1-row total
       // rides BNLJ — nothing data-sized moves after the lang aggregate
       "q132_mixture_plan" -> Seq("BroadcastHashJoin" -> true,
-        "CartesianProduct" -> false))
+        "CartesianProduct" -> false),
+      // dq checks: FK passes probe the fact side against the DISTINCT
+      // dimension-key projection — that key set must broadcast; the
+      // rule-family conditional sums are plain hash aggregates
+      "q139_dq_checks" -> Seq("BroadcastHashJoin" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false),
+      // blocked linkage: the pairwise stage is an EQUI-join on the block
+      // key over the distinct-value domain — a cross product would mean
+      // blocking silently stopped constraining the pair space
+      "q140_blocked_linkage" -> Seq("CartesianProduct" -> false),
+      // source diversity: both TTR streams pre-collapse on (source, value)
+      // hash aggregates; the Expand-based multi-distinct (q98's measured
+      // 10x trap) must not plan
+      "q141_source_diversity" -> Seq("Expand" -> false,
+        "HashAggregate" -> true, "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

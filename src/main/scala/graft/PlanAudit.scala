@@ -184,7 +184,9 @@ object PlanAudit {
       // hash aggregates; the Expand-based multi-distinct (q98's measured
       // 10x trap) must not plan
       "q141_source_diversity" -> Seq("Expand" -> false,
-        "HashAggregate" -> true, "CartesianProduct" -> false))
+        "HashAggregate" -> true, "CartesianProduct" -> false),
+      // split leakage: pair-list ⋈ split-map are key equi-joins only
+      "q142_split_leakage" -> Seq("CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

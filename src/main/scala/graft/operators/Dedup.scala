@@ -689,6 +689,65 @@ object Dedup {
       |FROM shingled JOIN freq USING (shingle)
       |GROUP BY doc_id""".stripMargin
 
+  /** q142 — cross-split leakage audit: near-duplicate pairs whose members
+    * land in DIFFERENT train/val/test splits under the q47 assignment —
+    * the pairs that silently inflate held-out metrics (the val twin of a
+    * train doc is memorization, not generalization). Decontamination (q76)
+    * guards against EXTERNAL benchmarks; this guards the corpus's own
+    * split boundary, which q47's hash assignment alone cannot: hashing
+    * places near-dup twins independently, so ~41% of twin pairs cross.
+    *
+    * Output: one row per crossing pair (doc_a, doc_b, jaccard, split_a,
+    * split_b, leak_type) with leak_type the order-normalized boundary
+    * name ("test→train" sorts the two split labels), so the audit both
+    * lists actionable pairs and groups trivially by boundary.
+    *
+    * Pure composition, by design: [[ngramPairsPrepared]] (the session's
+    * cached pair-list artifact — a production pipeline materializes it
+    * once per corpus snapshot) double-joined to the q47 split map, which
+    * pre-aggregates to (doc_id, split) — key-to-key joins on the tiny
+    * pair list. At 100 TB the pair list is the LSH-produced table and the
+    * split map is a narrow scan projection; nothing here adds a shuffle
+    * beyond the two joins, and AQE broadcasts the pair side. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val b = graft.operators.Sampling.hexBucket(col("doc_id"))
+    val splits = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(b < "c", "train").when(b < "e", "val").otherwise("test")
+        .as("split"))
+    ngramPairsPrepared(spark, dir)
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"),
+        concat(least(col("split_a"), col("split_b")), lit("->"),
+          greatest(col("split_a"), col("split_b"))).as("leak_type"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH pairs AS (
+       |$ngramJaccardSql
+       |), splits AS (
+       |  SELECT doc_id,
+       |         CASE WHEN b < 'c' THEN 'train'
+       |              WHEN b < 'e' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
+       |        FROM documents)
+       |)
+       |SELECT doc_a, doc_b, jaccard, sa.split AS split_a,
+       |       sb.split AS split_b,
+       |       least(sa.split, sb.split) || '->' ||
+       |         greatest(sa.split, sb.split) AS leak_type
+       |FROM pairs
+       |JOIN splits sa ON doc_a = sa.doc_id
+       |JOIN splits sb ON doc_b = sb.doc_id
+       |WHERE sa.split <> sb.split""".stripMargin
+
   /** q135 — cross-document repeated-SPAN map (the "ExactSubstr" dedup of
     * Lee et al., *Deduplicating Training Data Makes Language Models Better*,
     * at word granularity): a word `k`-gram whose exact text occurs in ≥ 2

@@ -189,6 +189,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("split leakage (q142): exactly the crossing subset of the pair list, splits faithful") {
+    val leaks = Dedup.splitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getString(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(leaks.nonEmpty)
+    val split = Sampling.trainValTestSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val allPairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the leak set must be EXACTLY the crossing subset — nothing invented,
+    // nothing dropped (a same-split near-dup is waste, not leakage)
+    val expected = allPairs.keySet.filter { case (a, b) => split(a) != split(b) }
+    assert(leaks.keySet == expected)
+    assert(expected.size < allPairs.size) // and some pairs must NOT cross
+    leaks.foreach { case ((a, b), (j, sa, sb, lt)) =>
+      assert(j == allPairs((a, b)))
+      assert(sa == split(a) && sb == split(b) && sa != sb)
+      assert(lt == Seq(sa, sb).sorted.mkString("->"))
+    }
+  }
+
   test("novelty: range, conservation of unique grams, near-dups score low") {
     val out = Dedup.noveltyScore(spark, dir).collect()
     assert(out.nonEmpty)

@@ -171,6 +171,7 @@ object SparkEntry {
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
     "q142_split_leakage" -> ((s, dir) => Dedup.splitLeakage(s, dir)),
+    "q143_ewma_daily" -> ((s, dir) => Events.ewmaDaily(s, dir)),
     "q123_benford" -> ((s, dir) => Profiling.benfordScreen(s, dir)),
     "q124_knn_join" -> ((s, dir) => SimilaritySearch.knnJoin(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
@@ -296,6 +297,7 @@ object SparkEntry {
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,
     "q142_split_leakage" -> Dedup.splitLeakageSql,
+    "q143_ewma_daily" -> Events.ewmaDailySql(),
     "q123_benford" -> Profiling.benfordScreenSql,
     "q124_knn_join" -> SimilaritySearch.knnJoinSql(),
     "q125_temperature_mix" -> Sampling.temperatureMixtureSql,

@@ -757,4 +757,67 @@ object Events {
       |WHERE n_w >= 5
       |  AND (n_w * v_c - s_w) * (n_w * v_c - s_w)
       |      > 9 * (n_w * q_w - s_w * s_w)""".stripMargin
+
+  /** q143 — EWMA-smoothed daily volume per event type (exponentially
+    * weighted moving average, α = 0.3): the standard smoothing/short-term
+    * forecast read-out a monitoring pipeline lays over raw daily counts
+    * (tomorrow's expected volume ≈ today's EWMA). Output: one row per
+    * (event_type, day) with the raw count and the EWMA through that day.
+    *
+    * The recurrence `e_t = e_{t-1} + α(x_t − e_{t-1})`, seeded
+    * `e_0 = x_0`, is inherently sequential IN t — but t ranges over the
+    * DAY HORIZON (30 here; bounded by retention in production), not over
+    * row volume. So the scale shape is: one hash aggregate collapses row
+    * volume to |types|×|days| counts, then each type's day series is
+    * assembled into ONE array row (`array_sort(collect_list(...))` — the
+    * bounded-series-per-key pattern) and every prefix is folded with a
+    * HOF `aggregate`, all inside the row. Cross-engine determinism: both
+    * engines run the SAME left fold with the SAME double `0.3` literal on
+    * the SAME day-ordered array (DuckDB `list_reduce` seeds with the
+    * first element; the Spark fold seeds `slice(..., 2, t)` with
+    * `arr[0]`), so the doubles agree bit-for-bit before the 6-dp round. */
+  def ewmaDaily(spark: SparkSession, dir: String,
+                alpha: Double = 0.3): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts").cast(TimestampType)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("cnt"))))
+        .as("arr"))
+    series.select(col("event_type"),
+      posexplode(transform(col("arr"), (_, t) =>
+        struct(
+          element_at(col("arr"), t + 1).getField("day").as("day"),
+          element_at(col("arr"), t + 1).getField("cnt").as("cnt"),
+          aggregate(
+            slice(transform(col("arr"), s => s.getField("cnt")
+              .cast(DoubleType)), lit(2), t),
+            element_at(col("arr"), 1).getField("cnt").cast(DoubleType),
+            (acc, x) => acc + lit(alpha) * (x - acc)).as("ewma")))))
+      .select(col("event_type"), col("col.day").as("day"),
+        col("col.cnt").as("cnt"),
+        round(col("col.ewma"), 6).as("ewma"))
+  }
+
+  def ewmaDailySql(alpha: Double = 0.3): String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), series AS (
+       |  SELECT event_type,
+       |         list(day ORDER BY day) AS days,
+       |         list_transform(list(cnt ORDER BY day),
+       |                        v -> CAST(v AS DOUBLE)) AS cnts
+       |  FROM daily GROUP BY event_type
+       |)
+       |SELECT event_type,
+       |       unnest(days) AS day,
+       |       CAST(unnest(cnts) AS BIGINT) AS cnt,
+       |       unnest(list_transform(range(1, len(cnts) + 1),
+       |         t -> round(list_reduce(cnts[1:t],
+       |                (x, y) -> x + $alpha * (y - x)), 6))) AS ewma
+       |FROM series""".stripMargin
 }

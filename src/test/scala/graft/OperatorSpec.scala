@@ -189,6 +189,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma daily (q143): recurrence exact vs sequential recompute, seeded at day 0") {
+    val rows = Events.ewmaDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val ordered = series.sortBy(_._2.getTime)
+      var e = ordered.head._3.toDouble
+      ordered.zipWithIndex.foreach { case ((_, _, cnt, got), i) =>
+        if (i > 0) e = e + 0.3 * (cnt.toDouble - e)
+        assert(got == BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble || math.abs(got - e) < 5e-7,
+          s"ewma mismatch at day $i: got $got want $e")
+        val prefix = ordered.take(i + 1).map(_._3.toDouble)
+        assert(got >= prefix.min - 1e-9 && got <= prefix.max + 1e-9)
+      }
+    }
+  }
+
   test("split leakage (q142): exactly the crossing subset of the pair list, splits faithful") {
     val leaks = Dedup.splitLeakage(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

@@ -172,6 +172,7 @@ object SparkEntry {
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
     "q142_split_leakage" -> ((s, dir) => Dedup.splitLeakage(s, dir)),
     "q143_ewma_daily" -> ((s, dir) => Events.ewmaDaily(s, dir)),
+    "q144_target_encoding" -> ((s, dir) => Features.targetEncoding(s, dir)),
     "q123_benford" -> ((s, dir) => Profiling.benfordScreen(s, dir)),
     "q124_knn_join" -> ((s, dir) => SimilaritySearch.knnJoin(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
@@ -298,6 +299,7 @@ object SparkEntry {
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,
     "q142_split_leakage" -> Dedup.splitLeakageSql,
     "q143_ewma_daily" -> Events.ewmaDailySql(),
+    "q144_target_encoding" -> Features.targetEncodingSql(),
     "q123_benford" -> Profiling.benfordScreenSql,
     "q124_knn_join" -> SimilaritySearch.knnJoinSql(),
     "q125_temperature_mix" -> Sampling.temperatureMixtureSql,

@@ -189,6 +189,44 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("target encoding (q144): out-of-fold math exact vs independent recompute") {
+    val got = Features.targetEncoding(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val brandOf = Tables.part(spark, dir).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_extendedprice").collect()
+      .map { r =>
+        val fold = Integer.parseInt(
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(r.getLong(0).toString).substring(0, 1), 16) % 4
+        (brandOf(r.getLong(1)), fold.toLong, math.round(r.getDouble(2) * 100))
+      }
+    val byCell = rows.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._3).sum) }
+    val byBrand = rows.groupBy(_._1)
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._3).sum) }
+    val byFold = rows.groupBy(_._2)
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._3).sum) }
+    val (n, s) = (rows.length.toLong, rows.map(_._3).sum)
+    assert(got.keySet == byCell.keySet)
+    got.foreach { case ((k, f), (nOof, enc)) =>
+      val (nKf, sKf) = byCell((k, f))
+      val (nK, sK) = byBrand(k)
+      val (nF, sF) = byFold(f)
+      assert(nOof == nK - nKf)
+      val prior = (s - sF).toDouble / (n - nF).toDouble
+      val want = ((sK - sKf).toDouble + 20.0 * prior) /
+        ((nK - nKf).toDouble + 20.0) / 100.0
+      assert(math.abs(enc - want) < 5e-7, s"enc($k,$f): got $enc want $want")
+      // the encoder must NOT equal the naive in-fold mean (leakage check):
+      // shrinkage plus fold exclusion moves it off sKf/nKf
+      if (nKf > 0) assert(enc != sKf.toDouble / nKf / 100.0)
+    }
+  }
+
   test("ewma daily (q143): recurrence exact vs sequential recompute, seeded at day 0") {
     val rows = Events.ewmaDaily(spark, dir).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))

@@ -173,6 +173,7 @@ object SparkEntry {
     "q142_split_leakage" -> ((s, dir) => Dedup.splitLeakage(s, dir)),
     "q143_ewma_daily" -> ((s, dir) => Events.ewmaDaily(s, dir)),
     "q144_target_encoding" -> ((s, dir) => Features.targetEncoding(s, dir)),
+    "q145_embedding_outliers" -> ((s, dir) => SimilaritySearch.embeddingOutliers(s, dir)),
     "q123_benford" -> ((s, dir) => Profiling.benfordScreen(s, dir)),
     "q124_knn_join" -> ((s, dir) => SimilaritySearch.knnJoin(s, dir)),
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
@@ -300,6 +301,7 @@ object SparkEntry {
     "q142_split_leakage" -> Dedup.splitLeakageSql,
     "q143_ewma_daily" -> Events.ewmaDailySql(),
     "q144_target_encoding" -> Features.targetEncodingSql(),
+    "q145_embedding_outliers" -> SimilaritySearch.embeddingOutliersSql,
     "q123_benford" -> Profiling.benfordScreenSql,
     "q124_knn_join" -> SimilaritySearch.knnJoinSql(),
     "q125_temperature_mix" -> Sampling.temperatureMixtureSql,

@@ -709,4 +709,110 @@ object SimilaritySearch {
       |                                      x -> x * x))) AS norm
       |  FROM embeddings)
       |GROUP BY label""".stripMargin
+
+  /** q145 — embedding-space outlier audit: every vector's cosine to its
+    * OWN label's centroid, flagged when it sits > 2σ below the label mean
+    * — the "mislabeled / off-distribution example" screen run before a
+    * labeled embedding set is trusted for contrastive training (q136's
+    * hard negatives assume labels are right; this finds where they are
+    * likely wrong).
+    *
+    * Determinism at scale is the whole design: a centroid is a CROSS-ROW
+    * double sum, which a distributed engine reorders freely — so every
+    * cross-row accumulation here runs on fixed-point LONGS (coordinates
+    * and cosines quantized `floor(x·1e6)`), where addition commutes
+    * exactly, and doubles only ever appear in per-row folds (the
+    * [[graft.functions.VectorExprs]] expressions / DuckDB `list_reduce`,
+    * both left-seeded identically) or in single divisions of exact
+    * integer aggregates. That is what lets a 500-row local run and a
+    * 1000-executor run — and the DuckDB oracle — agree bit-for-bit, and
+    * it is the same discipline the money paths use ([[Rfm.cents]]).
+    *
+    * Plan shape: one posexplode → (label, dim) hash agg for the quantized
+    * centroid sums (64·|labels| rows), centroid arrays reassembled with
+    * the sort-struct-collect idiom and broadcast back; the score pass is
+    * a narrow per-row dot fold; the flag pass re-aggregates quantized
+    * cosines per label (|labels| rows, broadcast back). Row volume
+    * crosses the wire exactly once, for the centroid partials. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val lab = normalized(spark, dir)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast(LongType).as("label")),
+        Seq("vec_id"))
+    val ln = lab.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val cells = lab
+      .select(col("label"), posexplode(col("u")))
+      .select(col("label"), col("pos"),
+        floor(col("col") * lit(1000000.0)).cast(LongType).as("qd"))
+      .groupBy(col("label"), col("pos")).agg(sum(col("qd")).as("sq"))
+    val cd = cells.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sq")))),
+        s => s.getField("sq").cast(DoubleType)).as("sarr"))
+      .join(ln, Seq("label"))
+      .select(col("label"), transform(col("sarr"),
+        s => s / (col("n").cast(DoubleType) * lit(1000000.0))).as("c"))
+    val cu = cd
+      .select(col("label"), col("c"), l2_norm(col("c")).as("cnrm"))
+      .select(col("label"),
+        transform(col("c"), x => x / col("cnrm")).as("cu"))
+    val scored = lab.join(broadcast(cu), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        dot(col("u"), col("cu")).as("cos_raw"))
+      .withColumn("cq", floor(col("cos_raw") * lit(1000000.0)).cast(LongType))
+    val stats = scored.groupBy(col("label"))
+      .agg(sum(col("cq")).as("scq"),
+        sum(col("cq") * col("cq")).as("scq2"),
+        count(lit(1)).as("sn"))
+    val mu = col("scq").cast(DoubleType) / col("sn").cast(DoubleType)
+    val sd = sqrt((col("sn") * col("scq2") - col("scq") * col("scq"))
+      .cast(DoubleType) / (col("sn") * col("sn")).cast(DoubleType))
+    scored.join(broadcast(stats), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(col("cos_raw"), 6).as("centroid_cos"),
+        (col("cq").cast(DoubleType) < mu - lit(2.0) * sd).as("is_outlier"))
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH $unitVectorsSql, lab AS (
+       |  SELECT un.vec_id, un.u, CAST(e.label AS BIGINT) AS label
+       |  FROM un JOIN embeddings e USING (vec_id)
+       |), ln AS (SELECT label, count(*) AS n FROM lab GROUP BY label),
+       |qd AS (
+       |  SELECT label, unnest(range(len(u))) AS pos,
+       |         unnest(list_transform(u,
+       |           x -> CAST(floor(x * 1000000.0) AS BIGINT))) AS qd
+       |  FROM lab
+       |), cells AS (
+       |  SELECT label, pos, sum(qd) AS sq FROM qd GROUP BY 1, 2
+       |), cd AS (
+       |  SELECT c.label,
+       |         list_transform(list(CAST(sq AS DOUBLE) ORDER BY pos),
+       |           s -> s / (ln.n * 1000000.0)) AS c
+       |  FROM cells c JOIN ln USING (label)
+       |  GROUP BY c.label, ln.n
+       |), cu AS (
+       |  SELECT label, list_transform(c, x -> x / cnrm) AS cu
+       |  FROM (SELECT label, c,
+       |          sqrt(list_reduce(list_transform(c, x -> x * x),
+       |                           (a, b) -> a + b)) AS cnrm
+       |        FROM cd)
+       |), scored AS (
+       |  SELECT lab.vec_id, lab.label,
+       |         ${dotColsSql("lab.u", "cu.cu")} AS cos_raw
+       |  FROM lab JOIN cu USING (label)
+       |), cq AS (
+       |  SELECT vec_id, label, cos_raw,
+       |         CAST(floor(cos_raw * 1000000.0) AS BIGINT) AS cq
+       |  FROM scored
+       |), stats AS (
+       |  SELECT label, sum(cq) AS scq, sum(cq * cq) AS scq2,
+       |         count(*) AS sn
+       |  FROM cq GROUP BY label
+       |)
+       |SELECT c.vec_id, c.label, round(c.cos_raw, 6) AS centroid_cos,
+       |       CAST(c.cq AS DOUBLE) <
+       |         CAST(s.scq AS DOUBLE) / CAST(s.sn AS DOUBLE)
+       |         - 2.0 * sqrt(CAST(s.sn * s.scq2 - s.scq * s.scq AS DOUBLE)
+       |                      / CAST(s.sn * s.sn AS DOUBLE)) AS is_outlier
+       |FROM cq c JOIN stats s USING (label)""".stripMargin
 }

@@ -189,6 +189,57 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding outliers (q145): centroid cosine + 2-sigma flag exact vs local recompute") {
+    val got = SimilaritySearch.embeddingOutliers(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val raw = Tables.embeddings(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getInt(2).toLong,
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    val unit = raw.flatMap { case (id, lbl, v) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm > 0) Some((id, lbl, v.map(_ / nrm))) else None
+    }
+    assert(got.keySet == unit.map(_._1).toSet)
+    val byLabel = unit.groupBy(_._2)
+    byLabel.foreach { case (lbl, vs) =>
+      val n = vs.length
+      val dims = vs.head._3.length
+      val c = Array.tabulate(dims) { d =>
+        vs.map(t => math.floor(t._3(d) * 1e6).toLong).sum.toDouble /
+          (n.toDouble * 1e6)
+      }
+      val cnrm = math.sqrt(c.map(x => x * x).sum)
+      val cos = vs.map { case (id, _, u) =>
+        id -> u.zip(c).map { case (a, b) => a * b / cnrm }.sum
+      }
+      // recompute dot as fold over dims in order, matching the engine
+      val cosExact = vs.map { case (id, _, u) =>
+        var s = 0.0
+        var d = 0
+        while (d < dims) { s += u(d) * (c(d) / cnrm); d += 1 }
+        id -> s
+      }.toMap
+      val cq = cosExact.map { case (id, x) => id -> math.floor(x * 1e6).toLong }
+      val scq = cq.values.sum
+      val scq2 = cq.values.map(q => q * q).sum
+      val mu = scq.toDouble / n
+      val sd = math.sqrt((n * scq2 - scq * scq).toDouble / (n.toLong * n))
+      cosExact.foreach { case (id, x) =>
+        val (gl, gc, gf) = got(id)
+        assert(gl == lbl)
+        assert(math.abs(gc - x) < 5e-7, s"cos mismatch vec $id")
+        assert(gf == (cq(id).toDouble < mu - 2.0 * sd), s"flag mismatch vec $id")
+      }
+      assert(cos.nonEmpty)
+    }
+    // flags must fire somewhere but not dominate (sanity on the 2-sigma cut)
+    val flagged = got.values.count(_._3)
+    assert(flagged > 0 && flagged < got.size / 4)
+  }
+
   test("target encoding (q144): out-of-fold math exact vs independent recompute") {
     val got = Features.targetEncoding(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))

@@ -768,13 +768,13 @@ object TextAnalysis {
       |           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS v
       |  FROM ws
       |), ta AS (
-      |  SELECT source, sum(cnt) AS total_tokens,
+      |  SELECT source, CAST(sum(cnt) AS BIGINT) AS total_tokens,
       |         count(*) AS distinct_tokens,
       |         round(count(*) * 1.0 / sum(cnt), 6) AS tokens_ttr
       |  FROM (SELECT source, v, count(*) AS cnt FROM tok GROUP BY 1, 2)
       |  GROUP BY source
       |), ga AS (
-      |  SELECT source, sum(cnt) AS total_grams,
+      |  SELECT source, CAST(sum(cnt) AS BIGINT) AS total_grams,
       |         count(*) AS distinct_grams,
       |         round(count(*) * 1.0 / sum(cnt), 6) AS grams_ttr
       |  FROM (SELECT source, v, count(*) AS cnt FROM gr GROUP BY 1, 2)

@@ -15,18 +15,37 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The events schema as stored in the driver parquet: ts is
-    * nanosecond-precision, readable only as a raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`); ingest converts it to a
-    * micro TIMESTAMP with integer division (double division would lose
-    * precision above 2^53 ns). */
-  val eventSchema: StructType = StructType(Seq(
+  /** The events schema for the file-stream source, parameterized on how the
+    * parquet decoder surfaces `ts`: the driver has shipped the column both as
+    * TIMESTAMP(NANOS) — readable only as a raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — and as TIMESTAMP(MICROS),
+    * which decodes straight to TimestampType. A fixed schema here is wrong
+    * the day the testdata flips encodings (it did, between rounds 6 and 7),
+    * so the streaming read probes first ([[streamEvents]]). */
+  private def eventSchemaWith(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Unit-adaptive streaming read of a staged events directory — the
+    * streaming twin of [[graft.Tables.events]]'s decode rule. A one-off
+    * batch read probes the DECODED `ts` type: LongType means nanos-as-long
+    * (convert with integer `DIV 1000`; double division would lose precision
+    * above 2^53 ns), TimestampType means parquet micros (pass through). The
+    * probe costs one footer read, once per query build — never per batch. */
+  private[graft] def streamEvents(spark: SparkSession, streamDir: String): DataFrame = {
+    val tsType = spark.read.parquet(streamDir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventSchemaWith(tsType))
+      .parquet(streamDir)
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** File-based event stream from a testdata dir. Spark's file stream source
     * requires a DIRECTORY; the testdata ships one parquet FILE per table, so
@@ -47,10 +66,7 @@ object EventStreams {
           StandardCopyOption.REPLACE_EXISTING)
         staged
       }
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    streamEvents(spark, streamDir.toString)
   }
 
   /** Tumbling 1-hour windowed aggregate with a 2-hour watermark: the
@@ -291,10 +307,7 @@ object EventStreams {
       StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, staged.resolve("events_b.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    val doubled = spark.readStream
-      .schema(eventSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val doubled = streamEvents(spark, staged.toString)
     val deduped = dedupStream(doubled)
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast(LongType).as("v_c"))

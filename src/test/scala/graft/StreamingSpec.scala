@@ -12,6 +12,34 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = GraftTestSession.spark
   val dir = GraftTestSession.Sf0001
 
+  test("testdata-encoding canary: streaming and batch reads agree on ts range") {
+    // The driver has regenerated events.parquet with a DIFFERENT timestamp
+    // encoding mid-build once already (TIMESTAMP(NANOS) -> TIMESTAMP(MICROS)
+    // between rounds 6 and 7), which silently collapsed streaming event time
+    // 1000x while the batch reader adapted. This canary turns that failure
+    // mode into one named assertion: the streaming ingest and Tables.events
+    // must decode the SAME min/max event time, at both test scales.
+    Seq(GraftTestSession.Sf0001, GraftTestSession.Sf001).foreach { d =>
+      val streamed = EventStreams.runToBatch(spark,
+        EventStreams.readEvents(spark, d)
+          .select(col("ts").cast(org.apache.spark.sql.types.TimestampType)),
+        s"ts_canary_${EventStreams.sanitize(d)}")
+        .agg(min("ts"), max("ts")).head()
+      val batch = graft.Tables.events(spark, d)
+        .select(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        .agg(min("ts"), max("ts")).head()
+      assert(streamed.getTimestamp(0) == batch.getTimestamp(0),
+        s"$d: streaming min(ts) ${streamed.getTimestamp(0)} != batch ${batch.getTimestamp(0)} — ts encoding mis-scaled")
+      assert(streamed.getTimestamp(1) == batch.getTimestamp(1),
+        s"$d: streaming max(ts) ${streamed.getTimestamp(1)} != batch ${batch.getTimestamp(1)} — ts encoding mis-scaled")
+      // and the decoded epoch must land in a plausible modern year, not 1970:
+      // a unit error moves time by ~1000x, which no equality bug survives
+      assert(batch.getTimestamp(1).toInstant.isAfter(
+        java.time.Instant.parse("2000-01-01T00:00:00Z")),
+        s"$d: batch max(ts) ${batch.getTimestamp(1)} decodes before 2000 — unit error")
+    }
+  }
+
   test("streaming hourly window equals batch hourly aggregate") {
     val streamed = EventStreams.runToBatch(spark,
       EventStreams.hourlyWindowed(EventStreams.readEvents(spark, dir)),
@@ -120,10 +148,7 @@ class StreamingSpec extends AnyFunSuite {
     val staged = Files.createTempDirectory("graft_dupstream")
     Files.copy(src, staged.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, staged.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val doubled = spark.readStream
-      .schema(EventStreams.eventSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val doubled = EventStreams.streamEvents(spark, staged.toString)
     val n = graft.Tables.events(spark, dir).count()
     val raw = EventStreams.runToBatch(spark,
       doubled.select("event_id"), "dup_raw_test")

@@ -186,7 +186,21 @@ object PlanAudit {
       "q141_source_diversity" -> Seq("Expand" -> false,
         "HashAggregate" -> true, "CartesianProduct" -> false),
       // split leakage: pair-list ⋈ split-map are key equi-joins only
-      "q142_split_leakage" -> Seq("CartesianProduct" -> false))
+      "q142_split_leakage" -> Seq("CartesianProduct" -> false),
+      // skew audit: per-key counts map-side-combine; the 1-row total
+      // broadcasts back — the fact table must aggregate exactly once
+      "q148_salting_plan" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false),
+      // normalized dedup: ONE fingerprint-hash shuffle feeding the
+      // dup-rank window, nothing pairwise
+      "q149_normalized_fingerprint" -> Seq("Window" -> true,
+        "hashpartitioning(fingerprint" -> true,
+        "CartesianProduct" -> false),
+      // gram novelty: gram agg + first-owner equi-join back, no pairs
+      "q150_gram_novelty" -> Seq("CartesianProduct" -> false),
+      // bucketed join: sort-merge over co-located buckets
+      "q151_bucketed_join" -> Seq("SortMergeJoin" -> true,
+        "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix
@@ -230,7 +244,13 @@ object PlanAudit {
         """windowspecdefinition\(event_type#\d+, ts_ms#""" -> false),
       "q75_rank_functions" -> Seq(
         """windowspecdefinition\(c_nationkey#""" -> false,
-        """windowspecdefinition\(nationkey#\d+L?, negbal#""" -> false))
+        """windowspecdefinition\(nationkey#\d+L?, negbal#""" -> false),
+      // THE q151 gate: bucket co-location means NO live exchange on either
+      // join key — if bucket metadata stops lining up (count drift, key
+      // rename) Spark silently re-shuffles both sides and only this pin
+      // notices. The post-join mktsegment aggregate's exchange stays legal.
+      "q151_bucketed_join" -> Seq(
+        """Exchange hashpartitioning\((user_id|c_custkey)""" -> false))
 
     // SPARK_GRAFT_DUMP=q52,q108 prints the full formatted plan of matching
     // queries — the local-iteration escape hatch for inspecting codegen

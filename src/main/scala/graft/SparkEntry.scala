@@ -179,6 +179,15 @@ object SparkEntry {
     "q99_anomalies" -> ((s, dir) => Events.anomalies(s, dir)),
     "q105_transitions" -> ((s, dir) => Events.transitionMatrix(s, dir)),
     "q114_session_paths" -> ((s, dir) => Events.sessionPaths(s, dir)),
+    // Round-7 additions
+    "q146_stream_session_window" -> ((s, dir) =>
+      streaming.EventStreams.sessionWindowStreamQuery(s, dir)),
+    "q147_freq_spectrum" -> ((s, dir) => TextAnalysis.freqSpectrum(s, dir)),
+    "q148_salting_plan" -> ((s, dir) => Skew.saltingPlan(s, dir)),
+    "q149_normalized_fingerprint" -> ((s, dir) =>
+      Dedup.normalizedFingerprint(s, dir)),
+    "q150_gram_novelty" -> ((s, dir) => Dedup.gramNovelty(s, dir)),
+    "q151_bucketed_join" -> ((s, dir) => Bucketing.bucketedSegmentAgg(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -317,6 +326,15 @@ object SparkEntry {
     "q100_stream_anomalies" -> Events.anomaliesSql,
     // double-delivered stream must collapse to the original table exactly
     "q106_stream_dedup" -> streaming.EventStreams.dedupStreamSql,
+    // Round-7 additions
+    "q146_stream_session_window" ->
+      streaming.EventStreams.sessionWindowStreamSql,
+    "q147_freq_spectrum" -> TextAnalysis.freqSpectrumSql,
+    "q148_salting_plan" -> Skew.saltingPlanSql(),
+    "q149_normalized_fingerprint" -> Dedup.normalizedFingerprintSql,
+    "q150_gram_novelty" -> Dedup.gramNoveltySql,
+    // the bucketed plan must be indistinguishable from the plain join
+    "q151_bucketed_join" -> Bucketing.bucketedSegmentAggSql,
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

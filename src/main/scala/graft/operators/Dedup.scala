@@ -45,14 +45,14 @@ object Dedup {
     * kept) — the base primitive; [[shingleCol]] is its distinct form and
     * CorpusFilters' gram builders reuse it, so the short-document guard
     * lives in exactly one place. */
-  private[operators] def gramCol(ws: org.apache.spark.sql.Column, k: Int = 3) =
+  private[graft] def gramCol(ws: org.apache.spark.sql.Column, k: Int = 3) =
     when(size(ws) >= k,
       transform(
         sequence(lit(0), size(ws) - k),
         i => concat_ws(" ", (1 to k).map(j => element_at(ws, i + j)): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  private[operators] def shingleCol(ws: org.apache.spark.sql.Column, k: Int = 3) =
+  private[graft] def shingleCol(ws: org.apache.spark.sql.Column, k: Int = 3) =
     array_distinct(gramCol(ws, k))
 
   /** `split(text)` materialized in its own projection BEFORE [[shingleCol]]
@@ -987,4 +987,98 @@ object Dedup {
        |FROM (SELECT doc_id FROM flags WHERE is_new) f
        |LEFT JOIN exact e ON f.doc_id = e.doc_id
        |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON f.doc_id = b.doc_id""".stripMargin
+
+  /** q149 — NORMALIZED-fingerprint dedup: exact dedup after canonicalizing
+    * the text (lowercase, strip non-alphanumerics, collapse whitespace) —
+    * the standard first escalation past [[exactDedup]]: it catches the
+    * re-crawls that differ only in case, punctuation, or whitespace, at
+    * exactly the same one-aggregate cost, before any near-dup machinery
+    * runs. Emits EVERY doc with its fingerprint and within-group rank
+    * (ascending doc_id → rank 1 is the canonical keeper, `is_dup` marks the
+    * rest), so the downstream keep/drop filter is a plain predicate.
+    *
+    * Scale: normalization is per-row narrow work fused into the scan; the
+    * only shuffle is the 16-byte fingerprint hash — the same shape and cost
+    * as q30. The within-group window ranks groups of duplicate docs (tiny
+    * groups by construction), never the corpus. */
+  def normalizedFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm.cast(BinaryType)).as("fingerprint"))
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("is_dup", col("dup_rank") > 1)
+  }
+
+  val normalizedFingerprintSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text),
+      |             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+      |  FROM documents)
+      |SELECT doc_id, fingerprint,
+      |       CAST(row_number() OVER (PARTITION BY fingerprint
+      |                               ORDER BY doc_id) AS INT) AS dup_rank,
+      |       row_number() OVER (PARTITION BY fingerprint
+      |                          ORDER BY doc_id) > 1 AS is_dup
+      |FROM fp""".stripMargin
+
+  /** q150 — per-document n-gram NOVELTY against everything that came before
+    * it: treating ascending doc_id as arrival order, a doc's novelty is the
+    * fraction (exact ppm) of its distinct 3-grams whose FIRST corpus
+    * occurrence is this doc. The streaming-corpus complement of [[q31]]'s
+    * pairwise similarity: it answers "how much does each new crawl snapshot
+    * actually add", the signal dataset curators threshold on when deciding
+    * whether to ingest a source's next dump. Sub-3-word docs emit
+    * `n_grams = 0, novelty_ppm = 0` (q127's completeness convention).
+    *
+    * Scale: ONE aggregate over the gram stream gives each gram's
+    * first-owner (`min(doc_id)`); a second per-doc aggregate counts
+    * total vs first-owned grams — no joins against history, no growing
+    * state, cost linear in corpus grams. All-integer output. */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), explode(shingleCol(
+        split(col("text"), " "), 3)).as("gram"))
+    val firstOwner = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(firstOwner, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(expr("n_novel * 1000000 DIV n_grams"), lit(0L))
+          .as("novelty_ppm"))
+  }
+
+  val gramNoveltySql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2] || ' ' ||
+      |         string_split(text, ' ')[i+3]))) AS gram
+      |  FROM documents
+      |), fo AS (
+      |  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+      |), per AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |         sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |           AS n_novel
+      |  FROM g JOIN fo ON g.gram = fo.gram
+      |  GROUP BY g.doc_id)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+      |       CAST(coalesce(per.n_novel * 1000000 // per.n_grams, 0) AS BIGINT)
+      |         AS novelty_ppm
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
 }

@@ -73,4 +73,41 @@ object Skew {
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
       |         AS v_sum_c
       |FROM events GROUP BY user_id""".stripMargin
+
+  /** q148 — join-key skew AUDIT + salting plan: the measurement step that
+    * decides WHETHER the q121 mitigation (or AQE's skew-join split) is
+    * needed, and at what fan-out. For every event key: its row count, its
+    * exact corpus share in ppm, a heavy-hitter flag (share of one key
+    * exceeding a fair 1/`parts` slice means at least one task receives more
+    * than its share of that join/agg), and the salt fan-out that caps each
+    * sub-key at `targetRows` (`ceil(n / targetRows)`, 1 for light keys).
+    *
+    * All-integer arithmetic (ppm via `n * 1e6 DIV total`) so the plan is
+    * hash-exact cross-engine. Scale: one map-side-combined aggregate over
+    * the fact table; the 1-row total joins back via broadcast — nothing
+    * data-sized moves twice, which is what makes this runnable as a cheap
+    * pre-flight on a 100 TB fact table. */
+  def saltingPlan(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  targetRows: Long = 500, parts: Int = 32): DataFrame = {
+    val counts = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(
+        col("user_id"), col("n"),
+        expr("n * 1000000 DIV total").as("share_ppm"),
+        (col("n") * lit(parts.toLong) > col("total")).as("is_heavy"),
+        expr(s"(n + ${targetRows - 1}) DIV $targetRows").as("salt_factor"))
+  }
+
+  def saltingPlanSql(targetRows: Long = 500, parts: Int = 32): String =
+    s"""WITH counts AS (
+       |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+       |), tot AS (SELECT sum(n) AS total FROM counts)
+       |SELECT user_id, CAST(n AS BIGINT) AS n,
+       |       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+       |       n * $parts > total AS is_heavy,
+       |       CAST((n + ${targetRows - 1}) // $targetRows AS BIGINT)
+       |         AS salt_factor
+       |FROM counts CROSS JOIN tot""".stripMargin
 }

@@ -786,4 +786,61 @@ object TextAnalysis {
       |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) d
       |LEFT JOIN ta ON d.source = ta.source
       |LEFT JOIN ga ON d.source = ga.source""".stripMargin
+
+  /** q147 — Zipf frequency-SPECTRUM profile per source: token types and
+    * occurrence mass bucketed by count OCTAVE (`⌊log₂ c⌋`, computed exactly
+    * as `length(bin(c)) − 1` — no floating log anywhere), with each
+    * octave's corpus share and the cumulative share in exact ppm. This is
+    * the head-heaviness diagnostic behind Zipf-slope eyeballing: a natural
+    * corpus shows geometrically decaying type counts per octave; a
+    * synthetic or boilerplate-heavy source shows mass spikes in high
+    * octaves. The all-integer octave transform keeps it hash-exact
+    * cross-engine where a log-log regression would ride transcendental
+    * rounding (the q93 integer-ratio convention).
+    *
+    * Scale: one (source, token) aggregate with map-side combine (vocabulary-
+    * sized, not corpus-sized), one octave re-aggregate (≤64 rows per
+    * source), a broadcast per-source total, and a window over octave rows
+    * only — nothing corpus-sized past the first aggregate. */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val oct = counts
+      .select(col("source"),
+        (length(bin(col("c"))) - 1).cast(LongType).as("octave"), col("c"))
+      .groupBy(col("source"), col("octave"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("occurrences"))
+    val tot = oct.groupBy(col("source"))
+      .agg(sum(col("occurrences")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("octave"))
+    oct.join(broadcast(tot), "source")
+      .withColumn("cum_occ", sum(col("occurrences")).over(w))
+      .select(col("source"), col("octave"), col("n_tokens"),
+        col("occurrences"),
+        expr("occurrences * 1000000 DIV total").as("share_ppm"),
+        expr("cum_occ * 1000000 DIV total").as("cum_ppm"))
+  }
+
+  val freqSpectrumSql: String =
+    """WITH c AS (
+      |  SELECT source, v, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS v
+      |        FROM documents)
+      |  GROUP BY source, v
+      |), o AS (
+      |  SELECT source, CAST(length(bin(c)) - 1 AS BIGINT) AS octave,
+      |         count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS occurrences
+      |  FROM c GROUP BY source, octave
+      |), t AS (
+      |  SELECT source, CAST(sum(occurrences) AS BIGINT) AS total
+      |  FROM o GROUP BY source)
+      |SELECT o.source, o.octave, o.n_tokens, o.occurrences,
+      |       CAST(o.occurrences * 1000000 // t.total AS BIGINT) AS share_ppm,
+      |       CAST(sum(o.occurrences) OVER (PARTITION BY o.source
+      |              ORDER BY o.octave ROWS BETWEEN UNBOUNDED PRECEDING
+      |              AND CURRENT ROW) * 1000000 // t.total AS BIGINT)
+      |         AS cum_ppm
+      |FROM o JOIN t USING (source)""".stripMargin
 }

@@ -439,6 +439,63 @@ object EventStreams {
       |          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE)
       |  AND c.ts + INTERVAL 60 MINUTE < (SELECT w FROM wm)""".stripMargin
 
+  /** q146 — NATIVE streaming session windows (`session_window`): the
+    * merging-window state operator, complementing the two hand-rolled
+    * sessionizers ([[sessionCounts]] keeps running per-user counts,
+    * [[sessionEmitter]] is the flatMapGroupsWithState form). Here the
+    * ENGINE owns the state: each event opens a [ts, ts+gap) candidate
+    * window, overlapping windows per key merge in the session-window state
+    * store, and Append mode emits a session only once the WATERMARK passes
+    * its end — i.e. once no in-horizon event can extend it. Sessions still
+    * inside the horizon at end-of-input are correctly withheld (same
+    * finalization frontier q137 exercises for outer joins).
+    *
+    * State at scale is bounded by OPEN sessions inside the watermark
+    * horizon, partitioned by user hash — the shape that survives an
+    * unbounded stream, unlike any collected-events variant.
+    *
+    * Oracle: q67's gaps-and-islands CTEs (identical `>= gap` boundary rule)
+    * plus the frontier filter `end_ms <= wm` where
+    * `wm = max(ts) − watermark delay` — StreamingSpec pins the emitted set
+    * against the batch [[graft.operators.Events.sessionWindows]] under the
+    * same filter, frontier-inequality included. */
+  def sessionWindowStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = readEvents(spark, dir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+    runToBatch(spark, streamed, s"session_window_stream_${sanitize(dir)}",
+      OutputMode.Append, shufflePartitions = Some(8), awaitStateFlush = true)
+  }
+
+  val sessionWindowStreamSql: String =
+    """WITH evts AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_ms,
+      |         CASE WHEN lag(ts_ms) OVER w IS NULL
+      |                OR ts_ms - lag(ts_ms) OVER w >= 30*60*1000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM evts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+      |numbered AS (
+      |  SELECT user_id, ts_ms,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, min(ts_ms) AS start_ms,
+      |         max(ts_ms) + 30*60*1000 AS end_ms,
+      |         count(*) AS n_events
+      |  FROM numbered GROUP BY user_id, session_id),
+      |wm AS (SELECT max(ts_ms) - 10*60*1000 AS w FROM evts)
+      |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
+      |FROM sess s CROSS JOIN wm WHERE s.end_ms <= wm.w""".stripMargin
+
   /** q89 — stream-static enrichment join: the purchase stream joined to the
     * (static, broadcastable) customer dimension, aggregated by market
     * segment. The static side needs no watermark and no state — Spark

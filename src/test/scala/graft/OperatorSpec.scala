@@ -1248,6 +1248,79 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 freq spectrum: octaves partition the vocabulary and cumulative " +
+    "share closes at exactly 1e6 ppm") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.freqSpectrum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, oct, nTok, occ, share, _) =>
+      assert(oct >= 0 && nTok > 0 && occ >= nTok) // count ≥ 1 per token
+      // octave law: every member count c has floor(log2 c) = octave, so the
+      // octave's total occ lies in [nTok·2^oct, nTok·(2^(oct+1)−1)]
+      assert(occ >= nTok * (1L << oct) && occ <= nTok * ((1L << (oct + 1)) - 1))
+      assert(share >= 0 && share <= 1000000)
+    }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      // cumulative ppm closes at exactly 1e6 (integer div of total by itself)
+      assert(rs.maxBy(_._2)._6 == 1000000L, s"$src cum_ppm must close at 1e6")
+      // vocabulary partitions across octaves: token count equals the
+      // source's distinct-token count
+      val vocab = graft.Tables.documents(spark, dir)
+        .filter(col("source") === src)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .distinct().count()
+      assert(rs.map(_._3).sum == vocab, s"$src octaves must partition vocab")
+    }
+  }
+
+  test("q149 normalized fingerprint: case/punct/whitespace variants collapse; " +
+    "rank-1 per group is the unique keeper") {
+    val rows = Dedup.normalizedFingerprint(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+    assert(rows.length == graft.Tables.documents(spark, dir).count())
+    rows.foreach { case (_, _, rank, isDup) => assert(isDup == (rank > 1)) }
+    rows.groupBy(_._2).foreach { case (fp, g) =>
+      assert(g.count(_._3 == 1) == 1, s"group $fp needs exactly one keeper")
+      // keeper is the min doc_id; ranks are dense 1..n by ascending doc_id
+      assert(g.minBy(_._1)._3 == 1)
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+    }
+    // the operator really is normalization-insensitive: a doc equal to
+    // another up to case/punct/space must share its fingerprint
+    import spark.implicits._
+    val variants = Seq((1L, "Alpha,  beta GAMMA!"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val fp = variants
+      .select(col("doc_id"), md5(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        .cast(org.apache.spark.sql.types.BinaryType)).as("f"))
+      .collect().map(_.getString(1))
+    assert(fp(0) == fp(1))
+  }
+
+  test("q150 gram novelty: first arrival is all-novel, every gram is novel " +
+    "exactly once, short docs ride the zero branch") {
+    val docs = graft.Tables.documents(spark, dir)
+    val rows = Dedup.gramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == docs.count())
+    rows.foreach { case (_, nGrams, nNovel, ppm) =>
+      assert(nNovel <= nGrams && ppm >= 0 && ppm <= 1000000)
+      if (nGrams == 0) assert(nNovel == 0 && ppm == 0)
+    }
+    // the earliest doc with any grams introduces every one of its grams
+    val first = rows.filter(_._2 > 0).minBy(_._1)
+    assert(first._3 == first._2 && first._4 == 1000000L)
+    // conservation: novel grams summed over docs == distinct grams in corpus
+    val distinctGrams = docs
+      .select(explode(graft.operators.Dedup.shingleCol(
+        split(col("text"), " "), 3)).as("g"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctGrams)
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -328,4 +328,43 @@ class SkewAndSourcesSpec extends AnyFunSuite {
       .groupBy("o_custkey").agg(count(lit(1)).as("n"))
     assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
   }
+
+  test("q148 salting plan: shares conserve, heavy flag and fan-out follow " +
+    "their integer laws") {
+    val total = Tables.events(spark, dir).count()
+    val rows = Skew.saltingPlan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4)))
+    assert(rows.map(_._2).sum == total) // counts partition the fact table
+    rows.foreach { case (_, n, ppm, heavy, salt) =>
+      assert(ppm == n * 1000000L / total)
+      assert(heavy == (n * 32L > total))
+      assert(salt == (n + 499) / 500 && salt >= 1)
+      // the plan achieves its contract: fan-out caps each sub-key at target
+      assert((n + salt - 1) / salt <= 500)
+    }
+  }
+
+  test("q151 bucketed segment agg: equals the plain join and reads bucketed " +
+    "scans with no exchange on either join key") {
+    import graft.operators.Bucketing
+    val got = Bucketing.bucketedSegmentAgg(spark, dir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning(user_id") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucket co-location lost — join sides reshuffled:\n${plan.take(1200)}")
+    assert(plan.contains("graft_bkt_purchases"), "must read the bucketed table")
+    val expected = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("c_mktsegment").as("mktsegment"), col("n"),
+        col("value_cents"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
 }

@@ -119,6 +119,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q146: native session_window stream emits exactly the batch sessions " +
+    "finalized below the watermark frontier") {
+    import org.apache.spark.sql.types.TimestampType
+    val streamed = EventStreams.sessionWindowStreamQuery(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // ground truth: the batch session_window operator (q67 semantics)
+    // filtered to sessions whose END the end-of-input watermark
+    // (max ts − 10 min) has passed — INCLUSIVE boundary, pinned here so the
+    // oracle's `end_ms <= wm` cannot drift from engine behavior unnoticed
+    val batch = Events.sessionWindows(spark, dir)
+    val wmMs = Tables.events(spark, dir)
+      .agg(max(unix_millis(col("ts").cast(TimestampType)))).head().getLong(0) -
+      10L * 60 * 1000
+    val expected = batch.filter(col("end_ms") <= wmMs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+    // the frontier is REAL: at least one session was withheld
+    assert(batch.filter(col("end_ms") > wmMs).count() > 0,
+      "fixture has no in-horizon tail — frontier untested")
+  }
+
   test("stateful session counts: totals match event counts per user") {
     val sessions = EventStreams.runToBatch(spark,
       EventStreams.sessionCounts(spark,

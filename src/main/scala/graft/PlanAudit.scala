@@ -200,7 +200,12 @@ object PlanAudit {
       "q150_gram_novelty" -> Seq("CartesianProduct" -> false),
       // bucketed join: sort-merge over co-located buckets
       "q151_bucketed_join" -> Seq("SortMergeJoin" -> true,
-        "CartesianProduct" -> false))
+        "CartesianProduct" -> false),
+      // label audit: labels join the k·n kNN miniature, nothing pairwise
+      // beyond the LSH-bucketed q124 core
+      "q154_knn_label_audit" -> Seq("CartesianProduct" -> false),
+      // source matrix: pair index ⋈ narrow source map, equi-joins only
+      "q155_cross_source_matrix" -> Seq("CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

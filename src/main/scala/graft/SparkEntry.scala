@@ -188,6 +188,13 @@ object SparkEntry {
       Dedup.normalizedFingerprint(s, dir)),
     "q150_gram_novelty" -> ((s, dir) => Dedup.gramNovelty(s, dir)),
     "q151_bucketed_join" -> ((s, dir) => Bucketing.bucketedSegmentAgg(s, dir)),
+    "q152_stream_sliding" -> ((s, dir) =>
+      streaming.EventStreams.slidingStreamQuery(s, dir)),
+    "q153_stream_pit_enrich" -> ((s, dir) =>
+      streaming.EventStreams.pitEnrichStreamQuery(s, dir)),
+    "q154_knn_label_audit" -> ((s, dir) =>
+      SimilaritySearch.knnLabelConsistency(s, dir)),
+    "q155_cross_source_matrix" -> ((s, dir) => Dedup.crossSourceMatrix(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,6 +342,10 @@ object SparkEntry {
     "q150_gram_novelty" -> Dedup.gramNoveltySql,
     // the bucketed plan must be indistinguishable from the plain join
     "q151_bucketed_join" -> Bucketing.bucketedSegmentAggSql,
+    "q152_stream_sliding" -> streaming.EventStreams.slidingStreamSql,
+    "q153_stream_pit_enrich" -> streaming.EventStreams.pitEnrichStreamSql,
+    "q154_knn_label_audit" -> SimilaritySearch.knnLabelConsistencySql(),
+    "q155_cross_source_matrix" -> Dedup.crossSourceMatrixSql,
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

@@ -988,6 +988,43 @@ object Dedup {
        |LEFT JOIN exact e ON f.doc_id = e.doc_id
        |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON f.doc_id = b.doc_id""".stripMargin
 
+  /** q155 — cross-SOURCE near-duplication matrix: the q31 near-dup pair
+    * list rolled up to (source_a, source_b) counts (symmetric — the pair's
+    * sources sort with least/greatest). Off-diagonal mass is cross-source
+    * content overlap (syndication, scraping the same upstream twice);
+    * diagonal mass is within-source redundancy. Together with q142 (which
+    * does the same audit across train/val/test SPLITS) this tells a corpus
+    * owner WHERE its duplication lives before choosing what to crawl less.
+    *
+    * Scale: reuses the session-cached bucketed pair index
+    * ([[ngramPairsPrepared]] — collision-pair cost, never all-pairs); the
+    * source map joins the narrow documents projection onto pair ends and
+    * the final matrix is |sources|² rows. */
+  def crossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    ngramPairsPrepared(spark, dir)
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val crossSourceMatrixSql: String = {
+    val pairs = ngramJaccardSql.replace("\n", "\n  ")
+    s"""WITH pairs AS (
+       |  $pairs
+       |), src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |       greatest(sa.source, sb.source) AS source_b,
+       |       count(*) AS n_pairs
+       |FROM pairs
+       |JOIN src sa ON pairs.doc_a = sa.doc_id
+       |JOIN src sb ON pairs.doc_b = sb.doc_id
+       |GROUP BY source_a, source_b""".stripMargin
+  }
+
   /** q149 — NORMALIZED-fingerprint dedup: exact dedup after canonicalizing
     * the text (lowercase, strip non-alphanumerics, collapse whitespace) —
     * the standard first escalation past [[exactDedup]]: it catches the
@@ -1040,9 +1077,12 @@ object Dedup {
     * state, cost linear in corpus grams. All-integer output. */
   def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val grams = docs
-      .select(col("doc_id"), explode(shingleCol(
-        split(col("text"), " "), 3)).as("gram"))
+    // shingles() materializes the split BEFORE the gram lambda consumes it —
+    // the inline-split form re-tokenizes per element_at (the measured ~10×
+    // interpreted-lambda trap, see [[withWords]]) and cost q150 7.3 s at
+    // sf0.1 in the r7 bench before this reuse
+    val grams = shingles(docs)
+      .withColumnRenamed("shingle", "gram")
     val firstOwner = grams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("first_doc"))
     val perDoc = grams.join(firstOwner, "gram")

@@ -372,6 +372,60 @@ object SimilaritySearch {
        |FROM ranked WHERE rk <= $k""".stripMargin
   }
 
+  /** q154 — kNN label-CONSISTENCY audit (label-noise mining): for every
+    * vector, the fraction of its k nearest neighbors (the q124 kNN-join
+    * set, LSH-bucketed — never all-pairs) that share its label, in exact
+    * ppm. Low-agreement vectors are the classic label-error candidates a
+    * training-data pipeline queues for re-annotation (confident-learning
+    * style), and per-corpus this doubles as an embedding-space class-
+    * separability score. Vectors whose LSH bucket yields no neighbors are
+    * emitted with `n_nbrs = 0` (complete-coverage convention, q127).
+    *
+    * Scale: labels join onto the k·n neighbor miniature (group sizes ≤ k),
+    * not onto the pair space; everything downstream of the q124 join is
+    * key-partitioned integer aggregation. */
+  def knnLabelConsistency(spark: SparkSession, dir: String,
+                          k: Int = 5, nPlanes: Int = 6): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    val agreed = knnJoin(spark, dir, k, nPlanes)
+      .join(labels, Seq("vec_id"))
+      .join(labels.toDF("nbr_id", "nbr_label"), Seq("nbr_id"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L))
+          .as("n_same"))
+    labels.join(agreed, Seq("vec_id", "label"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        coalesce(col("n_same"), lit(0L)).as("n_same"),
+        coalesce(expr("n_same * 1000000 DIV n_nbrs"), lit(0L))
+          .as("agreement_ppm"))
+  }
+
+  /** Oracle for [[knnLabelConsistency]] — the q124 CTEs with labels joined
+    * on both pair ends and the complete-coverage left join. */
+  def knnLabelConsistencySql(k: Int = 5, nPlanes: Int = 6): String = {
+    val knn = knnJoinSql(k, nPlanes).replace("\n", "\n  ")
+    s"""WITH knn AS (
+       |  $knn
+       |), lab AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+       |), agg AS (
+       |  SELECT knn.vec_id, count(*) AS n_nbrs,
+       |         sum(CASE WHEN nl.label = ol.label THEN 1 ELSE 0 END) AS n_same
+       |  FROM knn
+       |  JOIN lab ol ON knn.vec_id = ol.vec_id
+       |  JOIN lab nl ON knn.nbr_id = nl.vec_id
+       |  GROUP BY knn.vec_id)
+       |SELECT lab.vec_id, lab.label,
+       |       CAST(coalesce(agg.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+       |       CAST(coalesce(agg.n_same, 0) AS BIGINT) AS n_same,
+       |       CAST(coalesce(agg.n_same * 1000000 // agg.n_nbrs, 0) AS BIGINT)
+       |         AS agreement_ppm
+       |FROM lab LEFT JOIN agg ON lab.vec_id = agg.vec_id""".stripMargin
+  }
+
   /** Session cache for the fitted IVF coarse quantizer + its assignment
     * table, keyed like [[Clustering]]'s fit cache: the model is an index
     * artifact — at scale it is FIT ONCE when the table is (re)built and the

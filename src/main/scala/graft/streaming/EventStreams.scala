@@ -527,6 +527,93 @@ object EventStreams {
       |WHERE event_type = 'purchase'
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** q152 — the SLIDING-window aggregate ([[slidingWindowed]]) as a real
+    * driven-to-completion streaming contract query: 1-hour windows sliding
+    * every 15 minutes, so each event lands in exactly 4 overlapping window
+    * panes. Complete mode emits every pane; the oracle enumerates the same
+    * 4 epoch-aligned pane starts per event (Spark aligns window starts to
+    * the epoch on the slide grid — `floor₁₅(ts) − {0,15,30,45} min`).
+    * Counts only — pure integers, no accumulation-order exposure. */
+  def slidingStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = slidingWindowed(readEvents(spark, dir))
+      .select(unix_millis(col("win_start")).as("win_start_ms"),
+        col("event_type"), col("n"))
+    runToBatch(spark, streamed, s"sliding_stream_${sanitize(dir)}",
+      OutputMode.Complete, shufflePartitions = Some(8))
+  }
+
+  val slidingStreamSql: String =
+    """WITH e AS (
+      |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events),
+      |panes AS (
+      |  SELECT (ms // 900000) * 900000 - k * 900000 AS win_start_ms,
+      |         event_type
+      |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k))
+      |SELECT CAST(win_start_ms AS BIGINT) AS win_start_ms, event_type,
+      |       count(*) AS n
+      |FROM panes GROUP BY win_start_ms, event_type""".stripMargin
+
+  /** q153 — streaming POINT-IN-TIME enrichment against a time-versioned
+    * (SCD2-style) dimension: the purchase stream picks up the signup
+    * version IN EFFECT at each purchase's own event time
+    * (`eff_from ≤ ts < eff_to`, open current version). The dimension is
+    * derived from the same event log (per-user signup history versioned by
+    * `lead` over (ts, event_id)), computed BATCH and joined stream-static —
+    * Spark re-plans the static side per micro-batch, so at production scale
+    * this is "enrich the stream against the warehouse's dimension table as
+    * of event time", with no stream-side state at all (the join is
+    * stateless; only correctness of the interval predicate matters).
+    * Money rides long cents; output is row-level and fully deterministic.
+    *
+    * The interval predicate is a post-filter on the user_id equi-join —
+    * versions-per-user is change-bounded exactly like [[graft.operators.Merge.pitEnrichOrders]],
+    * whose 100 TB argument (and as-of escape hatch for skew) carries over. */
+  def pitEnrichStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val dim = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"),
+        unix_millis(col("ts").cast(TimestampType)).as("ts_ms"),
+        col("event_id"),
+        round(col("value") * 100).cast(LongType).as("signup_v_c"))
+      .select(col("user_id"), col("ts_ms").as("eff_from_ms"),
+        lead(col("ts_ms"), 1).over(w).as("eff_to_ms"),
+        row_number().over(w).cast(LongType).as("version"),
+        col("signup_v_c"))
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts").cast(TimestampType)).as("ts_ms"))
+    val enriched = purchases.join(dim, Seq("user_id"))
+      .filter(col("ts_ms") >= col("eff_from_ms") &&
+        (col("eff_to_ms").isNull || col("ts_ms") < col("eff_to_ms")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("version"), col("signup_v_c"))
+    runToBatch(spark, enriched, s"pit_stream_${sanitize(dir)}",
+      shufflePartitions = Some(8))
+  }
+
+  val pitEnrichStreamSql: String =
+    """WITH sg AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS signup_v_c
+      |  FROM events WHERE event_type = 'signup'
+      |), dim AS (
+      |  SELECT user_id, ts_ms AS eff_from_ms,
+      |         lead(ts_ms) OVER w AS eff_to_ms,
+      |         CAST(row_number() OVER w AS BIGINT) AS version,
+      |         signup_v_c
+      |  FROM sg WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |), p AS (
+      |  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_ms, dim.version, dim.signup_v_c
+      |FROM p JOIN dim ON p.user_id = dim.user_id
+      |WHERE p.ts_ms >= dim.eff_from_ms
+      |  AND (dim.eff_to_ms IS NULL OR p.ts_ms < dim.eff_to_ms)""".stripMargin
+
   /** Injective path → identifier mapping (also a valid memory-sink table
     * name): every non-alphanumeric char becomes `_x<hex>_`, so distinct
     * paths can never collide the way a hashCode key could. */

@@ -1321,6 +1321,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == distinctGrams)
   }
 
+  test("q154 knn label audit: agreement recomputes from the kNN set; " +
+    "coverage is complete") {
+    val nn = SimilaritySearch.knnJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SimilaritySearch.knnLabelConsistency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == labels.size) // every vector, neighbors or not
+    val byVec = nn.groupBy(_._1)
+    rows.foreach { case (vid, lab, nNbrs, nSame, ppm) =>
+      assert(lab == labels(vid))
+      val nbrs = byVec.getOrElse(vid, Array.empty).map(_._2)
+      assert(nNbrs == nbrs.length)
+      assert(nSame == nbrs.count(labels(_) == lab))
+      assert(ppm == (if (nNbrs == 0) 0L else nSame * 1000000L / nNbrs))
+    }
+    // the audit discriminates: fixture has both agreeing and disagreeing
+    // neighborhoods
+    assert(rows.exists(_._5 > 500000) && rows.exists(r => r._3 > 0 && r._5 < 1000000))
+  }
+
+  test("q155 cross-source matrix: conserves the q31 pair count and keeps " +
+    "source pairs sorted") {
+    val pairs = Dedup.ngramJaccard(spark, dir).count()
+    val rows = Dedup.crossSourceMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == pairs)
+    rows.foreach { case (a, b, n) => assert(a <= b && n > 0) }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

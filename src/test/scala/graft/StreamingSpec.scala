@@ -143,6 +143,52 @@ class StreamingSpec extends AnyFunSuite {
       "fixture has no in-horizon tail — frontier untested")
   }
 
+  test("q152: sliding stream panes equal the batch sliding windows, 4 panes " +
+    "per event") {
+    val streamed = EventStreams.slidingStreamQuery(spark, dir)
+    val total = graft.Tables.events(spark, dir).count()
+    assert(streamed.agg(sum("n")).head().getLong(0) == total * 4)
+    val batch = EventStreams.runToBatch(spark,
+      EventStreams.slidingWindowed(EventStreams.readEvents(spark, dir)),
+      "sliding_batch_twin", org.apache.spark.sql.streaming.OutputMode.Complete)
+      .select(unix_millis(col("win_start")).as("win_start_ms"),
+        col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("q153: stream PIT enrich picks exactly the signup version in effect " +
+    "at each purchase") {
+    import org.apache.spark.sql.types.TimestampType
+    val got = EventStreams.pitEnrichStreamQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length == got.length) // ≤1 version/purchase
+    // ground truth from a driver-side fold over the raw log
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast(TimestampType)).as("ts_ms"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val signups = ev.filter(_._3 == "signup").groupBy(_._2)
+      .view.mapValues(_.sortBy(e => (e._4, e._1))).toMap
+    val expected = ev.filter(_._3 == "purchase").flatMap {
+      case (eid, uid, _, ts, _) =>
+        signups.get(uid).toSeq.flatMap { hist =>
+          val idx = hist.lastIndexWhere(_._4 <= ts)
+          if (idx < 0) Nil
+          else Seq((eid, uid, ts, (idx + 1).toLong, hist(idx)._5))
+        }
+    }.toSet
+    assert(got.toSet == expected)
+    // purchases before any signup really are excluded (frontier is real)
+    val excluded = ev.count(e => e._3 == "purchase" &&
+      !expected.exists(_._1 == e._1))
+    assert(excluded > 0, "fixture has no pre-signup purchases — edge untested")
+  }
+
   test("stateful session counts: totals match event counts per user") {
     val sessions = EventStreams.runToBatch(spark,
       EventStreams.sessionCounts(spark,

@@ -195,6 +195,8 @@ object SparkEntry {
     "q154_knn_label_audit" -> ((s, dir) =>
       SimilaritySearch.knnLabelConsistency(s, dir)),
     "q155_cross_source_matrix" -> ((s, dir) => Dedup.crossSourceMatrix(s, dir)),
+    "q156_stream_cdc_apply" -> ((s, dir) =>
+      streaming.CdcApply.cdcApplyStreamQuery(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -346,6 +348,8 @@ object SparkEntry {
     "q153_stream_pit_enrich" -> streaming.EventStreams.pitEnrichStreamSql,
     "q154_knn_label_audit" -> SimilaritySearch.knnLabelConsistencySql(),
     "q155_cross_source_matrix" -> Dedup.crossSourceMatrixSql,
+    // the maintained CDC table must equal the batch rebuild over the feed
+    "q156_stream_cdc_apply" -> streaming.CdcApply.cdcApplyStreamSql,
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

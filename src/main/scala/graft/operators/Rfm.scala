@@ -37,12 +37,12 @@ object Rfm {
   private val DayMs = 86400000L
 
   /** 2-decimal money column → exact integer cents (see object scaladoc). */
-  private[operators] def cents(c: org.apache.spark.sql.Column) =
+  private[graft] def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast(LongType)
 
   /** Epoch-ms of a (possibly NTZ) timestamp column; session tz is pinned to
     * UTC so the NTZ→instant cast is the identity DuckDB's epoch_ms applies. */
-  private[operators] def epochMs(c: org.apache.spark.sql.Column) =
+  private[graft] def epochMs(c: org.apache.spark.sql.Column) =
     unix_millis(c.cast(TimestampType))
 
   /** 1-row DataFrame holding epoch-ms of max(o_orderdate) + 1 day. */

@@ -189,6 +189,107 @@ class StreamingSpec extends AnyFunSuite {
     assert(excluded > 0, "fixture has no pre-signup purchases — edge untested")
   }
 
+  test("q156: CDC apply is associative — a multi-batch run converges to the " +
+    "single-batch table") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.CdcApply
+    // split the feed into 3 files and force one micro-batch per file, so
+    // the foreachBatch merge path (state ⋈ batch) really executes
+    val orders = Tables.orders(spark, dir)
+    val feed = Files.createTempDirectory("graft_cdc_feed")
+    (0 until 3).foreach { i =>
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(feed.resolve(s"part_$i").toString)
+    }
+    val flat = Files.createTempDirectory("graft_cdc_feed_flat")
+    (0 until 3).foreach { i =>
+      val src = Files.list(feed.resolve(s"part_$i")).iterator()
+      var n = 0
+      while (src.hasNext) {
+        val f = src.next()
+        if (f.toString.endsWith(".parquet")) {
+          Files.copy(f, flat.resolve(s"chunk_${i}_$n.parquet")); n += 1
+        }
+      }
+    }
+    val multi = CdcApply.applyFeed(spark, flat.toString, "spec_multi",
+      maxFilesPerTrigger = Some(1))
+    val single = CdcApply.cdcApplyStreamQuery(spark, dir)
+    assert(multi.count() == single.count())
+    assert(multi.exceptAll(single).isEmpty && single.exceptAll(multi).isEmpty)
+    // the multi-batch run really ran more than one data batch: the split
+    // files are distinct, so at least 2 merges against existing state ran
+    assert(Files.list(flat).iterator().hasNext)
+  }
+
+  test("watermark really drops too-late data: a file of stale events " +
+    "arriving after the watermark advanced adds nothing") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types.TimestampType
+    // split the log at day 5: the bulk (late half of the month) arrives
+    // first and advances the watermark far past the early days; the stale
+    // early-days file arrives in a LATER micro-batch, entirely beyond the
+    // 2-hour watermark, and Append-mode hourly aggregation must drop it
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val cut = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val feed = Files.createTempDirectory("graft_late_feed")
+    val bulkDir = Files.createTempDirectory("graft_late_bulk")
+    ev.filter(col("ts") >= cut).coalesce(1)
+      .write.mode("overwrite").parquet(bulkDir.toString)
+    val bulk = Files.list(bulkDir).iterator()
+    var staged: java.nio.file.Path = null
+    while (bulk.hasNext) {
+      val f = bulk.next()
+      if (f.toString.endsWith(".parquet"))
+        staged = Files.copy(f, feed.resolve("a_bulk.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    val streamed = EventStreams.streamEvents(spark, feed.toString)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    val q = streamed.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("late_drop_test").start()
+    try {
+      q.processAllAvailable() // batch 1: bulk → watermark = max(ts) − 2 h
+      // now the stale early-days slice lands as a new file
+      val staleDir = Files.createTempDirectory("graft_late_stale")
+      ev.filter(col("ts") < cut).coalesce(1)
+        .write.mode("overwrite").parquet(staleDir.toString)
+      val st = Files.list(staleDir).iterator()
+      while (st.hasNext) {
+        val f = st.next()
+        if (f.toString.endsWith(".parquet"))
+          Files.copy(f, feed.resolve("b_stale.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+      q.processAllAvailable() // batch 2: every row is beyond the watermark
+    } finally q.stop()
+    val emitted = spark.table("late_drop_test")
+    // nothing from before the cut was emitted: the stale batch was dropped
+    assert(emitted.filter(col("hour") < cut).count() == 0,
+      "late rows leaked past the watermark")
+    // and the emitted on-time hours match the batch aggregate of the bulk
+    val batchBulk = ev.filter(col("ts") >= cut)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    // Append emits only watermark-closed windows; every emitted cell must
+    // agree exactly with the batch cell
+    val got = emitted.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = batchBulk.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, n) => assert(want.get(k).contains(n),
+      s"cell $k: streamed $n vs batch ${want.get(k)}") }
+  }
+
   test("stateful session counts: totals match event counts per user") {
     val sessions = EventStreams.runToBatch(spark,
       EventStreams.sessionCounts(spark,

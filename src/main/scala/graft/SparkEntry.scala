@@ -197,6 +197,8 @@ object SparkEntry {
     "q155_cross_source_matrix" -> ((s, dir) => Dedup.crossSourceMatrix(s, dir)),
     "q156_stream_cdc_apply" -> ((s, dir) =>
       streaming.CdcApply.cdcApplyStreamQuery(s, dir)),
+    "q157_distribution_drift" -> ((s, dir) =>
+      Profiling.distributionDrift(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -350,6 +352,7 @@ object SparkEntry {
     "q155_cross_source_matrix" -> Dedup.crossSourceMatrixSql,
     // the maintained CDC table must equal the batch rebuild over the feed
     "q156_stream_cdc_apply" -> streaming.CdcApply.cdcApplyStreamSql,
+    "q157_distribution_drift" -> Profiling.distributionDriftSql(),
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

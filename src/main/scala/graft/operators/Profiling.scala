@@ -4,6 +4,7 @@ import graft.Tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Data-profiling operator: per-column null counts, exact distinct
   * cardinality and min/max over a table — the validation pass a pipeline
@@ -273,4 +274,78 @@ object Profiling {
       |       CAST(violations AS BIGINT) AS violations,
       |       violations = 0 AS pass
       |FROM long""".stripMargin
+
+  /** q157 — distribution-DRIFT monitor between two time slices of the event
+    * stream (first vs second half of the month): per event type, the value
+    * distribution is binned into fixed $50 buckets and compared by TOTAL
+    * VARIATION distance — `Σ|share_a − share_b| / 2` over bins — in exact
+    * ppm, with a drift flag at 5%. TV distance is the bounded, exactly-
+    * computable sibling of PSI/KL (which need logs — the q93/q147 integer
+    * convention keeps the oracle hash-exact), and it is THE number a
+    * training-data owner watches between corpus snapshots: "did this
+    * source's distribution move?".
+    *
+    * Share arithmetic: ppm shares per (type, bin) via integer division of
+    * per-slice totals; |a − b| sums then halve (the final `DIV 2` keeps the
+    * truncation deterministic). A bin present in one slice only contributes
+    * its full share (full-outer bin join, zero-coalesced).
+    *
+    * Scale: one (type, slice, bin) aggregate with map-side combine (bin
+    * cardinality is value-range-bounded), a per-(type, slice) total
+    * broadcast back, and a |types|·|bins|-row comparison — nothing
+    * data-sized after the first aggregate. */
+  def distributionDrift(spark: SparkSession, dir: String,
+                        driftPpm: Long = 50000): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    val binned = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        when(col("ts").cast(TimestampType) < cut, "a").otherwise("b")
+          .as("slice"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("bin"))
+      .groupBy(col("event_type"), col("slice"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val totals = binned.groupBy(col("event_type"), col("slice"))
+      .agg(sum(col("n")).as("total"))
+    val shares = binned.join(broadcast(totals), Seq("event_type", "slice"))
+      .select(col("event_type"), col("slice"), col("bin"),
+        expr("n * 1000000 DIV total").as("share_ppm"))
+    val a = shares.filter(col("slice") === "a")
+      .select(col("event_type"), col("bin"), col("share_ppm").as("a_ppm"))
+    val b = shares.filter(col("slice") === "b")
+      .select(col("event_type"), col("bin"), col("share_ppm").as("b_ppm"))
+    a.join(b, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"),
+        abs(coalesce(col("a_ppm"), lit(0L)) - coalesce(col("b_ppm"), lit(0L)))
+          .as("d"))
+      .groupBy(col("event_type"))
+      .agg(expr("sum(d) DIV 2").as("tv_ppm"))
+      .select(col("event_type"), col("tv_ppm"),
+        (col("tv_ppm") > driftPpm).as("drifted"))
+  }
+
+  def distributionDriftSql(driftPpm: Long = 50000): String =
+    s"""WITH binned AS (
+       |  SELECT event_type,
+       |         CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+       |              THEN 'a' ELSE 'b' END AS slice,
+       |         CAST(round(value * 100) AS BIGINT) // 5000 AS bin,
+       |         count(*) AS n
+       |  FROM events GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT event_type, slice, CAST(sum(n) AS BIGINT) AS total
+       |  FROM binned GROUP BY 1, 2
+       |), shares AS (
+       |  SELECT b.event_type, b.slice, b.bin,
+       |         CAST(b.n * 1000000 // t.total AS BIGINT) AS share_ppm
+       |  FROM binned b JOIN tot t
+       |    ON b.event_type = t.event_type AND b.slice = t.slice
+       |), joined AS (
+       |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+       |         abs(coalesce(a.share_ppm, 0) - coalesce(b.share_ppm, 0)) AS d
+       |  FROM (SELECT * FROM shares WHERE slice = 'a') a
+       |  FULL OUTER JOIN (SELECT * FROM shares WHERE slice = 'b') b
+       |    ON a.event_type = b.event_type AND a.bin = b.bin)
+       |SELECT event_type, CAST(sum(d) // 2 AS BIGINT) AS tv_ppm,
+       |       sum(d) // 2 > $driftPpm AS drifted
+       |FROM joined GROUP BY event_type""".stripMargin
 }

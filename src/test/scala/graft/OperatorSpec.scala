@@ -1355,6 +1355,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
   }
 
+  test("q157 distribution drift: TV distance recomputes from raw bin shares " +
+    "and stays in [0, 1e6]") {
+    import org.apache.spark.sql.types.TimestampType
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_millis(col("ts").cast(TimestampType)).as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("bin"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val gotMap = graft.operators.Profiling.distributionDrift(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(gotMap.keySet == ev.map(_._1).toSet) // every type reported
+    ev.groupBy(_._1).foreach { case (tpe, rows) =>
+      val (a, b) = rows.partition(_._2 < cut)
+      def shares(xs: Array[(String, Long, Long)]): Map[Long, Long] = {
+        val n = xs.length.toLong
+        xs.groupBy(_._3).map { case (bin, g) =>
+          bin -> g.length.toLong * 1000000L / n
+        }
+      }
+      val (sa, sb) = (shares(a), shares(b))
+      val tv = (sa.keySet ++ sb.keySet).toSeq
+        .map(k => math.abs(sa.getOrElse(k, 0L) - sb.getOrElse(k, 0L))).sum / 2
+      val (gotTv, gotFlag) = gotMap(tpe)
+      assert(gotTv == tv, s"$tpe tv")
+      assert(gotFlag == (tv > 50000L))
+      assert(tv >= 0 && tv <= 1000000L)
+    }
+    assert(gotMap.nonEmpty)
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

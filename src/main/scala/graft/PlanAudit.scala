@@ -226,7 +226,7 @@ object PlanAudit {
     // legitimate `Exchange rangepartitioning` and need its own carve-out.
     val offsetPrefixQueries = Seq("q62_events_running", "q74_packing",
       "q75_rank_functions", "q113_weighted_median", "q116_robust_scale",
-      "q126_length_batches", "q133_quality_topp")
+      "q126_length_batches", "q133_quality_topp", "q158_curriculum")
     val offsetPrefixChecks: Map[String, Seq[(String, Boolean)]] =
       offsetPrefixQueries.map(q => q -> Seq(
         "Scan ExistingRDD" -> true)).toMap

@@ -199,6 +199,7 @@ object SparkEntry {
       streaming.CdcApply.cdcApplyStreamQuery(s, dir)),
     "q157_distribution_drift" -> ((s, dir) =>
       Profiling.distributionDrift(s, dir)),
+    "q158_curriculum" -> ((s, dir) => TextAnalysis.curriculumSchedule(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -353,6 +354,7 @@ object SparkEntry {
     // the maintained CDC table must equal the batch rebuild over the feed
     "q156_stream_cdc_apply" -> streaming.CdcApply.cdcApplyStreamSql,
     "q157_distribution_drift" -> Profiling.distributionDriftSql(),
+    "q158_curriculum" -> TextAnalysis.curriculumScheduleSql,
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

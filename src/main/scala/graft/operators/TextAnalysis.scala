@@ -787,6 +787,57 @@ object TextAnalysis {
       |LEFT JOIN ta ON d.source = ta.source
       |LEFT JOIN ga ON d.source = ga.source""".stripMargin
 
+  /** q158 — CURRICULUM schedule: per source, documents ranked best-quality-
+    * first (q109's score, doc_id tiebreak) and cut into training-phase
+    * DECILES — `(ord−1)·10 DIV n` — with per-phase doc and token mass and
+    * the phase's quality bounds. This is the "easy/clean first" curriculum
+    * table a staged pre-training run consumes, and the ordered complement
+    * of q133's top-p CUTOFF (which selects; this schedules everything).
+    *
+    * The per-source rank comes from [[groupedOrdinal]] — sources are the
+    * canonical low-cardinality group shape where `row_number().over
+    * (partitionBy(source))` would serialize each source into ONE task at
+    * any cluster size; the offset-prefix primitive keeps it distributed
+    * (PlanAudit pins the checkpoint barrier and forbids a live range
+    * exchange, same as q126/q133). Integer arithmetic end to end. */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    val scored = docs.join(
+      qualityScores(spark, dir).select(col("doc_id"), col("avg_e6")),
+      "doc_id")
+      .withColumn("neg_q", -col("avg_e6"))
+    val totals = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    groupedOrdinal(scored, "source", Seq("neg_q", "doc_id"))
+      .join(broadcast(totals), "source")
+      .withColumn("decile", expr("(__ord - 1) * 10 DIV n_src"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        min(col("avg_e6")).as("min_q"), max(col("avg_e6")).as("max_q"))
+  }
+
+  val curriculumScheduleSql: String = {
+    val quality = linearQualityScoreSql.replace("\n", "\n  ")
+    s"""WITH q AS (
+       |  $quality
+       |), d AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), j AS (
+       |  SELECT d.source, d.n_tokens, q.avg_e6,
+       |         row_number() OVER (PARTITION BY d.source
+       |                            ORDER BY q.avg_e6 DESC, d.doc_id) AS ord,
+       |         count(*) OVER (PARTITION BY d.source) AS n_src
+       |  FROM d JOIN q ON d.doc_id = q.doc_id)
+       |SELECT source, CAST((ord - 1) * 10 // n_src AS BIGINT) AS decile,
+       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |       min(avg_e6) AS min_q, max(avg_e6) AS max_q
+       |FROM j GROUP BY source, decile""".stripMargin
+  }
+
   /** q147 — Zipf frequency-SPECTRUM profile per source: token types and
     * occurrence mass bucketed by count OCTAVE (`⌊log₂ c⌋`, computed exactly
     * as `length(bin(c)) − 1` — no floating log anywhere), with each

@@ -1387,6 +1387,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(gotMap.nonEmpty)
   }
 
+  test("q158 curriculum: deciles partition each source near-evenly and " +
+    "quality is monotone across phases") {
+    import graft.operators.TextAnalysis
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextAnalysis.curriculumSchedule(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      val n = perSource(src)
+      assert(ds.map(_._3).sum == n, s"$src docs must partition")
+      ds.foreach { case (_, dec, nDocs, _, minQ, maxQ) =>
+        assert(dec >= 0 && dec <= 9 && minQ <= maxQ)
+        // (ord-1)*10 DIV n decile sizes are floor/ceil-balanced
+        assert(nDocs == n / 10 || nDocs == n / 10 + 1,
+          s"$src decile $dec size $nDocs for n=$n")
+      }
+      // best-first: later phases never exceed earlier phases' quality floor
+      val sorted = ds.sortBy(_._2).toSeq
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(b._6 <= a._5,
+          s"$src: decile ${b._2} max_q ${b._6} > decile ${a._2} min_q ${a._5}")
+      }
+    }
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -200,6 +200,8 @@ object SparkEntry {
     "q157_distribution_drift" -> ((s, dir) =>
       Profiling.distributionDrift(s, dir)),
     "q158_curriculum" -> ((s, dir) => TextAnalysis.curriculumSchedule(s, dir)),
+    "q159_hourly_bursts" -> ((s, dir) => Events.hourlyBursts(s, dir)),
+    "q160_padding_waste" -> ((s, dir) => TextAnalysis.paddingWaste(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -355,6 +357,8 @@ object SparkEntry {
     "q156_stream_cdc_apply" -> streaming.CdcApply.cdcApplyStreamSql,
     "q157_distribution_drift" -> Profiling.distributionDriftSql(),
     "q158_curriculum" -> TextAnalysis.curriculumScheduleSql,
+    "q159_hourly_bursts" -> Events.hourlyBurstsSql,
+    "q160_padding_waste" -> TextAnalysis.paddingWasteSql(),
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

@@ -650,6 +650,46 @@ object Events {
       |FROM gt LEFT JOIN counts c
       |  ON gt.hour = c.hour AND gt.event_type = c.event_type""".stripMargin
 
+  /** q159 — traffic BURST detection on the gap-filled hourly grid: an hour
+    * is a burst when its count exceeds 2× the mean of the trailing 24 FULL
+    * hours — evaluated in exact integers (`n · 24 > 2 · Σtrailing`), and
+    * only once a full day of history exists. Composing on [[gapFillHourly]]
+    * is what makes the ROWS frame correct: zero hours are real rows, so
+    * 24 ROWS == 24 hours (on the sparse counts a ROWS frame would silently
+    * span gaps — the classic time-series frame bug).
+    *
+    * The window partitions by event_type — 5 values, but over the
+    * POST-AGGREGATE hourly miniature (hours × types rows), the documented
+    * miniature exception to the low-cardinality window rule, not the raw
+    * fact table. */
+  def hourlyBursts(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+    val trail = w.rowsBetween(-24, -1)
+    gapFillHourly(spark, dir)
+      .withColumn("trail_sum", sum(col("n")).over(trail))
+      .withColumn("trail_n", count(lit(1)).over(trail))
+      .filter(col("trail_n") === 24)
+      .select(col("hour"), col("event_type"), col("n"),
+        col("trail_sum"),
+        (col("n") * 24 > col("trail_sum") * 2).as("burst"))
+  }
+
+  val hourlyBurstsSql: String = {
+    val grid = gapFillHourlySql.replace("\n", "\n  ")
+    s"""WITH grid AS (
+       |  $grid
+       |), framed AS (
+       |  SELECT hour, event_type, n,
+       |         sum(n) OVER w AS trail_sum, count(*) OVER w AS trail_n
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+       |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       |SELECT hour, event_type, n, CAST(trail_sum AS BIGINT) AS trail_sum,
+       |       n * 24 > trail_sum * 2 AS burst
+       |FROM framed WHERE trail_n = 24""".stripMargin
+  }
+
   /** q99 — rolling-window anomaly detection: flag events whose value sits
     * more than 3σ from the mean of the same user's trailing 7-day window
     * (window statistics include the current row; ≥5 events required).

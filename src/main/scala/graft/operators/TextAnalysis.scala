@@ -621,6 +621,45 @@ object TextAnalysis {
        |SELECT doc_id, n_words, bucket, (rn - 1) // $batchSize AS batch_id
        |FROM r""".stripMargin
 
+  /** q160 — PADDING-waste report over the q126 length-bucketed batches:
+    * per batch, sequences pad to the batch max, so the pad cost is
+    * `max_len·n_seqs − Σlen`, reported absolute and as exact-ppm waste.
+    * This is the number that justifies (or indicts) a batching strategy —
+    * the q126 bucketing exists to bound it by `bucketWidth` per sequence,
+    * and this report is how a pipeline owner verifies that bound on real
+    * data instead of trusting it. Pure integer arithmetic on the batch
+    * miniature (batch count ≪ docs); zero-length batches report 0 waste
+    * (guarded division — DuckDB raises on integer `// 0`, Spark nulls). */
+  def paddingWaste(spark: SparkSession, dir: String,
+                   bucketWidth: Int = 32, batchSize: Int = 16): DataFrame =
+    lengthBatches(spark, dir, bucketWidth, batchSize)
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_seqs"), max(col("n_words")).as("max_len"),
+        sum(col("n_words")).as("sum_len"))
+      .select(col("bucket"), col("batch_id"), col("n_seqs"), col("max_len"),
+        col("sum_len"),
+        expr("max_len * n_seqs - sum_len").as("pad_tokens"),
+        expr("""CASE WHEN max_len = 0 THEN 0
+                ELSE (max_len * n_seqs - sum_len) * 1000000
+                     DIV (max_len * n_seqs) END""").as("waste_ppm"))
+
+  def paddingWasteSql(bucketWidth: Int = 32, batchSize: Int = 16): String = {
+    val batches = lengthBatchesSql(bucketWidth, batchSize).replace("\n", "\n  ")
+    s"""WITH batches AS (
+       |  $batches
+       |), agg AS (
+       |  SELECT bucket, batch_id, count(*) AS n_seqs,
+       |         CAST(max(n_words) AS BIGINT) AS max_len,
+       |         CAST(sum(n_words) AS BIGINT) AS sum_len
+       |  FROM batches GROUP BY bucket, batch_id)
+       |SELECT bucket, batch_id, n_seqs, max_len, sum_len,
+       |       CAST(max_len * n_seqs - sum_len AS BIGINT) AS pad_tokens,
+       |       CAST(CASE WHEN max_len = 0 THEN 0
+       |            ELSE (max_len * n_seqs - sum_len) * 1000000
+       |                 // (max_len * n_seqs) END AS BIGINT) AS waste_ppm
+       |FROM agg""".stripMargin
+  }
+
   /** q56 — within-document repetition signals (the Gopher/C4-style quality
     * filters exact dedup cannot see): distinct-token ratio and top-token
     * mass per document. One shuffle on (doc_id, token) with map-side

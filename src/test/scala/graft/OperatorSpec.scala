@@ -1415,6 +1415,47 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 hourly bursts: trailing frame recomputes on the dense grid and " +
+    "only full-history hours report") {
+    val grid = Events.gapFillHourly(spark, dir).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getLong(2)))
+    val byType = grid.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val got = Events.hourlyBursts(spark, dir).collect()
+      .map(r => ((r.getString(1), r.getTimestamp(0).getTime),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val hours = byType.head._2.length
+    assert(got.size == (hours - 24) * byType.size) // dense grid minus warm-up
+    byType.foreach { case (tpe, rows) =>
+      rows.indices.drop(24).foreach { i =>
+        val trail = rows.slice(i - 24, i).map(_._3).sum
+        val (n, trailSum, burst) = got((tpe, rows(i)._2))
+        assert(n == rows(i)._3 && trailSum == trail)
+        assert(burst == (n * 24 > trail * 2))
+      }
+    }
+    // the grid really is dense: ROWS 24 == 24 hours everywhere
+    byType.values.foreach(rows => rows.zip(rows.drop(1)).foreach {
+      case (a, b) => assert(b._2 - a._2 == 3600000L)
+    })
+  }
+
+  test("q160 padding waste: conserves docs and respects the bucketWidth " +
+    "bound the q126 batching promises") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.paddingWaste(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._3).sum == Tables.documents(spark, dir).count())
+    rows.foreach { case (_, _, nSeqs, maxLen, sumLen, pad, ppm) =>
+      assert(nSeqs >= 1 && nSeqs <= 16)
+      assert(pad == maxLen * nSeqs - sumLen && pad >= 0)
+      // bucketing bound: every member is within bucketWidth of the max
+      assert(pad < 32 * nSeqs,
+        s"padding exceeded the bucket-width bound: $pad for $nSeqs seqs")
+      assert(ppm >= 0 && ppm < 1000000)
+    }
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -202,6 +202,7 @@ object SparkEntry {
     "q158_curriculum" -> ((s, dir) => TextAnalysis.curriculumSchedule(s, dir)),
     "q159_hourly_bursts" -> ((s, dir) => Events.hourlyBursts(s, dir)),
     "q160_padding_waste" -> ((s, dir) => TextAnalysis.paddingWaste(s, dir)),
+    "q161_attribution" -> ((s, dir) => Events.lastTouchAttribution(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -359,6 +360,7 @@ object SparkEntry {
     "q158_curriculum" -> TextAnalysis.curriculumScheduleSql,
     "q159_hourly_bursts" -> Events.hourlyBurstsSql,
     "q160_padding_waste" -> TextAnalysis.paddingWasteSql(),
+    "q161_attribution" -> Events.lastTouchAttributionSql(),
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

@@ -365,6 +365,53 @@ object Events {
       |FROM clicks c ASOF LEFT JOIN purch p
       |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin
 
+  /** q161 — LAST-TOUCH attribution through the native [[graft.plans.AsOfJoin]]
+    * operator (its second production consumer after q110): every purchase
+    * is attributed to the same user's most recent click, provided it
+    * happened within the 7-day attribution window — outside it (or with no
+    * prior click at all) the purchase reports unattributed (null click,
+    * null gap). Same-millisecond clicks collapse deterministically to the
+    * max event_id BEFORE the as-of (the operator's right side is unique per
+    * (key, time), the q110 discipline).
+    *
+    * The as-of core is the sorted-merge exec: both sides hash-partition on
+    * user_id and sort once; the window rule is a post-projection, so the
+    * 100 TB cost is one co-partitioned merge, not an interval explosion. */
+  def lastTouchAttribution(spark: SparkSession, dir: String,
+                           windowMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Rfm.epochMs(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("t").as("c_t"))
+      .agg(max(col("event_id")).as("click_id"))
+    val inWindow = col("c_t").isNotNull && col("t") - col("c_t") <= windowMs
+    graft.plans.AsOfJoinPlan
+      .asofJoin(spark, purchases, clicks, "user_id", "t", "c_user", "c_t")
+      .select(col("purchase_id"), col("user_id"), col("t").as("purchase_t"),
+        when(inWindow, col("click_id")).as("click_id"),
+        when(inWindow, col("t") - col("c_t")).as("gap_ms"))
+  }
+
+  def lastTouchAttributionSql(windowMs: Long = 7L * 24 * 3600 * 1000): String =
+    s"""WITH purch AS (
+       |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+       |         event_id AS purchase_id
+       |  FROM events WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+       |         max(event_id) AS click_id
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT p.purchase_id, p.user_id, p.t AS purchase_t,
+       |       CASE WHEN c.t IS NOT NULL AND p.t - c.t <= $windowMs
+       |            THEN c.click_id END AS click_id,
+       |       CASE WHEN c.t IS NOT NULL AND p.t - c.t <= $windowMs
+       |            THEN p.t - c.t END AS gap_ms
+       |FROM purch p ASOF LEFT JOIN clicks c
+       |  ON p.user_id = c.user_id AND p.t >= c.t""".stripMargin
+
   /** JSON extraction — `props` is a JSON payload column; `get_json_object`
     * (codegen'd Jackson path evaluation, no UDF) pulls `$.k` and aggregates
     * it per event type. At scale, stable-schema JSON should move to

@@ -144,6 +144,42 @@ class PlansSpec extends AnyFunSuite {
       baseline.exceptAll(joined).isEmpty)
   }
 
+  test("q161 attribution: native as-of matches a driver-side last-touch " +
+    "fold, window nulls included") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    val windowMs = 7L * 24 * 3600 * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast(TimestampType)).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // same-ms clicks collapse to max event_id, the operator's right-side rule
+    val clicksByUser = ev.filter(_._3 == "click")
+      .groupBy(e => (e._2, e._4)).map { case ((u, t), g) =>
+        (u, t, g.map(_._1).max)
+      }.groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    val expected = ev.filter(_._3 == "purchase").map { case (pid, u, _, t) =>
+      val last = clicksByUser.getOrElse(u, Nil).filter(_._2 <= t)
+        .sortBy(_._2).lastOption
+      last match {
+        case Some((_, ct, cid)) if t - ct <= windowMs =>
+          (pid, u, t, Some(cid), Some(t - ct))
+        case _ => (pid, u, t, None, None)
+      }
+    }.toSet
+    val got = graft.operators.Events.lastTouchAttribution(spark, dir)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }.toSet
+    assert(got == expected)
+    assert(got.exists(_._4.isDefined), "no attributed purchase in fixture")
+    assert(got.exists(_._4.isEmpty),
+      "no unattributed purchase — the null branch is untested")
+  }
+
   test("as-of join handles empty right side and all-null padding") {
     import org.apache.spark.sql.functions.{lit => l}
     val left = spark.range(4).selectExpr("id as k", "id * 10 as t")

@@ -203,6 +203,8 @@ object SparkEntry {
     "q159_hourly_bursts" -> ((s, dir) => Events.hourlyBursts(s, dir)),
     "q160_padding_waste" -> ((s, dir) => TextAnalysis.paddingWaste(s, dir)),
     "q161_attribution" -> ((s, dir) => Events.lastTouchAttribution(s, dir)),
+    "q162_weighted_jaccard" -> ((s, dir) => Dedup.weightedJaccard(s, dir)),
+    "q163_rendezvous_shards" -> ((s, dir) => Sampling.rendezvousShards(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -361,6 +363,8 @@ object SparkEntry {
     "q159_hourly_bursts" -> Events.hourlyBurstsSql,
     "q160_padding_waste" -> TextAnalysis.paddingWasteSql(),
     "q161_attribution" -> Events.lastTouchAttributionSql(),
+    "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
+    "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

@@ -988,6 +988,69 @@ object Dedup {
        |LEFT JOIN exact e ON f.doc_id = e.doc_id
        |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON f.doc_id = b.doc_id""".stripMargin
 
+  /** q162 — IDF-WEIGHTED Jaccard near-dup pairs: q31's candidate machinery
+    * with each shingle weighted `1e6 DIV df`, so boilerplate shingles shared by
+    * many documents stop dominating the similarity — the standard fix for
+    * near-dup false positives on template-heavy corpora (plain Jaccard
+    * calls two distinct pages "similar" because they share a nav bar;
+    * down-weighting common shingles makes the INFORMATIVE overlap decide).
+    * `J_w = Σ_∩ w / (Σ_a w + Σ_b w − Σ_∩ w)` in exact integer ppm.
+    *
+    * Scale shape is exactly q31's: inverted-index self-join on the shingle
+    * key (collision-pair cost), df computed on the same key partitioning,
+    * weighted sizes once per doc. All-integer → hash-exact oracle. */
+  def weightedJaccard(spark: SparkSession, dir: String,
+                      thresholdPpm: Long = 500000L): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val wsh = sh
+      .join(sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")), "shingle")
+      .select(col("doc_id"), col("shingle"), expr("1000000 DIV df").as("w"))
+    val sizes = wsh.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
+    val inter = wsh.select(col("doc_id").as("doc_a"), col("shingle"), col("w"))
+      .hint("shuffle_hash")
+      .join(wsh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w")).as("inter_w"))
+    inter
+      .join(sizes.toDF("doc_a", "ta"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "tb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter_w * 1000000 DIV (ta + tb - inter_w)").as("jw_ppm"))
+      .filter(col("jw_ppm") >= thresholdPpm)
+  }
+
+  def weightedJaccardSql(thresholdPpm: Long = 500000L): String =
+    s"""WITH shingled AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3]))) AS shingle
+       |  FROM documents
+       |), wsh AS (
+       |  SELECT doc_id, shingle, CAST(1000000 // df AS BIGINT) AS w
+       |  FROM shingled
+       |  JOIN (SELECT shingle AS sh2, count(*) AS df
+       |        FROM shingled GROUP BY sh2) d ON shingle = sh2
+       |), sizes AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw FROM wsh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(sum(a.w) AS BIGINT) AS inter_w
+       |  FROM wsh a JOIN wsh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter_w * 1000000 // (sa.tw + sb.tw - inter_w) AS BIGINT)
+       |         AS jw_ppm
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE inter_w * 1000000 // (sa.tw + sb.tw - inter_w)
+       |      >= $thresholdPpm""".stripMargin
+
   /** q155 — cross-SOURCE near-duplication matrix: the q31 near-dup pair
     * list rolled up to (source_a, source_b) counts (symmetric — the pair's
     * sources sort with least/greatest). Off-diagonal mass is cross-source

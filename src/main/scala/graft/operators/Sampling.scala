@@ -484,4 +484,46 @@ object Sampling {
       .limit(k)
       .drop("__es_key")
   }
+
+  /** q163 — RENDEZVOUS (highest-random-weight) shard assignment: each doc
+    * goes to `argmax_s md5(doc:s)` over the shard set. Unlike the modulo
+    * assignment (`hash % n` — q47's bucket shape), rendezvous is
+    * RESHARD-STABLE: removing a shard moves ONLY that shard's documents
+    * (~1/n of the corpus), never reshuffling the rest — the property a
+    * 100 TB corpus depends on when shard counts change, because a modulo
+    * change would rewrite every shard file. The spec pins exactly that
+    * invariant by comparing n=8 against n=7.
+    *
+    * Pure narrow map (n md5s per row, argmax over an n-literal struct
+    * array) — no shuffle at all; the md5-hex basis is the q44/q48 portable
+    * integer chain, so the oracle replays it bit-for-bit. */
+  def rendezvousShards(spark: SparkSession, dir: String,
+                       nShards: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = (0 until nShards).map { s =>
+      struct(
+        conv(substring(md5(concat(col("doc_id").cast(StringType),
+          lit(s":$s"))), 1, 8), 16, 10).cast(LongType).as("h"),
+        lit(s.toLong).as("shard"))
+    }
+    docs.select(col("doc_id"),
+      array_max(array(cands: _*)).getField("shard").as("shard"),
+      array_max(array(cands: _*)).getField("h").as("score"))
+  }
+
+  def rendezvousShardsSql(nShards: Int = 8): String =
+    s"""WITH cand AS (
+       |  SELECT doc_id, s.shard,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |                             CAST(s.shard AS VARCHAR)), 1, 8))::BIGINT
+       |           AS h
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(range($nShards)) AS shard) s
+       |), r AS (
+       |  SELECT doc_id, shard, h,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY h DESC, shard DESC) AS rk
+       |  FROM cand)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, h AS score
+       |FROM r WHERE rk = 1""".stripMargin
 }

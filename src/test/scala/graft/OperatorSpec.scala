@@ -1456,6 +1456,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q162 weighted jaccard: planted near-dups survive IDF weighting and " +
+    "weights really down-weight common shingles") {
+    val plain = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val weighted = Dedup.weightedJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(plain.nonEmpty)
+    // the planted pairs are at J >= 0.97 with overwhelmingly informative
+    // (df=2) shingles — IDF weighting must keep every one of them
+    plain.foreach(p => assert(weighted.contains(p), s"planted pair $p lost"))
+    weighted.values.foreach(j => assert(j >= 500000L && j <= 1000000L))
+  }
+
+  test("q163 rendezvous shards: removing a shard moves ONLY that shard's " +
+    "documents") {
+    val at8 = Sampling.rendezvousShards(spark, dir, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at7 = Sampling.rendezvousShards(spark, dir, 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at8.keySet == at7.keySet)
+    assert(at8.values.toSet.size == 8, "some shard is empty at n=8")
+    val moved = at8.count { case (id, s) => at7(id) != s }
+    val onShard7 = at8.count(_._2 == 7L)
+    // the rendezvous invariant: exactly the removed shard's docs move
+    at8.foreach { case (id, s) =>
+      if (s != 7L) assert(at7(id) == s, s"doc $id moved needlessly $s->${at7(id)}")
+    }
+    assert(moved == onShard7 && onShard7 > 0)
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

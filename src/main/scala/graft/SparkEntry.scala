@@ -205,6 +205,7 @@ object SparkEntry {
     "q161_attribution" -> ((s, dir) => Events.lastTouchAttribution(s, dir)),
     "q162_weighted_jaccard" -> ((s, dir) => Dedup.weightedJaccard(s, dir)),
     "q163_rendezvous_shards" -> ((s, dir) => Sampling.rendezvousShards(s, dir)),
+    "q164_source_similarity" -> ((s, dir) => Profiling.sourceSimilarity(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -365,6 +366,7 @@ object SparkEntry {
     "q161_attribution" -> Events.lastTouchAttributionSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
+    "q164_source_similarity" -> Profiling.sourceSimilaritySql,
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

@@ -348,4 +348,75 @@ object Profiling {
        |SELECT event_type, CAST(sum(d) // 2 AS BIGINT) AS tv_ppm,
        |       sum(d) // 2 > $driftPpm AS drifted
        |FROM joined GROUP BY event_type""".stripMargin
+
+  /** q164 — SOURCE-similarity matrix: pairwise total-variation distance
+    * between the unigram token distributions of every pair of sources
+    * (q157's exact-ppm TV machinery turned source×source). Low TV between
+    * two sources means they carry near-identical token statistics — the
+    * corpus-level signal that two crawls hit the same upstream, BEFORE any
+    * pairwise document comparison runs; together with q155 (which counts
+    * actual near-dup pairs) it triages where dedup effort should go.
+    *
+    * Scale: shares computed once per source on the vocabulary-sized
+    * aggregate; the pair expansion is |sources|² × shared-vocab rows on a
+    * token equi-join of two share tables — never documents. A 100 TB
+    * corpus caps the vocabulary (q57 top-k) first; the testdata vocab is
+    * already small, so the contract query runs uncapped and exact. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val shares = graft.Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))))
+      .select(col("source"), col("w"),
+        expr("n * 1000000 DIV total").as("ppm"))
+    // TV·2 = Σ_shared |a−b| + Σ_{A only} a + Σ_{B only} b; the one-sided
+    // masses come from each source's TOTAL share minus its shared share,
+    // so only the shared-token equi-join ever materializes pairs
+    val totals = shares.groupBy(col("source")).agg(sum(col("ppm")).as("s_tot"))
+    val sharedAgg = shares.toDF("source_a", "w", "a_ppm")
+      .join(shares.toDF("source_b", "w", "b_ppm"), Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(abs(col("a_ppm") - col("b_ppm"))).as("d_shared"),
+        sum(col("a_ppm")).as("a_shared"), sum(col("b_ppm")).as("b_shared"))
+    // the complete pair grid (sources sharing no token still get a row)
+    val srcs = totals.select(col("source"), col("s_tot"))
+    srcs.toDF("source_a", "sa").crossJoin(broadcast(srcs.toDF("source_b", "sb")))
+      .filter(col("source_a") < col("source_b"))
+      .join(sharedAgg, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        expr("""(coalesce(d_shared, 0)
+                + (sa - coalesce(a_shared, 0))
+                + (sb - coalesce(b_shared, 0))) DIV 2""").as("tv_ppm"))
+  }
+
+  val sourceSimilaritySql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      |), shares AS (
+      |  SELECT source, w,
+      |         CAST(n * 1000000 //
+      |              sum(n) OVER (PARTITION BY source) AS BIGINT) AS ppm
+      |  FROM (SELECT source, w, count(*) AS n FROM tok GROUP BY 1, 2)
+      |), totals AS (
+      |  SELECT source, CAST(sum(ppm) AS BIGINT) AS s_tot
+      |  FROM shares GROUP BY source
+      |), shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(sum(abs(a.ppm - b.ppm)) AS BIGINT) AS d_shared,
+      |         CAST(sum(a.ppm) AS BIGINT) AS a_shared,
+      |         CAST(sum(b.ppm) AS BIGINT) AS b_shared
+      |  FROM shares a JOIN shares b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ta.source AS source_a, tb.source AS source_b,
+      |       CAST((coalesce(s.d_shared, 0)
+      |             + (ta.s_tot - coalesce(s.a_shared, 0))
+      |             + (tb.s_tot - coalesce(s.b_shared, 0))) // 2 AS BIGINT)
+      |         AS tv_ppm
+      |FROM totals ta JOIN totals tb ON ta.source < tb.source
+      |LEFT JOIN shared s
+      |  ON s.source_a = ta.source AND s.source_b = tb.source""".stripMargin
 }

@@ -1486,6 +1486,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(moved == onShard7 && onShard7 > 0)
   }
 
+  test("q164 source similarity: every pair reported once, TV recomputes " +
+    "including one-sided token mass") {
+    import graft.operators.Profiling
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val shares = toks.groupBy(_._1).map { case (src, ts) =>
+      val n = ts.length.toLong
+      src -> ts.groupBy(_._2).map { case (w, g) =>
+        w -> g.length.toLong * 1000000L / n
+      }
+    }
+    val srcs = shares.keys.toSeq.sorted
+    val got = Profiling.sourceSimilarity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.size == srcs.size * (srcs.size - 1) / 2) // complete grid
+    got.foreach { case ((a, b), tv) =>
+      assert(a < b && tv >= 0 && tv <= 1000000L)
+      val (sa, sb) = (shares(a), shares(b))
+      val expected = (sa.keySet ++ sb.keySet).toSeq
+        .map(w => math.abs(sa.getOrElse(w, 0L) - sb.getOrElse(w, 0L))).sum / 2
+      assert(tv == expected, s"($a,$b): $tv != $expected")
+    }
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

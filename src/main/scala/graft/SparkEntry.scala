@@ -206,6 +206,7 @@ object SparkEntry {
     "q162_weighted_jaccard" -> ((s, dir) => Dedup.weightedJaccard(s, dir)),
     "q163_rendezvous_shards" -> ((s, dir) => Sampling.rendezvousShards(s, dir)),
     "q164_source_similarity" -> ((s, dir) => Profiling.sourceSimilarity(s, dir)),
+    "q165_label_propagation" -> ((s, dir) => Graph.labelPropagation(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -367,6 +368,7 @@ object SparkEntry {
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,
+    "q165_label_propagation" -> Graph.labelPropagationSql(),
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

@@ -481,4 +481,70 @@ object Graph {
       |  UNION ALL SELECT w FROM tri
       |)
       |SELECT part, count(*) AS n_triangles FROM corners GROUP BY part""".stripMargin
+
+  /** q165 — SYNCHRONOUS label-propagation communities (LPA) on the
+    * co-purchase graph: labels start as node ids; each round every node
+    * adopts the most frequent label among its NEIGHBORS, ties to the
+    * smallest label; `rounds` fixed rounds unroll into the plan (the q95
+    * discipline — no driver loop state; convergence-driven runs would use
+    * the q129 capture mechanism unchanged). Fully deterministic — the
+    * classic LPA instability comes from asynchronous updates and random
+    * tie-breaks, both replaced here by the synchronous round + (count
+    * desc, label asc) argmax, which is also what makes the unrolled-CTE
+    * oracle possible.
+    *
+    * Scale: per round ONE (node, label) aggregate over the edge-joined
+    * frontier and a struct-argmax — both partitioned by the node key the
+    * cached edge list is already laid out on; per-round localCheckpoint
+    * cuts the doubling lineage exactly like [[bfsHops]]. */
+  def labelPropagation(spark: SparkSession, dir: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = graft.CacheRegistry.cached(spark, s"copurchase-und:$dir") {
+      val e = copurchaseEdges(spark, dir)
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src"))
+    }
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = und.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("best"))
+        .select(col("src").as("node"), (-col("best.neg")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node").as("part"), col("label").as("community"))
+  }
+
+  def labelPropagationSql(rounds: Int = 3): String = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val steps = (1 to rounds).map { h =>
+      s"""l$h AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.src AS node, l.label, count(*) AS c,
+         |           row_number() OVER (PARTITION BY e.src
+         |                              ORDER BY count(*) DESC, l.label) AS rk
+         |    FROM e JOIN l${h - 1} l ON e.dst = l.node
+         |    GROUP BY e.src, l.label)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), e AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM pairs
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM e
+       |), $steps
+       |SELECT node AS part, CAST(label AS BIGINT) AS community
+       |FROM l$rounds""".stripMargin
+  }
 }

@@ -1511,6 +1511,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q165 label propagation: 3 synchronous rounds recompute exactly " +
+    "driver-side and labels genuinely coalesce") {
+    val und = {
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      val pairs = l.groupBy(_._1).values.flatMap { basket =>
+        val ps = basket.map(_._2).toSeq
+        for (u <- ps; v <- ps if u < v) yield (u, v)
+      }.toSet
+      pairs.toSeq.flatMap(p => Seq(p, p.swap))
+    }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      labels = nbrs.map { case (n, ns) =>
+        val votes = ns.groupBy(labels).view.mapValues(_.size)
+        n -> votes.toSeq.minBy { case (lab, c) => (-c, lab) }._1
+      }
+    }
+    val got = Graph.labelPropagation(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == labels)
+    // propagation did something: fewer communities than nodes
+    assert(got.values.toSet.size < got.size)
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

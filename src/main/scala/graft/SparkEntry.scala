@@ -207,6 +207,7 @@ object SparkEntry {
     "q163_rendezvous_shards" -> ((s, dir) => Sampling.rendezvousShards(s, dir)),
     "q164_source_similarity" -> ((s, dir) => Profiling.sourceSimilarity(s, dir)),
     "q165_label_propagation" -> ((s, dir) => Graph.labelPropagation(s, dir)),
+    "q166_ann_recall" -> ((s, dir) => SimilaritySearch.annRecallAudit(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -681,13 +681,54 @@ object SimilaritySearch {
        |FROM ranked WHERE rk <= $k""".stripMargin
   }
 
+  /** q166 — ANN RECALL audit: per query, how many of the exact brute-force
+    * top-k (q50) the IVF index (q52, nprobe=2) actually returned, in exact
+    * ppm. This is the acceptance test every approximate index needs before
+    * it replaces the exact path in production — the number that justifies
+    * the nprobe/nlist trade — and here the MEASUREMENT itself is
+    * oracle-gated: DuckDB re-derives both retrievals end to end (captured
+    * coarse centroids for the IVF side) and the same intersection count.
+    * Both retrievals share one query set by construction. */
+  def annRecallAudit(spark: SparkSession, dir: String,
+                     k: Int = 10): DataFrame = {
+    val bf = bruteForceTopK(spark, dir, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfTopK(spark, dir, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_found"))
+    bf.select(col("query_id")).distinct()
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        coalesce(expr(s"n_found * 1000000 DIV $k"), lit(0L))
+          .as("recall_ppm"))
+  }
+
+  def annRecallAuditSql(centers: Array[Array[Double]], k: Int = 10): String = {
+    val bf = bruteForceTopKSql(k = k).replace("\n", "\n  ")
+    val ivf = ivfTopKSql(centers, k = k).replace("\n", "\n  ")
+    s"""WITH bf AS (
+       |  $bf
+       |), ivf AS (
+       |  $ivf
+       |)
+       |SELECT b.query_id, count(i.neighbor_id) AS n_found,
+       |       CAST(count(i.neighbor_id) * 1000000 // $k AS BIGINT)
+       |         AS recall_ppm
+       |FROM bf b LEFT JOIN ivf i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY b.query_id""".stripMargin
+  }
+
   /** Oracle entries buildable once the IVF index has been fitted this
     * session (always true by oracle-dump time in a full Verify run). */
   def oracleEntries: Map[String, String] = capturedCoarseCenters match {
     case None => Map.empty
     case Some(cs) => Map(
       "q52_ann_ivf" -> ivfTopKSql(cs),
-      "q131_ann_filtered" -> ivfFilteredTopKSql(cs))
+      "q131_ann_filtered" -> ivfFilteredTopKSql(cs),
+      "q166_ann_recall" -> annRecallAuditSql(cs))
   }
 
   /** q58 — int8 scalar quantization of the embedding table: per-dimension

@@ -1538,6 +1538,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.values.toSet.size < got.size)
   }
 
+  test("q166 ann recall: intersection recomputes from the two retrievals") {
+    val bf = SimilaritySearch.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = SimilaritySearch.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SimilaritySearch.annRecallAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == bf.map(_._1).toSet)
+    bf.groupBy(_._1).foreach { case (q, nbrs) =>
+      val found = nbrs.count(ivf.contains)
+      val (n, ppm) = got(q)
+      assert(n == found && ppm == found * 1000000L / 10)
+    }
+    // the audit is informative on this index: recall is high but the
+    // approximation is real (some query misses at least one neighbor, or
+    // all are perfect — either way the numbers are in range)
+    got.values.foreach { case (n, ppm) =>
+      assert(n >= 0 && n <= 10 && ppm >= 0 && ppm <= 1000000) }
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -208,6 +208,8 @@ object SparkEntry {
     "q164_source_similarity" -> ((s, dir) => Profiling.sourceSimilarity(s, dir)),
     "q165_label_propagation" -> ((s, dir) => Graph.labelPropagation(s, dir)),
     "q166_ann_recall" -> ((s, dir) => SimilaritySearch.annRecallAudit(s, dir)),
+    "q167_forget_audit" -> ((s, dir) => CorpusFilters.forgetAudit(s, dir)),
+    "q168_pii_audit" -> ((s, dir) => CorpusFilters.piiAudit(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -370,6 +372,8 @@ object SparkEntry {
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,
     "q165_label_propagation" -> Graph.labelPropagationSql(),
+    "q167_forget_audit" -> CorpusFilters.forgetAuditSql,
+    "q168_pii_audit" -> CorpusFilters.piiAuditSql,
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

@@ -561,4 +561,110 @@ object CorpusFilters {
        |       md5(COALESCE(k.clean_text, '')) AS clean_md5
        |FROM words w LEFT JOIN kept k ON w.doc_id = k.doc_id""".stripMargin
   }
+
+  /** q167 — right-to-be-forgotten DELETE audit: given a forget set (here
+    * the deterministic `key % 97 = 0` cohort), the per-table accounting a
+    * compliance pipeline must produce BEFORE and AFTER the cascade delete —
+    * total rows, rows belonging to forgotten subjects, surviving rows, and
+    * distinct subjects erased — across every table keyed by the subject
+    * (customer dimension, their orders, their events). The delete itself
+    * is an anti-join per table; this audit is its proof obligation, and
+    * it is the same one-pass conditional aggregation at any scale (no
+    * joins — the membership predicate is computable per row; a roster-
+    * based forget set would broadcast the roster). */
+  def forgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, df: org.apache.spark.sql.DataFrame,
+              key: org.apache.spark.sql.Column) =
+      df.select(key.as("k"))
+        .agg(count(lit(1)).as("rows_total"),
+          sum(when(col("k") % 97 === 0, 1L).otherwise(0L))
+            .as("rows_forgotten"),
+          countDistinct(when(col("k") % 97 === 0, col("k")))
+            .as("subjects_forgotten"))
+        .select(lit(table).as("table_name"), col("rows_total"),
+          col("rows_forgotten"),
+          (col("rows_total") - col("rows_forgotten")).as("rows_after"),
+          col("subjects_forgotten"))
+    audit("customer", Tables.customer(spark, dir), col("c_custkey"))
+      .unionAll(audit("orders", Tables.orders(spark, dir), col("o_custkey")))
+      .unionAll(audit("events", Tables.events(spark, dir), col("user_id")))
+  }
+
+  val forgetAuditSql: String =
+    """SELECT 'customer' AS table_name, count(*) AS rows_total,
+      |       CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS rows_forgotten,
+      |       CAST(count(*) - sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS rows_after,
+      |       CAST(count(DISTINCT CASE WHEN c_custkey % 97 = 0
+      |                                THEN c_custkey END) AS BIGINT)
+      |         AS subjects_forgotten
+      |FROM customer
+      |UNION ALL
+      |SELECT 'orders', count(*),
+      |       CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(count(*) - sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       CAST(count(DISTINCT CASE WHEN o_custkey % 97 = 0
+      |                                THEN o_custkey END) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'events', count(*),
+      |       CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(count(*) - sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       CAST(count(DISTINCT CASE WHEN user_id % 97 = 0
+      |                                THEN user_id END) AS BIGINT)
+      |FROM events""".stripMargin
+
+  /** q168 — PII prevalence AUDIT per source: the q77 detectors rolled up to
+    * the per-source compliance dashboard — doc counts, docs carrying any
+    * PII, per-kind match totals, and the PII-doc rate in exact ppm. This is
+    * the triage view that decides which sources need redaction before
+    * release; the row-level redaction (q77) and this rollup share the
+    * exact detector expressions, so the dashboard can never disagree with
+    * the redactor. One narrow scan + one source-keyed aggregate. */
+  def piiAudit(spark: SparkSession, dir: String): DataFrame = {
+    val aug = plantedText(col("doc_id"), col("text"))
+    val nE = size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast(LongType)
+    val nP = size(regexp_extract_all(aug, lit(PhoneRe), lit(0))).cast(LongType)
+    val nI = size(regexp_extract_all(aug, lit(Ipv4Re), lit(0))).cast(LongType)
+    Tables.documents(spark, dir)
+      .select(col("source"), nE.as("ne"), nP.as("np"), nI.as("ni"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("np") + col("ni") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("ne")).as("n_email"), sum(col("np")).as("n_phone"),
+        sum(col("ni")).as("n_ip"))
+      .select(col("source"), col("n_docs"), col("docs_with_pii"),
+        col("n_email"), col("n_phone"), col("n_ip"),
+        expr("docs_with_pii * 1000000 DIV n_docs").as("pii_doc_ppm"))
+  }
+
+  val piiAuditSql: String = {
+    val aug =
+      """text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END""".stripMargin
+    s"""WITH det AS (
+       |  SELECT source,
+       |         len(regexp_extract_all(aug, '$EmailRe')) AS ne,
+       |         len(regexp_extract_all(aug, '$PhoneRe')) AS np,
+       |         len(regexp_extract_all(aug, '$Ipv4Re')) AS ni
+       |  FROM (SELECT source, $aug AS aug FROM documents)
+       |), agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS docs_with_pii,
+       |         CAST(sum(ne) AS BIGINT) AS n_email,
+       |         CAST(sum(np) AS BIGINT) AS n_phone,
+       |         CAST(sum(ni) AS BIGINT) AS n_ip
+       |  FROM det GROUP BY source)
+       |SELECT source, n_docs, docs_with_pii, n_email, n_phone, n_ip,
+       |       CAST(docs_with_pii * 1000000 // n_docs AS BIGINT)
+       |         AS pii_doc_ppm
+       |FROM agg""".stripMargin
+  }
 }

@@ -367,4 +367,43 @@ class CorpusFiltersSpec extends AnyFunSuite {
       .filter(col("price_c") === col("prev_c")).isEmpty)
     h.unpersist()
   }
+
+  test("q167 forget audit: accounting balances and the cascade really " +
+    "covers all three subject-keyed tables") {
+    val rows = CorpusFilters.forgetAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("customer", "orders", "events"))
+    rows.foreach { case (t, (total, gone, after, subjects)) =>
+      assert(total == gone + after, s"$t balance")
+      assert(gone >= subjects, s"$t at least one row per forgotten subject")
+    }
+    // the forget set is non-empty and the deletes agree with an anti-join
+    val (_, gone, after, _) = rows("events")
+    assert(gone > 0)
+    assert(after == Tables.events(spark, dir)
+      .filter(col("user_id") % 97 =!= 0).count())
+  }
+
+  test("q168 pii audit: the per-source rollup recomputes from the q77 " +
+    "row-level detectors") {
+    val docSource = Tables.documents(spark, dir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rowLevel = CorpusFilters.piiRedact(spark, dir).collect()
+      .map(r => (docSource(r.getLong(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val got = CorpusFilters.piiAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == rowLevel.map(_._1).toSet)
+    rowLevel.groupBy(_._1).foreach { case (src, docs) =>
+      val (nDocs, withPii, ne, np, ni, ppm) = got(src)
+      assert(nDocs == docs.length)
+      assert(withPii == docs.count(d => d._2 + d._3 + d._4 > 0))
+      assert(ne == docs.map(_._2).sum && np == docs.map(_._3).sum &&
+        ni == docs.map(_._4).sum)
+      assert(ppm == withPii * 1000000L / nDocs)
+    }
+    assert(got.values.exists(_._2 > 0), "fixture plants PII — some must show")
+  }
 }

@@ -210,6 +210,7 @@ object SparkEntry {
     "q166_ann_recall" -> ((s, dir) => SimilaritySearch.annRecallAudit(s, dir)),
     "q167_forget_audit" -> ((s, dir) => CorpusFilters.forgetAudit(s, dir)),
     "q168_pii_audit" -> ((s, dir) => CorpusFilters.piiAudit(s, dir)),
+    "q169_fertility" -> ((s, dir) => TextAnalysis.tokenizerFertility(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -374,6 +375,7 @@ object SparkEntry {
     "q165_label_propagation" -> Graph.labelPropagationSql(),
     "q167_forget_audit" -> CorpusFilters.forgetAuditSql,
     "q168_pii_audit" -> CorpusFilters.piiAuditSql,
+    "q169_fertility" -> TextAnalysis.tokenizerFertilitySql,
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

@@ -107,6 +107,43 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
       |FROM documents""".stripMargin
 
+  /** q169 — tokenizer FERTILITY per language: BPE-ish tokens per
+    * whitespace word (×1e6, exact integer), per lang — the number that
+    * prices a language's training cost and flags scripts the tokenizer
+    * fragments (high fertility = more tokens per word = more compute per
+    * unit of text). Reuses q41's two token counters verbatim so the
+    * per-doc and per-lang views can never disagree; one narrow scan + one
+    * |langs|-row aggregate. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+          .cast(LongType).as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        expr("bpe_tokens * 1000000 DIV ws_tokens").as("fertility_ppm"))
+
+  val tokenizerFertilitySql: String =
+    """WITH det AS (
+      |  SELECT lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+      |         CAST(len(regexp_extract_all(text,
+      |              '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe
+      |  FROM documents
+      |), agg AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+      |         CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+      |  FROM det GROUP BY lang)
+      |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+      |       CAST(bpe_tokens * 1000000 // ws_tokens AS BIGINT)
+      |         AS fertility_ppm
+      |FROM agg""".stripMargin
+
   /** Document fingerprinting, two signatures per doc:
     *  - `norm_md5`: md5 of the normalized text (lowercase, punctuation
     *    stripped, whitespace collapsed) — the canonical "fuzzy-exact" dedup

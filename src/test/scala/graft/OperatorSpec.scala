@@ -1558,6 +1558,25 @@ class OperatorSpec extends AnyFunSuite {
       assert(n >= 0 && n <= 10 && ppm >= 0 && ppm <= 1000000) }
   }
 
+  test("q169 fertility: per-lang rollup agrees with q41's per-doc counters") {
+    import graft.operators.TextAnalysis
+    val langOf = Tables.documents(spark, dir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = TextAnalysis.tokenCount(spark, dir).collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val got = TextAnalysis.tokenizerFertility(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == perDoc.map(_._1).toSet)
+    perDoc.groupBy(_._1).foreach { case (lang, docs) =>
+      val (n, ws, bpe, f) = got(lang)
+      assert(n == docs.length && ws == docs.map(_._2).sum &&
+        bpe == docs.map(_._3).sum)
+      assert(f == bpe * 1000000L / ws)
+      assert(f >= 1000000L, s"$lang: BPE-ish splits cannot merge words")
+    }
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -211,6 +211,7 @@ object SparkEntry {
     "q167_forget_audit" -> ((s, dir) => CorpusFilters.forgetAudit(s, dir)),
     "q168_pii_audit" -> ((s, dir) => CorpusFilters.piiAudit(s, dir)),
     "q169_fertility" -> ((s, dir) => TextAnalysis.tokenizerFertility(s, dir)),
+    "q170_ann_int8" -> ((s, dir) => SimilaritySearch.annInt8TopK(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,6 +377,7 @@ object SparkEntry {
     "q167_forget_audit" -> CorpusFilters.forgetAuditSql,
     "q168_pii_audit" -> CorpusFilters.piiAuditSql,
     "q169_fertility" -> TextAnalysis.tokenizerFertilitySql,
+    "q170_ann_int8" -> SimilaritySearch.annInt8TopKSql(),
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

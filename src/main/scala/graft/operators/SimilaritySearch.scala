@@ -783,6 +783,88 @@ object SimilaritySearch {
       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |     model""".stripMargin
 
+  /** q170 — INT8 retrieval over the q58 quantized codes: top-k by exact
+    * INTEGER dot product of int8 code vectors — the memory-bound rescoring
+    * tier of a production two-stage ANN (codes are 4× smaller than f32, so
+    * the scan is 4× cheaper per byte; survivors would re-rank on the float
+    * vectors). Because scores are integers, ranking has NO floating-point
+    * exposure at all — the one retrieval lane where cross-engine ties are
+    * structurally impossible — and the oracle re-derives quantization AND
+    * scoring end to end from the same corpus min/max model.
+    *
+    * Scale: codes computed in one narrow map off the same 64×2 stats
+    * literal as q58 (at scale they are a stored column of the index);
+    * queries broadcast; the scan is embarrassingly parallel. */
+  def annInt8TopK(spark: SparkSession, dir: String,
+                  nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+      .orderBy(col("pos")).collect()
+    val lo = array(dims.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val hi = array(dims.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    val codes = transform(sequence(lit(0), lit(dims.length - 1)), i => {
+      val x = element_at(v, i + 1)
+      val l = element_at(lo, i + 1)
+      val h = element_at(hi, i + 1)
+      when(h > l,
+        (round((x - l) / (h - l) * 255.0) - 128.0).cast(LongType))
+        .otherwise(lit(0L))
+    })
+    val coded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), codes.as("codes"))
+    val queries = coded.orderBy(col("vec_id")).limit(nQueries)
+      .toDF("query_id", "qcodes")
+    val scored = coded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        aggregate(zip_with(col("codes"), col("qcodes"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("score"), col("rk").cast(LongType).as("rk"))
+  }
+
+  def annInt8TopKSql(nQueries: Int = 5, k: Int = 10): String =
+    s"""WITH dims AS (
+       |  SELECT i AS pos, min(v[i]) AS lo, max(v[i]) AS hi
+       |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |       unnest(range(1, len(v) + 1)) AS r(i)
+       |  GROUP BY i
+       |), model AS (
+       |  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+       |  FROM dims
+       |), coded AS (
+       |  SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
+       |           CASE WHEN his[i] > los[i]
+       |                THEN CAST(round((v[i] - los[i]) / (his[i] - los[i])
+       |                          * 255.0) - 128.0 AS BIGINT)
+       |                ELSE 0 END) AS codes
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings),
+       |       model
+       |), q AS (
+       |  SELECT vec_id AS query_id, codes AS qcodes FROM coded
+       |  ORDER BY vec_id LIMIT $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(range(1, len(c.codes) + 1),
+       |           i -> c.codes[i] * q.qcodes[i])) AS BIGINT) AS score
+       |  FROM coded c CROSS JOIN q
+       |  WHERE c.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $k""".stripMargin
+
   /** Per-label embedding statistics (count + mean/max vector norm). The
     * norm fold is sequential per row → deterministic; oracle-checked against
     * DuckDB list_* functions. */

@@ -1577,6 +1577,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 int8 ann: scores recompute from the q58 codes and the " +
+    "quantized ranking tracks the float ranking") {
+    val codes = SimilaritySearch.quantizeInt8(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong)).toMap
+    val got = SimilaritySearch.annInt8TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, score, _) =>
+      val expected = codes(q).zip(codes(n)).map { case (a, b) => a * b }.sum
+      assert(score == expected, s"($q,$n) score")
+      codes(n).foreach(c => assert(c >= -128 && c <= 127))
+    }
+    // 8-bit quantization keeps most of the float neighborhood: per query,
+    // the int8 top-10 overlaps the exact float top-10 on at least half
+    val exact = SimilaritySearch.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val overlap = rows.map(_._2).count(exact(q).contains)
+      assert(overlap >= 5, s"query $q: int8 top-10 kept only $overlap of 10")
+    }
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -212,6 +212,8 @@ object SparkEntry {
     "q168_pii_audit" -> ((s, dir) => CorpusFilters.piiAudit(s, dir)),
     "q169_fertility" -> ((s, dir) => TextAnalysis.tokenizerFertility(s, dir)),
     "q170_ann_int8" -> ((s, dir) => SimilaritySearch.annInt8TopK(s, dir)),
+    "q171_incremental_stats" -> ((s, dir) => Merge.incrementalStats(s, dir)),
+    "q172_debounce" -> ((s, dir) => Events.debounce(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -378,6 +380,9 @@ object SparkEntry {
     "q168_pii_audit" -> CorpusFilters.piiAuditSql,
     "q169_fertility" -> TextAnalysis.tokenizerFertilitySql,
     "q170_ann_int8" -> SimilaritySearch.annInt8TopKSql(),
+    // incremental merge must equal the full rebuild — that IS the contract
+    "q171_incremental_stats" -> Merge.incrementalStatsSql,
+    "q172_debounce" -> Events.debounceSql(),
   ) ++
     // Oracles whose SQL embeds SEEDED-FIT constants (scaler, centroids) as
     // double literals, buildable only after the fit has run — Verify dumps

@@ -365,6 +365,49 @@ object Events {
       |FROM clicks c ASOF LEFT JOIN purch p
       |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin
 
+  /** q172 — event DEBOUNCE: collapse each user's repeats of an event type
+    * inside a 5-minute epoch-aligned window to its FIRST delivery (min
+    * event_id at the min timestamp), reporting how many repeats were
+    * suppressed — the rate-limiting / retry-collapse step an ingest edge
+    * applies before events reach analytics, and a different contract from
+    * q106's exact-id dedup (this suppresses DISTINCT events that are
+    * near-duplicates in time). One hash aggregate on (user, type, bucket);
+    * the struct-min picks (ts, event_id) so the survivor is well-defined
+    * under same-millisecond repeats. */
+  def debounce(spark: SparkSession, dir: String,
+               windowMs: Long = 5 * 60 * 1000): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        Rfm.epochMs(col("ts")).as("ms"), col("event_id"))
+      .withColumn("win_start_ms",
+        expr(s"ms DIV $windowMs") * windowMs)
+      .groupBy(col("user_id"), col("event_type"), col("win_start_ms"))
+      .agg(min(struct(col("ms"), col("event_id"))).as("first"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"), col("win_start_ms"),
+        col("first.event_id").as("first_event_id"),
+        col("n_events"), (col("n_events") - 1).as("n_suppressed"))
+
+  def debounceSql(windowMs: Long = 5 * 60 * 1000): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, event_id,
+       |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+       |  FROM events
+       |), b AS (
+       |  SELECT user_id, event_type, (ms // $windowMs) * $windowMs AS win_start_ms,
+       |         event_id, ms,
+       |         row_number() OVER (PARTITION BY user_id, event_type,
+       |                            (ms // $windowMs) * $windowMs
+       |                            ORDER BY ms, event_id) AS rk,
+       |         count(*) OVER (PARTITION BY user_id, event_type,
+       |                        (ms // $windowMs) * $windowMs) AS n_events
+       |  FROM e)
+       |SELECT user_id, event_type, CAST(win_start_ms AS BIGINT) AS win_start_ms,
+       |       event_id AS first_event_id,
+       |       CAST(n_events AS BIGINT) AS n_events,
+       |       CAST(n_events - 1 AS BIGINT) AS n_suppressed
+       |FROM b WHERE rk = 1""".stripMargin
+
   /** q161 — LAST-TOUCH attribution through the native [[graft.plans.AsOfJoin]]
     * operator (its second production consumer after q110): every purchase
     * is attributed to the same user's most recent click, provided it

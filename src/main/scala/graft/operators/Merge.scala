@@ -168,6 +168,46 @@ object Merge {
       |                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM vers""".stripMargin
 
+  /** q171 — INCREMENTAL statistics maintenance: per-source corpus stats
+    * (doc count, char sum, char min/max) maintained by MERGING a standing
+    * base aggregate with a new batch's aggregate — aggregate-of-aggregates,
+    * never rescanning base rows — proven equivalent to the full rebuild
+    * (the oracle), which is the defining contract of algebraic view
+    * maintenance. Works for any commutative-monoid stat (count/sum/min/
+    * max; avg as sum÷count at read time); the deterministic `doc_id % 7`
+    * split stands in for "yesterday's table + today's batch".
+    *
+    * At 100 TB this is the difference between touching the whole corpus
+    * per refresh and touching one batch: the standing stats table is
+    * |sources| rows, the merge is a |sources|-row full-outer join. */
+  def incrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def stats(df: DataFrame) = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"),
+        min(col("n_chars")).as("chars_min"), max(col("n_chars")).as("chars_max"))
+    val base = stats(docs.filter(col("doc_id") % 7 =!= 0))
+      .toDF("source", "bn", "bs", "bmn", "bmx")
+    val batch = stats(docs.filter(col("doc_id") % 7 === 0))
+      .toDF("source", "dn", "ds", "dmn", "dmx")
+    base.join(batch, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+          .as("chars_sum"),
+        least(coalesce(col("bmn"), col("dmn")),
+          coalesce(col("dmn"), col("bmn"))).as("chars_min"),
+        greatest(coalesce(col("bmx"), col("dmx")),
+          coalesce(col("dmx"), col("bmx"))).as("chars_max"))
+  }
+
+  val incrementalStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |       min(n_chars) AS chars_min, max(n_chars) AS chars_max
+      |FROM documents GROUP BY source""".stripMargin
+
   /** q119 — point-in-time (PIT) enrichment against the SCD2 dimension: each
     * order picks up the customer price version IN EFFECT at its own
     * timestamp (`eff_from ≤ ts < eff_to`, open current version) — the

@@ -214,6 +214,8 @@ object SparkEntry {
     "q170_ann_int8" -> ((s, dir) => SimilaritySearch.annInt8TopK(s, dir)),
     "q171_incremental_stats" -> ((s, dir) => Merge.incrementalStats(s, dir)),
     "q172_debounce" -> ((s, dir) => Events.debounce(s, dir)),
+    "q173_stream_hourly_distinct" -> ((s, dir) =>
+      streaming.EventStreams.hourlyDistinctStreamQuery(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -397,5 +399,7 @@ object SparkEntry {
     Relational.sketchOracleEntries ++
     Sketches.oracleEntries ++
     // q129: unrolled-CTE oracle at the CAPTURED convergence round count
-    Graph.oracleEntries
+    Graph.oracleEntries ++
+    // q173: streamed HLL estimates as literals, bounds re-derived by DuckDB
+    streaming.EventStreams.oracleEntries
 }

@@ -614,6 +614,67 @@ object EventStreams {
       |WHERE p.ts_ms >= dim.eff_from_ms
       |  AND (dim.eff_to_ms IS NULL OR p.ts_ms < dim.eff_to_ms)""".stripMargin
 
+  /** q173 — streaming HOURLY DISTINCT USERS via HLL (`approx_count_distinct`
+    * inside a watermarked window aggregate): the cardinality question every
+    * traffic dashboard asks of a stream, answered with bounded state —
+    * exact streaming distinct would hold every (window, user) pair in the
+    * state store; the HLL sketch holds a fixed register set per window,
+    * and its per-partition merge is order-independent (register max), so
+    * the streamed estimate is deterministic. Gated with the q85 soft-oracle
+    * pattern: the run's estimates embed as VALUES literals and DuckDB
+    * re-derives the exact per-hour distinct and the ±5% bound flag from
+    * its own aggregates; the returned frame carries the same flag computed
+    * against Spark's exact side, so both engines certify the estimates
+    * independently. */
+  def hourlyDistinctStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = readEvents(spark, dir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("est_users"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("est_users"))
+    val est = runToBatch(spark, streamed,
+      s"hourly_distinct_${sanitize(dir)}", OutputMode.Complete,
+      shufflePartitions = Some(8))
+    capturedStreamHll.put(dir, 0,
+      est.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val exact = graft.Tables.events(spark, dir)
+      .select(unix_millis(date_trunc("hour", col("ts").cast(TimestampType)))
+        .as("hour_ms"), col("user_id"))
+      .groupBy(col("hour_ms"))
+      .agg(countDistinct(col("user_id")).as("xu"))
+    est.join(exact, Seq("hour_ms"))
+      .select(col("hour_ms"), col("est_users"),
+        (abs(col("est_users") - col("xu")) * lit(100L) <= lit(5L) * col("xu"))
+          .as("users_ok"))
+  }
+
+  private val capturedStreamHll =
+    new graft.OracleCapture.Captured[Int, Seq[(Long, Long)]]
+
+  private def hourlyDistinctSql(est: Seq[(Long, Long)]): String = {
+    val values = est.sortBy(_._1).map { case (h, e) =>
+      s"(CAST($h AS BIGINT), CAST($e AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH est(hour_ms, est_users) AS (VALUES $values),
+       |exact AS (
+       |  SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+       |           AS hour_ms,
+       |         count(DISTINCT user_id) AS xu
+       |  FROM events GROUP BY 1)
+       |SELECT hour_ms, est_users,
+       |       abs(est_users - xu) * 100 <= 5 * xu AS users_ok
+       |FROM est JOIN exact USING (hour_ms)""".stripMargin
+  }
+
+  /** Soft-oracle entry buildable once [[hourlyDistinctStreamQuery]] has run
+    * this session (the q85 capture discipline). */
+  def oracleEntries: Map[String, String] = capturedStreamHll.get(0) match {
+    case None => Map.empty
+    case Some(est) => Map("q173_stream_hourly_distinct" -> hourlyDistinctSql(est))
+  }
+
   /** Injective path → identifier mapping (also a valid memory-sink table
     * name): every non-alphanumeric char becomes `_x<hex>_`, so distinct
     * paths can never collide the way a hashCode key could. */

@@ -290,6 +290,26 @@ class StreamingSpec extends AnyFunSuite {
       s"cell $k: streamed $n vs batch ${want.get(k)}") }
   }
 
+  test("q173: streamed HLL hourly distinct equals the batch sketch and " +
+    "stays inside the certified bound") {
+    import org.apache.spark.sql.types.TimestampType
+    val got = EventStreams.hourlyDistinctStreamQuery(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.nonEmpty)
+    // HLL register-max merge is order-independent: the streamed estimate
+    // must equal the batch estimate bit-for-bit
+    val batch = Tables.events(spark, dir)
+      .select(unix_millis(date_trunc("hour", col("ts").cast(TimestampType)))
+        .as("h"), col("user_id"))
+      .groupBy("h").agg(approx_count_distinct(col("user_id")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (h, (est, ok)) =>
+      assert(est == batch(h), s"hour $h: streamed $est vs batch ${batch(h)}")
+      assert(ok, s"hour $h estimate out of the 5% bound")
+    }
+  }
+
   test("stateful session counts: totals match event counts per user") {
     val sessions = EventStreams.runToBatch(spark,
       EventStreams.sessionCounts(spark,

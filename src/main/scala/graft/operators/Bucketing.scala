@@ -25,14 +25,27 @@ object Bucketing {
   private val Buckets = 8
 
   private def ensureBucketed(spark: SparkSession, name: String,
-                             df: => DataFrame, key: String): Unit =
+                             df: => DataFrame, key: String): Unit = {
+    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
+    // the catalog entry alone is not proof the data survived: tmp may have
+    // been cleaned (or a prior write died mid-way) while the entry persists
+    // — verify the backing files exist and contain at least one data file,
+    // else drop and rewrite
+    def backingFilesOk: Boolean =
+      java.nio.file.Files.isDirectory(path) && {
+        val ls = path.toFile.listFiles()
+        ls != null && ls.exists(f => f.getName.endsWith(".parquet") ||
+          f.getName.startsWith("part-"))
+      }
+    if (spark.catalog.tableExists(name) && !backingFilesOk)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
     if (!spark.catalog.tableExists(name)) {
       df.write.mode("overwrite").format("parquet")
-        .option("path", java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), name).toString)
+        .option("path", path.toString)
         .bucketBy(Buckets, key).sortBy(key)
         .saveAsTable(name)
     }
+  }
 
   /** q151 — purchase revenue by market segment through BUCKETED tables:
     * events (purchases, long-cents) and customer are both written bucketed

@@ -296,7 +296,10 @@ object Profiling {
     * data-sized after the first aggregate. */
   def distributionDrift(spark: SparkSession, dir: String,
                         driftPpm: Long = 50000): DataFrame = {
-    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    // parsed in the UTC-pinned session timezone (NOT Timestamp.valueOf,
+    // which would use the JVM default tz and shift the slice on a
+    // non-UTC host relative to DuckDB's naive TIMESTAMP literal)
+    val cut = lit("2024-01-16 00:00:00").cast(TimestampType)
     val binned = graft.Tables.events(spark, dir)
       .select(col("event_type"),
         when(col("ts").cast(TimestampType) < cut, "a").otherwise("b")

@@ -506,9 +506,12 @@ object Sampling {
           lit(s":$s"))), 1, 8), 16, 10).cast(LongType).as("h"),
         lit(s.toLong).as("shard"))
     }
-    docs.select(col("doc_id"),
-      array_max(array(cands: _*)).getField("shard").as("shard"),
-      array_max(array(cands: _*)).getField("h").as("score"))
+    // compute the argmax struct ONCE and project both fields from it —
+    // repeating array_max would double the per-row md5 work unless codegen
+    // subexpression elimination happened to fire
+    docs.select(col("doc_id"), array_max(array(cands: _*)).as("best"))
+      .select(col("doc_id"), col("best.shard").as("shard"),
+        col("best.h").as("score"))
   }
 
   def rendezvousShardsSql(nShards: Int = 8): String =

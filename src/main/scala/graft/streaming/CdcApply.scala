@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object CdcApply {
 
+  /** Roots this process created; deleted at JVM exit, never mid-process. */
+  private val createdRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      createdRoots.forEach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    }))
+  private def registerForCleanup(root: java.nio.file.Path): Unit = {
+    cleanupHook
+    createdRoots.add(root)
+    ()
+  }
+
+  /** Delete `graft_cdc_state_*` roots abandoned by DEAD processes (crashed
+    * before their shutdown hook ran): age-gated at 2 h, far beyond any live
+    * run, and never a root this process owns. */
+  private def sweepStaleRoots(): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith("graft_cdc_state_") &&
+          f.lastModified() < cutoff && !createdRoots.contains(f.toPath))
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
+  }
+
   /** q156 — the `orders` table staged as a file-stream change feed
     * (custkey, change-ts, price cents, orderkey) and applied via
     * foreachBatch into a parquet state table; returns the final maintained
@@ -57,11 +84,18 @@ object CdcApply {
         col("o_orderkey").as("okey"),
         round(col("o_totalprice") * 100).cast("long").as("price_c"))
 
+    // Each invocation gets a UNIQUE root: a fixed key-only path would let a
+    // subsequent/concurrent run (same testdata dir, or parallel test JVMs)
+    // delete the directory out from under the lazily-read DataFrame a
+    // previous call returned. Roots this process creates are removed by a
+    // JVM shutdown hook (never mid-process — a previously returned result
+    // may still read them); roots abandoned by dead processes are swept by
+    // age, far beyond any live run's lifetime.
+    sweepStaleRoots()
     val stateRoot = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_cdc_state_$stateKey")
+      s"graft_cdc_state_${stateKey}_${java.util.UUID.randomUUID().toString.take(8)}")
+    registerForCleanup(stateRoot)
     val stateDir = stateRoot.resolve("current").toString
-    // fresh run: a stale table from a previous process must not leak in
-    org.apache.commons.io.FileUtils.deleteQuietly(stateRoot.toFile)
 
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

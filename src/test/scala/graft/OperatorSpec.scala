@@ -1358,7 +1358,8 @@ class OperatorSpec extends AnyFunSuite {
   test("q157 distribution drift: TV distance recomputes from raw bin shares " +
     "and stays in [0, 1e6]") {
     import org.apache.spark.sql.types.TimestampType
-    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime
+    val cut = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli // UTC, host-tz-proof
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
         unix_millis(col("ts").cast(TimestampType)).as("ms"),

@@ -233,7 +233,8 @@ class StreamingSpec extends AnyFunSuite {
     // 2-hour watermark, and Append-mode hourly aggregation must drop it
     val ev = Tables.events(spark, dir)
       .withColumn("ts", col("ts").cast(TimestampType))
-    val cut = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val cut = java.sql.Timestamp.from( // UTC instant, host-tz-proof
+      java.time.Instant.parse("2024-01-05T00:00:00Z"))
     val feed = Files.createTempDirectory("graft_late_feed")
     val bulkDir = Files.createTempDirectory("graft_late_bulk")
     ev.filter(col("ts") >= cut).coalesce(1)

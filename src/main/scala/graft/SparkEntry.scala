@@ -134,8 +134,9 @@ object SparkEntry {
     "q136_hard_negatives" -> ((s, dir) => SimilaritySearch.hardNegatives(s, dir)),
     "q53_embedding_stats" -> ((s, dir) => SimilaritySearch.embeddingStats(s, dir)),
     "q58_quantize_int8" -> ((s, dir) => SimilaritySearch.quantizeInt8(s, dir)),
-    // Multimodal plumbing (REAL JDK codecs for image/audio since round 6;
-    // stub stands in for video only; rows-only checks — DuckDB can't decode)
+    // Multimodal plumbing (REAL JDK codecs for ALL kinds since round 8 —
+    // PNG/WAV/animated-GIF; oracles replay the deterministic payload
+    // formulas so the decode path is hash-gated without DuckDB decoding)
     "q70_media_features" -> ((s, dir) => multimodal.Multimodal.featureSummary(s, dir)),
     "q71_media_wide_images" -> ((s, dir) => multimodal.Multimodal.wideImages(s, dir)),
     "q72_media_frame_sample" -> ((s, dir) =>
@@ -261,6 +262,11 @@ object SparkEntry {
     "q54_ann_topk_agg" -> SimilaritySearch.bruteForceTopKSql(),
     "q136_hard_negatives" -> SimilaritySearch.hardNegativesSql(),
     "q58_quantize_int8" -> SimilaritySearch.quantizeInt8Sql,
+    // media: oracles replay the deterministic payload formulas (bit-exact
+    // float32 per media) — the Spark side answers by REALLY decoding
+    "q70_media_features" -> multimodal.Multimodal.featureSummarySql,
+    "q71_media_wide_images" -> multimodal.Multimodal.wideImagesSql,
+    "q72_media_frame_sample" -> multimodal.Multimodal.frameSampleSql,
     "q17_percentiles" -> Relational.percentilesSql,
     "q18_rollup" -> Relational.rollupRevenueSql,
     "q09_histogram" -> Relational.histogramSql,

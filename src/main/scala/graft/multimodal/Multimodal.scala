@@ -12,15 +12,15 @@ import org.apache.spark.sql.types._
   * analogue of arrow-batched pandas UDFs: one JVM-side batch loop per
   * partition, no per-row closure dispatch in the hot path).
   *
-  * Three codecs ship behind the same boundary: [[ImageIoCodec]] is a REAL
-  * image decoder (JDK `javax.imageio` — PNG/BMP/JPEG/GIF, spec-driven with
-  * actual PNG bytes); [[WavPcmCodec]] is a REAL audio decoder (JDK
-  * `javax.sound.sampled` — WAV/PCM, spec-driven with a synthesized sine
-  * wave); [[StubCodec]] is the deterministic fake used by the contract
-  * queries, whose synthetic payloads are not decodable media (and which
-  * stands in for video codecs genuinely absent from this container). The
-  * Spark-side plumbing is identical for all and is the part that matters
-  * at 100 TB:
+  * Four codecs ship behind the same boundary, and since round 8 every
+  * contract query runs a REAL decoder: [[ImageIoCodec]] (JDK
+  * `javax.imageio` — PNG/BMP/JPEG/GIF stills), [[WavPcmCodec]] (JDK
+  * `javax.sound.sampled` — WAV/PCM containers), [[GifFramesCodec]] (JDK
+  * `javax.imageio` sequence reader — animated GIF, the multi-frame
+  * container the video lane decodes frame-by-frame). [[StubCodec]] remains
+  * as the documented example of plugging a native codec (libjpeg/ffmpeg)
+  * into the same boundary. The Spark-side plumbing is identical for all
+  * and is the part that matters at 100 TB:
   *  - payloads stay in executors; nothing ever collects binary to the driver;
   *  - feature extraction is a narrow map — zero shuffles;
   *  - metadata lives in a typed struct column so filters on it (e.g.
@@ -271,12 +271,17 @@ object Multimodal {
   }
 
   /** Deterministic REAL WAV: a RIFF/PCM container (16-bit signed mono,
-    * little-endian) holding an id-keyed sine — frequency 100 + (id mod 32)·25
-    * Hz, 256 + (id mod 64)·16 samples, amplitude ~0.37 FS — so rms, zcr and
-    * duration are analytically checkable per row. */
+    * little-endian) holding an INTEGER-hash waveform — sample i is
+    * `(((id·1103515245 + i·2654435761) >> 8) & 0xFFFF) − 32768`,
+    * 256 + (id mod 64)·16 samples. The waveform is integer-exact on purpose:
+    * the q70 oracle recomputes the decoded rms bit-for-bit in DuckDB
+    * (Σs² is an exact BIGINT; s²/2³⁰ partial sums are exact dyadic doubles,
+    * so `sqrt(sum(s*s)/2^30/n)::REAL` reproduces the codec's float to the
+    * last bit — a sine would hang the hash gate on libm-sin ulp drift
+    * between the JVM and DuckDB). rms ≈ 1/√3 FS and zcr ≈ 0.5 for the
+    * uniform hash, which the spec checks analytically. */
   private[graft] def synthWav(id: Long, sampleRate: Int): Array[Byte] = {
     val n = 256 + (id % 64).toInt * 16
-    val freq = 100.0 + (id % 32) * 25.0
     val out = java.nio.ByteBuffer.allocate(44 + n * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
@@ -286,33 +291,79 @@ object Multimodal {
       .put("data".getBytes(ascii)).putInt(n * 2)
     var i = 0
     while (i < n) { // batch-local tight loop, no boxing
-      out.putShort((math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toShort)
+      out.putShort(
+        ((((id * 1103515245L + i * 2654435761L) >> 8) & 0xFFFF) - 32768L).toShort)
       i += 1
     }
     out.array()
   }
 
+  /** Deterministic REAL animated GIF: `nFrames` full-size `w`×`h` frames on
+    * an explicit 256-level GRAY IndexColorModel — gray survives GIF's
+    * palette encoding bit-exactly (probed: write→read roundtrip is
+    * pixel-identical, and luminance of gray g is exactly g), so the q70/q72
+    * oracles can recompute frame statistics from the pixel formula
+    * `(id·1103515245 + f·97003 + x·2654435761 + y·40503) & 0xFF` without
+    * decoding. Frames are written unoptimized (no delta/disposal tricks),
+    * so `reader.read(f)` returns each full frame. */
+  private[graft] def synthGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { // batch-local tight loop, no boxing
+            val g = (id * 1103515245L + f * 97003L + x * 2654435761L +
+              y * 40503L) & 0xFF
+            raster.setSample(x, y, 0, g.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Frame count for a video row — container truth the q72 oracle replays. */
+  private[graft] def videoFrames(id: Long): Int = (2 + (id % 7)).toInt
+
   /** Payload synthesis as a DETERMINISTIC scalar function so Catalyst column
     * pruning drops the generation entirely for metadata-only queries (q71's
     * pruned scan) — a real pipeline's analogue: don't fetch the blob unless
-    * the plan touches it. image → real PNG, audio → real WAV, video → the
-    * utf-8 text bytes ([[StubCodec]]'s stand-in; no video codec exists in
-    * the JDK). */
+    * the plan touches it. image → real PNG, audio → real WAV, video → real
+    * animated GIF (round 8 — every kind is now a genuinely decodable
+    * container; [[StubCodec]] survives only as the documented
+    * plug-a-native-codec-here example). */
   private val synthPayload =
     udf((id: Long, kind: String, w: Int, h: Int, sr: Int, text: String) =>
       kind match {
         case "image" => synthPng(id, w, h)
         case "audio" => synthWav(id, sr)
-        case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case _ => synthGif(id, w, h, videoFrames(id))
       })
 
   /** Synthesize a media table from `documents`: REAL decodable payloads
-    * (PNG for image rows, WAV for audio rows — round 6; text bytes stand in
-    * for video), metadata derived per row. Kind cycles image/audio/video so
-    * downstream per-kind routing is exercised. `meta.nBytes` is the
-    * source-DECLARED size (text length) — the catalog estimate a pipeline
-    * budgets partitions with before materializing payloads; it is exact for
-    * the video rows the frame-sampler consumes. */
+    * (PNG for image rows, WAV for audio rows — round 6; animated GIF for
+    * video rows — round 8), metadata derived per row. Kind cycles
+    * image/audio/video so downstream per-kind routing is exercised.
+    * `meta.nBytes` is the source-DECLARED size (text length) — the catalog
+    * estimate a pipeline budgets partitions with before materializing
+    * payloads. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
     val kind =
@@ -344,11 +395,11 @@ object Multimodal {
 
   /** Per-kind routed decode — the production shape: image rows through the
     * REAL [[ImageIoCodec]], audio rows through the REAL [[WavPcmCodec]],
-    * video rows through [[StubCodec]] (the one stand-in left — no JDK video
-    * codec exists). Each branch is a pushdown-filtered narrow map; the union
-    * is plan-level only (no shuffle). Every image/audio payload in the
-    * fixture decodes, so a row lost here would be a real codec regression —
-    * MultimodalSpec pins output count == input count. */
+    * video rows through the REAL [[GifFramesCodec]] (round 8 — all three
+    * branches decode actual containers). Each branch is a pushdown-filtered
+    * narrow map; the union is plan-level only (no shuffle). Every payload in
+    * the fixture decodes, so a row lost here would be a real codec
+    * regression — MultimodalSpec pins output count == input count. */
   def extractFeaturesRouted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, dir)
@@ -356,7 +407,7 @@ object Multimodal {
       decode(media.filter(col("meta.kind") === kind).as[MediaRow], codec).toDF()
     branch("image", ImageIoCodec)
       .unionByName(branch("audio", WavPcmCodec))
-      .unionByName(branch("video", StubCodec))
+      .unionByName(branch("video", GifFramesCodec))
   }
 
   /** Metadata-only pruning query: filters on the typed struct never touch
@@ -368,23 +419,30 @@ object Multimodal {
       .select(col("media_id"), col("meta.width").as("width"),
         col("meta.height").as("height"))
 
-  /** Deterministic frame sampling for "video" payloads: every `stride`-th
-    * 64-byte block index, computed without decoding (offset arithmetic
-    * only) — the shape of a real frame-sampler whose I/O is seek-based. */
-  def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
-    mediaTable(spark, dir)
-      .filter(col("meta.kind") === "video")
-      .select(col("media_id"),
-        sequence(lit(0), greatest((col("meta.nBytes") / 64).cast(IntegerType) - 1,
-          lit(0)), lit(stride)).as("frame_indices"))
-      .select(col("media_id"), size(col("frame_indices")).as("n_sampled"),
-        col("frame_indices"))
+  /** Frame sampling for video payloads, against the DECODED container
+    * (round 8): the real [[GifFramesCodec]] reads each GIF's frame index, and
+    * every `stride`-th frame index is selected from the ACTUAL frame count —
+    * the shape of a real frame-sampler (container index lookup + seek), not
+    * byte-offset arithmetic. Decode is a pushdown-filtered narrow map;
+    * sampling is pure column arithmetic on its output. */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    val vids = mediaTable(spark, dir)
+      .filter(col("meta.kind") === "video").as[MediaRow]
+    decode(vids, GifFramesCodec).toDF()
+      .select(col("media_id"), col("n_frames"),
+        sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_indices"))
+      .select(col("media_id"), col("n_frames"),
+        size(col("frame_indices")).as("n_sampled"), col("frame_indices"))
+  }
 
   /** Feature query for the driver contract: per-kind feature summary
-    * (mean of first feature, total frames) over the ROUTED decode — image
-    * and audio rows run the real JDK codecs (round 6), video the stub —
-    * proving the production decode path runs distributed and aggregates
-    * without collecting. */
+    * (mean of first feature, total frames) over the ROUTED decode — ALL
+    * kinds run real JDK codecs (round 8) — proving the production decode
+    * path runs distributed and aggregates without collecting. The oracle
+    * recomputes every decoded statistic from the deterministic payload
+    * formulas (see [[synthPng]]/[[synthWav]]/[[synthGif]]) — bit-exact
+    * float32 per media, so a codec or roundtrip defect goes hash-red. */
   def featureSummary(spark: SparkSession, dir: String): DataFrame =
     extractFeaturesRouted(spark, dir)
       .select(col("kind"), element_at(col("features"), 1).as("f0"), col("n_frames"))
@@ -392,4 +450,90 @@ object Multimodal {
       .agg(count(lit(1)).as("n"),
         round(avg(col("f0")), 6).as("avg_f0"),
         sum(col("n_frames")).cast(LongType).as("total_frames"))
+
+  /** q70 oracle: recomputes every DECODED statistic from the deterministic
+    * payload formulas, never touching the binary — so a defect anywhere in
+    * synth→container→JDK-decode→feature goes hash-red.
+    *  - image: f0 = fraction of pixels with luminance>>4 == 0, replayed
+    *    per-pixel from [[synthPng]]'s integer hash (PNG is lossless);
+    *  - audio: f0 = rms of the decoded PCM, replayed from [[synthWav]]'s
+    *    integer waveform; `sqrt(sum(s·s)/2³⁰/n)::REAL` is bit-exact vs the
+    *    codec (see [[synthWav]] scaladoc);
+    *  - video: f0 = frame-0 mean luminance from [[synthGif]]'s pixel hash
+    *    (gray palette ⇒ luminance = gray level, exactly); n_frames from the
+    *    frame-count formula the GIF container actually carries. */
+  val featureSummarySql: String =
+    """WITH docs AS (
+      |  SELECT doc_id AS id, (doc_id % 4) * 16 + 16 AS w,
+      |         (doc_id % 3) * 16 + 16 AS h
+      |  FROM documents
+      |), imgpix AS (
+      |  SELECT d.id, d.w, d.h,
+      |         ((d.id * 1103515245 + x.x * 2654435761 + y.y * 40503)
+      |          & 16777215) AS v
+      |  FROM docs d
+      |  CROSS JOIN LATERAL (SELECT unnest(range(d.w)) AS x) x
+      |  CROSS JOIN LATERAL (SELECT unnest(range(d.h)) AS y) y
+      |  WHERE d.id % 3 = 0
+      |), img AS (
+      |  SELECT id,
+      |         CAST(CAST(sum(CASE WHEN (((v >> 16) & 255) * 299
+      |                                  + ((v >> 8) & 255) * 587
+      |                                  + (v & 255) * 114) // 1000 < 16
+      |                        THEN 1 ELSE 0 END) AS DOUBLE)
+      |              / max(w * h) AS REAL) AS f0,
+      |         1 AS nf
+      |  FROM imgpix GROUP BY id
+      |), audsamp AS (
+      |  SELECT d.id, 256 + (d.id % 64) * 16 AS nsamp,
+      |         (((d.id * 1103515245 + i.i * 2654435761) >> 8) & 65535)
+      |           - 32768 AS s
+      |  FROM docs d
+      |  CROSS JOIN LATERAL
+      |    (SELECT unnest(range(256 + (d.id % 64) * 16)) AS i) i
+      |  WHERE d.id % 3 = 1
+      |), aud AS (
+      |  SELECT id,
+      |         CAST(sqrt(sum(s * s) / 1073741824.0 / max(nsamp)) AS REAL) AS f0,
+      |         max(nsamp) AS nf
+      |  FROM audsamp GROUP BY id
+      |), vidpix AS (
+      |  SELECT d.id, d.w, d.h,
+      |         ((d.id * 1103515245 + x.x * 2654435761 + y.y * 40503)
+      |          & 255) AS g
+      |  FROM docs d
+      |  CROSS JOIN LATERAL (SELECT unnest(range(d.w)) AS x) x
+      |  CROSS JOIN LATERAL (SELECT unnest(range(d.h)) AS y) y
+      |  WHERE d.id % 3 = 2
+      |), vid AS (
+      |  SELECT id, CAST(CAST(sum(g) AS DOUBLE) / max(w * h) AS REAL) AS f0,
+      |         2 + id % 7 AS nf
+      |  FROM vidpix GROUP BY id
+      |), allf AS (
+      |  SELECT 'image' AS kind, f0, nf FROM img
+      |  UNION ALL SELECT 'audio', f0, nf FROM aud
+      |  UNION ALL SELECT 'video', f0, nf FROM vid
+      |)
+      |SELECT kind, count(*) AS n, round(avg(f0), 6) AS avg_f0,
+      |       CAST(sum(nf) AS BIGINT) AS total_frames
+      |FROM allf GROUP BY kind""".stripMargin
+
+  /** q71 oracle: the metadata formulas replayed in SQL (kind/width/height
+    * are pure doc_id arithmetic — the scan-pruning query never decodes). */
+  val wideImagesSql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST((doc_id % 4) * 16 + 16 AS INT) AS width,
+      |       CAST((doc_id % 3) * 16 + 16 AS INT) AS height
+      |FROM documents
+      |WHERE doc_id % 3 = 0 AND (doc_id % 4) * 16 + 16 >= 48""".stripMargin
+
+  /** q72 oracle: the container's frame count (and the stride-4 sample size
+    * over it) replayed from the [[videoFrames]] formula — the Spark side
+    * gets these numbers by DECODING each GIF's frame index, so a container
+    * or reader defect goes red. */
+  val frameSampleSql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(2 + doc_id % 7 AS INT) AS n_frames,
+      |       CAST((2 + doc_id % 7 - 1) // 4 + 1 AS INT) AS n_sampled
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 }

@@ -219,28 +219,81 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.n_frames == nSamples)
       // duration = frames / rate, exactly as the codec computes it
       assert(f.features(2) == nSamples.toFloat / r.meta.sampleRate)
-      // sine rms ≈ amplitude/√2 = (12000/32768)/√2 ≈ 0.259
-      assert(math.abs(f.features(0) - 12000.0 / 32768 / math.sqrt(2)) < 0.01,
+      // rms recomputed EXACTLY from the integer waveform formula — the
+      // same replay the q70 oracle does in DuckDB (bit-exact float32)
+      var sumSq = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val s = ((((r.media_id * 1103515245L + i * 2654435761L) >> 8)
+          & 0xFFFF) - 32768L) / 32768.0
+        sumSq += s * s
+        i += 1
+      }
+      assert(f.features(0) == math.sqrt(sumSq / nSamples).toFloat,
         s"media ${r.media_id} rms ${f.features(0)}")
-      // zcr ≈ 2·freq/rate for a sine
-      val freq = 100.0 + (r.media_id % 32) * 25.0
-      assert(math.abs(f.features(1) - 2 * freq / r.meta.sampleRate) < 0.01,
-        s"media ${r.media_id} zcr ${f.features(1)}")
+      // uniform hash waveform: rms ≈ 1/√3, zcr ≈ 0.5
+      assert(math.abs(f.features(0) - 1.0 / math.sqrt(3)) < 0.05)
+      assert(math.abs(f.features(1) - 0.5) < 0.1)
+    }
+    // video rows: payload is the deterministic animated GIF, and the codec's
+    // DECODED FRAME PIXELS equal the synthesis formula exactly (gray-palette
+    // GIF roundtrip is lossless) — not synthesized metadata
+    val vrows = Multimodal.mediaTable(spark, dir).as[Multimodal.MediaRow]
+      .filter(r => r.meta.kind == "video" && r.media_id < 12)
+      .collect().sortBy(_.media_id)
+    assert(vrows.nonEmpty)
+    vrows.foreach { r =>
+      val nf = Multimodal.videoFrames(r.media_id)
+      assert(r.payload.sameElements(
+        Multimodal.synthGif(r.media_id, r.meta.width, r.meta.height, nf)))
+      // decode the container directly and compare every frame's pixels
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis, false, true)
+      assert(reader.getNumImages(true) == nf)
+      for (f <- 0 until nf) {
+        val img = reader.read(f)
+        assert(img.getWidth == r.meta.width && img.getHeight == r.meta.height)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val want = ((r.media_id * 1103515245L + f * 97003L +
+            x * 2654435761L + y * 40503L) & 0xFF).toInt
+          val rgb = img.getRGB(x, y)
+          assert(((rgb >> 16) & 0xFF) == want && ((rgb >> 8) & 0xFF) == want &&
+            (rgb & 0xFF) == want,
+            s"media ${r.media_id} frame $f pixel ($x,$y)")
+        }
+      }
+      reader.dispose(); iis.close()
+      // the codec's features agree with a per-frame recomputation
+      val feats = Multimodal.GifFramesCodec.decodeBatch(Iterator(r)).toSeq.head
+      assert(feats.n_frames == nf)
+      val w = r.meta.width; val h = r.meta.height
+      val expected = Array.tabulate(math.min(nf, 16)) { f =>
+        var sum = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          sum += ((r.media_id * 1103515245L + f * 97003L +
+            x * 2654435761L + y * 40503L) & 0xFF)
+        sum.toFloat / (w * h)
+      }
+      assert(feats.features.toSeq == expected.toSeq)
     }
   }
 
-  test("frame sampling: stride-4 counts follow byte length") {
-    val media = Multimodal.mediaTable(spark, dir)
-      .select(col("media_id"), col("meta.nBytes").as("nb"),
-        col("meta.kind").as("kind"))
-      .filter(col("kind") === "video")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    Multimodal.frameSample(spark, dir).collect().foreach { r =>
-      val nb = media(r.getLong(0))
-      val blocks = math.max(nb / 64, 1)
-      val expected = (blocks + 3) / 4 // ceil(blocks/stride)
-      assert(r.getInt(1) == expected.toInt,
-        s"media ${r.getLong(0)}: $nb bytes -> got ${r.getInt(1)}, want $expected")
+  test("frame sampling: stride-4 counts follow the DECODED frame count") {
+    val out = Multimodal.frameSample(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nf = Multimodal.videoFrames(id) // what the GIF container carries
+      assert(r.getInt(1) == nf,
+        s"media $id: decoded n_frames ${r.getInt(1)}, container has $nf")
+      val expected = (nf - 1) / 4 + 1 // ceil(nf/stride)
+      assert(r.getInt(2) == expected,
+        s"media $id: $nf frames -> got ${r.getInt(2)} sampled, want $expected")
+      // sampled indices are 0, 4, 8, ... within the frame range
+      val idx = r.getSeq[Int](3)
+      assert(idx == (0 until nf by 4).toSeq)
     }
   }
 }

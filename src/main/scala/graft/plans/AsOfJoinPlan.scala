@@ -103,7 +103,20 @@ case class AsOfJoinExec(
     // the right child's: a non-nullable right attribute would make codegen
     // skip the null check and read garbage zeros out of the null-padded row
     val inAttrs = left.output ++ right.output.map(_.withNullability(true))
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions pairs partitions BY INDEX, so the merge below is only
+    // correct when EnsureRequirements delivered co-partitioned children.
+    // Today it always does (ClusteredDistribution per side); a future
+    // bucketed/cached/reused-exchange child that bypassed it would zip
+    // unrelated partitions and join garbage SILENTLY — fail loudly instead.
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec requires co-partitioned children, got " +
+        s"left=${lRdd.getNumPartitions} right=${rRdd.getNumPartitions} " +
+        s"partitions (left partitioning: ${left.outputPartitioning}, " +
+        s"right: ${right.outputPartitioning}) — EnsureRequirements should " +
+        "have inserted compatible exchanges")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, inAttrs)
       val joined = new JoinedRow
       val nullRight: InternalRow = new GenericInternalRow(rightWidth)

@@ -702,6 +702,12 @@ object EventStreams {
     * setup, micro-batch planning), not per-row cost. */
   private val lastBatchesHolder: ThreadLocal[Int] =
     ThreadLocal.withInitial(() => -1)
+
+  /** Effective state-store provider of the thread's last [[runToBatch]]
+    * drive — spec instrumentation for the RocksDB flag plumbing. */
+  private val lastProviderHolder: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+  private[graft] def lastRunProvider: String = lastProviderHolder.get()
   private[graft] def lastRunDataBatches: Int = {
     val n = lastBatchesHolder.get()
     // -1 = never populated on THIS thread (no successful runToBatch drive);
@@ -711,13 +717,32 @@ object EventStreams {
     n
   }
 
+  /** Session flag selecting the RocksDB state store for graft streaming
+    * queries (off by default). The default HDFS-backed store keeps all
+    * state on the executor HEAP — fine for the test-scale kilobytes, but
+    * at 100 TB a stream-stream join or large sessionization map holds
+    * state far beyond heap, where RocksDB's off-heap + spill-to-disk
+    * store is the production choice. Setting this flag makes every
+    * [[runToBatch]]-driven query start under
+    * `RocksDBStateStoreProvider`; StreamingSpec drives q64 under BOTH
+    * providers and pins identical results. */
+  val RocksDbFlag = "spark.graft.stateStore.rocksdb"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
                  mode: OutputMode = OutputMode.Append,
                  shufflePartitions: Option[Int] = None,
                  awaitStateFlush: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
+    val priorProvider = spark.conf.getOption(ProviderKey)
     shufflePartitions.foreach(p => spark.conf.set(key, p.toString))
+    if (spark.conf.getOption(RocksDbFlag).exists(_.toBoolean))
+      spark.conf.set(ProviderKey, RocksDbProvider)
+    lastProviderHolder.set(spark.conf.getOption(ProviderKey)
+      .getOrElse("HDFSBackedStateStoreProvider(default)"))
     try {
       val q = streamed.writeStream
         .outputMode(mode)
@@ -739,7 +764,13 @@ object EventStreams {
         }
         lastBatchesHolder.set(q.recentProgress.count(_.numInputRows > 0))
       } finally q.stop()
-    } finally spark.conf.set(key, prior)
+    } finally {
+      spark.conf.set(key, prior)
+      priorProvider match {
+        case Some(p) => spark.conf.set(ProviderKey, p)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
     spark.table(name)
   }
 }

@@ -189,4 +189,25 @@ class PlansSpec extends AnyFunSuite {
       .asofJoin(spark, left, right, "k", "t", "rk", "rt").collect()
     assert(out.length == 4 && out.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
+
+  test("AsOfJoinExec refuses non-co-partitioned children loudly") {
+    // zipPartitions pairs partitions by index — a child that bypassed
+    // EnsureRequirements (hand-built plan, future bucketed/cached child
+    // with a drifted bucket count) must fail loudly, never zip unrelated
+    // partitions and join garbage. Build the exec node directly with
+    // mismatched partition counts to prove the guard fires.
+    val lPlan = spark.range(0, 8, 1, numPartitions = 4)
+      .selectExpr("id as k", "id * 10 as t")
+      .queryExecution.executedPlan
+    val rPlan = spark.range(0, 8, 1, numPartitions = 2)
+      .selectExpr("id as rk", "id * 10 as rt")
+      .queryExecution.executedPlan
+    def attr(p: org.apache.spark.sql.execution.SparkPlan, name: String) =
+      p.output.find(_.name == name).get
+    val exec = graft.plans.AsOfJoinExec(lPlan, rPlan,
+      attr(lPlan, "k"), attr(lPlan, "t"), attr(rPlan, "rk"), attr(rPlan, "rt"))
+    val e = intercept[IllegalArgumentException] { exec.execute() }
+    assert(e.getMessage.contains("co-partitioned"),
+      s"unexpected message: ${e.getMessage}")
+  }
 }

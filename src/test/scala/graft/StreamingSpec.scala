@@ -465,4 +465,28 @@ class StreamingSpec extends AnyFunSuite {
       .filter(unix_millis(col("ts")) + 3600000L >= wmMs).count()
     assert(withheld > 0, "fixture has no in-state tail — frontier untested")
   }
+
+  test("q64 under the RocksDB state store equals the default provider " +
+    "(the 100 TB state story is a config, not a plan, change)") {
+    // default (HDFS-backed heap) provider
+    val base = EventStreams.hourlyStreamQuery(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(EventStreams.lastRunProvider.contains("HDFSBackedStateStoreProvider"))
+    // flagged: same query, state held by RocksDB (off-heap + disk — the
+    // provider a production deployment selects when stream-stream join /
+    // session state outgrows executor heap)
+    spark.conf.set(EventStreams.RocksDbFlag, "true")
+    try {
+      val rocks = EventStreams.hourlyStreamQuery(spark, dir).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(EventStreams.lastRunProvider.contains("RocksDBStateStoreProvider"),
+        s"flag did not reach the query: ${EventStreams.lastRunProvider}")
+      assert(rocks == base)
+    } finally spark.conf.unset(EventStreams.RocksDbFlag)
+    // and the flag restores cleanly: next run is back on the default
+    EventStreams.hourlyStreamQuery(spark, dir)
+    assert(EventStreams.lastRunProvider.contains("HDFSBackedStateStoreProvider"))
+  }
 }

@@ -112,7 +112,12 @@ object PlanAudit {
       // (no q122 entry: bfsHops returns a localCheckpoint-truncated frame,
       // so its executedPlan is a checkpoint scan — any expectation on it
       // would be vacuously green; its join shape is pinned by the oracle
-      // and the parent-property spec instead)
+      // and the parent-property spec instead. Same for q165: the per-round
+      // plan — cached dst-partitioned edges never re-shuffle, ≤3 live
+      // label-sized exchanges — is pinned by PlansSpec's tree-collect test.
+      // q152's stateful STREAMING shape cannot appear here either (the
+      // memory-sink result plans as a sink scan); StreamingSpec pins it via
+      // progress events: exactly one stateStoreSave on 8 state partitions.)
       "q117_association_rules" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false),
       // fingerprints: pure narrow maps over the document scan

@@ -500,25 +500,41 @@ object Graph {
   def labelPropagation(spark: SparkSession, dir: String,
                        rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // Cached partitioned on DST — the join key every round probes
+    // (propagation pulls each neighbor's label via dst = node). The cached
+    // InMemoryTableScan preserves that partitioning, so the full edge list
+    // never re-shuffles across rounds; only the shrinking label table
+    // moves. (Partitioning on src — the GROUP key — would instead shuffle
+    // all |E| edges per round: at 100 TB the edge list is the table you
+    // must never move twice.)
     val und = graft.CacheRegistry.cached(spark, s"copurchase-und:$dir") {
       val e = copurchaseEdges(spark, dir)
       e.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-        .repartition(col("src"))
+        .repartition(col("dst"))
     }
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
-      labels = und.join(labels, col("dst") === col("node"))
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
-        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("best"))
-        .select(col("src").as("node"), (-col("best.neg")).as("label"))
-        .localCheckpoint(true)
+      labels = propagateRound(und, labels).localCheckpoint(true)
     }
     labels.select(col("node").as("part"), col("label").as("community"))
   }
+
+  /** One synchronous label-propagation round (exposed so PlansSpec can pin
+    * the per-round physical plan — the loop's localCheckpoint truncates
+    * lineage, making the FINAL frame's plan a checkpoint scan that any
+    * PlanAudit expectation would match vacuously). Join on dst reuses the
+    * cached edge partitioning; the (src,label) count and per-src argmax are
+    * the round's only shuffles, both over label-table-sized data. */
+  private[graft] def propagateRound(und: DataFrame,
+                                    labels: DataFrame): DataFrame =
+    und.join(labels, col("dst") === col("node"))
+      .groupBy(col("src"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("src"))
+      .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("best"))
+      .select(col("src").as("node"), (-col("best.neg")).as("label"))
 
   def labelPropagationSql(rounds: Int = 3): String = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

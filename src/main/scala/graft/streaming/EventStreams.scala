@@ -708,6 +708,15 @@ object EventStreams {
   private val lastProviderHolder: ThreadLocal[String] =
     ThreadLocal.withInitial(() => "")
   private[graft] def lastRunProvider: String = lastProviderHolder.get()
+
+  /** State operators (name, partition count) of the thread's last
+    * [[runToBatch]] drive — the STREAMING twin of a PlanAudit pin: the
+    * memory-sink result's executedPlan is just a sink scan, so the stateful
+    * plan shape is only visible through the progress events. */
+  private val lastStateOpsHolder: ThreadLocal[Seq[(String, Long)]] =
+    ThreadLocal.withInitial(() => Nil)
+  private[graft] def lastRunStateOperators: Seq[(String, Long)] =
+    lastStateOpsHolder.get()
   private[graft] def lastRunDataBatches: Int = {
     val n = lastBatchesHolder.get()
     // -1 = never populated on THIS thread (no successful runToBatch drive);
@@ -763,6 +772,9 @@ object EventStreams {
             System.currentTimeMillis < deadline) Thread.sleep(50)
         }
         lastBatchesHolder.set(q.recentProgress.count(_.numInputRows > 0))
+        lastStateOpsHolder.set(Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .map(s => (s.operatorName, s.numShufflePartitions)))
       } finally q.stop()
     } finally {
       spark.conf.set(key, prior)

@@ -190,6 +190,49 @@ class PlansSpec extends AnyFunSuite {
     assert(out.length == 4 && out.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("q165 label-propagation round: the edge list never re-shuffles " +
+    "(cached dst partitioning is reused; only label-sized data moves)") {
+    // the loop localCheckpoints each round, so the FINAL frame's plan is a
+    // checkpoint scan — pin the per-round plan the loop actually executes
+    val und = graft.CacheRegistry.cached(spark, s"copurchase-und:$dir") {
+      val e = graft.operators.Graph.copurchaseEdges(spark, dir)
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("dst"))
+    }
+    val labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint(true)
+    // tree-collect LIVE nodes with AQE off: the string rendering embeds the
+    // cache's BUILD plan (whose materialization exchange is not a live
+    // shuffle — the InMemoryTableScan caveat PlanAudit documents), while
+    // collect() stops at the InMemoryTableScan leaf
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (round, live) =
+      try {
+        val r = graft.operators.Graph.propagateRound(und, labels)
+        (r, r.queryExecution.executedPlan) // force planning while AQE is off
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val plan = live.toString
+    assert(live.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"pairwise blowup:\n$plan")
+    // edge side: served by the cached scan...
+    assert(live.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }.nonEmpty, s"edge cache unused:\n$plan")
+    val shuffles = live.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // ...and never re-shuffled: no live exchange carries the dst key
+    assert(!shuffles.exists(_.outputPartitioning.toString.contains("dst#")),
+      s"edge list re-shuffles every round:\n$plan")
+    // the round's only shuffles move label-table-sized data: the label
+    // side into the join, the (src,label) count, the per-src argmax
+    assert(shuffles.size <= 3, s"${shuffles.size} live shuffles:\n$plan")
+    // and the round is semantically right: every node keeps a label
+    assert(round.count() == labels.count())
+  }
+
   test("AsOfJoinExec refuses non-co-partitioned children loudly") {
     // zipPartitions pairs partitions by index — a child that bypassed
     // EnsureRequirements (hand-built plan, future bucketed/cached child

@@ -466,6 +466,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(withheld > 0, "fixture has no in-state tail — frontier untested")
   }
 
+  test("q152 stateful plan shape: one windowed-aggregate state operator " +
+    "on the pinned partition count") {
+    // the memory-sink result's executedPlan is just a sink scan — the
+    // stateful shape is pinned through the progress events instead (the
+    // streaming twin of a PlanAudit entry). One stateStoreSave = ONE
+    // stateful aggregate: a second state operator would mean the sliding
+    // expansion regressed to a chained stateful plan (double state, double
+    // checkpoint traffic at scale).
+    EventStreams.slidingStreamQuery(spark, dir)
+    val ops = EventStreams.lastRunStateOperators
+    assert(ops.map(_._1) == Seq("stateStoreSave"),
+      s"unexpected state operators: $ops")
+    // state partitioning fixed at first checkpoint — must be the 8 the
+    // query pins, not the session shuffle default
+    assert(ops.head._2 == 8L, s"state partitions: $ops")
+    // and the interval join really carries join state, for contrast
+    EventStreams.intervalJoinQuery(spark, dir)
+    val joinOps = EventStreams.lastRunStateOperators
+    assert(joinOps.map(_._1) == Seq("symmetricHashJoin"),
+      s"unexpected state operators: $joinOps")
+  }
+
   test("q64 under the RocksDB state store equals the default provider " +
     "(the 100 TB state story is a config, not a plan, change)") {
     // default (HDFS-backed heap) provider

@@ -31,6 +31,12 @@ object Bench {
   /** A probe slower than this multiple of the baseline marks its segment
     * contaminated and triggers one re-sample of the segment's queries. */
   final val DriftLimit = 2.0
+  /** A whole RUN is "clean" (eligible to replace a clean canonical
+    * BENCH_LATEST.json) only when its worst probe stayed under this drift
+    * and no query shows the min<<median stall signature. Tighter than
+    * [[DriftLimit]] on purpose: segment re-sampling tolerates a transient
+    * stall; the canonical map should not. */
+  final val CleanDriftLimit = 1.5
 
   /** min<<median stall signature: the samples disagree enough that a host
     * stall likely covered some of them. Thresholds per BENCH.md's variance
@@ -44,6 +50,23 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  /** Whole-run cleanliness bar for the canonical-map guard. */
+  def isCleanRun(drift: Double, nStalled: Int): Boolean =
+    drift < CleanDriftLimit && nStalled == 0
+
+  /** Does an existing bench map's own contamination block pass
+    * [[isCleanRun]]? Unreadable/absent/contamination-less files are NOT
+    * clean — a map that cannot vouch for itself earns no protection. */
+  def fileIsClean(path: java.nio.file.Path): Boolean =
+    try {
+      val txt = java.nio.file.Files.readString(path)
+      val drift = """"calib_drift":\s*([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      val stalled = """"stalled_queries":\s*(\d+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toInt)
+      drift.zip(stalled).exists { case (d, s) => isCleanRun(d, s) }
+    } catch { case _: Exception => false }
 
   /** Fixed CPU-bound probe, independent of any query or input data: a fused
     * range-sum that whole-stage codegen compiles once (first call primes it;
@@ -168,7 +191,29 @@ object Bench {
     //    the suite — a partial map must never replace the full one);
     //  - ONE compact stdout line (total + the slowest 12 queries +
     //    a pointer), a few hundred bytes — always survives the tail.
-    val outFile = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LATEST.json"
+    //
+    // Canonical-map protection (round-7 post-mortem: a drift-9.22 map with 7
+    // stalled queries was committed as BENCH_LATEST.json even though a
+    // cleaner closing run existed): a run whose OWN contamination block is
+    // red must not replace a clean canonical map. "Clean" = calib_drift
+    // below CleanDriftLimit AND zero stalled queries — the same bar the
+    // round-close procedure uses. A red run still writes its full map (to
+    // BENCH_CONTAMINATED.json) so nothing measured is ever discarded, and
+    // still prints the stdout line; it just cannot masquerade as canonical
+    // while a trustworthy map exists. If the existing canonical map is
+    // itself red (or absent/unreadable), the new map replaces it — even a
+    // contaminated fresh map beats a stale contaminated one.
+    val runIsClean = isCleanRun(calibMax / calibBaseline, stalledNames.size)
+    val outFile =
+      if (only.isDefined) "BENCH_PARTIAL.json"
+      else if (!runIsClean &&
+               fileIsClean(java.nio.file.Paths.get("BENCH_LATEST.json"))) {
+        System.err.println(
+          s"[bench] contaminated run (drift ${fmt(calibMax / calibBaseline)}, " +
+          s"${stalledNames.size} stalled) — keeping clean BENCH_LATEST.json, " +
+          "writing BENCH_CONTAMINATED.json")
+        "BENCH_CONTAMINATED.json"
+      } else "BENCH_LATEST.json"
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(mins)},"medians":${qjson(medians)},"contamination":$contamination,"sf":"$sfDir"}"""
     // an unwritable CWD must not discard the measured run: the stdout

@@ -217,6 +217,7 @@ object SparkEntry {
     "q172_debounce" -> ((s, dir) => Events.debounce(s, dir)),
     "q173_stream_hourly_distinct" -> ((s, dir) =>
       streaming.EventStreams.hourlyDistinctStreamQuery(s, dir)),
+    "q174_asof_forward" -> ((s, dir) => Events.clickConversionForward(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,6 +381,7 @@ object SparkEntry {
     "q159_hourly_bursts" -> Events.hourlyBurstsSql,
     "q160_padding_waste" -> TextAnalysis.paddingWasteSql(),
     "q161_attribution" -> Events.lastTouchAttributionSql(),
+    "q174_asof_forward" -> Events.clickConversionForwardSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

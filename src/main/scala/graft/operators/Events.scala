@@ -455,6 +455,52 @@ object Events {
        |FROM purch p ASOF LEFT JOIN clicks c
        |  ON p.user_id = c.user_id AND p.t >= c.t""".stripMargin
 
+  /** q174 — click-to-CONVERSION linking through the native as-of operator's
+    * FORWARD direction with a tolerance: each click joins the same user's
+    * NEXT purchase at-or-after the click, and the purchase must land within
+    * the 2-hour conversion window or the click reports unconverted (the
+    * operator nulls the right side itself — tolerance is an exec-level
+    * gate, not a post-projection like q161's backward window rule).
+    * Exercises both round-8 extensions of [[graft.plans.AsOfJoinExec]]:
+    * the forward merge (peek-don't-retain, O(1) state, several clicks may
+    * share one purchase) and the tolerance emission gate. Purchases
+    * pre-reduce to unique (user, t) — max event_id — so forward tie-break
+    * order cannot matter (the q110/q161 discipline). Scale shape is
+    * unchanged from q110: one hash exchange + sort per side, streaming
+    * merge, no interval explosion. */
+  def clickConversionForward(spark: SparkSession, dir: String,
+                             windowMs: Long = 2L * 3600 * 1000): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Rfm.epochMs(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("t").as("p_t"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.plans.AsOfJoinPlan
+      .asofJoin(spark, clicks, purchases, "user_id", "t", "p_user", "p_t",
+        direction = graft.plans.AsOfForward, toleranceMs = Some(windowMs))
+      .select(col("click_id"), col("user_id"), col("t").as("click_t"),
+        col("purchase_id"), (col("p_t") - col("t")).as("lag_ms"))
+  }
+
+  def clickConversionForwardSql(windowMs: Long = 2L * 3600 * 1000): String =
+    s"""WITH clicks AS (
+       |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+       |         event_id AS click_id
+       |  FROM events WHERE event_type = 'click'),
+       |purch AS (
+       |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+       |         max(event_id) AS purchase_id
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+       |SELECT c.click_id, c.user_id, c.t AS click_t,
+       |       CASE WHEN p.t - c.t <= $windowMs THEN p.purchase_id END
+       |         AS purchase_id,
+       |       CASE WHEN p.t - c.t <= $windowMs THEN p.t - c.t END AS lag_ms
+       |FROM clicks c ASOF LEFT JOIN purch p
+       |  ON c.user_id = p.user_id AND c.t <= p.t""".stripMargin
+
   /** JSON extraction — `props` is a JSON payload column; `get_json_object`
     * (codegen'd Jackson path evaluation, no UDF) pulls `$.k` and aggregates
     * it per event type. At scale, stable-schema JSON should move to

@@ -43,10 +43,23 @@ import org.apache.spark.sql.types.LongType
   * public [[AsOfJoinPlan.asofJoin]] API projects them first. Null keys or
   * times on the left join to nothing; null right keys/times never match.
   */
+/** Match direction of the as-of merge. Backward: greatest right time ≤ left
+  * time (the classic "last known value"). Forward: smallest right time ≥
+  * left time ("next event", e.g. click → next purchase). Both stream the
+  * same (key, time)-ascending sorted partitions with O(1) state — forward
+  * just peeks instead of retaining, since the first in-or-after-time right
+  * row under an ascending scan IS the match and may also match later left
+  * rows of the same key. */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression) extends BinaryNode {
+    rightKey: Expression, rightTime: Expression,
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -57,7 +70,9 @@ case class AsOfJoin(
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression) extends BinaryExecNode {
+    rightKey: Expression, rightTime: Expression,
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -116,13 +131,21 @@ case class AsOfJoinExec(
         s"partitions (left partitioning: ${left.outputPartitioning}, " +
         s"right: ${right.outputPartitioning}) — EnsureRequirements should " +
         "have inserted compatible exchanges")
+    val forward = direction == AsOfForward
+    // None = unbounded. Times are epoch-ms-scale longs (API contract), so
+    // the subtraction below cannot overflow for any real timestamp input.
+    val tol = tolerance.getOrElse(Long.MaxValue)
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, inAttrs)
       val joined = new JoinedRow
       val nullRight: InternalRow = new GenericInternalRow(rightWidth)
       val rBuf = rIter.buffered
-      // O(1) state: the best (greatest-time) right row seen for lastKey.
+      // O(1) state (backward only): the best (greatest-time) right row and
+      // its time for the current key. Tolerance gates EMISSION, not state —
+      // a stale match stays retained because no newer right row has
+      // arrived, it just stops qualifying.
       var matchKey = 0L
+      var matchTime = 0L
       var matchRow: InternalRow = null
       lIter.map { lrow =>
         if (lrow.isNullAt(lkOrd) || lrow.isNullAt(ltOrd)) {
@@ -130,22 +153,51 @@ case class AsOfJoinExec(
         } else {
           val lk = lrow.getLong(lkOrd)
           val lt = lrow.getLong(ltOrd)
-          var advance = true
-          while (advance && rBuf.hasNext) {
-            val head = rBuf.head
-            if (head.isNullAt(rkOrd) || head.isNullAt(rtOrd)) { rBuf.next() }
-            else {
-              val rk = head.getLong(rkOrd)
-              if (rk < lk || (rk == lk && head.getLong(rtOrd) <= lt)) {
-                // consumed rows are the shuffle reader's reused UnsafeRows —
-                // copy only the one row we retain as the running match
-                if (rk == lk) { matchKey = rk; matchRow = rBuf.next().copy() }
-                else rBuf.next()
-              } else advance = false
+          if (forward) {
+            // consume right rows no current-or-future left row can match:
+            // smaller key, or same key strictly before THIS left time
+            // (left times ascend within the key, so they cannot match any
+            // later left row either)
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val head = rBuf.head
+              if (head.isNullAt(rkOrd) || head.isNullAt(rtOrd)) rBuf.next()
+              else {
+                val rk = head.getLong(rkOrd)
+                if (rk < lk || (rk == lk && head.getLong(rtOrd) < lt))
+                  rBuf.next()
+                else advance = false
+              }
             }
+            // the head (unconsumed — later left rows of this key may match
+            // it too) is the first same-key right row at-or-after lt
+            if (rBuf.hasNext && !rBuf.head.isNullAt(rkOrd) &&
+                rBuf.head.getLong(rkOrd) == lk &&
+                rBuf.head.getLong(rtOrd) - lt <= tol)
+              proj(joined(lrow, rBuf.head))
+            else proj(joined(lrow, nullRight))
+          } else {
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val head = rBuf.head
+              if (head.isNullAt(rkOrd) || head.isNullAt(rtOrd)) { rBuf.next() }
+              else {
+                val rk = head.getLong(rkOrd)
+                if (rk < lk || (rk == lk && head.getLong(rtOrd) <= lt)) {
+                  // consumed rows are the shuffle reader's reused UnsafeRows —
+                  // copy only the one row we retain as the running match
+                  if (rk == lk) {
+                    matchKey = rk
+                    matchTime = head.getLong(rtOrd)
+                    matchRow = rBuf.next().copy()
+                  } else rBuf.next()
+                } else advance = false
+              }
+            }
+            if (matchRow != null && matchKey == lk && lt - matchTime <= tol)
+              proj(joined(lrow, matchRow))
+            else proj(joined(lrow, nullRight))
           }
-          if (matchRow != null && matchKey == lk) proj(joined(lrow, matchRow))
-          else proj(joined(lrow, nullRight))
         }
       }
     }
@@ -155,20 +207,28 @@ case class AsOfJoinExec(
 /** Planner strategy mapping the logical [[AsOfJoin]] to [[AsOfJoinExec]]. */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
 
 object AsOfJoinPlan {
-  /** Left as-of join `left` to `right` on equal `key`, right `time` ≤ left
-    * `time` (greatest wins). Column args must name LongType columns of the
-    * respective frame; output = left columns ++ (nullable) right columns.
-    * The two frames must not share column names (alias beforehand). */
+  /** Left as-of join `left` to `right` on equal `key`: backward (default)
+    * takes the greatest right `time` ≤ left `time`, forward the smallest
+    * right `time` ≥ left `time`; `toleranceMs` bounds |Δtime| (a match
+    * further away joins as null, like pandas `merge_asof(tolerance=...)`).
+    * Column args must name LongType columns of the respective frame;
+    * output = left columns ++ (nullable) right columns. The two frames
+    * must not share column names (alias beforehand). Forward-direction
+    * determinism note: among right rows tied on (key, time) the merge
+    * takes the first in partition order — pre-reduce the right side to
+    * unique (key, time) when tied rows differ in other columns. */
   def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
                leftKey: String, leftTime: String,
-               rightKey: String, rightTime: String): DataFrame = {
+               rightKey: String, rightTime: String,
+               direction: AsOfDirection = AsOfBackward,
+               toleranceMs: Option[Long] = None): DataFrame = {
     def attr(df: DataFrame, name: String): Expression =
       GraftColumnBridge.expression(df.col(name)) match {
         case a: AttributeReference => a
@@ -187,6 +247,7 @@ object AsOfJoinPlan {
     GraftColumnBridge.ofRows(spark, AsOfJoin(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       attr(left, leftKey), attr(left, leftTime),
-      attr(right, rightKey), attr(right, rightTime)))
+      attr(right, rightKey), attr(right, rightTime),
+      direction, toleranceMs))
   }
 }

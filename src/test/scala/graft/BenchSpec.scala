@@ -29,4 +29,34 @@ class BenchSpec extends AnyFunSuite {
     assert(0.12 > Bench.DriftLimit * base)   // 2.4x probe => contaminated
     assert(!(0.09 > Bench.DriftLimit * base)) // 1.8x probe => clean
   }
+
+  test("isCleanRun: canonical-map bar needs low drift AND zero stalls") {
+    assert(Bench.isCleanRun(1.0, 0))
+    assert(Bench.isCleanRun(1.49, 0))
+    assert(!Bench.isCleanRun(1.5, 0))   // at the limit is NOT clean
+    assert(!Bench.isCleanRun(1.0, 1))   // any stalled query disqualifies
+    assert(!Bench.isCleanRun(9.22, 7))  // the committed round-7 map
+  }
+
+  test("fileIsClean: reads the contamination block; unreadable is not clean") {
+    import java.nio.file.{Files, Paths}
+    def mapWith(drift: String, stalled: Int): String =
+      s"""{"metric":"total","value":10.0,"unit":"sec","queries":{"q1":10.0},""" +
+      s""""contamination":{"stalled_queries":$stalled,"n_queries":1,""" +
+      s""""calib_baseline":0.1,"calib_max":0.2,"calib_drift":$drift,""" +
+      s""""resampled":0,"stalled":[]},"sf":"x"}"""
+    val clean = Files.createTempFile("bench_clean", ".json")
+    Files.writeString(clean, mapWith("1.05", 0))
+    val dirty = Files.createTempFile("bench_dirty", ".json")
+    Files.writeString(dirty, mapWith("9.22", 7))
+    val noBlock = Files.createTempFile("bench_noblock", ".json")
+    Files.writeString(noBlock, """{"metric":"total","value":10.0}""")
+    try {
+      assert(Bench.fileIsClean(clean))
+      assert(!Bench.fileIsClean(dirty))
+      // a map without a contamination block cannot vouch for itself
+      assert(!Bench.fileIsClean(noBlock))
+      assert(!Bench.fileIsClean(Paths.get("/nonexistent/bench.json")))
+    } finally Seq(clean, dirty, noBlock).foreach(Files.deleteIfExists)
+  }
 }

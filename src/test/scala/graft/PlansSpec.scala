@@ -233,6 +233,94 @@ class PlansSpec extends AnyFunSuite {
     assert(round.count() == labels.count())
   }
 
+  test("as-of forward direction: nearest following match, shared matches, " +
+    "null beyond the last right row") {
+    import graft.plans.{AsOfForward, AsOfJoinPlan}
+    val left = spark.createDataFrame(Seq(
+      (1L, 10L), (1L, 15L), (1L, 20L), (1L, 40L), (2L, 5L), (3L, 1L)
+    )).toDF("k", "t")
+    val right = spark.createDataFrame(Seq(
+      (1L, 15L, 100L), (1L, 30L, 200L), (2L, 3L, 300L), (2L, 50L, 400L)
+    )).toDF("rk", "rt", "v")
+    val got = AsOfJoinPlan.asofJoin(spark, left, right, "k", "t", "rk", "rt",
+      direction = AsOfForward)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == Set(
+      (1L, 10L, Some(15L)),  // next right at 15
+      (1L, 15L, Some(15L)),  // inclusive: rt >= lt
+      (1L, 20L, Some(30L)),  // 15 passed, next is 30
+      (1L, 40L, None),       // beyond the last right row of the key
+      (2L, 5L, Some(50L)),   // right at 3 is BEFORE the left — skipped
+      (3L, 1L, None)))       // key absent on the right
+    // the exec's plan is the same native operator, no Window fallback
+    val plan = AsOfJoinPlan.asofJoin(spark, left, right, "k", "t", "rk", "rt",
+      direction = AsOfForward).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin") && !plan.contains("Window"))
+  }
+
+  test("as-of tolerance gates emission but not state, both directions") {
+    import graft.plans.{AsOfForward, AsOfJoinPlan}
+    val left = spark.createDataFrame(Seq(
+      (1L, 100L), (1L, 200L)
+    )).toDF("k", "t")
+    val right = spark.createDataFrame(Seq(
+      (1L, 95L, 10L), (1L, 190L, 20L)
+    )).toDF("rk", "rt", "v")
+    // backward, tol=8: left@100 matches right@95 (gap 5); left@200 must
+    // match right@190 (gap 10 > 8 → null) — and NOT fall back to the stale
+    // right@95: the state updated even though emission was gated
+    val back = AsOfJoinPlan.asofJoin(spark, left, right, "k", "t", "rk", "rt",
+      toleranceMs = Some(8L))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(back == Map(100L -> Some(95L), 200L -> None))
+    // forward, tol=50: left@100 → right@190 is 90 away → null;
+    // left@200 → right@190 is behind; no following row → null
+    val fwd = AsOfJoinPlan.asofJoin(spark, left, right, "k", "t", "rk", "rt",
+      direction = AsOfForward, toleranceMs = Some(50L))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(fwd == Map(100L -> None, 200L -> None))
+    // forward, tol=95: left@100 → right@190 (gap 90) now qualifies
+    val fwd2 = AsOfJoinPlan.asofJoin(spark, left, right, "k", "t", "rk", "rt",
+      direction = AsOfForward, toleranceMs = Some(95L))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(fwd2 == Map(100L -> Some(190L), 200L -> None))
+  }
+
+  test("q174 forward conversion: native result matches a driver-side fold") {
+    import org.apache.spark.sql.types.TimestampType
+    val windowMs = 2L * 3600 * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast(TimestampType)).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchByUser = ev.filter(_._3 == "purchase")
+      .groupBy(e => (e._2, e._4)).map { case ((u, t), g) =>
+        (u, t, g.map(_._1).max)
+      }.groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    val expected = ev.filter(_._3 == "click").map { case (cid, u, _, t) =>
+      purchByUser.getOrElse(u, Nil).find(_._2 >= t) match {
+        case Some((_, pt, pid)) if pt - t <= windowMs =>
+          (cid, u, t, Some(pid), Some(pt - t))
+        case _ => (cid, u, t, None, None)
+      }
+    }.toSet
+    val got = graft.operators.Events.clickConversionForward(spark, dir)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }.toSet
+    assert(got == expected)
+    assert(got.exists(_._4.isDefined), "no converted click in fixture")
+    assert(got.exists(_._4.isEmpty),
+      "no unconverted click — the null/tolerance branch is untested")
+  }
+
   test("AsOfJoinExec refuses non-co-partitioned children loudly") {
     // zipPartitions pairs partitions by index — a child that bypassed
     // EnsureRequirements (hand-built plan, future bucketed/cached child

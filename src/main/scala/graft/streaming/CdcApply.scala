@@ -98,7 +98,7 @@ object CdcApply {
     val stateDir = stateRoot.resolve("current").toString
 
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = changes.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -36,8 +36,17 @@ object EventStreams {
     * (convert with integer `DIV 1000`; double division would lose precision
     * above 2^53 ns), TimestampType means parquet micros (pass through). The
     * probe costs one footer read, once per query build — never per batch. */
+  /** Memoized decode-probe results: the probe is one footer read per
+    * (session, directory), but q83/q137 build TWO sides over the same
+    * staged dir and the bench drives each query 3+ times — the type cannot
+    * change within a session, so cache it. Keyed by session too: a later
+    * session with different decode confs must re-probe. */
+  private val probedTsTypes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataType]
+
   private[graft] def streamEvents(spark: SparkSession, streamDir: String): DataFrame = {
-    val tsType = spark.read.parquet(streamDir).schema("ts").dataType
+    val tsType = probedTsTypes.computeIfAbsent((spark, streamDir),
+      _ => spark.read.parquet(streamDir).schema("ts").dataType)
     val raw = spark.readStream
       .schema(eventSchemaWith(tsType))
       .parquet(streamDir)
@@ -275,7 +284,7 @@ object EventStreams {
   def anomalyStreamQuery(spark: SparkSession, dir: String): DataFrame =
     runToBatch(spark, anomalyStream(spark, readEvents(spark, dir)).toDF(),
       s"anomaly_stream_${sanitize(dir)}", OutputMode.Append,
-      shufflePartitions = Some(8))
+      shufflePartitions = Some(4))
 
   /** Streaming exact dedup: drop re-delivered events by `event_id` with
     * state bounded by the watermark horizon (`dropDuplicatesWithinWatermark`
@@ -312,7 +321,7 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast(LongType).as("v_c"))
     runToBatch(spark, deduped, s"dedup_stream_${sanitize(dir)}",
-      OutputMode.Append, shufflePartitions = Some(8))
+      OutputMode.Append, shufflePartitions = Some(4))
   }
 
   val dedupStreamSql: String =
@@ -338,7 +347,7 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("value_sum"))
     runToBatch(spark, streamed, s"hourly_stream_${sanitize(dir)}",
-      OutputMode.Complete, shufflePartitions = Some(8))
+      OutputMode.Complete, shufflePartitions = Some(4))
   }
 
   /** Stream-stream interval join: each click joined to the same user's
@@ -375,7 +384,7 @@ object EventStreams {
           col("e_id").as("error_id"),
           (unix_millis(col("e_ts")) - unix_millis(col("c_ts"))).as("delay_ms")),
       s"interval_join_${sanitize(dir)}",
-      shufflePartitions = Some(8))
+      shufflePartitions = Some(4))
 
   val intervalJoinSql: String =
     """SELECT c.user_id AS user_id, c.event_id AS click_id,
@@ -410,7 +419,7 @@ object EventStreams {
           col("e_id").as("error_id"),
           (unix_millis(col("e_ts")) - unix_millis(col("c_ts"))).as("delay_ms")),
       s"interval_join_lo_${sanitize(dir)}",
-      shufflePartitions = Some(8), awaitStateFlush = true)
+      shufflePartitions = Some(4), awaitStateFlush = true)
 
   val intervalJoinLeftOuterSql: String =
     """WITH c AS (
@@ -470,7 +479,7 @@ object EventStreams {
         unix_millis(col("session_window.end")).as("end_ms"),
         col("n_events"))
     runToBatch(spark, streamed, s"session_window_stream_${sanitize(dir)}",
-      OutputMode.Append, shufflePartitions = Some(8), awaitStateFlush = true)
+      OutputMode.Append, shufflePartitions = Some(4), awaitStateFlush = true)
   }
 
   val sessionWindowStreamSql: String =
@@ -516,7 +525,7 @@ object EventStreams {
       .select(col("c_mktsegment").as("mktsegment"), col("n"),
         col("value_cents"))
     runToBatch(spark, streamed, s"enrich_stream_${sanitize(dir)}",
-      OutputMode.Complete, shufflePartitions = Some(8))
+      OutputMode.Complete, shufflePartitions = Some(4))
   }
 
   val enrichStreamSql: String =
@@ -539,7 +548,7 @@ object EventStreams {
       .select(unix_millis(col("win_start")).as("win_start_ms"),
         col("event_type"), col("n"))
     runToBatch(spark, streamed, s"sliding_stream_${sanitize(dir)}",
-      OutputMode.Complete, shufflePartitions = Some(8))
+      OutputMode.Complete, shufflePartitions = Some(4))
   }
 
   val slidingStreamSql: String =
@@ -592,7 +601,7 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("ts_ms"),
         col("version"), col("signup_v_c"))
     runToBatch(spark, enriched, s"pit_stream_${sanitize(dir)}",
-      shufflePartitions = Some(8))
+      shufflePartitions = Some(4))
   }
 
   val pitEnrichStreamSql: String =
@@ -636,7 +645,7 @@ object EventStreams {
         col("est_users"))
     val est = runToBatch(spark, streamed,
       s"hourly_distinct_${sanitize(dir)}", OutputMode.Complete,
-      shufflePartitions = Some(8))
+      shufflePartitions = Some(4))
     capturedStreamHll.put(dir, 0,
       est.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
     val exact = graft.Tables.events(spark, dir)
@@ -745,9 +754,17 @@ object EventStreams {
                  shufflePartitions: Option[Int] = None,
                  awaitStateFlush: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prior = spark.conf.get(key)
+    val priorNoData = spark.conf.getOption(noDataKey)
     val priorProvider = spark.conf.getOption(ProviderKey)
     shufflePartitions.foreach(p => spark.conf.set(key, p.toString))
+    // a query that does not wait for a watermark-advance flush gains
+    // nothing from the trailing zero-input micro-batch — skip its whole
+    // plan/commit cycle. Queries that DO finalize state on watermark
+    // advance (outer-join null padding, session windows) keep it: the
+    // no-data batch IS their emission path.
+    if (!awaitStateFlush) spark.conf.set(noDataKey, "false")
     if (spark.conf.getOption(RocksDbFlag).exists(_.toBoolean))
       spark.conf.set(ProviderKey, RocksDbProvider)
     lastProviderHolder.set(spark.conf.getOption(ProviderKey)
@@ -778,6 +795,10 @@ object EventStreams {
       } finally q.stop()
     } finally {
       spark.conf.set(key, prior)
+      priorNoData match {
+        case Some(p) => spark.conf.set(noDataKey, p)
+        case None => spark.conf.unset(noDataKey)
+      }
       priorProvider match {
         case Some(p) => spark.conf.set(ProviderKey, p)
         case None => spark.conf.unset(ProviderKey)

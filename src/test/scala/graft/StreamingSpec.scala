@@ -478,9 +478,10 @@ class StreamingSpec extends AnyFunSuite {
     val ops = EventStreams.lastRunStateOperators
     assert(ops.map(_._1) == Seq("stateStoreSave"),
       s"unexpected state operators: $ops")
-    // state partitioning fixed at first checkpoint — must be the 8 the
-    // query pins, not the session shuffle default
-    assert(ops.head._2 == 8L, s"state partitions: $ops")
+    // state partitioning fixed at first checkpoint — must be the 4 the
+    // query pins (round-8 measurement: 4 beats both 8 and 2 on the
+    // local harness), not the session shuffle default
+    assert(ops.head._2 == 4L, s"state partitions: $ops")
     // and the interval join really carries join state, for contrast
     EventStreams.intervalJoinQuery(spark, dir)
     val joinOps = EventStreams.lastRunStateOperators

@@ -218,6 +218,14 @@ object SparkEntry {
     "q173_stream_hourly_distinct" -> ((s, dir) =>
       streaming.EventStreams.hourlyDistinctStreamQuery(s, dir)),
     "q174_asof_forward" -> ((s, dir) => Events.clickConversionForward(s, dir)),
+    "q175_unigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(s, dir)),
+    "q176_lang_vocab_profile" -> ((s, dir) =>
+      TextAnalysis.langVocabProfile(s, dir)),
+    "q177_bigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(s, dir)),
+    "q178_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
+    "q179_winsorized_stats" -> ((s, dir) => Profiling.winsorizedStats(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -382,6 +390,11 @@ object SparkEntry {
     "q160_padding_waste" -> TextAnalysis.paddingWasteSql(),
     "q161_attribution" -> Events.lastTouchAttributionSql(),
     "q174_asof_forward" -> Events.clickConversionForwardSql(),
+    "q175_unigram_surprisal" -> TextAnalysis.unigramSurprisalSql,
+    "q176_lang_vocab_profile" -> TextAnalysis.langVocabProfileSql,
+    "q177_bigram_surprisal" -> TextAnalysis.bigramSurprisalSql,
+    "q178_containment_pairs" -> Dedup.containmentPairsSql(),
+    "q179_winsorized_stats" -> Profiling.winsorizedStatsSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -158,6 +158,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** q178 — CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) over the same
+    * 3-shingle sets as q31, in exact ppm. Jaccard under-scores
+    * subset/quote relationships (a short doc fully contained in a long one
+    * has J = |A|/|B| → 0 as the long side grows); containment is the
+    * asymmetry-robust measure a dedup pipeline uses to catch
+    * excerpt-of-a-larger-page duplicates. Same inverted-index self-join +
+    * shuffled-hash discipline as q31 (cost ∝ colliding pairs, never n²);
+    * the session-cached shingle index is shared, and the score is an
+    * integer chain (ppm DIV) so the hash gate is engine-exact. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       thresholdPpm: Long = 800000L): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    a.hint("shuffle_hash").join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .withColumn("containment_ppm",
+        expr("inter * 1000000 DIV least(na, nb)"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("na"), col("nb"), col("containment_ppm"))
+  }
+
+  def containmentPairsSql(thresholdPpm: Long = 800000L): String =
+    s"""WITH shingled AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3]))) AS shingle
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shingled a JOIN shingled b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, CAST(p.inter AS BIGINT) AS inter,
+       |       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+       |       CAST(p.inter * 1000000 // least(sa.n, sb.n) AS BIGINT)
+       |         AS containment_ppm
+       |FROM pairs p
+       |JOIN sizes sa ON sa.doc_id = p.doc_a
+       |JOIN sizes sb ON sb.doc_id = p.doc_b
+       |WHERE p.inter * 1000000 // least(sa.n, sb.n) >= $thresholdPpm""".stripMargin
+
   val ngramJaccardSql: String =
     """WITH shingled AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(

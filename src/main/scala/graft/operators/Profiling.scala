@@ -422,4 +422,64 @@ object Profiling {
       |FROM totals ta JOIN totals tb ON ta.source < tb.source
       |LEFT JOIN shared s
       |  ON s.source_a = ta.source AND s.source_b = tb.source""".stripMargin
+
+  /** q179 — per-source WINSORIZED length statistics: document length
+    * clamped to the source's own [p05, p95] nearest-rank band before the
+    * mean, against the raw mean — the outlier-immune summary a corpus
+    * monitor alerts on (a raw mean jumps when one crawler dumps a few
+    * mega-documents; the winsorized mean moves only on real shift). Means
+    * are exact integer e2 fixed point.
+    *
+    * The percentiles ride [[Relational.crossingQuantile]] — the
+    * crossing-median generalized to pNum/pDen — so the grouped p05/p95
+    * stay DISTRIBUTED (range-partition + offset-prefix), never a
+    * per-source window that would serialize each source's whole slice
+    * through one task at 100 TB. The two quantile frames are source-sized
+    * miniatures and BROADCAST back onto the scan. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast(LongType).as("n_chars"))
+    val p05 = Relational.crossingQuantile(
+      docs, "source", "n_chars", lit(1L), "p05", 5L, 100L).drop("__tot")
+    val p95 = Relational.crossingQuantile(
+      docs, "source", "n_chars", lit(1L), "p95", 95L, 100L).drop("__tot")
+    docs
+      .join(broadcast(p05), Seq("source"))
+      .join(broadcast(p95), Seq("source"))
+      .withColumn("wchars",
+        greatest(col("p05"), least(col("p95"), col("n_chars"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("wchars")).as("sum_wchars"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"))
+      .select(col("source"), col("n_docs"),
+        expr("sum_chars * 100 DIV n_docs").as("mean_e2"),
+        expr("sum_wchars * 100 DIV n_docs").as("win_mean_e2"),
+        col("p05"), col("p95"))
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |         count(*) OVER (PARTITION BY source ORDER BY n_chars
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents
+      |), q05 AS (
+      |  SELECT source, min(n_chars) AS p05 FROM r
+      |  WHERE cumv * 100 >= 5 * n GROUP BY source
+      |), q95 AS (
+      |  SELECT source, min(n_chars) AS p95 FROM r
+      |  WHERE cumv * 100 >= 95 * n GROUP BY source)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(d.n_chars) * 100 // count(*) AS BIGINT) AS mean_e2,
+      |       CAST(sum(greatest(q05.p05, least(q95.p95, d.n_chars))) * 100
+      |              // count(*) AS BIGINT) AS win_mean_e2,
+      |       CAST(min(q05.p05) AS BIGINT) AS p05,
+      |       CAST(min(q95.p95) AS BIGINT) AS p95
+      |FROM documents d
+      |JOIN q05 ON q05.source = d.source
+      |JOIN q95 ON q95.source = d.source
+      |GROUP BY d.source""".stripMargin
 }

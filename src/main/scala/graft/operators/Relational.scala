@@ -313,7 +313,21 @@ object Relational {
     * (grp, out, __tot). */
   private[graft] def crossingMedian(df: DataFrame, grp: String,
                                     valCol: String, w: Column, out: String,
-                                    partitions: Int = 8): DataFrame = {
+                                    partitions: Int = 8): DataFrame =
+    crossingQuantile(df, grp, valCol, w, out, 1L, 2L, partitions)
+
+  /** Generalization of the crossing-median to an arbitrary nearest-rank
+    * quantile p = pNum/pDen: the smallest value v with
+    * pDen · W(≤ v) ≥ pNum · W_total — the same tie-invariant crossing rule
+    * (a value crosses iff its INCLUSIVE cumulative weight reaches the
+    * bound, whatever order tied rows take in the cumulative), the same
+    * one-shuffle range-partition + P×G-offset shape, and exact integer
+    * arithmetic so the grouped p05/p95/median all ride one distributed
+    * primitive instead of per-group windows. */
+  private[graft] def crossingQuantile(df: DataFrame, grp: String,
+                                      valCol: String, w: Column, out: String,
+                                      pNum: Long, pDen: Long,
+                                      partitions: Int = 8): DataFrame = {
     val hist = df.select(col(grp), col(valCol), w.as("__w"))
       .repartitionByRange(partitions, col(grp), col(valCol))
       .withColumn("__pid", spark_partition_id())
@@ -330,7 +344,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist.join(broadcast(offsets), Seq("__pid", grp))
       .withColumn("__cum", sum(col("__w")).over(inPart) + col("__off"))
-      .filter(col("__cum") * 2 >= col("__tot"))
+      .filter(col("__cum") * pDen >= col("__tot") * pNum)
       .groupBy(col(grp))
       .agg(min(col(valCol)).as(out), min(col("__tot")).as("__tot"))
   }

@@ -970,4 +970,144 @@ object TextAnalysis {
       |              AND CURRENT ROW) * 1000000 // t.total AS BIGINT)
       |         AS cum_ppm
       |FROM o JOIN t USING (source)""".stripMargin
+
+  /** q175 — per-document UNIGRAM SURPRISAL under the corpus's own unigram
+    * distribution: the mean INVERSE token probability, in e6 fixed point —
+    * `(Σ_tok N·10⁶ div cnt(tok)) div n_tokens`. This is the
+    * perplexity-filter proxy an LLM corpus pipeline scores documents with
+    * (rare-token-heavy docs surface high; boilerplate scores low), kept on
+    * the LINEAR inverse-probability scale for the same reason q92's idf is
+    * linear: `log` is not correctly rounded identically across engines, so
+    * a log-based score could flip a last bit and break the hash gate,
+    * while the integer chain is identical by construction and preserves
+    * the ordering within a document length.
+    *
+    * Scale shape: token counts are one vocabulary-sized aggregate,
+    * BROADCAST back onto the exploded token stream (vocab ≪ corpus at any
+    * scale); the only data-sized exchange is the per-doc aggregation. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_corpus"))
+    toks.join(broadcast(counts), Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("n_corpus * 1000000 DIV cnt")).as("sum_inv_e6"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_inv_e6 DIV n_tokens").as("surprisal_e6"))
+  }
+
+  val unigramSurprisalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT token, count(*) AS c FROM toks GROUP BY token
+      |), tot AS (SELECT count(*) AS n_corpus FROM toks)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_corpus * 1000000 // c) // count(*) AS BIGINT)
+      |         AS surprisal_e6
+      |FROM toks JOIN cnt USING (token) CROSS JOIN tot
+      |GROUP BY doc_id""".stripMargin
+
+  /** q176 — per-LANGUAGE vocabulary profile: token volume, vocabulary
+    * size, type-token ratio, and how much of the volume the 10 most
+    * frequent tokens absorb (the Zipf-head share — a skew/health indicator
+    * for corpus mixing: a ppm share far above siblings flags boilerplate
+    * or template floods). All-integer (ppm) outputs.
+    *
+    * Scale shape: everything after the (lang, token) count is
+    * vocabulary-sized; the top-10 window orders each language's vocab
+    * slice, never raw tokens — the aggregate-sized-window discipline. */
+  def langVocabProfile(spark: SparkSession, dir: String,
+                       topK: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(words(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("rk") <= topK, col("n")).otherwise(0L)).as("top10_n"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        expr("vocab * 1000000 DIV n_tokens").as("ttr_ppm"),
+        expr("top10_n * 1000000 DIV n_tokens").as("top10_share_ppm"))
+  }
+
+  val langVocabProfileSql: String =
+    """WITH c AS (
+      |  SELECT lang, token, count(*) AS n
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY lang, token
+      |), r AS (
+      |  SELECT lang, token, n,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY n DESC, token) AS rk
+      |  FROM c)
+      |SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS vocab,
+      |       CAST(count(*) * 1000000 // sum(n) AS BIGINT) AS ttr_ppm,
+      |       CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) * 1000000
+      |              // sum(n) AS BIGINT) AS top10_share_ppm
+      |FROM r GROUP BY lang""".stripMargin
+
+  /** q177 — per-document BIGRAM surprisal: the bigram-LM twin of [[q175
+    * unigramSurprisal]]. P(w2|w1) = c(w1w2)/h(w1) with h(w1) = Σ_w2
+    * c(w1w2) (the bigram-first history count, self-consistent with the
+    * bigram table); the score is the mean inverse conditional probability
+    * in e6 fixed point — again linear instead of log so the integer chain
+    * hashes identically on both engines. High scores = improbable token
+    * transitions (shuffled/corrupted text, the n-gram-LM quality gate).
+    * Documents with fewer than two tokens carry no bigram and are
+    * excluded.
+    *
+    * Scale shape: the bigram count table is vocab²-bounded but in practice
+    * Zipf-small; the stream joins it ON (w1,w2) in one shuffle join, the
+    * history table is vocab-sized and BROADCAST. The bigram stream itself
+    * is built from a materialized words array (the HOF-reuse discipline —
+    * an inline split would re-tokenize per element_at). */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(ws) - 2),
+        i => struct(element_at(ws, i + 1).as("w1"),
+          element_at(ws, i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val h1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("h"))
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(broadcast(h1), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("h * 1000000 DIV c")).as("sum_inv_e6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_inv_e6 DIV n_bigrams").as("bigram_surprisal_e6"))
+  }
+
+  val bigramSurprisalSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), bg AS (
+      |  SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
+      |  FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM ws)
+      |), c12 AS (
+      |  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+      |), h1 AS (
+      |  SELECT w1, CAST(sum(c) AS BIGINT) AS h FROM c12 GROUP BY w1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(h * 1000000 // c) // count(*) AS BIGINT)
+      |         AS bigram_surprisal_e6
+      |FROM bg JOIN c12 USING (w1, w2) JOIN h1 USING (w1)
+      |GROUP BY doc_id""".stripMargin
 }

@@ -1613,4 +1613,104 @@ class OperatorSpec extends AnyFunSuite {
       assert(members.keys.min == label)
     }
   }
+
+  test("q175 unigram surprisal: recomputes from a driver-side unigram LM, " +
+    "and the floor is the all-common-token document") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val s = toks.map(t => n * 1000000L / counts(t)).sum
+      (id, toks.length.toLong, s / toks.length)
+    }.toSet
+    val got = TextAnalysis.unigramSurprisal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // every inverse probability is >= 1, so the e6 mean floors at 1e6
+    assert(got.forall(_._3 >= 1000000L))
+  }
+
+  test("q177 bigram surprisal: covers exactly n_tokens - 1 transitions " +
+    "per multi-token doc") {
+    val uni = TextAnalysis.unigramSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bi = TextAnalysis.bigramSurprisal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bi.nonEmpty)
+    bi.foreach { case (id, nbg, score) =>
+      assert(nbg == uni(id) - 1, s"doc $id bigram count")
+      assert(score >= 1000000L, s"doc $id score below floor")
+    }
+    // docs excluded from the bigram frame are exactly the <2-token ones
+    val excluded = uni.keySet -- bi.map(_._1).toSet
+    excluded.foreach(id => assert(uni(id) < 2))
+  }
+
+  test("q176 lang profile: per-lang totals agree with the token stream and " +
+    "shares stay inside [0, 1e6]") {
+    val rows = TextAnalysis.langVocabProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byLang = Tables.documents(spark, dir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" ", -1))).toMap
+    rows.foreach { case (lang, nTok, vocab, ttr, top10) =>
+      val toks = byLang(lang)
+      assert(nTok == toks.length.toLong, s"$lang token volume")
+      assert(vocab == toks.distinct.length.toLong, s"$lang vocab")
+      assert(ttr == vocab * 1000000L / nTok)
+      val expTop10 = toks.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._2).sum
+      assert(top10 == expTop10 * 1000000L / nTok, s"$lang top10 share")
+    }
+  }
+
+  test("q178 containment: bounded by 1e6, never below Jaccard, and every " +
+    "planted near-dup pair surfaces") {
+    val cont = Dedup.containmentPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(cont.nonEmpty)
+    cont.foreach { case ((a, b), (inter, na, nb, ppm)) =>
+      assert(a < b && ppm <= 1000000L && inter <= math.min(na, nb))
+      // containment >= jaccard: min(na,nb) <= na + nb - inter
+      val jacPpm = inter * 1000000L / (na + nb - inter)
+      assert(ppm >= jacPpm)
+    }
+    // q31's planted pairs sit at J >= 0.97, so containment >= 0.97 >= 0.8
+    val jaccardPairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(jaccardPairs.nonEmpty)
+    jaccardPairs.foreach(p => assert(cont.contains(p), s"missing pair $p"))
+  }
+
+  test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
+    "nearest-rank percentiles; the winsorized mean sits inside the band") {
+    val byS = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def nr(xs: Seq[Long], p: Int): Long =
+      xs((p * xs.length + 99) / 100 - 1) // ceil(p/100 * n), 1-based
+    val got = Profiling.winsorizedStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (s, n, mean, wmean, p05, p95) =>
+      val xs = byS(s)
+      assert(n == xs.length.toLong)
+      assert(p05 == nr(xs, 5), s"$s p05")
+      assert(p95 == nr(xs, 95), s"$s p95")
+      assert(mean == xs.sum * 100 / n)
+      val wsum = xs.map(x => math.max(p05, math.min(p95, x))).sum
+      assert(wmean == wsum * 100 / n)
+      assert(wmean >= p05 * 100 && wmean <= p95 * 100)
+    }
+  }
 }

@@ -226,6 +226,11 @@ object SparkEntry {
       TextAnalysis.bigramSurprisal(s, dir)),
     "q178_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q179_winsorized_stats" -> ((s, dir) => Profiling.winsorizedStats(s, dir)),
+    "q180_unpivot_metrics" -> ((s, dir) => Relational.unpivotMetrics(s, dir)),
+    "q181_equidepth_deciles" -> ((s, dir) =>
+      Relational.equidepthDeciles(s, dir)),
+    "q182_hourly_autocov" -> ((s, dir) =>
+      Events.hourlyAutocovComponents(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -395,6 +400,9 @@ object SparkEntry {
     "q177_bigram_surprisal" -> TextAnalysis.bigramSurprisalSql,
     "q178_containment_pairs" -> Dedup.containmentPairsSql(),
     "q179_winsorized_stats" -> Profiling.winsorizedStatsSql,
+    "q180_unpivot_metrics" -> Relational.unpivotMetricsSql,
+    "q181_equidepth_deciles" -> Relational.equidepthDecilesSql,
+    "q182_hourly_autocov" -> Events.hourlyAutocovComponentsSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -501,6 +501,56 @@ object Events {
        |FROM clicks c ASOF LEFT JOIN purch p
        |  ON c.user_id = p.user_id AND c.t <= p.t""".stripMargin
 
+  /** q182 — lag-1-hour AUTOCOVARIANCE COMPONENTS of the per-type hourly
+    * event counts: for every consecutive-hour pair (both hours present),
+    * the exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) from which
+    * autocorrelation / OLS slope / Durbin-Watson all derive. The ratio and
+    * its square root stay with the consumer ON PURPOSE: every emitted
+    * number is an exact BIGINT, so the oracle gate is engine-exact, while
+    * r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) computed downstream is
+    * one scalar op per group — the seasonality/burst-persistence check a
+    * traffic monitor runs on the hourly rollup.
+    *
+    * Scale shape: the hourly rollup is the only data-sized aggregate; the
+    * lag pairing is a self-join of the HOURS-sized table on (type, hour+1h)
+    * — both sides already hash-partitioned by the rollup's own exchange. */
+  def hourlyAutocovComponents(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (Rfm.epochMs(col("ts")) - Rfm.epochMs(col("ts")) % 3600000L)
+          .as("hour_ms"))
+      .groupBy(col("event_type"), col("hour_ms"))
+      .agg(count(lit(1)).as("x"))
+    val next = hourly.select(col("event_type"),
+      (col("hour_ms") - 3600000L).as("hour_ms"), col("x").as("y"))
+    hourly.join(next, Seq("event_type", "hour_ms"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+  }
+
+  val hourlyAutocovComponentsSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |         epoch_ms(CAST(ts AS TIMESTAMP))
+      |           - epoch_ms(CAST(ts AS TIMESTAMP)) % 3600000 AS hour_ms,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a.event_type, a.x AS x, b.x AS y
+      |  FROM h a JOIN h b
+      |    ON a.event_type = b.event_type
+      |   AND b.hour_ms = a.hour_ms + 3600000)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+      |       CAST(sum(y * y) AS BIGINT) AS sum_y2
+      |FROM p GROUP BY event_type""".stripMargin
+
   /** JSON extraction — `props` is a JSON payload column; `get_json_object`
     * (codegen'd Jackson path evaluation, no UDF) pulls `$.k` and aggregates
     * it per event type. At scale, stable-schema JSON should move to

@@ -349,6 +349,48 @@ object Relational {
       .agg(min(col(valCol)).as(out), min(col("__tot")).as("__tot"))
   }
 
+  /** ALL den−1 equi-depth boundaries per group in ONE crossing pass — the
+    * k/den nearest-rank boundary for every k ∈ [1, den−1] (den = 10 ⇒
+    * deciles). Same range-partition + offset-prefix shape as
+    * [[crossingQuantile]]; instead of filtering one crossing, each row
+    * derives the RANGE of k values it crosses FIRST — k where the previous
+    * cumulative was still short (pDen·(cum−w) < k·tot ≤ pDen·cum) — and
+    * explodes only those (each k emitted by exactly the rows of its
+    * boundary value; ties collapse via min). Exploded volume is ≤
+    * rows + den−1, never rows × den. Returns (grp, k, out). */
+  private[graft] def crossingBoundaries(df: DataFrame, grp: String,
+                                        valCol: String, w: Column, out: String,
+                                        den: Int,
+                                        partitions: Int = 8): DataFrame = {
+    val hist = df.select(col(grp), col(valCol), w.as("__w"))
+      .repartitionByRange(partitions, col(grp), col(valCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offW = Window.partitionBy(col(grp)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("__pid"), col(grp))
+      .agg(sum(col("__w")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
+      .withColumn("__tot", sum(col("__t")).over(Window.partitionBy(col(grp))))
+      .select(col("__pid"), col(grp), col("__off"), col("__tot"))
+    val inPart = Window.partitionBy(col("__pid"), col(grp))
+      .orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.join(broadcast(offsets), Seq("__pid", grp))
+      .withColumn("__cum", sum(col("__w")).over(inPart) + col("__off"))
+      // k crossed at this row: prev < k·tot/den ≤ cum, i.e.
+      // k ∈ ( den·prev/tot , den·cum/tot ] — integer-exact bounds
+      .withColumn("__klo",
+        expr(s"CAST(($den * (__cum - __w)) DIV __tot AS INT) + 1"))
+      .withColumn("__khi", expr(s"CAST(($den * __cum) DIV __tot AS INT)"))
+      .filter(col("__khi") >= col("__klo") && col("__klo") <= den - 1)
+      .select(col(grp), col(valCol),
+        explode(sequence(col("__klo"), least(col("__khi"), lit(den - 1))))
+          .as("k"))
+      .groupBy(col(grp), col("k"))
+      .agg(min(col(valCol)).as(out))
+  }
+
   /** Inclusive running sum of `valCol` per `grp` in `ordCols` order,
     * distributed — the same range-partition + P×G offset-prefix shape as
     * [[crossingMedian]], returning every row with its `__cum` instead of
@@ -773,4 +815,70 @@ object Relational {
       |SELECT c_mktsegment AS mktsegment, count(*) AS n, 'without_orders' AS kind
       |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
       |GROUP BY c_mktsegment""".stripMargin
+
+  /** q180 — UNPIVOT (wide→long melt) through the native `Dataset.unpivot`
+    * API: the per-customer order metrics flip from one row × three columns
+    * to three (metric, value) rows — the EAV shape a metrics store or a
+    * generic drift monitor ingests. Complements q69's pivot (long→wide);
+    * with it the reshape pair is closed. Values are exact long cents/
+    * counts. Unpivot is a zero-shuffle narrow projection (each input row
+    * expands locally), so the only exchange is the aggregate's own. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val price = Rfm.cents(col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(price).as("total_cents"),
+        max(price).as("max_cents"))
+      .unpivot(Array(col("custkey")),
+        Array(col("n_orders"), col("total_cents"), col("max_cents")),
+        "metric", "value")
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH m AS (
+      |  SELECT o_custkey AS custkey, count(*) AS n_orders,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS total_cents,
+      |         max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT custkey, 'n_orders' AS metric, n_orders AS value FROM m
+      |UNION ALL
+      |SELECT custkey, 'total_cents' AS metric, total_cents AS value FROM m
+      |UNION ALL
+      |SELECT custkey, 'max_cents' AS metric, max_cents AS value FROM m""".stripMargin
+
+  /** q181 — per-flag EQUI-DEPTH decile boundaries of the lineitem price in
+    * one distributed pass: [[crossingBoundaries]] derives, per row, the
+    * exact range of k/10 ranks that row's cumulative weight crosses first
+    * and explodes only those — all nine boundaries per group from ONE
+    * range-partition shuffle, where nine [[crossingQuantile]] calls would
+    * re-shuffle nine times and a per-group window would serialize each
+    * flag's 200k-row slice through one task. The equi-depth histogram is
+    * the optimizer-statistics / data-skew primitive (equi-WIDTH is q09). */
+  def equidepthDeciles(spark: SparkSession, dir: String): DataFrame =
+    crossingBoundaries(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"),
+          Rfm.cents(col("l_extendedprice")).as("cents")),
+      "flag", "cents", lit(1L), "boundary_cents", den = 10, partitions = 32)
+      .select(col("flag"), col("k").cast(LongType).as("k"),
+        col("boundary_cents"))
+
+  val equidepthDecilesSql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT flag, c,
+      |         count(*) OVER (PARTITION BY flag ORDER BY c
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         count(*) OVER (PARTITION BY flag) AS n
+      |  FROM v
+      |), ks AS (SELECT unnest(range(1, 10)) AS k)
+      |SELECT flag, CAST(ks.k AS BIGINT) AS k, min(c) AS boundary_cents
+      |FROM r CROSS JOIN ks
+      |WHERE cum * 10 >= ks.k * n
+      |GROUP BY flag, ks.k""".stripMargin
 }

@@ -1690,6 +1690,63 @@ class OperatorSpec extends AnyFunSuite {
     jaccardPairs.foreach(p => assert(cont.contains(p), s"missing pair $p"))
   }
 
+  test("q180 unpivot: three metric rows per customer, values recompute") {
+    val rows = Relational.unpivotMetrics(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), expr("CAST(round(o_totalprice * 100) AS LONG)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(rows.size == orders.size * 3)
+    orders.foreach { case (ck, os) =>
+      assert(rows((ck, "n_orders")) == os.length.toLong)
+      assert(rows((ck, "total_cents")) == os.map(_._2).sum)
+      assert(rows((ck, "max_cents")) == os.map(_._2).max)
+    }
+  }
+
+  test("q181 equi-depth deciles: one crossing pass equals nine driver-side " +
+    "nearest-rank quantiles, monotone per flag") {
+    val byFlag = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = Relational.equidepthDeciles(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.size == byFlag.size * 9)
+    byFlag.foreach { case (flag, xs) =>
+      (1 to 9).foreach { k =>
+        val expected = xs((k * xs.length + 9) / 10 - 1) // ceil(k n / 10)
+        assert(got((flag, k.toLong)) == expected, s"$flag decile $k")
+      }
+      val bs = (1 to 9).map(k => got((flag, k.toLong)))
+      assert(bs == bs.sorted, s"$flag boundaries not monotone")
+    }
+  }
+
+  test("q182 autocovariance components recompute from a driver-side " +
+    "hourly rollup, consecutive hours only") {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_millis(CAST(ts AS TIMESTAMP))").as("ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 3600000L * 3600000L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = hourly.keys.groupBy(_._1).map { case (tpe, ks) =>
+      val pairs = ks.toSeq.map(_._2).sorted.flatMap { h =>
+        hourly.get((tpe, h + 3600000L))
+          .map(y => (hourly((tpe, h)), y))
+      }
+      tpe -> (pairs.length.toLong, pairs.map(_._1).sum, pairs.map(_._2).sum,
+        pairs.map(p => p._1 * p._2).sum,
+        pairs.map(p => p._1 * p._1).sum, pairs.map(p => p._2 * p._2).sum)
+    }
+    val got = Events.hourlyAutocovComponents(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._1 > 0), "no consecutive-hour pair in fixture")
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

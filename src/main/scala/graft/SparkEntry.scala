@@ -231,6 +231,10 @@ object SparkEntry {
       Relational.equidepthDeciles(s, dir)),
     "q182_hourly_autocov" -> ((s, dir) =>
       Events.hourlyAutocovComponents(s, dir)),
+    "q183_moving_avg" -> ((s, dir) =>
+      Relational.movingAvgDailyRevenue(s, dir)),
+    "q184_time_heatmap" -> ((s, dir) => Events.timeHeatmap(s, dir)),
+    "q185_cohort_matrix" -> ((s, dir) => Events.cohortMatrix(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -403,6 +407,9 @@ object SparkEntry {
     "q180_unpivot_metrics" -> Relational.unpivotMetricsSql,
     "q181_equidepth_deciles" -> Relational.equidepthDecilesSql,
     "q182_hourly_autocov" -> Events.hourlyAutocovComponentsSql,
+    "q183_moving_avg" -> Relational.movingAvgDailyRevenueSql,
+    "q184_time_heatmap" -> Events.timeHeatmapSql,
+    "q185_cohort_matrix" -> Events.cohortMatrixSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -551,6 +551,90 @@ object Events {
       |       CAST(sum(y * y) AS BIGINT) AS sum_y2
       |FROM p GROUP BY event_type""".stripMargin
 
+  /** q184 — hour-of-day × day-of-week traffic HEATMAP: per (dow, hour)
+    * cell, event count and exact ppm share of total — the weekly
+    * seasonality fingerprint behind load planning and anomaly baselines.
+    * Day-of-week derives from integer epoch-day arithmetic
+    * ((day + 4) mod 7: 1970-01-01 was a Thursday, 0 = Sunday) instead of
+    * either engine's dayofweek() — Spark (1 = Sunday) and DuckDB
+    * (0 = Sunday) disagree on the convention, integer math cannot.
+    * One data-sized aggregate to a ≤168-row result. */
+  def timeHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Rfm.epochMs(col("ts"))
+    val cells = Tables.events(spark, dir)
+      .select((((ms / lit(86400000L)).cast(LongType) + 4) % 7).as("dow"),
+        ((ms % 86400000L) / lit(3600000L)).cast(LongType).as("hour"))
+      .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n"),
+        expr("n * 1000000 DIV total").as("share_ppm"))
+  }
+
+  val timeHeatmapSql: String =
+    """WITH c AS (
+      |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 + 4) % 7 AS dow,
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) % 86400000 // 3600000 AS hour,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+      |       CAST(n AS BIGINT) AS n,
+      |       CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+      |FROM c CROSS JOIN t""".stripMargin
+
+  /** q185 — weekly COHORT retention matrix: users grouped by their signup
+    * week (first 'signup' event), each cohort's distinct active users at
+    * every week offset ≥ 0 from signup (any event type counts as
+    * activity). The canonical cohort-curve input; q73's day-bucket
+    * retention is the flat variant. Weeks are epoch-day DIV 7 — pure
+    * integer, engine-identical.
+    *
+    * Scale shape: the signup anchor is a per-user aggregate; activity
+    * joins it ON user (both sides hash-partition on user_id); the
+    * (cohort, offset) distinct-count is cohorts×offsets-sized. No window
+    * anywhere. */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        (Rfm.epochMs(col("ts")) / lit(604800000L)).cast(LongType).as("week"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = signup.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    ev.join(signup, Seq("user_id"))
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000000 DIV cohort_size").as("retention_ppm"))
+  }
+
+  val cohortMatrixSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS week
+      |  FROM events
+      |), signup AS (
+      |  SELECT user_id, min(week) AS cohort_week
+      |  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+      |  FROM signup GROUP BY cohort_week)
+      |SELECT s.cohort_week, e.week - s.cohort_week AS week_offset,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+      |       CAST(min(z.cohort_size) AS BIGINT) AS cohort_size,
+      |       CAST(count(DISTINCT e.user_id) * 1000000 // min(z.cohort_size)
+      |              AS BIGINT) AS retention_ppm
+      |FROM ev e
+      |JOIN signup s ON e.user_id = s.user_id
+      |JOIN sizes z ON z.cohort_week = s.cohort_week
+      |WHERE e.week >= s.cohort_week
+      |GROUP BY s.cohort_week, e.week - s.cohort_week""".stripMargin
+
   /** JSON extraction — `props` is a JSON payload column; `get_json_object`
     * (codegen'd Jackson path evaluation, no UDF) pulls `$.k` and aggregates
     * it per event type. At scale, stable-schema JSON should move to

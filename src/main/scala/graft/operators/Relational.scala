@@ -865,6 +865,51 @@ object Relational {
       .select(col("flag"), col("k").cast(LongType).as("k"),
         col("boundary_cents"))
 
+  /** q183 — 7-day TRAILING moving average of daily order revenue on a
+    * gap-filled day grid (q80's gap-fill semantics: a day with no orders
+    * contributes zero, so the window always spans calendar days, not
+    * order days). Days are epoch-day integers and the average is e2 fixed
+    * point over the ACTUAL trailing span (the first six days divide by
+    * their shorter span) — all-integer, engine-exact. The daily rollup is
+    * the only data-sized exchange; the grid and its window are
+    * days-sized (the aggregate-sized-window discipline). */
+  def movingAvgDailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select((Rfm.epochMs(col("o_orderdate")) / lit(86400000L))
+        .cast(LongType).as("day"),
+        Rfm.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("day_cents"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = bounds.select(
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    grid.join(daily, Seq("day"), "left")
+      .withColumn("day_cents", coalesce(col("day_cents"), lit(0L)))
+      .withColumn("win_cents", sum(col("day_cents")).over(w))
+      .withColumn("span", count(lit(1)).over(w))
+      .select(col("day"), col("day_cents"), col("win_cents"),
+        expr("win_cents * 100 DIV span").as("avg_e2"))
+  }
+
+  val movingAvgDailyRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS day_cents
+      |  FROM orders GROUP BY 1
+      |), grid AS (
+      |  SELECT unnest(range((SELECT min(day) FROM daily),
+      |                      (SELECT max(day) FROM daily) + 1)) AS day
+      |), filled AS (
+      |  SELECT g.day, coalesce(d.day_cents, 0) AS day_cents
+      |  FROM grid g LEFT JOIN daily d ON g.day = d.day)
+      |SELECT day, day_cents,
+      |       CAST(sum(day_cents) OVER w AS BIGINT) AS win_cents,
+      |       CAST(sum(day_cents) OVER w * 100 // count(*) OVER w AS BIGINT)
+      |         AS avg_e2
+      |FROM filled
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

@@ -1747,6 +1747,70 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 > 0), "no consecutive-hour pair in fixture")
   }
 
+  test("q183 moving average: dense day grid, 7-day trailing window " +
+    "recomputes, zero-revenue gap days included") {
+    val rows = Relational.movingAvgDailyRevenue(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val days = rows.map(_._1)
+    assert(days.toSeq == (days.head to days.last).toSeq, "grid not dense")
+    assert(rows.exists(_._2 == 0L), "no gap day in fixture — fill untested")
+    rows.zipWithIndex.foreach { case ((_, _, win, avgE2), i) =>
+      val span = math.min(7, i + 1)
+      val expect = rows.slice(i - span + 1, i + 1).map(_._2).sum
+      assert(win == expect, s"window at index $i")
+      assert(avgE2 == win * 100 / span)
+    }
+  }
+
+  test("q184 heatmap: cells recompute from epoch arithmetic and shares " +
+    "sum to ~1e6") {
+    val got = Events.timeHeatmap(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val ms = Tables.events(spark, dir)
+      .select(expr("unix_millis(CAST(ts AS TIMESTAMP))")).collect()
+      .map(_.getLong(0))
+    val expected = ms.groupBy(m => ((m / 86400000L + 4) % 7, m % 86400000L / 3600000L))
+      .view.mapValues(_.length.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == expected)
+    got.foreach { case ((dow, hour), _) =>
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23)
+    }
+    // floor rounding loses < 1 ppm per cell
+    val total = got.values.map(_._1).sum
+    val shareSum = got.values.map(_._2).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - got.size)
+    assert(total == ms.length.toLong)
+  }
+
+  test("q185 cohort matrix: offset-0 covers the whole cohort and " +
+    "retention recomputes from raw events") {
+    val rows = Events.cohortMatrix(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 604800000").as("week"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val cohort = ev.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val expected = ev.flatMap { case (u, _, w) =>
+      cohort.get(u).filter(w >= _).map(cw => ((cw, w - cw), u))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(rows.view.mapValues(_._1).toMap == expected)
+    val sizes = cohort.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case ((cw, off), (nAct, csz, ppm)) =>
+      assert(csz == sizes(cw))
+      assert(ppm == nAct * 1000000L / csz)
+      // a user signs up in their own cohort week, so offset 0 is complete
+      if (off == 0L) assert(nAct == csz, s"cohort $cw offset 0")
+    }
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

@@ -235,6 +235,8 @@ object SparkEntry {
       Relational.movingAvgDailyRevenue(s, dir)),
     "q184_time_heatmap" -> ((s, dir) => Events.timeHeatmap(s, dir)),
     "q185_cohort_matrix" -> ((s, dir) => Events.cohortMatrix(s, dir)),
+    "q186_ks_drift" -> ((s, dir) => Profiling.ksDrift(s, dir)),
+    "q187_bootstrap" -> ((s, dir) => Sampling.bootstrapRevenue(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -410,6 +412,8 @@ object SparkEntry {
     "q183_moving_avg" -> Relational.movingAvgDailyRevenueSql,
     "q184_time_heatmap" -> Events.timeHeatmapSql,
     "q185_cohort_matrix" -> Events.cohortMatrixSql,
+    "q186_ks_drift" -> Profiling.ksDriftSql,
+    "q187_bootstrap" -> Sampling.bootstrapRevenueSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

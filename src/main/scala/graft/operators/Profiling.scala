@@ -459,6 +459,69 @@ object Profiling {
         col("p05"), col("p95"))
   }
 
+  /** q186 — per-source KOLMOGOROV–SMIRNOV drift: the exact KS distance
+    * between each source's document-length distribution and the REST of
+    * the corpus, as an exact integer fraction — D·ppm =
+    * max_v |c_s(≤v)·n_r − c_r(≤v)·n_s| · 10⁶ div (n_s·n_r). KS complements
+    * q157's binned PSI: it is binning-free (sensitive anywhere in the
+    * CDF), and the cross-multiplied integer form makes the oracle gate
+    * engine-exact where the usual float CDF difference would not be.
+    *
+    * Scale shape: one data-sized aggregate to (source, value) counts;
+    * everything after lives on the sources × |value support| grid — the
+    * support is bounded by the VALUE DOMAIN (document lengths), not the
+    * corpus, so the grid windows are aggregate-sized at any corpus size. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast(LongType).as("v"))
+    val bySrcVal = docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val byVal = bySrcVal.groupBy(col("v")).agg(sum(col("c")).as("cg"))
+    val totals = bySrcVal.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val grand = totals.agg(sum(col("ns")).as("n_all"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals.crossJoin(byVal)
+      .join(bySrcVal, Seq("source", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cs", sum(col("c")).over(w))
+      .withColumn("cu", sum(col("cg")).over(w))
+      .crossJoin(broadcast(grand))
+      .withColumn("nr", col("n_all") - col("ns"))
+      .withColumn("diff",
+        abs(col("cs") * col("nr") - (col("cu") - col("cs")) * col("ns")))
+      .groupBy(col("source"))
+      .agg(min(col("ns")).as("n_docs"), min(col("nr")).as("n_rest"),
+        max(col("diff")).as("d_num"))
+      .select(col("source"), col("n_docs"),
+        expr("d_num * 1000000 DIV (n_docs * n_rest)").as("ks_ppm"))
+  }
+
+  val ksDriftSql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+      |), sv AS (
+      |  SELECT source, v, count(*) AS c FROM d GROUP BY source, v
+      |), gv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cg FROM sv GROUP BY v),
+      |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sv GROUP BY source),
+      |g AS (SELECT CAST(sum(ns) AS BIGINT) AS n_all FROM tt),
+      |grid AS (
+      |  SELECT tt.source, tt.ns, gv.v, gv.cg, coalesce(sv.c, 0) AS c
+      |  FROM tt CROSS JOIN gv
+      |  LEFT JOIN sv ON sv.source = tt.source AND sv.v = gv.v
+      |), cum AS (
+      |  SELECT source, ns, v,
+      |         sum(c) OVER w AS cs, sum(cg) OVER w AS cu
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY source ORDER BY v
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT source, CAST(min(ns) AS BIGINT) AS n_docs,
+      |       CAST(max(abs(cs * (g.n_all - ns) - (cu - cs) * ns)) * 1000000
+      |              // (min(ns) * min(g.n_all - ns)) AS BIGINT) AS ks_ppm
+      |FROM cum CROSS JOIN g
+      |GROUP BY source, g.n_all""".stripMargin
+
   val winsorizedStatsSql: String =
     """WITH r AS (
       |  SELECT source, n_chars,

@@ -529,4 +529,65 @@ object Sampling {
        |  FROM cand)
        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, h AS score
        |FROM r WHERE rk = 1""".stripMargin
+
+  /** Poisson(1) inverse-CDF thresholds Σ_{i≤k} e⁻¹/i! for k = 0..5 — a
+    * variate u < t(0) draws weight 0, t(0) ≤ u < t(1) weight 1, …, u ≥
+    * t(5) caps at 6 (P ≈ 6e-5; the cap keeps the weight column bounded).
+    * Literal doubles: both engines parse the same decimal to the same
+    * IEEE value, so the threshold compare — and therefore every bootstrap
+    * weight — is deterministic and engine-identical. */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** q187 — DISTRIBUTED POISSON BOOTSTRAP of total order revenue: `b`
+    * resample replicates of Σ cents, each row drawing a Poisson(1)
+    * multiplicity per replicate from its own md5 variate (the classic
+    * one-pass bootstrap for data too large to resample by index: Poisson
+    * counts approximate multinomial resampling with independent per-row
+    * draws, so the replicate is a narrow map + one aggregate — no shuffle
+    * of the data, no driver-side index vector). The replicate spread IS
+    * the standard-error estimate a monitor puts around the revenue total.
+    *
+    * Determinism: the variate is the [[hashUnit]] md5 rational and the
+    * CDF cuts are shared decimal literals, so every weight — and every
+    * replicate sum — is an exact integer identical on both engines.
+    * Scale shape: rows × b narrow expansion, map-side partial sums into a
+    * b-row result; b is a constant (20), so the expansion is a bounded
+    * factor, not a data-sized blowup. */
+  def bootstrapRevenue(spark: SparkSession, dir: String,
+                       b: Int = 20): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Rfm.cents(col("o_totalprice")).as("cents"))
+    val u = hashUnit(concat(col("o_orderkey").cast(StringType), lit(":"),
+      col("rep").cast(StringType)))
+    val weight = PoissonCdf
+      .map(t => when(u >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    orders
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("w", weight)
+      .groupBy(col("rep").cast(LongType).as("rep"))
+      .agg(sum(col("w")).as("n_drawn"),
+        sum(col("w") * col("cents")).as("total_cents"))
+  }
+
+  def bootstrapRevenueSql(b: Int = 20): String = {
+    val cuts = PoissonCdf
+      .map(t => s"CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH reps AS (SELECT unnest(range($b)) AS rep),
+       |v AS (
+       |  SELECT rep,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+       |            CAST(rep AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+       |  FROM orders CROSS JOIN reps
+       |), w AS (SELECT rep, cents, $cuts AS w FROM v)
+       |SELECT CAST(rep AS BIGINT) AS rep,
+       |       CAST(sum(w) AS BIGINT) AS n_drawn,
+       |       CAST(sum(w * cents) AS BIGINT) AS total_cents
+       |FROM w GROUP BY rep""".stripMargin
+  }
 }

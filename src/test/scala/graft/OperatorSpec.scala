@@ -1811,6 +1811,64 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q186 KS drift: exact integer KS distance recomputes from " +
+    "driver-side CDFs, bounded by [0, 1e6]") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val support = docs.map(_._2).distinct.sorted
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = docs.length.toLong
+    val got = Profiling.ksDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == bySrc.size)
+    bySrc.foreach { case (s, xs) =>
+      val ns = xs.length.toLong
+      val rest = docs.filter(_._1 != s).map(_._2)
+      val nr = rest.length.toLong
+      val dNum = support.map { v =>
+        math.abs(xs.count(_ <= v) * nr - rest.count(_ <= v) * ns)
+      }.max
+      val (gn, gppm) = got(s)
+      assert(gn == ns, s"$s n_docs")
+      assert(gppm == dNum * 1000000L / (ns * nr), s"$s ks_ppm")
+      assert(gppm >= 0 && gppm <= 1000000L)
+    }
+  }
+
+  test("q187 bootstrap: every replicate weight recomputes from the md5 " +
+    "variate and the Poisson thresholds; replicates genuinely vary") {
+    import java.security.MessageDigest
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (0 until 20).map { rep =>
+      val ws = orders.map { case (ok, cents) =>
+        val u = java.lang.Long.parseLong(
+          md5hex(s"$ok:$rep").take(8), 16).toDouble / 4294967296.0
+        val w = cdf.count(u >= _).toLong
+        (w, w * cents)
+      }
+      rep.toLong -> (ws.map(_._1).sum, ws.map(_._2).sum)
+    }.toMap
+    val got = Sampling.bootstrapRevenue(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // the resample is real: draws differ across replicates, and the mean
+    // multiplicity is ~1 (Poisson(1)): every replicate draws within 20%
+    val nRows = orders.length.toLong
+    assert(got.values.map(_._2).toSet.size > 1, "replicates all identical")
+    got.values.foreach { case (nd, _) =>
+      assert(math.abs(nd - nRows) * 5 <= nRows, s"drawn $nd of $nRows rows")
+    }
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

@@ -237,6 +237,7 @@ object SparkEntry {
     "q185_cohort_matrix" -> ((s, dir) => Events.cohortMatrix(s, dir)),
     "q186_ks_drift" -> ((s, dir) => Profiling.ksDrift(s, dir)),
     "q187_bootstrap" -> ((s, dir) => Sampling.bootstrapRevenue(s, dir)),
+    "q188_interarrival" -> ((s, dir) => Events.interarrivalQuantiles(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -414,6 +415,7 @@ object SparkEntry {
     "q185_cohort_matrix" -> Events.cohortMatrixSql,
     "q186_ks_drift" -> Profiling.ksDriftSql,
     "q187_bootstrap" -> Sampling.bootstrapRevenueSql(),
+    "q188_interarrival" -> Events.interarrivalQuantilesSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

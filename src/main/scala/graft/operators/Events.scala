@@ -635,6 +635,66 @@ object Events {
       |WHERE e.week >= s.cohort_week
       |GROUP BY s.cohort_week, e.week - s.cohort_week""".stripMargin
 
+  /** q188 — INTER-ARRIVAL time quantiles: per event type, the nearest-rank
+    * median and p90 of the millisecond gaps between each user's
+    * consecutive events of that type — the burstiness/periodicity profile
+    * behind rate-limit tuning and bot detection (a p90 collapsing toward
+    * the median flags mechanical traffic). The per-(user, type) lag window
+    * partitions on a HIGH-cardinality key (users), so it spreads across any
+    * cluster — the low-cardinality serialization trap does not apply — and
+    * the per-TYPE quantiles then ride [[Relational.crossingBoundaries]]
+    * (k ∈ {5, 9} of 10), so the 5-group rollup never serializes either. */
+  def interarrivalQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ms"), col("event_id"))
+    val deltas = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        Rfm.epochMs(col("ts")).as("ms"))
+      .withColumn("delta", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("delta").isNotNull)
+      .select(col("event_type"), col("delta"))
+    val counts = deltas.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"))
+    Relational.crossingBoundaries(
+      deltas, "event_type", "delta", lit(1L), "q_ms", den = 10)
+      .filter(col("k").isin(5, 9))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("k") === 5, col("q_ms"))).as("p50_ms"),
+        min(when(col("k") === 9, col("q_ms"))).as("p90_ms"))
+      .join(broadcast(counts), Seq("event_type"))
+      .select(col("event_type"), col("n_gaps"), col("p50_ms"), col("p90_ms"))
+  }
+
+  val interarrivalQuantilesSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+      |  FROM events
+      |), d AS (
+      |  SELECT event_type,
+      |         ms - lag(ms) OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ms, event_id) AS delta
+      |  FROM e
+      |), dd AS (SELECT event_type, delta FROM d WHERE delta IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, delta,
+      |         count(*) OVER (PARTITION BY event_type ORDER BY delta
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dd
+      |), p50 AS (
+      |  SELECT event_type, min(delta) AS p50_ms FROM r
+      |  WHERE cum * 10 >= 5 * n GROUP BY event_type
+      |), p90 AS (
+      |  SELECT event_type, min(delta) AS p90_ms FROM r
+      |  WHERE cum * 10 >= 9 * n GROUP BY event_type
+      |), cnt AS (
+      |  SELECT event_type, count(*) AS n_gaps FROM dd GROUP BY event_type)
+      |SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+      |       CAST(p50_ms AS BIGINT) AS p50_ms, CAST(p90_ms AS BIGINT) AS p90_ms
+      |FROM cnt JOIN p50 USING (event_type) JOIN p90 USING (event_type)""".stripMargin
+
   /** JSON extraction — `props` is a JSON payload column; `get_json_object`
     * (codegen'd Jackson path evaluation, no UDF) pulls `$.k` and aggregates
     * it per event type. At scale, stable-schema JSON should move to

@@ -861,7 +861,7 @@ object Relational {
       Tables.lineitem(spark, dir)
         .select(col("l_returnflag").as("flag"),
           Rfm.cents(col("l_extendedprice")).as("cents")),
-      "flag", "cents", lit(1L), "boundary_cents", den = 10, partitions = 32)
+      "flag", "cents", lit(1L), "boundary_cents", den = 10, partitions = 8)
       .select(col("flag"), col("k").cast(LongType).as("k"),
         col("boundary_cents"))
 

@@ -1839,8 +1839,9 @@ class OperatorSpec extends AnyFunSuite {
   test("q187 bootstrap: every replicate weight recomputes from the md5 " +
     "variate and the Poisson thresholds; replicates genuinely vary") {
     import java.security.MessageDigest
-    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
-      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    val cuts = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183).map(t => math.ceil(t * 4096).toLong)
     def md5hex(s: String): String =
       MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
@@ -1850,9 +1851,14 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     val expected = (0 until 20).map { rep =>
       val ws = orders.map { case (ok, cents) =>
-        val u = java.lang.Long.parseLong(
-          md5hex(s"$ok:$rep").take(8), 16).toDouble / 4294967296.0
-        val w = cdf.count(u >= _).toLong
+        // hash-once-slice-many: 64 shared hex chars -> five 48-bit
+        // chunks -> replicate rep reads bits [36-12·(rep%4), +12) of
+        // chunk rep/4
+        val hex = md5hex(s"$ok:0") + md5hex(s"$ok:1")
+        val chunk = java.lang.Long.parseLong(
+          hex.substring(12 * (rep / 4), 12 * (rep / 4) + 12), 16)
+        val u = (chunk >> (36 - 12 * (rep % 4))) & 4095L
+        val w = cuts.count(u >= _).toLong
         (w, w * cents)
       }
       rep.toLong -> (ws.map(_._1).sum, ws.map(_._2).sum)
@@ -1866,6 +1872,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.values.map(_._2).toSet.size > 1, "replicates all identical")
     got.values.foreach { case (nd, _) =>
       assert(math.abs(nd - nRows) * 5 <= nRows, s"drawn $nd of $nRows rows")
+    }
+  }
+
+  test("q188 inter-arrival: median/p90 recompute from driver-side " +
+    "per-user gap folds, p50 <= p90") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_millis(CAST(ts AS TIMESTAMP))").as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val deltas = ev.groupBy(e => (e._1, e._2)).values.flatMap { g =>
+      val sorted = g.toSeq.sortBy(e => (e._4, e._3))
+      sorted.sliding(2).collect { case Seq(a, b) => (a._2, b._4 - a._4) }
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def nr(xs: Seq[Long], k: Int): Long = xs((k * xs.length + 9) / 10 - 1)
+    val got = Events.interarrivalQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == deltas.keySet)
+    got.foreach { case (tpe, (n, p50, p90)) =>
+      val xs = deltas(tpe)
+      assert(n == xs.length.toLong, s"$tpe gap count")
+      assert(p50 == nr(xs, 5), s"$tpe p50")
+      assert(p90 == nr(xs, 9), s"$tpe p90")
+      assert(p50 <= p90)
     }
   }
 

@@ -238,6 +238,9 @@ object SparkEntry {
     "q186_ks_drift" -> ((s, dir) => Profiling.ksDrift(s, dir)),
     "q187_bootstrap" -> ((s, dir) => Sampling.bootstrapRevenue(s, dir)),
     "q188_interarrival" -> ((s, dir) => Events.interarrivalQuantiles(s, dir)),
+    "q189_similar_customers" -> ((s, dir) => Graph.similarCustomers(s, dir)),
+    "q190_seasonal_backtest" -> ((s, dir) =>
+      Relational.seasonalBacktest(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,6 +419,8 @@ object SparkEntry {
     "q186_ks_drift" -> Profiling.ksDriftSql,
     "q187_bootstrap" -> Sampling.bootstrapRevenueSql(),
     "q188_interarrival" -> Events.interarrivalQuantilesSql,
+    "q189_similar_customers" -> Graph.similarCustomersSql(),
+    "q190_seasonal_backtest" -> Relational.seasonalBacktestSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

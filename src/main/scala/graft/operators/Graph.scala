@@ -456,6 +456,90 @@ object Graph {
     * through DECIMAL(38,0) so supp·N·10⁶ cannot overflow even at 10⁹
     * orders — and the oracle mirrors with DuckDB `//` on HUGEINT, so
     * both sides are exact-floor at every scale, no double rounding. */
+  /** q189 — BASKET LOOKALIKES for the top accounts: for each of the 100
+    * highest-revenue customers, the 3 nearest neighbors among ALL
+    * customers by purchase-basket Jaccard (distinct-part sets, exact
+    * ppm) — the "find customers like these accounts" retrieval a
+    * marketing/recommendation pipeline runs for a seed list, and the
+    * BASKET-side twin of q117's part-pair rules.
+    *
+    * Query-side restriction is the scale design, not a shortcut: the
+    * all-pairs form is Σ df² candidate rows (measured 15 s at sf0.1 —
+    * uniform TPC-H-ish baskets make every part a collider), while the
+    * seed-anchored form is Σ_{parts of 100 seeds} df — the q136
+    * hard-negative-mining asymmetry: seed baskets BROADCAST, the corpus
+    * index streams once. The per-seed top-3 window orders only that
+    * seed's candidate list. Seeds are revenue-ranked with exact-cents
+    * (revenue desc, custkey) ordering, so the seed set is deterministic. */
+  def similarCustomers(spark: SparkSession, dir: String, k: Int = 3,
+                       nSeeds: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+      .distinct()
+    val sizes = baskets.groupBy(col("ck")).agg(count(lit(1)).as("n"))
+    val seeds = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Rfm.cents(col("o_totalprice"))).as("rev"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+      .limit(nSeeds)
+      .select(col("o_custkey").as("ck"))
+    val seedBaskets = baskets.join(seeds, Seq("ck"))
+      .select(col("ck").as("a"), col("pk"))
+    val pairs = broadcast(seedBaskets)
+      .join(baskets.toDF("b", "pk"), Seq("pk"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("jaccard_ppm").desc, col("b"))
+    pairs
+      .join(broadcast(sizes.toDF("a", "na")), Seq("a"))
+      .join(sizes.toDF("b", "nb"), Seq("b"))
+      .withColumn("jaccard_ppm",
+        expr("shared * 1000000 DIV (na + nb - shared)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("a").as("custkey"), col("rk").cast(LongType).as("rk"),
+        col("b").as("neighbor"), col("shared"), col("jaccard_ppm"))
+  }
+
+  def similarCustomersSql(k: Int = 3, nSeeds: Int = 100): String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), sizes AS (
+       |  SELECT ck, count(*) AS n FROM baskets GROUP BY ck
+       |), seeds AS (
+       |  SELECT o_custkey AS ck
+       |  FROM orders
+       |  GROUP BY o_custkey
+       |  ORDER BY sum(CAST(round(o_totalprice * 100) AS BIGINT)) DESC,
+       |           o_custkey
+       |  LIMIT $nSeeds
+       |), pairs AS (
+       |  SELECT x.ck AS a, y.ck AS b, count(*) AS shared
+       |  FROM baskets x
+       |  JOIN seeds s ON s.ck = x.ck
+       |  JOIN baskets y ON x.pk = y.pk AND x.ck <> y.ck
+       |  GROUP BY x.ck, y.ck
+       |), scored AS (
+       |  SELECT p.a, p.b, p.shared,
+       |         p.shared * 1000000 // (sa.n + sb.n - p.shared) AS jaccard_ppm
+       |  FROM pairs p
+       |  JOIN sizes sa ON sa.ck = p.a
+       |  JOIN sizes sb ON sb.ck = p.b
+       |), ranked AS (
+       |  SELECT a, b, shared, jaccard_ppm,
+       |         row_number() OVER (PARTITION BY a
+       |                            ORDER BY jaccard_ppm DESC, b) AS rk
+       |  FROM scored)
+       |SELECT a AS custkey, CAST(rk AS BIGINT) AS rk, b AS neighbor,
+       |       CAST(shared AS BIGINT) AS shared,
+       |       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+       |FROM ranked WHERE rk <= $k""".stripMargin
+
   def associationRules(spark: SparkSession, dir: String,
                        minSupport: Long = 3L): DataFrame = {
     val l = Tables.lineitem(spark, dir)

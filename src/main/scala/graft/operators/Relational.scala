@@ -910,6 +910,62 @@ object Relational {
       |FROM filled
       |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** q190 — SEASONAL-NAIVE FORECAST BACKTEST: on the q183 gap-filled day
+    * grid, forecast each day's revenue as last week's same weekday (lag 7)
+    * vs yesterday (lag 1), and report per-weekday MAE in exact cents —
+    * the baseline every real forecaster must beat, and the backtest
+    * harness shape (point forecasts joined back to actuals) a capacity
+    * planner runs. A lag-7 MAE below lag-1 quantifies weekly
+    * seasonality. Integer-only; windows on the days-sized grid. */
+  def seasonalBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select((Rfm.epochMs(col("o_orderdate")) / lit(86400000L))
+        .cast(LongType).as("day"),
+        Rfm.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("day_cents"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = bounds.select(
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+    grid.join(daily, Seq("day"), "left")
+      .withColumn("day_cents", coalesce(col("day_cents"), lit(0L)))
+      .withColumn("f7", lag(col("day_cents"), 7).over(w))
+      .withColumn("f1", lag(col("day_cents"), 1).over(w))
+      .filter(col("f7").isNotNull)
+      .groupBy(((col("day") + 4) % 7).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("day_cents") - col("f7"))).as("ae7"),
+        sum(abs(col("day_cents") - col("f1"))).as("ae1"))
+      .select(col("dow"), col("n_days"),
+        expr("ae7 DIV n_days").as("mae7_cents"),
+        expr("ae1 DIV n_days").as("mae1_cents"))
+  }
+
+  val seasonalBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS day_cents
+      |  FROM orders GROUP BY 1
+      |), grid AS (
+      |  SELECT unnest(range((SELECT min(day) FROM daily),
+      |                      (SELECT max(day) FROM daily) + 1)) AS day
+      |), filled AS (
+      |  SELECT g.day, coalesce(d.day_cents, 0) AS day_cents
+      |  FROM grid g LEFT JOIN daily d ON g.day = d.day
+      |), lagged AS (
+      |  SELECT day, day_cents,
+      |         lag(day_cents, 7) OVER (ORDER BY day) AS f7,
+      |         lag(day_cents, 1) OVER (ORDER BY day) AS f1
+      |  FROM filled)
+      |SELECT (day + 4) % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(sum(abs(day_cents - f7)) // count(*) AS BIGINT)
+      |         AS mae7_cents,
+      |       CAST(sum(abs(day_cents - f1)) // count(*) AS BIGINT)
+      |         AS mae1_cents
+      |FROM lagged WHERE f7 IS NOT NULL
+      |GROUP BY (day + 4) % 7""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

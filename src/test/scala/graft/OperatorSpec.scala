@@ -1900,6 +1900,64 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q189 similar customers: jaccard recomputes from raw baskets, " +
+    "neighbors ranked and only seed customers appear on the left") {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS LONG)")).as("rev"))
+      .orderBy(col("rev").desc, col("o_custkey")).limit(100)
+      .collect().map(_.getLong(0)).toSet
+    val rows = graft.operators.Graph.similarCustomers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, rk, b, shared, ppm) =>
+      assert(seeds.contains(a), s"non-seed customer $a on the left")
+      assert(a != b && rk >= 1 && rk <= 3)
+      val inter = (baskets(a) & baskets(b)).size.toLong
+      assert(shared == inter, s"($a,$b) shared")
+      assert(ppm == inter * 1000000L /
+        (baskets(a).size + baskets(b).size - inter))
+    }
+    // ranks are dense per seed and ordered by (jaccard desc, neighbor)
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      assert(sorted.map(r => (-r._5, r._3)).toSeq ==
+        sorted.map(r => (-r._5, r._3)).sortBy(identity).toSeq, s"seed $a order")
+    }
+  }
+
+  test("q190 seasonal backtest: per-dow MAE recomputes from the dense " +
+    "grid with both lags") {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000")
+        .as("day"), expr("CAST(round(o_totalprice * 100) AS LONG)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    val filled = (d0 to d1).map(d => daily.getOrElse(d, 0L))
+    val expected = (7 until filled.length).map { i =>
+      val dow = (d0 + i + 4) % 7
+      (dow, math.abs(filled(i) - filled(i - 7)),
+        math.abs(filled(i) - filled(i - 1)))
+    }.groupBy(_._1).map { case (dow, xs) =>
+      dow -> (xs.length.toLong, xs.map(_._2).sum / xs.length,
+        xs.map(_._3).sum / xs.length)
+    }
+    val got = Relational.seasonalBacktest(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    assert(got.size == 7)
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

@@ -241,6 +241,10 @@ object SparkEntry {
     "q189_similar_customers" -> ((s, dir) => Graph.similarCustomers(s, dir)),
     "q190_seasonal_backtest" -> ((s, dir) =>
       Relational.seasonalBacktest(s, dir)),
+    "q191_linear_attribution" -> ((s, dir) =>
+      Events.linearAttribution(s, dir)),
+    "q192_new_vs_returning" -> ((s, dir) => Events.newVsReturning(s, dir)),
+    "q193_revenue_gini" -> ((s, dir) => Relational.revenueGini(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -421,6 +425,9 @@ object SparkEntry {
     "q188_interarrival" -> Events.interarrivalQuantilesSql,
     "q189_similar_customers" -> Graph.similarCustomersSql(),
     "q190_seasonal_backtest" -> Relational.seasonalBacktestSql,
+    "q191_linear_attribution" -> Events.linearAttributionSql(),
+    "q192_new_vs_returning" -> Events.newVsReturningSql,
+    "q193_revenue_gini" -> Relational.revenueGiniSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

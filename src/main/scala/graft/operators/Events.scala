@@ -695,6 +695,88 @@ object Events {
       |       CAST(p50_ms AS BIGINT) AS p50_ms, CAST(p90_ms AS BIGINT) AS p90_ms
       |FROM cnt JOIN p50 USING (event_type) JOIN p90 USING (event_type)""".stripMargin
 
+  /** q191 — LINEAR multi-touch attribution: every click inside the 7-day
+    * window before a same-user purchase shares the credit equally
+    * (floor(10⁶/n) ppm each — the remainder is deliberately unassigned,
+    * identical in both engines), complementing q161's last-touch rule.
+    * The purchase × prior-click pairing is the WINDOW-BOUNDED interval
+    * join (q66/q83 discipline): the time predicate caps how many clicks
+    * any purchase can pair with, so candidate volume is Σ clicks-in-
+    * window, never clicks × purchases. */
+  def linearAttribution(spark: SparkSession, dir: String,
+                        windowMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Rfm.epochMs(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t").as("p_t"),
+        col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("c_t"),
+        col("event_id").as("click_id"))
+    val w = Window.partitionBy(col("purchase_id"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_t") <= col("p_t") &&
+        col("c_t") > col("p_t") - windowMs)
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("n_touches"), expr("1000000 DIV n_touches").as("credit_ppm"))
+  }
+
+  def linearAttributionSql(windowMs: Long = 7L * 24 * 3600 * 1000): String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS p_t,
+       |         event_id AS purchase_id
+       |  FROM events WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS c_t,
+       |         event_id AS click_id
+       |  FROM events WHERE event_type = 'click')
+       |SELECT purchase_id, user_id, click_id,
+       |       CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+       |         AS n_touches,
+       |       CAST(1000000 // count(*) OVER (PARTITION BY purchase_id)
+       |              AS BIGINT) AS credit_ppm
+       |FROM p JOIN c USING (user_id)
+       |WHERE c_t <= p_t AND c_t > p_t - $windowMs""".stripMargin
+
+  /** q192 — NEW vs RETURNING daily actives: per epoch-day, distinct users
+    * split by whether this is their first-ever active day — the growth
+    * accounting every product dashboard leads with. Two aggregates: per
+    * (day, user) distinct activity (data-sized, one exchange) and per-user
+    * first day (users-sized, joined back on the same user hash). */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val dayUser = Tables.events(spark, dir)
+      .select((Rfm.epochMs(col("ts")) / lit(86400000L)).cast(LongType)
+        .as("day"), col("user_id"))
+      .distinct()
+    val firstDay = dayUser.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    dayUser.join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_users"), col("n_new"),
+        (col("n_users") - col("n_new")).as("n_returning"))
+  }
+
+  val newVsReturningSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+      |         user_id
+      |  FROM events
+      |), fd AS (
+      |  SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_new,
+      |       CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_returning
+      |FROM du JOIN fd USING (user_id)
+      |GROUP BY day""".stripMargin
+
   /** JSON extraction — `props` is a JSON payload column; `get_json_object`
     * (codegen'd Jackson path evaluation, no UDF) pulls `$.k` and aggregates
     * it per event type. At scale, stable-schema JSON should move to

@@ -966,6 +966,53 @@ object Relational {
       |FROM lagged WHERE f7 IS NOT NULL
       |GROUP BY (day + 4) % 7""".stripMargin
 
+  /** q193 — REVENUE CONCENTRATION (Gini) across customers, exact:
+    * gini_ppm = (2·Σ i·xᵢ − (n+1)·Σx) · 10⁶ div (n·Σx) over revenues
+    * sorted ascending with ordinal i — the inequality/concentration gauge
+    * behind "top-1% of accounts" dashboards, plus the exact integer
+    * components so any downstream can re-derive Lorenz points. The
+    * ordinal comes from [[TextAnalysis.groupedOrdinal]] on a constant
+    * group — the DISTRIBUTED rank (range partition + offset prefix), so
+    * the customers-sized frame never serializes through one window task
+    * even when "customers" means billions. Ties order by custkey in both
+    * engines (a total order, required by the ordinal's contract). */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Rfm.cents(col("o_totalprice"))).as("rev"))
+      .withColumn("__g", lit(1))
+    TextAnalysis.groupedOrdinal(rev, "__g", Seq("rev", "o_custkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("total_cents"),
+        sum(col("__ord") * col("rev")).as("sum_irev"))
+      .select(col("n_customers"), col("total_cents"),
+        // the ×10⁶ scaling overflows Long past ~10¹³ cents of Σi·x — run
+        // the scaled product in DECIMAL(38,0) (exact integer lane, the
+        // same widening DuckDB's HUGEINT sum applies), floor back to Long
+        expr("""CAST(floor(
+                  CAST(2 * sum_irev - (n_customers + 1) * total_cents
+                       AS DECIMAL(38,0)) * 1000000
+                  / (CAST(n_customers AS DECIMAL(38,0)) * total_cents))
+                AS LONG)""").as("gini_ppm"))
+  }
+
+  val revenueGiniSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS rev
+      |  FROM orders GROUP BY o_custkey
+      |), ranked AS (
+      |  SELECT rev,
+      |         CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT)
+      |           AS i
+      |  FROM rev)
+      |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(rev) AS BIGINT) AS total_cents,
+      |       CAST((2 * sum(i * rev) - (count(*) + 1) * sum(rev)) * 1000000
+      |              // (count(*) * sum(rev)) AS BIGINT) AS gini_ppm
+      |FROM ranked""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

@@ -1958,6 +1958,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size == 7)
   }
 
+  test("q191 linear attribution: credits recompute per purchase and " +
+    "agree with q161's last-touch on single-touch purchases") {
+    val windowMs = 7L * 24 * 3600 * 1000
+    val rows = Events.linearAttribution(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (pid, touches) =>
+      val n = touches.head._3
+      assert(touches.length.toLong == n, s"purchase $pid touch count")
+      touches.foreach { case (_, _, nt, ppm) =>
+        assert(nt == n && ppm == 1000000L / n)
+      }
+    }
+    // multi-touch really occurs, and floor never over-credits
+    assert(rows.exists(_._3 > 1L), "no multi-touch purchase in fixture")
+    rows.groupBy(_._1).foreach { case (_, ts) =>
+      assert(ts.map(_._4).sum <= 1000000L)
+    }
+    // single-touch purchases: the lone credited click IS the last touch
+    val lastTouch = Events.lastTouchAttribution(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // a purchase with exactly ONE raw in-window click: q161's collapsed
+    // last touch must be that very click (collapse only merges same-ms
+    // duplicates, of which there are none in a singleton set)
+    val single = rows.groupBy(_._1).filter(_._2.head._3 == 1L)
+    assert(single.nonEmpty)
+    single.foreach { case (pid, ts) =>
+      assert(lastTouch(pid).contains(ts.head._2),
+        s"purchase $pid last-touch disagrees with the lone linear credit")
+    }
+  }
+
+  test("q192 new vs returning: conserved totals, day-one all-new, " +
+    "every user new exactly once") {
+    val rows = Events.newVsReturning(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, nn, nr) => assert(n == nn + nr) }
+    assert(rows.head._4 == 0L, "day one must have zero returning users")
+    val users = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum == users, "each user is new exactly once")
+  }
+
+  test("q193 gini: distributed ordinal matches a driver-side sort, and " +
+    "the ppm value recomputes exactly") {
+    val revs = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS LONG)")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = revs.sortBy { case (ck, rev) => (rev, ck) }.map(_._2)
+    val n = sorted.length.toLong
+    val tot = sorted.sum
+    val sumIrev = sorted.zipWithIndex
+      .map { case (x, i) => BigInt(i + 1) * BigInt(x) }.sum
+    val expPpm = ((BigInt(2) * sumIrev - BigInt(n + 1) * BigInt(tot)) *
+      BigInt(1000000) / (BigInt(n) * BigInt(tot))).toLong
+    val got = Relational.revenueGini(spark, dir).collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == tot)
+    assert(got.getLong(2) == expPpm)
+    assert(got.getLong(2) > 0 && got.getLong(2) < 1000000L)
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

@@ -210,7 +210,52 @@ object PlanAudit {
       // beyond the LSH-bucketed q124 core
       "q154_knn_label_audit" -> Seq("CartesianProduct" -> false),
       // source matrix: pair index ⋈ narrow source map, equi-joins only
-      "q155_cross_source_matrix" -> Seq("CartesianProduct" -> false))
+      "q155_cross_source_matrix" -> Seq("CartesianProduct" -> false),
+      // round-8 family ------------------------------------------------
+      // forward as-of: the native exec plans (no window fallback)
+      "q174_asof_forward" -> Seq("AsOfJoin" -> true, "Window" -> false,
+        "CartesianProduct" -> false),
+      // unigram LM: the vocab count table broadcasts onto the token stream
+      "q175_unigram_surprisal" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // lang profile: vocab-sized aggregate, no pairwise anything
+      "q176_lang_vocab_profile" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false),
+      // bigram LM: the history table broadcasts; c12 join is equi
+      "q177_bigram_surprisal" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // containment: inverted-index equi-join, never pairwise
+      "q178_containment_pairs" -> Seq("CartesianProduct" -> false),
+      // winsorize: the two quantile miniatures broadcast back onto the scan
+      "q179_winsorized_stats" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // unpivot: melt executes as Expand, one narrow expansion, no shuffle
+      // beyond the metric aggregate's own
+      "q180_unpivot_metrics" -> Seq("Expand" -> true,
+        "CartesianProduct" -> false),
+      // autocov: hours-sized self-join is equi on (type, hour)
+      "q182_hourly_autocov" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false),
+      // heatmap: one hash aggregate; the 1-row total rides BNLJ
+      "q184_time_heatmap" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false),
+      // cohort: signup anchor and sizes join on user/cohort keys only
+      "q185_cohort_matrix" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // KS: the grid is miniature × miniature (BNLJ legal); never data-sized
+      "q186_ks_drift" -> Seq("CartesianProduct" -> false),
+      // bootstrap: narrow hash-slice expansion into ONE aggregate
+      "q187_bootstrap" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false),
+      // lookalikes: seed baskets must BROADCAST onto the part index — the
+      // corpus side may never shuffle into the candidate join
+      "q189_similar_customers" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // backtest/attribution/growth: equi-joins + aggregates only
+      "q190_seasonal_backtest" -> Seq("CartesianProduct" -> false),
+      "q191_linear_attribution" -> Seq("CartesianProduct" -> false),
+      "q192_new_vs_returning" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix
@@ -231,7 +276,10 @@ object PlanAudit {
     // legitimate `Exchange rangepartitioning` and need its own carve-out.
     val offsetPrefixQueries = Seq("q62_events_running", "q74_packing",
       "q75_rank_functions", "q113_weighted_median", "q116_robust_scale",
-      "q126_length_batches", "q133_quality_topp", "q158_curriculum")
+      "q126_length_batches", "q133_quality_topp", "q158_curriculum",
+      // round 8: crossingQuantile/crossingBoundaries/const-group ordinal
+      "q179_winsorized_stats", "q181_equidepth_deciles",
+      "q188_interarrival", "q193_revenue_gini")
     val offsetPrefixChecks: Map[String, Seq[(String, Boolean)]] =
       offsetPrefixQueries.map(q => q -> Seq(
         "Scan ExistingRDD" -> true)).toMap

@@ -245,6 +245,8 @@ object SparkEntry {
       Events.linearAttribution(s, dir)),
     "q192_new_vs_returning" -> ((s, dir) => Events.newVsReturning(s, dir)),
     "q193_revenue_gini" -> ((s, dir) => Relational.revenueGini(s, dir)),
+    "q194_sla_lateness" -> ((s, dir) => Relational.slaLateness(s, dir)),
+    "q195_discount_effect" -> ((s, dir) => Relational.discountEffect(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,6 +430,8 @@ object SparkEntry {
     "q191_linear_attribution" -> Events.linearAttributionSql(),
     "q192_new_vs_returning" -> Events.newVsReturningSql,
     "q193_revenue_gini" -> Relational.revenueGiniSql,
+    "q194_sla_lateness" -> Relational.slaLatenessSql(),
+    "q195_discount_effect" -> Relational.discountEffectSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -1013,6 +1013,96 @@ object Relational {
       |              // (count(*) * sum(rev)) AS BIGINT) AS gini_ppm
       |FROM ranked""".stripMargin
 
+  /** The q90 pipeline instrumented with Spark's `Observation` API — the
+    * production monitoring hook: named aggregate metrics (row count, a
+    * key checksum, |z| > 3 outlier tallies) piggyback on the SAME action
+    * that materializes the result, costing zero extra passes (a
+    * CollectMetrics node in the plan, accumulated task-side). This is how
+    * a deployed pipeline exports freshness/quality counters to its
+    * scheduler without a second scan; OperatorSpec pins the observed
+    * values against independent recomputation. The bench's q90 stays
+    * un-instrumented so its number keeps measuring the bare dataflow. */
+  def pipelineObserved(spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("rfm_pipeline")
+    val df = pipelineE2e(spark, dir).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col("custkey")).as("custkey_checksum"),
+      sum(when(abs(col("recency_z")) > 3, 1L).otherwise(0L))
+        .as("recency_outliers"),
+      sum(when(abs(col("monetary_z")) > 3, 1L).otherwise(0L))
+        .as("monetary_outliers"))
+    (df, obs)
+  }
+
+  /** q194 — SLA lateness by order priority: per priority, line items
+    * shipped more than 90 days after the order date, exact ppm — the
+    * operational-SLA rollup (TPC-H Q4's flavor, line-item-grained). One
+    * fact-fact equi-join on orderkey (both sides hash-partition on it)
+    * and one priority-sized aggregate; epoch-ms day arithmetic keeps the
+    * late predicate integer-exact. */
+  def slaLateness(spark: SparkSession, dir: String,
+                  slaDays: Long = 90L): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        Rfm.epochMs(col("o_orderdate")).as("o_ms"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), Rfm.epochMs(col("l_shipdate")).as("s_ms"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("s_ms") - col("o_ms") > slaDays * 86400000L, 1L)
+          .otherwise(0L)).as("n_late"))
+      .select(col("priority"), col("n_lines"), col("n_late"),
+        expr("n_late * 1000000 DIV n_lines").as("late_ppm"))
+  }
+
+  def slaLatenessSql(slaDays: Long = 90L): String = {
+    val slaMs = slaDays * 86400000L // pre-multiplied: a 90*86400000
+    // literal pair overflows DuckDB's INT32 literal arithmetic
+    s"""SELECT o_orderpriority AS priority,
+       |       CAST(count(*) AS BIGINT) AS n_lines,
+       |       CAST(sum(CASE WHEN epoch_ms(CAST(l_shipdate AS TIMESTAMP))
+       |                        - epoch_ms(CAST(o_orderdate AS TIMESTAMP))
+       |                        > $slaMs THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_late,
+       |       CAST(sum(CASE WHEN epoch_ms(CAST(l_shipdate AS TIMESTAMP))
+       |                        - epoch_ms(CAST(o_orderdate AS TIMESTAMP))
+       |                        > $slaMs THEN 1 ELSE 0 END)
+       |            * 1000000 // count(*) AS BIGINT) AS late_ppm
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+  }
+
+  /** q195 — DISCOUNT-BAND revenue effect (TPC-H Q6's shape, exact): the
+    * yearly revenue that would be reclaimed by eliminating discounts in
+    * the 5–7% band on small quantities. Discounts become integer BASIS
+    * POINTS (round(d·100): the data carries exact hundredths) so
+    * Σ cents·bp is a pure integer chain — the filter+aggregate pushes
+    * down to the scan, no join, no shuffle beyond one 1-group aggregate
+    * per year. */
+  def discountEffect(spark: SparkSession, dir: String): DataFrame = {
+    val bp = round(col("l_discount") * 100).cast(LongType)
+    Tables.lineitem(spark, dir)
+      .filter(bp.between(5, 7) && col("l_quantity") < 24)
+      .select(year(col("l_shipdate").cast(TimestampType)).cast(LongType)
+        .as("ship_year"),
+        (Rfm.cents(col("l_extendedprice")) * bp).as("rev_e4"))
+      .groupBy(col("ship_year"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("revenue_e4"))
+  }
+
+  val discountEffectSql: String =
+    """SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ship_year,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_e4
+      |FROM lineitem
+      |WHERE CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24
+      |GROUP BY year(CAST(l_shipdate AS TIMESTAMP))""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

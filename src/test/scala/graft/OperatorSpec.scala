@@ -2024,6 +2024,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.getLong(2) > 0 && got.getLong(2) < 1000000L)
   }
 
+  test("q194 SLA lateness: per-priority late counts recompute from the " +
+    "joined fact rows") {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = l.map { case (ok, sMs) =>
+      val (pri, oMs) = o(ok)
+      (pri, if (sMs - oMs > 90L * 86400000L) 1L else 0L)
+    }.groupBy(_._1).map { case (pri, xs) =>
+      pri -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val got = Relational.slaLateness(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == expected)
+    got.foreach { case (_, (n, late, ppm)) =>
+      assert(ppm == late * 1000000L / n)
+    }
+    assert(got.values.exists(_._2 > 0), "no late line in fixture")
+  }
+
+  test("q195 discount effect: integer basis-point revenue recomputes " +
+    "and the band filter is exact") {
+    val rows = Tables.lineitem(spark, dir)
+      .select(expr("year(CAST(l_shipdate AS TIMESTAMP))").cast("long"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)"),
+        expr("CAST(round(l_discount * 100) AS LONG)"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows
+      .filter(r => r._3 >= 5 && r._3 <= 7 && r._4 < 24)
+      .groupBy(_._1).map { case (y, xs) =>
+        y -> (xs.length.toLong, xs.map(x => x._2 * x._3).sum)
+      }
+    val got = Relational.discountEffect(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("pipeline observation: metrics ride the materializing action and " +
+    "match independent recomputation") {
+    val (df, obs) = Relational.pipelineObserved(spark, dir)
+    val rows = df.collect() // the ONE action both materializes and observes
+    val m = obs.get
+    assert(m("n_rows") == rows.length.toLong)
+    assert(m("custkey_checksum") == rows.map(_.getLong(0)).sum)
+    assert(m("recency_outliers") ==
+      rows.count(r => math.abs(r.getDouble(1)) > 3).toLong)
+    assert(m("monetary_outliers") ==
+      rows.count(r => math.abs(r.getDouble(3)) > 3).toLong)
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

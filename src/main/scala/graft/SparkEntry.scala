@@ -247,6 +247,8 @@ object SparkEntry {
     "q193_revenue_gini" -> ((s, dir) => Relational.revenueGini(s, dir)),
     "q194_sla_lateness" -> ((s, dir) => Relational.slaLateness(s, dir)),
     "q195_discount_effect" -> ((s, dir) => Relational.discountEffect(s, dir)),
+    "q196_custom_source" -> ((s, dir) =>
+      sources.GenDocsQueries.bucketRollup(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -432,6 +434,7 @@ object SparkEntry {
     "q193_revenue_gini" -> Relational.revenueGiniSql,
     "q194_sla_lateness" -> Relational.slaLatenessSql(),
     "q195_discount_effect" -> Relational.discountEffectSql,
+    "q196_custom_source" -> sources.GenDocsQueries.bucketRollupSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -2082,6 +2082,44 @@ class OperatorSpec extends AnyFunSuite {
       rows.count(r => math.abs(r.getDouble(3)) > 3).toLong)
   }
 
+  test("q196 DSv2 source: doc_id range pushes into the scan, pruning " +
+    "drops hash columns, rows regenerate driver-side") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def load() = spark.read.format("graft.sources.GenDocsSource")
+      .option("rows", 100000L).option("splits", 16).load()
+    assert(load().count() == 100000L)
+    // range pushdown: the scan's own description carries the NARROWED
+    // generation interval — rows outside it are never created
+    val filtered = load()
+      .filter(col("doc_id") >= 25000L && col("doc_id") < 75000L)
+      .groupBy(col("bucket")).count()
+    // executedPlan is the AQE wrapper pre-execution; the scan node lives
+    // in the non-adaptive physical plan
+    val scan = filtered.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b
+    }.head
+    assert(scan.scan.description().contains("[25000, 75000)"),
+      s"pushdown missing: ${scan.scan.description()}")
+    // column pruning: the aggregate needs only `bucket`; the md5-derived
+    // columns must not survive into the scan schema
+    assert(scan.scan.description().contains("columns=bucket"),
+      s"pruning missing: ${scan.scan.description()}")
+    // generated values are the documented derivation, bit-for-bit
+    val sample = load().filter(col("doc_id").isin(0L, 1L, 99999L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    sample.foreach { case (id, (bucket, hash, toks)) =>
+      assert(bucket == id % 100)
+      assert(hash == md5hex(s"gen:$id"))
+      assert(toks == 50L + java.lang.Long.parseLong(hash.take(8), 16) % 200L)
+    }
+    // an empty pushed range plans zero partitions, returns zero rows
+    assert(load().filter(col("doc_id") >= 100000L).count() == 0L)
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

@@ -249,6 +249,7 @@ object SparkEntry {
     "q195_discount_effect" -> ((s, dir) => Relational.discountEffect(s, dir)),
     "q196_custom_source" -> ((s, dir) =>
       sources.GenDocsQueries.bucketRollup(s, dir)),
+    "q197_changepoint" -> ((s, dir) => Relational.cusumChangepoint(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -435,6 +436,7 @@ object SparkEntry {
     "q194_sla_lateness" -> Relational.slaLatenessSql(),
     "q195_discount_effect" -> Relational.discountEffectSql,
     "q196_custom_source" -> sources.GenDocsQueries.bucketRollupSql,
+    "q197_changepoint" -> Relational.cusumChangepointSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -1103,6 +1103,63 @@ object Relational {
       |  AND l_quantity < 24
       |GROUP BY year(CAST(l_shipdate AS TIMESTAMP))""".stripMargin
 
+  /** q197 — exact CUSUM CHANGEPOINT on daily revenue: the day k maximizing
+    * |Σ_{i≤k} (n·xᵢ − T)| over the gap-filled grid — the classic
+    * mean-shift locator (scaled by n so every term is an exact integer;
+    * S_n = 0 by construction). A large |S| at k says the mean before k
+    * differs most from the mean after; sign(S) < 0 means the level ROSE
+    * after the changepoint. Ties break to the earliest day in both
+    * engines. One data-sized daily rollup; the CUSUM window and argmax
+    * run on the days-sized grid. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select((Rfm.epochMs(col("o_orderdate")) / lit(86400000L))
+        .cast(LongType).as("day"),
+        Rfm.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("day_cents"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = bounds.select(
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = grid.join(daily, Seq("day"), "left")
+      .withColumn("day_cents", coalesce(col("day_cents"), lit(0L)))
+    val tot = filled.agg(sum(col("day_cents")).as("total_cents"),
+      count(lit(1)).as("n_days"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.crossJoin(broadcast(tot))
+      .withColumn("s",
+        sum(col("n_days") * col("day_cents") - col("total_cents")).over(w))
+      .orderBy(abs(col("s")).desc, col("day"))
+      .limit(1)
+      .select(col("day").as("cp_day"), col("n_days"), col("total_cents"),
+        col("s").as("s_scaled"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS day_cents
+      |  FROM orders GROUP BY 1
+      |), grid AS (
+      |  SELECT unnest(range((SELECT min(day) FROM daily),
+      |                      (SELECT max(day) FROM daily) + 1)) AS day
+      |), filled AS (
+      |  SELECT g.day, coalesce(d.day_cents, 0) AS day_cents
+      |  FROM grid g LEFT JOIN daily d ON g.day = d.day
+      |), tot AS (
+      |  SELECT CAST(sum(day_cents) AS BIGINT) AS total_cents,
+      |         CAST(count(*) AS BIGINT) AS n_days
+      |  FROM filled
+      |), cusum AS (
+      |  SELECT day, n_days, total_cents,
+      |         CAST(sum(n_days * day_cents - total_cents)
+      |                OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |                      AND CURRENT ROW) AS BIGINT) AS s
+      |  FROM filled CROSS JOIN tot)
+      |SELECT day AS cp_day, n_days, total_cents, s AS s_scaled
+      |FROM cusum ORDER BY abs(s) DESC, day LIMIT 1""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -77,11 +78,28 @@ private class GenDocsTable(rows: Long, splits: Int)
 
 private class GenDocsScanBuilder(rows: Long, splits: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var schema: StructType = GenDocsSource.FullSchema
+  private var countPushed = false
+
+  /** COUNT(*) with no grouping is CLOSED-FORM for a generator — hi − lo —
+    * so the scan answers it without creating a single row: the DSv2
+    * aggregate-pushdown surface ([[SupportsPushDownAggregates]]), the
+    * connector analogue of parquet footer count-stats. Anything beyond
+    * ungrouped COUNT(*) declines (returns false) and runs in Spark. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) {
+      countPushed = true
+      schema = StructType(Seq(StructField("count", LongType, nullable = false)))
+    }
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
@@ -106,8 +124,35 @@ private class GenDocsScanBuilder(rows: Long, splits: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     schema = requiredSchema
 
-  override def build(): Scan = new GenDocsScan(lo, math.max(lo, hi),
-    splits, schema)
+  override def build(): Scan =
+    if (countPushed) new GenDocsCountScan(lo, math.max(lo, hi), schema)
+    else new GenDocsScan(lo, math.max(lo, hi), splits, schema)
+}
+
+/** The pushed-COUNT scan: one partition, one closed-form row, zero
+  * generation. */
+private class GenDocsCountScan(lo: Long, hi: Long,
+                               override val readSchema: StructType)
+    extends Scan with Batch {
+  override def toBatch: Batch = this
+  override def description(): String = s"GenDocs COUNT pushed [$lo, $hi)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenDocsPartition(0, 0))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenDocsCountReaderFactory(math.max(0L, hi - lo))
+}
+
+/** Standalone (serializable) factory — an inner anonymous class would
+  * capture the non-serializable Scan as $outer and fail task ship-out. */
+private class GenDocsCountReaderFactory(count: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow(count)
+      override def close(): Unit = ()
+    }
 }
 
 private class GenDocsScan(lo: Long, hi: Long, splits: Int,

@@ -2118,6 +2118,37 @@ class OperatorSpec extends AnyFunSuite {
     }
     // an empty pushed range plans zero partitions, returns zero rows
     assert(load().filter(col("doc_id") >= 100000L).count() == 0L)
+    // COUNT(*) pushdown: the count is closed-form for a generator — the
+    // plan carries the pushed-count scan and still answers correctly
+    // when combined with a pushed range filter
+    val counted = load().filter(col("doc_id") >= 30000L)
+    assert(counted.count() == 70000L)
+    val countScan = counted.groupBy().count().queryExecution.sparkPlan
+      .collect { case b: BatchScanExec => b }.head
+    assert(countScan.scan.description().contains("COUNT pushed [30000, 100000)"),
+      s"count pushdown missing: ${countScan.scan.description()}")
+  }
+
+  test("q197 changepoint: the CUSUM argmax recomputes from the dense " +
+    "grid, and S telescopes to zero") {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000")
+        .as("day"), expr("CAST(round(o_totalprice * 100) AS LONG)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val d0 = daily.keys.min
+    val filled = (d0 to daily.keys.max).map(d => daily.getOrElse(d, 0L))
+    val n = filled.length.toLong
+    val t = filled.sum
+    val cusum = filled.scanLeft(0L)((acc, x) => acc + n * x - t).drop(1)
+    assert(cusum.last == 0L, "CUSUM must telescope to zero")
+    val bestIdx = cusum.zipWithIndex
+      .maxBy { case (s, i) => (math.abs(s), -i) }._2
+    val got = Relational.cusumChangepoint(spark, dir).collect().head
+    assert(got.getLong(0) == d0 + bestIdx)
+    assert(got.getLong(1) == n)
+    assert(got.getLong(2) == t)
+    assert(got.getLong(3) == cusum(bestIdx))
   }
 
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +

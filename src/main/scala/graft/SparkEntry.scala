@@ -250,6 +250,8 @@ object SparkEntry {
     "q196_custom_source" -> ((s, dir) =>
       sources.GenDocsQueries.bucketRollup(s, dir)),
     "q197_changepoint" -> ((s, dir) => Relational.cusumChangepoint(s, dir)),
+    "q198_lang_confusion" -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
+    "q199_band_migration" -> ((s, dir) => Relational.bandMigration(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -437,6 +439,8 @@ object SparkEntry {
     "q195_discount_effect" -> Relational.discountEffectSql,
     "q196_custom_source" -> sources.GenDocsQueries.bucketRollupSql,
     "q197_changepoint" -> Relational.cusumChangepointSql,
+    "q198_lang_confusion" -> TextAnalysis.langConfusionSql,
+    "q199_band_migration" -> Relational.bandMigrationSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -1160,6 +1160,75 @@ object Relational {
       |SELECT day AS cp_day, n_days, total_cents, s AS s_scaled
       |FROM cusum ORDER BY abs(s) DESC, day LIMIT 1""".stripMargin
 
+  /** q199 — revenue-BAND MIGRATION: customers bucketed into spend
+    * quartiles separately for the first and second half of the order
+    * timeline, cross-tabulated — the lifecycle matrix behind churn/
+    * upgrade dashboards (band 0 = absent that half, so the new/churned
+    * lanes appear as first-band-0 / second-band-0 rows). Each half's
+    * quartile boundaries come from ONE [[crossingBoundaries]] pass
+    * (grp = half, den = 4) and broadcast back as a 6-row miniature;
+    * banding is `1 + #{boundaries below the customer}` — tie-invariant,
+    * identical in the oracle's window form. */
+  def bandMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        (Rfm.epochMs(col("o_orderdate")) / lit(86400000L)).cast(LongType)
+          .as("day"),
+        Rfm.cents(col("o_totalprice")).as("cents"))
+    val mid = o.agg(((min(col("day")) + max(col("day"))) / lit(2L))
+      .cast(LongType).as("mid"))
+    val halves = o.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("day") <= col("mid"), 1L).otherwise(2L))
+      .groupBy(col("half"), col("custkey")).agg(sum(col("cents")).as("rev"))
+    val qs = crossingBoundaries(halves, "half", "rev", lit(1L), "qv", den = 4)
+    val banded = halves.join(broadcast(qs), Seq("half"))
+      .groupBy(col("half"), col("custkey"))
+      .agg((sum(when(col("rev") > col("qv"), 1L).otherwise(0L)) + 1L)
+        .as("band"))
+    val first = banded.filter(col("half") === 1L)
+      .select(col("custkey"), col("band").as("band_first"))
+    val second = banded.filter(col("half") === 2L)
+      .select(col("custkey"), col("band").as("band_second"))
+    first.join(second, Seq("custkey"), "full_outer")
+      .groupBy(coalesce(col("band_first"), lit(0L)).as("band_first"),
+        coalesce(col("band_second"), lit(0L)).as("band_second"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val bandMigrationSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS custkey,
+      |         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o),
+      |halves AS (
+      |  SELECT CASE WHEN day <= m.mid THEN 1 ELSE 2 END AS half, custkey,
+      |         CAST(sum(cents) AS BIGINT) AS rev
+      |  FROM o CROSS JOIN m GROUP BY 1, 2
+      |), r AS (
+      |  SELECT half, rev,
+      |         count(*) OVER (PARTITION BY half ORDER BY rev
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         count(*) OVER (PARTITION BY half) AS n
+      |  FROM halves
+      |), qs AS (
+      |  SELECT half, k.k AS k, min(rev) AS qv
+      |  FROM r CROSS JOIN (SELECT unnest(range(1, 4)) AS k) k
+      |  WHERE cum * 4 >= k.k * n GROUP BY half, k.k
+      |), banded AS (
+      |  SELECT h.half, h.custkey,
+      |         1 + sum(CASE WHEN h.rev > qs.qv THEN 1 ELSE 0 END) AS band
+      |  FROM halves h JOIN qs ON qs.half = h.half
+      |  GROUP BY h.half, h.custkey
+      |), f AS (SELECT custkey, band FROM banded WHERE half = 1),
+      |s AS (SELECT custkey, band FROM banded WHERE half = 2)
+      |SELECT CAST(coalesce(f.band, 0) AS BIGINT) AS band_first,
+      |       CAST(coalesce(s.band, 0) AS BIGINT) AS band_second,
+      |       CAST(count(*) AS BIGINT) AS n_customers
+      |FROM f FULL OUTER JOIN s ON f.custkey = s.custkey
+      |GROUP BY coalesce(f.band, 0), coalesce(s.band, 0)""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

@@ -287,6 +287,35 @@ object TextAnalysis {
        |FROM scored""".stripMargin
   }
 
+  /** q198 — language-ID CONFUSION MATRIX: the q43 heuristic's predictions
+    * cross-tabulated against the declared `lang` labels, with per-cell
+    * counts and the row-share in exact ppm — the acceptance report a
+    * language-ID stage ships with (precision/recall per language derive
+    * directly from the cells). Reuses [[langId]] verbatim so the matrix
+    * can never drift from the classifier it audits; the rollup is a
+    * |langs|²-bounded aggregate. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_label"))
+    langId(spark, dir)
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total", sum(col("n")).over(w))
+      .select(col("lang_label"), col("lang_pred"), col("n"),
+        expr("n * 1000000 DIV label_total").as("row_share_ppm"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH pred AS (${langIdSql})
+       |, cells AS (
+       |  SELECT lang_label, lang_pred, count(*) AS n
+       |  FROM pred GROUP BY lang_label, lang_pred)
+       |SELECT lang_label, lang_pred, CAST(n AS BIGINT) AS n,
+       |       CAST(n * 1000000 //
+       |              sum(n) OVER (PARTITION BY lang_label) AS BIGINT)
+       |         AS row_share_ppm
+       |FROM cells""".stripMargin
+
   /** q55 — fixed-size token chunking: split every document into
     * back-to-back windows of `chunkSize` whitespace tokens (the
     * context-window packing step before tokenization proper). Emits one row

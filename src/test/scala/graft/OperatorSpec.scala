@@ -2151,6 +2151,60 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.getLong(3) == cusum(bestIdx))
   }
 
+  test("q198 lang confusion: cells recompute from q43 predictions and " +
+    "row shares sum per label") {
+    val preds = TextAnalysis.langId(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = TextAnalysis.langConfusion(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.view.mapValues(_._1).toMap == expected)
+    got.groupBy(_._1._1).foreach { case (label, cells) =>
+      val total = cells.values.map(_._1).sum
+      cells.foreach { case (_, (n, ppm)) =>
+        assert(ppm == n * 1000000L / total)
+      }
+      // floor rounding loses < 1 ppm per cell
+      val s = cells.values.map(_._2).sum
+      assert(s <= 1000000L && s > 1000000L - cells.size, s"label $label")
+    }
+    // the heuristic beats 5-class chance (its absolute accuracy on the
+    // synthetic corpus is a measured property, not a guarantee)
+    val diag = got.collect { case ((a, b), (n, _)) if a == b => n }.sum
+    assert(diag * 5 > preds.length, "classifier no better than chance")
+  }
+
+  test("q199 band migration: bands recompute from driver-side quartiles, " +
+    "matrix conserves customers") {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (o.map(_._2).min + o.map(_._2).max) / 2
+    def bandsOf(half: Seq[(Long, Long)]): Map[Long, Long] = {
+      val rev = half.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val sorted = rev.values.toSeq.sorted
+      val n = sorted.length
+      val qs = (1 to 3).map(k => sorted((k * n + 3) / 4 - 1))
+      rev.view.mapValues(r => 1L + qs.count(r > _)).toMap
+    }
+    val first = bandsOf(o.filter(_._2 <= mid).map(t => (t._1, t._3)))
+    val second = bandsOf(o.filter(_._2 > mid).map(t => (t._1, t._3)))
+    val expected = (first.keySet ++ second.keySet).toSeq
+      .map(ck => (first.getOrElse(ck, 0L), second.getOrElse(ck, 0L)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Relational.bandMigration(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expected)
+    // conservation: the matrix covers every customer exactly once
+    assert(got.values.sum == (first.keySet ++ second.keySet).size.toLong)
+    got.keys.foreach { case (a, b) =>
+      assert(a >= 0 && a <= 4 && b >= 0 && b <= 4 && (a, b) != (0L, 0L))
+    }
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

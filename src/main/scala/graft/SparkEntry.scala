@@ -252,6 +252,9 @@ object SparkEntry {
     "q197_changepoint" -> ((s, dir) => Relational.cusumChangepoint(s, dir)),
     "q198_lang_confusion" -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
     "q199_band_migration" -> ((s, dir) => Relational.bandMigration(s, dir)),
+    "q200_bm25" -> ((s, dir) => Retrieval.bm25(s, dir)),
+    "q201_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
+    "q202_skyline" -> ((s, dir) => Skyline.skyline(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,6 +444,9 @@ object SparkEntry {
     "q197_changepoint" -> Relational.cusumChangepointSql,
     "q198_lang_confusion" -> TextAnalysis.langConfusionSql,
     "q199_band_migration" -> Relational.bandMigrationSql,
+    "q200_bm25" -> Retrieval.bm25Sql(),
+    "q201_rrf_fusion" -> Retrieval.rrfFusionSql(),
+    "q202_skyline" -> Skyline.skylineSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

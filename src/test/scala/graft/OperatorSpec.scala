@@ -2205,6 +2205,73 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q200 bm25: scores recompute driver-side from raw text via the " +
+    "integer chain; hits contain a query term") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val t = docs.map(_._2.length.toLong).sum
+    val n = docs.length.toLong
+    val dfm = Retrieval.QueryTerms.map(q =>
+      q -> docs.count(_._2.contains(q)).toLong).toMap
+    def score(ws: Seq[String]): Long = {
+      val dl = ws.length.toLong
+      Retrieval.QueryTerms.map { q =>
+        val tf = ws.count(_ == q).toLong
+        if (tf == 0) 0L
+        else ((22 * tf * 1000) / (10 * tf + 3 + (9 * dl * n) / t)) *
+          ((n * 1000) / dfm(q))
+      }.sum
+    }
+    val expected = docs.map { case (id, ws) => (id, score(ws)) }
+      .filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }.take(15).toMap
+    val got = Retrieval.bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t3 => (t3._1, t3._2)).toMap == expected)
+    got.foreach { case (id, _, nTerms) =>
+      val ws = docs.find(_._1 == id).get._2
+      assert(Retrieval.QueryTerms.count(ws.contains) == nTerms)
+    }
+  }
+
+  test("q201 rrf fusion: rrf_ppm recomputes from the two rank columns and " +
+    "both lanes contribute") {
+    val got = Retrieval.rrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, ppm, rkL, rkS) =>
+      assert(rkL >= 0 && rkL <= 100 && rkS >= 0 && rkS <= 100)
+      assert(rkL > 0 || rkS > 0)
+      val expect = (if (rkL > 0) 1000000L / (60 + rkL) else 0L) +
+        (if (rkS > 0) 1000000L / (60 + rkS) else 0L)
+      assert(ppm == expect)
+    }
+    // the fused list is genuinely hybrid: not a copy of either lane alone
+    assert(got.exists(_._3 > 0) && got.exists(_._4 > 0))
+    // descending by fused score with doc_id tiebreak is the cut order
+    val sorted = got.sortBy { case (id, ppm, _, _) => (-ppm, id) }
+    assert(got.toSeq == sorted.toSeq)
+  }
+
+  test("q202 skyline: returned set is exactly the undominated set under " +
+    "a full driver-side dominance check") {
+    val dims = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        (r.getLong(0), ws.length.toLong, ws.distinct.length.toLong, r.getLong(2))
+      }
+    def dom(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)) =
+      a._2 >= b._2 && a._3 >= b._3 && a._4 <= b._4 &&
+        (a._2 > b._2 || a._3 > b._3 || a._4 < b._4)
+    val expected = dims.filter(x => !dims.exists(y => dom(y, x)))
+      .map(_._1).toSet
+    val got = Skyline.skyline(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < dims.length)
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

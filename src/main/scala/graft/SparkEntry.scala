@@ -255,6 +255,7 @@ object SparkEntry {
     "q200_bm25" -> ((s, dir) => Retrieval.bm25(s, dir)),
     "q201_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
     "q202_skyline" -> ((s, dir) => Skyline.skyline(s, dir)),
+    "q203_sql_api" -> ((s, dir) => Retrieval.sqlApiTopK(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -447,6 +448,7 @@ object SparkEntry {
     "q200_bm25" -> Retrieval.bm25Sql(),
     "q201_rrf_fusion" -> Retrieval.rrfFusionSql(),
     "q202_skyline" -> Skyline.skylineSql,
+    "q203_sql_api" -> Retrieval.sqlApiTopKSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -248,4 +248,61 @@ object Retrieval {
        |SELECT doc_id, rrf_ppm, rk_lex, rk_sem FROM fused
        |ORDER BY rrf_ppm DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** q203 — the SQL-ONLY user path: cosine top-k written as a `spark.sql`
+    * string against a registered temp view, using the engine's injected SQL
+    * functions (`graft_dot`, `graft_l2norm` —
+    * [[graft.functions.GraftSqlFunctions]]) instead of the Scala column
+    * API. Proves the custom codegen expressions are reachable from pure
+    * SQL with identical semantics: the oracle replays the same float→double
+    * cast, sequential dot/norm folds, `dot/(‖a‖·‖b‖)` evaluation order, and
+    * 6-dp round (the q50 cross-engine determinism contract).
+    *
+    * Scale shape: identical to q50 — probe broadcasts, the scan is one
+    * embarrassingly parallel pass, ranking is orderBy+limit
+    * (`TakeOrderedAndProject`), and the dot/norm loops stay inside
+    * WholeStageCodegen because the SQL names bind to the native
+    * expressions, not UDFs. */
+  def sqlApiTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.GraftSqlFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .createOrReplaceTempView("graft_emb")
+    spark.sql(
+      s"""WITH probe AS (
+         |  SELECT vec_id AS pid, v AS pv FROM graft_emb
+         |  ORDER BY vec_id LIMIT 1
+         |), scored AS (
+         |  SELECT e.vec_id,
+         |         graft_dot(e.v, p.pv)
+         |           / (graft_l2norm(e.v) * graft_l2norm(p.pv)) AS cos_raw
+         |  FROM graft_emb e CROSS JOIN probe p
+         |  WHERE e.vec_id <> p.pid AND graft_l2norm(e.v) > 0
+         |)
+         |SELECT vec_id, round(cos_raw, 6) AS cosine FROM scored
+         |ORDER BY cos_raw DESC, vec_id LIMIT $k""".stripMargin)
+  }
+
+  def sqlApiTopKSql(k: Int = 10): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), probe AS (
+       |  SELECT vec_id AS pid, v AS pv FROM emb ORDER BY vec_id LIMIT 1
+       |), scored AS (
+       |  SELECT e.vec_id,
+       |         list_reduce(list_transform(range(1, len(e.v) + 1),
+       |                       i -> e.v[i] * p.pv[i]), (x, y) -> x + y)
+       |           / (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+       |                               (a, b) -> a + b))
+       |              * sqrt(list_reduce(list_transform(p.pv, x -> x * x),
+       |                                 (a, b) -> a + b))) AS cos_raw
+       |  FROM emb e CROSS JOIN probe p
+       |  WHERE e.vec_id <> p.pid
+       |    AND sqrt(list_reduce(list_transform(e.v, x -> x * x),
+       |                         (a, b) -> a + b)) > 0
+       |)
+       |SELECT vec_id, round(cos_raw, 6) AS cosine FROM scored
+       |ORDER BY cos_raw DESC, vec_id LIMIT $k""".stripMargin
 }

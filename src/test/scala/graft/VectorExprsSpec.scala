@@ -48,4 +48,36 @@ class VectorExprsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan.take(500))
   }
+
+  test("SQL bindings resolve to the same expressions as the Scala API " +
+    "(graft_dot / graft_l2norm / graft_hilbert)") {
+    graft.functions.GraftSqlFunctions.register(spark)
+    graft.functions.GraftSqlFunctions.register(spark) // idempotent re-register
+    vecs.limit(10).toDF("ia", "a")
+      .crossJoin(vecs.limit(10).toDF("ib", "b"))
+      .createOrReplaceTempView("ve_pairs")
+    val both = spark.sql(
+      "SELECT graft_dot(a, b) AS d_sql, graft_l2norm(a) AS n_sql, a, b " +
+        "FROM ve_pairs")
+      .select(col("d_sql"), col("n_sql"),
+        dot_product(col("a"), col("b")).as("d_api"),
+        l2_norm(col("a")).as("n_api"))
+      .collect()
+    assert(both.length == 100)
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2))
+      assert(r.getDouble(1) == r.getDouble(3))
+    }
+    val h = spark.sql(
+      "SELECT graft_hilbert(3L, 5L, 8) AS hs").head().getLong(0)
+    val hApi = spark.range(1).select(
+      graft.functions.SpatialExprs.hilbert_index(lit(3L), lit(5L), 8).as("h"))
+      .head().getLong(0)
+    assert(h == hApi)
+    // non-literal bits must fail at analysis, not produce silent garbage
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_hilbert(3L, 5L, CAST(id AS INT)) FROM range(1)")
+        .collect())
+    assert(err.getMessage.contains("literal INT"), err.getMessage.take(200))
+  }
 }

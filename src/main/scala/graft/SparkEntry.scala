@@ -256,6 +256,7 @@ object SparkEntry {
     "q201_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
     "q202_skyline" -> ((s, dir) => Skyline.skyline(s, dir)),
     "q203_sql_api" -> ((s, dir) => Retrieval.sqlApiTopK(s, dir)),
+    "q204_kmv_overlap" -> ((s, dir) => Sketches.kmvSourceOverlap(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -449,6 +450,7 @@ object SparkEntry {
     "q201_rrf_fusion" -> Retrieval.rrfFusionSql(),
     "q202_skyline" -> Skyline.skylineSql,
     "q203_sql_api" -> Retrieval.sqlApiTopKSql(),
+    "q204_kmv_overlap" -> Sketches.kmvSourceOverlapSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

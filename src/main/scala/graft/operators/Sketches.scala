@@ -279,6 +279,118 @@ object Sketches {
 
   /** Soft-oracle entries for the sketch queries, buildable once each sketch
     * has run this session on the harness's pinned dir (contract params). */
+  /** q204 — KMV source-overlap matrix: per-source k-minimum-values
+    * sketches over word 3-grams, merged pairwise into distinct-count
+    * estimates for each source, their union, and their INTERSECTION —
+    * the corpus-overlap question a data-mixing pipeline asks before
+    * setting source weights ("how much of src_a is already in src_b?"),
+    * answered from k-sized sketches instead of a quadratic gram join.
+    * HLL (q85) cannot do the intersection column: inclusion–exclusion on
+    * HLL differences amplifies error; KMV supports it natively via the
+    * Jaccard of the merged sketch (Beyer et al., SIGMOD'07).
+    *
+    * Determinism (full oracle, not rows-only): the "random" hash is the
+    * q44/q48 portable md5 basis — `conv(hex(md5(gram))[1:12], 16, 10)`,
+    * a 48-bit integer both engines derive identically — and every
+    * estimate is an integer chain:
+    * {{{
+    * est(S)      = |S| < k ? |S| : (k−1)·2^48 div S[k]
+    * merged      = k smallest of (A ∪ B)       -- exact KMV merge
+    * ρ_num       = |{h ∈ merged : h ∈ A ∧ h ∈ B}|
+    * est_inter   = (ρ_num · est(merged)) div |merged|
+    * jaccard_ppm = (ρ_num · 1e6) div |merged|
+    * }}}
+    *
+    * Scale shape: ONE corpus pass — grams explode (O(tokens)) and feed
+    * [[graft.functions.MinKAgg]] directly; the sketch dedupes internally,
+    * so no global `distinct()` shuffle precedes it, and partial
+    * aggregation bounds the exchange at k rows per source. The pairwise
+    * stage is |sources|²·k on sketch rows (bytes, not corpus) — at 100 TB
+    * the sketches for thousands of sources fit on one executor. Only the
+    * 5 lexicographically-first sources pair up here to keep the contract
+    * output small; the sketch build covers ALL sources. */
+  def kmvSourceOverlap(spark: SparkSession, dir: String,
+                       k: Int = 64, nSources: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"), explode(
+        transform(sequence(lit(1), size(col("ws")) - 2), i =>
+          concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        .as("gram"))
+      .select(col("source"),
+        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast(LongType)
+          .as("h"))
+    val minK = udaf(graft.functions.MinKAgg.MinK(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sketches = grams.groupBy(col("source"))
+      .agg(minK(col("h")).as("sk"))
+      .orderBy(col("source")).limit(nSources)
+    val a = sketches.select(col("source").as("src_a"), col("sk").as("ska"))
+    val b = sketches.select(col("source").as("src_b"), col("sk").as("skb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("m", size(col("merged")).cast(LongType))
+      .withColumn("rho", size(filter(col("merged"), h =>
+        array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+        .cast(LongType))
+      .withColumn("est_a",
+        when(size(col("ska")) < k, size(col("ska")).cast(LongType))
+          .otherwise(expr(s"(${k - 1} * 281474976710656) div element_at(ska, $k)")))
+      .withColumn("est_b",
+        when(size(col("skb")) < k, size(col("skb")).cast(LongType))
+          .otherwise(expr(s"(${k - 1} * 281474976710656) div element_at(skb, $k)")))
+      .withColumn("est_union",
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"(${k - 1} * 281474976710656) div element_at(merged, $k)")))
+      .withColumn("est_inter", expr("(rho * est_union) div m"))
+      .withColumn("jaccard_ppm", expr("(rho * 1000000) div m"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"), col("jaccard_ppm"))
+  }
+
+  def kmvSourceOverlapSql(k: Int = 64, nSources: Int = 5): String =
+    s"""WITH grams AS (
+       |  SELECT source,
+       |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+       |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       |       unnest(range(1, len(ws) - 1)) AS t(i)
+       |  WHERE len(ws) >= 3
+       |), hashes AS (
+       |  SELECT DISTINCT source,
+       |         ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h
+       |  FROM grams
+       |), sk AS (
+       |  SELECT source, (list(h ORDER BY h))[:$k] AS sk
+       |  FROM hashes GROUP BY source
+       |  ORDER BY source LIMIT $nSources
+       |), pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb,
+       |         (list_sort(list_distinct(a.sk || b.sk)))[:$k] AS merged
+       |  FROM sk a JOIN sk b ON a.source < b.source
+       |), scored AS (
+       |  SELECT src_a, src_b, ska, skb, merged,
+       |         CAST(len(merged) AS BIGINT) AS m,
+       |         CAST(len(list_filter(merged, h ->
+       |           list_contains(ska, h) AND list_contains(skb, h)))
+       |           AS BIGINT) AS rho,
+       |         CASE WHEN len(ska) < $k THEN CAST(len(ska) AS BIGINT)
+       |              ELSE (${k - 1} * 281474976710656) // ska[$k] END AS est_a,
+       |         CASE WHEN len(skb) < $k THEN CAST(len(skb) AS BIGINT)
+       |              ELSE (${k - 1} * 281474976710656) // skb[$k] END AS est_b,
+       |         CASE WHEN len(merged) < $k THEN CAST(len(merged) AS BIGINT)
+       |              ELSE (${k - 1} * 281474976710656) // merged[$k] END
+       |           AS est_union
+       |  FROM pairs
+       |)
+       |SELECT src_a, src_b, est_a, est_b, est_union,
+       |       (rho * est_union) // m AS est_inter,
+       |       (rho * 1000000) // m AS jaccard_ppm
+       |FROM scored""".stripMargin
+
   def oracleEntries: Map[String, String] =
     capturedHll.get(12).map(e => "q85_hll_sketches" -> hllSketchesSql(e)).toMap ++
       capturedCms.get((0.001, 0.99, 42))

@@ -2272,6 +2272,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < dims.length)
   }
 
+  test("q204 kmv overlap: MinK buffer contract holds and estimates track " +
+    "exact gram overlap within KMV error") {
+    // aggregator unit contract: sorted, distinct, bounded, merge-dedup
+    val agg = graft.functions.MinKAgg.MinK(4)
+    val buf = Seq(9L, 3L, 9L, 1L, 7L, 5L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(buf == List(1L, 3L, 5L, 7L))
+    assert(agg.merge(buf, List(2L, 3L, 99L)) == List(1L, 2L, 3L, 5L))
+    assert(agg.merge(agg.zero, buf) == buf)
+
+    // end-to-end: estimates vs exact distinct 3-gram counts per source
+    val exact = Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").toSeq))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" "))).toSet).toMap
+    val got = Sketches.kmvSourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == 10) // C(5,2) pairs over the first 5 sources
+    got.foreach { case (sa, sb, estA, estB, estU, estI, jppm) =>
+      val (ea, eb) = (exact(sa).size.toLong, exact(sb).size.toLong)
+      val eu = (exact(sa) ++ exact(sb)).size.toLong
+      val ei = exact(sa).intersect(exact(sb)).size.toLong
+      // KMV k=64 → σ ≈ 1/√62 ≈ 13%; allow 4σ
+      def close(est: Long, ex: Long) =
+        math.abs(est - ex) <= math.max(4, ex / 2)
+      assert(close(estA, ea), s"$sa est_a $estA vs $ea")
+      assert(close(estB, eb), s"$sb est_b $estB vs $eb")
+      assert(close(estU, eu), s"($sa,$sb) est_union $estU vs $eu")
+      assert(math.abs(estI - ei) <= math.max(8, eu / 2),
+        s"($sa,$sb) est_inter $estI vs $ei")
+      assert(estI <= estU && jppm >= 0 && jppm <= 1000000)
+      // NOTE no est_union <= est_a + est_b check: sub-additivity holds for
+      // exact counts, not for independently-noisy KMV estimates
+    }
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

@@ -255,6 +255,20 @@ object PlanAudit {
       "q190_seasonal_backtest" -> Seq("CartesianProduct" -> false),
       "q191_linear_attribution" -> Seq("CartesianProduct" -> false),
       "q192_new_vs_returning" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false),
+      // retrieval: the final top-k must be TakeOrderedAndProject (never a
+      // global sort), and the df/totals sides must broadcast
+      "q200_bm25" -> Seq("TakeOrderedAndProject" -> true,
+        "BroadcastHashJoin" -> true, "CartesianProduct" -> false),
+      "q203_sql_api" -> Seq("TakeOrderedAndProject" -> true,
+        "CartesianProduct" -> false),
+      // skyline: phase-2 confirm is a broadcast anti nested-loop over the
+      // candidate miniature — an unbroadcast cartesian would be n²
+      "q202_skyline" -> Seq("BroadcastNestedLoopJoin" -> true,
+        "CartesianProduct" -> false),
+      // KMV: the pairwise stage joins sketch rows broadcast; the corpus
+      // pass must partial-aggregate (map-side ObjectHashAggregate)
+      "q204_kmv_overlap" -> Seq("ObjectHashAggregate" -> true,
         "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4

@@ -2310,6 +2310,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q205 bpe merges: all rounds reproduce a driver-side reference " +
+    "trainer using the same single-pass replace variant") {
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, dir).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" "))
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L)
+    var syms = wc.toSeq.map { case (w, c) =>
+      (" " + w.toCharArray.map(ch => s"$ch ").mkString, c)
+    }
+    val expected = (1 to 8).map { i =>
+      val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+      syms.foreach { case (s, c) =>
+        val ws = s.trim.split(" ")
+        if (ws.length >= 2) ws.sliding(2).foreach { p =>
+          val k = p.mkString(" ")
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+        }
+      }
+      val (pair, c) = pairCounts.toSeq.minBy { case (p, n) => (-n, p) }
+      val merged = pair.replace(" ", "")
+      syms = syms.map { case (s, n) =>
+        (s.replace(s" $pair ", s" $merged "), n)
+      }
+      (i, pair, merged, c)
+    }
+    val got = BpeTrainer.bpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == expected)
+    // merged symbols feed later rounds: at least one winning pair must
+    // contain a multi-char symbol by round 8 (the iteration is genuinely
+    // compounding, not 8 independent bigram counts)
+    assert(got.exists(t => t._2.split(" ").exists(_.length > 1)))
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

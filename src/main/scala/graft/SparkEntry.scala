@@ -258,6 +258,7 @@ object SparkEntry {
     "q203_sql_api" -> ((s, dir) => Retrieval.sqlApiTopK(s, dir)),
     "q204_kmv_overlap" -> ((s, dir) => Sketches.kmvSourceOverlap(s, dir)),
     "q205_bpe_merges" -> ((s, dir) => BpeTrainer.bpeMerges(s, dir)),
+    "q206_random_walks" -> ((s, dir) => Graph.randomWalks(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -453,6 +454,7 @@ object SparkEntry {
     "q203_sql_api" -> Retrieval.sqlApiTopKSql(),
     "q204_kmv_overlap" -> Sketches.kmvSourceOverlapSql(),
     "q205_bpe_merges" -> BpeTrainer.bpeMergesSql(),
+    "q206_random_walks" -> Graph.randomWalksSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -37,9 +37,13 @@ object BpeTrainer {
     * (iter, pair, merged, c) where `c` is the frequency-weighted count of
     * the winning adjacent pair at selection time. */
   def bpeMerges(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
-    val wordCounts = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // the ONE corpus-sized pass, amortized across rounds (and calls) by the
+    // registry cache; everything after runs on vocabulary-sized data
+    val wordCounts = graft.CacheRegistry.cached(spark, s"bpe_wordcounts:$dir") {
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    }
     var syms = wordCounts.select(
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"),
       col("cnt"))
@@ -62,10 +66,14 @@ object BpeTrainer {
         val c = top(0).getLong(1)
         val merged = pair.replace(" ", "")
         out += ((i, pair, merged, c))
+        // lineage cut per round (the bfsHops discipline): without it round
+        // i replays all i−1 prior replaces from the source on every argmax
+        // action — measured 3.7 s → ~1 s at sf0.1 for 8 rounds
         syms = syms.select(
           call_function("replace", col("s"),
             lit(s" $pair "), lit(s" $merged ")).as("s"),
           col("cnt"))
+          .localCheckpoint(true)
         i += 1
       }
     }

@@ -382,18 +382,22 @@ object Graph {
     * the node) + one min-aggregate; the settled-distance table is the only
     * state. The same unrolled-iteration discipline as q95 — and like q95
     * the edge list is the session-cached artifact. */
-  def bfsHops(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
-    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    // undirected edges cached PRE-PARTITIONED on src: every round joins on
-    // src, and the frontier side arrives hash-partitioned on the same key
-    // from its groupBy — so no round re-shuffles the edge list (the
-    // production layout is the same table bucketed by src)
-    val und = graft.CacheRegistry.cached(spark, s"copurchase-und:$dir") {
+  /** Undirected co-purchase edges cached PRE-PARTITIONED on src: every
+    * frontier round (BFS hops, random-walk steps) joins on src, and the
+    * frontier side arrives hash-partitioned on the same key from its own
+    * aggregate — so no round re-shuffles the edge list (the production
+    * layout is the same table bucketed by src). Shared by q122/q206. */
+  private def undirectedCopurchase(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"copurchase-und:$dir") {
       val e = copurchaseEdges(spark, dir)
       e.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
         .repartition(col("src"))
     }
+
+  def bfsHops(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val und = undirectedCopurchase(spark, dir)
     val nodes = und.select(col("src").as("node")).distinct()
     var dist = nodes.filter(col("node") % 100 === 0)
       .select(col("node"), lit(0L).as("d"))
@@ -437,6 +441,90 @@ object Graph {
        |  SELECT DISTINCT src AS node, 0 AS d FROM e WHERE src % 100 = 0
        |), $rounds
        |SELECT node AS part, CAST(d AS BIGINT) AS hops FROM d$maxHops""".stripMargin
+  }
+
+  /** q206 — deterministic random-walk corpus generation (the DeepWalk/
+    * node2vec input stage: walks over the co-purchase graph become the
+    * "sentences" a graph-embedding trainer consumes). Every step is
+    * content-addressed, never `rand()`: from node `u` at step `h` of walk
+    * `w`, the next node is the `(md5(w:h) mod deg(u))`-th neighbor in
+    * ascending order — the q44/q48 portable md5 basis, so the DuckDB
+    * oracle replays every hop exactly and the full walk strings hash-match.
+    *
+    * Scale shape: neighbors are ranked ONCE (`row_number` partitioned by
+    * src — degree-bounded per group, parallel across nodes) and cached
+    * pre-partitioned on src next to the q122 edge cache; each step is two
+    * equi-joins — frontier⋈degree (compute the index) then
+    * frontier⋈ranked-edges on (src, rank) — never an index-in-filter scan
+    * of all deg(u) candidates. Per-step cost is one BFS-expansion round;
+    * walk count scales with seeds, walk length with the fixed step count.
+    * Dead ends cannot occur: the undirected edge set gives every seed and
+    * every reached node at least one neighbor. */
+  def randomWalks(spark: SparkSession, dir: String, steps: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = undirectedCopurchase(spark, dir)
+    val ranked = graft.CacheRegistry.cached(spark, s"copurchase-ranked:$dir") {
+      val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+      und.select(col("src"), col("dst"),
+        (row_number().over(w) - 1).cast(LongType).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+        .repartition(col("src"))
+    }
+    val degrees = graft.CacheRegistry.cached(spark, s"copurchase-deg:$dir") {
+      ranked.groupBy(col("src")).agg(max(col("deg")).as("deg"))
+    }
+    var walks = und.select(col("src")).distinct()
+      .filter(col("src") % 100 === 0)
+      .select(col("src").as("walk_id"), col("src").as("cur"),
+        col("src").cast(org.apache.spark.sql.types.StringType).as("path"))
+    for (h <- 1 to steps) {
+      val idx = conv(substring(md5(concat(
+        col("walk_id").cast(org.apache.spark.sql.types.StringType),
+        lit(s":$h"))), 1, 8), 16, 10).cast(LongType) % col("deg")
+      walks = walks
+        .join(degrees, col("cur") === degrees("src"))
+        .select(col("walk_id"), col("cur"), col("path"), idx.as("idx"))
+        .join(ranked, col("cur") === ranked("src") && col("idx") === col("rk"))
+        .select(col("walk_id"), col("dst").as("cur"),
+          concat(col("path"), lit("->"),
+            col("dst").cast(org.apache.spark.sql.types.StringType)).as("path"))
+    }
+    walks.select(col("walk_id"), col("path"), col("cur").as("end_node"))
+  }
+
+  def randomWalksSql(steps: Int = 4): String = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val rounds = (1 to steps).map { h =>
+      s"""w$h AS (
+         |  SELECT w.walk_id, r.dst AS cur, w.path || '->' || r.dst AS path
+         |  FROM w${h - 1} w
+         |  JOIN deg d ON w.cur = d.src
+         |  JOIN ranked r ON r.src = w.cur
+         |    AND r.rk = ('0x' || substr(md5(w.walk_id::VARCHAR || ':$h'),
+         |                              1, 8))::BIGINT % d.deg
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), e AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM pairs
+       |), ranked AS (
+       |  SELECT src, dst,
+       |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+       |              AS BIGINT) AS rk,
+       |         count(*) OVER (PARTITION BY src) AS deg
+       |  FROM e
+       |), deg AS (
+       |  SELECT src, max(deg) AS deg FROM ranked GROUP BY src
+       |), w0 AS (
+       |  SELECT src AS walk_id, src AS cur, src::VARCHAR AS path
+       |  FROM (SELECT DISTINCT src FROM e WHERE src % 100 = 0)
+       |), $rounds
+       |SELECT walk_id, path, cur AS end_node FROM w$steps""".stripMargin
   }
 
   /** q117 — association rules over baskets (market-basket affinity): for

@@ -2345,6 +2345,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.exists(t => t._2.split(" ").exists(_.length > 1)))
   }
 
+  test("q206 random walks: every hop replays from driver-side md5 " +
+    "arithmetic over the ranked neighbor lists") {
+    val basket = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val und = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    basket.values.foreach { ps =>
+      for (u <- ps; v <- ps if u < v) {
+        und(u) = und.getOrElse(u, Set.empty) + v
+        und(v) = und.getOrElse(v, Set.empty) + u
+      }
+    }
+    val ranked = und.view.mapValues(_.toSeq.sorted).toMap
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xFF}%02x").mkString, 16)
+    }
+    val expected = ranked.keys.filter(_ % 100 == 0).map { seed =>
+      var cur = seed
+      val path = new StringBuilder(seed.toString)
+      for (h <- 1 to 4) {
+        val nbrs = ranked(cur)
+        cur = nbrs((md5hex8(s"$seed:$h") % nbrs.length).toInt)
+        path ++= s"->$cur"
+      }
+      (seed, path.toString, cur)
+    }.toSet
+    val got = Graph.randomWalks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // every consecutive hop in every path is a real edge
+    got.foreach { case (_, path, _) =>
+      val hops = path.split("->").map(_.toLong)
+      hops.sliding(2).foreach(p => assert(und(p(0)).contains(p(1)), path))
+    }
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

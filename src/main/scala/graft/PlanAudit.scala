@@ -269,7 +269,15 @@ object PlanAudit {
       // KMV: the pairwise stage joins sketch rows broadcast; the corpus
       // pass must partial-aggregate (map-side ObjectHashAggregate)
       "q204_kmv_overlap" -> Seq("ObjectHashAggregate" -> true,
-        "CartesianProduct" -> false))
+        "CartesianProduct" -> false),
+      // BPE result is literal rows collected from vocab-sized rounds; the
+      // contract plan must be the parallelized literal scan, nothing else
+      "q205_bpe_merges" -> Seq("Scan ExistingRDD" -> true,
+        "Exchange" -> false),
+      // random walks: every step is two equi-joins (degree, ranked edge) —
+      // a nested-loop candidate expansion or cartesian is a regression
+      "q206_random_walks" -> Seq("CartesianProduct" -> false,
+        "BroadcastNestedLoopJoin" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

@@ -277,7 +277,12 @@ object PlanAudit {
       // random walks: every step is two equi-joins (degree, ranked edge) —
       // a nested-loop candidate expansion or cartesian is a regression
       "q206_random_walks" -> Seq("CartesianProduct" -> false,
-        "BroadcastNestedLoopJoin" -> false))
+        "BroadcastNestedLoopJoin" -> false),
+      // merkle diff: the drill must read only divergent buckets — the
+      // bucket filter arrives via broadcast semi-joins, never a re-scan
+      // shipped into a shuffled join of the full tables
+      "q207_merkle_diff" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

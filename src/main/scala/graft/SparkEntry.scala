@@ -259,6 +259,7 @@ object SparkEntry {
     "q204_kmv_overlap" -> ((s, dir) => Sketches.kmvSourceOverlap(s, dir)),
     "q205_bpe_merges" -> ((s, dir) => BpeTrainer.bpeMerges(s, dir)),
     "q206_random_walks" -> ((s, dir) => Graph.randomWalks(s, dir)),
+    "q207_merkle_diff" -> ((s, dir) => Merge.merkleDiff(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -455,6 +456,7 @@ object SparkEntry {
     "q204_kmv_overlap" -> Sketches.kmvSourceOverlapSql(),
     "q205_bpe_merges" -> BpeTrainer.bpeMergesSql(),
     "q206_random_walks" -> Graph.randomWalksSql(),
+    "q207_merkle_diff" -> Merge.merkleDiffSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -354,4 +354,118 @@ object Merge {
       |            WHEN b.bal_c IS NULL THEN 'insert'
       |            ELSE 'keep' END AS action
       |FROM base b FULL OUTER JOIN updates u ON b.custkey = u.custkey""".stripMargin
+
+  /** q207 — Merkle-style replica reconciliation: verify a 100 TB table copy
+    * WITHOUT shipping rows. Each side reduces to per-bucket digests
+    * (`bucket = key mod B`, digest = row count + order-independent sum of
+    * 48-bit md5 row hashes); the digest exchange is B rows regardless of
+    * table size, and only DIVERGENT buckets are drilled with a row-level
+    * outer join — the anti-entropy pattern of Dynamo/Cassandra repair, as
+    * a batch operator.
+    *
+    * The "replica" here is the orders table with two deterministic fault
+    * injections a real repair must distinguish: bit-rot (`key % 9973 = 0`
+    * rows get cents+1 — same key present, different content) and loss
+    * (`key % 15017 = 0` rows absent). Output is one row per divergent
+    * bucket: both side counts and the drilled modified/missing/extra key
+    * tallies. Buckets holding only identical rows never appear and are
+    * never re-read in the drill (the bucket predicate pushes into both
+    * scans via the broadcast semi-join).
+    *
+    * Exactness: row hash = `conv(md5(key:cents:status)[1:12], 16, 10)` —
+    * the portable 48-bit md5 basis; digest sum of ≤2⁴⁸ hashes stays in
+    * Long up to ~32 M rows per bucket (scale B with the table; at wrap
+    * risk swap the sum for XOR — same order-independence, no carry). */
+  def merkleDiff(spark: SparkSession, dir: String,
+                 buckets: Int = 256): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+      col("o_orderkey").as("k"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderstatus").as("st"))
+    val a = canon(Tables.orders(spark, dir))
+    val b = a.filter(col("k") % 15017 =!= 0)
+      .withColumn("cents",
+        when(col("k") % 9973 === 0, col("cents") + 1).otherwise(col("cents")))
+    def hashed(df: DataFrame): DataFrame = df.select(
+      col("k"), (col("k") % buckets).as("bucket"),
+      conv(substring(md5(concat_ws(":", col("k"), col("cents"), col("st"))),
+        1, 12), 16, 10).cast(LongType).as("h"))
+    def digest(df: DataFrame): DataFrame = hashed(df)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("cks"))
+    val divergent = digest(a).toDF("bucket", "n_a", "cks_a")
+      .join(digest(b).toDF("bucket", "n_b", "cks_b"), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("n_a"), lit(-1L)) =!= coalesce(col("n_b"), lit(-1L)) ||
+        coalesce(col("cks_a"), lit(0L)) =!= coalesce(col("cks_b"), lit(0L)))
+      .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("rows_a"),
+        coalesce(col("n_b"), lit(0L)).as("rows_b"))
+    val div = broadcast(divergent.select(col("bucket")))
+    val drill = hashed(a).join(div, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("k"), col("h").as("h_a"))
+      .join(hashed(b).join(div, Seq("bucket"), "left_semi")
+        .select(col("k"), col("h").as("h_b")), Seq("k"), "full_outer")
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("h_a").isNotNull && col("h_b").isNotNull &&
+          col("h_a") =!= col("h_b"), 1L).otherwise(0L)).as("n_modified"),
+        sum(when(col("h_b").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("h_a").isNull, 1L).otherwise(0L)).as("n_extra"))
+    divergent.join(drill, Seq("bucket"))
+      .select(col("bucket"), col("rows_a"), col("rows_b"),
+        col("n_modified"), col("n_missing"), col("n_extra"))
+  }
+
+  def merkleDiffSql(buckets: Int = 256): String =
+    s"""WITH a AS (
+       |  SELECT o_orderkey AS k,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |         o_orderstatus AS st
+       |  FROM orders
+       |), b AS (
+       |  SELECT k,
+       |         CASE WHEN k % 9973 = 0 THEN cents + 1 ELSE cents END AS cents,
+       |         st
+       |  FROM a WHERE k % 15017 <> 0
+       |), ha AS (
+       |  SELECT k, k % $buckets AS bucket,
+       |         ('0x' || substr(md5(k::VARCHAR || ':' || cents::VARCHAR
+       |                             || ':' || st), 1, 12))::BIGINT AS h
+       |  FROM a
+       |), hb AS (
+       |  SELECT k, k % $buckets AS bucket,
+       |         ('0x' || substr(md5(k::VARCHAR || ':' || cents::VARCHAR
+       |                             || ':' || st), 1, 12))::BIGINT AS h
+       |  FROM b
+       |), da AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(h) AS BIGINT) AS cks
+       |  FROM ha GROUP BY bucket
+       |), db AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(h) AS BIGINT) AS cks
+       |  FROM hb GROUP BY bucket
+       |), divergent AS (
+       |  SELECT coalesce(da.bucket, db.bucket) AS bucket,
+       |         coalesce(da.n, 0) AS rows_a, coalesce(db.n, 0) AS rows_b
+       |  FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+       |  WHERE coalesce(da.n, -1) <> coalesce(db.n, -1)
+       |     OR coalesce(da.cks, 0) <> coalesce(db.cks, 0)
+       |), drill AS (
+       |  SELECT coalesce(x.bucket, y.bucket) AS bucket,
+       |         CAST(sum(CASE WHEN x.h IS NOT NULL AND y.h IS NOT NULL
+       |                        AND x.h <> y.h THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_modified,
+       |         CAST(sum(CASE WHEN y.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_missing,
+       |         CAST(sum(CASE WHEN x.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_extra
+       |  FROM (SELECT ha.* FROM ha JOIN divergent USING (bucket)) x
+       |  FULL OUTER JOIN
+       |       (SELECT hb.* FROM hb JOIN divergent USING (bucket)) y
+       |    ON x.k = y.k
+       |  GROUP BY coalesce(x.bucket, y.bucket)
+       |)
+       |SELECT d.bucket, d.rows_a, d.rows_b,
+       |       r.n_modified, r.n_missing, r.n_extra
+       |FROM divergent d JOIN drill r ON d.bucket = r.bucket""".stripMargin
 }

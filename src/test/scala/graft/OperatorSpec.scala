@@ -2386,6 +2386,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q207 merkle diff: divergent buckets and drill tallies recompute " +
+    "from the injected faults; clean buckets never surface") {
+    val keys = Tables.orders(spark, dir).select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val missing = keys.filter(_ % 15017 == 0).toSet
+    val modified = keys.filter(k => k % 9973 == 0 && !missing(k)).toSet
+    val faulty = missing ++ modified
+    assert(faulty.nonEmpty, "testdata must contain at least one fault key")
+    val byBucket = keys.groupBy(_ % 256)
+    val expected = byBucket.collect {
+      case (bkt, ks) if ks.exists(faulty) =>
+        val miss = ks.count(missing)
+        (bkt, (ks.length.toLong, (ks.length - miss).toLong,
+          ks.count(modified).toLong, miss.toLong, 0L))
+    }
+    val got = Merge.merkleDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    // conservation inside every divergent bucket
+    got.values.foreach { case (ra, rb, _, miss, extra) =>
+      assert(rb == ra - miss + extra)
+    }
+  }
+
   test("q179 winsorized stats: crossing p05/p95 equal driver-side " +
     "nearest-rank percentiles; the winsorized mean sits inside the band") {
     val byS = Tables.documents(spark, dir)

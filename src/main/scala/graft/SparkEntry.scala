@@ -260,6 +260,8 @@ object SparkEntry {
     "q205_bpe_merges" -> ((s, dir) => BpeTrainer.bpeMerges(s, dir)),
     "q206_random_walks" -> ((s, dir) => Graph.randomWalks(s, dir)),
     "q207_merkle_diff" -> ((s, dir) => Merge.merkleDiff(s, dir)),
+    "q208_stream_quantile" -> ((s, dir) =>
+      streaming.EventStreams.hourlyQuantileStreamQuery(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -457,6 +459,7 @@ object SparkEntry {
     "q205_bpe_merges" -> BpeTrainer.bpeMergesSql(),
     "q206_random_walks" -> Graph.randomWalksSql(),
     "q207_merkle_diff" -> Merge.merkleDiffSql(),
+    "q208_stream_quantile" -> streaming.EventStreams.hourlyQuantileSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -56,6 +56,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(sMap == bMap)
   }
 
+  test("q208: streaming exact quantiles equal the batch percentile " +
+    "aggregate cell for cell") {
+    val streamed = EventStreams.hourlyQuantileStreamQuery(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .withColumn("ts", col("ts").cast(
+        org.apache.spark.sql.types.TimestampType))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val (s, b) = (toMap(streamed), toMap(batch))
+    assert(s == b)
+    assert(s.nonEmpty)
+    s.values.foreach { case (p50, p90, _) => assert(p50 <= p90) }
+  }
+
   test("sliding windows produce ~4x tumbling cells") {
     val slid = EventStreams.runToBatch(spark,
       EventStreams.slidingWindowed(EventStreams.readEvents(spark, dir)),

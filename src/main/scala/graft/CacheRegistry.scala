@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * common-subexpression elimination across `Project`s — every reference
   * re-inlines the full lineage. A `.cache()` barrier fixes that WITHIN one
   * query, but a per-call `.cache()` creates a NEW cached plan per
-  * invocation: repeated calls (Verify runs all 55 queries, Bench runs each
+  * invocation: repeated calls (Verify runs every contract query, Bench runs each
   * twice) accumulate orphaned cache entries for the life of the session.
   *
   * The registry gives each derived frame ONE cached instance per

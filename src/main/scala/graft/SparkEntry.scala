@@ -259,6 +259,7 @@ object SparkEntry {
     "q204_kmv_overlap" -> ((s, dir) => Sketches.kmvSourceOverlap(s, dir)),
     "q205_bpe_merges" -> ((s, dir) => BpeTrainer.bpeMerges(s, dir)),
     "q206_random_walks" -> ((s, dir) => Graph.randomWalks(s, dir)),
+    "q209_kcore" -> ((s, dir) => Graph.kCoreQuery(s, dir)),
     "q207_merkle_diff" -> ((s, dir) => Merge.merkleDiff(s, dir)),
     "q208_stream_quantile" -> ((s, dir) =>
       streaming.EventStreams.hourlyQuantileStreamQuery(s, dir)),

@@ -194,7 +194,9 @@ object Graph {
     * session on the harness's pinned dir. */
   def oracleEntries: Map[String, String] =
     capturedPrIters.get((ContractTolE12, ContractMaxIters))
-      .map(k => "q129_pagerank_converged" -> pagerankUnrolledSql(k)).toMap
+      .map(k => "q129_pagerank_converged" -> pagerankUnrolledSql(k)).toMap ++
+    capturedKCoreRounds.get((KCoreK, KCoreMaxRounds))
+      .map(r => "q209_kcore" -> kCoreSql(KCoreK, r)).toMap
 
   /** Unpersist the RDD behind a `localCheckpoint(true)`-produced frame.
     * `Dataset.unpersist` cannot do this (the checkpoint persists the RDD
@@ -766,5 +768,143 @@ object Graph {
        |), $steps
        |SELECT node AS part, CAST(label AS BIGINT) AS community
        |FROM l$rounds""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- k-core
+
+  /** Support-thresholded undirected co-purchase edges (both directions):
+    * parts co-bought in ≥ `minSupport` distinct orders. The raw co-purchase
+    * graph is near-regular on TPC-H-shaped data (every part's degree lands
+    * in one narrow band), so its k-core is all-or-nothing; the support
+    * threshold recovers the skewed, sparse association backbone where
+    * peeling does real work (measured at sf0.01: deg 1..13, 10 peel rounds
+    * at k=3). Cached PRE-PARTITIONED on src — every peel round aggregates
+    * degrees on src and anti-joins on src/dst, so the edge list never
+    * re-shuffles across rounds (the [[bfsHops]] cache discipline; at
+    * cluster scale, a table bucketed by src). */
+  private[graft] def supportedCopurchase(spark: SparkSession, dir: String,
+                                         minSupport: Int = 2): DataFrame =
+    graft.CacheRegistry.cached(spark, s"copurchase-sup:$dir:$minSupport") {
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = l.toDF("ok", "u").join(l.toDF("ok", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= minSupport)
+        .select(col("u"), col("v"))
+      pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src"))
+    }
+
+  /** k-core peel over an undirected edge list: synchronously remove ALL
+    * nodes of current degree < k each round until fixpoint (or `maxRounds`,
+    * the runaway guard). Returns (surviving (part, core_degree) rows, peel
+    * rounds executed). The loop control is one driver-side scalar per round
+    * (the count of nodes to peel — the [[pagerankConverged]] discipline);
+    * the edge table itself never leaves executors, each round's survivor
+    * frame localCheckpoints to cut the doubling lineage, and superseded
+    * checkpoint blocks are released eagerly.
+    *
+    * Scale shape: per round ONE degree aggregate (partitioned like the
+    * cached edge list) + two anti-joins against the peeled-node miniature
+    * (auto-broadcast — the peel set shrinks monotonically). Rounds are
+    * bounded by the graph's degeneracy ordering depth, not |V|; on
+    * power-law graphs that is tens of rounds at any scale. */
+  private[graft] def kCoreFromEdges(und: DataFrame, k: Int,
+                                    maxRounds: Int = 60): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = und
+    var rounds = 0
+    var peeling = true
+    while (peeling && rounds < maxRounds) {
+      val low = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select(col("src").as("low"))
+        .localCheckpoint(true)
+      if (low.count() == 0L) {
+        releaseLocalCheckpoint(low)
+        peeling = false
+      } else {
+        val next = e
+          .join(low, e("src") === low("low"), "left_anti")
+          .join(low, e("dst") === low("low"), "left_anti")
+          .localCheckpoint(true)
+        releaseLocalCheckpoint(low)
+        releaseLocalCheckpoint(e)
+        e = next
+        rounds += 1
+      }
+    }
+    (e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("part"), col("core_degree")), rounds)
+  }
+
+  /** q209 — k-core decomposition (k = [[KCoreK]]) of the support-≥2
+    * co-purchase graph: the densest-substructure peel every graph-curation
+    * pipeline runs (spam/bot rings, citation cores, community seeds).
+    * Convergence-driven like q129: the Spark side peels to fixpoint and
+    * CAPTURES the round count; the oracle re-derives the identical peel
+    * with that many unrolled CTE rounds, so the loop BODY is cross-checked
+    * end to end and only the stop decision is the captured constant.
+    * Result + round count session-cache so Bench resamples don't re-peel. */
+  def kCoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (core, rounds) = kCoreCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, KCoreK, KCoreMaxRounds), {
+        val (df, r) = kCoreFromEdges(
+          supportedCopurchase(spark, dir), KCoreK, KCoreMaxRounds)
+        // materialize while the loop's final checkpoint is live; the cache
+        // entry must survive CacheRegistry churn across Bench samples
+        (df.localCheckpoint(true), r)
+      })
+    capturedKCoreRounds.put(dir, (KCoreK, KCoreMaxRounds), rounds)
+    core
+  }
+
+  /** Contract k: 3 keeps a 935-node non-trivial core through 10 peel rounds
+    * at sf0.01 (the oracle gate's sf) — deep enough to exercise the loop,
+    * bounded at any sf by the degeneracy depth. */
+  private val KCoreK = 3
+  private val KCoreMaxRounds = 60
+  private val kCoreCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Int), (DataFrame, Int)]
+  private val capturedKCoreRounds =
+    new graft.OracleCapture.Captured[(Int, Int), Int]
+
+  /** The k-core peel unrolled to `rounds` chained CTE rounds — each round
+    * keeps nodes whose degree is ≥ k (HAVING) and the edges with both
+    * endpoints kept; `rounds` comes from the captured fixpoint count.
+    * Every round CTE is `AS MATERIALIZED`: each references its predecessor
+    * 3× (the degree HAVING + both endpoint joins), so DuckDB's default
+    * textual inlining would expand the chain 3^rounds-fold — at the
+    * measured 10 sf0.01 rounds, ~59k scans of lineitem and an fd blow-up.
+    * Materialization pins each round to compute exactly once (linear),
+    * which is also what the Spark side's per-round localCheckpoint does. */
+  def kCoreSql(k: Int, rounds: Int): String = {
+    require(k >= 1 && rounds >= 0, s"bad k=$k rounds=$rounds")
+    val steps = (1 to rounds).map { h =>
+      s"""surv$h AS MATERIALIZED (
+         |  SELECT src FROM e${h - 1} GROUP BY src HAVING count(*) >= $k
+         |), e$h AS MATERIALIZED (
+         |  SELECT c.src, c.dst FROM e${h - 1} c
+         |  JOIN surv$h a ON c.src = a.src
+         |  JOIN surv$h b ON c.dst = b.src
+         |)""".stripMargin
+    }.mkString(", ")
+    val stepsSql = if (rounds == 0) "" else s", $steps"
+    s"""WITH l AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), e0 AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM pairs
+       |)$stepsSql
+       |SELECT src AS part, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e$rounds GROUP BY src""".stripMargin
   }
 }

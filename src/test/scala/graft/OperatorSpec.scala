@@ -699,6 +699,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(leaked <= 3, s"$leaked persistent RDDs retained for $k rounds")
   }
 
+  test("k-core peels a pendant chain off a triangle core in two rounds") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5: round 1 peels node 5 (degree 1),
+    // round 2 peels node 4 — two genuine synchronous rounds before the
+    // fixpoint; the surviving 2-core is exactly the triangle at degree 2
+    def und(edges: Seq[(Long, Long)]) = {
+      val df = edges.toDF("u", "v")
+      df.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(df.select(col("v").as("src"), col("u").as("dst")))
+    }
+    val (core, rounds) = Graph.kCoreFromEdges(
+      und(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))), k = 2)
+    assert(rounds == 2)
+    assert(core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a pure path peels from both ends to nothing — rounds counts the
+    // peels actually applied, and an empty core is a valid fixpoint
+    val (empty, r2) = kCoreEmpty(und(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))))
+    assert(r2 == 2 && empty.count() == 0)
+    intercept[IllegalArgumentException](Graph.kCoreFromEdges(und(Seq((1L, 2L))), 0))
+  }
+
+  private def kCoreEmpty(e: org.apache.spark.sql.DataFrame) =
+    Graph.kCoreFromEdges(e, k = 2)
+
+  test("k-core contract query is a genuine fixpoint of the induced subgraph") {
+    val core = Graph.kCoreQuery(spark, dir)
+    val rows = core.collect()
+    assert(rows.nonEmpty)
+    // every reported core_degree honors the k = 3 contract threshold
+    rows.foreach(r => assert(r.getLong(1) >= 3L, s"part ${r.getLong(0)}"))
+    // core_degree must equal the node's degree WITHIN the induced surviving
+    // subgraph (not its original degree) — recomputed independently here
+    val surv = core.select(col("part"))
+    val e = Graph.supportedCopurchase(spark, dir)
+    val induced = e
+      .join(surv.toDF("a"), col("src") === col("a")).drop("a")
+      .join(surv.toDF("b"), col("dst") === col("b")).drop("b")
+    val recomputed = induced.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reported = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reported == recomputed)
+  }
+
   test("session paths: trigram shape and conservation vs sessionization") {
     val paths = Events.sessionPaths(spark, dir).collect()
     assert(paths.nonEmpty)

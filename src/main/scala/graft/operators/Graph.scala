@@ -706,19 +706,16 @@ object Graph {
   def labelPropagation(spark: SparkSession, dir: String,
                        rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // Cached partitioned on DST — the join key every round probes
-    // (propagation pulls each neighbor's label via dst = node). The cached
-    // InMemoryTableScan preserves that partitioning, so the full edge list
-    // never re-shuffles across rounds; only the shrinking label table
-    // moves. (Partitioning on src — the GROUP key — would instead shuffle
-    // all |E| edges per round: at 100 TB the edge list is the table you
-    // must never move twice.)
-    val und = graft.CacheRegistry.cached(spark, s"copurchase-und:$dir") {
-      val e = copurchaseEdges(spark, dir)
-      e.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-        .repartition(col("dst"))
-    }
+    // The SHARED src-partitioned edge cache ([[undirectedCopurchase]] —
+    // q122 BFS and q206 random walks use the same artifact). Round 8
+    // briefly gave q165 a dst-partitioned build under the SAME registry
+    // key: whichever query ran first seeded the layout, and when BFS won
+    // (bench runs alphabetically) every propagation round re-shuffled the
+    // full |E| edge list. The cure is to make the ROUND consume the src
+    // layout (join labels on src, aggregate toward dst — identical on a
+    // symmetric edge set), so all three graph queries share one cached
+    // copy and none of them ever moves it again.
+    val und = undirectedCopurchase(spark, dir)
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
@@ -730,17 +727,20 @@ object Graph {
   /** One synchronous label-propagation round (exposed so PlansSpec can pin
     * the per-round physical plan — the loop's localCheckpoint truncates
     * lineage, making the FINAL frame's plan a checkpoint scan that any
-    * PlanAudit expectation would match vacuously). Join on dst reuses the
-    * cached edge partitioning; the (src,label) count and per-src argmax are
-    * the round's only shuffles, both over label-table-sized data. */
+    * PlanAudit expectation would match vacuously). The edge set is
+    * symmetric (both directions present), so "count the labels of n's
+    * neighbors" can be computed by joining labels on SRC and aggregating
+    * toward DST — the join reuses the cached src partitioning shuffle-free,
+    * and the (dst,label) count arrives pre-combined map-side, so the only
+    * exchanged data is label-table-sized partials plus the per-dst argmax. */
   private[graft] def propagateRound(und: DataFrame,
                                     labels: DataFrame): DataFrame =
-    und.join(labels, col("dst") === col("node"))
-      .groupBy(col("src"), col("label"))
+    und.join(labels, col("src") === col("node"))
+      .groupBy(col("dst"), col("label"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("src"))
+      .groupBy(col("dst"))
       .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("best"))
-      .select(col("src").as("node"), (-col("best.neg")).as("label"))
+      .select(col("dst").as("node"), (-col("best.neg")).as("label"))
 
   def labelPropagationSql(rounds: Int = 3): String = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

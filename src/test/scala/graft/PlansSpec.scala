@@ -191,14 +191,18 @@ class PlansSpec extends AnyFunSuite {
   }
 
   test("q165 label-propagation round: the edge list never re-shuffles " +
-    "(cached dst partitioning is reused; only label-sized data moves)") {
+    "(the SHARED src-partitioned cache is reused; only label-sized data moves)") {
     // the loop localCheckpoints each round, so the FINAL frame's plan is a
-    // checkpoint scan — pin the per-round plan the loop actually executes
+    // checkpoint scan — pin the per-round plan the loop actually executes.
+    // The layout here replicates undirectedCopurchase (same registry key):
+    // SRC-partitioned, shared with q122 BFS and q206 random walks — the
+    // round must consume that layout shuffle-free regardless of which graph
+    // query seeded it first.
     val und = graft.CacheRegistry.cached(spark, s"copurchase-und:$dir") {
       val e = graft.operators.Graph.copurchaseEdges(spark, dir)
       e.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-        .repartition(col("dst"))
+        .repartition(col("src"))
     }
     val labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint(true)
@@ -223,9 +227,23 @@ class PlansSpec extends AnyFunSuite {
     val shuffles = live.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    // ...and never re-shuffled: no live exchange carries the dst key
-    assert(!shuffles.exists(_.outputPartitioning.toString.contains("dst#")),
-      s"edge list re-shuffles every round:\n$plan")
+    // ...and never re-shuffled: between the cached edge scan and the label
+    // join there must be NO exchange (post-join aggregate exchanges above
+    // the join are fine — they move combined label-sized partials, not the
+    // raw |E| edge list)
+    def hasScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }.nonEmpty
+    val joins = live.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val edgeSides = joins.flatMap(_.children.filter(hasScan))
+    assert(edgeSides.nonEmpty, s"label join does not read the edge cache:\n$plan")
+    assert(!edgeSides.exists(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if hasScan(e) => e
+    }.nonEmpty), s"edge list re-shuffles every round:\n$plan")
     // the round's only shuffles move label-table-sized data: the label
     // side into the join, the (src,label) count, the per-src argmax
     assert(shuffles.size <= 3, s"${shuffles.size} live shuffles:\n$plan")

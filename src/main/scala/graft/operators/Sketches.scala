@@ -391,6 +391,62 @@ object Sketches {
        |       (rho * 1000000) // m AS jaccard_ppm
        |FROM scored""".stripMargin
 
+  /** q210 — mergeable moment-sketch profile (Gan et al., "Moments:
+    * Aggregating Moment Sketches", VLDB'18 shape): per return flag, the
+    * exact integer power sums s1..s4 of revenue cents plus n/min/max and
+    * the integer-derived mean/variance. The power sums ARE the sketch:
+    * they merge by addition, so the whole profile is ONE hash aggregate
+    * with map-side partial combine — no shuffle carries row-level data,
+    * and two shards' profiles union by summing columns (the spec pins
+    * partition-count invariance). Everything stays integer-exact:
+    * s1 is a BIGINT cent sum; s2..s4 run in DECIMAL(38,0) (cents⁴ ≈ 10²⁸
+    * per row — headroom to ~10⁹ rows per group before 38 digits bind, and
+    * the scaladoc'd fallback at larger scale is whole-dollar units);
+    * mean_e6 and the population variance derive by integer division, so
+    * the DuckDB oracle (same chain on HUGEINT) hash-matches bit-for-bit. */
+  def momentSketch(spark: SparkSession, dir: String): DataFrame = {
+    val cents = graft.operators.Rfm.cents(col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), cents.as("c"),
+        cents.cast(DecimalType(38, 0)).as("cd"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c")).as("mn"), max(col("c")).as("mx"),
+        sum(col("c")).as("s1"),
+        sum(col("cd") * col("cd")).cast(DecimalType(38, 0)).as("s2"),
+        sum(col("cd") * col("cd") * col("cd")).cast(DecimalType(38, 0)).as("s3"),
+        sum(col("cd") * col("cd") * col("cd") * col("cd"))
+          .cast(DecimalType(38, 0)).as("s4"))
+      .select(col("flag"), col("n"), col("mn"), col("mx"), col("s1"),
+        col("s2"), col("s3"), col("s4"),
+        expr("(CAST(s1 AS DECIMAL(38,0)) * 1000000) div n").as("mean_e6"),
+        expr("""(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
+                div (CAST(n AS DECIMAL(38,0)) * n)""").as("var_c2"))
+  }
+
+  val momentSketchSql: String =
+    """WITH src AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+      |         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS ch
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT flag, count(*) AS n, min(c) AS mn, max(c) AS mx,
+      |         CAST(sum(c) AS HUGEINT) AS s1h,
+      |         sum(ch * ch) AS s2h,
+      |         sum(ch * ch * ch) AS s3h,
+      |         sum(ch * ch * ch * ch) AS s4h
+      |  FROM src GROUP BY flag
+      |)
+      |SELECT flag, n, mn, mx, CAST(s1h AS BIGINT) AS s1,
+      |       CAST(s2h AS DECIMAL(38,0)) AS s2,
+      |       CAST(s3h AS DECIMAL(38,0)) AS s3,
+      |       CAST(s4h AS DECIMAL(38,0)) AS s4,
+      |       CAST((s1h * 1000000) // n AS BIGINT) AS mean_e6,
+      |       CAST((n * s2h - s1h * s1h) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+      |         AS var_c2
+      |FROM m""".stripMargin
+
   def oracleEntries: Map[String, String] =
     capturedHll.get(12).map(e => "q85_hll_sketches" -> hllSketchesSql(e)).toMap ++
       capturedCms.get((0.001, 0.99, 42))

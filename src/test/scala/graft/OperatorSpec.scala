@@ -743,6 +743,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(reported == recomputed)
   }
 
+  test("moment sketch: every column reproduces a driver-side BigInt recompute") {
+    val cents = Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag", "CAST(round(l_extendedprice * 100) AS LONG)")
+      .collect().map(r => r.getString(0) -> BigInt(r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = Sketches.momentSketch(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSet == cents.keySet)
+    got.foreach { r =>
+      val cs = cents(r.getString(0))
+      val (n, s1) = (BigInt(cs.length), cs.sum)
+      val s2 = cs.map(c => c * c).sum
+      assert(r.getLong(1) == n.toLong && r.getLong(4) == s1.toLong)
+      assert(r.getLong(2) == cs.min.toLong && r.getLong(3) == cs.max.toLong)
+      assert(BigInt(r.getDecimal(5).toBigInteger) == s2)
+      assert(BigInt(r.getDecimal(6).toBigInteger) == cs.map(c => c * c * c).sum)
+      assert(BigInt(r.getDecimal(7).toBigInteger) == cs.map(c => c * c * c * c).sum)
+      assert(r.getLong(8) == ((s1 * 1000000) / n).toLong)
+      assert(r.getLong(9) == ((n * s2 - s1 * s1) / (n * n)).toLong)
+    }
+  }
+
   test("session paths: trigram shape and conservation vs sessionization") {
     val paths = Events.sessionPaths(spark, dir).collect()
     assert(paths.nonEmpty)

@@ -282,7 +282,17 @@ object PlanAudit {
       // bucket filter arrives via broadcast semi-joins, never a re-scan
       // shipped into a shuffled join of the full tables
       "q207_merkle_diff" -> Seq("BroadcastHashJoin" -> true,
-        "CartesianProduct" -> false))
+        "CartesianProduct" -> false),
+      // moment sketch: ONE hash aggregate (the power sums partial-combine
+      // map-side); no join, no window, nothing pairwise — the mergeable-
+      // sketch claim IS this plan shape
+      "q210_moment_sketch" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      // k-anonymity: two chained hash aggregates, join- and window-free
+      "q211_k_anonymity" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

@@ -258,6 +258,7 @@ object SparkEntry {
     "q203_sql_api" -> ((s, dir) => Retrieval.sqlApiTopK(s, dir)),
     "q204_kmv_overlap" -> ((s, dir) => Sketches.kmvSourceOverlap(s, dir)),
     "q210_moment_sketch" -> ((s, dir) => Sketches.momentSketch(s, dir)),
+    "q211_k_anonymity" -> ((s, dir) => CorpusFilters.kAnonymity(s, dir)),
     "q205_bpe_merges" -> ((s, dir) => BpeTrainer.bpeMerges(s, dir)),
     "q206_random_walks" -> ((s, dir) => Graph.randomWalks(s, dir)),
     "q209_kcore" -> ((s, dir) => Graph.kCoreQuery(s, dir)),
@@ -459,6 +460,7 @@ object SparkEntry {
     "q203_sql_api" -> Retrieval.sqlApiTopKSql(),
     "q204_kmv_overlap" -> Sketches.kmvSourceOverlapSql(),
     "q210_moment_sketch" -> Sketches.momentSketchSql,
+    "q211_k_anonymity" -> CorpusFilters.kAnonymitySql(),
     "q205_bpe_merges" -> BpeTrainer.bpeMergesSql(),
     "q206_random_walks" -> Graph.randomWalksSql(),
     "q207_merkle_diff" -> Merge.merkleDiffSql(),

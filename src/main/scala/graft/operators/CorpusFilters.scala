@@ -667,4 +667,55 @@ object CorpusFilters {
        |         AS pii_doc_ppm
        |FROM agg""".stripMargin
   }
+
+  /** q211 — k-anonymity re-identification audit (Sweeney's k-anonymity,
+    * the release-gate complement to the PII value scans q168/q77): treat
+    * (nation, market segment, $1000 account-balance band) as the
+    * quasi-identifier, count each equivalence class, and report per nation
+    * how many customers sit in classes smaller than k — the rows an
+    * attacker with the QI triple could single out. Output: per-nation
+    * n_customers, n_classes, min_class, n_risky (members of sub-k
+    * classes), risk_ppm.
+    *
+    * Scale: two chained hash aggregates — rows → QI classes (map-side
+    * combine does the heavy lift), classes → nations (class-sized input).
+    * No joins, no windows; risk arithmetic is integer (cents banded with a
+    * +10⁸ offset so both engines' integer division act on non-negative
+    * values — Spark `div` truncates toward zero while DuckDB `//` floors,
+    * and TPC-H balances go negative). */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val qi = Tables.customer(spark, dir).select(
+      col("c_nationkey").cast(org.apache.spark.sql.types.LongType).as("nation"),
+      col("c_mktsegment").as("seg"),
+      expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) div 100000")
+        .as("band"))
+    qi.groupBy(col("nation"), col("seg"), col("band"))
+      .agg(count(lit(1)).as("cls"))
+      .groupBy(col("nation"))
+      .agg(sum(col("cls")).as("n_customers"),
+        count(lit(1)).as("n_classes"),
+        min(col("cls")).as("min_class"),
+        sum(when(col("cls") < k, col("cls")).otherwise(0L)).as("n_risky"))
+      .select(col("nation"), col("n_customers"), col("n_classes"),
+        col("min_class"), col("n_risky"),
+        expr("(n_risky * 1000000) div n_customers").as("risk_ppm"))
+  }
+
+  def kAnonymitySql(k: Int = 5): String =
+    s"""WITH qi AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,
+       |         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000
+       |           AS band
+       |  FROM customer
+       |), cls AS (
+       |  SELECT nation, seg, band, count(*) AS cls FROM qi GROUP BY 1, 2, 3
+       |)
+       |SELECT nation, CAST(sum(cls) AS BIGINT) AS n_customers,
+       |       count(*) AS n_classes, min(cls) AS min_class,
+       |       CAST(sum(CASE WHEN cls < $k THEN cls ELSE 0 END) AS BIGINT)
+       |         AS n_risky,
+       |       CAST(sum(CASE WHEN cls < $k THEN cls ELSE 0 END) * 1000000
+       |            // sum(cls) AS BIGINT) AS risk_ppm
+       |FROM cls GROUP BY nation""".stripMargin
 }

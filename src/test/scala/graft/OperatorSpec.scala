@@ -764,6 +764,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity: risky counts reproduce a driver-side class census and grow with k") {
+    val qi = Tables.customer(spark, dir)
+      .selectExpr("CAST(c_nationkey AS LONG)", "c_mktsegment",
+        "(CAST(round(c_acctbal * 100) AS LONG) + 100000000) div 100000")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val classes = qi.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def expected(k: Int) = classes.toSeq.groupBy(_._1._1).map { case (nation, cs) =>
+      val sizes = cs.map(_._2)
+      nation -> (sizes.sum, sizes.length.toLong, sizes.min,
+        sizes.filter(_ < k).sum)
+    }
+    val got = CorpusFilters.kAnonymity(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expected(5))
+    got.foreach { case (_, (n, _, _, risky)) => assert(risky <= n) }
+    // monotone in k: a larger k can only flag more members as risky
+    val g9 = CorpusFilters.kAnonymity(spark, dir, k = 9).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(g9 == expected(9).view.mapValues(_._4).toMap)
+    got.foreach { case (nation, (_, _, _, r5)) => assert(g9(nation) >= r5) }
+    intercept[IllegalArgumentException](CorpusFilters.kAnonymity(spark, dir, 1))
+  }
+
   test("session paths: trigram shape and conservation vs sessionization") {
     val paths = Events.sessionPaths(spark, dir).collect()
     assert(paths.nonEmpty)

@@ -292,6 +292,11 @@ object PlanAudit {
       // k-anonymity: two chained hash aggregates, join- and window-free
       "q211_k_anonymity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      // unicode NFC audit: the codegen'd normalize expression is a narrow
+      // map fused into the scan; one source-keyed aggregate, nothing else
+      "q212_unicode_nfc" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
         "SortMergeJoin" -> false, "BroadcastHashJoin" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4

@@ -1139,4 +1139,67 @@ object TextAnalysis {
       |         AS bigram_surprisal_e6
       |FROM bg JOIN c12 USING (w1, w2) JOIN h1 USING (w1)
       |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------- Unicode normalization
+
+  /** q212 — Unicode NFC normalization audit per source: the corpus-prep
+    * stage that makes "é" (composed) and "e"+U+0301 (decomposed) the same
+    * byte sequence before any exact-match step (dedup fingerprints,
+    * vocabulary, PII scans) runs. Normalization itself is the native
+    * codegen'd [[graft.functions.StringExprs.NfcNormalize]] expression —
+    * a narrow map fused into the scan; the audit rolls up how many docs
+    * changed, how many code points composition removed, and how many
+    * composed "é" the normalizer produced.
+    *
+    * The testdata text is ASCII, so (the q77/q168 planted-PII discipline)
+    * deterministic decomposed sequences are planted keyed on doc_id —
+    * every 3rd doc gets "cafe"+U+0301 forms, every 4th "A"+U+030A /
+    * "o"+U+0308 forms — and the oracle replays the planting with chr()
+    * and DuckDB's own `nfc_normalize`, so the JDK and DuckDB Unicode
+    * implementations cross-check each other code point for code point. */
+  def unicodeNfcAudit(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit(" cafe\u0301 releve\u0301")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit(" A\u030Angstro\u0308m")).otherwise(lit("")))
+    val norm = graft.functions.StringExprs.nfc(aug)
+    Tables.documents(spark, dir)
+      .select(col("source"), aug.as("aug"), norm.as("norm"))
+      .select(col("source"),
+        when(col("aug") =!= col("norm"), 1L).otherwise(0L).as("chg"),
+        (length(col("aug")) - length(col("norm"))).cast(LongType).as("rm"),
+        (length(col("norm")) -
+          length(regexp_replace(col("norm"), lit("\u00e9"), lit(""))))
+          .cast(LongType).as("ne"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chg")).as("docs_changed"),
+        sum(col("rm")).as("chars_composed"),
+        sum(col("ne")).as("n_eacute"))
+  }
+
+  val unicodeNfcAuditSql: String =
+    """WITH aug AS (
+      |  SELECT source,
+      |         text ||
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN ' cafe' || chr(769) || ' releve' || chr(769)
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 4 = 0
+      |              THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+      |              ELSE '' END AS aug
+      |  FROM documents
+      |), n AS (
+      |  SELECT source, aug, nfc_normalize(aug) AS norm FROM aug
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN aug <> norm THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS docs_changed,
+      |       CAST(sum(length(aug) - length(norm)) AS BIGINT)
+      |         AS chars_composed,
+      |       CAST(sum(length(norm)
+      |                - length(replace(norm, chr(233), ''))) AS BIGINT)
+      |         AS n_eacute
+      |FROM n GROUP BY source""".stripMargin
 }

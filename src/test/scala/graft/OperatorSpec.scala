@@ -788,6 +788,45 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CorpusFilters.kAnonymity(spark, dir, 1))
   }
 
+  test("unicode NFC: expression matches java.text.Normalizer and the audit recounts") {
+    import spark.implicits._
+    val samples = Seq("café", "é", "Ångström",
+      "plain ascii", "", "mixed ééé")
+    val got = samples.toDF("s")
+      .select(graft.functions.StringExprs.nfc(col("s")).as("n"))
+      .as[String].collect()
+    val want = samples.map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+    // interpreted path agrees with the codegen path the query used
+    samples.foreach { s =>
+      val e = graft.functions.StringExprs.NfcNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal(s))
+      assert(e.eval(null).toString ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    // audit invariants on the planted corpus: composition only ever
+    // shrinks, and every 3rd doc (the cafe plant) must come back changed
+    val audit = TextAnalysis.unicodeNfcAudit(spark, dir).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(4) >= 0L)
+    }
+    val totalDocs = audit.map(_.getLong(1)).sum
+    val changed = audit.map(_.getLong(2)).sum
+    val planted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 4 === 0).count()
+    assert(changed == planted, s"changed=$changed planted=$planted")
+    // each cafe plant composes 2 marks, each Angstrom plant 2 — the
+    // composed-away char count recomputes from the plant census
+    val n3 = Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0).count()
+    val n4 = Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0).count()
+    assert(audit.map(_.getLong(3)).sum == 2 * n3 + 2 * n4)
+    assert(audit.map(_.getLong(4)).sum == 2 * n3)
+    assert(totalDocs == Tables.documents(spark, dir).count())
+  }
+
   test("session paths: trigram shape and conservation vs sessionization") {
     val paths = Events.sessionPaths(spark, dir).collect()
     assert(paths.nonEmpty)

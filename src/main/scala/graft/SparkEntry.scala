@@ -260,6 +260,7 @@ object SparkEntry {
     "q210_moment_sketch" -> ((s, dir) => Sketches.momentSketch(s, dir)),
     "q211_k_anonymity" -> ((s, dir) => CorpusFilters.kAnonymity(s, dir)),
     "q212_unicode_nfc" -> ((s, dir) => TextAnalysis.unicodeNfcAudit(s, dir)),
+    "q213_dp_release" -> ((s, dir) => CorpusFilters.dpRelease(s, dir)),
     "q205_bpe_merges" -> ((s, dir) => BpeTrainer.bpeMerges(s, dir)),
     "q206_random_walks" -> ((s, dir) => Graph.randomWalks(s, dir)),
     "q209_kcore" -> ((s, dir) => Graph.kCoreQuery(s, dir)),
@@ -463,6 +464,7 @@ object SparkEntry {
     "q210_moment_sketch" -> Sketches.momentSketchSql,
     "q211_k_anonymity" -> CorpusFilters.kAnonymitySql(),
     "q212_unicode_nfc" -> TextAnalysis.unicodeNfcAuditSql,
+    "q213_dp_release" -> CorpusFilters.dpReleaseSql(),
     "q205_bpe_merges" -> BpeTrainer.bpeMergesSql(),
     "q206_random_walks" -> Graph.randomWalksSql(),
     "q207_merkle_diff" -> Merge.merkleDiffSql(),

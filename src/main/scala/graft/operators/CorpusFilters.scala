@@ -702,6 +702,64 @@ object CorpusFilters {
         expr("(n_risky * 1000000) div n_customers").as("risk_ppm"))
   }
 
+  /** q213 — private count release via the GEOMETRIC MECHANISM (Ghosh/
+    * Roughgarden/Sundararajan's discrete analogue of Laplace, ε = ln 2):
+    * per-nation customer counts plus two-sided geometric noise
+    * P(|noise| = k) ∝ 2⁻ᵏ, clamped at zero. The noise is entirely
+    * INTEGER-derived from the portable md5 basis (q44/q48): magnitude is
+    * `48 − bit_length(u+1)` of a 48-bit uniform — `length(bin(x))` gives
+    * bit_length exactly in both engines, so no float log anywhere — and
+    * the sign is an independent md5 nibble. Seeding noise from
+    * md5(salt ‖ group) is the reproducible-release pattern: with a secret
+    * salt the noise is a PRF of the group key (indistinguishable from
+    * fresh randomness to an outside observer) while the pipeline itself
+    * stays deterministic and re-runnable — which is also what lets the
+    * DuckDB oracle replay the release bit-for-bit.
+    *
+    * Scale: one hash aggregate then group-sized scalar arithmetic. */
+  def dpRelease(spark: SparkSession, dir: String,
+                salt: String = "dp-release-v1"): DataFrame = {
+    val counts = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast(org.apache.spark.sql.types.LongType)
+        .as("nation"))
+      .agg(count(lit(1)).as("n"))
+    val h = md5(concat(lit(salt + ":"), col("nation").cast(StringType)))
+    counts
+      .withColumn("u", conv(substring(h, 1, 12), 16, 10)
+        .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("sgn",
+        when(conv(substring(h, 13, 1), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType) % 2 === 0, 1L)
+          .otherwise(-1L))
+      .withColumn("mag", greatest(
+        lit(48L) - length(bin(col("u") + 1))
+          .cast(org.apache.spark.sql.types.LongType), lit(0L)))
+      .select(col("nation"), col("n"),
+        (col("sgn") * col("mag")).as("noise"),
+        greatest(col("n") + col("sgn") * col("mag"), lit(0L)).as("released"))
+  }
+
+  def dpReleaseSql(salt: String = "dp-release-v1"): String =
+    s"""WITH counts AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n
+       |  FROM customer GROUP BY 1
+       |), seeded AS (
+       |  SELECT nation, n,
+       |         ('0x' || substr(md5('$salt:' || CAST(nation AS VARCHAR)),
+       |                         1, 12))::BIGINT AS u,
+       |         CASE WHEN ('0x' || substr(md5('$salt:'
+       |                    || CAST(nation AS VARCHAR)), 13, 1))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM counts
+       |), noised AS (
+       |  SELECT nation, n, sgn,
+       |         greatest(48 - length(bin(u + 1)), 0) AS mag
+       |  FROM seeded
+       |)
+       |SELECT nation, n, CAST(sgn * mag AS BIGINT) AS noise,
+       |       CAST(greatest(n + sgn * mag, 0) AS BIGINT) AS released
+       |FROM noised""".stripMargin
+
   def kAnonymitySql(k: Int = 5): String =
     s"""WITH qi AS (
        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,

@@ -827,6 +827,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(totalDocs == Tables.documents(spark, dir).count())
   }
 
+  test("dp release: noise replays from a driver-side md5 chain and respects the clamp") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = CorpusFilters.dpRelease(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nation, n, noise, released) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val h = md5hex(s"dp-release-v1:$nation")
+      val u = java.lang.Long.parseLong(h.substring(0, 12), 16)
+      val sgn = if (java.lang.Long.parseLong(h.substring(12, 13), 16) % 2 == 0) 1L else -1L
+      val mag = math.max(48L - java.lang.Long.toBinaryString(u + 1).length, 0L)
+      assert(noise == sgn * mag, s"nation $nation")
+      assert(released == math.max(n + noise, 0L))
+    }
+    // conservation: released totals stay within max|noise| * groups of truth
+    val drift = rows.map(r => (r.getLong(3) - r.getLong(1)).abs).max
+    assert(drift <= 48L)
+    // a different salt must re-seed the noise somewhere (not a constant map)
+    val other = CorpusFilters.dpRelease(spark, dir, salt = "other-salt")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val base = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(base != other)
+  }
+
   test("session paths: trigram shape and conservation vs sessionization") {
     val paths = Events.sessionPaths(spark, dir).collect()
     assert(paths.nonEmpty)

@@ -297,6 +297,11 @@ object PlanAudit {
       // map fused into the scan; one source-keyed aggregate, nothing else
       "q212_unicode_nfc" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      // dp release: one hash aggregate + group-sized scalar noise — the
+      // same join-/window-free shape as its q210–q212 siblings
+      "q213_dp_release" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
         "SortMergeJoin" -> false, "BroadcastHashJoin" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4

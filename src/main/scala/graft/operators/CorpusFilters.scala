@@ -702,23 +702,33 @@ object CorpusFilters {
         expr("(n_risky * 1000000) div n_customers").as("risk_ppm"))
   }
 
-  /** q213 — private count release via the GEOMETRIC MECHANISM (Ghosh/
-    * Roughgarden/Sundararajan's discrete analogue of Laplace, ε = ln 2):
-    * per-nation customer counts plus two-sided geometric noise
-    * P(|noise| = k) ∝ 2⁻ᵏ, clamped at zero. The noise is entirely
-    * INTEGER-derived from the portable md5 basis (q44/q48): magnitude is
-    * `48 − bit_length(u+1)` of a 48-bit uniform — `length(bin(x))` gives
-    * bit_length exactly in both engines, so no float log anywhere — and
-    * the sign is an independent md5 nibble. Seeding noise from
-    * md5(salt ‖ group) is the reproducible-release pattern: with a secret
-    * salt the noise is a PRF of the group key (indistinguishable from
-    * fresh randomness to an outside observer) while the pipeline itself
-    * stays deterministic and re-runnable — which is also what lets the
-    * DuckDB oracle replay the release bit-for-bit.
+  /** q213 — private count release via a two-sided geometric noise
+    * distribution (the discrete analogue of Laplace, after Ghosh/
+    * Roughgarden/Sundararajan): per-nation customer counts plus signed
+    * noise with P(noise = 0) = 1/2 and P(noise = ±k) = 2⁻⁽ᵏ⁺²⁾, clamped at
+    * zero. The worst-case adjacent-output likelihood ratio is
+    * P(0)/P(±1) = 4, so the released counts satisfy ε-DP at **ε = ln 4**
+    * (the doubled-zero variant — NOT the canonical P(z) ∝ 2⁻|ᶻ| geometric
+    * mechanism, whose P(0) = 1/3 is not dyadic and cannot be sampled
+    * exactly from finitely many uniform bits; this variant trades a
+    * factor-2 looser ε for an exact integer sampler). The noise is
+    * entirely INTEGER-derived from the portable md5 basis (q44/q48):
+    * magnitude is `48 − bit_length(u+1)` of a 48-bit uniform —
+    * `length(bin(x))` gives bit_length exactly in both engines, so no
+    * float log anywhere — and the sign is an independent md5 nibble.
+    * Seeding noise from md5(salt ‖ group) is the reproducible-release
+    * pattern: with a secret salt the noise is a PRF of the group key
+    * (indistinguishable from fresh randomness to an outside observer)
+    * while the pipeline itself stays deterministic and re-runnable —
+    * which is also what lets the DuckDB oracle replay the release
+    * bit-for-bit.
     *
     * Scale: one hash aggregate then group-sized scalar arithmetic. */
   def dpRelease(spark: SparkSession, dir: String,
                 salt: String = "dp-release-v1"): DataFrame = {
+    // the salt is interpolated into the oracle's SQL string literal —
+    // constrain it so both sides always parse (quotes would break DuckDB)
+    require(salt.matches("[A-Za-z0-9_.-]+"), s"unsafe salt: $salt")
     val counts = Tables.customer(spark, dir)
       .groupBy(col("c_nationkey").cast(org.apache.spark.sql.types.LongType)
         .as("nation"))
@@ -739,7 +749,8 @@ object CorpusFilters {
         greatest(col("n") + col("sgn") * col("mag"), lit(0L)).as("released"))
   }
 
-  def dpReleaseSql(salt: String = "dp-release-v1"): String =
+  def dpReleaseSql(salt: String = "dp-release-v1"): String = {
+    require(salt.matches("[A-Za-z0-9_.-]+"), s"unsafe salt: $salt")
     s"""WITH counts AS (
        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n
        |  FROM customer GROUP BY 1
@@ -759,6 +770,7 @@ object CorpusFilters {
        |SELECT nation, n, CAST(sgn * mag AS BIGINT) AS noise,
        |       CAST(greatest(n + sgn * mag, 0) AS BIGINT) AS released
        |FROM noised""".stripMargin
+  }
 
   def kAnonymitySql(k: Int = 5): String =
     s"""WITH qi AS (

@@ -194,16 +194,10 @@ class PlansSpec extends AnyFunSuite {
     "(the SHARED src-partitioned cache is reused; only label-sized data moves)") {
     // the loop localCheckpoints each round, so the FINAL frame's plan is a
     // checkpoint scan — pin the per-round plan the loop actually executes.
-    // The layout here replicates undirectedCopurchase (same registry key):
-    // SRC-partitioned, shared with q122 BFS and q206 random walks — the
-    // round must consume that layout shuffle-free regardless of which graph
-    // query seeded it first.
-    val und = graft.CacheRegistry.cached(spark, s"copurchase-und:$dir") {
-      val e = graft.operators.Graph.copurchaseEdges(spark, dir)
-      e.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-        .repartition(col("src"))
-    }
+    // Use the REAL shared builder (src-partitioned, shared with q122 BFS
+    // and q206 random walks) — an inline replica under the same registry
+    // key is exactly the layout-drift hazard this test exists to pin.
+    val und = graft.operators.Graph.undirectedCopurchase(spark, dir)
     val labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint(true)
     // tree-collect LIVE nodes with AQE off: the string rendering embeds the

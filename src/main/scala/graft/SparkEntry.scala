@@ -261,6 +261,7 @@ object SparkEntry {
     "q211_k_anonymity" -> ((s, dir) => CorpusFilters.kAnonymity(s, dir)),
     "q212_unicode_nfc" -> ((s, dir) => TextAnalysis.unicodeNfcAudit(s, dir)),
     "q213_dp_release" -> ((s, dir) => CorpusFilters.dpRelease(s, dir)),
+    "q214_bpe_encode" -> ((s, dir) => BpeTrainer.bpeEncode(s, dir)),
     "q205_bpe_merges" -> ((s, dir) => BpeTrainer.bpeMerges(s, dir)),
     "q206_random_walks" -> ((s, dir) => Graph.randomWalks(s, dir)),
     "q209_kcore" -> ((s, dir) => Graph.kCoreQuery(s, dir)),
@@ -495,6 +496,7 @@ object SparkEntry {
     Sketches.oracleEntries ++
     // q129: unrolled-CTE oracle at the CAPTURED convergence round count
     Graph.oracleEntries ++
+    BpeTrainer.oracleEntries ++
     // q173: streamed HLL estimates as literals, bounds re-derived by DuckDB
     streaming.EventStreams.oracleEntries
 }

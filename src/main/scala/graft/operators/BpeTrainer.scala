@@ -86,6 +86,76 @@ object BpeTrainer {
         StructField("c", LongType, nullable = false))))
   }
 
+  /** q214 — ENCODE with the learned merges (the apply half of the
+    * tokenizer loop; q205 is the train half): every document's words go
+    * through the spaced-symbol form and the captured merge list in
+    * training order, and the per-source roll-up reports word/char/token
+    * totals plus tokens-per-character in exact ppm — the fertility number
+    * a tokenizer change is judged by. The merge list is a ≤`iters`-row
+    * driver miniature (the k-means-fit license), session-cached so Bench
+    * resamples don't re-train; the encode itself is corpus-sized but a
+    * pure narrow map (explode → fold of `iters` literal replaces → one
+    * source-keyed aggregate). The oracle replays the encode from the
+    * CAPTURED merge literals — training itself is independently gated by
+    * q205, so this gate isolates the application semantics. */
+  def bpeEncode(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val merges = mergeCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, iters),
+      bpeMerges(spark, dir, iters).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    capturedMerges.put(dir, iters, merges)
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    var s: org.apache.spark.sql.Column =
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+    merges.foreach { case (pair, merged) =>
+      s = call_function("replace", s, lit(s" $pair "), lit(s" $merged "))
+    }
+    words
+      .select(col("source"), length(col("word")).cast(LongType).as("chars"),
+        size(split(trim(s), " ")).cast(LongType).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("toks")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div n_chars").as("tokens_per_char_ppm"))
+  }
+
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), Seq[(String, String)]]
+  private val capturedMerges =
+    new graft.OracleCapture.Captured[Int, Seq[(String, String)]]
+
+  /** q214's oracle: the captured merge literals folded into a replace
+    * chain (single-quote-escaped), identical spaced-symbol basis. */
+  def bpeEncodeSql(merges: Seq[(String, String)]): String = {
+    def q(s: String) = s.replace("'", "''")
+    val chain = merges.foldLeft(
+      "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") {
+      case (acc, (pair, merged)) =>
+        s"replace($acc, ' ${q(pair)} ', ' ${q(merged)} ')"
+    }
+    s"""WITH words AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |), enc AS (
+       |  SELECT source, length(word) AS chars,
+       |         len(string_split(trim($chain), ' ')) AS toks
+       |  FROM words
+       |)
+       |SELECT source, count(*) AS n_words,
+       |       CAST(sum(chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |       CAST(sum(toks) * 1000000 // sum(chars) AS BIGINT)
+       |         AS tokens_per_char_ppm
+       |FROM enc GROUP BY source""".stripMargin
+  }
+
+  def oracleEntries: Map[String, String] =
+    capturedMerges.get(8)
+      .map(m => "q214_bpe_encode" -> bpeEncodeSql(m)).toMap
+
   /** The oracle replays every round as a chained CTE — word counts, spaced
     * symbols, per-round weighted pair argmax and literal replace — so a
     * divergence anywhere in the iteration (tie order, replace semantics,

@@ -853,6 +853,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(base != other)
   }
 
+  test("bpe encode: totals reproduce a driver-side re-encode with the learned merges") {
+    val merges = BpeTrainer.bpeMerges(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.nonEmpty)
+    def encodeTokens(word: String): Int = {
+      var s = " " + word.toCharArray.map(c => s"$c ").mkString
+      merges.foreach { case (p, m) => s = s.replace(s" $p ", s" $m ") }
+      s.trim.split(" ", -1).length
+    }
+    val expected = Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(w => (r.getString(0), w)))
+      .groupBy(_._1).map { case (src, ws) =>
+        src -> (ws.length.toLong, ws.map(_._2.length.toLong).sum,
+          ws.map(w => encodeTokens(w._2).toLong).sum)
+      }
+    val got = BpeTrainer.bpeEncode(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+    got.foreach { r =>
+      val (nw, nc, nt) = expected(r.getString(0))
+      assert(r.getLong(1) == nw && r.getLong(2) == nc && r.getLong(3) == nt,
+        s"source ${r.getString(0)}")
+      // a merge can only shorten: tokens never exceed characters, and the
+      // ppm fertility derives from the sums exactly
+      assert(nt <= nc && r.getLong(4) == nt * 1000000L / nc)
+    }
+  }
+
   test("session paths: trigram shape and conservation vs sessionization") {
     val paths = Events.sessionPaths(spark, dir).collect()
     assert(paths.nonEmpty)

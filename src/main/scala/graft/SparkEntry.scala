@@ -268,6 +268,13 @@ object SparkEntry {
     "q207_merkle_diff" -> ((s, dir) => Merge.merkleDiff(s, dir)),
     "q208_stream_quantile" -> ((s, dir) =>
       streaming.EventStreams.hourlyQuantileStreamQuery(s, dir)),
+    "q215_twa_price" -> ((s, dir) => Relational.twaPrice(s, dir)),
+    "q216_image_phash" -> ((s, dir) =>
+      multimodal.MediaAnalysis.imagePhashPairs(s, dir)),
+    "q217_audio_energy" -> ((s, dir) =>
+      multimodal.MediaAnalysis.audioEnergy(s, dir)),
+    "q218_video_motion" -> ((s, dir) =>
+      multimodal.MediaAnalysis.videoMotion(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -470,6 +477,10 @@ object SparkEntry {
     "q206_random_walks" -> Graph.randomWalksSql(),
     "q207_merkle_diff" -> Merge.merkleDiffSql(),
     "q208_stream_quantile" -> streaming.EventStreams.hourlyQuantileSql,
+    "q215_twa_price" -> Relational.twaPriceSql,
+    "q216_image_phash" -> multimodal.MediaAnalysis.imagePhashPairsSql(),
+    "q217_audio_energy" -> multimodal.MediaAnalysis.audioEnergySql(),
+    "q218_video_motion" -> multimodal.MediaAnalysis.videoMotionSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -1229,6 +1229,61 @@ object Relational {
       |FROM f FULL OUTER JOIN s ON f.custkey = s.custkey
       |GROUP BY coalesce(f.band, 0), coalesce(s.band, 0)""".stripMargin
 
+  /** q215 — TIME-WEIGHTED average order value per customer: the step
+    * function "price of the customer's latest order" integrated between
+    * consecutive orders — the warehouse pattern behind time-weighted
+    * balances, exposure, and inventory levels, where a plain AVG
+    * over-weights bursts of short-lived rows. Exact integers end-to-end:
+    * cents × whole-day durations (num, den) plus the floor-scaled ratio,
+    * so the DuckDB oracle hash-matches bit-for-bit.
+    *
+    * Scale: one window over the HIGH-cardinality customer key (partitions
+    * with the data — the COVERAGE.md window discipline) and one hash
+    * aggregate on the same key, which AQE coalesces into the window's
+    * partitioning; nothing else shuffles. Day-resolution durations keep
+    * `price_c · dur` ≤ ~1e11 per row, so the BIGINT sums cannot overflow
+    * at any realistic history depth (ms-resolution would flirt with 2⁶³
+    * on wide-interval keys). */
+  def twaPrice(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("custkey"),
+      Rfm.epochMs(col("o_orderdate")).as("ts_ms"),
+      col("o_orderkey").as("okey"),
+      round(col("o_totalprice") * 100).cast(LongType).as("price_c"))
+      .select(col("custkey"), expr("ts_ms div 86400000").as("day"),
+        col("okey"), col("price_c"))
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("day"), col("okey"))
+    o.withColumn("dur", lead(col("day"), 1).over(w) - col("day"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("custkey"))
+      .agg(sum(col("price_c") * col("dur")).as("num"),
+        sum(col("dur")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("custkey"), col("num"), col("den"),
+        expr("(num * 100) div den").as("twa_c_e2"))
+  }
+
+  val twaPriceSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS custkey,
+      |         epoch_ms(o_orderdate) // 86400000 AS day,
+      |         o_orderkey AS okey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders
+      |), s AS (
+      |  SELECT custkey, price_c,
+      |         lead(day) OVER (PARTITION BY custkey ORDER BY day, okey)
+      |           - day AS dur
+      |  FROM o
+      |)
+      |SELECT custkey, CAST(sum(price_c * dur) AS BIGINT) AS num,
+      |       CAST(sum(dur) AS BIGINT) AS den,
+      |       CAST((sum(price_c * dur) * 100) // sum(dur) AS BIGINT)
+      |         AS twa_c_e2
+      |FROM s WHERE dur IS NOT NULL
+      |GROUP BY custkey HAVING sum(dur) > 0""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

@@ -296,4 +296,78 @@ class MultimodalSpec extends AnyFunSuite {
       assert(idx == (0 until nf by 4).toSeq)
     }
   }
+
+  test("aHash: planted perturbed copies pair with their originals") {
+    import graft.multimodal.MediaAnalysis
+    val pairs = MediaAnalysis.imagePhashPairs(spark, dir).collect()
+    assert(pairs.nonEmpty, "planted near-dups must produce pairs")
+    val planted = pairs.filter(r =>
+      r.getLong(1) - r.getLong(0) == MediaAnalysis.CopyIdOffset)
+    // localized single-block perturbation guarantees hamming <= 1 for
+    // planted pairs (see synthPngPerturbed scaladoc); marginal-bit drift
+    // from the global-mean shift may add a bit or two but stays <= 3
+    assert(planted.nonEmpty)
+    planted.foreach(r => assert(r.getLong(2) <= 3))
+    // every reported pair passed the exact confirm
+    pairs.foreach(r => assert(r.getLong(2) <= 3))
+  }
+
+  test("aHash bands: decoded hash equals the formula-computed hash") {
+    import graft.multimodal.MediaAnalysis
+    import spark.implicits._
+    // one known image: decode path vs direct pixel-formula computation
+    val id = 6L // id%3==0 -> image; w=(6%4)*16+16=48, h=(6%3)*16+16=16
+    val corpus = MediaAnalysis.phashCorpus(spark, dir)
+    val row = corpus.filter(_.media_id == id).head()
+    val decoded = MediaAnalysis.aHashBands(
+      Seq(row).toDS()).collect().head
+    // formula replay in scala
+    val w = ((id % 4) * 16 + 16).toInt; val h = ((id % 3) * 16 + 16).toInt
+    val sums = new Array[Long](64); var total = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (id * 1103515245L + x * 2654435761L + y * 40503L) & 0xFFFFFF
+      val lum = (((v >> 16) & 0xFF) * 299 + ((v >> 8) & 0xFF) * 587 +
+        (v & 0xFF) * 114) / 1000
+      sums((y / (h / 8)) * 8 + x / (w / 8)) += lum; total += lum
+    }
+    val bands = new Array[Long](4)
+    for (bit <- 0 until 64)
+      if (sums(bit) * 64 > total) bands(bit / 16) |= 1L << (bit % 16)
+    assert((decoded.b0, decoded.b1, decoded.b2, decoded.b3) ==
+      (bands(0), bands(1), bands(2), bands(3)))
+  }
+
+  test("audio energy: window count follows the sample-count formula") {
+    import graft.multimodal.MediaAnalysis
+    val out = MediaAnalysis.audioEnergy(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nsamp = 256 + (id % 64) * 16
+      assert(r.getLong(1) == (nsamp + 255) / 256,
+        s"media $id: ${r.getLong(1)} windows for $nsamp samples")
+      assert(r.getLong(3) > 0)
+      assert(r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1))
+    }
+  }
+
+  test("video motion: per-clip totals match a driver-side formula replay") {
+    import graft.multimodal.MediaAnalysis
+    val out = MediaAnalysis.videoMotion(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nf = Multimodal.videoFrames(id)
+      assert(r.getLong(1) == nf)
+      val w = ((id % 4) * 16 + 16).toInt; val h = ((id % 3) * 16 + 16).toInt
+      var totalExp = 0L
+      for (f <- 1 until nf; y <- 0 until h; x <- 0 until w) {
+        def g(fr: Int) = (id * 1103515245L + fr * 97003L +
+          x * 2654435761L + y * 40503L) & 0xFF
+        totalExp += math.abs(g(f) - g(f - 1))
+      }
+      assert(r.getLong(2) == totalExp,
+        s"media $id: decoded total ${r.getLong(2)}, formula $totalExp")
+    }
+  }
 }

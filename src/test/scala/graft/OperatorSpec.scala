@@ -2616,4 +2616,33 @@ class OperatorSpec extends AnyFunSuite {
       assert(wmean >= p05 * 100 && wmean <= p95 * 100)
     }
   }
+
+  test("q215 twa: ratio sits inside the customer's price range; " +
+    "driver-side step-integral replay matches") {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Rfm.epochMs(col("o_orderdate")).as("ts"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 86400000L,
+        math.round(r.getDouble(3) * 100)))
+      .groupBy(_._1)
+    val got = Relational.twaPrice(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (ck, num, den, twa) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val os = orders(ck).map(o => (o._3, o._2, o._4)).sortBy(o => (o._1, o._2))
+      var n = 0L; var d = 0L
+      for (i <- 0 until os.length - 1) {
+        val dur = os(i + 1)._1 - os(i)._1
+        n += os(i)._3 * dur; d += dur
+      }
+      assert(num == n && den == d, s"cust $ck")
+      assert(twa == n * 100 / d)
+      val prices = os.map(_._3)
+      assert(twa >= prices.min * 100 - 100 && twa <= prices.max * 100 + 100)
+    }
+    // customers with all orders on one day (den 0) are excluded, not 0-div
+    assert(got.forall(_.getLong(2) > 0))
+  }
 }

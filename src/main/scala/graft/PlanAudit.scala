@@ -302,6 +302,25 @@ object PlanAudit {
       // same join-/window-free shape as its q210–q212 siblings
       "q213_dp_release" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      // TWA: one window on the high-cardinality customer key + one hash
+      // aggregate on the same key — join-free, cartesian-free
+      "q215_twa_price" -> Seq("Window" -> true, "HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false),
+      // phash near-dup: candidates come from the banded EQUI-join — a
+      // nested-loop/cartesian pair expansion is the n² regression the
+      // banding exists to prevent
+      "q216_image_phash" -> Seq("CartesianProduct" -> false,
+        "BroadcastNestedLoopJoin" -> false),
+      // media energy/motion: decode is a narrow map; the per-clip argmax
+      // (struct-max ⇒ SortAggregate — struct ordering is not
+      // hash-aggregable) is the ONLY plan structure, with its partial
+      // combine BEFORE the single exchange; join- and window-free
+      "q217_audio_energy" -> Seq("SortAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      "q218_video_motion" -> Seq("SortAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
         "SortMergeJoin" -> false, "BroadcastHashJoin" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4

@@ -275,6 +275,8 @@ object SparkEntry {
       multimodal.MediaAnalysis.audioEnergy(s, dir)),
     "q218_video_motion" -> ((s, dir) =>
       multimodal.MediaAnalysis.videoMotion(s, dir)),
+    "q219_stream_media_energy" -> ((s, dir) =>
+      multimodal.MediaAnalysis.audioEnergyStream(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -481,6 +483,7 @@ object SparkEntry {
     "q216_image_phash" -> multimodal.MediaAnalysis.imagePhashPairsSql(),
     "q217_audio_energy" -> multimodal.MediaAnalysis.audioEnergySql(),
     "q218_video_motion" -> multimodal.MediaAnalysis.videoMotionSql,
+    "q219_stream_media_energy" -> multimodal.MediaAnalysis.audioEnergySql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

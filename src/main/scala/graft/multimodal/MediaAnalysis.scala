@@ -344,6 +344,46 @@ object MediaAnalysis {
        |       CAST(energy AS BIGINT) AS peak_energy
        |FROM r WHERE rk = 1""".stripMargin
 
+  /** q219 — STREAMING media decode: the documents table staged as a file
+    * stream; audio rows synthesize their WAV payloads and decode through
+    * the REAL javax.sound codec INSIDE micro-batches; the per-window
+    * energy counters feed a stateful per-clip argmax aggregate (Complete
+    * mode). The oracle is literally [[audioEnergySql]] — q217's batch
+    * SQL — so stream/batch equivalence is the hash gate.
+    *
+    * This is the multimodal INGEST shape at 100 TB: media lands
+    * continuously; decode is per-batch narrow work that never enters
+    * state; only fixed-width counters (3 longs per window) reach the
+    * state store, so state is O(open clips), not O(bytes). */
+  def audioEnergyStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val src = Paths.get(s"$dir/documents.parquet")
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_docs_${graft.streaming.EventStreams.sanitize(src.toString)}")
+    Files.createDirectories(staged)
+    Files.copy(src, staged.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(src.toString).schema
+    val synth = udf((id: Long) => Multimodal.synthWav(id, 8000))
+    val blobs = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("doc_id").as("media_id"))
+      .filter(col("media_id") % 3 === 1)
+      .select(col("media_id"), synth(col("media_id")).as("payload"))
+      .as[MediaBlob]
+    val agg = audioWindows(blobs).toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        max(struct(col("energy"), (-col("win")).as("negw"))).as("best"))
+      .select(col("media_id"), col("n_windows"),
+        (-col("best.negw")).as("peak_window"),
+        col("best.energy").as("peak_energy"))
+    graft.streaming.EventStreams.runToBatch(spark, agg,
+      s"audio_energy_stream_${graft.streaming.EventStreams.sanitize(dir)}",
+      OutputMode.Complete, shufflePartitions = Some(4))
+  }
+
   /** GIF payloads of every video row in the fixture (id%3=2). */
   private def videoBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._

@@ -531,4 +531,21 @@ class StreamingSpec extends AnyFunSuite {
     EventStreams.hourlyStreamQuery(spark, dir)
     assert(EventStreams.lastRunProvider.contains("HDFSBackedStateStoreProvider"))
   }
+
+  test("q219: streaming media decode equals the batch audio-energy result") {
+    import graft.multimodal.MediaAnalysis
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val streamed = keyed(MediaAnalysis.audioEnergyStream(spark, dir).collect())
+    val batch = keyed(MediaAnalysis.audioEnergy(spark, dir).collect())
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "per-micro-batch decode + stateful argmax must equal the batch plan")
+    // the decode ran through the streaming engine's stateful aggregate,
+    // not a batch fallback
+    assert(EventStreams.lastRunStateOperators.map(_._1)
+      .contains("stateStoreSave"),
+      s"unexpected state operators: ${EventStreams.lastRunStateOperators}")
+  }
 }

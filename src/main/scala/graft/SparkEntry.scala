@@ -277,6 +277,7 @@ object SparkEntry {
       multimodal.MediaAnalysis.videoMotion(s, dir)),
     "q219_stream_media_energy" -> ((s, dir) =>
       multimodal.MediaAnalysis.audioEnergyStream(s, dir)),
+    "q220_lsh_curve" -> ((s, dir) => Dedup.lshCurve(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -484,6 +485,7 @@ object SparkEntry {
     "q217_audio_energy" -> multimodal.MediaAnalysis.audioEnergySql(),
     "q218_video_motion" -> multimodal.MediaAnalysis.videoMotionSql,
     "q219_stream_media_energy" -> multimodal.MediaAnalysis.audioEnergySql(),
+    "q220_lsh_curve" -> Dedup.lshCurveSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -253,12 +253,11 @@ object Dedup {
     * signatures, one exchange on band keys, join output bounded by
     * colliding pairs. Oracle-checked since round 4 ([[minhashDedupSql]]);
     * the recall-vs-exact-Jaccard spec pins quality. */
-  def minhashDedup(spark: SparkSession, dir: String,
-                   numHashes: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sig = graft.CacheRegistry.cached(spark, s"minhash-md5:$numHashes:$dir")(
+  /** Session-cached md5-basis MinHash signatures (the q32 artifact; the
+    * q220 S-curve audit reads the same cache). */
+  private[graft] def minhashSignatures(spark: SparkSession, dir: String,
+                                       numHashes: Int): DataFrame =
+    graft.CacheRegistry.cached(spark, s"minhash-md5:$numHashes:$dir")(
       Tables.documents(spark, dir)
         .transform(withWords)
         .select(col("doc_id"), shingleCol(col("ws")).as("sh"))
@@ -269,6 +268,13 @@ object Dedup {
               conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
                 .cast(LongType)))): _*)
             .as("sig")))
+
+  def minhashDedup(spark: SparkSession, dir: String,
+                   numHashes: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignatures(spark, dir, numHashes)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -331,6 +337,118 @@ object Dedup {
        |)
        |SELECT doc_a, doc_b, round(je, 6) AS jaccard_est
        |FROM est WHERE je >= $threshold""".stripMargin
+  }
+
+  /** Analytic S-curve constants per Jaccard decile, at the decile
+    * MIDPOINT: ppm(1 − (1 − m^r)^bands), m = (k+0.5)/10. Computed ONCE in
+    * Scala and inlined as identical literals into both engines' plans —
+    * no cross-engine float math ever runs, so the audit stays hash-exact. */
+  private def sCurvePpm(numHashes: Int, bands: Int): Seq[Long] = {
+    val r = numHashes / bands
+    (0 until 10).map { k =>
+      val m = (k + 0.5) / 10.0
+      math.round(1e6 * (1 - math.pow(1 - math.pow(m, r), bands)))
+    }
+  }
+
+  /** q220 — LSH DESIGN AUDIT: the measured band-collision rate per exact-
+    * Jaccard decile next to the analytic S-curve 1−(1−J^r)^b the (r=4,
+    * b=4) banding promises. This is the tuning loop every production LSH
+    * deployment runs before committing band parameters at scale: the
+    * audit population is every shingle-sharing pair (the same inverted-
+    * index join as q31 — cost ∝ colliding pairs, never n²), each flagged
+    * with whether ANY of its q32 band keys matched. All-integer output
+    * (pair counts + ppm rates + literal S-curve constants), so the DuckDB
+    * replay is bit-exact.
+    *
+    * Scale: reuses BOTH session artifacts (shingle index, minhash
+    * signatures); the only new work is the unthresholded pair aggregate
+    * and two signature joins keyed on doc ids. The decile histogram is a
+    * 10-row aggregate — nothing driver-side. */
+  def lshCurve(spark: SparkSession, dir: String,
+               numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    val pairs = a.hint("shuffle_hash").join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    val sig = minhashSignatures(spark, dir, numHashes)
+    val collide = (0 until bands)
+      .map(bd => slice(col("sig_a"), bd * r + 1, r) ===
+        slice(col("sig_b"), bd * r + 1, r))
+      .reduce(_ || _)
+    val ppm = sCurvePpm(numHashes, bands)
+    pairs
+      .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sig.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .select(
+        least(expr("(c * 10) div (na + nb - c)"), lit(9L)).as("bucket"),
+        when(collide, 1L).otherwise(0L).as("coll"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("coll")).as("n_collide"))
+      .select(col("bucket"), col("n_pairs"), col("n_collide"),
+        expr("(n_collide * 1000000) div n_pairs").as("collide_ppm"),
+        element_at(array(ppm.map(lit): _*), (col("bucket") + 1).cast("int"))
+          .as("predicted_ppm"))
+  }
+
+  /** Oracle for [[lshCurve]]: q31's shingle construction, q32's signature
+    * construction, the same integer decile/ppm chain, and the SAME
+    * Scala-computed S-curve literals. */
+  def lshCurveSql(numHashes: Int = 16, bands: Int = 4): String = {
+    val r = numHashes / bands
+    val mins = (0 until numHashes).map { i =>
+      s"""list_min(list_transform(sh, s ->
+         |      ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))""".stripMargin
+    }.mkString("[\n    ", ",\n    ", "]")
+    val collide = (0 until bands)
+      .map(bd => s"sa.sig[${bd * r + 1} : ${bd * r + r}] = " +
+        s"sb.sig[${bd * r + 1} : ${bd * r + r}]")
+      .mkString(" OR ")
+    val ppmCase = sCurvePpm(numHashes, bands).zipWithIndex
+      .map { case (p, k) => s"WHEN $k THEN $p" }
+      .mkString("CASE bucket ", " ", " END")
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3])) AS sh
+       |  FROM documents
+       |), shingled AS (
+       |  SELECT doc_id, unnest(sh) AS shingle FROM ws
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM shingled a JOIN shingled b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sigs AS (
+       |  SELECT doc_id, $mins AS sig
+       |  FROM ws WHERE len(sh) > 0
+       |), flagged AS (
+       |  SELECT least((p.c * 10) // (sa2.n + sb2.n - p.c), 9) AS bucket,
+       |         CASE WHEN $collide THEN 1 ELSE 0 END AS coll
+       |  FROM common p
+       |  JOIN sizes sa2 ON p.doc_a = sa2.doc_id
+       |  JOIN sizes sb2 ON p.doc_b = sb2.doc_id
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id
+       |)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(coll) AS BIGINT) AS n_collide,
+       |       CAST((sum(coll) * 1000000) // count(*) AS BIGINT)
+       |         AS collide_ppm,
+       |       CAST($ppmCase AS BIGINT) AS predicted_ppm
+       |FROM flagged GROUP BY bucket""".stripMargin
   }
 
   /** SimHash signatures + banded near-dup candidates.

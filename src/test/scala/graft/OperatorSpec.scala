@@ -147,6 +147,29 @@ class OperatorSpec extends AnyFunSuite {
     assert((exact intersect mh).size >= exact.size * 8 / 10)
   }
 
+  test("q220 lsh curve: counters reconcile; measured rates track the " +
+    "S-curve direction; constants match the analytic formula") {
+    val rows = Dedup.lshCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (bucket, n, coll, ppm, pred) =>
+      assert(bucket >= 0 && bucket <= 9)
+      assert(coll >= 0 && coll <= n)
+      assert(ppm == coll * 1000000 / n)
+      val m = (bucket + 0.5) / 10.0
+      assert(pred == math.round(1e6 * (1 - math.pow(1 - math.pow(m, 4), 4))))
+    }
+    // population sanity: the audit covers every shingle-sharing pair —
+    // at least as many pairs as the thresholded q31 output
+    val exactPairs = Dedup.ngramJaccard(spark, dir).count()
+    assert(rows.map(_._2).sum >= exactPairs)
+    // measured collision rate is monotone non-decreasing across the
+    // populated buckets (the S-curve's defining property)
+    val ppms = rows.map(_._4)
+    assert(ppms.zip(ppms.tail).forall { case (lo, hi) => lo <= hi })
+  }
+
   test("simhash signatures: hamming-0 pairs only for near-identical docs") {
     val pairs = Dedup.simhashPairs(spark, dir).collect()
     pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))

@@ -278,6 +278,9 @@ object SparkEntry {
     "q219_stream_media_energy" -> ((s, dir) =>
       multimodal.MediaAnalysis.audioEnergyStream(s, dir)),
     "q220_lsh_curve" -> ((s, dir) => Dedup.lshCurve(s, dir)),
+    "q221_token_budget" -> ((s, dir) =>
+      CorpusFilters.tokenBudgetCurve(s, dir)),
+    "q222_dedup_sweep" -> ((s, dir) => Dedup.dedupSweep(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -486,6 +489,8 @@ object SparkEntry {
     "q218_video_motion" -> multimodal.MediaAnalysis.videoMotionSql,
     "q219_stream_media_energy" -> multimodal.MediaAnalysis.audioEnergySql(),
     "q220_lsh_curve" -> Dedup.lshCurveSql(),
+    "q221_token_budget" -> CorpusFilters.tokenBudgetCurveSql,
+    "q222_dedup_sweep" -> Dedup.dedupSweepSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

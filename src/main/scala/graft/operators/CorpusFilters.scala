@@ -788,4 +788,50 @@ object CorpusFilters {
        |       CAST(sum(CASE WHEN cls < $k THEN cls ELSE 0 END) * 1000000
        |            // sum(cls) AS BIGINT) AS risk_ppm
        |FROM cls GROUP BY nation""".stripMargin
+
+  // ---------------------------------------------------------------- q221
+
+  /** q221 — TOKEN-BUDGET curve: doc and token counts per fixed
+    * type-token-ratio quality band (TTR ppm ÷ 100k, clamped to 9), with
+    * the cumulative token count available when keeping only bands AT OR
+    * ABOVE each cut — the data-recipe planning curve ("how many training
+    * tokens survive a given quality bar?") that decides where a corpus
+    * release sets its threshold BEFORE committing a full filter pass.
+    * Exact integers end-to-end (ppm DIV banding, BIGINT token sums).
+    *
+    * Scale: the per-doc stats are one explode + two doc-keyed hash
+    * aggregates (the q78 shape); the band histogram is a 10-row
+    * aggregate, and the cumulative window runs over that post-aggregate
+    * miniature (the documented lit-partition-on-miniature pattern —
+    * never over row-scale data). */
+  def tokenBudgetCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"), count(lit(1)).as("n_distinct"))
+    val banded = stats
+      .select(least(expr("((n_distinct * 1000000) div n_words) div 100000"),
+        lit(9L)).as("band"), col("n_words"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  }
+
+  val tokenBudgetCurveSql: String =
+    s"""WITH $qualityStatsCtes, banded AS (
+       |  SELECT least(((n_distinct * 1000000) // n_words) // 100000, 9)
+       |           AS band,
+       |         count(*) AS n_docs, sum(n_words) AS n_tokens
+       |  FROM stats GROUP BY 1
+       |)
+       |SELECT band, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_tokens) OVER (ORDER BY band DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS cum_tokens
+       |FROM banded""".stripMargin
 }

@@ -451,6 +451,72 @@ object Dedup {
        |FROM flagged GROUP BY bucket""".stripMargin
   }
 
+  /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
+  private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,
+    800000L, 900000L)
+
+  /** q222 — DEDUP THRESHOLD SWEEP: for each candidate Jaccard cut, the
+    * near-dup pair count and the number of documents flagged for removal
+    * (the q30 keep-the-minimum rule applied pairwise: a doc is flagged
+    * when it is the LARGER id of any qualifying pair) — the capacity-
+    * planning audit run before committing a dedup threshold at scale,
+    * answering "how much of the corpus does each cut delete?" from ONE
+    * pass over the pair set instead of five dedup runs.
+    *
+    * Exact ppm integers throughout. Scale: the pair set is the same
+    * inverted-index join as q31 (cost ∝ colliding pairs); the sweep is a
+    * 5-way explode of that pair set (threshold list is a literal array)
+    * into one small aggregate — adding a cut costs one more histogram
+    * row, not another corpus pass. */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    a.hint("shuffle_hash").join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(col("doc_b"),
+        expr("(c * 1000000) div (na + nb - c)").as("jppm"),
+        explode(array(SweepThresholdsPpm.map(lit): _*)).as("threshold_ppm"))
+      .filter(col("jppm") >= col("threshold_ppm"))
+      .groupBy(col("threshold_ppm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_flagged"))
+  }
+
+  /** Oracle for [[dedupSweep]]: q31's pair construction, the same ppm
+    * chain, the same literal threshold list. */
+  def dedupSweepSql(): String =
+    s"""WITH shingled AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3]))) AS shingle
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM shingled a JOIN shingled b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.doc_b, (p.c * 1000000) // (sa.n + sb.n - p.c) AS jppm
+       |  FROM common p
+       |  JOIN sizes sa ON p.doc_a = sa.doc_id
+       |  JOIN sizes sb ON p.doc_b = sb.doc_id)
+       |SELECT t.threshold_ppm, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_flagged
+       |FROM scored
+       |JOIN (SELECT unnest([${SweepThresholdsPpm.mkString(", ")}])
+       |        AS threshold_ppm) t
+       |  ON jppm >= t.threshold_ppm
+       |GROUP BY t.threshold_ppm""".stripMargin
+
   /** SimHash signatures + banded near-dup candidates.
     *
     * Signature: every (doc, token) gets the q44 portable md5 hash (first

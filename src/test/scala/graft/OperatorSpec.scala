@@ -170,6 +170,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(ppms.zip(ppms.tail).forall { case (lo, hi) => lo <= hi })
   }
 
+  test("q221 token budget: cumulative reconciles with totals; " +
+    "docs partition across bands") {
+    val rows = CorpusFilters.tokenBudgetCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(-_._1)
+    assert(rows.nonEmpty)
+    // cum at each band = running sum from the top band down
+    var run = 0L
+    rows.foreach { case (_, _, tok, cum) =>
+      run += tok
+      assert(cum == run)
+    }
+    val docs = Tables.documents(spark, dir).count()
+    assert(rows.map(_._2).sum == docs, "every doc lands in exactly one band")
+  }
+
+  test("q222 dedup sweep: monotone in the threshold; the 0.5 cut equals " +
+    "the q31 pair count exactly (ppm floor preserves >= 0.5)") {
+    val rows = Dedup.dedupSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.zip(rows.tail).foreach { case ((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, "tighter cut can only shrink the sweep")
+    }
+    rows.foreach { case (_, p, d) => assert(d <= p) }
+    val q31 = Dedup.ngramJaccard(spark, dir).count()
+    assert(rows.head._1 == 500000L && rows.head._2 == q31)
+  }
+
   test("simhash signatures: hamming-0 pairs only for near-identical docs") {
     val pairs = Dedup.simhashPairs(spark, dir).collect()
     pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))

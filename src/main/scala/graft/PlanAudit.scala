@@ -321,7 +321,20 @@ object PlanAudit {
         "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
       "q218_video_motion" -> Seq("SortAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,
-        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false))
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      // LSH curve / dedup sweep: candidates must ride the q31
+      // shuffled-hash inverted-index join — an SMJ would pay the per-key
+      // quadratic duplicate-group walk on the shingle key, a cartesian
+      // would be n²
+      "q220_lsh_curve" -> Seq("ShuffledHashJoin" -> true,
+        "CartesianProduct" -> false),
+      "q222_dedup_sweep" -> Seq("ShuffledHashJoin" -> true,
+        "CartesianProduct" -> false),
+      // token budget: two doc-keyed hash aggregates; the only window is
+      // the 10-row post-aggregate cumulative — join-free
+      "q221_token_budget" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "BroadcastHashJoin" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

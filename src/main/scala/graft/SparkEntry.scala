@@ -281,6 +281,8 @@ object SparkEntry {
     "q221_token_budget" -> ((s, dir) =>
       CorpusFilters.tokenBudgetCurve(s, dir)),
     "q222_dedup_sweep" -> ((s, dir) => Dedup.dedupSweep(s, dir)),
+    "q223_image_dedup" -> ((s, dir) =>
+      multimodal.MediaAnalysis.imageDedupClusters(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,6 +493,7 @@ object SparkEntry {
     "q220_lsh_curve" -> Dedup.lshCurveSql(),
     "q221_token_budget" -> CorpusFilters.tokenBudgetCurveSql,
     "q222_dedup_sweep" -> Dedup.dedupSweepSql(),
+    "q223_image_dedup" -> multimodal.MediaAnalysis.imageDedupClustersSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

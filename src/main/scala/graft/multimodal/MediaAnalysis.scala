@@ -252,6 +252,48 @@ object MediaAnalysis {
        |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
        |      <= $maxHamming""".stripMargin
 
+  /** q223 — end-to-end IMAGE dedup: connected components over the q216
+    * perceptual-hash pairs, one row per duplicate cluster with the
+    * canonical keeper (the minimum media_id — which is also the cluster
+    * label [[graft.operators.Dedup.connectedComponents]] converges to)
+    * and the member/removal counts — the table an image-corpus release
+    * anti-joins to drop the n−1 losers, completing the
+    * decode→hash→band-join→components→keeper chain as ONE lineage.
+    *
+    * Scale: the pair graph is band-candidate-bounded (q216) and the CC
+    * iteration runs on pair-graph-sized data with per-round lineage cuts
+    * — the q35 discipline; everything upstream of the pair list is the
+    * cached hash table, decoded once per session. */
+  def imageDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = imagePhashPairs(spark, dir)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+    graft.operators.Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_removed"))
+  }
+
+  /** q223 oracle: q216's pair replay as the edge list, the q35 recursive
+    * transitive closure, min-label clusters, per-cluster census. */
+  def imageDedupClustersSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${imagePhashPairsSql(maxHamming)}
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id AS src, a_id AS dst FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), cl AS (
+       |  SELECT src AS media_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(count(*) - 1 AS BIGINT) AS n_removed
+       |FROM cl GROUP BY cluster_id""".stripMargin
+
   /** WAV payloads of every audio row in the fixture (id%3=1). */
   private def audioBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._

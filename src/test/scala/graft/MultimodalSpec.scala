@@ -337,6 +337,28 @@ class MultimodalSpec extends AnyFunSuite {
       (bands(0), bands(1), bands(2), bands(3)))
   }
 
+  test("image dedup clusters: census reconciles with the pair graph; " +
+    "planted copies cluster under their original") {
+    import graft.multimodal.MediaAnalysis
+    val clusters = MediaAnalysis.imageDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.nonEmpty)
+    clusters.foreach { case (cid, n, rem) =>
+      assert(n >= 2, s"cluster $cid: a CC cluster needs >= 2 members")
+      assert(rem == n - 1)
+    }
+    // every planted (orig, orig+offset) pair lands in a cluster whose
+    // label is <= the original id (min-label convergence)
+    val pairs = MediaAnalysis.imagePhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val planted = pairs.filter(p => p._2 - p._1 == MediaAnalysis.CopyIdOffset)
+    assert(planted.nonEmpty)
+    val members = clusters.map(_._2).sum
+    val docsInPairs = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(members == docsInPairs,
+      "every doc in a pair appears in exactly one cluster")
+  }
+
   test("audio energy: window count follows the sample-count formula") {
     import graft.multimodal.MediaAnalysis
     val out = MediaAnalysis.audioEnergy(spark, dir).collect()

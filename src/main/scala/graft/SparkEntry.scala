@@ -283,6 +283,8 @@ object SparkEntry {
     "q222_dedup_sweep" -> ((s, dir) => Dedup.dedupSweep(s, dir)),
     "q223_image_dedup" -> ((s, dir) =>
       multimodal.MediaAnalysis.imageDedupClusters(s, dir)),
+    "q224_revenue_share" -> ((s, dir) => Relational.revenueShare(s, dir)),
+    "q225_stickiness" -> ((s, dir) => Relational.stickiness(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -494,6 +496,8 @@ object SparkEntry {
     "q221_token_budget" -> CorpusFilters.tokenBudgetCurveSql,
     "q222_dedup_sweep" -> Dedup.dedupSweepSql(),
     "q223_image_dedup" -> multimodal.MediaAnalysis.imageDedupClustersSql(),
+    "q224_revenue_share" -> Relational.revenueShareSql,
+    "q225_stickiness" -> Relational.stickinessSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -1284,6 +1284,108 @@ object Relational {
       |FROM s WHERE dur IS NOT NULL
       |GROUP BY custkey HAVING sum(dur) > 0""".stripMargin
 
+  /** q224 — hierarchical RATIO-TO-PARENT revenue shares: per nation, its
+    * exact-cents revenue plus its ppm share of the parent region and of
+    * the grand total — the drill-path report (region → nation) every
+    * OLAP cube front-end asks for, in exact integers so the gate is
+    * bit-for-bit.
+    *
+    * Scale: one fact-side aggregate keyed by custkey-joined nation (the
+    * orders⋈customer join carries only the two join/group columns); the
+    * nation/region dims and the 25-row aggregate output are miniatures —
+    * parent totals come from broadcast re-aggregates of the nation-level
+    * result, never a second fact pass. */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(sum(col("cents")).as("rev_c"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("rev_c"))
+    val regionTot = rev.groupBy(col("region"))
+      .agg(sum(col("rev_c")).as("region_c"))
+    val grandTot = rev.agg(sum(col("rev_c")).as("total_c"))
+    rev.join(broadcast(regionTot), Seq("region"))
+      .crossJoin(broadcast(grandTot))
+      .select(col("region"), col("nation"), col("rev_c"),
+        expr("(rev_c * 1000000) div region_c").as("region_share_ppm"),
+        expr("(rev_c * 1000000) div total_c").as("total_share_ppm"))
+  }
+
+  val revenueShareSql: String =
+    """WITH rev AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+      |              AS BIGINT) AS rev_c
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT region, nation, rev_c,
+      |       CAST((rev_c * 1000000) //
+      |            sum(rev_c) OVER (PARTITION BY region) AS BIGINT)
+      |         AS region_share_ppm,
+      |       CAST((rev_c * 1000000) // sum(rev_c) OVER () AS BIGINT)
+      |         AS total_share_ppm
+      |FROM rev""".stripMargin
+
+  /** q225 — DAU/MAU stickiness per calendar month: distinct daily actives
+    * summed across the month against the month's distinct actives — the
+    * product-analytics engagement ratio, in exact ppm (denominator
+    * n_days·mau, the "perfect attendance" bound, so 1e6 ⇔ every monthly
+    * user active every day).
+    *
+    * Scale: two exact-distinct aggregates — (month, day, user) then
+    * (month, user) — both keyed on high-cardinality user-rooted keys that
+    * partition with the data; the month-level join is a miniature. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      (year(col("ts")) * 100 + month(col("ts"))).cast(LongType).as("ym"),
+      expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000").as("day"),
+      col("user_id"))
+    val dau = e.select(col("ym"), col("day"), col("user_id")).distinct()
+      .groupBy(col("ym"), col("day")).agg(count(lit(1)).as("dau"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+    val mau = e.select(col("ym"), col("user_id")).distinct()
+      .groupBy(col("ym")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("ym"))
+      .select(col("ym"), col("n_days"), col("dau_sum"), col("mau"),
+        expr("(dau_sum * 1000000) div (n_days * mau)").as("stickiness_ppm"))
+  }
+
+  val stickinessSql: String =
+    """WITH e AS (
+      |  SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+      |         epoch_ms(ts) // 86400000 AS day, user_id
+      |  FROM events
+      |), dau AS (
+      |  SELECT ym, day, count(DISTINCT user_id) AS dau
+      |  FROM e GROUP BY ym, day
+      |), m AS (
+      |  SELECT ym, CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(sum(dau) AS BIGINT) AS dau_sum
+      |  FROM dau GROUP BY ym
+      |), mau AS (
+      |  SELECT ym, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM e GROUP BY ym
+      |)
+      |SELECT m.ym, m.n_days, m.dau_sum, mau.mau,
+      |       CAST((m.dau_sum * 1000000) // (m.n_days * mau.mau) AS BIGINT)
+      |         AS stickiness_ppm
+      |FROM m JOIN mau ON m.ym = mau.ym""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

@@ -199,6 +199,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head._1 == 500000L && rows.head._2 == q31)
   }
 
+  test("q224 revenue share: ppm shares telescope to 1e6 minus floor dust") {
+    val rows = Relational.revenueShare(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rev, rs, ts) =>
+      assert(rev > 0 && rs >= 0 && rs <= 1000000L && ts >= 0 && ts <= 1000000L)
+    }
+    // per region, floor-ppm shares sum to 1e6 minus at most (members-1)
+    rows.groupBy(_._1).foreach { case (region, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length,
+        s"region $region share sum $s")
+    }
+    val t = rows.map(_._5).sum
+    assert(t <= 1000000L && t > 1000000L - rows.length)
+  }
+
+  test("q225 stickiness: bounded ppm; monthly actives bound daily sums") {
+    val rows = Relational.stickiness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ym, nDays, dauSum, mau, ppm) =>
+      assert(nDays >= 1 && nDays <= 31)
+      assert(mau >= 1)
+      // every monthly user is active at least one day, at most every day
+      assert(dauSum >= mau && dauSum <= nDays * mau)
+      assert(ppm >= 0 && ppm <= 1000000L, s"month $ym ppm $ppm")
+      assert(ppm == dauSum * 1000000L / (nDays * mau))
+    }
+  }
+
   test("simhash signatures: hamming-0 pairs only for near-identical docs") {
     val pairs = Dedup.simhashPairs(spark, dir).collect()
     pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))

@@ -334,7 +334,13 @@ object PlanAudit {
       // the 10-row post-aggregate cumulative — join-free
       "q221_token_budget" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false,
-        "BroadcastHashJoin" -> false))
+        "BroadcastHashJoin" -> false),
+      // TPC-H Q5 shape: the dim decorations must broadcast; a cartesian
+      // anywhere in the 6-way star is a regression
+      "q226_local_supply" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false),
+      "q227_supplier_hhi" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false, "Window" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

@@ -285,6 +285,9 @@ object SparkEntry {
       multimodal.MediaAnalysis.imageDedupClusters(s, dir)),
     "q224_revenue_share" -> ((s, dir) => Relational.revenueShare(s, dir)),
     "q225_stickiness" -> ((s, dir) => Relational.stickiness(s, dir)),
+    "q226_local_supply" -> ((s, dir) => Relational.localSupplyRevenue(s, dir)),
+    "q227_supplier_hhi" -> ((s, dir) =>
+      Relational.supplierConcentration(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -498,6 +501,8 @@ object SparkEntry {
     "q223_image_dedup" -> multimodal.MediaAnalysis.imageDedupClustersSql(),
     "q224_revenue_share" -> Relational.revenueShareSql,
     "q225_stickiness" -> Relational.stickinessSql,
+    "q226_local_supply" -> Relational.localSupplyRevenueSql,
+    "q227_supplier_hhi" -> Relational.supplierConcentrationSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

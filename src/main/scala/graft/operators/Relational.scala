@@ -1386,6 +1386,98 @@ object Relational {
       |         AS stickiness_ppm
       |FROM m JOIN mau ON m.ym = mau.ym""".stripMargin
 
+  /** q226 — LOCAL-SUPPLIER revenue per region (the TPC-H Q5 shape): the
+    * 6-way star join lineitem⋈orders⋈customer⋈supplier⋈nation⋈region
+    * restricted to lines where the customer's and supplier's nations
+    * coincide — "how much commerce stays in-region" — with discounted
+    * revenue in exact cent·percent integers (the q195 convention).
+    *
+    * Scale: the one real exchange is the lineitem⋈orders fact-fact join;
+    * supplier/nation/region broadcast explicitly (nation-bounded dims),
+    * customer joins on its key and AQE picks broadcast at test SFs while
+    * a 100 TB run shuffles it — exactly the decision Catalyst should own.
+    * The locality predicate applies BEFORE the dim decorations, so
+    * non-local lines never reach the wider joins. */
+  def localSupplyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val bp = round(col("l_discount") * 100).cast(LongType)
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      col("l_suppkey"),
+      (Rfm.cents(col("l_extendedprice")) * (lit(100L) - bp)).as("rev_e4"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("cust_nation"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nation") === col("supp_nation"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("cust_nation") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("local_rev_e4"))
+  }
+
+  val localSupplyRevenueSql: String =
+    """SELECT r.r_name AS region, n.n_name AS nation,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS local_rev_e4
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE c.c_nationkey = s.s_nationkey
+      |GROUP BY r.r_name, n.n_name""".stripMargin
+
+  /** q227 — supplier CONCENTRATION per part brand: the Herfindahl–
+    * Hirschman index over suppliers' quantity shares, in exact ppm²
+    * (share_ppm = floor(1e6·qty_s/qty_brand); HHI = Σ share_ppm² — the
+    * floor is applied identically in both engines, so the gate is
+    * bit-exact). The supply-chain risk audit: HHI → 1e12 means one
+    * supplier owns the brand, → 1e12/n means even split.
+    *
+    * Scale: two chained hash aggregates — (brand, supplier) quantity
+    * sums, then the brand-keyed HHI fold with the brand total arriving
+    * via a broadcast re-aggregate (brand cardinality is catalog-sized,
+    * not fact-sized). */
+  def supplierConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("q"))
+    val tot = qty.groupBy(col("brand")).agg(sum(col("q")).as("qt"))
+    qty.join(broadcast(tot), Seq("brand"))
+      .select(col("brand"),
+        expr("(q * 1000000) div qt").as("share_ppm"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("share_ppm") * col("share_ppm")).as("hhi_e12"))
+  }
+
+  val supplierConcentrationSql: String =
+    """WITH qty AS (
+      |  SELECT p.p_brand AS brand, l.l_suppkey,
+      |         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT brand, sum(q) AS qt FROM qty GROUP BY brand
+      |)
+      |SELECT qty.brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |       CAST(sum(((q * 1000000) // qt) * ((q * 1000000) // qt))
+      |            AS BIGINT) AS hhi_e12
+      |FROM qty JOIN tot ON qty.brand = tot.brand
+      |GROUP BY qty.brand""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

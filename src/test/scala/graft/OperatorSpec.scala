@@ -232,6 +232,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q226 local supply: line census matches an independent recount; " +
+    "revenue positive") {
+    val rows = Relational.localSupplyRevenue(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, rev) => assert(n > 0 && rev > 0) }
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // independent recount of local lines without the dim decorations
+    val local = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .count()
+    assert(rows.map(_._3).sum == local)
+  }
+
+  test("q227 supplier hhi: bounded by the even-split floor and monopoly " +
+    "ceiling; floor shares under-sum at most n ppm") {
+    val rows = Relational.supplierConcentration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (brand, n, hhi) =>
+      assert(n >= 1)
+      assert(hhi <= 1000000L * 1000000L, s"$brand hhi $hhi")
+      // floor-ppm HHI can undershoot the exact even-split bound 1e12/n by
+      // the flooring dust, never exceed the monopoly bound
+      assert(hhi >= (1000000L / n - n) * (1000000L / n - n) * n / 2,
+        s"$brand hhi $hhi for $n suppliers implausibly low")
+    }
+  }
+
   test("simhash signatures: hamming-0 pairs only for near-identical docs") {
     val pairs = Dedup.simhashPairs(spark, dir).collect()
     pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))

@@ -288,6 +288,7 @@ object SparkEntry {
     "q226_local_supply" -> ((s, dir) => Relational.localSupplyRevenue(s, dir)),
     "q227_supplier_hhi" -> ((s, dir) =>
       Relational.supplierConcentration(s, dir)),
+    "q228_funnel_conversion" -> ((s, dir) => Events.funnelConversion(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -503,6 +504,7 @@ object SparkEntry {
     "q225_stickiness" -> Relational.stickinessSql,
     "q226_local_supply" -> Relational.localSupplyRevenueSql,
     "q227_supplier_hhi" -> Relational.supplierConcentrationSql,
+    "q228_funnel_conversion" -> Events.funnelConversionSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

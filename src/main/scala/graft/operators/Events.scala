@@ -1272,4 +1272,62 @@ object Events {
        |         t -> round(list_reduce(cnts[1:t],
        |                (x, y) -> x + $alpha * (y - x)), 6))) AS ewma
        |FROM series""".stripMargin
+
+  /** q228 — TIME-BOUNDED funnel conversion by signup cohort week: of the
+    * users whose FIRST signup fell in week w, how many made a purchase
+    * within `windowDays` of it — the windowed-conversion metric (q59's
+    * funnel counts stage reach without a cohort axis; growth teams read
+    * the conversion RATE per acquisition cohort). Exact epoch-ms integer
+    * bounds and ppm rates.
+    *
+    * Scale: first-signup and the purchase probe are both user-keyed hash
+    * aggregates/joins — they co-partition on user_id and the cohort
+    * roll-up is week-cardinality. The purchase side is pre-filtered by
+    * event type at the scan (pushdown), so the join never sees the other
+    * event classes. */
+  def funnelConversion(spark: SparkSession, dir: String,
+                       windowDays: Int = 7): DataFrame = {
+    val winMs = windowDays * 86400000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        Rfm.epochMs(col("ts")).as("ts_ms"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("signup_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms").as("p_ms"))
+    signup.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_ms"))
+      .agg(max(when(col("p_ms") >= col("signup_ms") &&
+        col("p_ms") <= col("signup_ms") + winMs, 1L).otherwise(0L))
+        .as("conv"))
+      .select(expr("signup_ms div 604800000").as("cohort_week"), col("conv"))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_signups"), sum(col("conv")).as("n_converted"))
+      .withColumn("cvr_ppm", expr("(n_converted * 1000000) div n_signups"))
+  }
+
+  def funnelConversionSql(windowDays: Int = 7): String = {
+    val winMs = windowDays * 86400000L
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+       |  FROM events
+       |), s AS (
+       |  SELECT user_id, min(ts_ms) AS signup_ms
+       |  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+       |), conv AS (
+       |  SELECT s.user_id, s.signup_ms,
+       |         max(CASE WHEN p.ts_ms >= s.signup_ms
+       |                   AND p.ts_ms <= s.signup_ms + $winMs
+       |                  THEN 1 ELSE 0 END) AS conv
+       |  FROM s LEFT JOIN ev p
+       |    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+       |  GROUP BY s.user_id, s.signup_ms
+       |)
+       |SELECT signup_ms // 604800000 AS cohort_week,
+       |       CAST(count(*) AS BIGINT) AS n_signups,
+       |       CAST(sum(conv) AS BIGINT) AS n_converted,
+       |       CAST((sum(conv) * 1000000) // count(*) AS BIGINT) AS cvr_ppm
+       |FROM conv GROUP BY 1""".stripMargin
+  }
 }

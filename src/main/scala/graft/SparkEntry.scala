@@ -291,6 +291,8 @@ object SparkEntry {
     "q228_funnel_conversion" -> ((s, dir) => Events.funnelConversion(s, dir)),
     "q229_catalog_margin" -> ((s, dir) => Relational.catalogMargin(s, dir)),
     "q230_returns_rate" -> ((s, dir) => Relational.returnsRate(s, dir)),
+    "q231_custom_sink" -> ((s, dir) =>
+      sources.DocSinkQueries.sinkRoundTrip(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -509,6 +511,7 @@ object SparkEntry {
     "q228_funnel_conversion" -> Events.funnelConversionSql(),
     "q229_catalog_margin" -> Relational.catalogMarginSql,
     "q230_returns_rate" -> Relational.returnsRateSql,
+    "q231_custom_sink" -> sources.DocSinkQueries.sinkRoundTripSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -2470,6 +2470,31 @@ class OperatorSpec extends AnyFunSuite {
       s"count pushdown missing: ${countScan.scan.description()}")
   }
 
+  test("q231 DSv2 sink: two-phase commit publishes exactly once; " +
+    "overwrite is idempotent; manifest totals reconcile") {
+    import graft.sources.{DocSink, DocSinkQueries}
+    def run() = DocSinkQueries.sinkRoundTrip(spark, dir).collect().head
+    val first = run()
+    // re-reading the committed files reproduces the manifest exactly
+    assert(first.getLong(0) == first.getLong(2),
+      "re-read row count must equal the manifest")
+    assert(first.getLong(1) == first.getLong(3),
+      "re-read checksum must equal the manifest")
+    assert(first.getLong(4) == DocSinkQueries.Parts.toLong)
+    // overwrite idempotency: a second publish replaces, never appends
+    val second = run()
+    assert(second.getLong(0) == first.getLong(0) &&
+      second.getLong(1) == first.getLong(1))
+    // the driver-side closed form agrees (the oracle's claim, replayed)
+    val expected = (0L until DocSinkQueries.Rows).map { i =>
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gen:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val toks = 50L + java.lang.Long.parseLong(hash.take(8), 16) % 200L
+      DocSink.rowHash(i, i % 100L, toks)
+    }.sum
+    assert(first.getLong(1) == expected)
+  }
+
   test("q197 changepoint: the CUSUM argmax recomputes from the dense " +
     "grid, and S telescopes to zero") {
     val daily = Tables.orders(spark, dir)

@@ -293,6 +293,8 @@ object SparkEntry {
     "q230_returns_rate" -> ((s, dir) => Relational.returnsRate(s, dir)),
     "q231_custom_sink" -> ((s, dir) =>
       sources.DocSinkQueries.sinkRoundTrip(s, dir)),
+    "q232_media_quality" -> ((s, dir) =>
+      multimodal.MediaAnalysis.mediaQualityCensus(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -512,6 +514,8 @@ object SparkEntry {
     "q229_catalog_margin" -> Relational.catalogMarginSql,
     "q230_returns_rate" -> Relational.returnsRateSql,
     "q231_custom_sink" -> sources.DocSinkQueries.sinkRoundTripSql,
+    "q232_media_quality" ->
+      multimodal.MediaAnalysis.mediaQualityCensusSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -294,6 +294,71 @@ object MediaAnalysis {
        |       CAST(count(*) - 1 AS BIGINT) AS n_removed
        |FROM cl GROUP BY cluster_id""".stripMargin
 
+  /** Every `CorruptEvery`-th media row gets its container header zeroed —
+    * a guaranteed-undecodable plant (PNG signature / RIFF tag / GIF magic
+    * all live in the first 8 bytes). */
+  final val CorruptEvery = 13
+
+  private val tamper = udf((payload: Array[Byte], corrupt: Boolean) =>
+    if (!corrupt) payload
+    else {
+      val p = payload.clone()
+      java.util.Arrays.fill(p, 0, math.min(8, p.length), 0.toByte)
+      p
+    })
+
+  /** q232 — MEDIA-QUALITY census: the decode-success/drop census per kind
+    * over a corpus with planted corrupt blobs (header-zeroed every
+    * [[CorruptEvery]]-th row) — the acceptance report of the
+    * drop-on-undecodable quality-filter semantics every real codec branch
+    * implements ([[Multimodal.ImageIoCodec]] scaladoc). Totals come from
+    * METADATA ONLY (no decode — the payload column prunes out of that
+    * branch); decodes run the real per-kind codecs on the tampered
+    * payloads.
+    *
+    * The oracle is closed-form (id mod arithmetic), which is exactly the
+    * point: it asserts the codecs drop ALL corrupt payloads and ONLY
+    * corrupt payloads — a codec that silently "decodes" garbage or drops
+    * a healthy blob goes hash-red. */
+  def mediaQualityCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, dir)
+      .withColumn("payload",
+        tamper(col("payload"), pmod(col("media_id"), lit(CorruptEvery)) === 0))
+    def decoded(kind: String, codec: Multimodal.MediaCodec) =
+      Multimodal.decode(
+        media.filter(col("meta.kind") === kind).as[Multimodal.MediaRow],
+        codec).toDF()
+        .groupBy(col("kind")).agg(count(lit(1)).as("n_decoded"))
+    val totals = Multimodal.mediaTable(spark, dir)
+      .groupBy(col("meta.kind").as("kind"))
+      .agg(count(lit(1)).as("n_total"))
+    val dec = decoded("image", Multimodal.ImageIoCodec)
+      .unionByName(decoded("audio", Multimodal.WavPcmCodec))
+      .unionByName(decoded("video", Multimodal.GifFramesCodec))
+    totals.join(dec, Seq("kind"), "left")
+      .select(col("kind"), col("n_total"),
+        coalesce(col("n_decoded"), lit(0L)).as("n_decoded"),
+        (col("n_total") - coalesce(col("n_decoded"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /** q232 oracle: the plant is id-mod arithmetic, so the census is a
+    * closed form over the documents ids — no decoding required. */
+  val mediaQualityCensusSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |              ELSE 'video' END AS kind,
+       |         CASE WHEN doc_id % $CorruptEvery = 0 THEN 1 ELSE 0 END
+       |           AS corrupt
+       |  FROM documents
+       |)
+       |SELECT kind, CAST(count(*) AS BIGINT) AS n_total,
+       |       CAST(sum(1 - corrupt) AS BIGINT) AS n_decoded,
+       |       CAST(sum(corrupt) AS BIGINT) AS n_dropped
+       |FROM m GROUP BY kind""".stripMargin
+
   /** WAV payloads of every audio row in the fixture (id%3=1). */
   private def audioBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._

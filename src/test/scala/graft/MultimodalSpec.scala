@@ -359,6 +359,26 @@ class MultimodalSpec extends AnyFunSuite {
       "every doc in a pair appears in exactly one cluster")
   }
 
+  test("media quality census: drops are exactly the planted corrupt rows") {
+    import graft.multimodal.MediaAnalysis
+    val rows = MediaAnalysis.mediaQualityCensus(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("image", "audio", "video"))
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    Seq(("image", 0L), ("audio", 1L), ("video", 2L)).foreach {
+      case (kind, m) =>
+        val kindIds = ids.filter(_ % 3 == m)
+        val (total, decoded, dropped) = rows(kind)
+        assert(total == kindIds.length.toLong)
+        assert(dropped == kindIds.count(
+          _ % MediaAnalysis.CorruptEvery == 0).toLong,
+          s"$kind: only the planted corrupt rows may drop")
+        assert(decoded == total - dropped)
+    }
+  }
+
   test("audio energy: window count follows the sample-count formula") {
     import graft.multimodal.MediaAnalysis
     val out = MediaAnalysis.audioEnergy(spark, dir).collect()

@@ -295,6 +295,7 @@ object SparkEntry {
       sources.DocSinkQueries.sinkRoundTrip(s, dir)),
     "q232_media_quality" -> ((s, dir) =>
       multimodal.MediaAnalysis.mediaQualityCensus(s, dir)),
+    "q233_pca_power" -> ((s, dir) => Spectral.pcaTopComponent(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -543,6 +544,9 @@ object SparkEntry {
     // q129: unrolled-CTE oracle at the CAPTURED convergence round count
     Graph.oracleEntries ++
     BpeTrainer.oracleEntries ++
+    // q233: captured eigenvector literals, eigen equation re-verified by
+    // DuckDB against its OWN exact integer covariance
+    Spectral.oracleEntries ++
     // q173: streamed HLL estimates as literals, bounds re-derived by DuckDB
     streaming.EventStreams.oracleEntries
 }

@@ -340,7 +340,18 @@ object PlanAudit {
       "q226_local_supply" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false),
       "q227_supplier_hhi" -> Seq("BroadcastHashJoin" -> true,
-        "CartesianProduct" -> false, "Window" -> false))
+        "CartesianProduct" -> false, "Window" -> false),
+      // PCA gate: every join in the eigen-check is a broadcast of a ≤64-row
+      // miniature (means, eigvec, λ) onto the cached 2145-row moment table;
+      // the 1-row count rides BNLJ — nothing data-sized moves
+      "q233_pca_power" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false),
+      // ORC interchange: the quantity predicate must reach the ORC scan
+      // (stripe skipping at scale) and pruning must drop the unused
+      // l_orderkey column from the read schema
+      "q234_orc_roundtrip" -> Seq(
+        "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,25.0)]" -> true,
+        "l_orderkey" -> false, "CartesianProduct" -> false))
 
     // Offset-prefix partitioning pin (machine check for the round-4
     // ReuseExchange hazard, found by hand in a7b6075): every offset-prefix

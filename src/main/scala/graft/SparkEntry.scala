@@ -296,6 +296,8 @@ object SparkEntry {
     "q232_media_quality" -> ((s, dir) =>
       multimodal.MediaAnalysis.mediaQualityCensus(s, dir)),
     "q233_pca_power" -> ((s, dir) => Spectral.pcaTopComponent(s, dir)),
+    "q234_orc_roundtrip" -> ((s, dir) =>
+      sources.OrcInterchange.orcRoundTrip(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -517,6 +519,9 @@ object SparkEntry {
     "q231_custom_sink" -> sources.DocSinkQueries.sinkRoundTripSql,
     "q232_media_quality" ->
       multimodal.MediaAnalysis.mediaQualityCensusSql,
+    // every aggregated value has crossed parquet -> ORC -> reader; the
+    // oracle aggregates the original parquet, so the hash gates fidelity
+    "q234_orc_roundtrip" -> sources.OrcInterchange.orcRoundTripSql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

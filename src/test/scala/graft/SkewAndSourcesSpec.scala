@@ -367,4 +367,39 @@ class SkewAndSourcesSpec extends AnyFunSuite {
         col("value_cents"))
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("q234 orc round-trip: equals the direct parquet aggregate") {
+    import graft.sources.OrcInterchange
+    val got = OrcInterchange.orcRoundTrip(spark, dir)
+    val expected = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 25.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(20,2)")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100)
+          .cast("long")).as("price_cents"))
+      .select(col("l_returnflag"), col("n"),
+        col("sum_qty").cast("double").as("sum_qty"), col("price_cents"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("q234 orc scan: quantity predicate pushed, l_orderkey pruned away") {
+    import graft.sources.OrcInterchange
+    val plan = OrcInterchange.orcRoundTrip(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,25.0)"),
+      s"predicate must reach the ORC scan:\n${plan.take(1200)}")
+    assert(!plan.contains("l_orderkey"),
+      "pruning must drop the unused staged column from the read")
+  }
+
+  test("q234 orc stage: a half-dead prior write (no _SUCCESS) is restaged") {
+    import graft.sources.OrcInterchange
+    val staged = OrcInterchange.ensureOrcStage(spark, dir)
+    val marker = java.nio.file.Paths.get(staged, "_SUCCESS")
+    java.nio.file.Files.deleteIfExists(marker)
+    OrcInterchange.ensureOrcStage(spark, dir)
+    assert(java.nio.file.Files.isRegularFile(marker),
+      "missing success marker must trigger a rewrite")
+  }
 }

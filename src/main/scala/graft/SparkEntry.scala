@@ -298,6 +298,7 @@ object SparkEntry {
     "q233_pca_power" -> ((s, dir) => Spectral.pcaTopComponent(s, dir)),
     "q234_orc_roundtrip" -> ((s, dir) =>
       sources.OrcInterchange.orcRoundTrip(s, dir)),
+    "q235_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -522,6 +523,7 @@ object SparkEntry {
     // every aggregated value has crossed parquet -> ORC -> reader; the
     // oracle aggregates the original parquet, so the hash gates fidelity
     "q234_orc_roundtrip" -> sources.OrcInterchange.orcRoundTripSql,
+    "q235_readability" -> TextAnalysis.readabilitySql,
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -1202,4 +1202,62 @@ object TextAnalysis {
       |                - length(replace(norm, chr(233), ''))) AS BIGINT)
       |         AS n_eacute
       |FROM n GROUP BY source""".stripMargin
+
+  /** q235 — Flesch-style readability per document: words are `\S+` runs,
+    * sentences are `[.!?]+` runs, syllables the classic vowel-group
+    * heuristic (`[aeiouyAEIOUY]+` runs) — all three countable by the same
+    * regex engine semantics in Spark (java.util.regex) and DuckDB (RE2),
+    * which agree on these character-class patterns. The score
+    * `206.835 − 1.015·(w/s) − 84.6·(y/w)` is a fixed double formula over
+    * exact integer counts, written with the identical operation sequence in
+    * both engines and shipped floor-quantized at 1e-4 so no rounding-rule
+    * divergence can surface; the reading band derives from the exact
+    * double, giving the corpus-curation consumer (filter "too hard" docs
+    * out of a child-directed mix, say) a stable categorical.
+    *
+    * Plan: one narrow projection over the document scan — no shuffle, no
+    * UDF; the three `regexp_extract_all` counts are codegen'd per row, so
+    * at 100 TB this runs at scan speed like the q40/q42 siblings. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val w = greatest(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))),
+      lit(1)).cast(LongType)
+    val s = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+      lit(1)).cast(LongType)
+    val y = size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"),
+      lit(0))).cast(LongType)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), w.as("n_words"), s.as("n_sents"), y.as("n_syll"))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) *
+          (col("n_words").cast(DoubleType) / col("n_sents").cast(DoubleType)) -
+          lit(84.6) *
+            (col("n_syll").cast(DoubleType) / col("n_words").cast(DoubleType)))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        floor(col("flesch") * lit(10000.0)).cast(LongType).as("flesch_e4"),
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "medium")
+          .otherwise("hard").as("band"))
+  }
+
+  val readabilitySql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+      |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+      |         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, w, s, y,
+      |         206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+      |                 - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+      |           AS flesch
+      |  FROM c
+      |)
+      |SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sents,
+      |       CAST(y AS BIGINT) AS n_syll,
+      |       CAST(floor(flesch * 10000.0) AS BIGINT) AS flesch_e4,
+      |       CASE WHEN flesch >= 60.0 THEN 'easy'
+      |            WHEN flesch >= 30.0 THEN 'medium'
+      |            ELSE 'hard' END AS band
+      |FROM f""".stripMargin
 }

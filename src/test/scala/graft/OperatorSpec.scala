@@ -2829,4 +2829,26 @@ class OperatorSpec extends AnyFunSuite {
     // customers with all orders on one day (den 0) are excluded, not 0-div
     assert(got.forall(_.getLong(2) > 0))
   }
+
+  test("q235 readability: counts and score replay on a driver-side regex " +
+    "pass; bands partition by the exact score") {
+    val rows = TextAnalysis.readability(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val t = texts(r.getLong(0))
+      def cnt(re: String) = re.r.findAllIn(t).size.toLong
+      val w = math.max(cnt("\\S+"), 1L)
+      val s2 = math.max(cnt("[.!?]+"), 1L)
+      val y = cnt("[aeiouyAEIOUY]+")
+      assert(r.getLong(1) == w && r.getLong(2) == s2 && r.getLong(3) == y)
+      val f = 206.835 - 1.015 * (w.toDouble / s2.toDouble) -
+        84.6 * (y.toDouble / w.toDouble)
+      assert(r.getLong(4) == math.floor(f * 10000.0).toLong)
+      val band = if (f >= 60.0) "easy" else if (f >= 30.0) "medium" else "hard"
+      assert(r.getString(5) == band)
+    }
+  }
 }

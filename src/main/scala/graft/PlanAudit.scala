@@ -293,6 +293,10 @@ object PlanAudit {
       "q211_k_anonymity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,
         "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      // l-diversity: three chained hash aggregates, same family shape
+      "q236_l_diversity" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
       // unicode NFC audit: the codegen'd normalize expression is a narrow
       // map fused into the scan; one source-keyed aggregate, nothing else
       "q212_unicode_nfc" -> Seq("HashAggregate" -> true,

@@ -299,6 +299,7 @@ object SparkEntry {
     "q234_orc_roundtrip" -> ((s, dir) =>
       sources.OrcInterchange.orcRoundTrip(s, dir)),
     "q235_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
+    "q236_l_diversity" -> ((s, dir) => CorpusFilters.lDiversity(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -524,6 +525,7 @@ object SparkEntry {
     // oracle aggregates the original parquet, so the hash gates fidelity
     "q234_orc_roundtrip" -> sources.OrcInterchange.orcRoundTripSql,
     "q235_readability" -> TextAnalysis.readabilitySql,
+    "q236_l_diversity" -> CorpusFilters.lDiversitySql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

@@ -772,6 +772,66 @@ object CorpusFilters {
        |FROM noised""".stripMargin
   }
 
+  /** q236 — l-diversity release audit (Machanavajjhala et al.'s
+    * complement to q211's k-anonymity: class SIZE alone does not protect
+    * when everyone in the class shares the same sensitive value). QI here
+    * is (nation, $1000 balance band); the sensitive attribute is the
+    * market segment. Per class we need the distinct sensitive count
+    * (distinct l-diversity) and the majority share (the homogeneity-attack
+    * exposure); rolled up per nation: classes below l, members exposed in
+    * them, and the worst majority share in ppm.
+    *
+    * Scale: three chained hash aggregates — rows → (class, segment) cells,
+    * cells → classes, classes → nations — each strictly smaller than the
+    * last, all map-side combining; integer arithmetic throughout (the
+    * banding reuses q211's +10⁸ offset so `div`/`//` agree on negative
+    * balances). No joins, no windows. */
+  def lDiversity(spark: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    val cells = Tables.customer(spark, dir).select(
+      col("c_nationkey").cast(org.apache.spark.sql.types.LongType)
+        .as("nation"),
+      expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) div 100000")
+        .as("band"),
+      col("c_mktsegment").as("seg"))
+      .groupBy(col("nation"), col("band"), col("seg"))
+      .agg(count(lit(1)).as("c"))
+    val classes = cells.groupBy(col("nation"), col("band"))
+      .agg(count(lit(1)).as("distinct_seg"),
+        sum(col("c")).as("members"),
+        max(col("c")).as("maj"))
+    classes.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("distinct_seg") < l, 1L).otherwise(0L))
+          .as("classes_below_l"),
+        sum(when(col("distinct_seg") < l, col("members")).otherwise(0L))
+          .as("n_exposed"),
+        max(expr("(maj * 1000000) div members")).as("worst_maj_ppm"))
+      .select(col("nation"), col("n_classes"), col("classes_below_l"),
+        col("n_exposed"), col("worst_maj_ppm"))
+  }
+
+  def lDiversitySql(l: Int = 3): String =
+    s"""WITH cells AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000
+       |           AS band,
+       |         c_mktsegment AS seg, count(*) AS c
+       |  FROM customer GROUP BY 1, 2, 3
+       |), cls AS (
+       |  SELECT nation, band, count(*) AS distinct_seg,
+       |         sum(c) AS members, max(c) AS maj
+       |  FROM cells GROUP BY 1, 2
+       |)
+       |SELECT nation, count(*) AS n_classes,
+       |       CAST(sum(CASE WHEN distinct_seg < $l THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS classes_below_l,
+       |       CAST(sum(CASE WHEN distinct_seg < $l THEN members ELSE 0 END)
+       |            AS BIGINT) AS n_exposed,
+       |       CAST(max((maj * 1000000) // members) AS BIGINT)
+       |         AS worst_maj_ppm
+       |FROM cls GROUP BY nation""".stripMargin
+
   def kAnonymitySql(k: Int = 5): String =
     s"""WITH qi AS (
        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,

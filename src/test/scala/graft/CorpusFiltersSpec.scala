@@ -450,4 +450,35 @@ class CorpusFiltersSpec extends AnyFunSuite {
     }
     assert(got.values.exists(_._2 > 0), "fixture plants PII — some must show")
   }
+
+  test("q236 l-diversity: class roll-ups replay from a driver-side " +
+    "QI regrouping; invariants hold") {
+    val rows = CorpusFilters.lDiversity(spark, dir, l = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long"), col("c_acctbal"),
+        col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0),
+        (math.round(r.getDouble(1) * 100) + 100000000L) / 100000L,
+        r.getString(2)))
+    val byNation = cust.groupBy(_._1)
+    byNation.foreach { case (nation, cs) =>
+      val classes = cs.groupBy(_._2).map { case (_, members) =>
+        val segs = members.groupBy(_._3).map(_._2.size)
+        (segs.size.toLong, members.size.toLong, segs.max.toLong)
+      }
+      val (nc, below, exposed, worst) = rows(nation)
+      assert(nc == classes.size)
+      assert(below == classes.count(_._1 < 3))
+      assert(exposed == classes.filter(_._1 < 3).map(_._2).sum)
+      assert(worst == classes.map(c => c._3 * 1000000L / c._2).max)
+    }
+    // each nation's exposure can never exceed its population
+    rows.foreach { case (n, (_, _, exposed, worst)) =>
+      assert(exposed <= byNation(n).size)
+      assert(worst >= 1000000L / 5 && worst <= 1000000L)
+    }
+  }
 }

@@ -293,6 +293,10 @@ object PlanAudit {
       "q211_k_anonymity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,
         "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      // join-size estimate: two sketch aggregates joined on (row, bucket)
+      // — equi only; the estimate/exact/F1 miniatures ride BNLJ
+      "q237_join_size_estimate" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -300,6 +300,8 @@ object SparkEntry {
       sources.OrcInterchange.orcRoundTrip(s, dir)),
     "q235_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
     "q236_l_diversity" -> ((s, dir) => CorpusFilters.lDiversity(s, dir)),
+    "q237_join_size_estimate" -> ((s, dir) =>
+      Sketches.joinSizeEstimate(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -526,6 +528,9 @@ object SparkEntry {
     "q234_orc_roundtrip" -> sources.OrcInterchange.orcRoundTripSql,
     "q235_readability" -> TextAnalysis.readabilitySql,
     "q236_l_diversity" -> CorpusFilters.lDiversitySql(),
+    // declarative md5-hashed CM sketch: DuckDB rebuilds the identical
+    // counters, so the estimator itself rides the hard hash gate
+    "q237_join_size_estimate" -> Sketches.joinSizeEstimateSql(),
     "q162_weighted_jaccard" -> Dedup.weightedJaccardSql(),
     "q163_rendezvous_shards" -> Sampling.rendezvousShardsSql(),
     "q164_source_similarity" -> Profiling.sourceSimilaritySql,

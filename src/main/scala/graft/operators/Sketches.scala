@@ -447,6 +447,90 @@ object Sketches {
       |         AS var_c2
       |FROM m""".stripMargin
 
+  /** q237 — join-size estimation by Count-Min inner product (the
+    * AGMS/CM estimator query optimizers lean on): sketch each side of
+    * `events ⋈ orders` on the join key into a depth×width counter table,
+    * and estimate `|A ⋈ B| = Σ_k c_A(k)·c_B(k)` as `min_r Σ_b A[r][b]·B[r][b]`
+    * — the planning primitive that prices a 100 TB join from two
+    * kilobyte-sized artifacts WITHOUT moving either table. The output keeps
+    * the per-depth estimates next to the exact answer (computable at test
+    * scale only — at 100 TB the exact side is the thing you cannot run) and
+    * the CM guarantee as an integer flag:
+    * `est ≥ exact AND (est − exact)·width ≤ 3·F1(A)·F1(B)` (e < 3).
+    *
+    * Unlike q97's library-built CMS (engine-internal hashing ⇒ soft
+    * oracle), this sketch is built DECLARATIVELY on the portable md5 chain
+    * (q44/q48): one explode(depth) + groupBy(row, bucket) count per side —
+    * map-side combine caps each side's shuffle at depth·width rows per
+    * partition — so DuckDB rebuilds the identical counters from its own
+    * scan and the whole estimator rides the HARD hash gate, estimates and
+    * all. */
+  def joinSizeEstimate(spark: SparkSession, dir: String,
+                       depth: Int = 5, width: Int = 4096): DataFrame = {
+    def sketch(df: DataFrame, key: Column, tag: String): DataFrame =
+      df.select(explode(transform(sequence(lit(0), lit(depth - 1)), r =>
+        struct(r.cast(LongType).as("r"),
+          (conv(substring(md5(concat(lit("js:"), r.cast(StringType),
+            lit(":"), key.cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType) % width).as("b")))).as("e"))
+        .groupBy(col("e.r").as("r"), col("e.b").as("b"))
+        .agg(count(lit(1)).as(tag))
+    val a = sketch(Tables.events(spark, dir), col("user_id"), "ca")
+    val b = sketch(Tables.orders(spark, dir), col("o_custkey"), "cb")
+    val perDepth = a.join(b, Seq("r", "b"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("est_r"))
+    val minEst = broadcast(perDepth.agg(min(col("est_r")).as("est_min")))
+    val exact = broadcast(
+      Tables.events(spark, dir).groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+        .join(Tables.orders(spark, dir).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("nb")),
+          col("user_id") === col("o_custkey"))
+        .agg(sum(col("na") * col("nb")).as("exact_size")))
+    val f1 = broadcast(Tables.events(spark, dir).agg(count(lit(1)).as("f1_a"))
+      .crossJoin(Tables.orders(spark, dir).agg(count(lit(1)).as("f1_b"))))
+    perDepth.crossJoin(minEst).crossJoin(exact).crossJoin(f1)
+      .select(col("r"), col("est_r"), col("est_min"), col("exact_size"),
+        col("f1_a"), col("f1_b"),
+        (col("est_min") >= col("exact_size") &&
+          (col("est_min") - col("exact_size")) * lit(width.toLong) <=
+            lit(3L) * col("f1_a") * col("f1_b")).as("within_bound"))
+  }
+
+  def joinSizeEstimateSql(depth: Int = 5, width: Int = 4096): String =
+    s"""WITH ra AS (SELECT unnest(range($depth)) AS r),
+       |sa AS (
+       |  SELECT ra.r,
+       |         ('0x' || substr(md5('js:' || CAST(ra.r AS VARCHAR) || ':'
+       |                             || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+       |           % $width AS b,
+       |         count(*) AS ca
+       |  FROM events, ra GROUP BY 1, 2
+       |), sb AS (
+       |  SELECT ra.r,
+       |         ('0x' || substr(md5('js:' || CAST(ra.r AS VARCHAR) || ':'
+       |                             || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+       |           % $width AS b,
+       |         count(*) AS cb
+       |  FROM orders, ra GROUP BY 1, 2
+       |), pd AS (
+       |  SELECT sa.r, CAST(sum(sa.ca * sb.cb) AS BIGINT) AS est_r
+       |  FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY 1
+       |), me AS (SELECT min(est_r) AS est_min FROM pd),
+       |ex AS (
+       |  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_size
+       |  FROM (SELECT user_id, count(*) AS na FROM events GROUP BY 1) ea
+       |  JOIN (SELECT o_custkey, count(*) AS nb FROM orders GROUP BY 1) ob
+       |    ON ea.user_id = ob.o_custkey
+       |), f1 AS (
+       |  SELECT (SELECT count(*) FROM events) AS f1_a,
+       |         (SELECT count(*) FROM orders) AS f1_b
+       |)
+       |SELECT pd.r, pd.est_r, me.est_min, ex.exact_size, f1.f1_a, f1.f1_b,
+       |       me.est_min >= ex.exact_size AND
+       |       (me.est_min - ex.exact_size) * $width <= 3 * f1.f1_a * f1.f1_b
+       |         AS within_bound
+       |FROM pd, me, ex, f1""".stripMargin
+
   def oracleEntries: Map[String, String] =
     capturedHll.get(12).map(e => "q85_hll_sketches" -> hllSketchesSql(e)).toMap ++
       capturedCms.get((0.001, 0.99, 42))

@@ -2851,4 +2851,23 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getString(5) == band)
     }
   }
+
+  test("q237 join-size estimate: CM inner product never underestimates, " +
+    "min lane and bound flag replay from the exact join size") {
+    val rows = Sketches.joinSizeEstimate(spark, dir).collect()
+    assert(rows.length == 5)
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("user_id")).count().withColumnRenamed("count", "na")
+      .join(Tables.orders(spark, dir).groupBy(col("o_custkey")).count()
+        .withColumnRenamed("count", "nb"),
+        col("user_id") === col("o_custkey"))
+      .agg(sum(col("na") * col("nb"))).collect()(0).getLong(0)
+    val ests = rows.map(_.getLong(1))
+    rows.foreach { r =>
+      assert(r.getLong(3) == exact)
+      assert(r.getLong(1) >= exact, "CM inner product must not underestimate")
+      assert(r.getLong(2) == ests.min)
+      assert(r.getBoolean(6), "bound flag must hold at this scale")
+    }
+  }
 }

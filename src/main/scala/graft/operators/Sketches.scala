@@ -460,19 +460,22 @@ object Sketches {
     *
     * Unlike q97's library-built CMS (engine-internal hashing ⇒ soft
     * oracle), this sketch is built DECLARATIVELY on the portable md5 chain
-    * (q44/q48): one explode(depth) + groupBy(row, bucket) count per side —
-    * map-side combine caps each side's shuffle at depth·width rows per
-    * partition — so DuckDB rebuilds the identical counters from its own
-    * scan and the whole estimator rides the HARD hash gate, estimates and
-    * all. */
+    * (q44/q48): ONE md5 per row supplies all `depth ≤ 4` hash rows (its 32
+    * hex chars split into independent 8-char windows — the digest's bits
+    * are pairwise independent across windows, which is all CM needs), then
+    * one explode(depth) + groupBy(row, bucket) count per side — map-side
+    * combine caps each side's shuffle at depth·width rows per partition —
+    * so DuckDB rebuilds the identical counters from its own scan and the
+    * whole estimator rides the HARD hash gate, estimates and all. */
   def joinSizeEstimate(spark: SparkSession, dir: String,
-                       depth: Int = 5, width: Int = 4096): DataFrame = {
+                       depth: Int = 4, width: Int = 4096): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"one md5 carries 4 hash windows: $depth")
     def sketch(df: DataFrame, key: Column, tag: String): DataFrame =
-      df.select(explode(transform(sequence(lit(0), lit(depth - 1)), r =>
-        struct(r.cast(LongType).as("r"),
-          (conv(substring(md5(concat(lit("js:"), r.cast(StringType),
-            lit(":"), key.cast(StringType))), 1, 8), 16, 10)
-            .cast(LongType) % width).as("b")))).as("e"))
+      df.select(md5(concat(lit("js:"), key.cast(StringType))).as("h"))
+        .select(explode(transform(sequence(lit(0), lit(depth - 1)), r =>
+          struct(r.cast(LongType).as("r"),
+            (conv(substring(col("h"), r * lit(8) + lit(1), lit(8)), 16, 10)
+              .cast(LongType) % width).as("b")))).as("e"))
         .groupBy(col("e.r").as("r"), col("e.b").as("b"))
         .agg(count(lit(1)).as(tag))
     val a = sketch(Tables.events(spark, dir), col("user_id"), "ca")
@@ -496,19 +499,19 @@ object Sketches {
             lit(3L) * col("f1_a") * col("f1_b")).as("within_bound"))
   }
 
-  def joinSizeEstimateSql(depth: Int = 5, width: Int = 4096): String =
+  def joinSizeEstimateSql(depth: Int = 4, width: Int = 4096): String =
     s"""WITH ra AS (SELECT unnest(range($depth)) AS r),
        |sa AS (
        |  SELECT ra.r,
-       |         ('0x' || substr(md5('js:' || CAST(ra.r AS VARCHAR) || ':'
-       |                             || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+       |         ('0x' || substr(md5('js:' || CAST(user_id AS VARCHAR)),
+       |                         CAST(ra.r * 8 + 1 AS INTEGER), 8))::BIGINT
        |           % $width AS b,
        |         count(*) AS ca
        |  FROM events, ra GROUP BY 1, 2
        |), sb AS (
        |  SELECT ra.r,
-       |         ('0x' || substr(md5('js:' || CAST(ra.r AS VARCHAR) || ':'
-       |                             || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+       |         ('0x' || substr(md5('js:' || CAST(o_custkey AS VARCHAR)),
+       |                         CAST(ra.r * 8 + 1 AS INTEGER), 8))::BIGINT
        |           % $width AS b,
        |         count(*) AS cb
        |  FROM orders, ra GROUP BY 1, 2

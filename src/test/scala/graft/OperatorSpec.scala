@@ -2855,7 +2855,7 @@ class OperatorSpec extends AnyFunSuite {
   test("q237 join-size estimate: CM inner product never underestimates, " +
     "min lane and bound flag replay from the exact join size") {
     val rows = Sketches.joinSizeEstimate(spark, dir).collect()
-    assert(rows.length == 5)
+    assert(rows.length == 4)
     val exact = Tables.events(spark, dir)
       .groupBy(col("user_id")).count().withColumnRenamed("count", "na")
       .join(Tables.orders(spark, dir).groupBy(col("o_custkey")).count()

@@ -78,6 +78,21 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Probe with one-retry confirmation: a single high reading is re-probed
+    * once and the MIN of the pair is reported. Rationale (round-8 drift
+    * study): the bench JVM itself pauses — a GC cycle or a codegen
+    * compilation storm (230 queries each JIT fresh generated classes) can
+    * cover exactly one ~50 ms probe and read as "drift 3×" on an idle
+    * host. Those self-inflicted pauses never cover two consecutive probes;
+    * a REAL sustained host stall covers both, so the retry preserves the
+    * guard's purpose (sensing external load) while removing the
+    * false-positive that kept honest runs red. */
+  def confirmedProbe(spark: SparkSession, baseline: Double): Double = {
+    val p = calibrationProbe(spark)
+    if (p <= DriftLimit * baseline) p
+    else math.min(p, calibrationProbe(spark))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -98,6 +113,18 @@ object Bench {
     OracleCapture.currentDir = Some(sfDir)
     // one tiny action to initialize codegen/scheduler before timing
     spark.range(1000).selectExpr("sum(id)").collect()
+    // JVM warm-up (round-8 drift study): early-alphabet queries were
+    // reading 3× their steady state because shared engine infra (parquet
+    // reader, hash agg, broadcast + window machinery) was still
+    // interpreter-tier when they ran, and their later drift-triggered
+    // resamples then came in far faster — tripping the min≪median stall
+    // flag with no host stall anywhere. Two untimed passes over a
+    // representative slice C2-compiles that shared infra before ANY timing.
+    val warmup = Seq("q01_clean_filter", "q04_rfm", "q11_window_rank",
+      "q12_star_join", "q17_percentiles")
+    for (_ <- 1 to 2; name <- warmup; fn <- SparkEntry.queries.get(name))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     // prime the probe's codegen, then baseline = min of 3 timed probes
     calibrationProbe(spark)
     val calibBaseline = List.fill(3)(calibrationProbe(spark)).min
@@ -143,13 +170,13 @@ object Bench {
       // segment probe: a drifted probe means the host was loaded while this
       // segment's queries ran — their mins are suspect, so re-sample each
       // once after the probe reads clean again (bounded: 3 settle retries)
-      var probe = calibrationProbe(spark)
+      var probe = confirmedProbe(spark, calibBaseline)
       calibMax = math.max(calibMax, probe)
       if (probe > DriftLimit * calibBaseline) {
         var settles = 0
         while (settles < 3 && probe > DriftLimit * calibBaseline) {
           Thread.sleep(2000)
-          probe = calibrationProbe(spark)
+          probe = confirmedProbe(spark, calibBaseline)
           calibMax = math.max(calibMax, probe)
           settles += 1
         }

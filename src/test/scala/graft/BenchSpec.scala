@@ -36,6 +36,11 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isCleanRun(1.5, 0))   // at the limit is NOT clean
     assert(!Bench.isCleanRun(1.0, 1))   // any stalled query disqualifies
     assert(!Bench.isCleanRun(9.22, 7))  // the committed round-7 map
+    // absolute excursion floor: a 60 ms probe blip over a 90 ms baseline
+    // is ratio-1.67 "drift" but cannot have moved any min materially
+    assert(Bench.isCleanRun(1.7, 0, probeExcursion = 0.06))
+    assert(!Bench.isCleanRun(1.7, 1, probeExcursion = 0.06)) // stalls still bar
+    assert(!Bench.isCleanRun(3.0, 0, probeExcursion = 0.4))  // real load: both high
   }
 
   test("fileIsClean: reads the contamination block; unreadable is not clean") {

@@ -206,6 +206,22 @@ object Bench {
         }
       }
     }
+    // min<<median arbitration (round 8): the signature says the samples
+    // DISAGREE — it cannot say whether the min or the medians are the
+    // anomaly. Two fresh samples per flagged query resolve it symmetrically:
+    // if steady state really is the min, the new samples land near it and
+    // the recomputed median follows (flag clears, median now honest); if the
+    // min was the fluke, they land near the median and the flag STANDS.
+    // One pass only — no resample-until-clean.
+    locally {
+      val flagged = timesByName.collect {
+        case (n, ts) if isStalled(ts.min, medianOf(ts)) => n
+      }.toSeq
+      flagged.foreach { n =>
+        val fn = SparkEntry.queries(n)
+        timesByName(n) = once(n, fn) :: once(n, fn) :: timesByName(n)
+      }
+    }
     val results = timesByName.toSeq
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would corrupt the JSON line this exists to emit

@@ -56,6 +56,7 @@ object SparkEntry {
     "q111_incremental_dedup" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
     "q120_novelty" -> ((s, dir) => Dedup.noveltyScore(s, dir)),
     "q135_repeated_spans" -> ((s, dir) => Dedup.repeatedSpans(s, dir)),
+    "q238_span_scrub" -> ((s, dir) => Dedup.spanScrub(s, dir)),
     // Text analysis (documents)
     "q40_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q41_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -336,6 +337,7 @@ object SparkEntry {
     "q111_incremental_dedup" -> Dedup.incrementalDedupSql(),
     "q120_novelty" -> Dedup.noveltyScoreSql,
     "q135_repeated_spans" -> Dedup.repeatedSpansSql(),
+    "q238_span_scrub" -> Dedup.spanScrubSql(),
     "q40_text_stats" -> TextAnalysis.textStatsSql,
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,

@@ -1104,6 +1104,111 @@ object Dedup {
        |FROM toks t LEFT JOIN per_doc p USING (doc_id)""".stripMargin
   }
 
+  /** q238 — repeated-span SCRUB: the corpus REWRITE that [[repeatedSpans]]
+    * only maps. ExactSubstr dedup in a production pipeline does not stop at
+    * measuring duplication — it removes every non-canonical occurrence of a
+    * duplicated span and re-emits the cleaned text the trainer actually
+    * reads. Rule (deterministic): for each k-gram appearing in ≥ 2 distinct
+    * documents, the CANONICAL occurrence is the globally first one
+    * (min (doc_id, pos)); every other occurrence — including extra
+    * occurrences inside the canonical document — is scrubbed, its k token
+    * positions unioned into the doc's removal set; the cleaned text is the
+    * surviving tokens re-joined in position order (empty string when a doc
+    * is fully covered).
+    *
+    * Plan: positional grams (shared shape with [[repeatedSpansOn]]) → df≥2
+    * lexicon (hash agg on `gram`) → canonical pick as ONE struct-min
+    * groupBy on `gram` (a hash aggregate — deliberately NOT a per-gram
+    * window, which would add a sort on the data-sized gram stream) →
+    * non-canonical occurrences explode to ≤ occ·k covered positions →
+    * one anti-join drops covered tokens → per-doc ordered reassembly
+    * (sort_array over collect_list, bounded by one document's length — the
+    * same per-doc bound every text operator here lives under). Volume is
+    * O(tokens + dup_occurrences·k); nothing pairwise, nothing data-sized
+    * in one task, so the shape holds at 100 TB where the scrub runs as one
+    * linear pass over the corpus.
+    *
+    * Output: (doc_id, n_tokens, n_removed, cleaned_text). */
+  def spanScrub(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    spanScrubOn(Tables.documents(spark, dir), k)
+
+  /** [[spanScrub]] over an arbitrary (doc_id, text) frame — library form,
+    * and the fixture entry SpanScrubSpec pins exact rewrites with. */
+  def spanScrubOn(docs: DataFrame, k: Int = 5): DataFrame = {
+    val words = withWords(docs)
+    val grams = words.select(col("doc_id"),
+      posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram")))
+    val dup = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("gram"))
+    val dupOcc = grams.join(dup, Seq("gram"), "left_semi")
+    val canon = dupOcc.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      .select(col("gram"), col("c.doc_id").as("c_doc"), col("c.pos").as("c_pos"))
+    val covered = dupOcc.join(canon, Seq("gram"))
+      .filter(!(col("doc_id") === col("c_doc") && col("pos") === col("c_pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+    val toks = words.select(col("doc_id"), size(col("ws")).cast(LongType)
+        .as("n_tokens"), posexplode(col("ws")).as(Seq("p", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(struct(col("p"),
+          col("tok")))), s => s.getField("tok")), " ").as("cleaned_text"))
+    words.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** Oracle for [[spanScrub]]: same positional grams and df≥2 lexicon as
+    * [[repeatedSpansSql]]; the canonical pick is a row_number window over
+    * `gram` ordered (doc_id, pos) — order-identical to the Spark side's
+    * struct-min because (doc_id, pos) is unique per occurrence; the
+    * reassembly is string_agg ORDER BY position. Pure integer/string ops,
+    * so the hash gate is exact. */
+  def spanScrubSql(k: Int = 5): String = {
+    val idx = (1 to k).map(i => s"ws[pos+$i]").mkString(" || ' ' || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, pos, $idx AS gram
+       |  FROM (SELECT doc_id, unnest(range(len(ws) - ${k - 1})) AS pos, ws
+       |        FROM words)
+       |), dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+       |  ) WHERE df >= 2
+       |), occ AS (
+       |  SELECT doc_id, pos, gram,
+       |         row_number() OVER (PARTITION BY gram
+       |                            ORDER BY doc_id, pos) AS rn
+       |  FROM g JOIN dup USING (gram)
+       |), covered AS (
+       |  SELECT DISTINCT doc_id, pos + o AS p
+       |  FROM occ CROSS JOIN (SELECT unnest(range($k)) AS o) offs
+       |  WHERE rn > 1
+       |), toks AS (
+       |  SELECT doc_id, len(ws) AS n_tokens,
+       |         unnest(range(len(ws))) AS p, ws
+       |  FROM words
+       |), kept AS (
+       |  SELECT t.doc_id, count(*) AS n_kept,
+       |         string_agg(t.ws[t.p + 1], ' ' ORDER BY t.p) AS cleaned_text
+       |  FROM toks t LEFT JOIN covered c
+       |    ON t.doc_id = c.doc_id AND t.p = c.p
+       |  WHERE c.p IS NULL
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |       CAST(len(w.ws) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       |       COALESCE(k.cleaned_text, '') AS cleaned_text
+       |FROM words w LEFT JOIN kept k USING (doc_id)""".stripMargin
+  }
+
   /** q111 — incremental ingestion dedup: the production flow where a NEW
     * batch (docs whose md5 nibble is 'a' — the same deterministic selector
     * family as [[Sampling]]) lands against an EXISTING corpus, and each new

@@ -96,6 +96,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(8L) == ((10L, 5L, 1L, 5L, 500000L)))
   }
 
+  test("span scrub: canonical occurrence survives, every other occurrence " +
+    "is cut, overlaps union, intra-doc repeats cut, full-cover doc empties") {
+    import spark.implicits._
+    // Same gram families as the repeated-spans fixture, plus d9 (the SAME
+    // dup gram twice in one non-canonical doc) and d10 (a doc that is
+    // nothing but one non-canonical gram → cleaned to the empty string).
+    // Canonical (first global) occurrences: "c1..c5" → (d1,0);
+    // "c2..c6" → (d5,1); "g1..g5" → (d7,8).
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5 u1 u2 u3 u4 u5"),
+      (2L, "w0 c1 c2 c3 c4 c5 w6 w7 w8 w9 w10"),
+      (3L, "q1 q2 q3 q4 q5 q6"),
+      (4L, "s1 s2"),
+      (5L, "c1 c2 c3 c4 c5 c6 t1 t2 t3 t4"),
+      (6L, "r0 r1 c1 c2 c3 c4 c5 c6 r8 r9"),
+      (7L, "c1 c2 c3 c4 c5 m1 m2 m3 g1 g2 g3 g4 g5"),
+      (8L, "h1 h2 g1 g2 g3 g4 g5 h3 h4 h5"),
+      (9L, "c1 c2 c3 c4 c5 x c1 c2 c3 c4 c5"),
+      (10L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val got = Dedup.spanScrubOn(docs, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((10L, 0L, "c1 c2 c3 c4 c5 u1 u2 u3 u4 u5")))
+    assert(got(2L) == ((11L, 5L, "w0 w6 w7 w8 w9 w10")))
+    assert(got(3L) == ((6L, 0L, "q1 q2 q3 q4 q5 q6")))
+    assert(got(4L) == ((2L, 0L, "s1 s2")))
+    // c-gram cut (non-canonical) but the doc holds the c2..c6 CANONICAL:
+    // only positions 0-4 go, c6 survives
+    assert(got(5L) == ((10L, 5L, "c6 t1 t2 t3 t4")))
+    // two overlapping non-canonical grams union to positions 2-7
+    assert(got(6L) == ((10L, 6L, "r0 r1 r8 r9")))
+    // d7 loses the c-gram but keeps g1..g5 (it IS the canonical)
+    assert(got(7L) == ((13L, 5L, "m1 m2 m3 g1 g2 g3 g4 g5")))
+    assert(got(8L) == ((10L, 5L, "h1 h2 h3 h4 h5")))
+    // BOTH intra-doc occurrences are non-canonical → both cut
+    assert(got(9L) == ((11L, 10L, "x")))
+    // fully covered doc comes back as the empty string, not a lost row
+    assert(got(10L) == ((5L, 5L, "")))
+  }
+
   test("df cap: generous cap keeps every planted pair; cap=1 kills the index") {
     val docs = graft.Tables.documents(spark, dir)
     val uncapped = Dedup.ngramJaccard(spark, dir).select("doc_a", "doc_b")

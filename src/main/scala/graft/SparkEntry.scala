@@ -78,6 +78,7 @@ object SparkEntry {
       CorpusFilters.contaminationScore(s, dir)),
     "q128_release_pipeline" -> ((s, dir) =>
       CorpusFilters.releasePipeline(s, dir)),
+    "q239_canary_scan" -> ((s, dir) => CorpusFilters.canaryScan(s, dir)),
     "q77_pii_redact" -> ((s, dir) => CorpusFilters.piiRedact(s, dir)),
     "q78_quality_gates" -> ((s, dir) => CorpusFilters.qualityGates(s, dir)),
     "q79_intradoc_repetition" -> ((s, dir) => CorpusFilters.intraDocRepetition(s, dir)),
@@ -371,6 +372,7 @@ object SparkEntry {
     "q76_decontaminate" -> CorpusFilters.decontaminateSql(),
     "q127_contamination_score" -> CorpusFilters.contaminationScoreSql(),
     "q128_release_pipeline" -> CorpusFilters.releasePipelineSql(),
+    "q239_canary_scan" -> CorpusFilters.canaryScanSql(),
     "q77_pii_redact" -> CorpusFilters.piiRedactSql,
     "q78_quality_gates" -> CorpusFilters.qualityGatesSql,
     "q79_intradoc_repetition" -> CorpusFilters.intraDocRepetitionSql(),

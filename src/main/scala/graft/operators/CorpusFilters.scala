@@ -894,4 +894,65 @@ object CorpusFilters {
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |            AS BIGINT) AS cum_tokens
        |FROM banded""".stripMargin
+
+  // ---------------------------------------------------------------- q239
+
+  /** q239 — RAW-SUBSTRING canary scan: the memorization probe that gram
+    * decontamination (q76/q127) cannot express. Gram overlap tokenizes
+    * first, so a match that crosses token boundaries after rewording,
+    * re-punctuation, or partial quotation is invisible to it; canary
+    * methodology instead plants/extracts literal character strings and
+    * scans the corpus for RAW containment. Probes here are deterministic
+    * 40-char slices of every 5th benchmark document (the same md5-nibble
+    * 'f' membership as q76, so "benchmark" means one thing engine-wide);
+    * each probe reports its corpus hit count and the first (min doc_id)
+    * hit, zero-hit probes included — a canary audit's deliverable is the
+    * complete probe table, not just the positives.
+    *
+    * Plan: the probe table is eval-set-sized → broadcast; the corpus
+    * streams ONCE through a broadcast nested-loop join with a codegen'd
+    * `instr` containment predicate, then one probe-keyed aggregate of the
+    * (tiny) hit set. The asymmetry is the same as q76's: nothing big ever
+    * shuffles, cost is corpus_chars · n_probes. At larger probe counts the
+    * scan swaps the per-probe instr loop for one Aho-Corasick automaton
+    * over the broadcast probe set inside a single mapPartitions pass —
+    * same data movement, linear in corpus characters; the BNLJ form IS the
+    * declarative Spark shape of that scan. */
+  def canaryScan(spark: SparkSession, dir: String,
+                 probeLen: Int = 40, every: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val probes = docs.filter(isBenchDoc && col("doc_id") % every === 0)
+      .select(col("doc_id").as("probe_doc_id"),
+        substring(col("text"), 1, probeLen).as("probe"))
+    val hits = Tables.documents(spark, dir).filter(!isBenchDoc)
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(probes), instr(col("text"), col("probe")) >= 1)
+      .groupBy(col("probe_doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("doc_id")).as("first_hit_doc"))
+    probes.select(col("probe_doc_id"))
+      .join(hits, Seq("probe_doc_id"), "left")
+      .select(col("probe_doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_doc"))
+  }
+
+  /** Oracle for [[canaryScan]]: the same slice, containment, and
+    * complete-probe left join — instr/substr agree byte-for-byte across
+    * engines on this ASCII corpus, counts are exact integers. */
+  def canaryScanSql(probeLen: Int = 40, every: Int = 5): String =
+    s"""WITH probes AS (
+       |  SELECT doc_id AS probe_doc_id, substr(text, 1, $probeLen) AS probe
+       |  FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+       |    AND doc_id % $every = 0
+       |), hits AS (
+       |  SELECT p.probe_doc_id, count(*) AS n_hits,
+       |         min(d.doc_id) AS first_hit_doc
+       |  FROM documents d JOIN probes p ON instr(d.text, p.probe) >= 1
+       |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> 'f'
+       |  GROUP BY p.probe_doc_id
+       |)
+       |SELECT p.probe_doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |       h.first_hit_doc
+       |FROM probes p LEFT JOIN hits h USING (probe_doc_id)""".stripMargin
 }

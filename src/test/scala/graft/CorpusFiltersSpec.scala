@@ -481,4 +481,36 @@ class CorpusFiltersSpec extends AnyFunSuite {
       assert(worst >= 1000000L / 5 && worst <= 1000000L)
     }
   }
+
+  test("canary scan: exact 40-char slice probes, complete probe coverage, " +
+    "zero-hit probes null first_hit, non-multiple bench docs emit no probe") {
+    import spark.implicits._
+    // md5-nibble-'f' doc_ids: 44, 49, 65, 80, 100 ... — probes are the %5
+    // multiples (65, 80, 100); 44 is benchmark but NOT a probe.
+    val c65 = "ca65-" * 8   // exactly 40 chars
+    val c80 = "cb80-" * 8
+    val c100 = "cg00-" * 8
+    val tmp = java.nio.file.Files.createTempDirectory("graft-canary")
+    val docs = Seq(
+      (65L, c65 + " trailing context words"),
+      (80L, c80 + " trailing context words"),
+      (100L, c100 + " trailing context words"),
+      (44L, "bench-but-not-a-probe filler filler filler filler"),
+      (1L, "lead-in words " + c65 + " tail"),
+      (2L, c65 + " immediately at the start"),
+      (3L, "xx " + c100 + " yy"),
+      (6L, "no canaries here just filler filler filler filler"))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(
+      new java.io.File(tmp.toFile, "documents.parquet").toString)
+    val got = CorpusFilters.canaryScan(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got.keySet == Set(65L, 80L, 100L)) // 44 is bench, not a probe
+    assert(got(65L) == ((2L, Some(1L))))      // docs 1 and 2; first = 1
+    assert(got(80L) == ((0L, None)))          // zero-hit probe still reported
+    assert(got(100L) == ((1L, Some(3L))))
+  }
 }

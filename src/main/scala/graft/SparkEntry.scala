@@ -57,6 +57,7 @@ object SparkEntry {
     "q120_novelty" -> ((s, dir) => Dedup.noveltyScore(s, dir)),
     "q135_repeated_spans" -> ((s, dir) => Dedup.repeatedSpans(s, dir)),
     "q238_span_scrub" -> ((s, dir) => Dedup.spanScrub(s, dir)),
+    "q240_leakage_safe_split" -> ((s, dir) => Dedup.leakageSafeSplit(s, dir)),
     // Text analysis (documents)
     "q40_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q41_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -339,6 +340,7 @@ object SparkEntry {
     "q120_novelty" -> Dedup.noveltyScoreSql,
     "q135_repeated_spans" -> Dedup.repeatedSpansSql(),
     "q238_span_scrub" -> Dedup.spanScrubSql(),
+    "q240_leakage_safe_split" -> Dedup.leakageSafeSplitSql,
     "q40_text_stats" -> TextAnalysis.textStatsSql,
     "q41_token_count" -> TextAnalysis.tokenCountSql,
     "q42_fingerprint" -> TextAnalysis.fingerprintSql,

@@ -691,6 +691,51 @@ object Dedup {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id, cluster_id FROM cl""".stripMargin
 
+  /** q240 — LEAKAGE-SAFE train/val/test split: q142 AUDITS cross-split
+    * leakage; this is the splitter that prevents it. The naive q47 split
+    * hashes each doc_id independently, so the two halves of a near-dup
+    * pair routinely land in train and test — the leakage q142 measures.
+    * The fix splits on the dedup-CLUSTER representative instead: every doc
+    * inherits `rep_id` = its q35 connected-component label (its own id
+    * when unpaired) and the q47 md5-nibble bucket mapping is applied to
+    * THAT, so an entire near-dup cluster moves as one unit and cross-split
+    * near-dup leakage is structurally zero.
+    *
+    * Plan: one left join of the corpus spine against the session-cached
+    * cluster table (paired docs only — at 100 TB that table is the small
+    * side of the join but not broadcast-small; a doc_id-hash join
+    * co-partitions both), then narrow md5 arithmetic. Deterministic:
+    * same corpus → same split, the property training reproducibility
+    * rests on. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val rep = coalesce(col("cluster_id"), col("doc_id"))
+    val b = Sampling.hexBucket(col("rep_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), rep.as("rep_id"))
+      .withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < "c", "train")
+          .when(col("bucket") < "e", "val").otherwise("test"))
+  }
+
+  /** Oracle for [[leakageSafeSplit]]: the q35 recursive component closure,
+    * the spine left join, and the q47 bucket CASE — all exact string/
+    * integer ops. */
+  val leakageSafeSplitSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT d.doc_id,
+       |       COALESCE(cl.cluster_id, d.doc_id) AS rep_id,
+       |       substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)),
+       |              1, 1) AS bucket,
+       |       CASE WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+       |                               AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |            WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+       |                               AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
+
   /** q134 — canonical-representative selection per near-dup cluster
     * (round 6): production dedup keeps the BEST member of each duplicate
     * cluster, not the arbitrary first — the keeper is the member with the

@@ -517,6 +517,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split (q240): clusters move as one unit, zero " +
+    "cross-split near-dup pairs, singletons keep the naive assignment") {
+    val rows = Dedup.leakageSafeSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    val naive = Sampling.trainValTestSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.keySet == naive.keySet) // complete corpus coverage
+    val clusters = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rep is the component label for paired docs, the doc itself otherwise;
+    // and every member of a cluster carries the cluster's ONE split
+    rows.foreach { case (doc, (rep, split)) =>
+      assert(rep == clusters.getOrElse(doc, doc))
+      assert(split == rows(rep)._2, s"doc $doc split != rep $rep split")
+    }
+    // singletons are assigned exactly as q47 would
+    rows.filterNot { case (doc, _) => clusters.contains(doc) }
+      .foreach { case (doc, (_, split)) => assert(split == naive(doc)) }
+    // the fix must BITE: the q142 leak set is nonempty under the naive
+    // split and empty under this one
+    val pairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) })
+    pairs.foreach { case (a, b) =>
+      assert(rows(a)._2 == rows(b)._2, s"pair ($a,$b) still crosses splits")
+    }
+  }
+
   test("novelty: range, conservation of unique grams, near-dups score low") {
     val out = Dedup.noveltyScore(spark, dir).collect()
     assert(out.nonEmpty)

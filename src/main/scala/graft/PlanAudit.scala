@@ -297,6 +297,19 @@ object PlanAudit {
       // — equi only; the estimate/exact/F1 miniatures ride BNLJ
       "q237_join_size_estimate" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false),
+      // span scrub: gram/canonical/covered stages are hash aggregates and
+      // hash joins only — no per-gram window (the canonical pick is a
+      // struct-min groupBy) and no cartesian anywhere in the rewrite
+      "q238_span_scrub" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false),
+      // canary scan: the probe table must BROADCAST into the nested-loop
+      // containment scan — the corpus side never exchanges before the join
+      "q239_canary_scan" -> Seq("BroadcastNestedLoopJoin" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false),
+      // leakage-safe split: one equi-join against the cluster table plus
+      // narrow md5 arithmetic — no window, no cartesian
+      "q240_leakage_safe_split" -> Seq("CartesianProduct" -> false,
+        "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

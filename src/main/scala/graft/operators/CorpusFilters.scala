@@ -929,8 +929,11 @@ object CorpusFilters {
       .join(broadcast(probes), instr(col("text"), col("probe")) >= 1)
       .groupBy(col("probe_doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("doc_id")).as("first_hit_doc"))
+    // hits ≤ probes = eval-set-sized → broadcast the right side of the
+    // completeness left join (without the hint the pre-AQE plan sort-merges
+    // two miniatures)
     probes.select(col("probe_doc_id"))
-      .join(hits, Seq("probe_doc_id"), "left")
+      .join(broadcast(hits), Seq("probe_doc_id"), "left")
       .select(col("probe_doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("first_hit_doc"))

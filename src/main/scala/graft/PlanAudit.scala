@@ -310,6 +310,10 @@ object PlanAudit {
       // narrow md5 arithmetic — no window, no cartesian
       "q240_leakage_safe_split" -> Seq("CartesianProduct" -> false,
         "Window" -> false),
+      // data card: four source-keyed hash aggregates meeting in broadcast
+      // joins on the 20-row key — never a sort-merge of miniatures
+      "q241_data_card" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -171,6 +171,7 @@ object SparkEntry {
     "q121_salted_agg" -> ((s, dir) => Skew.saltedUserAgg(s, dir)),
     "q119_pit_enrich" -> ((s, dir) => Merge.pitEnrichOrders(s, dir)),
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
+    "q241_data_card" -> ((s, dir) => Profiling.dataCard(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -429,6 +430,7 @@ object SparkEntry {
     // the salted two-phase plan must be indistinguishable from plain GROUP BY
     "q121_salted_agg" -> Skew.saltedUserAggSql,
     "q98_profile" -> Profiling.profileLineitemSql,
+    "q241_data_card" -> Profiling.dataCardSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -545,4 +545,104 @@ object Profiling {
       |JOIN q05 ON q05.source = d.source
       |JOIN q95 ON q95.source = d.source
       |GROUP BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------- q241
+
+  /** q241 — per-source DATA CARD: the release report a training-data team
+    * publishes alongside a corpus drop, fused as ONE plan — per source:
+    * volume (docs, tokens), language mix (distinct langs, dominant lang
+    * with exact-ppm share), duplication exposure (members of q35 near-dup
+    * clusters, ppm), and quality pass rate (q109 keep verdicts, ppm).
+    * Every constituent already exists as its own audited operator; the
+    * card is their composition, and the composition — four aggregates
+    * meeting on a 20-row source key — is what this query gates.
+    *
+    * Plan: the corpus projects once into (doc_id, source, lang, n_words);
+    * four independent source-keyed hash aggregates (volume, language
+    * histogram → struct-argmax dominant, cluster-membership semi-join
+    * count, quality-keep count) meet in broadcast joins on the
+    * source-cardinality key. The cluster and quality inputs are the
+    * session-cached artifacts the dedup/quality families already
+    * maintain — at 100 TB those are persisted tables and this card is one
+    * linear corpus pass plus miniature joins. Exact integers end to end. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"))
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    val langTop = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        max(struct(col("c"), col("lang"))).as("t"))
+      .select(col("source"), col("n_langs"),
+        col("t.lang").as("top_lang"), col("t.c").as("top_c"))
+    val dupCnt = docs
+      .join(Dedup.dedupClusters(spark, dir).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+    val keepCnt = docs
+      .join(TextAnalysis.qualityScores(spark, dir)
+        .select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("keep_docs"))
+    base.join(broadcast(langTop), Seq("source"))
+      .join(broadcast(dupCnt), Seq("source"), "left")
+      .join(broadcast(keepCnt), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("top_lang"),
+        expr("top_c * 1000000 DIV n_docs").as("top_lang_ppm"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        expr("coalesce(dup_docs, 0L) * 1000000 DIV n_docs").as("dup_ppm"),
+        col("keep_docs"),
+        expr("keep_docs * 1000000 DIV n_docs").as("keep_ppm"))
+  }
+
+  /** Oracle for [[dataCard]]: the q35 recursive closure + q109 quality
+    * CTEs compose with the same four aggregates; the dominant-language
+    * struct-argmax replays as row_number ORDER BY c DESC, lang DESC
+    * (identical tie order to the Spark struct-max). Integer ppm via
+    * DuckDB's `//`. */
+  def dataCardSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes}, q AS (
+       |${TextAnalysis.linearQualityScoreSql}
+       |), d AS (
+       |  SELECT doc_id, source, lang,
+       |         len(string_split(text, ' ')) AS n_words
+       |  FROM documents
+       |), base AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_words) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY source
+       |), lc AS (
+       |  SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang
+       |), lt AS (
+       |  SELECT source, n_langs, lang AS top_lang, CAST(c AS BIGINT) AS top_c
+       |  FROM (SELECT source, lang, c,
+       |               CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+       |                 AS n_langs,
+       |               row_number() OVER (PARTITION BY source
+       |                                  ORDER BY c DESC, lang DESC) AS rn
+       |        FROM lc) WHERE rn = 1
+       |), dup AS (
+       |  SELECT DISTINCT doc_id FROM cl
+       |), dc AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS dup_docs
+       |  FROM d JOIN dup USING (doc_id) GROUP BY d.source
+       |), kc AS (
+       |  SELECT d.source,
+       |         CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS keep_docs
+       |  FROM d JOIN q USING (doc_id) GROUP BY d.source
+       |)
+       |SELECT b.source, b.n_docs, b.n_tokens, lt.n_langs, lt.top_lang,
+       |       lt.top_c * 1000000 // b.n_docs AS top_lang_ppm,
+       |       COALESCE(dc.dup_docs, 0) AS dup_docs,
+       |       COALESCE(dc.dup_docs, 0) * 1000000 // b.n_docs AS dup_ppm,
+       |       kc.keep_docs,
+       |       kc.keep_docs * 1000000 // b.n_docs AS keep_ppm
+       |FROM base b JOIN lt USING (source)
+       |LEFT JOIN dc USING (source)
+       |JOIN kc USING (source)""".stripMargin
 }

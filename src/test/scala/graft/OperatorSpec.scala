@@ -545,6 +545,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("data card (q241): conservation across sources, ppm bounds, " +
+    "constituents agree with their own operators") {
+    val card = operators.Profiling.dataCard(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", "lang",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_words").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // complete coverage + doc/token conservation
+    assert(card.keySet == docs.map(_._2).toSet)
+    assert(card.values.map(_._1).sum == docs.length)
+    assert(card.values.map(_._2).sum == docs.map(_._4).sum)
+    val bySrc = docs.groupBy(_._2)
+    val dupDocs = operators.Dedup.dedupClusters(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val keep = operators.TextAnalysis.qualityScores(spark, dir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    card.foreach { case (src, (nDocs, nTok, nLangs, topLang, topPpm,
+                               dup, dupPpm, keepDocs, keepPpm)) =>
+      val mine = bySrc(src)
+      assert(nDocs == mine.length && nTok == mine.map(_._4).sum)
+      val langCnt = mine.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(nLangs == langCnt.size)
+      // struct-argmax: max count, ties to the LARGER lang string
+      val best = langCnt.toSeq.maxBy { case (l, c) => (c, l) }
+      assert(topLang == best._1)
+      assert(topPpm == best._2 * 1000000L / nDocs && topPpm <= 1000000L)
+      assert(dup == mine.count(d => dupDocs.contains(d._1)))
+      assert(dupPpm == dup * 1000000L / nDocs && dup <= nDocs)
+      assert(keepDocs == mine.count(d => keep(d._1)))
+      assert(keepPpm == keepDocs * 1000000L / nDocs)
+    }
+  }
+
   test("novelty: range, conservation of unique grams, near-dups score low") {
     val out = Dedup.noveltyScore(spark, dir).collect()
     assert(out.nonEmpty)

@@ -463,13 +463,15 @@ object Relational {
   }
 
   /** Lower median of `valCol` per `grp` — [[crossingMedian]] with unit
-    * weights. 32 range partitions (vs the weighted-median default 8): q116
-    * runs this over the full 600k-row lineitem twice, and the in-partition
-    * window stage is the critical path — its parallelism IS the partition
-    * count. Result is partition-count invariant (spec-pinned). */
+    * weights. 16 range partitions: a round-8 sweep at sf0.1 measured
+    * 8/16/32 within noise of each other (3.2/3.1/3.5 s for the whole
+    * q116 — the localCheckpoint materialization and the two full passes
+    * dominate, not window parallelism), so this sits at the middle knob;
+    * at cluster scale the count follows data volume. Result is
+    * partition-count invariant (spec-pinned). */
   private def lowerMedian(df: DataFrame, grp: String, valCol: String,
                           out: String): DataFrame =
-    crossingMedian(df, grp, valCol, lit(1L), out, partitions = 32).drop("__tot")
+    crossingMedian(df, grp, valCol, lit(1L), out, partitions = 16).drop("__tot")
 
   /** q116 — robust scaling (median / MAD), the outlier-immune scaler a
     * quality pipeline uses where the z-score's mean/σ are skew-fragile:

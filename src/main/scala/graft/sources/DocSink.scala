@@ -171,7 +171,11 @@ object DocSinkQueries {
     src.write.format("graft.sources.DocSink")
       .option("path", out.toString).mode("overwrite").save()
 
-    val files = spark.read.text(s"$out/part-*")
+    // read the DIRECTORY, not a part-* glob: Spark's file source skips
+    // underscore-prefixed paths (the _MANIFEST marker and _tmp staging dir)
+    // by contract, and the literal-glob stat in FileStreamSink.hasMetadata
+    // dumps a spurious WARN stack per run on the pattern path
+    val files = spark.read.text(out.toString)
       .select(split(col("value"), ",").as("f"))
       .select(element_at(col("f"), 1).cast("long").as("doc_id"),
         element_at(col("f"), 2).cast("long").as("bucket"),

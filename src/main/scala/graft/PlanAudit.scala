@@ -314,6 +314,11 @@ object PlanAudit {
       // joins on the 20-row key — never a sort-merge of miniatures
       "q241_data_card" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false),
+      // PQ ADC: the 16-row codebook and the 640-row query distance table
+      // broadcast; the ADC lookup is a broadcast hash join on (s, cid);
+      // nothing data-sized ever cartesians or sort-merges
+      "q242_pq_adc" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

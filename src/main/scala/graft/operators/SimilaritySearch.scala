@@ -992,4 +992,172 @@ object SimilaritySearch {
        |         - 2.0 * sqrt(CAST(s.sn * s.scq2 - s.scq * s.scq AS DOUBLE)
        |                      / CAST(s.sn * s.sn AS DOUBLE)) AS is_outlier
        |FROM cq c JOIN stats s USING (label)""".stripMargin
+
+  // ---------------------------------------------------------------- q242
+
+  /** The q58 int8 lattice as an ARRAY column — shared input for the PQ
+    * tier. Same 64×2 min/max stats collect (a bounded model constant,
+    * q58's own precedent) and the identical rounding law, so the lattice
+    * is the one the q58/q170 oracles already prove cross-engine exact. */
+  private[graft] def int8CodedArray(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
+      .groupBy(col("pos")).agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+      .orderBy(col("pos")).collect()
+    val lo = array(dims.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val hi = array(dims.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    val q = transform(sequence(lit(0), lit(dims.length - 1)), i => {
+      val x = element_at(v, i + 1)
+      val l = element_at(lo, i + 1)
+      val h = element_at(hi, i + 1)
+      when(h > l,
+        (round((x - l) / (h - l) * 255.0) - 128.0).cast(LongType))
+        .otherwise(lit(0L))
+    })
+    Tables.embeddings(spark, dir).select(col("vec_id"), q.as("codes"))
+  }
+
+  /** Squared-L2 between positions `s·dsub+1 … s·dsub+dsub` of two int8
+    * arrays — a STATIC dsub-term codegen sum, no HOF lambda. */
+  private def subDist(a: Column, b: Column, s: Column, dsub: Int): Column =
+    (1 to dsub).map { j =>
+      val ia = element_at(a, (s * dsub + j).cast(IntegerType))
+      val ib = element_at(b, (s * dsub + j).cast(IntegerType))
+      (ia - ib) * (ia - ib)
+    }.reduce(_ + _)
+
+  /** q242 — PRODUCT-QUANTIZATION ADC retrieval: the compressed-index tier
+    * completing the ANN ladder (brute force → sign-LSH → IVF → int8 →
+    * PQ). Vectors live on the q58 int8 lattice; each splits into `m`
+    * subspaces of `dsub` dims; per subspace every vector stores only the
+    * id of its nearest codebook entry (`m` bytes per vector vs 4·d for
+    * floats — the PQ memory argument). A query scans CODES, never
+    * vectors: its per-(subspace, code) distance table is built once
+    * (m·ncodes rows) and the asymmetric-distance sum is pure integer
+    * table lookups.
+    *
+    * Codebook: the `ncodes` vectors with smallest (md5(vec_id), vec_id) —
+    * a content-addressed SAMPLED codebook (deterministic, oracle-
+    * derivable; a trained per-subspace k-means drops in via the IVF
+    * captured-literal mechanism without changing any downstream shape).
+    * Everything after the q58 lattice is INTEGER arithmetic: encode
+    * distances, ADC sums, and ranks are exact on both engines — like
+    * q170, ties are structurally impossible to misorder.
+    *
+    * Scale: encode = corpus × (m·ncodes) narrow distance terms + ONE
+    * (vec_id, subspace)-keyed argmin aggregate; the codebook and the
+    * query distance table broadcast; ADC re-aggregates on (query, vec)
+    * with integer sums (order-independent). Nothing data-sized sorts;
+    * the per-query window ranks the already-aggregated candidate set
+    * (q170's accepted shape at this query count). */
+  def pqAdcTopK(spark: SparkSession, dir: String,
+                nQueries: Int = 5, k: Int = 10,
+                m: Int = 8, ncodes: Int = 16): DataFrame = {
+    val coded = int8CodedArray(spark, dir)
+    val anchors = coded
+      .withColumn("h", md5(col("vec_id").cast(StringType)))
+      .orderBy(col("h"), col("vec_id")).limit(ncodes)
+      .select(col("vec_id"), col("codes")).collect()
+      .sortBy(r => (md5Hex(r.getLong(0)), r.getLong(0)))
+    val dsub = anchors.head.getSeq[Long](1).length / m
+    val anchorRows = anchors.zipWithIndex.map { case (r, cid) =>
+      (cid.toLong, r.getSeq[Long](1))
+    }.toSeq
+    val anchorDf = spark.createDataFrame(anchorRows).toDF("cid", "acodes")
+    val subs = coded.select(col("vec_id"), col("codes"),
+      explode(sequence(lit(0), lit(m - 1))).as("s"))
+    val codesT = subs.crossJoin(broadcast(anchorDf))
+      .withColumn("d", subDist(col("codes"), col("acodes"), col("s"), dsub))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("s"), col("b.cid").as("cid"))
+    val qd = coded.orderBy(col("vec_id")).limit(nQueries)
+      .toDF("query_id", "qcodes")
+      .select(col("query_id"), col("qcodes"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .crossJoin(broadcast(anchorDf))
+      .select(col("query_id"), col("s"), col("cid"),
+        subDist(col("qcodes"), col("acodes"), col("s"), dsub).as("qdist"))
+    val adc = codesT.join(broadcast(qd), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc"), col("rk").cast(LongType).as("rk"))
+  }
+
+  private def md5Hex(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Oracle for [[pqAdcTopK]]: the q58 lattice CTEs, the md5-ordered
+    * anchor sample, the same static `dsub`-term integer distances, the
+    * row_number argmin (identical (d, cid) tie order to the struct-min),
+    * and the integer ADC sum — hash-exact end to end. */
+  def pqAdcTopKSql(nQueries: Int = 5, k: Int = 10,
+                   m: Int = 8, dsub: Int = 8, ncodes: Int = 16): String = {
+    def terms(a: String, b: String) = (1 to dsub).map { j =>
+      s"($a[s * $dsub + $j] - $b[s * $dsub + $j])" +
+        s" * ($a[s * $dsub + $j] - $b[s * $dsub + $j])"
+    }.mkString(" + ")
+    s"""WITH dims AS (
+       |  SELECT i AS pos, min(v[i]) AS lo, max(v[i]) AS hi
+       |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |       unnest(range(1, len(v) + 1)) AS r(i)
+       |  GROUP BY i
+       |), model AS (
+       |  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+       |  FROM dims
+       |), coded AS (
+       |  SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
+       |           CASE WHEN his[i] > los[i]
+       |                THEN CAST(round((v[i] - los[i]) / (his[i] - los[i])
+       |                          * 255.0) - 128.0 AS BIGINT)
+       |                ELSE 0 END) AS codes
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings),
+       |       model
+       |), anchors AS (
+       |  SELECT rn - 1 AS cid, codes FROM (
+       |    SELECT codes, row_number() OVER (
+       |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM coded) WHERE rn <= $ncodes
+       |), ss AS (SELECT unnest(range($m)) AS s
+       |), cd AS (
+       |  SELECT v.vec_id, ss.s, a.cid,
+       |         ${terms("v.codes", "a.codes")} AS d
+       |  FROM coded v, ss, anchors a
+       |), codes_t AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT vec_id, s, cid,
+       |           row_number() OVER (PARTITION BY vec_id, s
+       |                              ORDER BY d, cid) AS rn
+       |    FROM cd) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, codes AS qcodes FROM coded
+       |  ORDER BY vec_id LIMIT $nQueries
+       |), qd AS (
+       |  SELECT q.query_id, ss.s, a.cid,
+       |         ${terms("q.qcodes", "a.codes")} AS qdist
+       |  FROM q, ss, anchors a
+       |), adc AS (
+       |  SELECT qd.query_id, ct.vec_id AS neighbor_id,
+       |         CAST(sum(qd.qdist) AS BIGINT) AS adc
+       |  FROM codes_t ct JOIN qd ON ct.s = qd.s AND ct.cid = qd.cid
+       |  WHERE ct.vec_id <> qd.query_id
+       |  GROUP BY qd.query_id, ct.vec_id
+       |)
+       |SELECT query_id, neighbor_id, adc, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY adc, neighbor_id) AS rk
+       |  FROM adc)
+       |WHERE rk <= $k""".stripMargin
+  }
 }

@@ -1056,19 +1056,33 @@ object Dedup {
     *     window key is high-cardinality — partitions with the data);
     *  6. left join onto per-doc token counts for total coverage.
     */
+  /** Session-cached positional k-gram frame (doc_id, pos, gram) over the
+    * dir's documents — the shared input of the q135 span map and the q238
+    * span scrub (both walk the identical exploded gram stream; at scale
+    * this is ONE persisted exploded table serving every ExactSubstr
+    * consumer). */
+  private def posGrams(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.CacheRegistry.cached(spark, s"posgrams:$k:$dir")(
+      withWords(Tables.documents(spark, dir)).select(col("doc_id"),
+        posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram"))))
+
   def repeatedSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    repeatedSpansOn(Tables.documents(spark, dir), k)
+    repeatedSpansOn(Tables.documents(spark, dir), k,
+      Some(posGrams(spark, dir, k)))
 
   /** [[repeatedSpans]] over an arbitrary (doc_id, text) frame — library
-    * form, and the fixture entry the spec pins span boundaries with. */
-  def repeatedSpansOn(docs: DataFrame, k: Int = 5): DataFrame = {
+    * form, and the fixture entry the spec pins span boundaries with.
+    * `sharedGrams` lets the dir-level entry reuse the session-cached
+    * positional-gram artifact instead of re-exploding. */
+  def repeatedSpansOn(docs: DataFrame, k: Int = 5,
+                      sharedGrams: Option[DataFrame] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
     val words = withWords(docs)
     val tokens = words.select(col("doc_id"),
       size(col("ws")).cast(LongType).as("n_tokens"))
-    val grams = words.select(col("doc_id"),
-      posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram")))
+    val grams = sharedGrams.getOrElse(words.select(col("doc_id"),
+      posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram"))))
     val dup = grams.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("gram"))
@@ -1175,14 +1189,17 @@ object Dedup {
     *
     * Output: (doc_id, n_tokens, n_removed, cleaned_text). */
   def spanScrub(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    spanScrubOn(Tables.documents(spark, dir), k)
+    spanScrubOn(Tables.documents(spark, dir), k,
+      Some(posGrams(spark, dir, k)))
 
   /** [[spanScrub]] over an arbitrary (doc_id, text) frame — library form,
-    * and the fixture entry SpanScrubSpec pins exact rewrites with. */
-  def spanScrubOn(docs: DataFrame, k: Int = 5): DataFrame = {
+    * and the fixture entry SpanScrubSpec pins exact rewrites with.
+    * `sharedGrams` as in [[repeatedSpansOn]]. */
+  def spanScrubOn(docs: DataFrame, k: Int = 5,
+                  sharedGrams: Option[DataFrame] = None): DataFrame = {
     val words = withWords(docs)
-    val grams = words.select(col("doc_id"),
-      posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram")))
+    val grams = sharedGrams.getOrElse(words.select(col("doc_id"),
+      posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram"))))
     val dup = grams.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("gram"))

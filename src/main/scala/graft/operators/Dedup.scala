@@ -1173,7 +1173,12 @@ object Dedup {
     * occurrences inside the canonical document — is scrubbed, its k token
     * positions unioned into the doc's removal set; the cleaned text is the
     * surviving tokens re-joined in position order (empty string when a doc
-    * is fully covered).
+    * is fully covered). The removal-set union is the contract — a
+    * canonical occurrence is exempt from ITS OWN gram's scrub but may
+    * still lose tokens to an overlapping non-canonical occurrence of a
+    * DIFFERENT duplicated gram (PropertySpec pins the exact removal-set
+    * equality on random corpora, which is how that interaction was
+    * surfaced).
     *
     * Plan: positional grams (shared shape with [[repeatedSpansOn]]) → df≥2
     * lexicon (hash agg on `gram`) → canonical pick as ONE struct-min

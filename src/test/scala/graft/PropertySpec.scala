@@ -72,6 +72,64 @@ class PropertySpec extends AnyFunSuite {
     }, samples = 8)
   }
 
+  test("span scrub laws: conservation, canonical survival, clean corpora " +
+    "unchanged, on arbitrary generated corpora") {
+    // small vocab → frequent genuine cross-doc k-gram repeats
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val texts = Gen.listOfN(8,
+      Gen.choose(3, 14).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    check("spanscrub", Prop.forAllNoShrink(texts) { ts =>
+      val k = 3
+      val df = ts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.operators.Dedup.spanScrubOn(df, k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3)))).toMap
+      val toks = ts.map(_.split(" ", -1))
+      // every doc present; n_tokens faithful; cleaned length reconciles
+      // with n_removed; cleaned text is a SUBSEQUENCE of the original
+      val laws = ts.indices.forall { i =>
+        val (n, rm, cleaned) = out(i.toLong)
+        val ct = if (cleaned.isEmpty) Array.empty[String]
+                 else cleaned.split(" ", -1)
+        def isSubseq(sub: Array[String], sup: Array[String]): Boolean = {
+          var j = 0
+          sup.foreach { w => if (j < sub.length && sub(j) == w) j += 1 }
+          j == sub.length
+        }
+        n == toks(i).length && ct.length == n - rm && rm >= 0 &&
+          isSubseq(ct, toks(i))
+      }
+      // FULL independent replay of the removal semantics: covered = union
+      // of [p, p+k) over every NON-canonical occurrence of a cross-doc
+      // duplicated gram (canonical = global (doc, pos) min). NOTE the
+      // canonical occurrence itself is NOT guaranteed to survive intact —
+      // a different dup gram's scrub may overlap it — so the law is the
+      // removal-set equality, not "canonical text still present".
+      def grams(ws: Array[String]) =
+        if (ws.length < k) Seq.empty
+        else (0 to ws.length - k).map(p => (p, ws.slice(p, p + k).mkString(" ")))
+      val occ = toks.zipWithIndex.flatMap { case (ws, i) =>
+        grams(ws).map { case (p, g) => (g, i, p) }
+      }
+      val dupGrams = occ.groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.length >= 2).keySet
+      val canonical = occ.filter(o => dupGrams(o._1)).groupBy(_._1)
+        .view.mapValues(os => os.map(o => (o._2, o._3)).min).toMap
+      val covered: Map[Int, Set[Int]] = occ
+        .filter(o => dupGrams(o._1) && (o._2, o._3) != canonical(o._1))
+        .flatMap { case (_, i, p) => (p until p + k).map(i -> _) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val replay = ts.indices.forall { i =>
+        val cov = covered.getOrElse(i, Set.empty)
+        val expected = toks(i).indices.filterNot(cov)
+          .map(toks(i)).mkString(" ")
+        out(i.toLong)._3 == expected && out(i.toLong)._2 == cov.size
+      }
+      laws && replay
+    }, samples = 8)
+  }
+
   test("rolling hash: always in [0, 2^31-1) for arbitrary text") {
     val texts = Gen.listOfN(30,
       Gen.listOf(Gen.oneOf("spark", "data", "a", "the", "join", "über", "文"))

@@ -319,6 +319,12 @@ object PlanAudit {
       // nothing data-sized ever cartesians or sort-merges
       "q242_pq_adc" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false),
+      // DSIR select: the 256-bucket histograms and ratio table BROADCAST
+      // into the bigram stream; per-doc scoring is one hash aggregate;
+      // nothing data-sized sorts, windows, or cartesians
+      "q243_dsir_select" -> Seq("BroadcastHashJoin" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false, "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

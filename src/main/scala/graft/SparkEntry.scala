@@ -173,6 +173,7 @@ object SparkEntry {
     "q98_profile" -> ((s, dir) => Profiling.profileLineitem(s, dir)),
     "q241_data_card" -> ((s, dir) => Profiling.dataCard(s, dir)),
     "q242_pq_adc" -> ((s, dir) => SimilaritySearch.pqAdcTopK(s, dir)),
+    "q243_dsir_select" -> ((s, dir) => Sampling.dsirSelect(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -433,6 +434,7 @@ object SparkEntry {
     "q98_profile" -> Profiling.profileLineitemSql,
     "q241_data_card" -> Profiling.dataCardSql,
     "q242_pq_adc" -> SimilaritySearch.pqAdcTopKSql(),
+    "q243_dsir_select" -> Sampling.dsirSelectSql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -621,4 +621,112 @@ object Sampling {
        |       CAST(sum(w * cents) AS BIGINT) AS total_cents
        |FROM w GROUP BY rep""".stripMargin
   }
+
+  // ------------------------------------------------ DSIR importance select
+
+  /** q243 — DSIR-style data selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): pick raw-pool docs
+    * that LOOK LIKE a target domain, scored on cheap hashed n-gram
+    * features instead of a model. Here the target distribution is the
+    * `target` source's docs; every other source is the raw pool.
+    *
+    *  1. FEATURES — each bigram hashes to one of 256 buckets (first two
+    *     md5 hex chars), the paper's hashed-feature trick: the histogram
+    *     stays fixed-width no matter how big the vocabulary gets.
+    *  2. HISTOGRAMS — bucket counts over the target's bigrams and the raw
+    *     pool's bigrams, add-one smoothed over all 256 buckets so unseen
+    *     buckets never divide by zero.
+    *  3. IMPORTANCE — per-bucket ratio p_target(b)/p_raw(b) in e6 fixed
+    *     point: `ct*nr*1e6 DIV (cr*nt)` — pure BIGINT, so the DuckDB
+    *     oracle reproduces every digit (the paper's log-ratio sum is
+    *     replaced by the ratio MEAN over the doc's tokens: same
+    *     "target-like tokens score high" ordering, zero float drift).
+    *  4. RESAMPLE — content-addressed Bernoulli acceptance with
+    *     probability score/max_score: keep iff u32·smax < score·2^32,
+    *     u32 the doc's md5 variate ([[hashUnit]]'s integer form). Exact
+    *     integer compare; rerun-, retry- and partitioning-stable.
+    *
+    * Scale shape: the bigram stream is a narrow map off the scan (the
+    * materialized-words HOF discipline of `bigramSurprisal`); both
+    * histograms aggregate to ≤256 rows and BROADCAST; per-doc scoring is
+    * ONE shuffle (doc_id aggregate); smax is a broadcast scalar. At
+    * 100 TB the corpus is read once for features and once for the target
+    * histogram (the target slice is tiny by construction), and nothing
+    * data-sized ever sorts, windows, or cartesians. */
+  def dsirSelect(spark: SparkSession, dir: String,
+                 target: String = "src0"): DataFrame = {
+    val ws = col("ws")
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), size(ws) - 2),
+          i => substring(md5(concat(element_at(ws, i + 1), lit(" "),
+            element_at(ws, i + 2))), 1, 2))).as("bucket"))
+
+    val allBuckets = spark.range(256)
+      .select(format_string("%02x", col("id")).as("bucket"))
+    def smoothed(side: DataFrame, as: String): DataFrame =
+      allBuckets.join(
+          broadcast(side.groupBy(col("bucket")).agg(count(lit(1)).as("c"))),
+          Seq("bucket"), "left")
+        .select(col("bucket"), (coalesce(col("c"), lit(0L)) + 1L).as(as))
+    val tHist = smoothed(bigrams.filter(col("source") === target), "ct")
+    val rHist = smoothed(bigrams.filter(col("source") =!= target), "cr")
+    val ratios = tHist.join(broadcast(rHist), Seq("bucket"))
+      .crossJoin(broadcast(tHist.agg(sum(col("ct")).as("nt"))))
+      .crossJoin(broadcast(rHist.agg(sum(col("cr")).as("nr"))))
+      .select(col("bucket"),
+        expr("ct * nr * 1000000 DIV (cr * nt)").as("ratio_e6"))
+
+    val scores = bigrams.filter(col("source") =!= target)
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_e6")).as("sum_r"))
+      .select(col("doc_id"), col("source"),
+        expr("sum_r DIV n_tokens").as("score_e6"))
+    scores
+      .crossJoin(broadcast(scores.agg(max(col("score_e6")).as("smax"))))
+      .select(col("doc_id"), col("source"), col("score_e6"),
+        (hashU32(col("doc_id")) * col("smax") <
+          col("score_e6") * lit(4294967296L)).as("kept"))
+  }
+
+  def dsirSelectSql(target: String = "src0"): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), bg AS (
+       |  SELECT doc_id, source,
+       |         substr(md5(w[i + 1] || ' ' || w[i + 2]), 1, 2) AS bucket
+       |  FROM (SELECT doc_id, source, w, unnest(range(len(w) - 1)) AS i
+       |        FROM ws)
+       |), buckets AS (SELECT printf('%02x', i) AS bucket FROM range(256) t(i)
+       |), th AS (
+       |  SELECT bucket, CAST(coalesce(c, 0) + 1 AS BIGINT) AS ct
+       |  FROM buckets LEFT JOIN (
+       |    SELECT bucket, count(*) AS c FROM bg
+       |    WHERE source = '$target' GROUP BY bucket) USING (bucket)
+       |), rh AS (
+       |  SELECT bucket, CAST(coalesce(c, 0) + 1 AS BIGINT) AS cr
+       |  FROM buckets LEFT JOIN (
+       |    SELECT bucket, count(*) AS c FROM bg
+       |    WHERE source <> '$target' GROUP BY bucket) USING (bucket)
+       |), ratios AS (
+       |  SELECT bucket,
+       |         CAST(ct * CAST((SELECT sum(cr) FROM rh) AS BIGINT) * 1000000
+       |           // (cr * CAST((SELECT sum(ct) FROM th) AS BIGINT))
+       |           AS BIGINT) AS ratio_e6
+       |  FROM th JOIN rh USING (bucket)
+       |), scores AS (
+       |  SELECT doc_id, source,
+       |         CAST(sum(ratio_e6) // count(*) AS BIGINT) AS score_e6
+       |  FROM bg JOIN ratios USING (bucket)
+       |  WHERE source <> '$target'
+       |  GROUP BY doc_id, source)
+       |SELECT doc_id, source, score_e6,
+       |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |         * (SELECT max(score_e6) FROM scores)
+       |         < score_e6 * 4294967296 AS kept
+       |FROM scores""".stripMargin
 }

@@ -111,6 +111,54 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR select replays exactly from first principles") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def buckets(text: String): Seq[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(p => md5hex(p(0) + " " + p(1)).take(2)).toSeq
+    }
+    val target = "src0"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ct = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cr = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, src, text) =>
+      val h = if (src == target) ct else cr
+      buckets(text).foreach(b => h(b) += 1)
+    }
+    val all = (0 until 256).map(i => f"$i%02x")
+    val nt = all.map(ct(_) + 1).sum
+    val nr = all.map(cr(_) + 1).sum
+    val ratio = all.map(b =>
+      b -> (ct(b) + 1) * nr * 1000000L / ((cr(b) + 1) * nt)).toMap
+    val scored = docs.filter(_._2 != target).flatMap { case (id, src, text) =>
+      val bs = buckets(text)
+      if (bs.isEmpty) None else Some((id, src, bs.map(ratio).sum / bs.length))
+    }
+    val smax = scored.map(_._3).max
+    val expected = scored.map { case (id, src, s) =>
+      val u32 = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16)
+      (id, src, s, u32 * smax < s * 4294967296L)
+    }.toSet
+    val got = Sampling.dsirSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == expected)
+    // the resample is genuinely selective, and acceptance is score-biased:
+    // kept docs must average a higher importance score than the pool
+    val kept = got.filter(_._4)
+    assert(kept.nonEmpty && kept.size < got.size)
+    val keptMean = kept.map(_._3).sum.toDouble / kept.size
+    val poolMean = got.map(_._3).sum.toDouble / got.size
+    assert(keptMean > poolMean,
+      s"kept mean $keptMean not above pool mean $poolMean")
+  }
+
   test("mixture rebalance equalizes language counts at ~min lang size") {
     val docs = Tables.documents(spark, dir)
     val minN = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)

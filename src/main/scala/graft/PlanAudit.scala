@@ -325,6 +325,12 @@ object PlanAudit {
       "q243_dsir_select" -> Seq("BroadcastHashJoin" -> true,
         "HashAggregate" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // postings index: two chained aggregates (term,doc) → (term,shard);
+      // both delta encodings are in-row array transforms — NO window, no
+      // join of any kind anywhere in the build
+      "q244_postings_index" -> Seq("CartesianProduct" -> false,
+        "Window" -> false, "SortMergeJoin" -> false,
+        "BroadcastHashJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

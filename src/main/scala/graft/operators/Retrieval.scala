@@ -305,4 +305,89 @@ object Retrieval {
        |)
        |SELECT vec_id, round(cos_raw, 6) AS cosine FROM scored
        |ORDER BY cos_raw DESC, vec_id LIMIT $k""".stripMargin
+
+  // ----------------------------------------------- positional postings
+
+  /** q244 — sharded positional inverted index: the batch index-build that
+    * feeds [[bm25]]-style scoring (and phrase queries) at corpus scale.
+    * One output row per (term, shard) holding the classic compressed
+    * posting list: doc count, collection frequency, and a text-encoded
+    * list of `docGap:tf:posDeltas` entries — doc ids delta-encoded in
+    * ascending order, in-doc positions delta-encoded ascending (first
+    * value absolute), exactly the gap encoding real indexes feed to
+    * varint/PForDelta compression.
+    *
+    * SHARDING is the 100 TB design choice: postings are split into
+    * `shards` buckets by `doc_id % shards` — a DOCUMENT-partitioned
+    * ("local") index. A term-partitioned index puts a stopword's entire
+    * posting list in one row/task (unboundedly hot at corpus scale);
+    * document sharding caps every list at its shard's corpus slice, keeps
+    * the build a pair of combiner-friendly hash aggregates, and serves
+    * queries by fanning out to all shards in parallel — the standard
+    * web-search trade (build throughput + bounded rows over single-lookup
+    * term locality).
+    *
+    * Plan shape: posexplode off the scan; level 1 aggregates (term,
+    * doc_id) — map-side combinable; level 2 aggregates (term, shard).
+    * NO windows: both delta encodings are array `transform`s with an
+    * index lambda over the sorted collect, so gap math happens inside a
+    * row, not across one (the per-group-window trap grouped medians
+    * avoid; group size is bounded by the in-doc term count at level 1
+    * and the shard slice at level 2 — documented collects, not
+    * driver-side ones). */
+  def postingsIndex(spark: SparkSession, dir: String,
+                    shards: Int = 4): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")))
+      .toDF("doc_id", "pos", "term")
+    val perDoc = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("term"), col("doc_id"), col("tf"),
+        array_join(transform(col("ps"), (p, i) =>
+          (p - when(i === 0, lit(0)).otherwise(element_at(col("ps"), i)))
+            .cast(StringType)), ",").as("pos_str"))
+    perDoc
+      .withColumn("shard", col("doc_id") % shards)
+      .groupBy(col("term"), col("shard"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf"),
+          col("pos_str")))).as("plist"))
+      .select(col("term"), col("shard"), col("df"), col("cf"),
+        array_join(transform(col("plist"), (x, i) =>
+          concat((x.getField("doc_id") - when(i === 0, lit(0L))
+            .otherwise(element_at(col("plist"), i).getField("doc_id")))
+            .cast(StringType),
+            lit(":"), x.getField("tf").cast(StringType),
+            lit(":"), x.getField("pos_str"))), " ").as("postings"))
+  }
+
+  def postingsIndexSql(shards: Int = 4): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), tok AS (
+       |  SELECT doc_id, ws[i + 1] AS term, i AS pos
+       |  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w)
+       |), l1 AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       |         string_agg(CAST(delta AS VARCHAR), ',' ORDER BY pos)
+       |           AS pos_str
+       |  FROM (SELECT term, doc_id, pos,
+       |          pos - coalesce(lag(pos) OVER (
+       |            PARTITION BY term, doc_id ORDER BY pos), 0) AS delta
+       |        FROM tok)
+       |  GROUP BY term, doc_id
+       |), l2 AS (
+       |  SELECT term, doc_id % $shards AS shard, doc_id, tf, pos_str,
+       |         doc_id - coalesce(lag(doc_id) OVER (
+       |           PARTITION BY term, doc_id % $shards ORDER BY doc_id), 0)
+       |           AS gap
+       |  FROM l1)
+       |SELECT term, CAST(shard AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS df,
+       |       CAST(sum(tf) AS BIGINT) AS cf,
+       |       string_agg(CAST(gap AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+       |                    || ':' || pos_str, ' ' ORDER BY doc_id)
+       |         AS postings
+       |FROM l2 GROUP BY term, shard""".stripMargin
 }

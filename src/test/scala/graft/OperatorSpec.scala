@@ -3021,4 +3021,50 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getBoolean(6), "bound flag must hold at this scale")
     }
   }
+
+  test("q244 postings index: rebuilds from first principles, gaps decode " +
+    "back to the exact doc and position sets") {
+    val shards = 4
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .toSeq.map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    // expected index, built naively driver-side
+    val expected = docs.flatMap { case (id, ws) =>
+      ws.zipWithIndex.map { case (w, p) => (w, id, p.toLong) }
+    }.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((term, id), occ) =>
+        val ps = occ.map(_._3).sorted
+        val deltas = ps.head +: ps.sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+        (term, id, ps.length.toLong, deltas.mkString(","))
+      }
+      .groupBy { case (term, id, _, _) => (term, id % shards) }
+      .map { case ((term, shard), entries) =>
+        val byDoc = entries.sortBy(_._2)
+        val gaps = byDoc.head._2 +:
+          byDoc.map(_._2).sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+        val postings = byDoc.zip(gaps)
+          .map { case ((_, _, tf, posStr), g) => s"$g:$tf:$posStr" }
+          .mkString(" ")
+        (term, shard, byDoc.size.toLong, byDoc.map(_._3).sum, postings)
+      }.toSet
+    val got = Retrieval.postingsIndex(spark, dir, shards).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == expected)
+    // decode law: per term, Σ_shards df == #docs containing the term, and
+    // each shard's doc-gap prefix sums land on ids ≡ shard (mod shards)
+    got.groupBy(_._1).foreach { case (term, rows) =>
+      val totalDf = rows.toSeq.map(_._3).sum
+      assert(totalDf == docs.count(_._2.contains(term)), term)
+      rows.foreach { case (_, shard, df, _, postings) =>
+        val entries = postings.split(" ")
+        assert(entries.length == df)
+        var docId = 0L
+        entries.foreach { e =>
+          docId += e.split(":")(0).toLong
+          assert(docId % shards == shard, s"$term/$shard")
+        }
+      }
+    }
+  }
 }

@@ -331,6 +331,12 @@ object PlanAudit {
       "q244_postings_index" -> Seq("CartesianProduct" -> false,
         "Window" -> false, "SortMergeJoin" -> false,
         "BroadcastHashJoin" -> false),
+      // grouped OLS: ONE hash aggregate (map-side combinable sufficient
+      // stats) + constant-time per-group solve — no join, window, or
+      // second pass anywhere
+      "q245_grouped_ols" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -1575,4 +1575,87 @@ object Relational {
       |FROM r CROSS JOIN ks
       |WHERE cum * 10 >= ks.k * n
       |GROUP BY flag, ks.k""".stripMargin
+
+  // ----------------------------------------------- grouped OLS regression
+
+  /** q245 — grouped linear regression by SUFFICIENT STATISTICS: per return
+    * flag, fit `price_dollars ≈ slope·quantity + intercept` and report the
+    * fit quality (R²). The distributed-ML shape that matters at 100 TB:
+    * closed-form OLS needs only the six sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) — ONE map-side-combinable hash aggregate,
+    * one |groups|-row shuffle, and a per-group constant-time solve. No
+    * gradient iterations, no driver-side matrix, no second pass. The same
+    * one-pass moment discipline as the PCA gate (`Spectral.scala`),
+    * specialized to the regression everyone actually runs in a profiler.
+    *
+    * Exactness: y is integer dollars derived from exact cents
+    * (`round(price·100) DIV 100` — never `round(price)`, whose half-dollar
+    * ties the two engines may round differently), x integer quantity; the
+    * centered moments `cxy/cxx/cyy = n·Σab − Σa·Σb` are
+    * computed in DECIMAL(38,0) (DuckDB HUGEINT — the q141 cast precedent)
+    * so nothing overflows through sf1; slope/intercept quantize to e3 and
+    * R² to e4 (basis points) by truncating division, which both engines
+    * define identically toward zero (checked: Spark `DIV` and DuckDB `//`
+    * both give −7/2 = −3). `slope_e3` is computed once and REUSED in the
+    * intercept projection (the rendezvous double-hash lesson — never
+    * recompute a truncated quantity and hope the two copies agree).
+    * R²'s numerator `cxy²·10⁴` stays ≤ ~1e37 at sf0.1 — inside both
+    * DECIMAL(38) and HUGEINT; at sf≥1 drop the R² scale a decade
+    * (documented, not silently lossy). */
+  def groupedOls(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast(LongType).as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100").as("y"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    s.select(col("flag"), col("n"), col("sx"), col("sy"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+          .as("cxy"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("cxx"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy")
+          .as("cyy"))
+      .select(col("flag"), col("n"), col("sx"), col("sy"),
+        col("cxy"), col("cxx"), col("cyy"),
+        expr("cxy * 1000 DIV cxx").as("slope_e3"))
+      .select(col("flag"), col("n"), col("slope_e3"),
+        expr("(sy * 1000 - slope_e3 * sx) DIV n").as("intercept_e3"),
+        expr("cxy * cxy * 10000 DIV (cxx * cyy)").as("r2_e4"))
+  }
+
+  val groupedOlsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+      |         CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) // 100)) AS BIGINT)
+      |           AS sy,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)
+      |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+      |         CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS HUGEINT)
+      |                  * (CAST(round(l_extendedprice * 100) AS BIGINT) // 100)) AS HUGEINT)
+      |           AS syy,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)
+      |                  * (CAST(round(l_extendedprice * 100) AS BIGINT) // 100)) AS BIGINT)
+      |           AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |), c AS (
+      |  SELECT flag, n, sx, sy,
+      |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+      |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+      |         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS cyy
+      |  FROM s
+      |), k AS (
+      |  SELECT flag, n, sx, sy, cxy, cxx, cyy,
+      |         cxy * 1000 // cxx AS slope_e3
+      |  FROM c)
+      |SELECT flag, n, CAST(slope_e3 AS BIGINT) AS slope_e3,
+      |       CAST((sy * 1000 - slope_e3 * sx) // n AS BIGINT)
+      |         AS intercept_e3,
+      |       CAST(cxy * cxy * 10000 // (cxx * cyy) AS BIGINT) AS r2_e4
+      |FROM k""".stripMargin
 }

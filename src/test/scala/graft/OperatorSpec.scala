@@ -3022,6 +3022,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q245 grouped OLS: replays the sufficient-stat solve with BigInt " +
+    "and the fitted line passes through the mean point") {
+    val rows = Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag",
+        "cast(l_quantity as long) x",
+        "cast(round(l_extendedprice * 100) as long) div 100 y")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = Relational.groupedOls(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == rows.keySet)
+    rows.foreach { case (flag, rs) =>
+      val n = BigInt(rs.size)
+      val sx = BigInt(rs.map(_._2).sum); val sy = BigInt(rs.map(_._3).sum)
+      val sxx = rs.map(t => BigInt(t._2) * t._2).sum
+      val syy = rs.map(t => BigInt(t._3) * t._3).sum
+      val sxy = rs.map(t => BigInt(t._2) * t._3).sum
+      val cxy = n * sxy - sx * sy
+      val cxx = n * sxx - sx * sx
+      val cyy = n * syy - sy * sy
+      val slope = cxy * 1000 / cxx
+      val intercept = (sy * 1000 - slope * sx) / n
+      val r2 = cxy * cxy * 10000 / (cxx * cyy)
+      assert(got(flag) == ((n.toLong, slope.toLong, intercept.toLong,
+        r2.toLong)), flag)
+      // OLS law: the fitted line passes through (x̄, ȳ) — in e3 fixed
+      // point, slope·Σx + intercept·n replays Σy·1000 within the
+      // truncation budget of one unit per division
+      val residual = (sy * 1000 - (slope * sx + intercept * n)).abs
+      assert(residual <= n, s"$flag: mean-point residual $residual > $n")
+      // R² is a valid ratio in basis points
+      assert(r2 >= 0 && r2 <= 10000, s"$flag: r2=$r2")
+    }
+  }
+
   test("q244 postings index: rebuilds from first principles, gaps decode " +
     "back to the exact doc and position sets") {
     val shards = 4

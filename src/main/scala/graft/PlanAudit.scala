@@ -337,6 +337,11 @@ object PlanAudit {
       "q245_grouped_ols" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,
         "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      // A/B read-out: user-keyed aggregate → 2-row variant aggregate →
+      // scalar Welch projection; join-, window- and cartesian-free
+      "q246_ab_test" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
+        "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -176,6 +176,7 @@ object SparkEntry {
     "q243_dsir_select" -> ((s, dir) => Sampling.dsirSelect(s, dir)),
     "q244_postings_index" -> ((s, dir) => Retrieval.postingsIndex(s, dir)),
     "q245_grouped_ols" -> ((s, dir) => Relational.groupedOls(s, dir)),
+    "q246_ab_test" -> ((s, dir) => Events.abTest(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -439,6 +440,7 @@ object SparkEntry {
     "q243_dsir_select" -> Sampling.dsirSelectSql(),
     "q244_postings_index" -> Retrieval.postingsIndexSql(),
     "q245_grouped_ols" -> Relational.groupedOlsSql,
+    "q246_ab_test" -> Events.abTestSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

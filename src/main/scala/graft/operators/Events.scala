@@ -1330,4 +1330,110 @@ object Events {
        |       CAST((sum(conv) * 1000000) // count(*) AS BIGINT) AS cvr_ppm
        |FROM conv GROUP BY 1""".stripMargin
   }
+
+  // --------------------------------------------------------- A/B analysis
+
+  /** q246 — A/B experiment read-out with a Welch t-test: assign every user
+    * to a variant by their md5 nibble (the content-addressed 50/50 split —
+    * rerun-stable, no assignment table to join), measure per-user purchase
+    * spend, and test whether the variant means differ.
+    *
+    * The statistics pipeline is the one-pass sufficient-stat discipline of
+    * the grouped OLS (q245): per-user spend in EXACT integer micros
+    * (`DECIMAL(24,6)·10⁶` — the q60 events-value convention), per-variant
+    * n/Σx/Σx² in one aggregate (Σx² through DECIMAL(38,0)/HUGEINT), then
+    * Welch's t from the six numbers. The float tail (means, variances, t)
+    * is bit-exact cross-engine because every step is a correctly-rounded
+    * IEEE op applied in the same order to the same exact integers — the
+    * q125 sqrt precedent; nothing is re-derived twice and compared.
+    *
+    * Scale shape: one user-keyed hash aggregate (map-combinable), one
+    * 2-row variant aggregate, one scalar projection. At 100 TB this is a
+    * single shuffle on user_id; the test itself costs nothing. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(24, 6)))
+          .otherwise(lit(0).cast(DecimalType(24, 6)))) * 1000000)
+        .cast(LongType).as("x"))
+      .select(col("x"),
+        when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
+          "A").otherwise("B").as("variant"))
+    val s = perUser.groupBy(col("variant")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+    s.agg(
+        max(when(col("variant") === "A", col("n"))).as("n_a"),
+        max(when(col("variant") === "B", col("n"))).as("n_b"),
+        max(when(col("variant") === "A", col("sx"))).as("sx_a"),
+        max(when(col("variant") === "B", col("sx"))).as("sx_b"),
+        max(when(col("variant") === "A", col("sxx"))).as("sxx_a"),
+        max(when(col("variant") === "B", col("sxx"))).as("sxx_b"))
+      .selectExpr("n_a", "n_b",
+        "CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a_micros",
+        "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b_micros",
+        """(CAST(sxx_a AS DOUBLE)
+           - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           / CAST(n_a - 1 AS DOUBLE) AS var_a""",
+        """(CAST(sxx_b AS DOUBLE)
+           - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / CAST(n_b - 1 AS DOUBLE) AS var_b""")
+      .selectExpr("n_a", "n_b", "mean_a_micros", "mean_b_micros",
+        "var_a", "var_b",
+        """(mean_a_micros - mean_b_micros)
+           / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+           AS t_welch""")
+      .selectExpr("n_a", "n_b", "mean_a_micros", "mean_b_micros",
+        "var_a", "var_b", "t_welch",
+        "abs(t_welch) > 1.959964 AS significant")
+  }
+
+  val abTestSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                       THEN CAST(value AS DECIMAL(24,6))
+      |                       ELSE CAST(0 AS DECIMAL(24,6)) END) * 1000000
+      |              AS BIGINT) AS x
+      |  FROM events GROUP BY user_id
+      |), pv AS (
+      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS variant, x
+      |  FROM pu
+      |), s AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM pv GROUP BY variant
+      |), wide AS (
+      |  SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+      |         max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+      |         max(CASE WHEN variant = 'A' THEN sx END) AS sx_a,
+      |         max(CASE WHEN variant = 'B' THEN sx END) AS sx_b,
+      |         max(CASE WHEN variant = 'A' THEN sxx END) AS sxx_a,
+      |         max(CASE WHEN variant = 'B' THEN sxx END) AS sxx_b
+      |  FROM s
+      |), m AS (
+      |  SELECT n_a, n_b,
+      |         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a_micros,
+      |         CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b_micros,
+      |         (CAST(sxx_a AS DOUBLE)
+      |           - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+      |             / CAST(n_a AS DOUBLE))
+      |           / CAST(n_a - 1 AS DOUBLE) AS var_a,
+      |         (CAST(sxx_b AS DOUBLE)
+      |           - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+      |             / CAST(n_b AS DOUBLE))
+      |           / CAST(n_b - 1 AS DOUBLE) AS var_b
+      |  FROM wide
+      |), t AS (
+      |  SELECT n_a, n_b, mean_a_micros, mean_b_micros, var_a, var_b,
+      |         (mean_a_micros - mean_b_micros)
+      |           / sqrt(var_a / CAST(n_a AS DOUBLE)
+      |                  + var_b / CAST(n_b AS DOUBLE)) AS t_welch
+      |  FROM m)
+      |SELECT n_a, n_b, mean_a_micros, mean_b_micros, var_a, var_b, t_welch,
+      |       abs(t_welch) > 1.959964 AS significant
+      |FROM t""".stripMargin
 }

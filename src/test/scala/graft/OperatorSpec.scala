@@ -3022,6 +3022,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q246 A/B test: Welch t replays bit-exactly from per-user micros " +
+    "and both variants are populated") {
+    import java.security.MessageDigest
+    def nib(id: Long): Char = MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.charAt(0)
+    val perUser = Tables.events(spark, dir)
+      .select("user_id", "event_type", "value").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.map { case (uid, rs) =>
+        val micros = rs.filter(_._2 == "purchase")
+          .map(t => BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum * 1000000
+        (if (nib(uid) < '8') "A" else "B") -> micros.toLong
+      }
+    def stats(v: String): (Long, BigInt, BigInt) = {
+      val xs = perUser.filter(_._1 == v).map(_._2)
+      (xs.size.toLong, xs.map(BigInt(_)).sum,
+        xs.map(x => BigInt(x) * x).sum)
+    }
+    val (na, sxa, sxxa) = stats("A"); val (nb, sxb, sxxb) = stats("B")
+    assert(na > 0 && nb > 0)
+    val ma = sxa.toDouble / na.toDouble; val mb = sxb.toDouble / nb.toDouble
+    val va = (sxxa.toDouble - sxa.toDouble * sxa.toDouble / na.toDouble) /
+      (na - 1).toDouble
+    val vb = (sxxb.toDouble - sxb.toDouble * sxb.toDouble / nb.toDouble) /
+      (nb - 1).toDouble
+    val t = (ma - mb) / math.sqrt(va / na.toDouble + vb / nb.toDouble)
+    val r = Events.abTest(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == na && r(0).getLong(1) == nb)
+    assert(r(0).getDouble(2) == ma && r(0).getDouble(3) == mb)
+    assert(r(0).getDouble(4) == va && r(0).getDouble(5) == vb)
+    assert(r(0).getDouble(6) == t)
+    assert(r(0).getBoolean(7) == (math.abs(t) > 1.959964))
+  }
+
   test("q245 grouped OLS: replays the sufficient-stat solve with BigInt " +
     "and the fitted line passes through the mean point") {
     val rows = Tables.lineitem(spark, dir)

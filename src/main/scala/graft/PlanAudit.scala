@@ -342,6 +342,12 @@ object PlanAudit {
       "q246_ab_test" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,
         "SortMergeJoin" -> false, "BroadcastHashJoin" -> false),
+      // KN bigram: vocab-sized c1/N+ tables BROADCAST into the bigram-type
+      // stream; the top-25 is a TakeOrderedAndProject (map-side top-k),
+      // never a global sort or window
+      "q247_kn_bigram" -> Seq("BroadcastHashJoin" -> true,
+        "TakeOrderedAndProject" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false, "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -177,6 +177,7 @@ object SparkEntry {
     "q244_postings_index" -> ((s, dir) => Retrieval.postingsIndex(s, dir)),
     "q245_grouped_ols" -> ((s, dir) => Relational.groupedOls(s, dir)),
     "q246_ab_test" -> ((s, dir) => Events.abTest(s, dir)),
+    "q247_kn_bigram" -> ((s, dir) => TextAnalysis.knBigram(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -441,6 +442,7 @@ object SparkEntry {
     "q244_postings_index" -> Retrieval.postingsIndexSql(),
     "q245_grouped_ols" -> Relational.groupedOlsSql,
     "q246_ab_test" -> Events.abTestSql,
+    "q247_kn_bigram" -> TextAnalysis.knBigramSql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

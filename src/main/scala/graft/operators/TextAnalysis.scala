@@ -1260,4 +1260,78 @@ object TextAnalysis {
       |            WHEN flesch >= 30.0 THEN 'medium'
       |            ELSE 'hard' END AS band
       |FROM f""".stripMargin
+
+  // ------------------------------------------------ Kneser-Ney smoothing
+
+  /** q247 — Kneser-Ney smoothed bigram probabilities (top 25 bigrams by
+    * raw count): the smoothing that makes corpus n-gram statistics usable
+    * as a language model — the backbone of classic perplexity-based
+    * quality filtering (and still the cheapest LM-ish doc scorer at
+    * corpus scale). Completes the LM family: q175/q177 score documents by
+    * RAW n-gram surprise; KN produces the calibrated conditional
+    * `P(w2|w1)` that absolute counts get wrong for rare continuations.
+    *
+    * `P_kn(w2|w1) = max(c₁₂−d,0)/c₁ + d·N⁺(w1,·)/c₁ · N⁺(·,w2)/D` with
+    * the standard discount d = 0.75 = 3/4, which clears to all-BIGINT by
+    * multiplying through by 4 (the BM25 rational-constant trick):
+    * `term1_e9 = (4c₁₂−3)·10⁹ DIV 4c₁` (observed bigrams have c₁₂ ≥ 1 so
+    * the discounted mass is never negative) and
+    * `term2_e9 = 3·N⁺fw·N⁺bw·10⁹ DIV (4·c₁·D)`; kn_e9 = term1 + term2 —
+    * two truncating divisions both engines define identically.
+    *
+    * Scale shape: every statistic is an n-gram-type-keyed aggregate —
+    * c₁₂ (bigram types), c₁/N⁺fw (per-first-word, VOCAB-sized), N⁺bw
+    * (per-second-word, vocab-sized), D (scalar). The vocab-sized tables
+    * BROADCAST into the bigram-type stream (vocab ≪ corpus at any SF);
+    * nothing quadratic, nothing windows. The top-25 is a global
+    * `ORDER BY LIMIT` over bigram TYPES (not tokens) — map-side top-k. */
+  def knBigram(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val ws = col("ws")
+    val bigrams = Tables.documents(spark, dir)
+      .select(words(col("text")).as("ws"))
+      .filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(0), size(ws) - 2),
+        i => struct(element_at(ws, i + 1).as("w1"),
+          element_at(ws, i + 2).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val types = c12.agg(count(lit(1)).as("d_types"))
+    c12.join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        (expr("(4 * c12 - 3) * 1000000000 DIV (4 * c1)") +
+          expr("3 * n1fw * n1bw * 1000000000 DIV (4 * c1 * d_types)"))
+          .as("kn_e9"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def knBigramSql(k: Int = 25): String =
+    s"""WITH ws AS (
+       |  SELECT string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), bg AS (
+       |  SELECT w[i + 1] AS w1, w[i + 2] AS w2
+       |  FROM (SELECT w, unnest(range(len(w) - 1)) AS i FROM ws)
+       |), c12 AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM bg GROUP BY w1, w2
+       |), lft AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |         CAST(count(*) AS BIGINT) AS n1fw
+       |  FROM c12 GROUP BY w1
+       |), rgt AS (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c12 GROUP BY w2
+       |), d AS (SELECT CAST(count(*) AS BIGINT) AS d_types FROM c12)
+       |SELECT w1, w2, c12,
+       |       CAST((4 * c12 - 3) * 1000000000 // (4 * c1)
+       |            + 3 * n1fw * n1bw * 1000000000 // (4 * c1 * d_types)
+       |            AS BIGINT) AS kn_e9
+       |FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN d
+       |ORDER BY c12 DESC, w1, w2 LIMIT $k""".stripMargin
 }

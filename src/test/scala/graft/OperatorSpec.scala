@@ -3022,6 +3022,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q247 KN bigram: replays the discounted-mass formula and KN " +
+    "probability never exceeds 1") {
+    val texts = Tables.documents(spark, dir)
+      .select("text").collect().toSeq.map(_.getString(0).split(" ").toSeq)
+      .filter(_.length >= 2)
+    val bgs = texts.flatMap(ws => ws.sliding(2).map(p => (p(0), p(1))))
+    val c12 = bgs.groupBy(identity).map { case (bg, o) => bg -> o.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> m.values.sum }
+    val n1fw = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val n1bw = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val dTypes = c12.size.toLong
+    val expected = c12.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(25)
+      .map { case ((w1, w2), c) =>
+        val t1 = (4 * c - 3) * 1000000000L / (4 * c1(w1))
+        val t2 = 3 * n1fw(w1) * n1bw(w2) * 1000000000L /
+          (4 * c1(w1) * dTypes)
+        (w1, w2, c, t1 + t2)
+      }.toSet
+    val got = TextAnalysis.knBigram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == expected)
+    // a smoothed probability is a probability
+    got.foreach { case (w1, w2, _, kn) =>
+      assert(kn > 0 && kn <= 1000000000L, s"$w1 $w2: $kn")
+    }
+  }
+
   test("q246 A/B test: Welch t replays bit-exactly from per-user micros " +
     "and both variants are populated") {
     import java.security.MessageDigest

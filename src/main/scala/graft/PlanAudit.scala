@@ -348,6 +348,18 @@ object PlanAudit {
       "q247_kn_bigram" -> Seq("BroadcastHashJoin" -> true,
         "TakeOrderedAndProject" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // coreset: the 4-row seed table broadcasts (NLJ for the distance
+      // fan-out, hash join for the is_seed tag); one vec-keyed aggregate;
+      // nothing data-sized sorts, windows, or cartesians
+      "q248_coreset_sample" -> Seq("BroadcastNestedLoopJoin" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false),
+      // schema evolution: the merged scan must carry the added column in
+      // its ReadSchema (a first-footer read silently drops it) and the
+      // roll-up is one aggregate — join- and window-free
+      "q249_schema_evolution" -> Seq("o_orderpriority" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false, "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -178,6 +178,9 @@ object SparkEntry {
     "q245_grouped_ols" -> ((s, dir) => Relational.groupedOls(s, dir)),
     "q246_ab_test" -> ((s, dir) => Events.abTest(s, dir)),
     "q247_kn_bigram" -> ((s, dir) => TextAnalysis.knBigram(s, dir)),
+    "q248_coreset_sample" -> ((s, dir) => SimilaritySearch.coresetSample(s, dir)),
+    "q249_schema_evolution" -> ((s, dir) =>
+      graft.sources.SchemaEvolution.evolvedPriorityTotals(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -443,6 +446,9 @@ object SparkEntry {
     "q245_grouped_ols" -> Relational.groupedOlsSql,
     "q246_ab_test" -> Events.abTestSql,
     "q247_kn_bigram" -> TextAnalysis.knBigramSql(),
+    "q248_coreset_sample" -> SimilaritySearch.coresetSampleSql(),
+    "q249_schema_evolution" ->
+      graft.sources.SchemaEvolution.evolvedPriorityTotalsSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

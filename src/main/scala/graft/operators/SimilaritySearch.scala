@@ -1160,4 +1160,93 @@ object SimilaritySearch {
        |  FROM adc)
        |WHERE rk <= $k""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q248
+
+  /** q248 — CORESET construction by sensitivity sampling (Bachem/Feldman
+    * lightweight coresets): pick a small weighted subset whose k-means
+    * cost approximates the full corpus's, so the expensive clustering
+    * runs on thousands of points instead of billions. Sensitivity of a
+    * point = its squared distance to the nearest of a few content-
+    * addressed seed points (the PQ-codebook md5 mechanism — a k-means++
+    * seeding drops in via the IVF captured-literal path); inclusion
+    * probability ∝ sensitivity, decided by the same exact-integer
+    * `u32·S < s·target·2³²` Bernoulli as the DSIR resample, through
+    * DECIMAL(38,0)/HUGEINT so the compare survives any SF. Distances are
+    * exact integers on the q58 int8 lattice — the whole pipeline is
+    * bit-replayable by the oracle.
+    *
+    * Output: every vector with its sensitivity, kept flag, and is_seed
+    * (seeds score 0 — the coreset is {kept} ∪ {seeds}; far-from-seed
+    * points are kept preferentially, exactly the "cover what the seeds
+    * miss" intuition that makes sensitivity sampling beat uniform).
+    *
+    * Scale shape: the seed table (4 rows) broadcasts into a narrow
+    * distance map; sensitivity is one vec-keyed aggregate; S is a
+    * broadcast scalar; the accept filter is a narrow projection. One
+    * shuffle total on the corpus side. */
+  def coresetSample(spark: SparkSession, dir: String,
+                    seeds: Int = 4, target: Int = 64): DataFrame = {
+    val coded = int8CodedArray(spark, dir)
+    val anchors = coded
+      .withColumn("h", md5(col("vec_id").cast(StringType)))
+      .orderBy(col("h"), col("vec_id")).limit(seeds)
+      .select(col("vec_id").as("seed_id"), col("codes").as("scodes"))
+    val sens = coded.crossJoin(broadcast(anchors))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("codes"), col("scodes"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("d2"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("sens"))
+    sens
+      .crossJoin(broadcast(sens.agg(sum(col("sens")).as("s_total"))))
+      .join(broadcast(anchors.select(col("seed_id"))),
+        col("vec_id") === col("seed_id"), "left")
+      .select(col("vec_id"), col("sens"),
+        (expr("""CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8),
+                           16, 10) AS DECIMAL(38,0))""") * col("s_total") <
+          col("sens").cast(DecimalType(38, 0)) * target * 4294967296L)
+          .as("kept"),
+        col("seed_id").isNotNull.as("is_seed"))
+  }
+
+  def coresetSampleSql(seeds: Int = 4, target: Int = 64): String =
+    s"""WITH dims AS (
+       |  SELECT i AS pos, min(v[i]) AS lo, max(v[i]) AS hi
+       |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |       unnest(range(1, len(v) + 1)) AS r(i)
+       |  GROUP BY i
+       |), model AS (
+       |  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+       |  FROM dims
+       |), coded AS (
+       |  SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
+       |           CASE WHEN his[i] > los[i]
+       |                THEN CAST(round((v[i] - los[i]) / (his[i] - los[i])
+       |                          * 255.0) - 128.0 AS BIGINT)
+       |                ELSE 0 END) AS codes
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings),
+       |       model
+       |), anchors AS (
+       |  SELECT vec_id AS seed_id, codes AS scodes FROM (
+       |    SELECT vec_id, codes, row_number() OVER (
+       |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM coded) WHERE rn <= $seeds
+       |), sens AS (
+       |  SELECT c.vec_id,
+       |         CAST(min(list_reduce(list_transform(
+       |           range(1, len(c.codes) + 1),
+       |           i -> (c.codes[i] - a.scodes[i])
+       |                * (c.codes[i] - a.scodes[i])),
+       |           (x, y) -> x + y)) AS BIGINT) AS sens
+       |  FROM coded c, anchors a GROUP BY c.vec_id
+       |), tot AS (SELECT CAST(sum(sens) AS BIGINT) AS s_total FROM sens)
+       |SELECT s.vec_id, s.sens,
+       |       CAST(('0x' || substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 8))
+       |              ::BIGINT AS HUGEINT) * s_total
+       |         < CAST(s.sens AS HUGEINT) * $target * 4294967296 AS kept,
+       |       a.seed_id IS NOT NULL AS is_seed
+       |FROM sens s CROSS JOIN tot
+       |LEFT JOIN anchors a ON s.vec_id = a.seed_id""".stripMargin
 }

@@ -3022,6 +3022,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q248 coreset: replays lattice, seeds, sensitivities and the " +
+    "integer acceptance; far points are kept preferentially") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+    val d = vecs.head._2.length
+    val lo = (0 until d).map(i => vecs.map(_._2(i)).min)
+    val hi = (0 until d).map(i => vecs.map(_._2(i)).max)
+    def codes(v: IndexedSeq[Double]): IndexedSeq[Long] =
+      (0 until d).map { i =>
+        if (hi(i) > lo(i))
+          math.round((v(i) - lo(i)) / (hi(i) - lo(i)) * 255.0) - 128L
+        else 0L
+      }
+    val coded = vecs.map { case (id, v) => (id, codes(v)) }
+    val seeds = coded.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(4)
+    val seedIds = seeds.map(_._1).toSet
+    val sens = coded.map { case (id, c) =>
+      id -> seeds.map { case (_, sc) =>
+        (0 until d).map(i => (c(i) - sc(i)) * (c(i) - sc(i))).sum
+      }.min
+    }.toMap
+    val sTotal = sens.values.map(BigInt(_)).sum
+    val expected = coded.map { case (id, _) =>
+      val u32 = BigInt(java.lang.Long.parseLong(md5hex(id.toString).take(8), 16))
+      (id, sens(id),
+        u32 * sTotal < BigInt(sens(id)) * 64 * BigInt(4294967296L),
+        seedIds.contains(id))
+    }.toSet
+    val got = SimilaritySearch.coresetSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSet
+    assert(got == expected)
+    // sensitivity bias: mean sensitivity of kept points exceeds the corpus
+    // mean (the whole point of a coreset over uniform sampling)
+    val kept = got.filter(_._3)
+    assert(kept.nonEmpty && kept.size < got.size)
+    assert(kept.map(_._2).sum.toDouble / kept.size >
+      got.map(_._2).sum.toDouble / got.size)
+    // seeds have zero sensitivity
+    got.filter(_._4).foreach(t => assert(t._2 == 0L))
+  }
+
   test("q247 KN bigram: replays the discounted-mass formula and KN " +
     "probability never exceeds 1") {
     val texts = Tables.documents(spark, dir)

@@ -402,4 +402,26 @@ class SkewAndSourcesSpec extends AnyFunSuite {
     assert(java.nio.file.Files.isRegularFile(marker),
       "missing success marker must trigger a rewrite")
   }
+
+  test("q249 schema evolution: merged read surfaces the added column, " +
+    "null-fills exactly the old generation, and loses no rows") {
+    import graft.sources.SchemaEvolution
+    val staged = SchemaEvolution.ensureEvolvedStage(spark, dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(staged)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "cents", "o_orderpriority"))
+    val orders = Tables.orders(spark, dir).select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val rows = merged.select("o_orderkey", "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    assert(rows.map(_._1).toSet == orders, "every generation's rows survive")
+    rows.foreach { case (k, prio) =>
+      assert((k % 2 == 0) == prio.isEmpty,
+        s"order $k: generation-1 rows (even keys) and ONLY those are null")
+    }
+    // a first-footer (non-merged) read of the same directory may drop the
+    // added column entirely — the failure mode q249 exists to gate
+    val plain = spark.read.parquet(staged)
+    assert(plain.columns.length <= merged.columns.length)
+  }
 }

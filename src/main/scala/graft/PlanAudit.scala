@@ -360,6 +360,17 @@ object PlanAudit {
       "q249_schema_evolution" -> Seq("o_orderpriority" -> true,
         "HashAggregate" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // hazard table: one user-keyed aggregate; the at-risk suffix sum is
+      // a broadcast self-join of the |days|-row distribution — the event
+      // log is scanned once and never windows
+      "q250_hazard_table" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false),
+      // chi-square: one (variant,type) aggregate; margins broadcast back
+      // into the cell table; no window, no cartesian, no big-side sort
+      "q251_chi_square" -> Seq("BroadcastHashJoin" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false, "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

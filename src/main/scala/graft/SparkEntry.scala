@@ -181,6 +181,8 @@ object SparkEntry {
     "q248_coreset_sample" -> ((s, dir) => SimilaritySearch.coresetSample(s, dir)),
     "q249_schema_evolution" -> ((s, dir) =>
       graft.sources.SchemaEvolution.evolvedPriorityTotals(s, dir)),
+    "q250_hazard_table" -> ((s, dir) => Events.hazardTable(s, dir)),
+    "q251_chi_square" -> ((s, dir) => Events.chiSquare(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -449,6 +451,8 @@ object SparkEntry {
     "q248_coreset_sample" -> SimilaritySearch.coresetSampleSql(),
     "q249_schema_evolution" ->
       graft.sources.SchemaEvolution.evolvedPriorityTotalsSql,
+    "q250_hazard_table" -> Events.hazardTableSql,
+    "q251_chi_square" -> Events.chiSquareSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -1331,6 +1331,106 @@ object Events {
        |FROM conv GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------ survival curve
+
+  /** q250 — Kaplan-Meier HAZARD table over user lifetimes: for every
+    * lifetime day t, how many users were still "alive" (at risk) and what
+    * fraction churned exactly then — the survival-analysis read-out behind
+    * every retention model. Lifetime = whole days between a user's first
+    * and last event; hazard(t) = churned(t) / at_risk(t) in exact ppm.
+    *
+    * Scale shape: ONE user-keyed aggregate (min/max day — map-side
+    * combinable) collapses the event log to |users| rows; the lifetime
+    * DISTRIBUTION is at most |days| rows, so the at-risk suffix sum is a
+    * broadcast self-join of a miniature (never a window over data, never
+    * a second pass over events). The same crossing-count discipline as
+    * the grouped medians: heavy table touched once, ordinal structure
+    * resolved on the tiny side. */
+  def hazardTable(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(datediff(
+        max(date_trunc("day", col("ts").cast(TimestampType))),
+        min(date_trunc("day", col("ts").cast(TimestampType))))
+        .cast(LongType).as("t"))
+    val dist = life.groupBy(col("t")).agg(count(lit(1)).as("churned"))
+    val atRisk = dist.as("a")
+      .join(broadcast(dist.as("b")), col("b.t") >= col("a.t"))
+      .groupBy(col("a.t").as("t"), col("a.churned").as("churned"))
+      .agg(sum(col("b.churned")).as("at_risk"))
+    atRisk.select(col("t"), col("at_risk"), col("churned"),
+      expr("churned * 1000000 DIV at_risk").as("hazard_ppm"))
+  }
+
+  val hazardTableSql: String =
+    """WITH life AS (
+      |  SELECT user_id,
+      |         CAST(date_diff('day',
+      |           min(date_trunc('day', CAST(ts AS TIMESTAMP))),
+      |           max(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS BIGINT)
+      |           AS t
+      |  FROM events GROUP BY user_id
+      |), dist AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS churned FROM life GROUP BY t)
+      |SELECT a.t, CAST(sum(b.churned) AS BIGINT) AS at_risk, a.churned,
+      |       CAST(a.churned * 1000000 // sum(b.churned) AS BIGINT)
+      |         AS hazard_ppm
+      |FROM dist a JOIN dist b ON b.t >= a.t
+      |GROUP BY a.t, a.churned""".stripMargin
+
+  // ------------------------------------------------------ chi-square test
+
+  /** q251 — χ² independence audit of the A/B assignment: if the md5
+    * variant split is sound, event-type mix must be independent of
+    * variant. Per contingency cell the χ² contribution is computed in
+    * EXACT integer arithmetic: with O observed, R/C margins and T total,
+    * `(O·T − R·C)²·10⁶ DIV (R·C·T)` — the numerator difference is the
+    * exact integer `T²·(O − E)` form, squared through DECIMAL(38,0)/
+    * HUGEINT (q245's overflow discipline), divided once, truncating
+    * toward zero on both engines. Expected counts ride along in e3.
+    *
+    * Scale shape: ONE (variant, type)-keyed aggregate over the event log;
+    * margins and the total are ≤|types|+2-row aggregates of THAT result —
+    * broadcast joins of miniatures, no second scan, no window. The test
+    * itself is a |cells|-row projection. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(when(substring(md5(col("user_id").cast(StringType)), 1, 1)
+        < "8", "A").otherwise("B").as("variant"), col("event_type"))
+      .groupBy(col("variant"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rows = cells.groupBy(col("variant")).agg(sum(col("n_obs")).as("r"))
+    val cols = cells.groupBy(col("event_type")).agg(sum(col("n_obs")).as("c"))
+    val tot = cells.agg(sum(col("n_obs")).as("t"))
+    cells.join(broadcast(rows), Seq("variant"))
+      .join(broadcast(cols), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("variant"), col("event_type"), col("n_obs"),
+        expr("r * c * 1000 DIV t").as("expected_e3"),
+        expr("""CAST(n_obs * t - r * c AS DECIMAL(38,0))
+                * CAST(n_obs * t - r * c AS DECIMAL(38,0)) * 1000000
+                DIV (CAST(r AS DECIMAL(38,0)) * c * t)""").as("chi2_e6"))
+  }
+
+  val chiSquareSql: String =
+    """WITH cells AS (
+      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS variant,
+      |         event_type, CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM events GROUP BY 1, 2
+      |), r AS (SELECT variant, CAST(sum(n_obs) AS BIGINT) AS r
+      |         FROM cells GROUP BY variant
+      |), c AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS c
+      |         FROM cells GROUP BY event_type
+      |), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM cells)
+      |SELECT variant, event_type, n_obs,
+      |       CAST(r * c * 1000 // t AS BIGINT) AS expected_e3,
+      |       CAST(CAST(n_obs * t - r * c AS HUGEINT)
+      |            * CAST(n_obs * t - r * c AS HUGEINT) * 1000000
+      |            // (CAST(r AS HUGEINT) * c * t) AS BIGINT) AS chi2_e6
+      |FROM cells JOIN r USING (variant) JOIN c USING (event_type)
+      |CROSS JOIN t""".stripMargin
+
   // --------------------------------------------------------- A/B analysis
 
   /** q246 — A/B experiment read-out with a Welch t-test: assign every user

@@ -3022,6 +3022,65 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q250 hazard table: replays lifetimes; at-risk telescopes and " +
+    "every user churns exactly once") {
+    val life = Tables.events(spark, dir)
+      .selectExpr("user_id", "date_trunc('day', cast(ts as timestamp)) d")
+      .collect().toSeq.map(r => (r.getLong(0), r.getTimestamp(1)))
+      .groupBy(_._1).map { case (_, rs) =>
+        val days = rs.map(_._2.getTime / 86400000L)
+        days.max - days.min
+      }.toSeq
+    val dist = life.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val expected = dist.map { case (t, churned) =>
+      val atRisk = dist.filter(_._1 >= t).values.sum
+      (t, atRisk, churned, churned * 1000000L / atRisk)
+    }.toSet
+    val got = Events.hazardTable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == expected)
+    // conservation: at_risk at t equals the sum of churns at all s >= t,
+    // so the t-ordered at_risk column telescopes down to the last churn
+    val byT = got.sortBy(_._1)
+    byT.zip(byT.tail).foreach { case ((t1, ar1, ch1, _), (t2, ar2, _, _)) =>
+      assert(ar1 - ch1 == ar2 || t2 > t1 + 1 || ar1 - ch1 >= ar2,
+        s"at-risk must shrink by exactly the churned between adjacent days")
+    }
+    assert(got.map(_._3).sum == life.size, "every user churns once")
+  }
+
+  test("q251 chi-square: cells replay from first principles and the " +
+    "statistic is tiny for an md5 split (independence holds)") {
+    import java.security.MessageDigest
+    def variant(uid: Long): String = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) < '8') "A" else "B"
+    }
+    val obs = Tables.events(spark, dir)
+      .select("user_id", "event_type").collect().toSeq
+      .map(r => (variant(r.getLong(0)), r.getString(1)))
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val r = obs.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val c = obs.groupBy(_._1._2).map { case (e, m) => e -> m.values.sum }
+    val t = obs.values.sum
+    val expected = obs.map { case ((v, e), o) =>
+      val num = BigInt(o * t - r(v) * c(e))
+      (v, e, o, r(v) * c(e) * 1000L / t,
+        (num * num * 1000000 / (BigInt(r(v)) * c(e) * t)).toLong)
+    }.toSet
+    val got = Events.chiSquare(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(got.toSet == expected)
+    // the md5 split is genuinely independent of event mix: χ² (sum of the
+    // e6 cell contributions, df = types-1) stays far below any rejection
+    // threshold at this scale
+    val chi2 = got.map(_._5).sum / 1e6
+    assert(chi2 < 30.0, s"chi2=$chi2 — the null split should not reject")
+  }
+
   test("q248 coreset: replays lattice, seeds, sensitivities and the " +
     "integer acceptance; far points are kept preferentially") {
     import java.security.MessageDigest

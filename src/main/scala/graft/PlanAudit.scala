@@ -371,6 +371,12 @@ object PlanAudit {
       "q251_chi_square" -> Seq("BroadcastHashJoin" -> true,
         "HashAggregate" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // CUPED: one user-keyed aggregate feeds both the pooled-stat scalar
+      // (broadcast) and the 2-row variant aggregate; no window, no
+      // big-side sort — variance reduction costs one extra column
+      "q252_cuped" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

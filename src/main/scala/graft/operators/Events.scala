@@ -1431,6 +1431,121 @@ object Events {
       |FROM cells JOIN r USING (variant) JOIN c USING (event_type)
       |CROSS JOIN t""".stripMargin
 
+  // ----------------------------------------------------------------- CUPED
+
+  /** q252 — CUPED variance reduction (Deng et al. 2013): the standard
+    * large-scale experimentation read-out that sharpens the A/B metric by
+    * regressing out each user's PRE-period behavior. Post-period spend
+    * `y` is adjusted to `ŷ = y − θ·(x − x̄)` with `θ = cov(x,y)/var(x)`
+    * estimated pooled; the achievable variance cut is exactly corr²(x,y),
+    * reported as the integer `r2_e6` (the q245 ratio pattern).
+    *
+    * Periods split at 2024-01-16 (mid-window; the q157 UTC-literal
+    * discipline — `lit(...).cast(Timestamp)` parses in the UTC-pinned
+    * session, matching the oracle's naive literal). Per-user pre/post
+    * purchase micros ride the DECIMAL(24,6)·10⁶ exactness convention;
+    * pooled centered moments go through DECIMAL(38,0)/HUGEINT; θ and the
+    * adjusted means are the bit-exact IEEE tail (q246 discipline — every
+    * intermediate is computed once and REUSED, never re-derived).
+    *
+    * Scale shape: one user-keyed aggregate over the log, one 2-row
+    * variant aggregate, one broadcast scalar join of the pooled stats.
+    * CUPED costs one extra column, not one extra pass. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val cutTs = lit("2024-01-16 00:00:00").cast(TimestampType)
+    val zero = lit(0).cast(DecimalType(24, 6))
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast(TimestampType).as("ts"),
+        when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(24, 6))).otherwise(zero).as("v"))
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(when(col("ts") < cutTs, col("v")).otherwise(zero)) * 1000000)
+          .cast(LongType).as("x"),
+        (sum(when(col("ts") >= cutTs, col("v")).otherwise(zero)) * 1000000)
+          .cast(LongType).as("y"))
+      .select(col("x"), col("y"),
+        when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
+          "A").otherwise("B").as("variant"))
+    val pooled = perUser.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+      .selectExpr("n", "sx", "sy",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS cxx",
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS cxy",
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS cyy")
+      .selectExpr("n", "sx",
+        "CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE) AS theta",
+        // corr² as (cxy·10³/cxx)·(cxy·10³/cyy): two truncating divisions
+        // instead of cxy² — the square of a micros-scale covariance
+        // overflows even DECIMAL(38)/HUGEINT, the factored form never
+        // leaves ~1e27; both factors share cxy's sign so r2_e6 ≥ 0
+        "CAST((cxy * 1000 DIV cxx) * (cxy * 1000 DIV cyy) AS BIGINT) AS r2_e6")
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"), sum(col("x")).as("sxv"),
+        sum(col("y")).as("syv"))
+      .crossJoin(broadcast(pooled))
+      .selectExpr("variant", "n_v", "theta", "r2_e6",
+        "CAST(syv AS DOUBLE) / CAST(n_v AS DOUBLE) AS mean_y_micros",
+        """CAST(sxv AS DOUBLE) / CAST(n_v AS DOUBLE)
+           - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS dx""")
+      .selectExpr("variant", "CAST(n_v AS BIGINT) AS n", "mean_y_micros",
+        "mean_y_micros - theta * dx AS mean_adj_micros", "theta", "r2_e6")
+  }
+
+  val cupedSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+      |                       THEN CAST(value AS DECIMAL(24,6))
+      |                       ELSE CAST(0 AS DECIMAL(24,6)) END) * 1000000
+      |              AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                        AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |                       THEN CAST(value AS DECIMAL(24,6))
+      |                       ELSE CAST(0 AS DECIMAL(24,6)) END) * 1000000
+      |              AS BIGINT) AS y
+      |  FROM events GROUP BY user_id
+      |), pv AS (
+      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS variant, x, y
+      |  FROM pu
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM pv
+      |), cm AS (
+      |  SELECT n, sx,
+      |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+      |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+      |         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS cyy
+      |  FROM stats
+      |), pooled AS (
+      |  SELECT n, sx,
+      |         CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE) AS theta,
+      |         CAST((cxy * 1000 // cxx) * (cxy * 1000 // cyy) AS BIGINT)
+      |           AS r2_e6
+      |  FROM cm
+      |), v AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n_v,
+      |         CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+      |  FROM pv GROUP BY variant
+      |), m AS (
+      |  SELECT variant, n_v, theta, r2_e6,
+      |         CAST(syv AS DOUBLE) / CAST(n_v AS DOUBLE) AS mean_y_micros,
+      |         CAST(sxv AS DOUBLE) / CAST(n_v AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS dx
+      |  FROM v CROSS JOIN pooled)
+      |SELECT variant, n_v AS n, mean_y_micros,
+      |       mean_y_micros - theta * dx AS mean_adj_micros, theta, r2_e6
+      |FROM m""".stripMargin
+
   // --------------------------------------------------------- A/B analysis
 
   /** q246 — A/B experiment read-out with a Welch t-test: assign every user

@@ -3022,6 +3022,57 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q252 CUPED: theta and adjusted means replay bit-exactly; the " +
+    "weighted grand mean is invariant under the adjustment") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val cut = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val perUser = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_millis(cast(ts as timestamp)) ms",
+        "event_type", "value").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.map { case (uid, rs) =>
+        def micros(pre: Boolean): Long = (rs.filter(t => t._3 == "purchase"
+          && (if (pre) t._2 < cut else t._2 >= cut))
+          .map(t => BigDecimal(t._4).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum * 1000000).toLong
+        (if (md5hex(uid.toString).charAt(0) < '8') "A" else "B",
+          micros(pre = true), micros(pre = false))
+      }
+    val n = perUser.size.toLong
+    val sx = perUser.map(t => BigInt(t._2)).sum
+    val sy = perUser.map(t => BigInt(t._3)).sum
+    val cxx = n * perUser.map(t => BigInt(t._2) * t._2).sum - sx * sx
+    val cxy = n * perUser.map(t => BigInt(t._2) * t._3).sum - sx * sy
+    val cyy = n * perUser.map(t => BigInt(t._3) * t._3).sum - sy * sy
+    val theta = cxy.toDouble / cxx.toDouble
+    val r2e6 = ((cxy * 1000 / cxx) * (cxy * 1000 / cyy)).toLong
+    val got = Events.cuped(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(got.keySet == Set("A", "B"))
+    Seq("A", "B").foreach { v =>
+      val g = perUser.filter(_._1 == v)
+      val nv = g.size.toLong
+      val meanY = g.map(t => BigInt(t._3)).sum.toLong.toDouble / nv.toDouble
+      val dx = g.map(t => BigInt(t._2)).sum.toLong.toDouble / nv.toDouble -
+        sx.toLong.toDouble / n.toDouble
+      val (gn, gMeanY, gAdj, gTheta, gR2) = got(v)
+      assert(gn == nv && gMeanY == meanY && gTheta == theta && gR2 == r2e6)
+      assert(gAdj == meanY - theta * dx, v)
+    }
+    // CUPED law: Σ n_v·(adj_v − y_v) = −θ·Σ n_v·dx_v = 0 — the adjustment
+    // moves variants relative to each other, never the grand mean
+    val drift = got.map { case (_, (nv, my, adj, _, _)) =>
+      nv.toDouble * (adj - my) }.sum
+    val scale = math.max(1.0, got.values.map(t =>
+      math.abs(t._1.toDouble * t._2)).sum)
+    assert(math.abs(drift) / scale < 1e-12, s"grand-mean drift $drift")
+  }
+
   test("q250 hazard table: replays lifetimes; at-risk telescopes and " +
     "every user churns exactly once") {
     val life = Tables.events(spark, dir)

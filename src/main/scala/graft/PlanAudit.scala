@@ -377,6 +377,12 @@ object PlanAudit {
       "q252_cuped" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false,
         "Window" -> false),
+      // Mann-Whitney: user + value aggregates, then the offset-prefix
+      // cumulative (its windows run per range-partition / over the
+      // partition-count offset table only — the groupedCumSum contract);
+      // no cartesian despite U's all-pairs definition
+      "q253_mann_whitney" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -1431,6 +1431,78 @@ object Events {
       |FROM cells JOIN r USING (variant) JOIN c USING (event_type)
       |CROSS JOIN t""".stripMargin
 
+  // ----------------------------------------------------- Mann-Whitney U
+
+  /** q253 — Mann-Whitney U (Wilcoxon rank-sum) on per-user purchase
+    * spend: the nonparametric partner to q246's Welch t — it compares the
+    * variants by ORDER alone, so heavy-tailed spend can't fool it, and
+    * U/(n_A·n_B) is directly the probability-of-superiority (the AUC of
+    * "does an A user outspend a B user"), reported in exact ppm.
+    *
+    * U is computed WITHOUT ranking rows: collapse users to a per-VALUE
+    * count table (|distinct values| rows), take the exclusive cumulative
+    * B-count along the value order via [[Relational.groupedCumSum]] (the
+    * offset-prefix primitive — per-partition prefix + broadcast offsets,
+    * NO global window), and sum `ca·(2·cumB< + cb)` — doubled so ties
+    * (½ credit) stay integral: `u2 = 2U`. `U_A + U_B = n_A·n_B` closes
+    * the second side without a second pass (spec asserts the law both
+    * ways).
+    *
+    * Scale shape: one user aggregate, one value aggregate, the crossing
+    * machinery of the grouped medians, one scalar roll-up. Nothing sorts
+    * globally; nothing is O(n_A·n_B) even though U is defined over all
+    * cross pairs. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val vals = purchaseMicrosByVariant(spark, dir)
+      .groupBy(col("x"))
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("cb"))
+    val withCum = Relational.groupedCumSum(
+      vals.withColumn("g", lit(1)), "g", Seq("x"), "cb")
+    withCum
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2L) * (col("__cum") - col("cb")) + col("cb")))
+          .as("u2_a"))
+      .selectExpr("n_a", "n_b", "u2_a",
+        "2 * n_a * n_b - u2_a AS u2_b",
+        "u2_a * 1000000 DIV (2 * n_a * n_b) AS auc_ppm")
+  }
+
+  val mannWhitneySql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                       THEN CAST(value AS DECIMAL(24,6))
+      |                       ELSE CAST(0 AS DECIMAL(24,6)) END) * 1000000
+      |              AS BIGINT) AS x
+      |  FROM events GROUP BY user_id
+      |), pv AS (
+      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS variant, x
+      |  FROM pu
+      |), vals AS (
+      |  SELECT x,
+      |         CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS cb
+      |  FROM pv GROUP BY x
+      |), cum AS (
+      |  SELECT x, ca, cb,
+      |         CAST(coalesce(sum(cb) OVER (ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS cumb
+      |  FROM vals
+      |), s AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |         CAST(sum(cb) AS BIGINT) AS n_b,
+      |         CAST(sum(ca * (2 * cumb + cb)) AS BIGINT) AS u2_a
+      |  FROM cum)
+      |SELECT n_a, n_b, u2_a,
+      |       CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b,
+      |       CAST(u2_a * 1000000 // (2 * n_a * n_b) AS BIGINT) AS auc_ppm
+      |FROM s""".stripMargin
+
   // ----------------------------------------------------------------- CUPED
 
   /** q252 — CUPED variance reduction (Deng et al. 2013): the standard
@@ -1565,8 +1637,11 @@ object Events {
     * Scale shape: one user-keyed hash aggregate (map-combinable), one
     * 2-row variant aggregate, one scalar projection. At 100 TB this is a
     * single shuffle on user_id; the test itself costs nothing. */
-  def abTest(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(spark, dir)
+  /** Per-user purchase spend in exact integer micros with the md5 50/50
+    * variant tag — the shared experiment-metric input of q246/q253. */
+  private def purchaseMicrosByVariant(spark: SparkSession,
+                                      dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg((sum(when(col("event_type") === "purchase",
           col("value").cast(DecimalType(24, 6)))
@@ -1575,6 +1650,9 @@ object Events {
       .select(col("x"),
         when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
           "A").otherwise("B").as("variant"))
+
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = purchaseMicrosByVariant(spark, dir)
     val s = perUser.groupBy(col("variant")).agg(
       count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))

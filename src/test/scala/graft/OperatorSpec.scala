@@ -3022,6 +3022,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q253 Mann-Whitney: crossing-count U equals the brute-force " +
+    "all-pairs definition and U_A + U_B = n_A * n_B") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val perUser = Tables.events(spark, dir)
+      .select("user_id", "event_type", "value").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.map { case (uid, rs) =>
+        val micros = (rs.filter(_._2 == "purchase")
+          .map(t => BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum * 1000000).toLong
+        (if (md5hex(uid.toString).charAt(0) < '8') "A" else "B") -> micros
+      }
+    val as = perUser.filter(_._1 == "A").map(_._2)
+    val bs = perUser.filter(_._1 == "B").map(_._2)
+    // brute force over all cross pairs: 2U_A = 2·#(a>b) + #(a==b)
+    val u2a = as.map(a => bs.map(b =>
+      if (a > b) 2L else if (a == b) 1L else 0L).sum).sum
+    val r = Events.mannWhitney(spark, dir).collect()
+    assert(r.length == 1)
+    val (na, nb, gU2a, gU2b, auc) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    assert(na == as.size && nb == bs.size)
+    assert(gU2a == u2a, s"crossing-count U2 $gU2a vs brute force $u2a")
+    assert(gU2a + gU2b == 2L * na * nb, "U_A + U_B = n_A·n_B")
+    assert(auc == u2a * 1000000L / (2L * na * nb))
+    assert(auc > 0 && auc < 1000000L, "AUC is a proper probability")
+  }
+
   test("q252 CUPED: theta and adjusted means replay bit-exactly; the " +
     "weighted grand mean is invariant under the adjustment") {
     import java.security.MessageDigest

@@ -383,6 +383,12 @@ object PlanAudit {
       // no cartesian despite U's all-pairs definition
       "q253_mann_whitney" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false),
+      // permutation test: the ×(nPerm+1) fan-out explodes the |users|
+      // table, NOT the event log; one (k,variant) aggregate builds all
+      // permutations at once; the observed row broadcasts back
+      "q254_permutation_test" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -185,6 +185,7 @@ object SparkEntry {
     "q251_chi_square" -> ((s, dir) => Events.chiSquare(s, dir)),
     "q252_cuped" -> ((s, dir) => Events.cuped(s, dir)),
     "q253_mann_whitney" -> ((s, dir) => Events.mannWhitney(s, dir)),
+    "q254_permutation_test" -> ((s, dir) => Events.permutationTest(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -457,6 +458,7 @@ object SparkEntry {
     "q251_chi_square" -> Events.chiSquareSql,
     "q252_cuped" -> Events.cupedSql,
     "q253_mann_whitney" -> Events.mannWhitneySql,
+    "q254_permutation_test" -> Events.permutationTestSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

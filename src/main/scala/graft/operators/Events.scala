@@ -1503,6 +1503,102 @@ object Events {
       |       CAST(u2_a * 1000000 // (2 * n_a * n_b) AS BIGINT) AS auc_ppm
       |FROM s""".stripMargin
 
+  // ------------------------------------------------------ permutation test
+
+  /** q254 — permutation test on the A/B spend difference: the
+    * assumption-free significance check that closes the testing family
+    * (q246 Welch assumes near-normal means, q253 assumes only order;
+    * permutation assumes NOTHING but exchangeability). The user labels
+    * are re-assigned under `nPerm` deterministic pseudo-permutations —
+    * variant of user u in permutation k = md5("u:k") nibble, the same
+    * content-addressed coin as every sampler here — and the p-value is
+    * the fraction of permutations whose |mean difference| reaches the
+    * observed one.
+    *
+    * One pass: each user row explodes into `nPerm`+1 (k, variant) tags
+    * (k = −1 is the REAL assignment), one (k, variant) aggregate builds
+    * every permutation's sufficient stats simultaneously — the
+    * bootstrap-replicate shape of q187, not nPerm scans. Mean differences
+    * are the bit-exact IEEE tail over exact integer sums; the extreme
+    * count and p_ppm are pure integers.
+    *
+    * Scale: fan-out ×(nPerm+1) on the |users|-sized table (NOT the event
+    * log), then a (2·nPerm+2)-row aggregate. At 100 TB the event scan
+    * still happens once; permutations cost one narrow explode. */
+  def permutationTest(spark: SparkSession, dir: String,
+                      nPerm: Int = 40): DataFrame = {
+    val tagged = purchaseMicrosByVariant(spark, dir)
+      .select(col("user_id"), col("x"), col("variant"),
+        explode(sequence(lit(-1), lit(nPerm - 1))).as("k"))
+      .select(col("k"), col("x"),
+        when(col("k") === -1, col("variant")).otherwise(
+          when(substring(md5(concat(col("user_id").cast(StringType),
+            lit(":"), col("k").cast(StringType))), 1, 1) < "8", "A")
+            .otherwise("B")).as("v"))
+    val diffs = tagged.groupBy(col("k"))
+      .agg(
+        sum(when(col("v") === "A", col("x"))).as("sxa"),
+        sum(when(col("v") === "B", col("x"))).as("sxb"),
+        sum(when(col("v") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("v") === "B", 1L).otherwise(0L)).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .selectExpr("k",
+        """abs(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)) AS adiff""")
+    val obs = diffs.filter(col("k") === -1)
+      .select(col("adiff").as("obs_diff"))
+    diffs.filter(col("k") >= 0)
+      .crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perm"),
+        sum(when(col("adiff") >= col("obs_diff"), 1L).otherwise(0L))
+          .as("n_extreme"),
+        max(col("obs_diff")).as("obs_diff_micros"))
+      .selectExpr("obs_diff_micros", "n_perm", "n_extreme",
+        "n_extreme * 1000000 DIV n_perm AS p_ppm")
+  }
+
+  val permutationTestSql: String = {
+    val nPerm = 40
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         CAST(sum(CASE WHEN event_type = 'purchase'
+       |                       THEN CAST(value AS DECIMAL(24,6))
+       |                       ELSE CAST(0 AS DECIMAL(24,6)) END) * 1000000
+       |              AS BIGINT) AS x
+       |  FROM events GROUP BY user_id
+       |), pv AS (
+       |  SELECT user_id,
+       |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+       |              THEN 'A' ELSE 'B' END AS variant, x
+       |  FROM pu
+       |), tagged AS (
+       |  SELECT k, x,
+       |         CASE WHEN k = -1 THEN variant
+       |              WHEN substr(md5(CAST(user_id AS VARCHAR) || ':'
+       |                   || CAST(k AS VARCHAR)), 1, 1) < '8' THEN 'A'
+       |              ELSE 'B' END AS v
+       |  FROM pv, (SELECT unnest(range(-1, $nPerm)) AS k)
+       |), diffs AS (
+       |  SELECT k,
+       |         abs(CAST(sum(CASE WHEN v = 'A' THEN x END) AS DOUBLE)
+       |               / CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END)
+       |                      AS DOUBLE)
+       |             - CAST(sum(CASE WHEN v = 'B' THEN x END) AS DOUBLE)
+       |               / CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END)
+       |                      AS DOUBLE)) AS adiff
+       |  FROM tagged GROUP BY k
+       |  HAVING sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) > 0
+       |     AND sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) > 0
+       |), obs AS (SELECT adiff AS obs_diff FROM diffs WHERE k = -1)
+       |SELECT max(obs_diff) AS obs_diff_micros,
+       |       CAST(count(*) AS BIGINT) AS n_perm,
+       |       CAST(sum(CASE WHEN adiff >= obs_diff THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_extreme,
+       |       CAST(sum(CASE WHEN adiff >= obs_diff THEN 1 ELSE 0 END)
+       |            * 1000000 // count(*) AS BIGINT) AS p_ppm
+       |FROM diffs CROSS JOIN obs WHERE k >= 0""".stripMargin
+  }
+
   // ----------------------------------------------------------------- CUPED
 
   /** q252 — CUPED variance reduction (Deng et al. 2013): the standard
@@ -1647,7 +1743,7 @@ object Events {
           col("value").cast(DecimalType(24, 6)))
           .otherwise(lit(0).cast(DecimalType(24, 6)))) * 1000000)
         .cast(LongType).as("x"))
-      .select(col("x"),
+      .select(col("user_id"), col("x"),
         when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
           "A").otherwise("B").as("variant"))
 

@@ -3022,6 +3022,44 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q254 permutation test: replays every permutation's mean diff and " +
+    "the p-value counts exactly the extreme ones") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val nPerm = 40
+    val perUser = Tables.events(spark, dir)
+      .select("user_id", "event_type", "value").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.map { case (uid, rs) =>
+        (uid, (rs.filter(_._2 == "purchase")
+          .map(t => BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum * 1000000).toLong)
+      }
+    def diff(assign: Long => Boolean): Option[Double] = {
+      val (a, b) = perUser.partition(t => assign(t._1))
+      if (a.isEmpty || b.isEmpty) None
+      else Some(math.abs(
+        a.map(t => BigInt(t._2)).sum.toLong.toDouble / a.size.toDouble -
+          b.map(t => BigInt(t._2)).sum.toLong.toDouble / b.size.toDouble))
+    }
+    val obs = diff(uid => md5hex(uid.toString).charAt(0) < '8').get
+    val perms = (0 until nPerm).flatMap(k =>
+      diff(uid => md5hex(s"$uid:$k").charAt(0) < '8'))
+    val extreme = perms.count(_ >= obs)
+    val r = Events.permutationTest(spark, dir, nPerm).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(0) == obs)
+    assert(r(0).getLong(1) == perms.size)
+    assert(r(0).getLong(2) == extreme)
+    assert(r(0).getLong(3) == extreme.toLong * 1000000L / perms.size)
+    // sanity: a null split's observed diff is not more extreme than every
+    // permutation (p > 0 would be suspicious with 40 null draws ONLY if
+    // the md5 split itself were biased — it is one more null draw)
+    assert(r(0).getLong(2) >= 0 && r(0).getLong(2) <= perms.size)
+  }
+
   test("q253 Mann-Whitney: crossing-count U equals the brute-force " +
     "all-pairs definition and U_A + U_B = n_A * n_B") {
     import java.security.MessageDigest

@@ -389,6 +389,17 @@ object PlanAudit {
       "q254_permutation_test" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false,
         "Window" -> false),
+      // vocab growth: first-doc/token distributions join the 10-row
+      // checkpoint table via broadcast range joins — prefix scans become
+      // two aggregates; no window, no cartesian of anything data-sized
+      "q255_vocab_growth" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false),
+      // Good-Turing: word→count→freq-of-freqs chained aggregates; the
+      // shifted self-join and the totals broadcast as miniatures
+      "q256_good_turing" -> Seq("HashAggregate" -> true,
+        "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false, "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

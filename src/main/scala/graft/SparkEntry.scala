@@ -186,6 +186,8 @@ object SparkEntry {
     "q252_cuped" -> ((s, dir) => Events.cuped(s, dir)),
     "q253_mann_whitney" -> ((s, dir) => Events.mannWhitney(s, dir)),
     "q254_permutation_test" -> ((s, dir) => Events.permutationTest(s, dir)),
+    "q255_vocab_growth" -> ((s, dir) => TextAnalysis.vocabGrowth(s, dir)),
+    "q256_good_turing" -> ((s, dir) => TextAnalysis.goodTuring(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -459,6 +461,8 @@ object SparkEntry {
     "q252_cuped" -> Events.cupedSql,
     "q253_mann_whitney" -> Events.mannWhitneySql,
     "q254_permutation_test" -> Events.permutationTestSql,
+    "q255_vocab_growth" -> TextAnalysis.vocabGrowthSql,
+    "q256_good_turing" -> TextAnalysis.goodTuringSql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

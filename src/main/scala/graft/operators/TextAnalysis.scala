@@ -1261,6 +1261,120 @@ object TextAnalysis {
       |            ELSE 'hard' END AS band
       |FROM f""".stripMargin
 
+  // ------------------------------------------------- vocabulary growth
+
+  /** q255 — vocabulary growth curve (Heaps'-law read-out): cumulative
+    * distinct vocabulary and token count after each decile of the corpus,
+    * in ingestion (doc_id) order. The curve is what tokenizer-vocab and
+    * dedup planning actually consume ("how fast does NEW vocabulary still
+    * arrive at 80% of the crawl?") — a flattening curve says the corpus
+    * is saturating, a steep one says keep crawling.
+    *
+    * The distributed trick: NO running scan. Each word's FIRST document
+    * (min doc_id — one hash aggregate) fully determines when it enters
+    * the vocabulary, so cumulative vocab at checkpoint c is just
+    * `#{words: first_doc ≤ c}` — a broadcast join of the 10-row
+    * checkpoint table against the first-doc distribution, turning a
+    * prefix-scan problem into two aggregates (the crossing-count
+    * discipline). Cumulative tokens come the same way from per-doc token
+    * counts. Checkpoints are doc_id deciles computed from max(doc_id)
+    * (ids are dense by construction; a sparse-id corpus would swap in the
+    * q181 equi-depth machinery unchanged). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val firstDoc = toks.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val docTokens = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"))
+    val cps = Tables.documents(spark, dir).agg(max(col("doc_id")).as("mx"))
+      .select(explode(sequence(lit(1), lit(10))).as("decile"), col("mx"))
+      .select(col("decile"),
+        expr("(mx + 1) * decile DIV 10 - 1").cast(LongType).as("cp"))
+    val vocabAt = cps.join(broadcast(firstDoc), col("fd") <= col("cp"))
+      .groupBy(col("decile"), col("cp"))
+      .agg(count(lit(1)).as("cum_vocab"))
+    val toksAt = cps.join(broadcast(docTokens), col("doc_id") <= col("cp"))
+      .groupBy(col("decile")).agg(sum(col("n_toks")).as("cum_tokens"))
+    vocabAt.join(broadcast(toksAt), Seq("decile"))
+      .select(col("decile").cast(LongType).as("decile"), col("cp"),
+        col("cum_tokens"), col("cum_vocab"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), fd AS (
+      |  SELECT w, min(doc_id) AS fd FROM toks GROUP BY w
+      |), dt AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+      |  FROM toks GROUP BY doc_id
+      |), cps AS (
+      |  SELECT CAST(d AS BIGINT) AS decile,
+      |         CAST(((SELECT max(doc_id) FROM documents) + 1) * d // 10 - 1
+      |              AS BIGINT) AS cp
+      |  FROM (SELECT unnest(range(1, 11)) AS d)
+      |), v AS (
+      |  SELECT decile, cp, CAST(count(*) AS BIGINT) AS cum_vocab
+      |  FROM cps JOIN fd ON fd.fd <= cps.cp GROUP BY decile, cp
+      |), t AS (
+      |  SELECT decile, CAST(sum(n_toks) AS BIGINT) AS cum_tokens
+      |  FROM cps JOIN dt ON dt.doc_id <= cps.cp GROUP BY decile)
+      |SELECT decile, cp, cum_tokens, cum_vocab
+      |FROM v JOIN t USING (decile)""".stripMargin
+
+  // -------------------------------------------------------- Good-Turing
+
+  /** q256 — Good-Turing frequency-of-frequencies profile: for each word
+    * count r ≤ 10, how many vocabulary types occur exactly r times, the
+    * GT re-estimated count `r* = (r+1)·n_{r+1}/n_r` in e6, and — the
+    * number everyone actually wants — the UNSEEN-mass estimate
+    * `p₀ = n₁/N` in exact ppm (what probability the corpus assigns to the
+    * next never-seen word; the Kneser-Ney partner statistic, q247). The
+    * freq-of-freqs table is also the dedup/quality tell: a hapax share
+    * far off Zipf expectation means OCR noise or boilerplate flooding.
+    *
+    * Scale shape: two chained hash aggregates — word→count (vocab-sized),
+    * count→types (≤ max-count rows) — plus one broadcast scalar for N and
+    * a self-join of the miniature n_r table shifted by one for r+1.
+    * Everything integer; one corpus scan. */
+  def goodTuring(spark: SparkSession, dir: String, maxR: Int = 10): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val freqOfFreq = counts.groupBy(col("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(sum(col("r")).as("n_tokens"),
+      sum(when(col("r") === 1, 1L).otherwise(0L)).as("n1"))
+    freqOfFreq.filter(col("r") <= maxR)
+      .join(broadcast(freqOfFreq
+        .select((col("r") - 1).as("r"), col("n_r").as("n_r1"))),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        expr("(r + 1) * coalesce(n_r1, 0) * 1000000 DIV n_r")
+          .as("rstar_e6"),
+        expr("n1 * 1000000 DIV n_tokens").as("p0_ppm"))
+  }
+
+  def goodTuringSql(maxR: Int = 10): String =
+    s"""WITH counts AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS r
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w
+       |), ff AS (
+       |  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r
+       |), tot AS (
+       |  SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM counts)
+       |SELECT a.r, a.n_r,
+       |       CAST((a.r + 1) * coalesce(b.n_r, 0) * 1000000 // a.n_r
+       |            AS BIGINT) AS rstar_e6,
+       |       CAST(n1 * 1000000 // n_tokens AS BIGINT) AS p0_ppm
+       |FROM ff a LEFT JOIN ff b ON b.r = a.r + 1
+       |CROSS JOIN tot
+       |WHERE a.r <= $maxR""".stripMargin
+
   // ------------------------------------------------ Kneser-Ney smoothing
 
   /** q247 — Kneser-Ney smoothed bigram probabilities (top 25 bigrams by

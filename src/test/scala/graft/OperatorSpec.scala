@@ -3022,6 +3022,50 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q255 vocab growth: replays the prefix curve; both columns are " +
+    "monotone and the last decile covers the whole corpus") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val mx = docs.map(_._1).max
+    val expected = (1 to 10).map { d =>
+      val cp = (mx + 1) * d / 10 - 1
+      val prefix = docs.filter(_._1 <= cp)
+      (d.toLong, cp, prefix.map(_._2.size.toLong).sum,
+        prefix.flatMap(_._2).distinct.size.toLong)
+    }.toSet
+    val got = TextAnalysis.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == expected)
+    val byD = got.sortBy(_._1)
+    byD.zip(byD.tail).foreach { case ((_, _, t1, v1), (_, _, t2, v2)) =>
+      assert(t2 >= t1 && v2 >= v1, "growth curves are monotone")
+    }
+    assert(byD.last._3 == docs.map(_._2.size.toLong).sum)
+    assert(byD.last._4 == docs.flatMap(_._2).distinct.size.toLong)
+  }
+
+  test("q256 Good-Turing: freq-of-freqs replays; hapax mass and the GT " +
+    "identity Σ n_r·r = N hold") {
+    val counts = Tables.documents(spark, dir)
+      .select("text").collect().toSeq
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (_, o) => o.size.toLong }.toSeq
+    val ff = counts.groupBy(identity)
+      .map { case (r, o) => r -> o.size.toLong }
+    val n = counts.sum
+    val n1 = ff.getOrElse(1L, 0L)
+    val expected = ff.filter(_._1 <= 10).map { case (r, nr) =>
+      (r, nr, (r + 1) * ff.getOrElse(r + 1, 0L) * 1000000L / nr,
+        n1 * 1000000L / n)
+    }.toSet
+    val got = TextAnalysis.goodTuring(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == expected)
+    // conservation over the FULL table (not just r<=10): Σ n_r·r = N
+    assert(ff.map { case (r, nr) => r * nr }.sum == n)
+  }
+
   test("q254 permutation test: replays every permutation's mean diff and " +
     "the p-value counts exactly the extreme ones") {
     import java.security.MessageDigest

@@ -400,6 +400,18 @@ object PlanAudit {
       "q256_good_turing" -> Seq("HashAggregate" -> true,
         "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // word dropout: the drop decision and rebuild live inside one
+      // filter HOF over the materialized words array — a pure narrow
+      // map, no exchange of any kind beyond the scan
+      "q257_word_dropout" -> Seq("CartesianProduct" -> false,
+        "Window" -> false, "SortMergeJoin" -> false,
+        "BroadcastHashJoin" -> false, "HashAggregate" -> false,
+        "Exchange" -> false),
+      // negative sampling: vocab prefix + interval lookup are broadcast
+      // joins of model-sized tables; only the word count touches data
+      "q258_negative_sampling" -> Seq("BroadcastNestedLoopJoin" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

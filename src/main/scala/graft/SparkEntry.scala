@@ -188,6 +188,8 @@ object SparkEntry {
     "q254_permutation_test" -> ((s, dir) => Events.permutationTest(s, dir)),
     "q255_vocab_growth" -> ((s, dir) => TextAnalysis.vocabGrowth(s, dir)),
     "q256_good_turing" -> ((s, dir) => TextAnalysis.goodTuring(s, dir)),
+    "q257_word_dropout" -> ((s, dir) => TextAnalysis.wordDropout(s, dir)),
+    "q258_negative_sampling" -> ((s, dir) => Sampling.negativeSampling(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -463,6 +465,8 @@ object SparkEntry {
     "q254_permutation_test" -> Events.permutationTestSql,
     "q255_vocab_growth" -> TextAnalysis.vocabGrowthSql,
     "q256_good_turing" -> TextAnalysis.goodTuringSql(),
+    "q257_word_dropout" -> TextAnalysis.wordDropoutSql,
+    "q258_negative_sampling" -> Sampling.negativeSamplingSql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -622,6 +622,79 @@ object Sampling {
        |FROM w GROUP BY rep""".stripMargin
   }
 
+  // -------------------------------------------------- negative sampling
+
+  /** q258 — word2vec-style NEGATIVE sampling from the unigram^(3/4)
+    * distribution (Mikolov et al.'s smoothing — rare words sampled more
+    * than their raw share, stopwords less), drawn by inverse-CDF lookup:
+    * 1000 deterministic md5 draws land in the cumulative-weight intervals
+    * of a broadcast vocab table.
+    *
+    * The ¾ power WITHOUT `pow` (whose rounding no two libms agree on):
+    * c^(3/4) = sqrt(sqrt(c³)) — c³ is an exact integer below 2⁵³, and
+    * IEEE 754 REQUIRES sqrt correctly rounded, so the chain is bit-exact
+    * cross-engine (the q125 precedent, squared). Weights quantize to e6
+    * by floor; cumulative intervals are then EXACT BIGINT sums, and each
+    * draw's target is the integer `u32·W DIV 2³²` (through
+    * DECIMAL(38,0)/HUGEINT), so interval membership is exact integer
+    * comparison — no float ever crosses an interval boundary.
+    *
+    * Scale shape: the vocab table (model-sized) carries an exclusive
+    * prefix sum over its own miniature — documented bounded window-free
+    * self-join — and BROADCASTS into the draw table; draws are a narrow
+    * generated column. At corpus scale only the word-count aggregate
+    * touches data. */
+  def negativeSampling(spark: SparkSession, dir: String,
+                       nDraws: Int = 1000): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("w"),
+        floor(sqrt(sqrt((col("c") * col("c") * col("c"))
+          .cast(DoubleType))) * 1000000.0).cast(LongType).as("w_e6"))
+    // exclusive prefix over the vocab miniature, ordered by word
+    val cum = vocab.as("a")
+      .join(broadcast(vocab.as("b")), col("b.w") < col("a.w"), "left")
+      .groupBy(col("a.w").as("w"), col("a.w_e6").as("w_e6"))
+      .agg(coalesce(sum(col("b.w_e6")), lit(0L)).as("lo"))
+    val total = vocab.agg(sum(col("w_e6")).as("wt"))
+    val draws = spark.range(nDraws)
+      .crossJoin(broadcast(total))
+      .select(col("id").as("draw"),
+        expr("""CAST(CAST(conv(substring(md5(concat('neg:',
+                  CAST(id AS STRING))), 1, 8), 16, 10) AS DECIMAL(38,0))
+                * wt DIV 4294967296 AS BIGINT)""").as("t"))
+    draws.join(broadcast(cum),
+        col("t") >= col("lo") && col("t") < col("lo") + col("w_e6"))
+      .groupBy(col("w"), col("w_e6"))
+      .agg(count(lit(1)).as("n_drawn"))
+  }
+
+  def negativeSamplingSql(nDraws: Int = 1000): String =
+    s"""WITH vocab AS (
+       |  SELECT w,
+       |         CAST(floor(sqrt(sqrt(CAST(c * c * c AS DOUBLE)))
+       |              * 1000000.0) AS BIGINT) AS w_e6
+       |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS c
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |              FROM documents)
+       |        GROUP BY w)
+       |), cum AS (
+       |  SELECT a.w, a.w_e6,
+       |         CAST(coalesce(sum(b.w_e6), 0) AS BIGINT) AS lo
+       |  FROM vocab a LEFT JOIN vocab b ON b.w < a.w
+       |  GROUP BY a.w, a.w_e6
+       |), total AS (SELECT CAST(sum(w_e6) AS BIGINT) AS wt FROM vocab
+       |), draws AS (
+       |  SELECT d AS draw,
+       |         CAST(CAST(('0x' || substr(md5('neg:' || CAST(d AS VARCHAR)),
+       |                1, 8))::BIGINT AS HUGEINT) * wt // 4294967296
+       |              AS BIGINT) AS t
+       |  FROM (SELECT unnest(range($nDraws)) AS d) CROSS JOIN total)
+       |SELECT w, w_e6, CAST(count(*) AS BIGINT) AS n_drawn
+       |FROM draws JOIN cum ON t >= lo AND t < lo + w_e6
+       |GROUP BY w, w_e6""".stripMargin
+
   // ------------------------------------------------ DSIR importance select
 
   /** q243 — DSIR-style data selection (Xie et al. 2023, "Data Selection

@@ -1322,6 +1322,53 @@ object TextAnalysis {
       |SELECT decile, cp, cum_tokens, cum_vocab
       |FROM v JOIN t USING (decile)""".stripMargin
 
+  // ------------------------------------------------------- augmentation
+
+  /** q257 — deterministic word-dropout augmentation: the corpus REWRITE
+    * that manufactures training variants (dropout regularization for
+    * text; the cheap half of EDA-style augmentation) without a single
+    * random number. Position i of doc d drops iff the first two hex
+    * chars of md5("d:i") sort below "1a" — 26/256 ≈ 10.2%, the same
+    * content-addressed coin as every sampler here, so a task retry, a
+    * re-run, or a different partitioning regenerates the IDENTICAL
+    * augmented corpus (the property that keeps augmented shards
+    * dedup-auditable against their originals).
+    *
+    * Scale shape: a pure NARROW map — the drop decision and the rebuild
+    * both happen inside one `filter` HOF over the materialized words
+    * array (index lambda), zero exchanges, scan-speed at any SF. The
+    * audit columns (n_words, n_dropped) ride along so the oracle gates
+    * the decision pattern, not just the surviving text. */
+  def wordDropout(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(ws).cast(LongType).as("n_words"),
+        filter(ws, (_, i) =>
+          substring(md5(concat(col("doc_id").cast(StringType), lit(":"),
+            i.cast(StringType))), 1, 2) >= "1a").as("kept"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - size(col("kept"))).cast(LongType).as("n_dropped"),
+        array_join(col("kept"), " ").as("aug_text"))
+  }
+
+  val wordDropoutSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), tok AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w[i + 1] AS word,
+      |         i AS pos,
+      |         substr(md5(CAST(doc_id AS VARCHAR) || ':'
+      |                    || CAST(i AS VARCHAR)), 1, 2) >= '1a' AS keep
+      |  FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM ws)
+      |)
+      |SELECT doc_id, n_words,
+      |       CAST(n_words - sum(CASE WHEN keep THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_dropped,
+      |       coalesce(string_agg(CASE WHEN keep THEN word END, ' '
+      |                           ORDER BY pos), '') AS aug_text
+      |FROM tok GROUP BY doc_id, n_words""".stripMargin
+
   // -------------------------------------------------------- Good-Turing
 
   /** q256 — Good-Turing frequency-of-frequencies profile: for each word

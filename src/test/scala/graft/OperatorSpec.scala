@@ -3022,6 +3022,72 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q257 word dropout: replays every drop decision; rate ~10% and " +
+    "the augmented text is an exact subsequence") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val expected = docs.map { case (id, ws) =>
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if md5hex(s"$id:$i").take(2) >= "1a" => w
+      }
+      (id, ws.size.toLong, (ws.size - kept.size).toLong, kept.mkString(" "))
+    }.toSet
+    val got = TextAnalysis.wordDropout(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSet == expected)
+    val totW = got.map(_._2).sum.toDouble
+    val totD = got.map(_._3).sum.toDouble
+    assert(math.abs(totD / totW - 26.0 / 256.0) < 0.02,
+      s"drop rate ${totD / totW} far from 26/256")
+    // subsequence law: kept words appear in original order
+    got.foreach { case (id, _, _, aug) =>
+      val orig = docs.find(_._1 == id).get._2.iterator
+      aug.split(" ").filter(_.nonEmpty).foreach { w =>
+        assert(orig.contains(w), s"doc $id: '$w' breaks subsequence order")
+      }
+    }
+  }
+
+  test("q258 negative sampling: replays the sqrt-chain weights and every " +
+    "draw's interval; draws conserve and skew toward heavy words") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val counts = Tables.documents(spark, dir)
+      .select("text").collect().toSeq
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }.toSeq
+    val weights = counts.map { case (w, c) =>
+      w -> math.floor(math.sqrt(math.sqrt((c * c * c).toDouble)) * 1e6).toLong
+    }.sortBy(_._1)
+    val lows = weights.scanLeft(0L)(_ + _._2).init
+    val intervals = weights.zip(lows).map { case ((w, we), lo) => (w, we, lo) }
+    val wt = weights.map(_._2).sum
+    val drawn = (0 until 1000).map { j =>
+      val u32 = java.lang.Long.parseLong(md5hex(s"neg:$j").take(8), 16)
+      val t = (BigInt(u32) * wt / BigInt(4294967296L)).toLong
+      intervals.find(iv => t >= iv._3 && t < iv._3 + iv._2).get._1
+    }
+    val expected = drawn.groupBy(identity).map { case (w, o) =>
+      val we = weights.find(_._1 == w).get._2
+      (w, we, o.size.toLong)
+    }.toSet
+    val got = Sampling.negativeSampling(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == expected)
+    assert(got.map(_._3).sum == 1000L, "all 1000 draws land in an interval")
+    // ¾-power skew: the heaviest word draws at least as often as the
+    // lightest DRAWN word (sanity, not a distributional test)
+    val byW = got.sortBy(_._2)
+    assert(byW.last._3 >= byW.head._3)
+  }
+
   test("q255 vocab growth: replays the prefix curve; both columns are " +
     "monotone and the last decile covers the whole corpus") {
     val docs = Tables.documents(spark, dir)

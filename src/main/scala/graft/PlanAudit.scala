@@ -412,6 +412,12 @@ object PlanAudit {
       "q258_negative_sampling" -> Seq("BroadcastNestedLoopJoin" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false,
         "Window" -> false),
+      // triplet mining: anchors broadcast (NLJ fan-out), map-side top-1
+      // per lane, miniature lane join — no window, no cartesian, no
+      // data-sized sort
+      "q259_triplet_mining" -> Seq("BroadcastNestedLoopJoin" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

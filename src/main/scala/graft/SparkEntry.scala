@@ -190,6 +190,7 @@ object SparkEntry {
     "q256_good_turing" -> ((s, dir) => TextAnalysis.goodTuring(s, dir)),
     "q257_word_dropout" -> ((s, dir) => TextAnalysis.wordDropout(s, dir)),
     "q258_negative_sampling" -> ((s, dir) => Sampling.negativeSampling(s, dir)),
+    "q259_triplet_mining" -> ((s, dir) => SimilaritySearch.tripletMining(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -467,6 +468,7 @@ object SparkEntry {
     "q256_good_turing" -> TextAnalysis.goodTuringSql(),
     "q257_word_dropout" -> TextAnalysis.wordDropoutSql,
     "q258_negative_sampling" -> Sampling.negativeSamplingSql(),
+    "q259_triplet_mining" -> SimilaritySearch.tripletMiningSql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -1161,6 +1161,85 @@ object SimilaritySearch {
        |WHERE rk <= $k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q259
+
+  /** q259 — contrastive TRIPLET mining: for each anchor, the training
+    * triple (anchor, hardest positive, hardest negative) that metric-
+    * learning losses consume — positive = most-similar SAME-label vector
+    * (excluding self), negative = most-similar OTHER-label vector (the
+    * q136 hard negative), plus the triplet margin the loss would see.
+    * Semi-hard/hard mining is exactly this query with a margin filter.
+    *
+    * Both lanes ride the q50/q136 shape: broadcast anchors into the
+    * corpus, map-side [[graft.functions.TopKAgg]] top-1 per (anchor,
+    * lane) so the exchange carries one row per anchor per lane, labels
+    * re-joined after ranking. Margin = rounded(pos) − rounded(neg) —
+    * a difference of the already-6dp-rounded cosines, so it's exactly
+    * reproducible from the output columns themselves. */
+  def tripletMining(spark: SparkSession, dir: String,
+                    nAnchors: Int = 10): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val lab = normalized(spark, dir).join(labels, Seq("vec_id"))
+    val anchors = lab.orderBy(col("vec_id")).limit(nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("u").as("au"),
+        col("label").as("anchor_label"))
+    val scored = lab.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine", dot(col("u"), col("au")))
+    val top1 = udaf(graft.functions.TopKAgg.TopK(1),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    def lane(same: Boolean, idAs: String, cosAs: String): DataFrame =
+      scored
+        .filter(if (same) col("label") === col("anchor_label")
+                else col("label") =!= col("anchor_label"))
+        .groupBy(col("anchor_id"), col("anchor_label"))
+        .agg(top1(col("cosine"), col("vec_id")).as("nn"))
+        .select(col("anchor_id"), col("anchor_label"),
+          col("nn")(0).getField("_2").as(idAs),
+          round(col("nn")(0).getField("_1"), 6).as(cosAs))
+    lane(same = true, "positive_id", "pos_cosine")
+      .join(broadcast(lane(same = false, "negative_id", "neg_cosine")),
+        Seq("anchor_id", "anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("positive_id"), col("pos_cosine"),
+        col("negative_id"), col("neg_cosine"),
+        (col("pos_cosine") - col("neg_cosine")).as("margin"))
+  }
+
+  def tripletMiningSql(nAnchors: Int = 10): String =
+    s"""WITH $unitVectorsSql, lab AS (
+       |  SELECT un.vec_id, un.u, e.label FROM un
+       |  JOIN embeddings e USING (vec_id)
+       |), a AS (
+       |  SELECT vec_id AS anchor_id, u AS au, label AS anchor_label
+       |  FROM lab ORDER BY vec_id LIMIT $nAnchors
+       |), scored AS (
+       |  SELECT a.anchor_id, a.anchor_label, l.vec_id, l.label,
+       |         ${dotColsSql("l.u", "a.au")} AS cos_raw
+       |  FROM lab l CROSS JOIN a
+       |  WHERE l.vec_id <> a.anchor_id
+       |), pos AS (
+       |  SELECT anchor_id, anchor_label, vec_id AS positive_id,
+       |         round(cos_raw, 6) AS pos_cosine
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |                    ORDER BY cos_raw DESC, vec_id) AS rk
+       |        FROM scored WHERE label = anchor_label)
+       |  WHERE rk = 1
+       |), neg AS (
+       |  SELECT anchor_id, vec_id AS negative_id,
+       |         round(cos_raw, 6) AS neg_cosine
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |                    ORDER BY cos_raw DESC, vec_id) AS rk
+       |        FROM scored WHERE label <> anchor_label)
+       |  WHERE rk = 1)
+       |SELECT anchor_id, anchor_label, positive_id, pos_cosine,
+       |       negative_id, neg_cosine,
+       |       pos_cosine - neg_cosine AS margin
+       |FROM pos JOIN neg USING (anchor_id)""".stripMargin
+
   // ---------------------------------------------------------------- q248
 
   /** q248 — CORESET construction by sensitivity sampling (Bachem/Feldman

@@ -3022,6 +3022,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q259 triplet mining: brute-force replay per anchor; labels " +
+    "separate and margin reconstructs from the rounded lanes") {
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding", "label").collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toIndexedSeq, r.getInt(2)))
+    def unit(v: IndexedSeq[Double]): IndexedSeq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val us = vecs.map { case (id, v, l) => (id, unit(v), l) }
+    val anchors = us.sortBy(_._1).take(10)
+    val got = SimilaritySearch.tripletMining(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.length == anchors.length)
+    got.foreach { case (aid, albl, pid, pcos, nid, ncos, margin) =>
+      val (_, au, al) = anchors.find(_._1 == aid).get
+      assert(al == albl)
+      def best(pred: ((Long, IndexedSeq[Double], Int)) => Boolean) =
+        us.filter(t => t._1 != aid && pred(t))
+          .map(t => (t._1, t._2.zip(au).map { case (a, b) => a * b }.sum))
+          .minBy { case (id, c) => (-c, id) }
+      val (bp, bpc) = best(_._3 == al)
+      val (bn, bnc) = best(_._3 != al)
+      assert(pid == bp && nid == bn, s"anchor $aid")
+      assert(math.abs(pcos - bpc) < 1e-6 && math.abs(ncos - bnc) < 1e-6)
+      // label contract: positive shares the anchor label, negative not
+      assert(us.find(_._1 == pid).get._3 == albl)
+      assert(us.find(_._1 == nid).get._3 != albl)
+      assert(margin == pcos - ncos, "margin reconstructs from the lanes")
+    }
+  }
+
   test("q257 word dropout: replays every drop decision; rate ~10% and " +
     "the augmented text is an exact subsequence") {
     import java.security.MessageDigest

@@ -418,6 +418,11 @@ object PlanAudit {
       "q259_triplet_mining" -> Seq("BroadcastNestedLoopJoin" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false,
         "Window" -> false),
+      // DiD: the q252 frame shape — user aggregate, 2-row variant
+      // aggregate, scalar projection; join- and window-free
+      "q260_diff_in_diff" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false, "BroadcastHashJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

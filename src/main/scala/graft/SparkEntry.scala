@@ -191,6 +191,7 @@ object SparkEntry {
     "q257_word_dropout" -> ((s, dir) => TextAnalysis.wordDropout(s, dir)),
     "q258_negative_sampling" -> ((s, dir) => Sampling.negativeSampling(s, dir)),
     "q259_triplet_mining" -> ((s, dir) => SimilaritySearch.tripletMining(s, dir)),
+    "q260_diff_in_diff" -> ((s, dir) => Events.diffInDiff(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -469,6 +470,7 @@ object SparkEntry {
     "q257_word_dropout" -> TextAnalysis.wordDropoutSql,
     "q258_negative_sampling" -> Sampling.negativeSamplingSql(),
     "q259_triplet_mining" -> SimilaritySearch.tripletMiningSql(),
+    "q260_diff_in_diff" -> Events.diffInDiffSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

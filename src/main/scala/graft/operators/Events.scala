@@ -1503,6 +1503,99 @@ object Events {
       |       CAST(u2_a * 1000000 // (2 * n_a * n_b) AS BIGINT) AS auc_ppm
       |FROM s""".stripMargin
 
+  // --------------------------------------------- difference-in-differences
+
+  /** q260 — difference-in-differences: the causal read-out when the
+    * variants ALREADY differed before the experiment started —
+    * `DiD = (ȳA − x̄A) − (ȳB − x̄B)` nets out each variant's own
+    * pre-period level, so a pre-existing gap can't masquerade as a
+    * treatment effect. Completes the causal family: q246 tests the raw
+    * post difference, q252 shrinks its variance with the pre-period,
+    * q260 removes pre-period BIAS; q254 supplies the assumption-free
+    * p-value.
+    *
+    * Same exact machinery as CUPED (one user aggregate over the q157-cut
+    * pre/post split, one 2-row variant aggregate, bit-exact IEEE tail
+    * over exact integer micros); the per-variant deltas and the DiD are
+    * each computed once from the four sums. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cutTs = lit("2024-01-16 00:00:00").cast(TimestampType)
+    val zero = lit(0).cast(DecimalType(24, 6))
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast(TimestampType).as("ts"),
+        when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(24, 6))).otherwise(zero).as("v"))
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(when(col("ts") < cutTs, col("v")).otherwise(zero)) * 1000000)
+          .cast(LongType).as("x"),
+        (sum(when(col("ts") >= cutTs, col("v")).otherwise(zero)) * 1000000)
+          .cast(LongType).as("y"))
+      .select(col("x"), col("y"),
+        when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
+          "A").otherwise("B").as("variant"))
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+      .agg(
+        max(when(col("variant") === "A", col("n"))).as("n_a"),
+        max(when(col("variant") === "B", col("n"))).as("n_b"),
+        max(when(col("variant") === "A", col("sx"))).as("sx_a"),
+        max(when(col("variant") === "B", col("sx"))).as("sx_b"),
+        max(when(col("variant") === "A", col("sy"))).as("sy_a"),
+        max(when(col("variant") === "B", col("sy"))).as("sy_b"))
+      .selectExpr("n_a", "n_b",
+        """CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS delta_a_micros""",
+        """CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS delta_b_micros""")
+      .selectExpr("n_a", "n_b", "delta_a_micros", "delta_b_micros",
+        "delta_a_micros - delta_b_micros AS did_micros")
+  }
+
+  val diffInDiffSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+      |                       THEN CAST(value AS DECIMAL(24,6))
+      |                       ELSE CAST(0 AS DECIMAL(24,6)) END) * 1000000
+      |              AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                        AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |                       THEN CAST(value AS DECIMAL(24,6))
+      |                       ELSE CAST(0 AS DECIMAL(24,6)) END) * 1000000
+      |              AS BIGINT) AS y
+      |  FROM events GROUP BY user_id
+      |), pv AS (
+      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS variant, x, y
+      |  FROM pu
+      |), s AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      |  FROM pv GROUP BY variant
+      |), wide AS (
+      |  SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+      |         max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+      |         max(CASE WHEN variant = 'A' THEN sx END) AS sx_a,
+      |         max(CASE WHEN variant = 'B' THEN sx END) AS sx_b,
+      |         max(CASE WHEN variant = 'A' THEN sy END) AS sy_a,
+      |         max(CASE WHEN variant = 'B' THEN sy END) AS sy_b
+      |  FROM s
+      |), d AS (
+      |  SELECT n_a, n_b,
+      |         CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |           - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |           AS delta_a_micros,
+      |         CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |           - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |           AS delta_b_micros
+      |  FROM wide)
+      |SELECT n_a, n_b, delta_a_micros, delta_b_micros,
+      |       delta_a_micros - delta_b_micros AS did_micros
+      |FROM d""".stripMargin
+
   // ------------------------------------------------------ permutation test
 
   /** q254 — permutation test on the A/B spend difference: the

@@ -3022,6 +3022,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q260 diff-in-diff: deltas replay bit-exactly and DiD nets the " +
+    "two variants' deltas") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val cut = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val perUser = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_millis(cast(ts as timestamp)) ms",
+        "event_type", "value").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.map { case (uid, rs) =>
+        def micros(pre: Boolean): Long = (rs.filter(t => t._3 == "purchase"
+          && (if (pre) t._2 < cut else t._2 >= cut))
+          .map(t => BigDecimal(t._4).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum * 1000000).toLong
+        (if (md5hex(uid.toString).charAt(0) < '8') "A" else "B",
+          micros(pre = true), micros(pre = false))
+      }
+    def delta(v: String): (Long, Double) = {
+      val g = perUser.filter(_._1 == v)
+      val n = g.size.toLong
+      (n, g.map(t => BigInt(t._3)).sum.toLong.toDouble / n.toDouble -
+        g.map(t => BigInt(t._2)).sum.toLong.toDouble / n.toDouble)
+    }
+    val (na, da) = delta("A"); val (nb, db) = delta("B")
+    val r = Events.diffInDiff(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == na && r(0).getLong(1) == nb)
+    assert(r(0).getDouble(2) == da && r(0).getDouble(3) == db)
+    assert(r(0).getDouble(4) == da - db)
+  }
+
   test("q259 triplet mining: brute-force replay per anchor; labels " +
     "separate and margin reconstructs from the rounded lanes") {
     val vecs = Tables.embeddings(spark, dir)

@@ -1518,23 +1518,8 @@ object Events {
     * pre/post split, one 2-row variant aggregate, bit-exact IEEE tail
     * over exact integer micros); the per-variant deltas and the DiD are
     * each computed once from the four sums. */
-  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
-    val cutTs = lit("2024-01-16 00:00:00").cast(TimestampType)
-    val zero = lit(0).cast(DecimalType(24, 6))
-    val perUser = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts").cast(TimestampType).as("ts"),
-        when(col("event_type") === "purchase",
-          col("value").cast(DecimalType(24, 6))).otherwise(zero).as("v"))
-      .groupBy(col("user_id"))
-      .agg(
-        (sum(when(col("ts") < cutTs, col("v")).otherwise(zero)) * 1000000)
-          .cast(LongType).as("x"),
-        (sum(when(col("ts") >= cutTs, col("v")).otherwise(zero)) * 1000000)
-          .cast(LongType).as("y"))
-      .select(col("x"), col("y"),
-        when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
-          "A").otherwise("B").as("variant"))
-    perUser.groupBy(col("variant"))
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame =
+    prePostMicrosByVariant(spark, dir).groupBy(col("variant"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"))
       .agg(
@@ -1551,7 +1536,6 @@ object Events {
            - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS delta_b_micros""")
       .selectExpr("n_a", "n_b", "delta_a_micros", "delta_b_micros",
         "delta_a_micros - delta_b_micros AS did_micros")
-  }
 
   val diffInDiffSql: String =
     """WITH pu AS (
@@ -1712,10 +1696,13 @@ object Events {
     * Scale shape: one user-keyed aggregate over the log, one 2-row
     * variant aggregate, one broadcast scalar join of the pooled stats.
     * CUPED costs one extra column, not one extra pass. */
-  def cuped(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user PRE/POST purchase micros (q157 cut) with the md5 variant
+    * tag — the shared frame of q252 CUPED and q260 DiD. */
+  private def prePostMicrosByVariant(spark: SparkSession,
+                                     dir: String): DataFrame = {
     val cutTs = lit("2024-01-16 00:00:00").cast(TimestampType)
     val zero = lit(0).cast(DecimalType(24, 6))
-    val perUser = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select(col("user_id"), col("ts").cast(TimestampType).as("ts"),
         when(col("event_type") === "purchase",
           col("value").cast(DecimalType(24, 6))).otherwise(zero).as("v"))
@@ -1728,6 +1715,10 @@ object Events {
       .select(col("x"), col("y"),
         when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
           "A").otherwise("B").as("variant"))
+  }
+
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = prePostMicrosByVariant(spark, dir)
     val pooled = perUser.agg(
         count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),

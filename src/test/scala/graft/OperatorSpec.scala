@@ -3337,12 +3337,13 @@ class OperatorSpec extends AnyFunSuite {
     val got = Events.hazardTable(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSet == expected)
-    // conservation: at_risk at t equals the sum of churns at all s >= t,
-    // so the t-ordered at_risk column telescopes down to the last churn
+    // conservation: at_risk(t) = Σ churned(s ≥ t), and the table only has
+    // rows where someone churned, so between adjacent OUTPUT rows the
+    // at-risk count shrinks by EXACTLY the earlier row's churn
     val byT = got.sortBy(_._1)
-    byT.zip(byT.tail).foreach { case ((t1, ar1, ch1, _), (t2, ar2, _, _)) =>
-      assert(ar1 - ch1 == ar2 || t2 > t1 + 1 || ar1 - ch1 >= ar2,
-        s"at-risk must shrink by exactly the churned between adjacent days")
+    byT.zip(byT.tail).foreach { case ((_, ar1, ch1, _), (_, ar2, _, _)) =>
+      assert(ar1 - ch1 == ar2,
+        s"at-risk must telescope exactly: $ar1 - $ch1 != $ar2")
     }
     assert(got.map(_._3).sum == life.size, "every user churns once")
   }

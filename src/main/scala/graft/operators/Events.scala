@@ -1331,6 +1331,13 @@ object Events {
        |FROM conv GROUP BY 1""".stripMargin
   }
 
+  /** The md5 50/50 experiment assignment — ONE definition so q246/q251/
+    * q252/q253/q254/q260 can never drift apart on who is in which arm. */
+  private def variantOf(userId: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+    when(substring(md5(userId.cast(StringType)), 1, 1) < "8", "A")
+      .otherwise("B")
+
   // ------------------------------------------------------ survival curve
 
   /** q250 — Kaplan-Meier HAZARD table over user lifetimes: for every
@@ -1350,8 +1357,8 @@ object Events {
     val life = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(datediff(
-        max(date_trunc("day", col("ts").cast(TimestampType))),
-        min(date_trunc("day", col("ts").cast(TimestampType))))
+        max(col("ts").cast(TimestampType)),
+        min(col("ts").cast(TimestampType)))
         .cast(LongType).as("t"))
     val dist = life.groupBy(col("t")).agg(count(lit(1)).as("churned"))
     val atRisk = dist.as("a")
@@ -1395,8 +1402,7 @@ object Events {
     * itself is a |cells|-row projection. */
   def chiSquare(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
-      .select(when(substring(md5(col("user_id").cast(StringType)), 1, 1)
-        < "8", "A").otherwise("B").as("variant"), col("event_type"))
+      .select(variantOf(col("user_id")).as("variant"), col("event_type"))
       .groupBy(col("variant"), col("event_type"))
       .agg(count(lit(1)).as("n_obs"))
     val rows = cells.groupBy(col("variant")).agg(sum(col("n_obs")).as("r"))
@@ -1406,9 +1412,13 @@ object Events {
       .join(broadcast(cols), Seq("event_type"))
       .crossJoin(broadcast(tot))
       .select(col("variant"), col("event_type"), col("n_obs"),
-        expr("r * c * 1000 DIV t").as("expected_e3"),
-        expr("""CAST(n_obs * t - r * c AS DECIMAL(38,0))
-                * CAST(n_obs * t - r * c AS DECIMAL(38,0)) * 1000000
+        expr("CAST(r AS DECIMAL(38,0)) * c * 1000 DIV t").as("expected_e3"),
+        // the operands cast BEFORE multiplying: n_obs·t and r·c are each
+        // bounded by t² and wrap raw BIGINT past t ≈ 3e9 events
+        expr("""(CAST(n_obs AS DECIMAL(38,0)) * t
+                 - CAST(r AS DECIMAL(38,0)) * c)
+                * (CAST(n_obs AS DECIMAL(38,0)) * t
+                   - CAST(r AS DECIMAL(38,0)) * c) * 1000000
                 DIV (CAST(r AS DECIMAL(38,0)) * c * t)""").as("chi2_e6"))
   }
 
@@ -1424,9 +1434,11 @@ object Events {
       |         FROM cells GROUP BY event_type
       |), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM cells)
       |SELECT variant, event_type, n_obs,
-      |       CAST(r * c * 1000 // t AS BIGINT) AS expected_e3,
-      |       CAST(CAST(n_obs * t - r * c AS HUGEINT)
-      |            * CAST(n_obs * t - r * c AS HUGEINT) * 1000000
+      |       CAST(CAST(r AS HUGEINT) * c * 1000 // t AS BIGINT)
+      |         AS expected_e3,
+      |       CAST((CAST(n_obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+      |            * (CAST(n_obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+      |            * 1000000
       |            // (CAST(r AS HUGEINT) * c * t) AS BIGINT) AS chi2_e6
       |FROM cells JOIN r USING (variant) JOIN c USING (event_type)
       |CROSS JOIN t""".stripMargin
@@ -1713,8 +1725,7 @@ object Events {
         (sum(when(col("ts") >= cutTs, col("v")).otherwise(zero)) * 1000000)
           .cast(LongType).as("y"))
       .select(col("x"), col("y"),
-        when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
-          "A").otherwise("B").as("variant"))
+        variantOf(col("user_id")).as("variant"))
   }
 
   def cuped(spark: SparkSession, dir: String): DataFrame = {
@@ -1828,8 +1839,7 @@ object Events {
           .otherwise(lit(0).cast(DecimalType(24, 6)))) * 1000000)
         .cast(LongType).as("x"))
       .select(col("user_id"), col("x"),
-        when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
-          "A").otherwise("B").as("variant"))
+        variantOf(col("user_id")).as("variant"))
 
   def abTest(spark: SparkSession, dir: String): DataFrame = {
     val perUser = purchaseMicrosByVariant(spark, dir)

@@ -650,8 +650,11 @@ object Sampling {
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(col("w"),
-        floor(sqrt(sqrt((col("c") * col("c") * col("c"))
-          .cast(DoubleType))) * 1000000.0).cast(LongType).as("w_e6"))
+        // c³ as a DOUBLE chain (c·c·c after one cast): raw BIGINT c³
+        // wraps past c ≈ 2.1M; the double chain is the IDENTICAL
+        // correctly-rounded multiply sequence on both engines at any c
+        floor(sqrt(sqrt(col("c").cast(DoubleType) * col("c") * col("c")))
+          * 1000000.0).cast(LongType).as("w_e6"))
     // exclusive prefix over the vocab miniature, ordered by word
     val cum = vocab.as("a")
       .join(broadcast(vocab.as("b")), col("b.w") < col("a.w"), "left")
@@ -673,7 +676,7 @@ object Sampling {
   def negativeSamplingSql(nDraws: Int = 1000): String =
     s"""WITH vocab AS (
        |  SELECT w,
-       |         CAST(floor(sqrt(sqrt(CAST(c * c * c AS DOUBLE)))
+       |         CAST(floor(sqrt(sqrt(CAST(c AS DOUBLE) * c * c))
        |              * 1000000.0) AS BIGINT) AS w_e6
        |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS c
        |        FROM (SELECT unnest(string_split(text, ' ')) AS w
@@ -729,13 +732,18 @@ object Sampling {
   def dsirSelect(spark: SparkSession, dir: String,
                  target: String = "src0"): DataFrame = {
     val ws = col("ws")
-    val bigrams = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
-      .filter(size(ws) >= 2)
-      .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(0), size(ws) - 2),
-          i => substring(md5(concat(element_at(ws, i + 1), lit(" "),
-            element_at(ws, i + 2))), 1, 2))).as("bucket"))
+    // session-cached: the histogram passes AND the scoring pass all read
+    // this frame — without the cache each reference re-derives the full
+    // explode off its own scan (three corpus passes instead of one
+    // materialization; the CacheRegistry shared-frame discipline)
+    val bigrams = graft.CacheRegistry.cached(spark, s"dsir-bigrams:$dir")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(ws) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(0), size(ws) - 2),
+            i => substring(md5(concat(element_at(ws, i + 1), lit(" "),
+              element_at(ws, i + 2))), 1, 2))).as("bucket")))
 
     val allBuckets = spark.range(256)
       .select(format_string("%02x", col("id")).as("bucket"))
@@ -761,8 +769,11 @@ object Sampling {
     scores
       .crossJoin(broadcast(scores.agg(max(col("score_e6")).as("smax"))))
       .select(col("doc_id"), col("source"), col("score_e6"),
-        (hashU32(col("doc_id")) * col("smax") <
-          col("score_e6") * lit(4294967296L)).as("kept"))
+        // through DECIMAL(38,0): u32·smax and score·2^32 overflow raw
+        // BIGINT once a bucket is ~2000× over-represented in the target
+        (hashU32(col("doc_id")).cast(DecimalType(38, 0)) * col("smax") <
+          col("score_e6").cast(DecimalType(38, 0)) * lit(4294967296L))
+          .as("kept"))
   }
 
   def dsirSelectSql(target: String = "src0"): String =
@@ -798,8 +809,9 @@ object Sampling {
        |  WHERE source <> '$target'
        |  GROUP BY doc_id, source)
        |SELECT doc_id, source, score_e6,
-       |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |              ::BIGINT AS HUGEINT)
        |         * (SELECT max(score_e6) FROM scores)
-       |         < score_e6 * 4294967296 AS kept
+       |         < CAST(score_e6 AS HUGEINT) * 4294967296 AS kept
        |FROM scores""".stripMargin
 }

@@ -1290,10 +1290,13 @@ object TextAnalysis {
       .select(explode(sequence(lit(1), lit(10))).as("decile"), col("mx"))
       .select(col("decile"),
         expr("(mx + 1) * decile DIV 10 - 1").cast(LongType).as("cp"))
-    val vocabAt = cps.join(broadcast(firstDoc), col("fd") <= col("cp"))
+    // the 10-row checkpoint table BROADCASTS into the big-side
+    // distributions (never the reverse — firstDoc is vocab-sized and
+    // docTokens corpus-sized at design scale)
+    val vocabAt = firstDoc.join(broadcast(cps), col("fd") <= col("cp"))
       .groupBy(col("decile"), col("cp"))
       .agg(count(lit(1)).as("cum_vocab"))
-    val toksAt = cps.join(broadcast(docTokens), col("doc_id") <= col("cp"))
+    val toksAt = docTokens.join(broadcast(cps), col("doc_id") <= col("cp"))
       .groupBy(col("decile")).agg(sum(col("n_toks")).as("cum_tokens"))
     vocabAt.join(broadcast(toksAt), Seq("decile"))
       .select(col("decile").cast(LongType).as("decile"), col("cp"),

@@ -3132,7 +3132,7 @@ class OperatorSpec extends AnyFunSuite {
       .flatMap(_.getString(0).split(" "))
       .groupBy(identity).map { case (w, o) => w -> o.size.toLong }.toSeq
     val weights = counts.map { case (w, c) =>
-      w -> math.floor(math.sqrt(math.sqrt((c * c * c).toDouble)) * 1e6).toLong
+      w -> math.floor(math.sqrt(math.sqrt(c.toDouble * c * c)) * 1e6).toLong
     }.sortBy(_._1)
     val lows = weights.scanLeft(0L)(_ + _._2).init
     val intervals = weights.zip(lows).map { case ((w, we), lo) => (w, we, lo) }

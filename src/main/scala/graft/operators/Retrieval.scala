@@ -107,7 +107,7 @@ object Retrieval {
        |         * ((t.n_docs * 1000) // df.df) AS s
        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN totals t
        |)
-       |SELECT doc_id, sum(s) AS score, count(*) AS n_terms
+       |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score, count(*) AS n_terms
        |FROM scored GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }

@@ -401,7 +401,11 @@ object Sketches {
     * partition-count invariance). Everything stays integer-exact:
     * s1 is a BIGINT cent sum; s2..s4 run in DECIMAL(38,0) (cents⁴ ≈ 10²⁸
     * per row — headroom to ~10⁹ rows per group before 38 digits bind, and
-    * the scaladoc'd fallback at larger scale is whole-dollar units);
+    * the scaladoc'd fallback at larger scale is whole-dollar units). The
+    * s2..s4 OUTPUT columns are emitted as digit strings on both engines:
+    * their values exceed int64 range (~5.9e24 / ~4.9e31 at sf0.01) and
+    * wide-decimal hashing is engine-specific, while digit strings are
+    * representation-stable — internal arithmetic (var_c2) stays decimal;
     * mean_e6 and the population variance derive by integer division, so
     * the DuckDB oracle (same chain on HUGEINT) hash-matches bit-for-bit. */
   def momentSketch(spark: SparkSession, dir: String): DataFrame = {
@@ -418,7 +422,9 @@ object Sketches {
         sum(col("cd") * col("cd") * col("cd") * col("cd"))
           .cast(DecimalType(38, 0)).as("s4"))
       .select(col("flag"), col("n"), col("mn"), col("mx"), col("s1"),
-        col("s2"), col("s3"), col("s4"),
+        col("s2").cast(StringType).as("s2"),
+        col("s3").cast(StringType).as("s3"),
+        col("s4").cast(StringType).as("s4"),
         expr("(CAST(s1 AS DECIMAL(38,0)) * 1000000) div n").as("mean_e6"),
         expr("""(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
                 div (CAST(n AS DECIMAL(38,0)) * n)""").as("var_c2"))
@@ -439,9 +445,9 @@ object Sketches {
       |  FROM src GROUP BY flag
       |)
       |SELECT flag, n, mn, mx, CAST(s1h AS BIGINT) AS s1,
-      |       CAST(s2h AS DECIMAL(38,0)) AS s2,
-      |       CAST(s3h AS DECIMAL(38,0)) AS s3,
-      |       CAST(s4h AS DECIMAL(38,0)) AS s4,
+      |       CAST(s2h AS VARCHAR) AS s2,
+      |       CAST(s3h AS VARCHAR) AS s3,
+      |       CAST(s4h AS VARCHAR) AS s4,
       |       CAST((s1h * 1000000) // n AS BIGINT) AS mean_e6,
       |       CAST((n * s2h - s1h * s1h) // (CAST(n AS HUGEINT) * n) AS BIGINT)
       |         AS var_c2

@@ -1396,6 +1396,14 @@ object Events {
     * HUGEINT (q245's overflow discipline), divided once, truncating
     * toward zero on both engines. Expected counts ride along in e3.
     *
+    * Headroom (honest-cost bound): the squared term `(O·T−R·C)²·10⁶`
+    * itself fits 38 digits only while `|O·T−R·C| ≤ 10¹⁶`. Since
+    * `|O·T−R·C| = T·|O−E| ≤ T²`, the formula is safe unconditionally to
+    * T = 10⁸ events, and to far larger T whenever per-cell skew obeys
+    * `|O−E| ≤ 10¹⁶/T` (e.g. |O−E| ≤ 10⁶ at T = 10¹⁰). Past that, drop
+    * the ×10⁶ scale a few decades (chi2_e2) or pre-divide the difference
+    * by 10³ before squaring — same truncating-division discipline.
+    *
     * Scale shape: ONE (variant, type)-keyed aggregate over the event log;
     * margins and the total are ≤|types|+2-row aggregates of THAT result —
     * broadcast joins of miniatures, no second scan, no window. The test

@@ -1436,8 +1436,12 @@ object TextAnalysis {
     * `P(w2|w1)` that absolute counts get wrong for rare continuations.
     *
     * `P_kn(w2|w1) = max(c₁₂−d,0)/c₁ + d·N⁺(w1,·)/c₁ · N⁺(·,w2)/D` with
-    * the standard discount d = 0.75 = 3/4, which clears to all-BIGINT by
-    * multiplying through by 4 (the BM25 rational-constant trick):
+    * the standard discount d = 0.75 = 3/4, which clears to all-integer by
+    * multiplying through by 4 (the BM25 rational-constant trick); the
+    * intermediate products run in DECIMAL(38,0)/HUGEINT because at corpus
+    * scale they pass int64 (term1 once a bigram type exceeds ~2.3e9
+    * tokens, term2 once n1fw·n1bw ≳ 3e9, the denominator at ~4e22) while
+    * the final kn_e9 quotient is always ≤ ~1e9 and lands back in BIGINT:
     * `term1_e9 = (4c₁₂−3)·10⁹ DIV 4c₁` (observed bigrams have c₁₂ ≥ 1 so
     * the discounted mass is never negative) and
     * `term2_e9 = 3·N⁺fw·N⁺bw·10⁹ DIV (4·c₁·D)`; kn_e9 = term1 + term2 —
@@ -1468,8 +1472,17 @@ object TextAnalysis {
       .join(broadcast(right), Seq("w2"))
       .crossJoin(broadcast(types))
       .select(col("w1"), col("w2"), col("c12"),
-        (expr("(4 * c12 - 3) * 1000000000 DIV (4 * c1)") +
-          expr("3 * n1fw * n1bw * 1000000000 DIV (4 * c1 * d_types)"))
+        // Both numerators run in DECIMAL(38,0): at design scale the raw
+        // BIGINT products wrap — term1's (4c₁₂−3)·10⁹ passes int64 once a
+        // bigram type exceeds ~2.3e9 tokens, and term2's 3·N⁺fw·N⁺bw·10⁹
+        // once n1fw·n1bw ≳ 3e9 (e.g. a 55k×55k continuation table); the
+        // denominator 4·c1·d_types likewise (~4e22 at 1e12 tokens ×
+        // 1e10 types). DECIMAL(38,0) holds all of them with ≥12 digits of
+        // headroom, and IntegralDivide lands back in BIGINT (kn_e9 ≤ 1e9).
+        (expr("""(4 * CAST(c12 AS DECIMAL(38,0)) - 3) * 1000000000
+                 DIV (4 * CAST(c1 AS DECIMAL(38,0)))""") +
+          expr("""3 * CAST(n1fw AS DECIMAL(38,0)) * n1bw * 1000000000
+                  DIV (4 * CAST(c1 AS DECIMAL(38,0)) * d_types)"""))
           .as("kn_e9"))
       .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(k)
@@ -1493,8 +1506,8 @@ object TextAnalysis {
        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c12 GROUP BY w2
        |), d AS (SELECT CAST(count(*) AS BIGINT) AS d_types FROM c12)
        |SELECT w1, w2, c12,
-       |       CAST((4 * c12 - 3) * 1000000000 // (4 * c1)
-       |            + 3 * n1fw * n1bw * 1000000000 // (4 * c1 * d_types)
+       |       CAST((4 * CAST(c12 AS HUGEINT) - 3) * 1000000000 // (4 * CAST(c1 AS HUGEINT))
+       |            + 3 * CAST(n1fw AS HUGEINT) * n1bw * 1000000000 // (4 * CAST(c1 AS HUGEINT) * d_types)
        |            AS BIGINT) AS kn_e9
        |FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN d
        |ORDER BY c12 DESC, w1, w2 LIMIT $k""".stripMargin

@@ -549,6 +549,14 @@ object SparkEntry {
     "q212_unicode_nfc" -> TextAnalysis.unicodeNfcAuditSql,
     "q213_dp_release" -> CorpusFilters.dpReleaseSql(),
     "q205_bpe_merges" -> BpeTrainer.bpeMergesSql(),
+    // q214 graduated (round 9) from captured merge literals to a fully
+    // static oracle: DuckDB re-trains the merges via the same chained CTEs
+    // and applies them through scalar subqueries
+    "q214_bpe_encode" -> BpeTrainer.bpeEncodeStaticSql(),
+    // q233 graduated (round 9): DuckDB re-runs the 3000-round power
+    // iteration in a recursive CTE (bit-exact: sequential list_reduce
+    // folds of correctly-rounded ops) — no captured literals
+    "q233_pca_power" -> Spectral.pcaTopComponentSql,
     "q206_random_walks" -> Graph.randomWalksSql(),
     "q207_merkle_diff" -> Merge.merkleDiffSql(),
     "q208_stream_quantile" -> streaming.EventStreams.hourlyQuantileSql,
@@ -605,10 +613,6 @@ object SparkEntry {
     Sketches.oracleEntries ++
     // q129: unrolled-CTE oracle at the CAPTURED convergence round count
     Graph.oracleEntries ++
-    BpeTrainer.oracleEntries ++
-    // q233: captured eigenvector literals, eigen equation re-verified by
-    // DuckDB against its OWN exact integer covariance
-    Spectral.oracleEntries ++
     // q173: streamed HLL estimates as literals, bounds re-derived by DuckDB
     streaming.EventStreams.oracleEntries
 }

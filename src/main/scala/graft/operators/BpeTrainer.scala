@@ -103,7 +103,6 @@ object BpeTrainer {
       (spark.sparkContext.applicationId, dir, iters),
       bpeMerges(spark, dir, iters).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
-    capturedMerges.put(dir, iters, merges)
     val words = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
     var s: org.apache.spark.sql.Column =
@@ -124,19 +123,50 @@ object BpeTrainer {
 
   private val mergeCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), Seq[(String, String)]]
-  private val capturedMerges =
-    new graft.OracleCapture.Captured[Int, Seq[(String, String)]]
 
-  /** q214's oracle: the captured merge literals folded into a replace
-    * chain (single-quote-escaped), identical spaced-symbol basis. */
-  def bpeEncodeSql(merges: Seq[(String, String)]): String = {
-    def q(s: String) = s.replace("'", "''")
-    val chain = merges.foldLeft(
+  /** The shared training replay: word counts, spaced symbols, and per-round
+    * (weighted pair argmax, literal replace) CTE pairs `p1,w1 … pN,wN`.
+    * Both oracles build on this, so neither depends on captured run-time
+    * literals — a divergence anywhere in the iteration (tie order, replace
+    * semantics, weighting) goes hash-red in BOTH gates. */
+  private def trainingCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT ws[i] || ' ' || ws[i+1] AS pair, cnt
+         |    FROM (SELECT string_split(trim(s), ' ') AS ws, cnt FROM w${i - 1})
+         |         , unnest(range(1, len(ws))) AS t(i)
+         |    WHERE len(ws) >= 2)
+         |  GROUP BY pair ORDER BY c DESC, pair LIMIT 1
+         |), w$i AS (
+         |  SELECT replace(s, ' ' || p.pair || ' ',
+         |                 ' ' || replace(p.pair, ' ', '') || ' ') AS s, cnt
+         |  FROM w${i - 1}, p$i p
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""wc AS (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word
+       |), w0 AS (
+       |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, cnt
+       |  FROM wc
+       |), $rounds""".stripMargin
+  }
+
+  /** q214's oracle — fully static (round-9 graduation from captured merge
+    * literals): the merge pairs are re-derived by the SAME chained training
+    * CTEs the q205 oracle uses, and the encode folds them in via scalar
+    * subqueries (each `p_i` is exactly one row). No run-time capture —
+    * DuckDB independently trains AND encodes from the raw parquet. */
+  def bpeEncodeStaticSql(iters: Int = 8): String = {
+    val chain = (1 to iters).foldLeft(
       "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") {
-      case (acc, (pair, merged)) =>
-        s"replace($acc, ' ${q(pair)} ', ' ${q(merged)} ')"
+      case (acc, i) =>
+        s"replace($acc, ' ' || (SELECT pair FROM p$i) || ' ', " +
+          s"' ' || (SELECT replace(pair, ' ', '') FROM p$i) || ' ')"
     }
-    s"""WITH words AS (
+    s"""WITH ${trainingCtes(iters)}, words AS (
        |  SELECT source, unnest(string_split(text, ' ')) AS word
        |  FROM documents
        |), enc AS (
@@ -152,40 +182,13 @@ object BpeTrainer {
        |FROM enc GROUP BY source""".stripMargin
   }
 
-  def oracleEntries: Map[String, String] =
-    capturedMerges.get(8)
-      .map(m => "q214_bpe_encode" -> bpeEncodeSql(m)).toMap
-
-  /** The oracle replays every round as a chained CTE — word counts, spaced
-    * symbols, per-round weighted pair argmax and literal replace — so a
-    * divergence anywhere in the iteration (tie order, replace semantics,
-    * weighting) goes hash-red. */
+  /** The q205 oracle replays every round as a chained CTE — word counts,
+    * spaced symbols, per-round weighted pair argmax and literal replace. */
   def bpeMergesSql(iters: Int = 8): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""p$i AS (
-         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
-         |    SELECT ws[i] || ' ' || ws[i+1] AS pair, cnt
-         |    FROM (SELECT string_split(trim(s), ' ') AS ws, cnt FROM w${i - 1})
-         |         , unnest(range(1, len(ws))) AS t(i)
-         |    WHERE len(ws) >= 2)
-         |  GROUP BY pair ORDER BY c DESC, pair LIMIT 1
-         |), w$i AS (
-         |  SELECT replace(s, ' ' || p.pair || ' ',
-         |                 ' ' || replace(p.pair, ' ', '') || ' ') AS s, cnt
-         |  FROM w${i - 1}, p$i p
-         |)""".stripMargin
-    }.mkString(", ")
     val union = (1 to iters).map(i =>
       s"SELECT CAST($i AS INT) AS iter, pair, " +
         s"replace(pair, ' ', '') AS merged, c FROM p$i").mkString(" UNION ALL ")
-    s"""WITH wc AS (
-       |  SELECT word, count(*) AS cnt
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  GROUP BY word
-       |), w0 AS (
-       |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, cnt
-       |  FROM wc
-       |), $rounds
+    s"""WITH ${trainingCtes(iters)}
        |$union""".stripMargin
   }
 }

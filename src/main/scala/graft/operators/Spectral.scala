@@ -35,10 +35,12 @@ import org.apache.spark.sql.types._
   * ==Cross-engine eigen-gate==
   * Power iteration (3000 rounds, deterministic start 1/√d, sign fixed at the
   * largest-|loading| coordinate) yields the eigenvector, quantized to
-  * `vq = round(v·10⁶)` and captured as oracle literals ([[OracleCapture]]).
-  * The gate is NOT an export-path echo: both engines independently rebuild
-  * the exact integer covariance `covq = n·s_ij − m_i·m_j` from the raw
-  * parquet, apply it to the shared literal vq, and verify the eigen equation
+  * `vq = round(v·10⁶)`. The gate is NOT an export-path echo: both engines
+  * independently rebuild the exact integer covariance
+  * `covq = n·s_ij − m_i·m_j` from the raw parquet, independently run the
+  * SAME deterministic power iteration (DuckDB in a recursive CTE — see
+  * [[pcaTopComponentSql]]; no captured literals), and verify the eigen
+  * equation
   * `|Cov·vq − λ·vq| ≤ τ·λ·‖vq‖` componentwise with λ the integer Rayleigh
   * quotient — all products exact in DECIMAL(38,0)/HUGEINT, the final
   * comparison on identical doubles cast from identical integers, so the flag
@@ -58,7 +60,9 @@ object Spectral {
   /** Eigenvector quantization: vq = round(v·VScale). */
   private val VScale = 1000000L
 
-  /** (dir, (qScale, vScale)) → captured quantized eigenvector. */
+  /** (dir, (qScale, vScale)) → session-cached quantized eigenvector (pure
+    * fit cache since the round-9 oracle graduation — the oracle re-derives
+    * the vector itself; this only keeps Bench resamples from re-fitting). */
   private[graft] val captured =
     new OracleCapture.Captured[(Long, Long), Array[Long]]
 
@@ -179,50 +183,90 @@ object Spectral {
           lit(1.0e8) * lit(1.0e9)).cast(LongType).as("lambda_e9"))
   }
 
-  /** DuckDB gate: rebuilds the exact integer covariance from its own scan of
-    * the raw parquet and applies it to the captured literal eigenvector —
-    * identical integer chain, identical final doubles. Buildable only after
-    * a fit has captured (Verify runs queries before dumping oracleSql). */
-  def oracleEntries: Map[String, String] =
-    captured.get((QScale.toLong, VScale)) match {
-      case None => Map.empty
-      case Some(vq) =>
-        val v2 = vq.map(x => BigInt(x) * BigInt(x)).sum
-        val values = vq.zipWithIndex
-          .map { case (w, j) => s"($j, $w)" }.mkString(", ")
-        Map("q233_pca_power" ->
-          s"""WITH q AS (
-             |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
-             |                        x -> CAST(floor(x * 10000.0) AS BIGINT)) AS a
-             |  FROM embeddings),
-             |pos AS (SELECT unnest(range($D)) AS p),
-             |cells AS (
-             |  SELECT i.p AS i, j.p AS j, sum(a[i.p + 1] * a[j.p + 1]) AS s
-             |  FROM q, pos i, pos j WHERE j.p >= i.p GROUP BY 1, 2),
-             |m AS (SELECT i.p AS i, sum(a[i.p + 1]) AS m FROM q, pos i GROUP BY 1),
-             |n AS (SELECT count(*) AS n FROM q),
-             |v AS (SELECT * FROM (VALUES $values) AS t(j, vq)),
-             |cov AS (
-             |  SELECT c.i, c.j, n.n * c.s - mi.m * mj.m AS covq
-             |  FROM cells c, n
-             |  JOIN m mi ON mi.i = c.i JOIN m mj ON mj.i = c.j),
-             |contrib AS (
-             |  SELECT cov.i AS tgt, CAST(v.vq AS HUGEINT) * cov.covq AS t
-             |  FROM cov JOIN v ON v.j = cov.j
-             |  UNION ALL
-             |  SELECT cov.j, CAST(v.vq AS HUGEINT) * cov.covq
-             |  FROM cov JOIN v ON v.j = cov.i WHERE cov.i <> cov.j),
-             |cvq AS (SELECT tgt, sum(t) AS cvq FROM contrib GROUP BY tgt),
-             |lam AS (SELECT sum(CAST(v.vq AS HUGEINT) * cvq.cvq) AS lamN
-             |        FROM cvq JOIN v ON v.j = cvq.tgt)
-             |SELECT CAST(cvq.tgt AS BIGINT) AS pos,
-             |       CAST(v.vq AS DOUBLE) / 1000000.0 AS loading,
-             |       CAST(abs(cvq.cvq * CAST('$v2' AS HUGEINT)
-             |                - lam.lamN * v.vq) AS DOUBLE)
-             |         <= CAST(abs(lam.lamN) AS DOUBLE) * 100.0 AS eig_ok,
-             |       CAST(floor(CAST(lam.lamN AS DOUBLE) / ${v2.toDouble}
-             |                  / CAST(n.n AS DOUBLE) / CAST(n.n AS DOUBLE)
-             |                  / 1.0e8 * 1.0e9) AS BIGINT) AS lambda_e9
-             |FROM cvq JOIN v ON v.j = cvq.tgt, lam, n""".stripMargin)
-    }
+  /** DuckDB gate — fully static (round-9 graduation from captured
+    * eigenvector literals): DuckDB independently rebuilds the exact integer
+    * covariance from its own scan, runs the SAME 3000-round power iteration
+    * as the Spark driver inside a recursive CTE, and then verifies the eigen
+    * equation against its own vector. The iteration is bit-exact across
+    * engines because every cross-engine double op is correctly-rounded IEEE
+    * (·, /, sqrt — no libm) applied in the IDENTICAL order: `list_reduce` is
+    * a sequential left fold, matching the driver's ascending-j `while`
+    * accumulation and `Array.sum`; the start vector 0.125 is exact; cov
+    * entries are exact integers < 2⁵³ cast to double; and the final
+    * quantization `floor(x·sgn·10⁶ + 0.5)` reproduces Java `Math.round`.
+    * Prototyped against a step-identical reference loop before wiring:
+    * all 64 quantized components byte-equal after 3000 rounds. No run-time
+    * capture anywhere — the oracle re-derives loading, eig_ok AND lambda
+    * from raw parquet alone. */
+  def pcaTopComponentSql: String =
+    s"""WITH RECURSIVE
+       |q AS (
+       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> CAST(floor(x * 10000.0) AS BIGINT)) AS a
+       |  FROM embeddings),
+       |pos AS (SELECT unnest(range($D)) AS p),
+       |cells AS MATERIALIZED (
+       |  SELECT i.p AS i, j.p AS j, sum(a[i.p + 1] * a[j.p + 1]) AS s
+       |  FROM q, pos i, pos j WHERE j.p >= i.p GROUP BY 1, 2),
+       |m AS MATERIALIZED (
+       |  SELECT i.p AS i, sum(a[i.p + 1]) AS m FROM q, pos i GROUP BY 1),
+       |n AS MATERIALIZED (SELECT count(*) AS n FROM q),
+       |covl AS MATERIALIZED (
+       |  SELECT list(rowl ORDER BY i) AS c FROM (
+       |    SELECT i, list(covd ORDER BY j) AS rowl FROM (
+       |      SELECT ii.p AS i, jj.p AS j,
+       |             CAST(n.n * c.s - mi.m * mj.m AS DOUBLE) AS covd
+       |      FROM pos ii, pos jj, n, cells c, m mi, m mj
+       |      WHERE c.i = least(ii.p, jj.p) AND c.j = greatest(ii.p, jj.p)
+       |        AND mi.i = ii.p AND mj.i = jj.p
+       |    ) GROUP BY i
+       |  )
+       |),
+       |it(k, v) AS (
+       |  SELECT 0, list_transform(range($D), x -> CAST(0.125 AS DOUBLE))
+       |  UNION ALL
+       |  SELECT k + 1,
+       |         list_transform(w, x -> x / sqrt(
+       |           list_reduce(list_transform(w, y -> y*y), (a,b) -> a+b)))
+       |  FROM (
+       |    SELECT k, list_transform(range($D), i ->
+       |             list_reduce(list_transform(range($D),
+       |               j -> c[i+1][j+1] * v[j+1]), (a,b) -> a+b)) AS w
+       |    FROM it, covl WHERE k < 3000
+       |  )
+       |),
+       |vfin AS MATERIALIZED (SELECT v FROM it WHERE k = 3000),
+       |sgn AS (
+       |  SELECT CASE WHEN v[jx + 1] < 0 THEN -1.0 ELSE 1.0 END AS s
+       |  FROM vfin, (SELECT jj.p AS jx FROM pos jj, vfin
+       |              ORDER BY abs(v[jj.p + 1]) DESC, jj.p ASC LIMIT 1)
+       |),
+       |v AS MATERIALIZED (
+       |  SELECT jj.p AS j,
+       |         CAST(floor(vfin.v[jj.p + 1] * sgn.s * 1000000.0 + 0.5)
+       |              AS BIGINT) AS vq
+       |  FROM pos jj, vfin, sgn
+       |),
+       |v2 AS (SELECT sum(CAST(vq AS HUGEINT) * vq) AS v2 FROM v),
+       |cov AS (
+       |  SELECT c.i, c.j, n.n * c.s - mi.m * mj.m AS covq
+       |  FROM cells c, n
+       |  JOIN m mi ON mi.i = c.i JOIN m mj ON mj.i = c.j),
+       |contrib AS (
+       |  SELECT cov.i AS tgt, CAST(v.vq AS HUGEINT) * cov.covq AS t
+       |  FROM cov JOIN v ON v.j = cov.j
+       |  UNION ALL
+       |  SELECT cov.j, CAST(v.vq AS HUGEINT) * cov.covq
+       |  FROM cov JOIN v ON v.j = cov.i WHERE cov.i <> cov.j),
+       |cvq AS (SELECT tgt, sum(t) AS cvq FROM contrib GROUP BY tgt),
+       |lam AS (SELECT sum(CAST(v.vq AS HUGEINT) * cvq.cvq) AS lamN
+       |        FROM cvq JOIN v ON v.j = cvq.tgt)
+       |SELECT CAST(cvq.tgt AS BIGINT) AS pos,
+       |       CAST(v.vq AS DOUBLE) / 1000000.0 AS loading,
+       |       CAST(abs(cvq.cvq * v2.v2 - lam.lamN * v.vq) AS DOUBLE)
+       |         <= CAST(abs(lam.lamN) AS DOUBLE) * 100.0 AS eig_ok,
+       |       CAST(floor(CAST(lam.lamN AS DOUBLE) / CAST(v2.v2 AS DOUBLE)
+       |                  / CAST(n.n AS DOUBLE) / CAST(n.n AS DOUBLE)
+       |                  / 1.0e8 * 1.0e9) AS BIGINT) AS lambda_e9
+       |FROM cvq JOIN v ON v.j = cvq.tgt, lam, n, v2""".stripMargin
 }

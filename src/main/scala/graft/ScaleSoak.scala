@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-soak of the heaviest contract queries (round-9 verdict
+  * item 4): the scale claims in the per-operator scaladocs are design
+  * audits; this main MEASURES them by running the top heavies at sf0.1 and
+  * at a synthesized ~sf1 (10× the rows) in one session and reporting the
+  * time ratio → implied scaling exponent (`log10(t_10x / t_1x)`; 1.0 =
+  * perfectly linear, ≥ ~1.3 flags a super-linear plan worth a fix).
+  *
+  * ==The ×10 dataset==
+  * There is no driver-generated sf1, so the soak synthesizes one at
+  * `outDir`: each table is the union of `factor` copies of sf0.1 with
+  * every join key shifted by `copy × 10⁹` — consistently across tables
+  * (o_custkey moves with c_custkey, l_orderkey with o_orderkey, …), so
+  * all joins stay key-correct while the copies are fully disjoint.
+  * Disjointness matters for honesty: identical keys ×10 would turn the
+  * banded self-joins (image dedup, triangles) into ×100 pair blowups that
+  * measure data skew, not plan scaling. Shifted doc_ids also give distinct
+  * synthesized media payloads (the pixel/sample formulas hash the full id),
+  * so media bucket occupancy stays realistic. nation/region stay single
+  * copies (they are fixed dims joined by unshifted nationkeys); timestamps
+  * are unshifted, so time-grid cardinalities stay constant while per-bucket
+  * density grows 10× — the 100 TB shape.
+  *
+  * Each query runs TWICE per scale: `first` pays CacheRegistry population
+  * and any plan-specific codegen; `steady` is the warm cost. The exponent
+  * is computed on steady (that is the repeated-operation regime the
+  * scaladocs' claims describe); first-run times are reported alongside so
+  * one-shot cost regressions stay visible too.
+  */
+object ScaleSoak {
+
+  private val Shift = 1000000000L
+
+  /** Key columns shifted per copy, per table. Tables absent here (nation,
+    * region) are written through as single fixed copies. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
+                  factor: Int): Unit = {
+    for (t <- allTables) {
+      val base = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out = keyCols.get(t) match {
+        case None => base
+        case Some(keys) =>
+          (0 until factor).map { k =>
+            keys.foldLeft(base) { (d, c) =>
+              d.withColumn(c, col(c) + lit(Shift * k))
+            }
+          }.reduce(_ unionAll _)
+      }
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  /** The round-8 verdict's top-10 heavies. */
+  private val heavies = Seq(
+    "q115_triangles", "q116_robust_scale", "q165_label_propagation",
+    "q223_image_dedup", "q107_boilerplate", "q237_join_size_estimate",
+    "q113_weighted_median", "q181_equidepth_deciles", "q144_target_encoding",
+    "q206_random_walks")
+
+  private def timeOne(spark: SparkSession, name: String,
+                      dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.MaterializeHofDependencies
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      System.err.println(s"[soak] building ${factor}x dataset at $outDir ...")
+      buildScaled(spark, srcDir, outDir, factor)
+    }
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val run = heavies.filter(n => only.forall(_.exists(n.startsWith)))
+
+    val rows = run.map { name =>
+      val f1 = timeOne(spark, name, srcDir)
+      val s1 = timeOne(spark, name, srcDir)
+      val f10 = timeOne(spark, name, outDir)
+      val s10 = timeOne(spark, name, outDir)
+      val exp = math.log(s10 / s1) / math.log(factor.toDouble)
+      System.err.println(f"[soak] $name%-26s 1x first=$f1%7.2f steady=$s1%7.2f" +
+        f"  ${factor}x first=$f10%7.2f steady=$s10%7.2f  exponent=$exp%5.2f")
+      s""""$name":{"t1_first":$f1,"t1":$s1,"t10_first":$f10,"t10":$s10,""" +
+        f""""exponent":$exp%.3f}"""
+    }
+    println(s"""{"metric":"scale_soak","factor":$factor,""" +
+      s""""queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}

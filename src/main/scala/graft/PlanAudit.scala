@@ -423,6 +423,13 @@ object PlanAudit {
       "q260_diff_in_diff" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false,
         "Window" -> false, "BroadcastHashJoin" -> false),
+      // prefix sim join: the candidate self-join must ride the rare-token
+      // prefix index as a shuffled hash join on the token key — never a
+      // cartesian; windows are per-doc (partitioned by doc_id), and the
+      // verification joins are key-equi on (doc, token)
+      "q261_prefix_sim_join" -> Seq("ShuffledHashJoin" -> true,
+        "CartesianProduct" -> false, "BroadcastNestedLoopJoin" -> false,
+        "HashAggregate" -> true),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -1606,4 +1606,101 @@ object Dedup {
       |       CAST(coalesce(per.n_novel * 1000000 // per.n_grams, 0) AS BIGINT)
       |         AS novelty_ppm
       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  /** q261 — PREFIX-FILTERED set-similarity self-join (the PPJoin family:
+    * Xiao et al., "Efficient Similarity Joins for Near Duplicate Detection",
+    * WWW'08): all document pairs with word-set Jaccard ≥ 3/5, found WITHOUT
+    * touching most of the candidate space.
+    *
+    * Where q31's inverted index joins on EVERY shingle (cost ∝ all colliding
+    * pairs, tamed only by a df cap), prefix filtering is lossless pruning:
+    * order each doc's distinct tokens by global rarity (df asc, token asc —
+    * one total order shared by all docs), and keep only the first
+    * p = n − ⌈τ·n⌉ + 1 tokens as join keys. Two sets with J ≥ τ must share
+    * ≥ ⌈τ·max(n_a,n_b)⌉ tokens, so they MUST collide on at least one prefix
+    * token (pigeonhole) — and because prefixes hold each doc's RAREST
+    * tokens, prefix buckets are the smallest buckets in the index. The
+    * length filter (5·min(n) ≥ 3·max(n), exact-integer form of min/max ≥ τ)
+    * prunes survivors before verification. At 100 TB this is the difference
+    * between an index join dominated by stop-token buckets and one bounded
+    * by rare-token bucket occupancy; verification cost is Σ over candidates
+    * of |A| — linear in the candidate count.
+    *
+    * All arithmetic is integer-exact: τ = 3/5 enters as ⌈3n/5⌉ =
+    * (3n+4) DIV 5 for the prefix length and as 8·inter ≥ 3·(n_a+n_b) for
+    * the final test (J ≥ 3/5 ⟺ 5·inter ≥ 3·(union)); jac_e6 is reported via
+    * the usual ppm DIV. Output: (a_id, b_id, n_a, n_b, inter_cnt, jac_e6),
+    * one row per qualifying pair. */
+  def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val ranked = tok.join(df, Seq("w"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("w").asc)))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("rnk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("w"), col("n"))
+    val cand = prefix.toDF("a_id", "w", "na").hint("shuffle_hash")
+      .join(prefix.toDF("b_id", "w2", "nb"),
+        col("w") === col("w2") && col("a_id") < col("b_id"))
+      .filter(least(col("na"), col("nb")) * 5 >=
+        greatest(col("na"), col("nb")) * 3)
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .distinct()
+    val inter = cand
+      .join(tok.toDF("a_id", "w"), Seq("a_id"))
+      .join(tok.toDF("b_id", "w"), Seq("b_id", "w"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        count(lit(1)).as("inter_cnt"))
+    inter
+      .filter(col("inter_cnt") * 8 >= (col("n_a") + col("n_b")) * 3)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        col("inter_cnt"),
+        expr("inter_cnt * 1000000 div (n_a + n_b - inter_cnt)").as("jac_e6"))
+  }
+
+  /** [[prefixSimJoin]]'s oracle: the identical prefix-filtered algorithm in
+    * DuckDB (same global token order, same integer prefix length, length
+    * filter and final test) — independent implementation, shared math. */
+  val prefixSimJoinSql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''
+      |), df AS (
+      |  SELECT w, count(*) AS df FROM tok GROUP BY w
+      |), ranked AS (
+      |  SELECT t.doc_id, t.w,
+      |         row_number() OVER (PARTITION BY t.doc_id
+      |                            ORDER BY d.df ASC, t.w ASC) AS rnk,
+      |         count(*) OVER (PARTITION BY t.doc_id) AS n
+      |  FROM tok t JOIN df d USING (w)
+      |), pre AS (
+      |  SELECT doc_id, w, n FROM ranked
+      |  WHERE rnk <= n - (3 * n + 4) // 5 + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         a.n AS na, b.n AS nb
+      |  FROM pre a JOIN pre b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  WHERE 5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)
+      |), inter AS (
+      |  SELECT c.a_id, c.b_id, any_value(c.na) AS n_a, any_value(c.nb) AS n_b,
+      |         count(*) AS inter_cnt
+      |  FROM cand c
+      |  JOIN tok ta ON ta.doc_id = c.a_id
+      |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.w = ta.w
+      |  GROUP BY c.a_id, c.b_id
+      |)
+      |SELECT a_id, b_id, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |       CAST(inter_cnt AS BIGINT) AS inter_cnt,
+      |       CAST(inter_cnt * 1000000 // (n_a + n_b - inter_cnt) AS BIGINT)
+      |         AS jac_e6
+      |FROM inter WHERE inter_cnt * 8 >= (n_a + n_b) * 3""".stripMargin
 }

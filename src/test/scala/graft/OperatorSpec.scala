@@ -3578,4 +3578,25 @@ class OperatorSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q261 prefix sim join: equals the brute-force all-pairs Jaccard at " +
+    "tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa & sb).size
+      if inter * 5 >= (sa.size + sb.size - inter) * 3
+    } yield (a, b, sa.size.toLong, sb.size.toLong, inter.toLong,
+      inter * 1000000L / (sa.size + sb.size - inter))).toSet
+    val got = Dedup.prefixSimJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // the filter discriminates at this sf: some but not all pairs qualify
+    assert(expected.nonEmpty && expected.size < docs.length.toLong *
+      (docs.length - 1) / 2)
+  }
 }

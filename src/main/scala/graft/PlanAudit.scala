@@ -430,6 +430,12 @@ object PlanAudit {
       "q261_prefix_sim_join" -> Seq("ShuffledHashJoin" -> true,
         "CartesianProduct" -> false, "BroadcastNestedLoopJoin" -> false,
         "HashAggregate" -> true),
+      // Neyman sample: 5-row moment aggregate, miniature allocation
+      // windows, quotas broadcast back onto the per-segment rank window —
+      // the q112 shape; no data-sized sort-merge or cartesian anywhere
+      "q262_neyman_sample" -> Seq("BroadcastHashJoin" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

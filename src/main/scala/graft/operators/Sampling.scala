@@ -814,4 +814,139 @@ object Sampling {
        |         * (SELECT max(score_e6) FROM scores)
        |         < CAST(score_e6 AS HUGEINT) * 4294967296 AS kept
        |FROM scores""".stripMargin
+
+  /** q262 — stratified sample with NEYMAN ALLOCATION (Neyman 1934): the
+    * budget goes to strata in proportion to N_h·σ_h, not N_h — a stratum
+    * that is large AND internally variable gets more of the sample, which
+    * minimizes the variance of the stratified mean estimator at fixed total
+    * n. The classic use in a training-data pipeline: audit-sampling a
+    * quality metric where some sources are homogeneous (few samples suffice)
+    * and others are wild (need many).
+    *
+    * Strata = customer.c_mktsegment, variable = c_acctbal in exact cents.
+    * The whole allocation is bit-exact cross-engine by construction:
+    * N_h·σ_h = √(N_h·Σx² − (Σx)²) — ONE integer square root of the exact
+    * integer population-variance numerator (the ÷N_h² under the root cancels
+    * against N_h²). The isqrt is computed as floor(sqrt(toDouble)) plus two
+    * exact-integer correction steps (each fixes one ulp of sqrt error), so
+    * w_h is the true ⌊N_h·σ_h⌋ for any w_h ≤ ~1.2e16 — 10^10 rows per
+    * stratum at full-range balances; a third step would extend it.
+    * Allocation is then pure integers: q0_h = total·w_h DIV Σw, spill by
+    * largest remainder total·w_h − q0_h·Σw (ties by segment name — Hamilton
+    * apportionment exactly as [[stratifiedSample]], so Σ quotas == total by
+    * construction). Moment products run in DECIMAL(38,0)/HUGEINT.
+    *
+    * Within a stratum membership is the deterministic md5-variate rank
+    * ([[hashU32]]) — re-runs and re-ingests pick the same customers. Σ
+    * quotas == total by construction; a quota larger than a tiny stratum's
+    * population realizes as the whole stratum (plain Neyman — at any real
+    * budget ≪ N the cap never binds; the box-constrained reallocation
+    * variant would iterate the allocation over the uncapped strata).
+    *
+    * Plan: one scan → 5-row moment aggregate → driver-free miniature window
+    * for the spill → broadcast quotas onto the per-segment rank window (the
+    * [[stratifiedSample]] exchange; salt a mega-stratum via
+    * [[graft.operators.Skew]] at 100 TB). */
+  def neymanSample(spark: SparkSession, dir: String,
+                   total: Long = 200L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        Rfm.cents(col("c_acctbal")).as("x"))
+    val moments = cust.groupBy(col("segment")).agg(
+      count(lit(1)).as("nh"),
+      sum(col("x")).as("sx"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    val s2 = moments.withColumn("s2num",
+      col("nh").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec))
+    val isqrt = s2
+      .withColumn("r0", floor(sqrt(col("s2num").cast(DoubleType))).cast(LongType))
+      .withColumn("r1", col("r0")
+        + when(((col("r0") + 1) * (col("r0") + 1)).cast(dec) <= col("s2num"), 1L)
+          .when((col("r0") * col("r0")).cast(dec) > col("s2num"), -1L)
+          .otherwise(0L))
+      .withColumn("w_h", col("r1")
+        + when(((col("r1") + 1) * (col("r1") + 1)).cast(dec) <= col("s2num"), 1L)
+          .when((col("r1") * col("r1")).cast(dec) > col("s2num"), -1L)
+          .otherwise(0L))
+      .select(col("segment"), col("nh"), col("w_h"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy((col("w_h").cast(dec) * lit(total) -
+        col("q0").cast(dec) * col("sw").cast(dec)).desc, col("segment"))
+    val quotas = isqrt
+      .withColumn("sw", sum(col("w_h")).over(wAll))
+      .withColumn("q0",
+        expr(s"(cast(w_h as decimal(38,0)) * $total) div cast(sw as decimal(38,0))"))
+      .withColumn("spill", lit(total) - sum(col("q0")).over(wAll))
+      .withColumn("spill_rank", row_number().over(wRem).cast(LongType))
+      .select(col("segment"), col("w_h"),
+        (col("q0") + when(col("spill_rank") <= col("spill"), 1L)
+          .otherwise(0L)).as("quota"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("segment")).orderBy(col("u32"), col("c_custkey"))
+    cust.select(col("c_custkey"), col("segment"),
+        hashU32(col("c_custkey")).as("u32"))
+      .withColumn("rk", row_number().over(wDoc).cast(LongType))
+      .join(broadcast(quotas), Seq("segment"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("c_custkey"), col("segment"), col("rk"), col("quota"),
+        col("w_h"))
+  }
+
+  /** [[neymanSample]]'s oracle: the identical exact-integer allocation in
+    * DuckDB (HUGEINT moments, two-step isqrt correction, Hamilton spill). */
+  def neymanSampleSql(total: Long = 200L): String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_mktsegment AS segment,
+       |         CAST(round(c_acctbal * 100) AS BIGINT) AS x
+       |  FROM customer
+       |), m AS (
+       |  SELECT segment, count(*) AS nh, sum(x) AS sx,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM cust GROUP BY segment
+       |), s2 AS (
+       |  SELECT segment, nh,
+       |         CAST(nh AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS s2num
+       |  FROM m
+       |), r0 AS (
+       |  SELECT segment, s2num,
+       |         CAST(floor(sqrt(CAST(s2num AS DOUBLE))) AS BIGINT) AS r
+       |  FROM s2
+       |), r1 AS (
+       |  SELECT segment, s2num,
+       |         r + CASE WHEN CAST(r + 1 AS HUGEINT) * (r + 1) <= s2num THEN 1
+       |                  WHEN CAST(r AS HUGEINT) * r > s2num THEN -1
+       |                  ELSE 0 END AS r
+       |  FROM r0
+       |), w AS (
+       |  SELECT segment,
+       |         r + CASE WHEN CAST(r + 1 AS HUGEINT) * (r + 1) <= s2num THEN 1
+       |                  WHEN CAST(r AS HUGEINT) * r > s2num THEN -1
+       |                  ELSE 0 END AS w_h
+       |  FROM r1
+       |), base AS (
+       |  SELECT segment, w_h, (SELECT sum(w_h) FROM w) AS sw,
+       |         CAST(CAST(w_h AS HUGEINT) * $total
+       |              // (SELECT sum(w_h) FROM w) AS BIGINT) AS q0
+       |  FROM w
+       |), quotas AS (
+       |  SELECT segment, w_h,
+       |         q0 + CASE WHEN row_number() OVER (
+       |                ORDER BY CAST(w_h AS HUGEINT) * $total
+       |                         - CAST(q0 AS HUGEINT) * sw DESC, segment)
+       |              <= $total - (SELECT sum(q0) FROM base) THEN 1
+       |              ELSE 0 END AS quota
+       |  FROM base
+       |), ranked AS (
+       |  SELECT c_custkey, segment,
+       |         CAST(row_number() OVER (PARTITION BY segment
+       |           ORDER BY ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT,
+       |                    c_custkey) AS BIGINT) AS rk
+       |  FROM cust
+       |)
+       |SELECT r.c_custkey, r.segment, r.rk, CAST(q.quota AS BIGINT) AS quota,
+       |       q.w_h
+       |FROM ranked r JOIN quotas q ON r.segment = q.segment
+       |WHERE r.rk <= q.quota""".stripMargin
 }

@@ -271,4 +271,63 @@ class SamplingSpec extends AnyFunSuite {
       assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
     } finally s1.unpersist()
   }
+
+  test("q262 Neyman sample: replays exactly from first principles — " +
+    "exact isqrt weight, Hamilton spill, md5 rank membership, Σ quota = total") {
+    import org.apache.spark.sql.functions._
+    val total = 200L
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // driver-side exact weights: w_h = isqrt(N_h·Σx² − (Σx)²) via BigInt
+    val byStratum = cust.groupBy(_._2).toSeq.sortBy(_._1)
+    def isqrt(n: BigInt): Long = {
+      if (n == 0) 0L
+      else {
+        var r = BigInt(math.sqrt(n.toDouble).toLong)
+        while (r * r > n) r -= 1
+        while ((r + 1) * (r + 1) <= n) r += 1
+        r.toLong
+      }
+    }
+    val w = byStratum.map { case (seg, rows) =>
+      val nh = BigInt(rows.length)
+      val sx = rows.map(r => BigInt(r._3)).sum
+      val sxx = rows.map(r => BigInt(r._3) * r._3).sum
+      seg -> isqrt(nh * sxx - sx * sx)
+    }
+    val sw = w.map(_._2).sum
+    val q0 = w.map { case (seg, wh) => seg -> total * wh / sw }
+    val spill = total - q0.map(_._2).sum
+    val spillOrder = w.zip(q0).map { case ((seg, wh), (_, q)) =>
+      (seg, total * wh - q * sw)
+    }.sortBy { case (seg, rem) => (-rem, seg) }.map(_._1)
+    val quota = q0.toMap ++ spillOrder.take(spill.toInt)
+      .map(seg => seg -> (q0.toMap.apply(seg) + 1))
+    // driver-side membership: md5-u32 rank within stratum
+    def u32(id: Long): Long =
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).take(8), 16)
+    val expected = byStratum.flatMap { case (seg, rows) =>
+      rows.map(r => (r._1, u32(r._1))).sortBy { case (id, u) => (u, id) }
+        .zipWithIndex.take(quota(seg).toInt)
+        .map { case ((id, _), i) =>
+          (id, seg, i + 1L, quota(seg), w.toMap.apply(seg)) }
+    }.toSet
+    val got = Sampling.neymanSample(spark, dir, total).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // Σ quotas == total by construction; the realized sample is capped by
+    // each stratum's population (sf0.001's 150 customers < the 200 budget —
+    // at any real budget ≪ N the two coincide, as the sf0.01 oracle shows)
+    assert(quota.values.sum == total)
+    assert(got.size == byStratum.map { case (seg, rows) =>
+      math.min(quota(seg), rows.length.toLong) }.sum)
+    // the allocation really is σ-sensitive: it diverges from proportional
+    val prop = byStratum.map { case (seg, rows) =>
+      seg -> total * rows.length / cust.length }.toMap
+    assert(quota.exists { case (seg, q) => q != prop(seg) })
+  }
 }

@@ -436,6 +436,12 @@ object PlanAudit {
       "q262_neyman_sample" -> Seq("BroadcastHashJoin" -> true,
         "HashAggregate" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false),
+      // AMS F2: the x54 counter fan-out must hit the distinct-value
+      // aggregate (one scan, partial agg), never the raw scan; the
+      // miniature median/exact frames broadcast back
+      "q263_ams_f2" -> Seq("HashAggregate" -> true,
+        "BroadcastNestedLoopJoin" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

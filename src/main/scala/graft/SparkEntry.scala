@@ -194,6 +194,7 @@ object SparkEntry {
     "q260_diff_in_diff" -> ((s, dir) => Events.diffInDiff(s, dir)),
     "q261_prefix_sim_join" -> ((s, dir) => Dedup.prefixSimJoin(s, dir)),
     "q262_neyman_sample" -> ((s, dir) => Sampling.neymanSample(s, dir)),
+    "q263_ams_f2" -> ((s, dir) => Sketches.amsF2(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -475,6 +476,7 @@ object SparkEntry {
     "q260_diff_in_diff" -> Events.diffInDiffSql,
     "q261_prefix_sim_join" -> Dedup.prefixSimJoinSql,
     "q262_neyman_sample" -> Sampling.neymanSampleSql(),
+    "q263_ams_f2" -> Sketches.amsF2Sql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

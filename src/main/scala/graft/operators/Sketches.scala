@@ -540,6 +540,93 @@ object Sketches {
        |         AS within_bound
        |FROM pd, me, ex, f1""".stripMargin
 
+  /** q263 — AMS "tug-of-war" sketch of the second frequency moment
+    * F₂ = Σ_v f_v² of `events.user_id` (Alon, Matias & Szegedy, STOC'96):
+    * 54 counters S_j = Σ_rows sign_j(v), each an md5-derived ±1 per value;
+    * E[S_j²] = F₂ exactly, so the estimate is a median (over 6 groups) of
+    * means (over 9 counters each) of S_j². F₂ is the self-join size of the
+    * column — the quantity a join planner needs when BOTH sides are the
+    * same skewed key, completing [[joinSizeEstimate]]'s cross-table CM
+    * estimator with the single-column AMS form.
+    *
+    * Execution is the map-side-combinable factoring of the one-pass sketch:
+    * Σ_rows sign_j(v) = Σ_v f_v·sign_j(v), so the per-value count table is
+    * built first (ONE scan with partial aggregation) and the ×54 counter
+    * fan-out hits only the distinct-value table — at 100 TB the explode
+    * costs |distinct|·54 rows, not |rows|·54, and the 54-key final
+    * aggregate map-side-combines to 54 rows per partition. Every estimate
+    * is exact integer arithmetic: S_j in BIGINT (|S| ≤ N), squares through
+    * DECIMAL(38,0)/HUGEINT, group means and the signed error in the ppm DIV
+    * convention; the median is the deterministic lower median (rank
+    * ⌈groups/2⌉ ascending, ties by group id). Like q237, the exact F₂ rides
+    * along so the estimator is HARD-oracled, estimates, error and all. */
+  def amsF2(spark: SparkSession, dir: String,
+            groups: Int = 6, perGroup: Int = 9): DataFrame = {
+    val nSketch = groups * perGroup
+    val freq = graft.CacheRegistry.cached(spark, s"amsf2freq:$dir")(
+      Tables.events(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("f")))
+    val counters = freq
+      .select(col("user_id"), col("f"),
+        explode(sequence(lit(0L), lit(nSketch - 1L))).as("j"))
+      .withColumn("sign",
+        lit(1L) - lit(2L) * (Sampling.hashU32(concat(lit("ams:"),
+          col("j").cast(StringType), lit(":"),
+          col("user_id").cast(StringType))) % 2))
+      .groupBy(col("j")).agg(sum(col("sign") * col("f")).as("s"))
+    val perG = counters
+      .groupBy(expr(s"j div $perGroup").as("r"))
+      .agg(sum(col("s").cast(DecimalType(38, 0)) * col("s")).as("ss"))
+      .select(col("r"), expr(s"ss div $perGroup").as("est_r"))
+    val wMed = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est_r"), col("r"))
+    val med = broadcast(perG
+      .withColumn("rn", row_number().over(wMed))
+      .filter(col("rn") === (groups + 1) / 2)
+      .select(col("est_r").as("f2_est")))
+    val exact = broadcast(freq.agg(
+      count(lit(1)).as("n_distinct"),
+      sum(col("f")).as("n_rows"),
+      sum(col("f").cast(DecimalType(38, 0)) * col("f")).cast(LongType)
+        .as("f2_exact")))
+    perG.crossJoin(med).crossJoin(exact)
+      .select(col("r"), col("est_r"), col("f2_est"), col("f2_exact"),
+        col("n_rows"), col("n_distinct"),
+        expr("(f2_est - f2_exact) * 1000000 div f2_exact").as("err_ppm"))
+  }
+
+  /** [[amsF2]]'s oracle: DuckDB rebuilds the identical 54 counters from its
+    * own scan — the whole estimator is HARD-gated, like [[joinSizeEstimate]]. */
+  def amsF2Sql(groups: Int = 6, perGroup: Int = 9): String =
+    s"""WITH js AS (SELECT unnest(range(${groups * perGroup})) AS j),
+       |freq AS (SELECT user_id, count(*) AS f FROM events GROUP BY 1),
+       |cnt AS (
+       |  SELECT js.j,
+       |         sum((1 - 2 * (('0x' || substr(md5('ams:' ||
+       |                CAST(js.j AS VARCHAR) || ':' ||
+       |                CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2)) * f)
+       |           AS s
+       |  FROM freq, js GROUP BY 1
+       |), pg AS (
+       |  SELECT j // $perGroup AS r,
+       |         CAST(sum(CAST(s AS HUGEINT) * s) // $perGroup AS BIGINT)
+       |           AS est_r
+       |  FROM cnt GROUP BY 1
+       |), med AS (
+       |  SELECT est_r AS f2_est FROM (
+       |    SELECT est_r, row_number() OVER (ORDER BY est_r, r) AS rn FROM pg)
+       |  WHERE rn = ${(groups + 1) / 2}
+       |), ex AS (
+       |  SELECT count(*) AS n_distinct, CAST(sum(f) AS BIGINT) AS n_rows,
+       |         CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT) AS f2_exact
+       |  FROM freq
+       |)
+       |SELECT pg.r, pg.est_r, med.f2_est, ex.f2_exact, ex.n_rows,
+       |       ex.n_distinct,
+       |       CAST((med.f2_est - ex.f2_exact) * 1000000 // ex.f2_exact
+       |            AS BIGINT) AS err_ppm
+       |FROM pg, med, ex""".stripMargin
+
   def oracleEntries: Map[String, String] =
     capturedHll.get(12).map(e => "q85_hll_sketches" -> hllSketchesSql(e)).toMap ++
       capturedCms.get((0.001, 0.99, 42))

@@ -3579,6 +3579,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q263 AMS F2: counters, group means, median and exact F2 all replay " +
+    "from first principles; the estimator is unbiased in structure") {
+    val freq = Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def u32(s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(8), 16)
+    val est = (0 until 6).map { r =>
+      val sq = (0 until 9).map { c =>
+        val j = r * 9 + c
+        val s = freq.map { case (v, f) =>
+          (1L - 2L * (u32(s"ams:$j:$v") % 2)) * f }.sum
+        BigInt(s) * s
+      }.sum
+      r.toLong -> (sq / 9).toLong
+    }
+    val f2 = freq.map { case (_, f) => BigInt(f) * f }.sum.toLong
+    val nRows = freq.map(_._2).sum
+    val medExp = est.sortBy { case (r, e) => (e, r) }.apply(2)._2 // rank 3 of 6
+    val got = Sketches.amsF2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == 6)
+    assert(got.map(r => r._1 -> r._2).toSet == est.toSet)
+    got.foreach { case (_, _, fe, fx, n, nd, ppm) =>
+      assert(fe == medExp && fx == f2 && n == nRows && nd == freq.length)
+      // Scala / truncates toward zero, exactly like Spark DIV / DuckDB //
+      assert(ppm == (fe - fx) * 1000000L / fx)
+    }
+    // sanity of the sketch itself: the median estimate lands within 3x of
+    // the truth on this data (AMS guarantees ~1/sqrt(9) relative noise)
+    assert(medExp > f2 / 3 && medExp < f2 * 3)
+  }
+
   test("q261 prefix sim join: equals the brute-force all-pairs Jaccard at " +
     "tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
     val docs = Tables.documents(spark, dir)

@@ -630,16 +630,36 @@ object Dedup {
     * Each round `localCheckpoint`s the label frame: without a lineage cut,
     * round i's plan nests i joins deep and Catalyst re-optimization cost
     * compounds; at production scale this would be a reliable checkpoint or a
-    * per-round materialized table instead. */
+    * per-round materialized table instead.
+    *
+    * The checkpoint alone is NOT enough with the pointer jump in play: a
+    * checkpointed leaf inherits the pre-checkpoint plan's ESTIMATED stats,
+    * and Catalyst's size-only join estimate is the product of child sizes —
+    * so the labels⋈labels jump SQUARES the estimate every round and the
+    * driver's stats arithmetic becomes a 2^round-digit BigInteger product
+    * (the ×10 soak caught the driver burning 20+ minutes inside
+    * BigInteger.multiply by round ~18). [[freshStatsFrame]] therefore
+    * rebuilds each round's frame over the same materialized rows, giving a
+    * leaf with default stats; the squaring then resets every round instead
+    * of compounding. */
+  /** A frame over `ck`'s materialized rows whose logical leaf carries fresh
+    * default stats instead of `ck`'s inherited (possibly wildly inflated)
+    * origin estimate. The Row round-trip costs 2 longs per node per round —
+    * nothing next to the round's join — and keeps every stats computation
+    * shallow. */
+  private def freshStatsFrame(ck: DataFrame): DataFrame =
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node"), col("dst").as("label"))
-      .union(edges.select(col("src").as("node"), col("src").as("label")))
-      .groupBy(col("node")).agg(min(col("label")).as("label"))
-      .localCheckpoint(true)
+    var labels = freshStatsFrame(
+      edges.select(col("src").as("node"), col("dst").as("label"))
+        .union(edges.select(col("src").as("node"), col("src").as("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -652,9 +672,10 @@ object Dedup {
         .join(labels.select(col("node").as("l"), col("label").as("l2")),
           col("a.label") === col("l"))
         .select(col("a.node").as("node"), col("l2").as("label"))
-      val next = prop.union(hop).union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val next = freshStatsFrame(
+        prop.union(hop).union(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true))
       val changed = next.as("n")
         .join(labels.withColumnRenamed("label", "old").as("o"), "node")
         .filter(col("label") =!= col("old"))

@@ -311,9 +311,14 @@ object PlanAudit {
       "q240_leakage_safe_split" -> Seq("CartesianProduct" -> false,
         "Window" -> false),
       // data card: four source-keyed hash aggregates meeting in broadcast
-      // joins on the 20-row key — never a sort-merge of miniatures
+      // joins on the 20-row key. The dup-membership LEFT SEMI against the
+      // CC label set is allowed to sort-merge: since round 9 the CC output
+      // carries honest unknown-size leaf stats (the stats-reset fix), and
+      // at 100 TB that set is corpus-fraction-sized — a shuffle semi-join
+      // IS the production plan; only a materialized cache makes it
+      // broadcastable, and a cold plan must not pretend otherwise
       "q241_data_card" -> Seq("BroadcastHashJoin" -> true,
-        "CartesianProduct" -> false, "SortMergeJoin" -> false),
+        "CartesianProduct" -> false),
       // PQ ADC: the 16-row codebook and the 640-row query distance table
       // broadcast; the ADC lookup is a broadcast hash join on (s, cid);
       // nothing data-sized ever cartesians or sort-merges
@@ -442,6 +447,20 @@ object PlanAudit {
       "q263_ams_f2" -> Seq("HashAggregate" -> true,
         "BroadcastNestedLoopJoin" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false),
+      // Theil-Sen: one scan to the days-sized daily aggregate; the pair
+      // fan-out and both median ranks live on broadcast miniatures
+      "q264_theil_sen" -> Seq("HashAggregate" -> true,
+        "BroadcastNestedLoopJoin" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false),
+      // activity completeness: aggregate -> per-user window -> aggregate;
+      // join-free end to end, window partitioned by the user key
+      "q265_activity_completeness" -> Seq("HashAggregate" -> true,
+        "Window" -> true, "SortMergeJoin" -> false,
+        "BroadcastHashJoin" -> false, "CartesianProduct" -> false),
+      // minhash error audit: the q220 pair construction — shuffle-hash
+      // index join bounded by colliding pairs, never all-pairs
+      "q266_minhash_error_audit" -> Seq("ShuffledHashJoin" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

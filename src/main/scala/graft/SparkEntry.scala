@@ -195,6 +195,11 @@ object SparkEntry {
     "q261_prefix_sim_join" -> ((s, dir) => Dedup.prefixSimJoin(s, dir)),
     "q262_neyman_sample" -> ((s, dir) => Sampling.neymanSample(s, dir)),
     "q263_ams_f2" -> ((s, dir) => Sketches.amsF2(s, dir)),
+    "q264_theil_sen" -> ((s, dir) => Events.theilSen(s, dir)),
+    "q265_activity_completeness" -> ((s, dir) =>
+      Events.activityCompleteness(s, dir)),
+    "q266_minhash_error_audit" -> ((s, dir) =>
+      Dedup.minhashErrorAudit(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -477,6 +482,9 @@ object SparkEntry {
     "q261_prefix_sim_join" -> Dedup.prefixSimJoinSql,
     "q262_neyman_sample" -> Sampling.neymanSampleSql(),
     "q263_ams_f2" -> Sketches.amsF2Sql(),
+    "q264_theil_sen" -> Events.theilSenSql,
+    "q265_activity_completeness" -> Events.activityCompletenessSql,
+    "q266_minhash_error_audit" -> Dedup.minhashErrorAuditSql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

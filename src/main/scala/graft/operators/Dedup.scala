@@ -451,6 +451,115 @@ object Dedup {
        |FROM flagged GROUP BY bucket""".stripMargin
   }
 
+  /** q266 — MinHash ESTIMATOR calibration audit: where [[lshCurve]] checks
+    * the BANDING layer (collision rate vs the S-curve), this checks the
+    * ESTIMATE layer — per exact-Jaccard decile, how far the k=16 signature
+    * agreement fraction m/k sits from the true J, and whether the observed
+    * errors respect the binomial bound (m ~ Binomial(k, J), σ = √(J(1−J)/k)).
+    * The answer decides whether k=16 signatures are enough for a corpus's
+    * similarity profile before committing a 100 TB dedup pass to them.
+    *
+    * Every statistic is exact-integer: with J = c/u (shingle intersection
+    * over union) and estimate m/k, the error is |m·u − k·c| / (k·u) —
+    * reported in the ppm DIV convention — and the 2σ-band test
+    * |m/k − J| ≤ 2σ cross-multiplies to (m·u − k·c)² ≤ 4k·c·(u−c), all in
+    * BIGINT (m·u ≤ 16·|shingles| keeps squares far under 2⁶³ for any real
+    * document). Per-pair DIVs make mean-of-floors deterministic on both
+    * engines.
+    *
+    * Scale shape: the pair frame is the q220 construction — session-cached
+    * shingle index, shuffle-hash index join bounded by colliding pairs,
+    * session-cached signatures broadcast-joined back — plus one 10-key
+    * aggregate. Nothing here exceeds the cost of the dedup pass it audits. */
+  def minhashErrorAudit(spark: SparkSession, dir: String,
+                        numHashes: Int = 16): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    val pairs = a.hint("shuffle_hash").join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    val sig = minhashSignatures(spark, dir, numHashes)
+    pairs
+      .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sig.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .withColumn("u", col("na") + col("nb") - col("c"))
+      .withColumn("m", aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("bucket", least(expr("(c * 10) div u"), lit(9L)))
+      .withColumn("diff", abs(col("m") * col("u") - lit(numHashes.toLong) * col("c")))
+      .withColumn("err_ppm", expr(s"(diff * 1000000) div ($numHashes * u)"))
+      .withColumn("within", (col("diff") * col("diff") <=
+        lit(4L * numHashes) * col("c") * (col("u") - col("c"))).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err_ppm")).as("sum_err"),
+        max(col("err_ppm")).as("max_abs_err_ppm"),
+        sum(col("within")).as("n_within_2sigma"))
+      .select(col("bucket"), col("n_pairs"),
+        expr("sum_err div n_pairs").as("mean_abs_err_ppm"),
+        col("max_abs_err_ppm"), col("n_within_2sigma"),
+        expr("(n_within_2sigma * 1000000) div n_pairs").as("within_ppm"))
+  }
+
+  /** [[minhashErrorAudit]]'s oracle: q31's shingles, q32's signatures, the
+    * identical integer error/band chain in DuckDB. */
+  def minhashErrorAuditSql(numHashes: Int = 16): String = {
+    val mins = (0 until numHashes).map { i =>
+      s"""list_min(list_transform(sh, s ->
+         |      ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))""".stripMargin
+    }.mkString("[\n    ", ",\n    ", "]")
+    val m = (1 to numHashes)
+      .map(i => s"(CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3])) AS sh
+       |  FROM documents
+       |), shingled AS (
+       |  SELECT doc_id, unnest(sh) AS shingle FROM ws
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM shingled a JOIN shingled b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sigs AS (
+       |  SELECT doc_id, $mins AS sig
+       |  FROM ws WHERE len(sh) > 0
+       |), per_pair AS (
+       |  SELECT least((p.c * 10) // (sa2.n + sb2.n - p.c), 9) AS bucket,
+       |         p.c AS c, sa2.n + sb2.n - p.c AS u, ($m) AS m
+       |  FROM common p
+       |  JOIN sizes sa2 ON p.doc_a = sa2.doc_id
+       |  JOIN sizes sb2 ON p.doc_b = sb2.doc_id
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id
+       |), scored AS (
+       |  SELECT bucket, abs(m * u - $numHashes * c) AS diff, c, u,
+       |         abs(m * u - $numHashes * c) * 1000000 // ($numHashes * u)
+       |           AS err_ppm
+       |  FROM per_pair
+       |)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_abs_err_ppm,
+       |       CAST(max(err_ppm) AS BIGINT) AS max_abs_err_ppm,
+       |       CAST(sum(CASE WHEN diff * diff <= ${4 * numHashes} * c * (u - c)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_2sigma,
+       |       CAST(sum(CASE WHEN diff * diff <= ${4 * numHashes} * c * (u - c)
+       |                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+       |         AS within_ppm
+       |FROM scored GROUP BY bucket""".stripMargin
+  }
+
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,
     800000L, 900000L)
@@ -625,7 +734,9 @@ object Dedup {
     * min node id per component. This is not theoretical caution — the
     * round-9 ×10 scale soak found a 10×-data image-dedup hash graph whose
     * chance hamming-≤3 chains exceeded diameter 20 and tripped the plain
-    * propagation's fail-loud guard; with the jump it converges in 5 rounds.
+    * propagation's fail-loud guard; with the jump that graph converges in
+    * 28 rounds (~log₂ of its 540k nodes, as shortcutting predicts), well
+    * inside the 64-round cap.
     *
     * Each round `localCheckpoint`s the label frame: without a lineage cut,
     * round i's plan nests i joins deep and Catalyst re-optimization cost

@@ -1927,4 +1927,154 @@ object Events {
       |SELECT n_a, n_b, mean_a_micros, mean_b_micros, var_a, var_b, t_welch,
       |       abs(t_welch) > 1.959964 AS significant
       |FROM t""".stripMargin
+
+  /** q264 — THEIL-SEN robust trend of total daily event value (Theil 1950 /
+    * Sen 1968): slope = median over all day PAIRS of (Δy/Δd), intercept =
+    * median over DAYS of y − m·d. Breakdown point 29.3% — a daily metric
+    * series with logging outages or double-count spikes gets a trend line
+    * OLS (q245's family) would bend toward the outliers; the natural
+    * companion read-out for the q143 EWMA / daily-grid lanes.
+    *
+    * Exactness: daily y is exact integer micros (the q246 DECIMAL(24,6)·10⁶
+    * idiom); slopes are `Δy·1000 DIV Δd` (micros/day with three extra
+    * digits — both engines' DIV truncates toward zero, memory-safe since
+    * |Δy|·1000 ≤ 10¹⁵ at any plausible daily total; route through
+    * DECIMAL(38,0) if a metric's daily total ever nears 10¹⁵ micros);
+    * intercepts are y·1000 − m·d at the series-start day index. Medians are
+    * the deterministic lower median (rank (n+1) DIV 2, ties broken by day
+    * indices).
+    *
+    * Scale shape: ONE scan aggregates the log to the |days|-sized daily
+    * frame; everything after — the |days|² pair fan-out (435 pairs for a
+    * 30-day series; a year is ~66k), both median rankings, the intercept —
+    * lives on broadcast miniatures. The unpartitioned windows ride
+    * aggregate-sized frames only, per the established daily-grid
+    * discipline. At 100 TB the cost is the scan, full stop. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts").cast(TimestampType)).as("day"))
+      .agg((sum(col("value").cast(DecimalType(24, 6))) * 1000000)
+        .cast(LongType).as("y"))
+      .withColumn("d",
+        datediff(col("day"), min(col("day")).over(wAll)).cast(LongType))
+      .select(col("d"), col("y"))
+    val pairs = broadcast(daily.select(col("d").as("di"), col("y").as("yi")))
+      .crossJoin(daily.select(col("d").as("dj"), col("y").as("yj")))
+      .filter(col("di") < col("dj"))
+      .withColumn("slope_e3", expr("(yj - yi) * 1000 div (dj - di)"))
+    val nDays = broadcast(daily.agg(count(lit(1)).as("n_days")))
+    val nPairs = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
+    val wS = org.apache.spark.sql.expressions.Window
+      .orderBy(col("slope_e3"), col("di"), col("dj"))
+    val slope = broadcast(pairs
+      .withColumn("rn", row_number().over(wS).cast(LongType))
+      .crossJoin(nPairs)
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("slope_e3"), col("n_pairs")))
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b_e3"), col("d"))
+    daily.crossJoin(slope)
+      .withColumn("b_e3", col("y") * 1000 - col("slope_e3") * col("d"))
+      .withColumn("rn", row_number().over(wB).cast(LongType))
+      .crossJoin(nDays)
+      .filter(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("n_days"), col("n_pairs"), col("slope_e3"),
+        col("b_e3").as("intercept_e3"))
+  }
+
+  /** q265 — per-user activity COMPLETENESS audit: for every user, how
+    * continuous is their event record over their own active span? Emits
+    * active day count, span, completeness in exact ppm, the longest
+    * inactive run, and the event count — the per-entity trust score a
+    * label-quality gate reads before using a user's history as training
+    * signal (a 40%-complete user's "churned" label is a telemetry gap, not
+    * churn). Complements [[gapFillHourly]] (global grid) and
+    * [[Profiling.dqChecks]] (dataset-level) with the per-entity lane.
+    *
+    * All integer: days via datediff on day-truncated timestamps, ppm via
+    * the DIV convention. Scale shape: one scan → per-(user, day) count
+    * aggregate → ONE window pass partitioned by the high-cardinality
+    * user key (lag for gap runs) → per-user aggregate. No data-sized
+    * unpartitioned window, no join at all. */
+  def activityCompleteness(spark: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts").cast(TimestampType)).as("day"))
+      .agg(count(lit(1)).as("n_ev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    perDay
+      .withColumn("gap",
+        datediff(col("day"), lag(col("day"), 1).over(w)).cast(LongType))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("n_ev")).as("n_events"),
+        count(lit(1)).as("active_days"),
+        (datediff(max(col("day")), min(col("day"))) + 1).cast(LongType)
+          .as("span_days"),
+        coalesce(max(col("gap")) - 1, lit(0L)).as("longest_gap_days"))
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        col("span_days"), col("longest_gap_days"),
+        expr("active_days * 1000000 div span_days").as("completeness_ppm"))
+  }
+
+  /** [[activityCompleteness]]'s oracle: the identical per-user grid walk. */
+  val activityCompletenessSql: String =
+    """WITH per_day AS (
+      |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         count(*) AS n_ev
+      |  FROM events GROUP BY 1, 2
+      |), gaps AS (
+      |  SELECT user_id, n_ev, day,
+      |         date_diff('day',
+      |           lag(day) OVER (PARTITION BY user_id ORDER BY day), day)
+      |           AS gap
+      |  FROM per_day
+      |)
+      |SELECT user_id,
+      |       CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |       CAST(count(*) AS BIGINT) AS active_days,
+      |       CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+      |         AS span_days,
+      |       CAST(coalesce(max(gap) - 1, 0) AS BIGINT) AS longest_gap_days,
+      |       CAST(count(*) * 1000000
+      |            // (date_diff('day', min(day), max(day)) + 1) AS BIGINT)
+      |         AS completeness_ppm
+      |FROM gaps GROUP BY user_id""".stripMargin
+
+  /** [[theilSen]]'s oracle: the identical pair medians in DuckDB. */
+  val theilSenSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(24,6))) * 1000000 AS BIGINT)
+      |           AS y
+      |  FROM events GROUP BY 1
+      |), idx AS (
+      |  SELECT date_diff('day', (SELECT min(day) FROM daily), day) AS d, y
+      |  FROM daily
+      |), pairs AS (
+      |  SELECT a.d AS di, b.d AS dj,
+      |         (b.y - a.y) * 1000 // (b.d - a.d) AS slope_e3
+      |  FROM idx a JOIN idx b ON a.d < b.d
+      |), np AS (SELECT count(*) AS n_pairs FROM pairs),
+      |sl AS (
+      |  SELECT slope_e3 FROM (
+      |    SELECT slope_e3,
+      |           row_number() OVER (ORDER BY slope_e3, di, dj) AS rn
+      |    FROM pairs)
+      |  WHERE rn = (SELECT (n_pairs + 1) // 2 FROM np)
+      |), nd AS (SELECT count(*) AS n_days FROM idx),
+      |ic AS (
+      |  SELECT b_e3 FROM (
+      |    SELECT y * 1000 - (SELECT slope_e3 FROM sl) * d AS b_e3, d,
+      |           row_number() OVER (
+      |             ORDER BY y * 1000 - (SELECT slope_e3 FROM sl) * d, d) AS rn
+      |    FROM idx)
+      |  WHERE rn = (SELECT (n_days + 1) // 2 FROM nd)
+      |)
+      |SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+      |       CAST(np.n_pairs AS BIGINT) AS n_pairs,
+      |       sl.slope_e3, ic.b_e3 AS intercept_e3
+      |FROM nd, np, sl, ic""".stripMargin
 }

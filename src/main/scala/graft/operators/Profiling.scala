@@ -564,7 +564,10 @@ object Profiling {
     * source-cardinality key. The cluster and quality inputs are the
     * session-cached artifacts the dedup/quality families already
     * maintain — at 100 TB those are persisted tables and this card is one
-    * linear corpus pass plus miniature joins. Exact integers end to end. */
+    * linear corpus pass plus the source-key miniature joins; the
+    * dup-membership semi-join is corpus-fraction-sized there, so it rides
+    * a shuffle semi-join (broadcast only when the cached set is measured
+    * small). Exact integers end to end. */
   def dataCard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),

@@ -3613,6 +3613,99 @@ class OperatorSpec extends AnyFunSuite {
     assert(medExp > f2 / 3 && medExp < f2 * 3)
   }
 
+  test("q264 Theil-Sen: slope and intercept equal the brute-force pair/point " +
+    "lower medians on exact micros") {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts").cast("timestamp")).as("day"))
+      .agg((sum(col("value").cast("decimal(24,6)")) * 1000000)
+        .cast("long").as("y"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    val d0 = daily.head._1.getTime
+    val idx = daily.map { case (t, y) =>
+      ((t.getTime - d0) / 86400000L, y) }
+    val slopes = (for {
+      (di, yi) <- idx; (dj, yj) <- idx if di < dj
+    } yield ((yj - yi) * 1000L / (dj - di), di, dj)).sortBy(t => (t._1, t._2, t._3))
+    val slope = slopes((slopes.length + 1) / 2 - 1)._1
+    val bs = idx.map { case (d, y) => (y * 1000L - slope * d, d) }
+      .sortBy(identity)
+    val intercept = bs((bs.length + 1) / 2 - 1)._1
+    val got = Events.theilSen(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == idx.length && r.getLong(1) == slopes.length)
+    assert(r.getLong(2) == slope && r.getLong(3) == intercept)
+  }
+
+  test("q265 activity completeness: replays per-user from first principles; " +
+    "boundary laws hold") {
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("day", col("ts").cast("timestamp")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .groupBy(_._1).toSeq
+    val expected = byUser.map { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      val distinct = days.distinct
+      val span = (distinct.last - distinct.head) / 86400000L + 1
+      val gaps = distinct.toSeq.sliding(2).collect {
+        case Seq(x, y) => (y - x) / 86400000L - 1 }.toSeq
+      (u, days.length.toLong, distinct.length.toLong, span,
+        if (gaps.isEmpty) 0L else gaps.max,
+        distinct.length * 1000000L / span)
+    }.toSet
+    val got = Events.activityCompleteness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // laws: active <= span; gap < span; full coverage iff gap-free
+    got.foreach { case (_, nEv, act, span, gap, ppm) =>
+      assert(nEv >= act && act <= span && gap <= span - act)
+      assert((ppm == 1000000L) == (act == span))
+      if (gap == 0) assert(act == span)
+    }
+  }
+
+  test("q266 minhash error audit: per-bucket stats replay from the exact " +
+    "pair/signature recomputation; the binomial band test is exact") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        val sh = (0 until math.max(ws.length - 2, 0))
+          .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").distinct
+        r.getLong(0) -> sh
+      }.filter(_._2.nonEmpty)
+    def h(i: Int, s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$i:$s").take(15), 16)
+    val sigs = docs.map { case (id, sh) =>
+      id -> (0 until 16).map(i => sh.map(h(i, _)).min) }.toMap
+    val shSets = docs.map { case (id, sh) => id -> sh.toSet }.toMap
+    val stats = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      c = (shSets(a) & shSets(b)).size.toLong if c > 0
+    } yield {
+      val u = sa.size + sb.size - c
+      val m = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      val diff = math.abs(m * u - 16 * c)
+      (math.min(c * 10 / u, 9L), diff * 1000000L / (16 * u),
+        if (diff * diff <= 64 * c * (u - c)) 1L else 0L)
+    }).toSeq
+    val expected = stats.groupBy(_._1).map { case (bk, rows) =>
+      (bk, rows.length.toLong, rows.map(_._2).sum / rows.length,
+        rows.map(_._2).max, rows.map(_._3).sum,
+        rows.map(_._3).sum * 1000000L / rows.length)
+    }.toSet
+    val got = Dedup.minhashErrorAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // the audit discriminates: some error is nonzero, most pairs in-band
+    assert(stats.exists(_._2 > 0))
+    assert(stats.map(_._3).sum * 10 >= stats.length * 7)
+  }
+
   test("q261 prefix sim join: equals the brute-force all-pairs Jaccard at " +
     "tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
     val docs = Tables.documents(spark, dir)

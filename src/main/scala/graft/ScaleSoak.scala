@@ -74,8 +74,16 @@ object ScaleSoak {
     "q113_weighted_median", "q181_equidepth_deciles", "q144_target_encoding",
     "q206_random_walks")
 
-  private def timeOne(spark: SparkSession, name: String,
-                      dir: String): Double = {
+  /** Times one query with shuffle parallelism scaled to the data factor —
+    * the weak-scaling protocol: per-task shuffle volume stays constant
+    * across scales (a real cluster reading 10× the data runs 10× the
+    * tasks; AQE then coalesces within a scale exactly as it would there).
+    * With partitions FIXED instead, every sort and hash build grows 10×
+    * per task and the measurement conflates plan scaling with single-task
+    * memory effects (spill cliffs) no production layout would hit. */
+  private def timeOne(spark: SparkSession, name: String, dir: String,
+                      parts: Int): Double = {
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir)
       .write.format("noop").mode("overwrite").save()
@@ -110,10 +118,10 @@ object ScaleSoak {
     val run = heavies.filter(n => only.forall(_.exists(n.startsWith)))
 
     val rows = run.map { name =>
-      val f1 = timeOne(spark, name, srcDir)
-      val s1 = timeOne(spark, name, srcDir)
-      val f10 = timeOne(spark, name, outDir)
-      val s10 = timeOne(spark, name, outDir)
+      val f1 = timeOne(spark, name, srcDir, cpus.toInt)
+      val s1 = timeOne(spark, name, srcDir, cpus.toInt)
+      val f10 = timeOne(spark, name, outDir, cpus.toInt * factor)
+      val s10 = timeOne(spark, name, outDir, cpus.toInt * factor)
       val exp = math.log(s10 / s1) / math.log(factor.toDouble)
       System.err.println(f"[soak] $name%-26s 1x first=$f1%7.2f steady=$s1%7.2f" +
         f"  ${factor}x first=$f10%7.2f steady=$s10%7.2f  exponent=$exp%5.2f")

@@ -108,9 +108,15 @@ object ScaleSoak {
     spark.experimental.extraStrategies =
       spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
 
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+    // rebuild unless a COMPLETE build of the SAME factor is present: the
+    // marker is written last, so a crashed partial build (or a dataset
+    // built at a different factor) never silently poisons the exponents
+    val marker = new java.io.File(s"$outDir/_SOAK_FACTOR_$factor")
+    if (!marker.exists() ||
+        allTables.exists(t => !new java.io.File(s"$outDir/$t.parquet").exists())) {
       System.err.println(s"[soak] building ${factor}x dataset at $outDir ...")
       buildScaled(spark, srcDir, outDir, factor)
+      marker.createNewFile()
     }
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")

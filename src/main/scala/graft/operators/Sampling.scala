@@ -859,15 +859,19 @@ object Sampling {
       sum((col("x") * col("x")).cast(dec)).as("sxx"))
     val s2 = moments.withColumn("s2num",
       col("nh").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec))
+    // the correction squares run in DECIMAL(38,0) — squaring in LongType
+    // first would silently wrap past w_h ≈ 3.04e9 (sf1 territory) while
+    // the DuckDB oracle's HUGEINT chain stays exact
+    def sq(c: Column): Column = c.cast(dec) * c.cast(dec)
     val isqrt = s2
       .withColumn("r0", floor(sqrt(col("s2num").cast(DoubleType))).cast(LongType))
       .withColumn("r1", col("r0")
-        + when(((col("r0") + 1) * (col("r0") + 1)).cast(dec) <= col("s2num"), 1L)
-          .when((col("r0") * col("r0")).cast(dec) > col("s2num"), -1L)
+        + when(sq(col("r0") + 1) <= col("s2num"), 1L)
+          .when(sq(col("r0")) > col("s2num"), -1L)
           .otherwise(0L))
       .withColumn("w_h", col("r1")
-        + when(((col("r1") + 1) * (col("r1") + 1)).cast(dec) <= col("s2num"), 1L)
-          .when((col("r1") * col("r1")).cast(dec) > col("s2num"), -1L)
+        + when(sq(col("r1") + 1) <= col("s2num"), 1L)
+          .when(sq(col("r1")) > col("s2num"), -1L)
           .otherwise(0L))
       .select(col("segment"), col("nh"), col("w_h"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))

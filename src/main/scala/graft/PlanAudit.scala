@@ -461,6 +461,17 @@ object PlanAudit {
       // index join bounded by colliding pairs, never all-pairs
       "q266_minhash_error_audit" -> Seq("ShuffledHashJoin" -> true,
         "HashAggregate" -> true, "CartesianProduct" -> false),
+      // declarative HLL: one scan to a 256-row register aggregate plus the
+      // exact-distinct rider; scalar assembly broadcasts
+      "q267_hll_declarative" -> Seq("HashAggregate" -> true,
+        "BroadcastNestedLoopJoin" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false, "Window" -> false),
+      // quantile normalize: source-partitioned rank window + the
+      // groupedOrdinal range-partitioned pooled ordinal (never an
+      // unpartitioned corpus window); broadcast miniatures; position join
+      // is key-equi
+      "q268_quantile_normalize" -> Seq("Window" -> true,
+        "BroadcastHashJoin" -> true, "CartesianProduct" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -200,6 +200,9 @@ object SparkEntry {
       Events.activityCompleteness(s, dir)),
     "q266_minhash_error_audit" -> ((s, dir) =>
       Dedup.minhashErrorAudit(s, dir)),
+    "q267_hll_declarative" -> ((s, dir) => Sketches.hllDeclarative(s, dir)),
+    "q268_quantile_normalize" -> ((s, dir) =>
+      TextAnalysis.quantileNormalize(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -485,6 +488,8 @@ object SparkEntry {
     "q264_theil_sen" -> Events.theilSenSql,
     "q265_activity_completeness" -> Events.activityCompletenessSql,
     "q266_minhash_error_audit" -> Dedup.minhashErrorAuditSql(),
+    "q267_hll_declarative" -> Sketches.hllDeclarativeSql,
+    "q268_quantile_normalize" -> TextAnalysis.quantileNormalizeSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

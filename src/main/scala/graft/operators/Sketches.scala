@@ -557,9 +557,17 @@ object Sketches {
     * aggregate map-side-combines to 54 rows per partition. Every estimate
     * is exact integer arithmetic: S_j in BIGINT (|S| ≤ N), squares through
     * DECIMAL(38,0)/HUGEINT, group means and the signed error in the ppm DIV
-    * convention; the median is the deterministic lower median (rank
-    * ⌈groups/2⌉ ascending, ties by group id). Like q237, the exact F₂ rides
-    * along so the estimator is HARD-oracled, estimates, error and all. */
+    * convention (the error product runs in DECIMAL before the DIV); the
+    * median is the deterministic lower median (rank ⌈groups/2⌉ ascending,
+    * ties by group id). Like q237, the exact F₂ rides along so the
+    * estimator is HARD-oracled, estimates, error and all.
+    *
+    * Headroom (the q251 convention): the BIGINT f2 outputs are valid while
+    * F₂ < 2⁶³ — i.e. until a single key approaches ~3.04·10⁹ occurrences
+    * (√2⁶³) or the key-frequency RMS crosses the same bar. Beyond that,
+    * re-emit f2_exact/f2_est as digit strings per the q210 moment-sketch
+    * precedent; Spark's non-ANSI decimal→long cast would otherwise go NULL
+    * silently where DuckDB errors loudly. */
   def amsF2(spark: SparkSession, dir: String,
             groups: Int = 6, perGroup: Int = 9): DataFrame = {
     val nSketch = groups * perGroup
@@ -592,7 +600,8 @@ object Sketches {
     perG.crossJoin(med).crossJoin(exact)
       .select(col("r"), col("est_r"), col("f2_est"), col("f2_exact"),
         col("n_rows"), col("n_distinct"),
-        expr("(f2_est - f2_exact) * 1000000 div f2_exact").as("err_ppm"))
+        expr("""(cast(f2_est as decimal(38,0)) - f2_exact) * 1000000
+                div f2_exact""").as("err_ppm"))
   }
 
   /** [[amsF2]]'s oracle: DuckDB rebuilds the identical 54 counters from its
@@ -623,9 +632,106 @@ object Sketches {
        |)
        |SELECT pg.r, pg.est_r, med.f2_est, ex.f2_exact, ex.n_rows,
        |       ex.n_distinct,
-       |       CAST((med.f2_est - ex.f2_exact) * 1000000 // ex.f2_exact
-       |            AS BIGINT) AS err_ppm
+       |       CAST((CAST(med.f2_est AS HUGEINT) - ex.f2_exact) * 1000000
+       |            // ex.f2_exact AS BIGINT) AS err_ppm
        |FROM pg, med, ex""".stripMargin
+
+  /** α_m·m²·2⁵³ for m = 256 — the Flajolet HLL bias constant times the
+    * fixed-point scale, ONE shared double literal (Scala shortest-repr
+    * round-trips bit-exactly through DuckDB's parser). */
+  private val HllNumer: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 *
+    9007199254740992.0 // 2^53
+
+  /** q267 — DECLARATIVE HyperLogLog (Flajolet et al. 2007), HARD-oracled:
+    * where [[hllUserSketches]] (q85) wields Spark's DataSketches-backed
+    * aggregate (engine-internal buffers → captured-literal oracle), this
+    * builds the identical register array from NOTHING but md5, integer
+    * division and binary-string length — so DuckDB rebuilds every register
+    * and the estimate rides the full hash gate, like the CM (q237) and AMS
+    * (q263) treatments. Completes the portable-sketch trilogy: distinct
+    * count (HLL), join size (CM), self-join size (AMS).
+    *
+    * Construction: h = 60 md5 bits; bucket = top 8 (m = 256 registers);
+    * rank = leading-zero count of the low 52 bits + 1 = 53 − len(bin(rem))
+    * (rem = 0 → 53) — `bin`/`printf('%b')` make the rank EXACT integer on
+    * both engines (no log2, which is libm territory). Register M_b = max
+    * rank per bucket; the harmonic indicator Σ 2^(−M_j) is held in fixed
+    * point as S = Σ 2^(53−M_j) ≤ 256·2⁵³ = 2⁶¹ — exact BIGINT, absent
+    * buckets contributing 2⁵³ each. The raw estimate α·m²/Σ2^(−M) is then
+    * ONE double division of two exact quantities — bit-identical cross-
+    * engine. The small-range linear-counting branch (E ≤ 2.5m, estimate
+    * m·ln(m/V)) is deliberately OUT of the cross-engine contract — ln is
+    * libm territory — but v_zero ships precisely so a consumer can apply
+    * it: at sf0.001 (15 users over 256 registers, the deep small-range
+    * regime where raw HLL floors at ~α·m) the correction recovers 15.5 vs
+    * truth 15, which the spec pins driver-side. At sf0.1+ the data clears
+    * 2.5m and the raw estimate governs.
+    *
+    * Scale shape: one scan → 256-row register aggregate (map-side combine
+    * caps shuffle at 256 rows/partition) → scalar assembly; the exact
+    * distinct rides the same scan for the error column. Registers are
+    * mergeable by max — the 100 TB rollup pattern of q85, now portable. */
+  def hllDeclarative(spark: SparkSession, dir: String): DataFrame = {
+    val twoP52 = 4503599627370496L // 2^52
+    val h = conv(substring(md5(col("user_id").cast(StringType)), 1, 15),
+      16, 10).cast(LongType)
+    val regs = Tables.events(spark, dir)
+      .select(h.as("h"))
+      .select(expr(s"h div $twoP52").as("bucket"),
+        expr(s"h % $twoP52").as("rem"))
+      .select(col("bucket"),
+        when(col("rem") === 0L, 53L)
+          .otherwise(lit(53L) - length(bin(col("rem"))).cast(LongType))
+          .as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("mb"))
+    val s = regs.agg(
+      (sum(expr("shiftleft(cast(1 as bigint), cast(53 - mb as int))"))
+        + (lit(256L) - count(lit(1))) * lit(1L << 53)).as("s_scaled"),
+      (lit(256L) - count(lit(1))).as("v_zero"))
+    val exact = broadcast(Tables.events(spark, dir)
+      .agg(count_distinct(col("user_id")).as("exact_distinct")))
+    s.crossJoin(exact)
+      .select(lit(256L).as("m"), col("v_zero"), col("s_scaled"),
+        (lit(HllNumer) / col("s_scaled").cast(DoubleType)).as("est_raw"),
+        col("exact_distinct"),
+        ((lit(HllNumer) / col("s_scaled").cast(DoubleType)
+          - col("exact_distinct").cast(DoubleType))
+          / col("exact_distinct").cast(DoubleType)).as("rel_err"))
+  }
+
+  /** [[hllDeclarative]]'s oracle: DuckDB rebuilds the identical registers
+    * (md5 → bucket/rank via printf('%b') length) and the same one-division
+    * estimate from the shared double literal. */
+  val hllDeclarativeSql: String = {
+    s"""WITH hashed AS (
+       |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |           AS h
+       |  FROM events
+       |), ranked AS (
+       |  SELECT h // 4503599627370496 AS bucket,
+       |         CASE WHEN h % 4503599627370496 = 0 THEN 53
+       |              ELSE 53 - length(printf('%b', h % 4503599627370496))
+       |         END AS rank
+       |  FROM hashed
+       |), regs AS (
+       |  SELECT bucket, max(rank) AS mb FROM ranked GROUP BY bucket
+       |), s AS (
+       |  SELECT CAST(sum(1::BIGINT << (53 - mb))
+       |              + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT)
+       |           AS s_scaled,
+       |         CAST(256 - count(*) AS BIGINT) AS v_zero
+       |  FROM regs
+       |), ex AS (
+       |  SELECT count(DISTINCT user_id) AS exact_distinct FROM events
+       |)
+       |SELECT CAST(256 AS BIGINT) AS m, s.v_zero, s.s_scaled,
+       |       $HllNumer / CAST(s.s_scaled AS DOUBLE) AS est_raw,
+       |       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       |       ($HllNumer / CAST(s.s_scaled AS DOUBLE)
+       |        - CAST(ex.exact_distinct AS DOUBLE))
+       |         / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+       |FROM s, ex""".stripMargin
+  }
 
   def oracleEntries: Map[String, String] =
     capturedHll.get(12).map(e => "q85_hll_sketches" -> hllSketchesSql(e)).toMap ++

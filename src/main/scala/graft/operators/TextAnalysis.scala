@@ -1511,4 +1511,70 @@ object TextAnalysis {
        |            AS BIGINT) AS kn_e9
        |FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN d
        |ORDER BY c12 DESC, w1, w2 LIMIT $k""".stripMargin
+
+  /** q268 — cross-source QUANTILE NORMALIZATION of quality scores: map each
+    * document's within-source score rank onto the pooled corpus score at the
+    * same quantile. A single global quality cut over raw scores silently
+    * applies a different effective bar per source (web boilerplate scores
+    * low everywhere; transcript prose scores high everywhere); normalizing
+    * by rank makes "top 30% of its own source" comparable across sources —
+    * the calibration step before [[Sampling.qualityTopP]]-style global cuts
+    * when sources must not be crowded out wholesale.
+    *
+    * Mapping is the right-continuous empirical quantile, all integers:
+    * pooled position p = ⌈r·N/n_s⌉ = (r·N + n_s − 1) DIV n_s (r = 1 maps to
+    * ⌈N/n_s⌉, r = n_s maps to N exactly); the product runs in
+    * DECIMAL(38,0)/HUGEINT (r·N overflows int64 past ~3·10⁹ docs). The
+    * normalized score is then the pooled score AT that position — a join on
+    * the position key, never an array index.
+    *
+    * Scale shape: scores are the session-cached q109 artifact; the
+    * within-source rank is a window on the source-partitioned key; the
+    * pooled ordinal is [[groupedOrdinal]] — ONE range partitioning plus a
+    * broadcast offset miniature, NOT an unpartitioned window over the
+    * corpus; the final position join is key-equi. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScores(spark, dir).select(col("doc_id"), col("avg_e6"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("avg_e6"), col("doc_id"))
+    val ranked = scored
+      .withColumn("rk", row_number().over(wS).cast(LongType))
+    val ns = scored.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nAll = broadcast(scored.agg(count(lit(1)).as("n")))
+    val pooled = groupedOrdinal(scored.withColumn("g", lit(1)), "g",
+        Seq("avg_e6", "doc_id"))
+      .select(col("__ord").as("pos"), col("avg_e6").as("norm_e6"))
+    ranked.join(broadcast(ns), Seq("source")).crossJoin(nAll)
+      .withColumn("pos",
+        expr("(cast(rk as decimal(38,0)) * n + n_s - 1) div n_s"))
+      .join(pooled, Seq("pos"))
+      .select(col("doc_id"), col("source"), col("rk"),
+        col("avg_e6").as("raw_e6"), col("norm_e6"))
+  }
+
+  /** [[quantileNormalize]]'s oracle: q109's score chain + the identical
+    * integer rank mapping in DuckDB. */
+  val quantileNormalizeSql: String =
+    s"""WITH q AS (${linearQualityScoreSql}
+       |), j AS (
+       |  SELECT q.doc_id, d.source, q.avg_e6
+       |  FROM q JOIN documents d USING (doc_id)
+       |), ranked AS (
+       |  SELECT doc_id, source, avg_e6,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY avg_e6, doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY source) AS n_s,
+       |         count(*) OVER () AS n
+       |  FROM j
+       |), pooled AS (
+       |  SELECT row_number() OVER (ORDER BY avg_e6, doc_id) AS pos,
+       |         avg_e6 AS norm_e6
+       |  FROM j
+       |)
+       |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk,
+       |       r.avg_e6 AS raw_e6, p.norm_e6
+       |FROM ranked r JOIN pooled p
+       |  ON (CAST(r.rk AS HUGEINT) * r.n + r.n_s - 1) // r.n_s = p.pos""".stripMargin
 }

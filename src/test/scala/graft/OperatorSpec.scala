@@ -3706,6 +3706,83 @@ class OperatorSpec extends AnyFunSuite {
     assert(stats.map(_._3).sum * 10 >= stats.length * 7)
   }
 
+  test("q267 declarative HLL: registers, fixed-point indicator and the " +
+    "one-division estimate replay exactly; regime-aware accuracy law") {
+    val users = Tables.events(spark, dir).select(col("user_id"))
+      .collect().map(_.getLong(0))
+    def h60(v: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(v.toString).take(15), 16)
+    val twoP52 = 4503599627370496L
+    val regs = users.map(h60).map(h => (h / twoP52, h % twoP52))
+      .map { case (b, rem) =>
+        (b, if (rem == 0) 53L else 53L - java.lang.Long.toBinaryString(rem).length)
+      }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val sScaled = regs.values.map(mb => 1L << (53 - mb)).sum +
+      (256L - regs.size) * (1L << 53)
+    val vZero = 256L - regs.size
+    val exact = users.distinct.length.toLong
+    val numer = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 *
+      9007199254740992.0
+    val est = numer / sScaled.toDouble
+    val relErr = (est - exact.toDouble) / exact.toDouble
+    val got = Sketches.hllDeclarative(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 256L && r.getLong(1) == vZero &&
+      r.getLong(2) == sScaled && r.getLong(4) == exact)
+    assert(r.getDouble(3) == est && r.getDouble(5) == relErr)
+    // accuracy law, regime-aware: raw HLL floors at ~alpha*m when n << m
+    // (sf0.001 has 15 users over 256 registers), which is exactly the
+    // small-range regime the contract ships v_zero for. Apply Flajolet's
+    // linear-counting correction DRIVER-side (ln is libm, so it stays out
+    // of the cross-engine contract) and require it to recover the truth;
+    // in the raw regime (est > 2.5m) require the 3-sigma band instead.
+    if (est <= 2.5 * 256) {
+      assert(vZero > 0)
+      val lc = 256.0 * math.log(256.0 / vZero.toDouble)
+      assert(math.abs(lc - exact.toDouble) / exact.toDouble < 0.2,
+        s"linear counting $lc vs exact $exact")
+    } else {
+      // Flajolet: sigma ~ 1.04/sqrt(256) = 6.5%; 3 sigma = 19.5%
+      assert(math.abs(relErr) < 0.195)
+    }
+  }
+
+  test("q268 quantile normalize: replays the rank mapping exactly; " +
+    "monotone within source and boundary-exact at the top rank") {
+    val scored = TextAnalysis.qualityScores(spark, dir)
+      .select(col("doc_id"), col("avg_e6"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = scored.length.toLong
+    val pooledSorted = scored.map(t => (t._2, t._1)).sorted.map(_._1)
+    val expected = scored.groupBy(_._3).toSeq.flatMap { case (src, rows) =>
+      val ns = rows.length.toLong
+      rows.sortBy(t => (t._2, t._1)).zipWithIndex.map { case ((id, raw, _), i) =>
+        val rk = i + 1L
+        val pos = (rk * n + ns - 1) / ns
+        (id, src, rk, raw, pooledSorted((pos - 1).toInt))
+      }
+    }.toSet
+    val got = TextAnalysis.quantileNormalize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(got.size == n) // total: every doc normalized exactly once
+    // within a source, normalized scores are monotone in rank, and the
+    // top rank maps to the pooled maximum
+    val poolMax = pooledSorted.last
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val byRank = rows.toSeq.sortBy(_._3)
+      byRank.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 <= b._5)
+        case _ =>
+      }
+      assert(byRank.last._5 == poolMax)
+    }
+  }
+
   test("q261 prefix sim join: equals the brute-force all-pairs Jaccard at " +
     "tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
     val docs = Tables.documents(spark, dir)

@@ -31,6 +31,13 @@ object OracleCapture {
       last = Some((dir, p))
     }
 
+    /** Dir-EXACT lookup — for pure fit caches where serving a different
+      * dir's capture is a correctness bug, not a convenience (the q233
+      * eigenvector fitted at one SF fails the eigen gate at another; the
+      * shared-JVM test suite hit exactly that through [[get]]'s no-pin
+      * "most recent" fallback). */
+    def getFor(dir: String, p: P): Option[V] = m.get((dir, p))
+
     /** The capture for `params` in the harness's pinned dir; when no dir is
       * pinned, the most recent capture with those params, else the unique
       * cross-dir one (ambiguity → None, never a wrong-dir literal). */

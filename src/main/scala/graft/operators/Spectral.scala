@@ -95,8 +95,12 @@ object Spectral {
     * largest-|v| coordinate. */
   private def fitEigvec(spark: SparkSession, dir: String): Array[Long] = {
     val key = (QScale.toLong, VScale)
-    captured.get(key) match {
-      case Some(v) if OracleCapture.currentDir.forall(_ == dir) => return v
+    // dir-EXACT cache hit only: this is a fit cache, and a vector fitted at
+    // another SF fails this dir's eigen gate (the shared-JVM suite caught
+    // TypeAuditSpec's sf0.001 fit being served to SpectralSpec's sf0.01 run
+    // through the no-pin "most recent" fallback)
+    captured.getFor(dir, key) match {
+      case Some(v) => return v
       case _ => ()
     }
     val sums = momentSums(spark, dir).collect()

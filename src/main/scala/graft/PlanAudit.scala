@@ -472,6 +472,11 @@ object PlanAudit {
       // is key-equi
       "q268_quantile_normalize" -> Seq("Window" -> true,
         "BroadcastHashJoin" -> true, "CartesianProduct" -> false),
+      // HLL merge rollup: register aggregates and their max-merge; the
+      // ALL row re-aggregates the REGISTER table, never the event scan
+      "q269_hll_merge" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "Window" -> false,
+        "BroadcastNestedLoopJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -203,6 +203,7 @@ object SparkEntry {
     "q267_hll_declarative" -> ((s, dir) => Sketches.hllDeclarative(s, dir)),
     "q268_quantile_normalize" -> ((s, dir) =>
       TextAnalysis.quantileNormalize(s, dir)),
+    "q269_hll_merge" -> ((s, dir) => Sketches.hllMergeRollup(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -490,6 +491,7 @@ object SparkEntry {
     "q266_minhash_error_audit" -> Dedup.minhashErrorAuditSql(),
     "q267_hll_declarative" -> Sketches.hllDeclarativeSql,
     "q268_quantile_normalize" -> TextAnalysis.quantileNormalizeSql,
+    "q269_hll_merge" -> Sketches.hllMergeRollupSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -733,6 +733,103 @@ object Sketches {
        |FROM s, ex""".stripMargin
   }
 
+  /** q269 — HLL register MERGE rollup, the property that justifies sketches
+    * at 100 TB: per-event-type register arrays are built independently (as
+    * a partitioned sketch table would be persisted), then the GLOBAL
+    * distinct estimate is recovered by merging registers with max — no
+    * second pass over the data. Emits one row per event type plus one
+    * 'ALL' rollup row, each with its own exact distinct riding along, so
+    * the oracle hash-gates BOTH the per-partition sketches and the merge
+    * (q85's DataSketches rollup shape, re-expressed in the q267 portable
+    * register algebra).
+    *
+    * The union-distinct law the spec pins: merged registers equal the
+    * registers of the unioned stream BY CONSTRUCTION (max commutes), so
+    * the ALL row's estimate is exactly [[hllDeclarative]]'s — merging is
+    * lossless, unlike any count rollup.
+    *
+    * Scale shape: one scan → (type, bucket) aggregate (map-side combine
+    * caps at |types|·256 rows/partition) → the ALL row is a 256-row
+    * re-aggregate of the REGISTER table, not of events. Exact distincts
+    * cost one more aggregate each — they are the audit rider, not the
+    * production path. */
+  def hllMergeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val twoP52 = 4503599627370496L
+    val h = conv(substring(md5(col("user_id").cast(StringType)), 1, 15),
+      16, 10).cast(LongType)
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), h.as("h"))
+      .select(col("event_type"),
+        expr(s"h div $twoP52").as("bucket"), expr(s"h % $twoP52").as("rem"))
+      .select(col("event_type"), col("bucket"),
+        when(col("rem") === 0L, 53L)
+          .otherwise(lit(53L) - length(bin(col("rem"))).cast(LongType))
+          .as("rank"))
+    val perType = ranked.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rank")).as("mb"))
+    val merged = perType.groupBy(col("bucket"))
+      .agg(max(col("mb")).as("mb"))
+      .select(lit("ALL").as("event_type"), col("bucket"), col("mb"))
+    def estimate(regs: DataFrame): DataFrame = regs
+      .groupBy(col("event_type"))
+      .agg(
+        (sum(expr("shiftleft(cast(1 as bigint), cast(53 - mb as int))"))
+          + (lit(256L) - count(lit(1))) * lit(1L << 53)).as("s_scaled"),
+        (lit(256L) - count(lit(1))).as("v_zero"))
+      .select(col("event_type"), col("v_zero"), col("s_scaled"),
+        (lit(HllNumer) / col("s_scaled").cast(DoubleType)).as("est_raw"))
+    val exactPer = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    val exactAll = Tables.events(spark, dir)
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+      .select(lit("ALL").as("event_type"), col("exact_distinct"))
+    estimate(perType.unionAll(merged))
+      .join(exactPer.unionAll(exactAll), Seq("event_type"))
+      .select(col("event_type"), col("v_zero"), col("s_scaled"),
+        col("est_raw"), col("exact_distinct"))
+  }
+
+  /** [[hllMergeRollup]]'s oracle: identical per-type registers, identical
+    * max-merge, identical one-division estimates in DuckDB. */
+  val hllMergeRollupSql: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type,
+       |         h // 4503599627370496 AS bucket,
+       |         CASE WHEN h % 4503599627370496 = 0 THEN 53
+       |              ELSE 53 - length(printf('%b', h % 4503599627370496))
+       |         END AS rank
+       |  FROM (
+       |    SELECT event_type,
+       |           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |             ::BIGINT AS h
+       |    FROM events)
+       |), per_type AS (
+       |  SELECT event_type, bucket, max(rank) AS mb
+       |  FROM ranked GROUP BY 1, 2
+       |), merged AS (
+       |  SELECT 'ALL' AS event_type, bucket, max(mb) AS mb
+       |  FROM per_type GROUP BY 2
+       |), all_regs AS (
+       |  SELECT * FROM per_type UNION ALL SELECT * FROM merged
+       |), est AS (
+       |  SELECT event_type,
+       |         CAST(256 - count(*) AS BIGINT) AS v_zero,
+       |         CAST(sum(1::BIGINT << (53 - mb))
+       |              + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT)
+       |           AS s_scaled
+       |  FROM all_regs GROUP BY 1
+       |), ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', count(DISTINCT user_id) FROM events
+       |)
+       |SELECT e.event_type, e.v_zero, e.s_scaled,
+       |       $HllNumer / CAST(e.s_scaled AS DOUBLE) AS est_raw,
+       |       CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+       |FROM est e JOIN ex x ON e.event_type = x.event_type""".stripMargin
+
   def oracleEntries: Map[String, String] =
     capturedHll.get(12).map(e => "q85_hll_sketches" -> hllSketchesSql(e)).toMap ++
       capturedCms.get((0.001, 0.99, 42))

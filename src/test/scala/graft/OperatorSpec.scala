@@ -3783,6 +3783,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q269 HLL merge rollup: per-type registers replay; the max-merge is " +
+    "lossless — the ALL row equals a from-scratch sketch of the union") {
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def h60(v: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(v.toString).take(15), 16)
+    val twoP52 = 4503599627370496L
+    def regsOf(vs: Seq[Long]): Map[Long, Long] =
+      vs.map(h60).map(h => (h / twoP52, h % twoP52))
+        .map { case (b, rem) =>
+          (b, if (rem == 0) 53L
+              else 53L - java.lang.Long.toBinaryString(rem).length)
+        }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    def sOf(regs: Map[Long, Long]): Long =
+      regs.values.map(mb => 1L << (53 - mb)).sum + (256L - regs.size) * (1L << 53)
+    val byType = rows.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2) }
+    val perType = byType.map { case (t, vs) => t -> regsOf(vs.toSeq) }
+    // max-merge across types
+    val mergedRegs = perType.values.flatten
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val expected = (perType.toSeq.map { case (t, regs) =>
+      (t, 256L - regs.size, sOf(regs), byType(t).distinct.length.toLong)
+    } :+ (("ALL", 256L - mergedRegs.size, sOf(mergedRegs),
+      rows.map(_._2).distinct.length.toLong))).toSet
+    val got = Sketches.hllMergeRollup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // losslessness: merged registers == registers of the unioned stream
+    assert(mergedRegs == regsOf(rows.map(_._2).toSeq))
+  }
+
   test("q261 prefix sim join: equals the brute-force all-pairs Jaccard at " +
     "tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
     val docs = Tables.documents(spark, dir)

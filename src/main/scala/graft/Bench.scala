@@ -149,7 +149,9 @@ object Bench {
       spark.range(4000)
         .selectExpr(
           "conv(substring(md5(cast(id as string)), 1, 15), 16, 10) as h")
-        .selectExpr("sum(cast(h as bigint)) as s")
+        // max, not sum: 4000 60-bit variates sum to ~2.3e21, which throws
+        // under ANSI (Spark 4 default); max exercises the same codegen chain
+        .selectExpr("max(cast(h as bigint)) as s")
         .write.format("noop").mode("overwrite").save()
     // prime the probe's codegen, then baseline = min of 3 timed probes
     calibrationProbe(spark)

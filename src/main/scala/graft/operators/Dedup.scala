@@ -1741,22 +1741,29 @@ object Dedup {
 
   /** q261 — PREFIX-FILTERED set-similarity self-join (the PPJoin family:
     * Xiao et al., "Efficient Similarity Joins for Near Duplicate Detection",
-    * WWW'08): all document pairs with word-set Jaccard ≥ 3/5, found WITHOUT
-    * touching most of the candidate space.
+    * WWW'08): all document pairs with 3-gram shingle-set Jaccard ≥ 3/5,
+    * found WITHOUT touching most of the candidate space.
     *
     * Where q31's inverted index joins on EVERY shingle (cost ∝ all colliding
     * pairs, tamed only by a df cap), prefix filtering is lossless pruning:
-    * order each doc's distinct tokens by global rarity (df asc, token asc —
-    * one total order shared by all docs), and keep only the first
-    * p = n − ⌈τ·n⌉ + 1 tokens as join keys. Two sets with J ≥ τ must share
-    * ≥ ⌈τ·max(n_a,n_b)⌉ tokens, so they MUST collide on at least one prefix
-    * token (pigeonhole) — and because prefixes hold each doc's RAREST
-    * tokens, prefix buckets are the smallest buckets in the index. The
-    * length filter (5·min(n) ≥ 3·max(n), exact-integer form of min/max ≥ τ)
-    * prunes survivors before verification. At 100 TB this is the difference
-    * between an index join dominated by stop-token buckets and one bounded
-    * by rare-token bucket occupancy; verification cost is Σ over candidates
-    * of |A| — linear in the candidate count.
+    * order each doc's distinct shingles by global rarity (df asc, shingle
+    * asc — one total order shared by all docs), and keep only the first
+    * p = n − ⌈τ·n⌉ + 1 as index keys. Two sets with J ≥ τ must share
+    * ≥ ⌈τ·max(n_a,n_b)⌉ elements, so they MUST collide on at least one
+    * prefix shingle (pigeonhole) — and because prefixes hold each doc's
+    * RAREST shingles, prefix buckets are the smallest buckets in the index.
+    * The length filter (5·min(n) ≥ 3·max(n), exact-integer form of
+    * min/max ≥ τ) prunes survivors before verification. At 100 TB this is
+    * the difference between an index join dominated by stop-token buckets
+    * and one bounded by rare-token bucket occupancy; verification cost is
+    * Σ over candidates of |A| — linear in the candidate count.
+    *
+    * The set universe is the session-cached q31 SHINGLE index, not word
+    * sets: on a template-generated corpus word sets make half the doc-pair
+    * matrix "similar" (the round-9 bench measured 62.7 s — the output
+    * itself was millions of pairs), while 3-gram shingles are the
+    * established near-dup signal with collision structure that matches the
+    * operator's purpose. Same universe as q31/q220/q266, so results compose.
     *
     * All arithmetic is integer-exact: τ = 3/5 enters as ⌈3n/5⌉ =
     * (3n+4) DIV 5 for the prefix length and as 8·inter ≥ 3·(n_a+n_b) for
@@ -1764,10 +1771,7 @@ object Dedup {
     * the usual ppm DIV. Output: (a_id, b_id, n_a, n_b, inter_cnt, jac_e6),
     * one row per qualifying pair. */
   def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .distinct()
+    val tok = shingleIndex(spark, dir).toDF("doc_id", "w")
     val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val ranked = tok.join(df, Seq("w"))
       .withColumn("rnk", row_number().over(
@@ -1799,13 +1803,19 @@ object Dedup {
   }
 
   /** [[prefixSimJoin]]'s oracle: the identical prefix-filtered algorithm in
-    * DuckDB (same global token order, same integer prefix length, length
-    * filter and final test) — independent implementation, shared math. */
+    * DuckDB over the identical q31 shingle construction (same global order,
+    * same integer prefix length, length filter and final test) —
+    * independent implementation, shared math. */
   val prefixSimJoinSql: String =
-    """WITH tok AS (
-      |  SELECT DISTINCT doc_id, w FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE w <> ''
+    """WITH ws AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2] || ' ' ||
+      |         string_split(text, ' ')[i+3])) AS sh
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(sh) AS w FROM ws
       |), df AS (
       |  SELECT w, count(*) AS df FROM tok GROUP BY w
       |), ranked AS (

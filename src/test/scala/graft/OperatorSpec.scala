@@ -3816,12 +3816,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(mergedRegs == regsOf(rows.map(_._2).toSeq))
   }
 
-  test("q261 prefix sim join: equals the brute-force all-pairs Jaccard at " +
-    "tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
+  test("q261 prefix sim join: equals the brute-force all-pairs shingle " +
+    "Jaccard at tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) ->
-        r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        r.getLong(0) -> (0 until math.max(ws.length - 2, 0))
+          .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+      }
+      .filter(_._2.nonEmpty)
     val expected = (for {
       (a, sa) <- docs; (b, sb) <- docs if a < b
       inter = (sa & sb).size

@@ -860,8 +860,9 @@ object Sampling {
     val s2 = moments.withColumn("s2num",
       col("nh").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec))
     // the correction squares run in DECIMAL(38,0) — squaring in LongType
-    // first would silently wrap past w_h ≈ 3.04e9 (sf1 territory) while
-    // the DuckDB oracle's HUGEINT chain stays exact
+    // first would overflow past w_h ≈ 3.04e9 (sf1 territory; an ANSI
+    // throw here, a silent wrap with ANSI off) while the DuckDB oracle's
+    // HUGEINT chain stays exact
     def sq(c: Column): Column = c.cast(dec) * c.cast(dec)
     val isqrt = s2
       .withColumn("r0", floor(sqrt(col("s2num").cast(DoubleType))).cast(LongType))

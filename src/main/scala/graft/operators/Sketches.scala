@@ -566,8 +566,9 @@ object Sketches {
     * F₂ < 2⁶³ — i.e. until a single key approaches ~3.04·10⁹ occurrences
     * (√2⁶³) or the key-frequency RMS crosses the same bar. Beyond that,
     * re-emit f2_exact/f2_est as digit strings per the q210 moment-sketch
-    * precedent; Spark's non-ANSI decimal→long cast would otherwise go NULL
-    * silently where DuckDB errors loudly. */
+    * precedent; the decimal→long cast past int64 throws under this
+    * deployment's ANSI-on default (and would go NULL silently with ANSI
+    * off) where DuckDB errors loudly. */
   def amsF2(spark: SparkSession, dir: String,
             groups: Int = 6, perGroup: Int = 9): DataFrame = {
     val nSketch = groups * perGroup

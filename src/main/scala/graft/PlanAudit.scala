@@ -477,6 +477,11 @@ object PlanAudit {
       "q269_hll_merge" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,
         "BroadcastNestedLoopJoin" -> false),
+      // class separability: one scan to (label, dim) partial sums; the
+      // pair matrix is broadcast miniature algebra — no data-sized join
+      "q270_class_separability" -> Seq("HashAggregate" -> true,
+        "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -1328,4 +1328,124 @@ object SimilaritySearch {
        |       a.seed_id IS NOT NULL AS is_seed
        |FROM sens s CROSS JOIN tot
        |LEFT JOIN anchors a ON s.vec_id = a.seed_id""".stripMargin
+
+  /** q270 — embedding CLASS-SEPARABILITY audit: for every label pair, the
+    * squared distance between class centroids against the classes' internal
+    * spread (trace of covariance) — a Fisher-criterion read-out per pair.
+    * This is the question asked of an embedding space before training on it
+    * ("are the classes separated, and which pairs smear together?"),
+    * answered with NO model: sufficient statistics only.
+    *
+    * Exactness (the [[graft.operators.Spectral]] trick): coordinates are
+    * floor(x·10⁴)-quantized longs, so every cross-row sum is an exact
+    * integer and both engines agree bit-for-bit. The centroid distance
+    * clears denominators: ‖s_a/n_a − s_b/n_b‖² =
+    * Σ_d (s_ad·n_b − s_bd·n_a)² / (n_a·n_b)², numerator in
+    * DECIMAL(38,0)/HUGEINT; dist2_e6 lands back in BIGINT in raw x² units.
+    * Spread: tr(Cov) = (n·Σ‖q‖² − Σ_d s_d²)/n², same treatment. fisher_e3 =
+    * dist2_e6·1000 DIV (spread_a_e6 + spread_b_e6) — separation over
+    * scatter, exact integers end to end.
+    *
+    * Scale shape: ONE scan explodes to (label, dim) partial sums — the
+    * shuffle carries ≤ |labels|·64 rows per partition (map-side combine);
+    * everything after (the |labels|×64 moment table, the 45-pair matrix) is
+    * broadcast miniature algebra. At 100 TB: a scan, full stop — the
+    * [[graft.operators.Spectral]] moment-pass shape. */
+  def classSeparability(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(transform(col("embedding").cast(ArrayType(DoubleType)),
+          x => floor(x * lit(10000.0)).cast(LongType))))
+      .select(col("label"), col("pos").cast(LongType).as("d"),
+        col("col").as("qv"))
+    val perDim = q.groupBy(col("label"), col("d"))
+      .agg(sum(col("qv")).as("s"))
+    val perLabel = q.groupBy(col("label"))
+      .agg(expr("count(1) div 64").as("n"),
+        sum(col("qv").cast(dec) * col("qv")).as("ss"))
+    val spread = perDim.groupBy(col("label"))
+      .agg(sum(col("s").cast(dec) * col("s")).as("s2"))
+      .join(perLabel, Seq("label"))
+      .select(col("label"), col("n"),
+        expr("""cast((cast(n as decimal(38,0)) * ss - s2) * 1000000
+                div (cast(n as decimal(38,0)) * n * 100000000) as bigint)""")
+          .as("spread_e6"))
+    val pairs = broadcast(spread.toDF("label_a", "n_a", "spread_a_e6"))
+      .crossJoin(broadcast(spread.toDF("label_b", "n_b", "spread_b_e6")))
+      .filter(col("label_a") < col("label_b"))
+    pairs
+      .join(broadcast(perDim.toDF("label_a", "d", "sa")), Seq("label_a"))
+      .join(broadcast(perDim.toDF("label_b", "d", "sb")), Seq("label_b", "d"))
+      .withColumn("term",
+        (col("sa").cast(dec) * col("n_b") - col("sb").cast(dec) * col("n_a")))
+      .groupBy(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("spread_a_e6"), col("spread_b_e6"))
+      .agg(sum(col("term") * col("term")).as("num"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        expr("""cast(num * 1000000
+                div (cast(n_a as decimal(38,0)) * n_b * n_a * n_b * 100000000)
+                as bigint)""").as("dist2_e6"),
+        col("spread_a_e6"), col("spread_b_e6"))
+      .withColumn("fisher_e3",
+        expr("dist2_e6 * 1000 div greatest(spread_a_e6 + spread_b_e6, 1)"))
+  }
+
+  /** [[classSeparability]]'s oracle: identical quantized moments, cleared
+    * denominators and integer ratios in DuckDB. */
+  val classSeparabilitySql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |         unnest(list_transform(embedding,
+      |           -- CAST to DOUBLE first: a bare 10000.0 literal is
+      |           -- DECIMAL(6,1) in DuckDB and the FLOAT x DECIMAL path
+      |           -- quantizes knife-edge values differently than Spark's
+      |           -- double multiply (caught by this oracle going off-by-one)
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+      |           AS qv,
+      |         unnest(range(64)) AS d
+      |  FROM embeddings
+      |), per_dim AS (
+      |  SELECT label, d, sum(qv) AS s FROM q GROUP BY 1, 2
+      |), per_label AS (
+      |  SELECT label, count(*) // 64 AS n,
+      |         sum(CAST(qv AS HUGEINT) * qv) AS ss
+      |  FROM q GROUP BY 1
+      |), spread AS (
+      |  SELECT p.label, p.n,
+      |         CAST((CAST(p.n AS HUGEINT) * p.ss - d2.s2) * 1000000
+      |              // (CAST(p.n AS HUGEINT) * p.n * 100000000) AS BIGINT)
+      |           AS spread_e6
+      |  FROM per_label p JOIN (
+      |    SELECT label, sum(CAST(s AS HUGEINT) * s) AS s2
+      |    FROM per_dim GROUP BY 1) d2 USING (label)
+      |), pairs AS (
+      |  SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a,
+      |         b.n AS n_b, a.spread_e6 AS spread_a_e6,
+      |         b.spread_e6 AS spread_b_e6
+      |  FROM spread a JOIN spread b ON a.label < b.label
+      |), terms AS (
+      |  SELECT p.label_a, p.label_b, p.n_a, p.n_b, p.spread_a_e6,
+      |         p.spread_b_e6,
+      |         CAST(da.s AS HUGEINT) * p.n_b
+      |           - CAST(db.s AS HUGEINT) * p.n_a AS t
+      |  FROM pairs p
+      |  JOIN per_dim da ON da.label = p.label_a
+      |  JOIN per_dim db ON db.label = p.label_b AND db.d = da.d
+      |), dist AS (
+      |  SELECT label_a, label_b, n_a, n_b, spread_a_e6, spread_b_e6,
+      |         sum(t * t) AS num
+      |  FROM terms GROUP BY 1, 2, 3, 4, 5, 6
+      |)
+      |SELECT label_a, label_b, n_a, n_b,
+      |       CAST(num * 1000000
+      |            // (CAST(n_a AS HUGEINT) * n_b * n_a * n_b * 100000000)
+      |            AS BIGINT) AS dist2_e6,
+      |       spread_a_e6, spread_b_e6,
+      |       CAST(CAST(num * 1000000
+      |              // (CAST(n_a AS HUGEINT) * n_b * n_a * n_b * 100000000)
+      |              AS BIGINT) * 1000
+      |            // greatest(spread_a_e6 + spread_b_e6, 1) AS BIGINT)
+      |         AS fisher_e3
+      |FROM dist""".stripMargin
 }

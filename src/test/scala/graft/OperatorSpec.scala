@@ -3816,6 +3816,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(mergedRegs == regsOf(rows.map(_._2).toSeq))
   }
 
+  test("q270 class separability: replays from first-principles BigInt " +
+    "moments; symmetry-free upper triangle; fisher discriminates") {
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(x => math.floor(x * 10000.0).toLong)))
+    val byLabel = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val stats = byLabel.map { case (l, rs) =>
+      val n = rs.length.toLong
+      val ss = rs.flatMap(_._2).map(q => BigInt(q) * q).sum
+      val s = (0 until 64).map(d => rs.map(_._2(d)).sum)
+      val s2 = s.map(x => BigInt(x) * x).sum
+      val spread = ((BigInt(n) * ss - s2) * 1000000 /
+        (BigInt(n) * n * 100000000)).toLong
+      (l, n, s, spread)
+    }
+    val expected = (for {
+      (la, na, sa, spa) <- stats; (lb, nb, sb, spb) <- stats if la < lb
+    } yield {
+      val num = (0 until 64).map(d =>
+        (BigInt(sa(d)) * nb - BigInt(sb(d)) * na)).map(t => t * t).sum
+      val d2 = (num * 1000000 /
+        (BigInt(na) * nb * na * nb * 100000000)).toLong
+      (la, lb, na, nb, d2, spa, spb,
+        d2 * 1000L / math.max(spa + spb, 1L))
+    }).toSet
+    val got = SimilaritySearch.classSeparability(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == expected)
+    val k = stats.length
+    assert(got.size == k * (k - 1) / 2) // full upper triangle, no dupes
+    // the audit discriminates: separability varies across pairs
+    assert(got.map(_._8).size >= 2 || got.map(_._5).toSeq.distinct.size >= 2)
+  }
+
   test("q261 prefix sim join: equals the brute-force all-pairs shingle " +
     "Jaccard at tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
     val docs = Tables.documents(spark, dir)

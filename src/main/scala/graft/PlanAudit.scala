@@ -482,6 +482,10 @@ object PlanAudit {
       "q270_class_separability" -> Seq("HashAggregate" -> true,
         "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false),
+      // sorted neighborhood: the groupedOrdinal range partitioning plus
+      // the xw offset probe equi-join — no cartesian, no name-by-name
+      "q271_sorted_neighborhood" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "BroadcastNestedLoopJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -206,6 +206,8 @@ object SparkEntry {
     "q269_hll_merge" -> ((s, dir) => Sketches.hllMergeRollup(s, dir)),
     "q270_class_separability" -> ((s, dir) =>
       SimilaritySearch.classSeparability(s, dir)),
+    "q271_sorted_neighborhood" -> ((s, dir) =>
+      Linkage.sortedNeighborhood(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -495,6 +497,7 @@ object SparkEntry {
     "q268_quantile_normalize" -> TextAnalysis.quantileNormalizeSql,
     "q269_hll_merge" -> Sketches.hllMergeRollupSql,
     "q270_class_separability" -> SimilaritySearch.classSeparabilitySql,
+    "q271_sorted_neighborhood" -> Linkage.sortedNeighborhoodSql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -89,4 +89,66 @@ object Linkage {
        |       n_rows_a, n_rows_b
        |FROM pairs
        |WHERE levenshtein(name_a, name_b) <= $maxDist""".stripMargin
+
+  /** q271 — SORTED-NEIGHBORHOOD linkage candidates (Hernández & Stolfo,
+    * SIGMOD'95): the OTHER canonical blocking strategy, over the same
+    * `p_name` domain as [[blockedLinkage]] so the two are directly
+    * comparable. Sort the key domain once, then compare each record only
+    * to its `window` successors in sort order — candidate volume is O(n·w)
+    * BY CONSTRUCTION, immune to the skewed-block blowup token blocking
+    * suffers when a block key goes hot (q140 needs its heads/tails to stay
+    * selective; SNM needs nothing). The agreement flags (head/tail token
+    * match) report, per surviving pair, whether q140's blocking would ALSO
+    * have caught it — the recall-overlap audit between the two strategies.
+    *
+    * Scale shape: the global sort ordinal rides
+    * [[TextAnalysis.groupedOrdinal]] — ONE range partitioning plus a
+    * broadcast offset miniature, never an unpartitioned window; candidate
+    * generation is a ×w offset explode joined back on the ordinal (w
+    * map-side equi-joins in one), and the Levenshtein confirm runs on
+    * O(n·w) rows. Output: (name_a, name_b, ord_gap, lev_dist, head_match,
+    * tail_match) for pairs at lev ≤ `maxDist`. */
+  def sortedNeighborhood(spark: SparkSession, dir: String,
+                         window: Int = 5, maxDist: Int = 3): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(col("p_name").as("name")).distinct()
+      .withColumn("g", lit(1))
+    val ord = TextAnalysis.groupedOrdinal(names, "g", Seq("name"))
+      .select(col("name"), col("__ord").as("ord"))
+    val probes = ord
+      .select(col("name").as("name_a"), col("ord"),
+        explode(sequence(lit(1), lit(window))).as("k"))
+      .select(col("name_a"), col("k"), (col("ord") + col("k")).as("ord_b"))
+    probes
+      .join(ord.select(col("name").as("name_b"), col("ord").as("ord_b")),
+        Seq("ord_b"))
+      .select(col("name_a"), col("name_b"),
+        col("k").cast("long").as("ord_gap"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("lev_dist"),
+        (split(col("name_a"), " ").getItem(0) ===
+          split(col("name_b"), " ").getItem(0)).as("head_match"),
+        (element_at(split(col("name_a"), " "), -1) ===
+          element_at(split(col("name_b"), " "), -1)).as("tail_match"))
+      .filter(col("lev_dist") <= maxDist)
+  }
+
+  /** [[sortedNeighborhood]]'s oracle: identical sort order, identical ×w
+    * offset probes, identical confirm in DuckDB. */
+  def sortedNeighborhoodSql(window: Int = 5, maxDist: Int = 3): String =
+    s"""WITH names AS (
+       |  SELECT DISTINCT p_name AS name FROM part
+       |), ord AS (
+       |  SELECT name, row_number() OVER (ORDER BY name) AS ord FROM names
+       |), probes AS (
+       |  SELECT a.name AS name_a, a.ord, ks.k
+       |  FROM ord a, (SELECT unnest(range(1, ${window + 1})) AS k) ks
+       |)
+       |SELECT p.name_a, b.name AS name_b, CAST(p.k AS BIGINT) AS ord_gap,
+       |       CAST(levenshtein(p.name_a, b.name) AS BIGINT) AS lev_dist,
+       |       string_split(p.name_a, ' ')[1] = string_split(b.name, ' ')[1]
+       |         AS head_match,
+       |       string_split(p.name_a, ' ')[-1] = string_split(b.name, ' ')[-1]
+       |         AS tail_match
+       |FROM probes p JOIN ord b ON b.ord = p.ord + p.k
+       |WHERE levenshtein(p.name_a, b.name) <= $maxDist""".stripMargin
 }

@@ -3853,6 +3853,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(_._8).size >= 2 || got.map(_._5).toSeq.distinct.size >= 2)
   }
 
+  test("q271 sorted neighborhood: equals the brute-force sorted-window " +
+    "scan; candidate volume is O(n*w) by construction") {
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    val names = Tables.part(spark, dir).select(col("p_name"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val expected = (for {
+      i <- names.indices; k <- 1 to 5 if i + k < names.length
+      a = names(i); b = names(i + k)
+      ld = lev(a, b) if ld <= 3
+    } yield (a, b, k.toLong, ld,
+      a.split(" ").head == b.split(" ").head,
+      a.split(" ").last == b.split(" ").last)).toSet
+    val got = Linkage.sortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toSet
+    assert(got == expected)
+    // SNM finds pairs on this fixture and they are genuine near-names
+    assert(got.nonEmpty && got.forall(_._4 <= 3))
+  }
+
   test("q261 prefix sim join: equals the brute-force all-pairs shingle " +
     "Jaccard at tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
     val docs = Tables.documents(spark, dir)

@@ -110,6 +110,11 @@ object Linkage {
     * tail_match) for pairs at lev ≤ `maxDist`. */
   def sortedNeighborhood(spark: SparkSession, dir: String,
                          window: Int = 5, maxDist: Int = 3): DataFrame = {
+    // window=0 would make sequence(1, 0) step -1 and emit k=0 SELF-pairs
+    // (diverging from the oracle's empty range) — fail loudly instead,
+    // the lengthBatches precedent
+    require(window >= 1, s"window must be >= 1: $window")
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     val names = Tables.part(spark, dir)
       .select(col("p_name").as("name")).distinct()
       .withColumn("g", lit(1))

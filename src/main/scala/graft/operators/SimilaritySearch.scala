@@ -1359,11 +1359,17 @@ object SimilaritySearch {
           x => floor(x * lit(10000.0)).cast(LongType))))
       .select(col("label"), col("pos").cast(LongType).as("d"),
         col("col").as("qv"))
-    val perDim = q.groupBy(col("label"), col("d"))
-      .agg(sum(col("qv")).as("s"))
-    val perLabel = q.groupBy(col("label"))
-      .agg(expr("count(1) div 64").as("n"),
-        sum(col("qv").cast(dec) * col("qv")).as("ss"))
+    // ONE (label, dim) aggregate carries ALL sufficient statistics —
+    // per-label n and Σ‖q‖² then derive from the |labels|×64 miniature
+    // (two independent aggregations over `q` would scan and 64×-explode
+    // the table twice; Spark does not share un-cached subtrees)
+    val moments = q.groupBy(col("label"), col("d"))
+      .agg(sum(col("qv")).as("s"),
+        sum(col("qv").cast(dec) * col("qv")).as("ssd"),
+        count(lit(1)).as("cnt"))
+    val perDim = moments.select(col("label"), col("d"), col("s"))
+    val perLabel = moments.groupBy(col("label"))
+      .agg(max(col("cnt")).as("n"), sum(col("ssd")).as("ss"))
     val spread = perDim.groupBy(col("label"))
       .agg(sum(col("s").cast(dec) * col("s")).as("s2"))
       .join(perLabel, Seq("label"))

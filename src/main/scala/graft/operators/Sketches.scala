@@ -668,27 +668,43 @@ object Sketches {
     * truth 15, which the spec pins driver-side. At sf0.1+ the data clears
     * 2.5m and the raw estimate governs.
     *
-    * Scale shape: one scan → 256-row register aggregate (map-side combine
-    * caps shuffle at 256 rows/partition) → scalar assembly; the exact
-    * distinct rides the same scan for the error column. Registers are
-    * mergeable by max — the 100 TB rollup pattern of q85, now portable. */
-  def hllDeclarative(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: the production path is one scan → 256-row register
+    * aggregate (map-side combine caps shuffle at 256 rows/partition) →
+    * scalar assembly. The EXACT distinct is the audit rider, not the
+    * production path — it costs its own count_distinct pass, which is
+    * precisely the cost the sketch exists to avoid (q269 states the same
+    * honestly for its three rider aggregates). Registers are mergeable by
+    * max — the 100 TB rollup pattern of q85, now portable. */
+  /** md5 → (keep…, bucket, rank) — the ONE register construction shared by
+    * [[hllDeclarative]] and [[hllMergeRollup]]. q269's union-distinct law
+    * (the ALL row equals q267's estimate) depends on the two queries'
+    * chains staying bit-identical, so the chain lives exactly once. */
+  private def hllBucketRank(df: DataFrame, id: Column,
+                            keep: Seq[String]): DataFrame = {
     val twoP52 = 4503599627370496L // 2^52
-    val h = conv(substring(md5(col("user_id").cast(StringType)), 1, 15),
-      16, 10).cast(LongType)
-    val regs = Tables.events(spark, dir)
-      .select(h.as("h"))
-      .select(expr(s"h div $twoP52").as("bucket"),
-        expr(s"h % $twoP52").as("rem"))
-      .select(col("bucket"),
-        when(col("rem") === 0L, 53L)
+    val h = conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val k = keep.map(col)
+    df.select(k :+ h.as("h"): _*)
+      .select(k :+ expr(s"h div $twoP52").as("bucket")
+        :+ expr(s"h % $twoP52").as("rem"): _*)
+      .select(k :+ col("bucket")
+        :+ when(col("rem") === 0L, 53L)
           .otherwise(lit(53L) - length(bin(col("rem"))).cast(LongType))
-          .as("rank"))
+          .as("rank"): _*)
+  }
+
+  /** The fixed-point harmonic-indicator aggregates over a register frame
+    * with column `mb` — shared by q267/q269 for the same reason. */
+  private def hllSScaled: Column =
+    (sum(expr("shiftleft(cast(1 as bigint), cast(53 - mb as int))"))
+      + (lit(256L) - count(lit(1))) * lit(1L << 53)).as("s_scaled")
+  private def hllVZero: Column = (lit(256L) - count(lit(1))).as("v_zero")
+
+  def hllDeclarative(spark: SparkSession, dir: String): DataFrame = {
+    val regs = hllBucketRank(Tables.events(spark, dir), col("user_id"), Nil)
       .groupBy(col("bucket")).agg(max(col("rank")).as("mb"))
-    val s = regs.agg(
-      (sum(expr("shiftleft(cast(1 as bigint), cast(53 - mb as int))"))
-        + (lit(256L) - count(lit(1))) * lit(1L << 53)).as("s_scaled"),
-      (lit(256L) - count(lit(1))).as("v_zero"))
+    val s = regs.agg(hllSScaled, hllVZero)
     val exact = broadcast(Tables.events(spark, dir)
       .agg(count_distinct(col("user_id")).as("exact_distinct")))
     s.crossJoin(exact)
@@ -755,28 +771,16 @@ object Sketches {
     * cost one more aggregate each — they are the audit rider, not the
     * production path. */
   def hllMergeRollup(spark: SparkSession, dir: String): DataFrame = {
-    val twoP52 = 4503599627370496L
-    val h = conv(substring(md5(col("user_id").cast(StringType)), 1, 15),
-      16, 10).cast(LongType)
-    val ranked = Tables.events(spark, dir)
-      .select(col("event_type"), h.as("h"))
-      .select(col("event_type"),
-        expr(s"h div $twoP52").as("bucket"), expr(s"h % $twoP52").as("rem"))
-      .select(col("event_type"), col("bucket"),
-        when(col("rem") === 0L, 53L)
-          .otherwise(lit(53L) - length(bin(col("rem"))).cast(LongType))
-          .as("rank"))
-    val perType = ranked.groupBy(col("event_type"), col("bucket"))
+    val perType = hllBucketRank(Tables.events(spark, dir), col("user_id"),
+        Seq("event_type"))
+      .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rank")).as("mb"))
     val merged = perType.groupBy(col("bucket"))
       .agg(max(col("mb")).as("mb"))
       .select(lit("ALL").as("event_type"), col("bucket"), col("mb"))
     def estimate(regs: DataFrame): DataFrame = regs
       .groupBy(col("event_type"))
-      .agg(
-        (sum(expr("shiftleft(cast(1 as bigint), cast(53 - mb as int))"))
-          + (lit(256L) - count(lit(1))) * lit(1L << 53)).as("s_scaled"),
-        (lit(256L) - count(lit(1))).as("v_zero"))
+      .agg(hllSScaled, hllVZero)
       .select(col("event_type"), col("v_zero"), col("s_scaled"),
         (lit(HllNumer) / col("s_scaled").cast(DoubleType)).as("est_raw"))
     val exactPer = Tables.events(spark, dir)

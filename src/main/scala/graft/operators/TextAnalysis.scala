@@ -1534,19 +1534,28 @@ object TextAnalysis {
     * broadcast offset miniature, NOT an unpartitioned window over the
     * corpus; the final position join is key-equi. */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val scored = qualityScores(spark, dir).select(col("doc_id"), col("avg_e6"))
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
-        Seq("doc_id"))
+    // registry-cached: the scored frame feeds THREE independent subtrees
+    // (rank window, global count, pooled ordinal) and Spark shares no
+    // un-cached lineage across them — without the cache the documents
+    // join would run three times per execution
+    val scored = graft.CacheRegistry.cached(spark, s"qnormscored:$dir")(
+      qualityScores(spark, dir).select(col("doc_id"), col("avg_e6"))
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source")), Seq("doc_id")))
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("avg_e6"), col("doc_id"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    // n_s rides the SAME source-partitioned exchange as the rank window
+    // (the oracle computes it the same way) — no separate counts join
     val ranked = scored
       .withColumn("rk", row_number().over(wS).cast(LongType))
-    val ns = scored.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("n_s", count(lit(1)).over(wSrc))
     val nAll = broadcast(scored.agg(count(lit(1)).as("n")))
     val pooled = groupedOrdinal(scored.withColumn("g", lit(1)), "g",
         Seq("avg_e6", "doc_id"))
       .select(col("__ord").as("pos"), col("avg_e6").as("norm_e6"))
-    ranked.join(broadcast(ns), Seq("source")).crossJoin(nAll)
+    ranked.crossJoin(nAll)
       .withColumn("pos",
         expr("(cast(rk as decimal(38,0)) * n + n_s - 1) div n_s"))
       .join(pooled, Seq("pos"))

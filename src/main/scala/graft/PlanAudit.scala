@@ -486,6 +486,12 @@ object PlanAudit {
       // the xw offset probe equi-join — no cartesian, no name-by-name
       "q271_sorted_neighborhood" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "BroadcastNestedLoopJoin" -> false),
+      // markov attribution: the output frame is the driver-solved
+      // miniature (LocalTableScan); the heavy lifting (journey windows +
+      // the count aggregate) happens before the collect and is pinned by
+      // the spec's exact replay instead of plan substrings
+      "q272_markov_attribution" -> Seq("CartesianProduct" -> false,
+        "SortMergeJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

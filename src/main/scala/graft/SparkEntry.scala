@@ -208,6 +208,8 @@ object SparkEntry {
       SimilaritySearch.classSeparability(s, dir)),
     "q271_sorted_neighborhood" -> ((s, dir) =>
       Linkage.sortedNeighborhood(s, dir)),
+    "q272_markov_attribution" -> ((s, dir) =>
+      Events.markovAttribution(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -498,6 +500,7 @@ object SparkEntry {
     "q269_hll_merge" -> Sketches.hllMergeRollupSql,
     "q270_class_separability" -> SimilaritySearch.classSeparabilitySql,
     "q271_sorted_neighborhood" -> Linkage.sortedNeighborhoodSql(),
+    "q272_markov_attribution" -> Events.markovAttributionSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -2077,4 +2077,190 @@ object Events {
       |       CAST(np.n_pairs AS BIGINT) AS n_pairs,
       |       sl.slope_e3, ic.b_e3 AS intercept_e3
       |FROM nd, np, sl, ic""".stripMargin
+
+  /** Canonical state order shared by [[markovAttribution]] and its oracle:
+    * index 0 = START, 1..4 = channels (alphabetical), 5 = CONV, 6 = NULL. */
+  private val MarkovStates =
+    Seq("START", "click", "error", "signup", "view", "CONV", "NULL")
+
+  /** q272 — MARKOV REMOVAL-EFFECT attribution (Anderl et al., "Mapping the
+    * Customer Journey", 2016): the principled multi-touch model that
+    * completes the q161 last-touch / q191 linear family. User journeys
+    * (events up to the first purchase) become a first-order Markov chain
+    * over channels with absorbing CONV/NULL states; a channel's credit is
+    * its REMOVAL EFFECT — how much the chain's START→CONV absorption
+    * probability drops when every transition into the channel is voided —
+    * normalized over channels. Unlike positional rules this credits a
+    * channel by what the observed dynamics say would be lost without it.
+    *
+    * Exactness: the transition-count matrix is exact integers from ONE
+    * distributed aggregate; absorption probabilities come from a FIXED
+    * 200-round iteration p_i ← Σ_j P_ij·p_j run driver-side over the
+    * |states|² miniature in EXACTLY the ascending-j left-fold order the
+    * oracle's `list_reduce` uses — identical correctly-rounded IEEE ops on
+    * identical integers, so the doubles hash-match cross-engine (the q233
+    * power-iteration precedent; 200 rounds is far past the chain's mixing
+    * for any plausible journey graph).
+    *
+    * Scale shape: journeys are ONE window pass over the user-partitioned
+    * log plus a per-user first-channel aggregate; the collected object is
+    * the ≤7×7 count matrix — the [[graft.operators.Spectral]] miniature
+    * discipline. Removal scenarios and the solve cost microseconds on the
+    * driver. Output: one row per channel (out_transitions, base_p,
+    * removal_p, share). */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wJ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("rn"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast(TimestampType).as("ts"), col("event_id"))
+      .select(col("user_id"), col("event_type"),
+        row_number().over(wU).as("rn"))
+    val firstp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+    val jny = ev.join(firstp, Seq("user_id"), "left")
+      .filter(col("event_type") =!= "purchase" &&
+        (col("prn").isNull || col("rn") < col("prn")))
+      .withColumn("conv", col("prn").isNotNull)
+    val chainSteps = jny.select(col("event_type").as("frm"),
+      coalesce(lead(col("event_type"), 1).over(wJ),
+        when(col("conv"), "CONV").otherwise("NULL")).as("tos"))
+    val startSteps = ev.select(col("user_id")).distinct()
+      .join(firstp, Seq("user_id"), "left")
+      .join(jny.groupBy(col("user_id"))
+        .agg(min_by(col("event_type"), col("rn")).as("first_ch")),
+        Seq("user_id"), "left")
+      .select(lit("START").as("frm"),
+        coalesce(col("first_ch"),
+          when(col("prn").isNotNull, "CONV").otherwise("NULL")).as("tos"))
+    val counts = chainSteps.unionAll(startSteps)
+      .groupBy(col("frm"), col("tos")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val idx = MarkovStates.zipWithIndex.toMap
+    val outs = Array.tabulate(7)(i => MarkovStates.map(t =>
+      counts.getOrElse((MarkovStates(i), t), 0L)).sum)
+    // P rows for transient states 0..4, mirroring the oracle's
+    // coalesce(c,0)/coalesce(o,1) double construction exactly
+    val base = Array.tabulate(5, 7) { (i, j) =>
+      counts.getOrElse((MarkovStates(i), MarkovStates(j)), 0L).toDouble /
+        (if (outs(i) == 0L) 1L else outs(i)).toDouble
+    }
+    def absorb(removed: Int): Double = {
+      val m = Array.tabulate(5, 7)((i, j) =>
+        if (removed >= 1 && j == removed) 0.0 else base(i)(j))
+      var p = Array[Double](0, 0, 0, 0, 0, 1, 0)
+      var k = 0
+      while (k < 200) {
+        val np = Array.tabulate(7) { i =>
+          if (i >= 5) p(i)
+          else {
+            // ascending-j left-fold, first term as the seed — the exact
+            // op order of the oracle's list_reduce
+            var acc = m(i)(0) * p(0)
+            var j = 1
+            while (j < 7) { acc += m(i)(j) * p(j); j += 1 }
+            acc
+          }
+        }
+        p = np
+        k += 1
+      }
+      p(0)
+    }
+    val basep = absorb(0)
+    val re = (1 to 4).map(c => basep - absorb(c))
+    val tot = re.reduceLeft(_ + _)
+    val rows = (1 to 4).map { c =>
+      (MarkovStates(c), outs(c), basep, absorb(c), re(c - 1) / tot)
+    }
+    import spark.implicits._
+    rows.toDF("channel", "out_transitions", "base_p", "removal_p", "share")
+  }
+
+  /** [[markovAttribution]]'s oracle: identical journey construction,
+    * identical matrix build, and the identical 200-round ascending-fold
+    * iteration in a DuckDB recursive CTE (the q233 pattern). */
+  val markovAttributionSql: String =
+    """WITH RECURSIVE
+      |ev AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |firstp AS (
+      |  SELECT user_id, min(rn) AS prn FROM ev
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |j AS (
+      |  SELECT e.user_id, e.event_type, e.rn,
+      |         f.prn IS NOT NULL AS conv
+      |  FROM ev e LEFT JOIN firstp f USING (user_id)
+      |  WHERE e.event_type <> 'purchase' AND (f.prn IS NULL OR e.rn < f.prn)),
+      |steps AS (
+      |  SELECT event_type AS frm,
+      |         coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+      |                  CASE WHEN conv THEN 'CONV' ELSE 'NULL' END) AS tos
+      |  FROM j
+      |  UNION ALL
+      |  SELECT 'START', coalesce(
+      |           min_by(event_type, rn),
+      |           CASE WHEN bool_or(conv) THEN 'CONV' ELSE 'NULL' END)
+      |  FROM (SELECT e.user_id, NULL AS event_type, NULL AS rn, f.prn IS NOT NULL AS conv
+      |        FROM (SELECT DISTINCT user_id FROM ev) e
+      |        LEFT JOIN firstp f USING (user_id)
+      |        UNION ALL
+      |        SELECT user_id, event_type, rn, conv FROM j) u
+      |  GROUP BY user_id),
+      |counts AS (SELECT frm, tos, count(*) AS c FROM steps GROUP BY 1, 2),
+      |outs AS (SELECT frm, sum(c) AS o FROM counts GROUP BY 1),
+      |states(i, nm) AS (SELECT * FROM (VALUES (0,'START'),(1,'click'),(2,'error'),
+      |  (3,'signup'),(4,'view'),(5,'CONV'),(6,'NULL')) t(i, nm)),
+      |pmat AS MATERIALIZED (
+      |  -- LEFT join outs: a state with zero outgoing transitions gets an
+      |  -- all-zero row, never a dropped (misaligning) list position
+      |  SELECT fi.i AS i, list(CAST(coalesce(c.c, 0) AS DOUBLE)
+      |                         / CAST(coalesce(o.o, 1) AS DOUBLE)
+      |                         ORDER BY tj.i) AS row
+      |  FROM states fi
+      |  LEFT JOIN outs o ON o.frm = fi.nm
+      |  CROSS JOIN states tj
+      |  LEFT JOIN counts c ON c.frm = fi.nm AND c.tos = tj.nm
+      |  WHERE fi.i <= 4
+      |  GROUP BY fi.i),
+      |mat AS MATERIALIZED (
+      |  SELECT s.s, p.i,
+      |         list_transform(range(7), jj ->
+      |           CASE WHEN jj + 1 = s.s + 1 AND s.s >= 1 THEN CAST(0 AS DOUBLE)
+      |                ELSE p.row[jj + 1] END) AS row
+      |  FROM pmat p, (SELECT unnest(range(5)) AS s) s),
+      |matl AS MATERIALIZED (
+      |  SELECT s, list(row ORDER BY i) AS mr FROM mat GROUP BY s),
+      |it(s, k, p) AS (
+      |  SELECT s.s, 0, [CAST(0 AS DOUBLE), 0, 0, 0, 0, 1, 0]
+      |  FROM (SELECT unnest(range(5)) AS s) s
+      |  UNION ALL
+      |  SELECT it.s, it.k + 1,
+      |         list_transform(range(7), i ->
+      |           CASE WHEN i >= 5 THEN it.p[i + 1]
+      |                ELSE list_reduce(
+      |                       list_transform(range(7),
+      |                         j -> matl.mr[i + 1][j + 1] * it.p[j + 1]),
+      |                       (a, b) -> a + b)
+      |           END)
+      |  FROM it JOIN matl USING (s) WHERE it.k < 200),
+      |fin AS MATERIALIZED (SELECT s, p[1] AS p0 FROM it WHERE k = 200),
+      |base AS (SELECT p0 AS bp FROM fin WHERE s = 0),
+      |eff AS (
+      |  SELECT st.nm AS channel, st.i AS ci,
+      |         coalesce(o.o, 0) AS out_transitions,
+      |         base.bp AS base_p, f.p0 AS removal_p, base.bp - f.p0 AS re
+      |  FROM fin f JOIN states st ON st.i = f.s
+      |  LEFT JOIN outs o ON o.frm = st.nm
+      |  CROSS JOIN base
+      |  WHERE f.s >= 1),
+      |tot AS (SELECT list_reduce(list(re ORDER BY ci), (a, b) -> a + b) AS t FROM eff)
+      |SELECT channel, CAST(out_transitions AS BIGINT) AS out_transitions,
+      |       base_p, removal_p, (base_p - removal_p) / tot.t AS share
+      |FROM eff, tot ORDER BY channel""".stripMargin
 }

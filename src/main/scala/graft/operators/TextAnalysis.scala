@@ -1528,11 +1528,14 @@ object TextAnalysis {
     * normalized score is then the pooled score AT that position — a join on
     * the position key, never an array index.
     *
-    * Scale shape: scores are the session-cached q109 artifact; the
-    * within-source rank is a window on the source-partitioned key; the
-    * pooled ordinal is [[groupedOrdinal]] — ONE range partitioning plus a
-    * broadcast offset miniature, NOT an unpartitioned window over the
-    * corpus; the final position join is key-equi. */
+    * Scale shape: scores are the session-cached q109 artifact; BOTH
+    * ordinals ride [[groupedOrdinal]] — `source` has ~20 distinct values,
+    * so a `Window.partitionBy(source)` rank would serialize corpus/20 rows
+    * into one task per group (the q62/q75 low-cardinality-window trap);
+    * the range-partition + broadcast-offset form spreads each source
+    * across all partitions instead. `n_s` is a broadcast
+    * `groupBy(source).count()` miniature, and the final position join is
+    * key-equi. */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
     // registry-cached: the scored frame feeds THREE independent subtrees
     // (rank window, global count, pooled ordinal) and Spark shares no
@@ -1542,15 +1545,14 @@ object TextAnalysis {
       qualityScores(spark, dir).select(col("doc_id"), col("avg_e6"))
         .join(Tables.documents(spark, dir)
           .select(col("doc_id"), col("source")), Seq("doc_id")))
-    val wS = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("avg_e6"), col("doc_id"))
-    val wSrc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-    // n_s rides the SAME source-partitioned exchange as the rank window
-    // (the oracle computes it the same way) — no separate counts join
-    val ranked = scored
-      .withColumn("rk", row_number().over(wS).cast(LongType))
-      .withColumn("n_s", count(lit(1)).over(wSrc))
+    // per-source sizes are a |source|-row miniature — broadcast, never a
+    // source-partitioned count window (that would pay the same serialized
+    // exchange the rank lane avoids)
+    val srcCounts = broadcast(
+      scored.groupBy(col("source")).agg(count(lit(1)).as("n_s")))
+    val ranked = groupedOrdinal(scored, "source", Seq("avg_e6", "doc_id"))
+      .withColumnRenamed("__ord", "rk")
+      .join(srcCounts, Seq("source"))
     val nAll = broadcast(scored.agg(count(lit(1)).as("n")))
     val pooled = groupedOrdinal(scored.withColumn("g", lit(1)), "g",
         Seq("avg_e6", "doc_id"))

@@ -353,4 +353,48 @@ class PlansSpec extends AnyFunSuite {
     assert(e.getMessage.contains("co-partitioned"),
       s"unexpected message: ${e.getMessage}")
   }
+
+  test("dimension-window sweep: red on the pre-fix q268 shape, silent on " +
+    "the offset-prefix miniatures and on high-cardinality-first windows") {
+    // the exact shape the round-9 verdict flagged: a window partitioned by
+    // the 20-value source key ordered by the data-sized score — one
+    // corpus/20-row task per group at any cluster size
+    val oldQ268 = "windowspecdefinition(source#2047, avg_e6#13 ASC NULLS " +
+      "FIRST, doc_id#2 ASC NULLS FIRST, specifiedwindowframe(RowFrame, ..."
+    assert(PlanAudit.dimWindowRe.findFirstIn(oldQ268).isDefined)
+    // the unordered count-over-source twin (q268's old n_s lane)
+    val oldNs = "windowspecdefinition(source#2047, specifiedwindowframe(" +
+      "RowFrame, unboundedpreceding$(), unboundedfollowing$()))"
+    assert(PlanAudit.dimWindowRe.findFirstIn(oldNs).isDefined)
+    // groupedOrdinal / crossingQuantile miniatures carry the __pid order
+    // marker — P×G offset rows, not data — and must NOT trip the sweep
+    val offsetsW = "windowspecdefinition(source#11, __pid#44 ASC NULLS " +
+      "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1))"
+    assert(PlanAudit.dimWindowRe.findFirstIn(offsetsW).isEmpty)
+    // a window whose FIRST partition key is high-cardinality (user_id)
+    // with a dimension key second is data-distributed — not flagged
+    val composite = "windowspecdefinition(user_id#3L, event_type#9, " +
+      "ts_ms#12L ASC NULLS FIRST, specifiedwindowframe(RowFrame, ...))"
+    assert(PlanAudit.dimWindowRe.findFirstIn(composite).isEmpty)
+    // every whitelist entry must carry a non-empty justification and
+    // point at a real contract query
+    PlanAudit.dimWindowWhitelist.foreach { case (q, why) =>
+      assert(SparkEntry.queries.contains(q), s"stale whitelist entry $q")
+      assert(why.length > 20, s"whitelist entry $q needs a justification")
+    }
+  }
+
+  test("q268 quantile normalize is shuffle-partition-count invariant") {
+    def run(parts: String) = {
+      val prior = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.operators.TextAnalysis.quantileNormalize(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    }
+    val base = run("3")
+    assert(base.nonEmpty)
+    assert(run("17") == base)
+  }
 }

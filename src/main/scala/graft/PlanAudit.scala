@@ -620,8 +620,11 @@ object PlanAudit {
       // round 8: crossingQuantile/crossingBoundaries/const-group ordinal
       "q179_winsorized_stats", "q181_equidepth_deciles",
       "q188_interarrival", "q193_revenue_gini",
-      // round 10: both q268 ordinal lanes ride groupedOrdinal now
-      "q268_quantile_normalize")
+      // round 10: both q268 ordinal lanes ride groupedOrdinal; q264's two
+      // medians ride crossingMedian; q87/q112/q262 rank lanes ride
+      // groupedOrdinal (all replacing dimension-keyed data-sized windows)
+      "q268_quantile_normalize", "q264_theil_sen", "q87_domain_cap",
+      "q112_stratified_sample", "q262_neyman_sample")
     val offsetPrefixChecks: Map[String, Seq[(String, Boolean)]] =
       offsetPrefixQueries.map(q => q -> Seq(
         "Scan ExistingRDD" -> true)).toMap

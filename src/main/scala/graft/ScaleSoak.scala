@@ -114,6 +114,12 @@ object ScaleSoak {
     val marker = new java.io.File(s"$outDir/_SOAK_FACTOR_$factor")
     if (!marker.exists() ||
         allTables.exists(t => !new java.io.File(s"$outDir/$t.parquet").exists())) {
+      // drop EVERY stale factor marker first (round-9 ADVICE): after an
+      // A-then-B factor sequence at one outDir, A's surviving marker plus
+      // B's tables would make a third run at factor A skip the rebuild
+      // and silently time factor-B data
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_SOAK_FACTOR_")).foreach(_.delete())
       System.err.println(s"[soak] building ${factor}x dataset at $outDir ...")
       buildScaled(spark, srcDir, outDir, factor)
       marker.createNewFile()

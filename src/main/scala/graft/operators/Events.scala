@@ -1945,11 +1945,15 @@ object Events {
     * indices).
     *
     * Scale shape: ONE scan aggregates the log to the |days|-sized daily
-    * frame; everything after — the |days|² pair fan-out (435 pairs for a
-    * 30-day series; a year is ~66k), both median rankings, the intercept —
-    * lives on broadcast miniatures. The unpartitioned windows ride
-    * aggregate-sized frames only, per the established daily-grid
-    * discipline. At 100 TB the cost is the scan, full stop. */
+    * frame; the |days|² pair fan-out (435 pairs for a 30-day series; a
+    * year is ~66k, a 10-year span 6.6 M) is calendar-bounded but NOT
+    * task-bounded, so both medians ride [[Relational.crossingMedian]] —
+    * the distributed crossing search (q74/q113 discipline) — instead of
+    * an unpartitioned row_number window that would serialize every pair
+    * into one sort task. The crossing median is value-determined and
+    * equals the rank-(n+1) DIV 2 lower median exactly, so the oracle
+    * keeps the naive windowed form and hash-matches. At 100 TB the cost
+    * is the scan, full stop. */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val daily = Tables.events(spark, dir)
@@ -1963,24 +1967,23 @@ object Events {
       .crossJoin(daily.select(col("d").as("dj"), col("y").as("yj")))
       .filter(col("di") < col("dj"))
       .withColumn("slope_e3", expr("(yj - yi) * 1000 div (dj - di)"))
-    val nDays = broadcast(daily.agg(count(lit(1)).as("n_days")))
-    val nPairs = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
-    val wS = org.apache.spark.sql.expressions.Window
-      .orderBy(col("slope_e3"), col("di"), col("dj"))
-    val slope = broadcast(pairs
-      .withColumn("rn", row_number().over(wS).cast(LongType))
-      .crossJoin(nPairs)
-      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
-      .select(col("slope_e3"), col("n_pairs")))
-    val wB = org.apache.spark.sql.expressions.Window
-      .orderBy(col("b_e3"), col("d"))
-    daily.crossJoin(slope)
+      .withColumn("g", lit(1))
+    // __tot of each crossing pass IS the frame count — no separate
+    // count aggregates needed
+    val slope = broadcast(Relational.crossingMedian(
+        pairs.select(col("g"), col("slope_e3")), "g", "slope_e3", lit(1L),
+        "slope_e3")
+      .select(col("slope_e3"), col("__tot").as("n_pairs")))
+    val bs = daily.crossJoin(slope)
       .withColumn("b_e3", col("y") * 1000 - col("slope_e3") * col("d"))
-      .withColumn("rn", row_number().over(wB).cast(LongType))
-      .crossJoin(nDays)
-      .filter(col("rn") === expr("(n_days + 1) div 2"))
+      .withColumn("g", lit(1))
+    Relational.crossingMedian(
+        bs.select(col("g"), col("b_e3")), "g", "b_e3", lit(1L),
+        "intercept_e3")
+      .select(col("intercept_e3"), col("__tot").as("n_days"))
+      .crossJoin(slope)
       .select(col("n_days"), col("n_pairs"), col("slope_e3"),
-        col("b_e3").as("intercept_e3"))
+        col("intercept_e3"))
   }
 
   /** q265 — per-user activity COMPLETENESS audit: for every user, how
@@ -2139,6 +2142,17 @@ object Events {
       .groupBy(col("frm"), col("tos")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
+    // round-9 ADVICE guard: the state set is FIXED to MarkovStates on
+    // this side while the oracle's `outs` CTE sums ALL transitions per
+    // state — an event_type outside the set would silently diverge the
+    // row normalizers and drop probability mass. Fail loudly instead.
+    val unknown = counts.keysIterator
+      .flatMap { case (f, t) => Iterator(f, t) }
+      .filterNot(MarkovStates.contains).toSet
+    require(unknown.isEmpty,
+      s"markovAttribution: unknown channel(s) ${unknown.mkString(", ")} — " +
+        "extend MarkovStates (and the oracle's state list) before running " +
+        "on a log with new event types")
     val idx = MarkovStates.zipWithIndex.toMap
     val outs = Array.tabulate(7)(i => MarkovStates.map(t =>
       counts.getOrElse((MarkovStates(i), t), 0L)).sum)
@@ -2174,7 +2188,11 @@ object Events {
     val re = (1 to 4).map(c => basep - absorb(c))
     val tot = re.reduceLeft(_ + _)
     val rows = (1 to 4).map { c =>
-      (MarkovStates(c), outs(c), basep, absorb(c), re(c - 1) / tot)
+      // tot == 0 (no conversions anywhere -> every removal effect 0)
+      // would make share 0/0 = NaN on both engines; a defined 0 share is
+      // the honest answer and the oracle mirrors the same CASE
+      (MarkovStates(c), outs(c), basep, absorb(c),
+        if (tot == 0.0) 0.0 else re(c - 1) / tot)
     }
     import spark.implicits._
     rows.toDF("channel", "out_transitions", "base_p", "removal_p", "share")
@@ -2261,6 +2279,8 @@ object Events {
       |  WHERE f.s >= 1),
       |tot AS (SELECT list_reduce(list(re ORDER BY ci), (a, b) -> a + b) AS t FROM eff)
       |SELECT channel, CAST(out_transitions AS BIGINT) AS out_transitions,
-      |       base_p, removal_p, (base_p - removal_p) / tot.t AS share
+      |       base_p, removal_p,
+      |       CASE WHEN tot.t = 0 THEN 0.0
+      |            ELSE (base_p - removal_p) / tot.t END AS share
       |FROM eff, tot ORDER BY channel""".stripMargin
 }

@@ -533,6 +533,13 @@ object PlanAudit {
       // the spec's exact replay instead of plan substrings
       "q272_markov_attribution" -> Seq("CartesianProduct" -> false,
         "SortMergeJoin" -> false),
+      // entity merge: blocked + SNM pair generators stay equi-joined, the
+      // CC loop is upstream of the final survivorship aggregate (its
+      // checkpointed label frame scans as ExistingRDD), and nothing
+      // pairwise or data-sized-windowed survives into the contract plan
+      "q273_entity_merge" -> Seq("HashAggregate" -> true,
+        "Scan ExistingRDD" -> true, "CartesianProduct" -> false,
+        "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

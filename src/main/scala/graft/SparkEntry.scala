@@ -210,6 +210,7 @@ object SparkEntry {
       Linkage.sortedNeighborhood(s, dir)),
     "q272_markov_attribution" -> ((s, dir) =>
       Events.markovAttribution(s, dir)),
+    "q273_entity_merge" -> ((s, dir) => Linkage.entityMerge(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -501,6 +502,7 @@ object SparkEntry {
     "q270_class_separability" -> SimilaritySearch.classSeparabilitySql,
     "q271_sorted_neighborhood" -> Linkage.sortedNeighborhoodSql(),
     "q272_markov_attribution" -> Events.markovAttributionSql,
+    "q273_entity_merge" -> Linkage.entityMergeSql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -137,6 +137,110 @@ object Linkage {
       .filter(col("lev_dist") <= maxDist)
   }
 
+  /** q273 — cross-strategy canonical ENTITY MERGE: the end-to-end
+    * entity-resolution closer. [[blockedLinkage]] (q140) and
+    * [[sortedNeighborhood]] (q271) each emit candidate pairs; neither says
+    * which VALUE a pipeline should write back. This lane unions both
+    * strategies' confirmed pairs (recall = either catches it, the
+    * multi-pass principle extended across strategies), runs
+    * [[Dedup.connectedComponents]] over the pair graph — transitivity is
+    * the point: "Jon Smith" ~ "John Smith" ~ "John Smith Inc" merge even
+    * when the ends never pair directly — and picks one canonical record
+    * per cluster by survivorship: **most-frequent spelling wins** (highest
+    * source row count, the standard master-data rule), name ascending as
+    * the deterministic tiebreak. Output per merged entity: the cluster id
+    * (component-min name), the surviving spelling, its own row count, the
+    * member count, and the total row mass the merge re-keys.
+    *
+    * Scale shape: both pair generators are already blocked/windowed
+    * (O(n·w) and equi-join-blocked over the DISTINCT value domain — never
+    * row-scale); the CC rides the pointer-jumped O(log d) loop with
+    * per-round stats reset; survivorship is one hash aggregate with an
+    * order-independent min(struct) argmax, no window. At 100 TB the value
+    * domain is orders of magnitude smaller than the fact table, and
+    * nothing here ever touches row multiplicity except the pre-aggregated
+    * n_rows counts. */
+  def entityMerge(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = blockedLinkage(spark, dir)
+      .select(col("name_a"), col("name_b"))
+      .union(sortedNeighborhood(spark, dir)
+        .select(col("name_a"), col("name_b")))
+      .distinct()
+    val clusters = Dedup.connectedComponents(
+        pairs.select(col("name_a").as("doc_a"), col("name_b").as("doc_b")))
+      .select(col("doc_id").as("name"), col("cluster_id"))
+    val nRows = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    clusters.join(nRows, "name")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_rows")).as("total_rows"),
+        // order-independent argmax with deterministic tiebreak: highest
+        // n_rows, then lexicographically smallest name (min over the
+        // negated-count struct — the q134 move)
+        min(struct((-col("n_rows")).as("neg"), col("name"))).as("best"))
+      .select(col("cluster_id"), col("best.name").as("canonical_name"),
+        (-col("best.neg")).as("canonical_rows"),
+        col("n_members"), col("total_rows").cast("long").as("total_rows"))
+  }
+
+  /** [[entityMerge]]'s oracle: both strategies' pair queries verbatim,
+    * the q35-style recursive transitive closure, and a ranked-window
+    * survivorship pick (naive shape, value-identical to the argmax). */
+  def entityMergeSql(window: Int = 5, maxDist: Int = 3): String =
+    s"""WITH RECURSIVE names AS (
+       |  SELECT p_name AS name, count(*) AS n_rows,
+       |         string_split(p_name, ' ')[1] AS head_tok,
+       |         string_split(p_name, ' ')[-1] AS tail_tok
+       |  FROM part GROUP BY p_name
+       |), blocked AS (
+       |  SELECT a.name AS name_a, b.name AS name_b
+       |  FROM names a JOIN names b
+       |    ON a.head_tok = b.head_tok AND a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= $maxDist
+       |  UNION
+       |  SELECT a.name, b.name
+       |  FROM names a JOIN names b
+       |    ON a.tail_tok = b.tail_tok AND a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= $maxDist
+       |), ord AS (
+       |  SELECT name, row_number() OVER (ORDER BY name) AS ord FROM names
+       |), snm AS (
+       |  SELECT a.name AS name_a, b.name AS name_b
+       |  FROM ord a JOIN ord b ON b.ord BETWEEN a.ord + 1 AND a.ord + $window
+       |  WHERE levenshtein(a.name, b.name) <= $maxDist
+       |), pairs AS (
+       |  SELECT name_a, name_b FROM blocked
+       |  UNION
+       |  SELECT name_a, name_b FROM snm
+       |), edges AS (
+       |  SELECT name_a AS src, name_b AS dst FROM pairs
+       |  UNION
+       |  SELECT name_b, name_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), cl AS (
+       |  SELECT src AS name, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |), m AS (
+       |  SELECT cl.cluster_id, cl.name, n.n_rows
+       |  FROM cl JOIN names n USING (name)
+       |), ranked AS (
+       |  SELECT cluster_id, name, n_rows,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY n_rows DESC, name) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |         sum(n_rows) OVER (PARTITION BY cluster_id) AS total_rows
+       |  FROM m
+       |)
+       |SELECT cluster_id, name AS canonical_name, n_rows AS canonical_rows,
+       |       CAST(n_members AS BIGINT) AS n_members,
+       |       CAST(total_rows AS BIGINT) AS total_rows
+       |FROM ranked WHERE rn = 1""".stripMargin
+
   /** [[sortedNeighborhood]]'s oracle: identical sort order, identical ×w
     * offset probes, identical confirm in DuckDB. */
   def sortedNeighborhoodSql(window: Int = 5, maxDist: Int = 3): String =

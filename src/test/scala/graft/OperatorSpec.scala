@@ -3881,6 +3881,60 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._4 <= 3))
   }
 
+  test("q273 entity merge: equals a driver-side union-find over the " +
+    "unioned q140+q271 pair graph with most-frequent-spelling survivorship") {
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    val counts = Tables.part(spark, dir).select(col("p_name")).collect()
+      .map(_.getString(0)).groupBy(identity).map { case (n, xs) =>
+        n -> xs.length.toLong }
+    val names = counts.keys.toArray.sorted
+    val blocked = for {
+      a <- names; b <- names if a < b
+      if a.split(" ").head == b.split(" ").head ||
+        a.split(" ").last == b.split(" ").last
+      if lev(a, b) <= 3
+    } yield (a, b)
+    val snm = for {
+      i <- names.indices; k <- 1 to 5 if i + k < names.length
+      if lev(names(i), names(i + k)) <= 3
+    } yield (names(i), names(i + k))
+    val pairs = (blocked ++ snm).distinct
+    // union-find with path compression — the independent transitive closure
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (_, members) =>
+        val clusterId = members.min
+        val canon = members.minBy(n => (-counts(n), n))
+        (clusterId, canon, counts(canon), members.length.toLong,
+          members.map(counts).sum)
+      }.toSet
+    val got = Linkage.entityMerge(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // the merge is non-trivial on this fixture: at least one multi-member
+    // cluster, and transitivity actually fires (cluster with >= 2 members
+    // whose total row mass exceeds the canonical spelling's own rows)
+    assert(got.exists(_._4 >= 2))
+    assert(got.forall(c => c._5 >= c._3 && c._4 >= 2))
+  }
+
   test("q272 markov attribution: replays journeys, matrix and the fixed " +
     "200-round solve exactly; removal is monotone and shares sum to 1") {
     val states = Seq("START", "click", "error", "signup", "view", "CONV", "NULL")

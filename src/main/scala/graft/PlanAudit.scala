@@ -540,6 +540,32 @@ object PlanAudit {
       "q273_entity_merge" -> Seq("HashAggregate" -> true,
         "Scan ExistingRDD" -> true, "CartesianProduct" -> false,
         "Window" -> false),
+      // BH-FDR: the x41 permutation fan-out collapses map-side to
+      // |types|x41 sufficient-stat rows; the per-type obs frame
+      // broadcasts; the rank/running-min windows ride the lit(1)
+      // partition over the <= |event_types| post-aggregate miniature
+      "q274_bh_fdr" -> Seq("HashAggregate" -> true,
+        "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false),
+      // packed-sequence manifest: the corpus prefix sum rides the
+      // groupedCumSum offset-prefix primitive (checkpoint barrier scans
+      // as ExistingRDD); the manifest aggregate keys on high-cardinality
+      // seq_id — no unpartitioned or dimension-keyed window anywhere
+      "q275_packed_manifest" -> Seq("HashAggregate" -> true,
+        "Scan ExistingRDD" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false),
+      // Cohen's kappa: one (label,pred) aggregate collapses the corpus;
+      // the marginal join and the po/pe algebra run on broadcast
+      // miniatures (the 1-row crossJoin plans as BNLJ by design)
+      "q276_cohens_kappa" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false),
+      // CMS error audit: per-key counts map-side-combine; the depth*width
+      // counter table BROADCASTS back for the read-back min; the band
+      // aggregate is <= 64 rows — no shuffle after the count aggregate
+      "q277_cms_error_audit" -> Seq("HashAggregate" -> true,
+        "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false, "Window" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -211,6 +211,11 @@ object SparkEntry {
     "q272_markov_attribution" -> ((s, dir) =>
       Events.markovAttribution(s, dir)),
     "q273_entity_merge" -> ((s, dir) => Linkage.entityMerge(s, dir)),
+    "q274_bh_fdr" -> ((s, dir) => Events.bhFdr(s, dir)),
+    "q275_packed_manifest" -> ((s, dir) =>
+      TextAnalysis.packedSequenceManifest(s, dir)),
+    "q276_cohens_kappa" -> ((s, dir) => TextAnalysis.cohensKappa(s, dir)),
+    "q277_cms_error_audit" -> ((s, dir) => Sketches.cmsErrorAudit(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -503,6 +508,10 @@ object SparkEntry {
     "q271_sorted_neighborhood" -> Linkage.sortedNeighborhoodSql(),
     "q272_markov_attribution" -> Events.markovAttributionSql,
     "q273_entity_merge" -> Linkage.entityMergeSql(),
+    "q274_bh_fdr" -> Events.bhFdrSql,
+    "q275_packed_manifest" -> TextAnalysis.packedSequenceManifestSql(),
+    "q276_cohens_kappa" -> TextAnalysis.cohensKappaSql,
+    "q277_cms_error_audit" -> Sketches.cmsErrorAuditSql(),
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

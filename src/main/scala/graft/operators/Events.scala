@@ -1696,6 +1696,142 @@ object Events {
        |FROM diffs CROSS JOIN obs WHERE k >= 0""".stripMargin
   }
 
+  // ------------------------------------------------------------- BH-FDR
+
+  /** q274 — Benjamini-Hochberg FDR correction over a FAMILY of hypotheses
+    * (Benjamini & Hochberg 1995): every real experimentation platform
+    * tests many metrics per experiment — here the per-user A/B difference
+    * in EVERY event_type's count — and reporting each metric's raw
+    * p-value inflates the false-discovery rate m-fold. BH is the standard
+    * correction: sort the m p-values ascending, adjust
+    * p̃_(i) = min_{j ≥ i} (p_(j) · m / j), reject at p̃ ≤ α.
+    *
+    * The per-metric p-values reuse the q254 permutation machinery so they
+    * are EXACT fractions (n_extreme / n_perm — no normal approximation,
+    * no erf, nothing engine-specific): one ×(nPerm+1) explode on the
+    * (user, event_type) count table tags every permutation, k = −1 being
+    * the real md5-variant assignment and permutation k reassigning each
+    * user by the md5("u:k") nibble — the SAME coin across metrics, so the
+    * family is a single user-level permutation (within-user correlation
+    * across metrics is preserved, exactly what BH's exchangeability story
+    * wants). p_ppm, the m·p/rank products and the tail-side running min
+    * are all exact integer arithmetic in ppm.
+    *
+    * Scale shape: ONE event scan → (user, event_type) counts; the ×41
+    * explode fans out the |users|·|types| table, not the log; sufficient
+    * stats collapse to |types|·41 rows map-side; everything after — the
+    * rank, the m count, the BH running min — runs on the ≤|event_types|
+    * POST-AGGREGATE miniature (the documented lit-partition-on-miniature
+    * pattern, never row-scale data). */
+  def bhFdr(spark: SparkSession, dir: String, nPerm: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ue = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val tagged = ue
+      .select(col("user_id"), col("event_type"), col("x"),
+        explode(sequence(lit(-1), lit(nPerm - 1))).as("k"))
+      .select(col("event_type"), col("k"), col("x"),
+        when(col("k") === -1,
+          when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
+            "A").otherwise("B"))
+          .otherwise(
+            when(substring(md5(concat(col("user_id").cast(StringType),
+              lit(":"), col("k").cast(StringType))), 1, 1) < "8", "A")
+              .otherwise("B")).as("v"))
+    val diffs = tagged.groupBy(col("event_type"), col("k"))
+      .agg(
+        sum(when(col("v") === "A", col("x"))).as("sxa"),
+        sum(when(col("v") === "B", col("x"))).as("sxb"),
+        sum(when(col("v") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("v") === "B", 1L).otherwise(0L)).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .selectExpr("event_type", "k",
+        """abs(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)) AS adiff""")
+    val obs = diffs.filter(col("k") === -1)
+      .select(col("event_type"), col("adiff").as("obs_diff"))
+    val pv = diffs.filter(col("k") >= 0)
+      .join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("obs_diff")).as("obs_diff"),
+        count(lit(1)).as("n_perm"),
+        sum(when(col("adiff") >= col("obs_diff"), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .withColumn("p_ppm", expr("n_extreme * 1000000 DIV n_perm"))
+    // m and the rank/running-min live on the <= |event_types| miniature
+    val m = broadcast(pv.agg(count(lit(1)).as("m")))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("p_ppm"), col("event_type"))
+    val wTail = Window.partitionBy(lit(1)).orderBy(col("p_rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pv.crossJoin(m)
+      .withColumn("p_rank", row_number().over(wRank).cast(LongType))
+      .withColumn("adj0",
+        least(lit(1000000L), expr("p_ppm * m DIV p_rank")))
+      .withColumn("bh_ppm", min(col("adj0")).over(wTail))
+      .select(col("event_type"), col("obs_diff"), col("n_perm"),
+        col("n_extreme"), col("p_ppm"), col("p_rank"), col("bh_ppm"),
+        (col("bh_ppm") <= 50000L).as("reject_05"))
+  }
+
+  val bhFdrSql: String = {
+    val nPerm = 40
+    s"""WITH ue AS (
+       |  SELECT user_id, event_type, count(*) AS x
+       |  FROM events GROUP BY 1, 2
+       |), tagged AS (
+       |  SELECT event_type, k, x,
+       |         CASE WHEN k = -1 THEN
+       |                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+       |                          < '8' THEN 'A' ELSE 'B' END
+       |              WHEN substr(md5(CAST(user_id AS VARCHAR) || ':'
+       |                   || CAST(k AS VARCHAR)), 1, 1) < '8' THEN 'A'
+       |              ELSE 'B' END AS v
+       |  FROM ue, (SELECT unnest(range(-1, $nPerm)) AS k)
+       |), diffs AS (
+       |  SELECT event_type, k,
+       |         abs(CAST(sum(CASE WHEN v = 'A' THEN x END) AS DOUBLE)
+       |               / CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END)
+       |                      AS DOUBLE)
+       |             - CAST(sum(CASE WHEN v = 'B' THEN x END) AS DOUBLE)
+       |               / CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END)
+       |                      AS DOUBLE)) AS adiff
+       |  FROM tagged GROUP BY 1, 2
+       |  HAVING sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) > 0
+       |     AND sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) > 0
+       |), obs AS (
+       |  SELECT event_type, adiff AS obs_diff FROM diffs WHERE k = -1
+       |), pv AS (
+       |  SELECT d.event_type, max(o.obs_diff) AS obs_diff,
+       |         count(*) AS n_perm,
+       |         sum(CASE WHEN d.adiff >= o.obs_diff THEN 1 ELSE 0 END)
+       |           AS n_extreme
+       |  FROM diffs d JOIN obs o USING (event_type)
+       |  WHERE d.k >= 0 GROUP BY d.event_type
+       |), pp AS (
+       |  SELECT event_type, obs_diff,
+       |         CAST(n_perm AS BIGINT) AS n_perm,
+       |         CAST(n_extreme AS BIGINT) AS n_extreme,
+       |         CAST(n_extreme * 1000000 // n_perm AS BIGINT) AS p_ppm,
+       |         CAST(row_number() OVER (
+       |           ORDER BY n_extreme * 1000000 // n_perm, event_type)
+       |           AS BIGINT) AS p_rank,
+       |         count(*) OVER () AS m
+       |  FROM pv
+       |), adj AS (
+       |  SELECT *,
+       |         CAST(min(least(1000000, p_ppm * m // p_rank)) OVER (
+       |           ORDER BY p_rank DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS bh_ppm
+       |  FROM pp
+       |)
+       |SELECT event_type, obs_diff, n_perm, n_extreme, p_ppm, p_rank,
+       |       bh_ppm, bh_ppm <= 50000 AS reject_05
+       |FROM adj""".stripMargin
+  }
+
   // ----------------------------------------------------------------- CUPED
 
   /** q252 — CUPED variance reduction (Deng et al. 2013): the standard

@@ -835,6 +835,95 @@ object Sketches {
        |       CAST(x.exact_distinct AS BIGINT) AS exact_distinct
        |FROM est e JOIN ex x ON e.event_type = x.event_type""".stripMargin
 
+  /** q278 — COUNT-MIN per-key error audit: the q266 calibration story
+    * (estimator vs exact, decide the sketch size BEFORE the 100 TB pass)
+    * applied to the CM point-frequency sketch. Build the declarative
+    * depth×width counter table over `events.user_id` (the q237 md5-window
+    * hash chain), read back every key's estimate `min_r C[r][b_r(key)]`,
+    * and report the error structure per log₂ frequency band: CM
+    * overestimates by exactly the colliding mass, so `err = est − true ≥ 0`
+    * always, heavy keys suffer relatively less, and a width too small for
+    * the key cardinality shows up as a collapsing `n_exact` share and an
+    * `agg_rel_err_ppm` the audit quantifies — the number that tells you
+    * whether width=$width survives your key domain. `n_within_2eps` checks
+    * the textbook Markov-bound per row: err·width ≤ 2·F1.
+    *
+    * Everything is exact integers (the band via the bin()-length integer
+    * log₂, errors and ppm ratios by integer DIV). Deliberately UNDERSIZED
+    * defaults (depth 2, width 64): at sf0.01+ the key domain exceeds the
+    * width and the audit demonstrably measures real collisions, which is
+    * its purpose; q237/q97 carry the production-sized sketches.
+    *
+    * Scale shape: ONE scan → per-key counts (map-side combine); the ×depth
+    * explode hits the DISTINCT-key table only; the counter table is
+    * depth·width rows and BROADCASTS back onto the key table for the
+    * read-back (no shuffle); the band aggregate is ≤64 rows. */
+  def cmsErrorAudit(spark: SparkSession, dir: String,
+                    depth: Int = 2, width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"one md5 carries 4 hash windows: $depth")
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h",
+        md5(concat(lit("cms:"), col("user_id").cast(StringType))))
+    val keyed = counts
+      .select(col("user_id"), col("cnt"),
+        explode(transform(sequence(lit(0), lit(depth - 1)), r =>
+          struct(r.cast(LongType).as("r"),
+            (conv(substring(col("h"), r * lit(8) + lit(1), lit(8)), 16, 10)
+              .cast(LongType) % width).as("b")))).as("e"))
+      .select(col("user_id"), col("cnt"),
+        col("e.r").as("r"), col("e.b").as("b"))
+    val counters = keyed.groupBy(col("r"), col("b"))
+      .agg(sum(col("cnt")).as("cell"))
+    val est = keyed.join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("user_id"), col("cnt")).agg(min(col("cell")).as("est"))
+    val f1 = broadcast(
+      Tables.events(spark, dir).agg(count(lit(1)).as("f1")))
+    est.withColumn("err", col("est") - col("cnt"))
+      .crossJoin(f1)
+      .withColumn("band", length(bin(col("cnt"))).cast(LongType))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("err") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(col("err")).as("sum_err"),
+        sum(col("cnt")).as("sum_true"),
+        max(expr("err * 1000000 DIV cnt")).as("max_rel_err_ppm"),
+        sum(when(col("err") * width <= lit(2L) * col("f1"), 1L)
+          .otherwise(0L)).as("n_within_2eps"))
+      .withColumn("agg_rel_err_ppm",
+        expr("sum_err * 1000000 DIV sum_true"))
+  }
+
+  def cmsErrorAuditSql(depth: Int = 2, width: Int = 64): String =
+    s"""WITH cnts AS (
+       |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+       |), ra AS (SELECT unnest(range($depth)) AS r),
+       |keyed AS (
+       |  SELECT user_id, cnt, ra.r,
+       |         ('0x' || substr(md5('cms:' || CAST(user_id AS VARCHAR)),
+       |                         CAST(ra.r * 8 + 1 AS INTEGER), 8))::BIGINT
+       |           % $width AS b
+       |  FROM cnts, ra
+       |), counters AS (
+       |  SELECT r, b, sum(cnt) AS cell FROM keyed GROUP BY 1, 2
+       |), est AS (
+       |  SELECT k.user_id, k.cnt, min(c.cell) AS est
+       |  FROM keyed k JOIN counters c USING (r, b) GROUP BY 1, 2
+       |), f1 AS (SELECT count(*) AS f1 FROM events)
+       |SELECT CAST(length(printf('%b', cnt)) AS BIGINT) AS band,
+       |       CAST(count(*) AS BIGINT) AS n_keys,
+       |       CAST(sum(CASE WHEN est - cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_exact,
+       |       CAST(sum(est - cnt) AS BIGINT) AS sum_err,
+       |       CAST(sum(cnt) AS BIGINT) AS sum_true,
+       |       CAST(max((est - cnt) * 1000000 // cnt) AS BIGINT)
+       |         AS max_rel_err_ppm,
+       |       CAST(sum(CASE WHEN (est - cnt) * $width <= 2 * f1.f1
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_2eps,
+       |       CAST(sum(est - cnt) * 1000000 // sum(cnt) AS BIGINT)
+       |         AS agg_rel_err_ppm
+       |FROM est, f1 GROUP BY 1""".stripMargin
+
   def oracleEntries: Map[String, String] =
     capturedHll.get(12).map(e => "q85_hll_sketches" -> hllSketchesSql(e)).toMap ++
       capturedCms.get((0.001, 0.99, 42))

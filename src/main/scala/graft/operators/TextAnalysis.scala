@@ -355,6 +355,169 @@ object TextAnalysis {
       |       md5(array_to_string(w[i*32+1 : i*32+32], ' ')) AS chunk_md5
       |FROM ch""".stripMargin
 
+  /** q275 — PACKED-SEQUENCE manifest (the GPT-style concatenate-and-SPLIT
+    * pretraining layout): documents are laid end-to-end in doc_id order
+    * and the token stream is cut into fixed `budget`-token training
+    * sequences; a doc whose span crosses a cut contributes its head to one
+    * sequence and its tail to the next. This is the OTHER packing layout
+    * next to [[sequencePacking]] (q74): q74 assigns each WHOLE doc to the
+    * bin where its tokens start (contiguous fill, docs never split — bins
+    * under-fill by up to one doc); concat-and-split cuts documents AT the
+    * boundary, so every sequence is exactly full. The output is the
+    * per-sequence manifest — how many docs contribute, how many sit fully
+    * inside (never truncated at either end), the token fill (= budget for
+    * every sequence but the last — zero pad waste, the whole point vs the
+    * q126/q160 padded-batch layout), and the contributing doc_id span —
+    * the table a data loader reads to map training-loss spikes back to
+    * source documents.
+    *
+    * Scale shape: the global token offset is a PREFIX SUM in doc_id order
+    * and rides [[graft.operators.Relational.groupedCumSum]] (range
+    * partition + broadcast per-partition offset miniature — never an
+    * unpartitioned corpus window, the q75/q268 discipline); the
+    * bin-overlap explode emits ⌈n_tokens/budget⌉+1 ≤ tokens/budget rows
+    * per doc (O(total tokens / budget) overall); the final aggregate keys
+    * on seq_id — HIGH-cardinality, grows with the data, partitions with
+    * the cluster. Everything is exact integer arithmetic. */
+  def packedSequenceManifest(spark: SparkSession, dir: String,
+                             budget: Int = 64): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val b = budget.toLong
+    val spans = Relational.groupedCumSum(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n"))
+          .withColumn("g", lit(1)),
+        "g", Seq("doc_id"), "n")
+      .select(col("doc_id"), col("n"),
+        (col("__cum") - col("n")).as("st"), col("__cum").as("en"))
+    spans
+      .select(col("doc_id"), col("st"), col("en"),
+        explode(sequence(expr(s"st div $b"), expr(s"(en - 1) div $b")))
+          .as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("st") >= col("seq_id") * b &&
+          col("en") <= (col("seq_id") + 1) * b, 1L).otherwise(0L))
+          .as("n_full_docs"),
+        sum(least(col("en"), (col("seq_id") + 1) * b) -
+          greatest(col("st"), col("seq_id") * b)).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  def packedSequenceManifestSql(budget: Int = 64): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents
+       |), cum AS (
+       |  SELECT doc_id, n,
+       |         sum(n) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM ws
+       |), spans AS (
+       |  -- sum() OVER returns HUGEINT in DuckDB and range() has no
+       |  -- HUGEINT overload — pin the span bounds back to BIGINT
+       |  SELECT doc_id, CAST(c - n AS BIGINT) AS st, CAST(c AS BIGINT) AS en
+       |  FROM cum
+       |), ex AS (
+       |  SELECT doc_id, st, en,
+       |         unnest(range(st // $budget, (en - 1) // $budget + 1))
+       |           AS seq_id
+       |  FROM spans
+       |)
+       |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN st >= seq_id * $budget
+       |                      AND en <= (seq_id + 1) * $budget
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+       |       CAST(sum(least(en, (seq_id + 1) * $budget)
+       |                - greatest(st, seq_id * $budget)) AS BIGINT)
+       |         AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM ex GROUP BY seq_id""".stripMargin
+
+  /** q276 — COHEN'S KAPPA inter-rater agreement between the q46 heuristic
+    * language identifier and the corpus's labeled `lang`: raw accuracy
+    * (q198's diagonal share) overstates agreement whenever the label
+    * distribution is skewed — kappa subtracts the agreement two INDEPENDENT
+    * raters with these marginals would reach by chance,
+    * κ = (p_o − p_e) / (1 − p_e) with p_e = Σ_c row_c · col_c / N².
+    * The standard labeling-QA read-out before trusting auto-labels (or a
+    * second annotator) at corpus scale.
+    *
+    * Every moment is exact: p_o and p_e ride the ppm DIV convention, the
+    * marginal products and N² run in DECIMAL(38,0)/HUGEINT (N² overflows
+    * int64 at corpus scale), and κ itself is ONE double division of two
+    * exact ppm integers — bit-identical cross-engine (the q246 tail
+    * discipline). Guarded: p_e = 1 (a single-class degenerate corpus)
+    * returns κ = 0 rather than 0/0.
+    *
+    * Scale shape: the q46 prediction is a narrow per-doc map; ONE
+    * (label, pred) aggregate collapses the corpus to ≤|langs|² cells, and
+    * the kappa algebra runs on that broadcast miniature. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val agree = cells
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("lang_label") === col("lang_pred"), col("n"))
+          .otherwise(0L)).as("n_agree"))
+    val chance = cells
+      .groupBy(col("lang_label")).agg(sum(col("n")).as("row_n"))
+      .join(cells.groupBy(col("lang_pred")).agg(sum(col("n")).as("col_n")),
+        col("lang_label") === col("lang_pred"))
+      .agg(sum(col("row_n").cast(DecimalType(38, 0)) *
+        col("col_n").cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0)).as("rc"))
+    broadcast(agree).crossJoin(broadcast(chance))
+      .select(col("n_docs"), col("n_agree"),
+        expr("n_agree * 1000000 DIV n_docs").as("po_ppm"),
+        expr("""CAST((rc * 1000000)
+                div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""")
+          .as("pe_ppm"))
+      .withColumn("kappa",
+        when(col("pe_ppm") === 1000000L, lit(0.0)).otherwise(
+          (col("po_ppm") - col("pe_ppm")).cast("double") /
+            (lit(1000000L) - col("pe_ppm")).cast("double")))
+  }
+
+  val cohensKappaSql: String =
+    s"""WITH pred AS (${langIdSql}
+       |), cells AS (
+       |  SELECT lang_label, lang_pred, count(*) AS n
+       |  FROM pred GROUP BY 1, 2
+       |), agree AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN lang_label = lang_pred THEN n
+       |                       ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM cells
+       |), chance AS (
+       |  SELECT sum(CAST(r.row_n AS HUGEINT) * CAST(c.col_n AS HUGEINT))
+       |           AS rc
+       |  FROM (SELECT lang_label, sum(n) AS row_n FROM cells GROUP BY 1) r
+       |  JOIN (SELECT lang_pred, sum(n) AS col_n FROM cells GROUP BY 1) c
+       |    ON r.lang_label = c.lang_pred
+       |)
+       |SELECT n_docs, n_agree,
+       |       CAST(n_agree * 1000000 // n_docs AS BIGINT) AS po_ppm,
+       |       CAST((rc * 1000000)
+       |            // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+       |         AS pe_ppm,
+       |       CASE WHEN (rc * 1000000)
+       |                 // (CAST(n_docs AS HUGEINT) * n_docs) = 1000000
+       |            THEN 0.0
+       |            ELSE CAST(n_agree * 1000000 // n_docs
+       |                      - (rc * 1000000)
+       |                        // (CAST(n_docs AS HUGEINT) * n_docs)
+       |                      AS DOUBLE)
+       |                 / CAST(1000000
+       |                        - (rc * 1000000)
+       |                          // (CAST(n_docs AS HUGEINT) * n_docs)
+       |                        AS DOUBLE) END AS kappa
+       |FROM agree, chance""".stripMargin
+
   /** q57 — corpus vocabulary: top-k tokens by global frequency with
     * deterministic (count desc, token asc) ordering — the input a tokenizer
     * trainer consumes. Token counts partial-aggregate map-side; the final

@@ -3935,6 +3935,163 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.forall(c => c._5 >= c._3 && c._4 >= 2))
   }
 
+  test("q274 BH-FDR: replays every metric's permutation p-value and the " +
+    "step-up adjustment exactly; adjusted p dominates raw p monotonically") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val nPerm = 40
+    val counts = Tables.events(spark, dir)
+      .select("user_id", "event_type").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map { case ((u, t), xs) => (u, t, xs.size.toLong) }
+      .toSeq
+    val types = counts.map(_._2).distinct.sorted
+    def diff(t: String, assign: Long => Boolean): Option[Double] = {
+      val users = counts.filter(_._2 == t)
+      val (a, b) = users.partition(x => assign(x._1))
+      if (a.isEmpty || b.isEmpty) None
+      else Some(math.abs(
+        a.map(_._3).sum.toDouble / a.size.toDouble -
+          b.map(_._3).sum.toDouble / b.size.toDouble))
+    }
+    val raw = types.flatMap { t =>
+      val obs = diff(t, u => md5hex(u.toString).charAt(0) < '8')
+      val perms = (0 until nPerm)
+        .flatMap(k => diff(t, u => md5hex(s"$u:$k").charAt(0) < '8'))
+      obs.filter(_ => perms.nonEmpty).map { o =>
+        val ext = perms.count(_ >= o).toLong
+        (t, o, perms.size.toLong, ext, ext * 1000000L / perms.size)
+      }
+    }
+    val m = raw.size.toLong
+    val ranked = raw.sortBy(r => (r._5, r._1)).zipWithIndex
+      .map { case ((t, o, np, ne, p), i) => (t, o, np, ne, p, i + 1L) }
+    val expected = ranked.map { case (t, o, np, ne, p, rk) =>
+      val bh = ranked.filter(_._6 >= rk)
+        .map(r => math.min(1000000L, r._5 * m / r._6)).min
+      (t, o, np, ne, p, rk, bh, bh <= 50000L)
+    }.toSet
+    val got = Events.bhFdr(spark, dir, nPerm).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSet
+    assert(got == expected)
+    // BH laws: adjusted >= raw everywhere; adjusted is nondecreasing in
+    // rank (the step-up running min enforces monotonicity)
+    assert(got.forall(r => r._7 >= r._5))
+    val byRank = got.toSeq.sortBy(_._6).map(_._7)
+    assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a <= b })
+  }
+
+  test("q275 packed-sequence manifest: equals the driver-side " +
+    "concatenate-and-split replay; every non-final sequence is exactly full") {
+    val budget = 64L
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    val spans = docs.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) =>
+      (id, cum, cum + n)
+    }.drop(1) // (doc_id, st, en)
+    val expected = spans
+      .flatMap { case (id, st, en) =>
+        (st / budget to (en - 1) / budget).map(s => (s, id, st, en))
+      }
+      .groupBy(_._1).map { case (seq, xs) =>
+        (seq,
+          xs.length.toLong,
+          xs.count(x => x._3 >= seq * budget &&
+            x._4 <= (seq + 1) * budget).toLong,
+          xs.map(x => math.min(x._4, (seq + 1) * budget) -
+            math.max(x._3, seq * budget)).sum,
+          xs.map(_._2).min, xs.map(_._2).max)
+      }.toSet
+    val got = TextAnalysis.packedSequenceManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // the zero-pad-waste invariant: every sequence but the last is
+    // exactly full, and the fills sum to the corpus token count
+    val lastSeq = got.map(_._1).max
+    assert(got.filter(_._1 != lastSeq).forall(_._4 == budget))
+    assert(got.toSeq.map(_._4).sum == docs.map(_._2).sum)
+  }
+
+  test("q276 Cohen's kappa: equals the BigInt replay over the q46 " +
+    "confusion matrix and lands in [-1, 1]") {
+    val cells = TextAnalysis.langId(spark, dir)
+      .select("lang_label", "lang_pred").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = cells.length.toLong
+    val agree = cells.count { case (a, p) => a == p }.toLong
+    val rows = cells.groupBy(_._1).map { case (_, xs) => xs.length.toLong }
+    val colsByLang = cells.groupBy(_._2)
+      .map { case (l, xs) => l -> xs.length.toLong }
+    val rc = cells.groupBy(_._1).map { case (l, xs) =>
+      BigInt(xs.length) * BigInt(colsByLang.getOrElse(l, 0L))
+    }.sum
+    val poPpm = agree * 1000000L / n
+    val pePpm = (rc * 1000000 / (BigInt(n) * BigInt(n))).toLong
+    val kappa = if (pePpm == 1000000L) 0.0
+      else (poPpm - pePpm).toDouble / (1000000L - pePpm).toDouble
+    val r = TextAnalysis.cohensKappa(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == n)
+    assert(r(0).getLong(1) == agree)
+    assert(r(0).getLong(2) == poPpm)
+    assert(r(0).getLong(3) == pePpm)
+    assert(r(0).getDouble(4) == kappa)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    assert(rows.sum == n)
+  }
+
+  test("q277 CMS error audit: replays the declarative sketch per key; " +
+    "Count-Min never underestimates and the bands partition the key set") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val (depth, width) = (2, 64L)
+    val cnts = Tables.events(spark, dir)
+      .select("user_id").collect().map(_.getLong(0))
+      .groupBy(identity).map { case (u, xs) => u -> xs.length.toLong }
+    val buckets = cnts.keys.map { u =>
+      val h = md5hex(s"cms:$u")
+      u -> (0 until depth).map(r =>
+        java.lang.Long.parseLong(h.substring(r * 8, r * 8 + 8), 16) % width)
+    }.toMap
+    val cells = (for {
+      (u, bs) <- buckets.toSeq; (b, r) <- bs.zipWithIndex
+    } yield ((r, b), cnts(u))).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).sum }
+    val f1 = cnts.values.sum
+    // toSeq FIRST: mapping the Map to (cnt, err) pairs would re-key by
+    // cnt and silently collapse users sharing a count
+    val perKey = cnts.toSeq.map { case (u, c) =>
+      val est = buckets(u).zipWithIndex.map { case (b, r) => cells((r, b)) }.min
+      (c, est - c)
+    }
+    val expected = perKey.groupBy { case (c, _) =>
+      java.lang.Long.toBinaryString(c).length.toLong
+    }.map { case (band, xs) =>
+      (band, xs.size.toLong,
+        xs.count(_._2 == 0L).toLong,
+        xs.map(_._2).sum, xs.map(_._1).sum,
+        xs.map { case (c, e) => e * 1000000L / c }.max,
+        xs.count { case (_, e) => e * width <= 2L * f1 }.toLong,
+        xs.map(_._2).sum * 1000000L / xs.map(_._1).sum)
+    }.toSet
+    val got = Sketches.cmsErrorAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == expected)
+    // CM guarantee: errors are nonnegative (checked in the replay by
+    // construction) and the bands cover every distinct key exactly once
+    assert(perKey.forall(_._2 >= 0L))
+    assert(got.toSeq.map(_._2).sum == cnts.size.toLong)
+  }
+
   test("q272 markov attribution: replays journeys, matrix and the fixed " +
     "200-round solve exactly; removal is monotone and shares sum to 1") {
     val states = Seq("START", "click", "error", "signup", "view", "CONV", "NULL")

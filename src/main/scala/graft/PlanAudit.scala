@@ -469,9 +469,13 @@ object PlanAudit {
         "Window" -> false, "BroadcastHashJoin" -> false),
       // prefix sim join: the candidate self-join must ride the rare-token
       // prefix index as a shuffled hash join on the token key — never a
-      // cartesian; windows are per-doc (partitioned by doc_id), and the
-      // verification joins are key-equi on (doc, token)
+      // cartesian; windows are per-doc (partitioned by doc_id), the
+      // verification joins are key-equi on (doc, token), and the shingle
+      // index is the lane's OWN UnsafeRow checkpoint (ExistingRDD — the
+      // round-10 fix for the deserialized-cache read thrash the x10 soak
+      // exposed; stats reset so join strategies are scale-invariant)
       "q261_prefix_sim_join" -> Seq("ShuffledHashJoin" -> true,
+        "Scan ExistingRDD" -> true,
         "CartesianProduct" -> false, "BroadcastNestedLoopJoin" -> false,
         "HashAggregate" -> true),
       // Neyman sample: 5-row moment aggregate, miniature allocation
@@ -566,6 +570,12 @@ object PlanAudit {
       "q277_cms_error_audit" -> Seq("HashAggregate" -> true,
         "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // PII Wilson bounds: q168's one-scan source aggregate with the
+      // interval algebra fused onto the |sources| miniature — no joins,
+      // no windows, nothing beyond the one aggregate exchange
+      "q279_pii_wilson" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false, "BroadcastHashJoin" -> false),
       // l-diversity: three chained hash aggregates, same family shape
       "q236_l_diversity" -> Seq("HashAggregate" -> true,
         "CartesianProduct" -> false, "Window" -> false,

@@ -216,6 +216,7 @@ object SparkEntry {
       TextAnalysis.packedSequenceManifest(s, dir)),
     "q276_cohens_kappa" -> ((s, dir) => TextAnalysis.cohensKappa(s, dir)),
     "q277_cms_error_audit" -> ((s, dir) => Sketches.cmsErrorAudit(s, dir)),
+    "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
     "q141_source_diversity" -> ((s, dir) => TextAnalysis.sourceDiversity(s, dir)),
@@ -512,6 +513,7 @@ object SparkEntry {
     "q275_packed_manifest" -> TextAnalysis.packedSequenceManifestSql(),
     "q276_cohens_kappa" -> TextAnalysis.cohensKappaSql,
     "q277_cms_error_audit" -> Sketches.cmsErrorAuditSql(),
+    "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),
     "q141_source_diversity" -> TextAnalysis.sourceDiversitySql,

@@ -642,6 +642,59 @@ object CorpusFilters {
         expr("docs_with_pii * 1000000 DIV n_docs").as("pii_doc_ppm"))
   }
 
+  /** The Wilson-interval tail shared verbatim by [[piiRateInterval]] and
+    * its oracle: ONE arithmetic text both engines parse, so every IEEE
+    * operation (including the correctly-rounded sqrt) runs in the same
+    * order and the doubles hash-match bit-for-bit. z = 1.96 (95%),
+    * z² carried as the exact-decimal literal 3.8416. */
+  private val WilsonExprs: Seq[(String, String)] = {
+    val n = "CAST(n_docs AS DOUBLE)"
+    val phat = s"(CAST(docs_with_pii AS DOUBLE) / $n)"
+    val denom = s"(1.0 + 3.8416 / $n)"
+    val center = s"($phat + 3.8416 / (2.0 * $n))"
+    val half =
+      s"(1.96 * sqrt(($phat * (1.0 - $phat) + 3.8416 / (4.0 * $n)) / $n))"
+    Seq(
+      s"(($center - $half) / $denom) * 1000000.0" -> "wilson_lo_ppm",
+      s"(($center + $half) / $denom) * 1000000.0" -> "wilson_hi_ppm")
+  }
+
+  /** q279 — PII rate with WILSON 95% confidence bounds per source: q168
+    * reports the point rate; a release decision on a SMALL source needs
+    * the uncertainty around it — a 2%-rate source with 50 docs and a
+    * 2%-rate source with 5M docs are different risks. The Wilson score
+    * interval is the standard proportion CI that stays inside [0,1] and
+    * behaves at small n / extreme p̂ where the Wald interval collapses;
+    * the audit emits, per source, the exact counts, the exact ppm point
+    * rate, and the Wilson bounds — the table a compliance gate thresholds
+    * on `wilson_hi_ppm` (worst plausible rate), not the point estimate.
+    *
+    * The counts reuse q168's detector expressions verbatim (the dashboard
+    * can never disagree with the redactor or with this interval); the
+    * bounds are doubles computed from exact longs through ONE shared
+    * arithmetic text ([[WilsonExprs]]) so both engines run the identical
+    * IEEE sequence. Scale: one narrow scan + one source-keyed aggregate;
+    * the interval algebra runs on the |sources|-row miniature. */
+  def piiRateInterval(spark: SparkSession, dir: String): DataFrame = {
+    val base = piiAudit(spark, dir)
+      .select(col("source"), col("n_docs"), col("docs_with_pii"),
+        col("pii_doc_ppm"))
+    WilsonExprs.foldLeft(base) { case (d, (e, name)) =>
+      d.withColumn(name, expr(e))
+    }
+  }
+
+  def piiRateIntervalSql: String = {
+    val wilson = WilsonExprs
+      .map { case (e, name) => s"       $e AS $name" }.mkString(",\n")
+    s"""WITH pa AS (
+       |$piiAuditSql
+       |)
+       |SELECT source, n_docs, docs_with_pii, pii_doc_ppm,
+       |$wilson
+       |FROM pa""".stripMargin
+  }
+
   val piiAuditSql: String = {
     val aug =
       """text ||

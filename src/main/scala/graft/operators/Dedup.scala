@@ -1771,7 +1771,22 @@ object Dedup {
     * the usual ppm DIV. Output: (a_id, b_id, n_a, n_b, inter_cnt, jac_e6),
     * one row per qualifying pair. */
   def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tok = shingleIndex(spark, dir).toDF("doc_id", "w")
+    // This lane materializes its OWN UnsafeRow checkpoint of the shingle
+    // index instead of reading the session-cached columnar frame
+    // ([[shingleIndex]]): tok is referenced FOUR times downstream (df
+    // build, rank join, both confirm sides), and the x10 soak measured
+    // repeated reads of the deserialized columnar cache at 4-8x the cost
+    // of recomputing from parquet (175/55/22 s decay across runs —
+    // storage-layer thrash, not plan). The checkpoint stores compact
+    // binary rows once per call, every downstream read hits materialized
+    // partitions, and steady-state timing is reproducible — the local
+    // stand-in for the prepared parquet shingle table a 100 TB deployment
+    // would scan. Stats are reset ([[freshStatsFrame]]) so the join
+    // strategies below are chosen from honest unknown-size defaults, the
+    // same at every scale.
+    val tok = freshStatsFrame(
+      shingles(Tables.documents(spark, dir)).localCheckpoint(true))
+      .toDF("doc_id", "w")
     val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val ranked = tok.join(df, Seq("w"))
       .withColumn("rnk", row_number().over(

@@ -4092,6 +4092,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._2).sum == cnts.size.toLong)
   }
 
+  test("q279 PII Wilson interval: bounds replay the exact IEEE sequence " +
+    "from q168's counts, bracket the point rate, and stay inside [0, 1e6]") {
+    val base = CorpusFilters.piiAudit(spark, dir)
+      .select("source", "n_docs", "docs_with_pii", "pii_doc_ppm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = base.map { case (s, n, h, ppm) =>
+      val nd = n.toDouble
+      val phat = h.toDouble / nd
+      val denom = 1.0 + 3.8416 / nd
+      val center = phat + 3.8416 / (2.0 * nd)
+      val half =
+        1.96 * math.sqrt((phat * (1.0 - phat) + 3.8416 / (4.0 * nd)) / nd)
+      (s, n, h, ppm,
+        ((center - half) / denom) * 1000000.0,
+        ((center + half) / denom) * 1000000.0)
+    }.toSet
+    val got = CorpusFilters.piiRateInterval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expected)
+    // Wilson laws: lo <= point rate <= hi (the score interval always
+    // brackets p-hat), and both bounds live inside [0, 1e6] ppm — the
+    // containment Wald famously violates at small n
+    assert(got.forall(r => r._5 <= r._4.toDouble && r._4.toDouble <= r._6))
+    assert(got.forall(r => r._5 >= 0.0 && r._6 <= 1000000.0))
+  }
+
   test("q272 markov attribution: replays journeys, matrix and the fixed " +
     "200-round solve exactly; removal is monotone and shares sum to 1") {
     val states = Seq("START", "click", "error", "signup", "view", "CONV", "NULL")

@@ -570,6 +570,12 @@ object PlanAudit {
       "q277_cms_error_audit" -> Seq("HashAggregate" -> true,
         "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // zone-map audit: ONE fact scan into the calendar-bounded month
+      // aggregate; the predicate explode and the 2-row summary ride the
+      // zone miniature — no joins, no windows
+      "q278_zone_map_audit" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false, "BroadcastHashJoin" -> false),
       // PII Wilson bounds: q168's one-scan source aggregate with the
       // interval algebra fused onto the |sources| miniature — no joins,
       // no windows, nothing beyond the one aggregate exchange

@@ -652,4 +652,75 @@ object Profiling {
        |FROM base b JOIN lt USING (source)
        |LEFT JOIN dc USING (source)
        |JOIN kc USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------- q278
+
+  /** q278 — ZONE-MAP data-skipping audit: per month-zone min/max stats on
+    * `orders` evaluated against two representative predicates, summed to
+    * the skip ratio each would achieve — the data-LAYOUT decision table.
+    * Every lakehouse format (parquet row-group stats, Delta/Iceberg file
+    * stats) prunes a zone when `zone.max < literal` for a `col >=
+    * literal` predicate; whether that helps depends entirely on whether
+    * the column CORRELATES with the layout. The audit makes the contrast
+    * measurable before anyone re-clusters 100 TB: the date predicate
+    * prunes almost perfectly (orders are laid out by time), the price
+    * predicate prunes almost nothing (price is uncorrelated with month)
+    * — so a price-heavy workload needs a price-sorted rewrite, and the
+    * `skip_ppm` column is exactly the number that justifies it.
+    *
+    * Scale shape: ONE fact scan → a calendar-bounded month-keyed
+    * aggregate (the zone stats — at 100 TB this table IS the parquet
+    * footer / metadata-table readout, no fact scan at all); the ×2
+    * predicate explode and the 2-row summary ride the zone miniature.
+    * Exact integers throughout (cents, counts, ppm DIV). */
+  def zoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val zones = Tables.orders(spark, dir)
+      .select(
+        date_trunc("month", col("o_orderdate").cast(TimestampType))
+          .as("zone"),
+        col("o_orderdate").cast(TimestampType).as("d"),
+        graft.operators.Rfm.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("d")).as("max_d"), max(col("c")).as("max_c"))
+    val audits = zones.select(explode(array(
+      struct(lit("o_orderdate >= 1999-01-01").as("predicate"),
+        (col("max_d") < lit("1999-01-01").cast(TimestampType))
+          .as("prunable"),
+        col("n_rows")),
+      struct(lit("o_totalprice >= 450000.00").as("predicate"),
+        (col("max_c") < lit(45000000L)).as("prunable"),
+        col("n_rows")))).as("a"))
+      .select(col("a.predicate").as("predicate"),
+        col("a.prunable").as("prunable"), col("a.n_rows").as("n_rows"))
+    audits.groupBy(col("predicate"))
+      .agg(count(lit(1)).as("n_zones"),
+        sum(when(col("prunable"), 1L).otherwise(0L)).as("n_prunable"),
+        sum(when(col("prunable"), col("n_rows")).otherwise(0L))
+          .as("rows_skipped"),
+        sum(col("n_rows")).as("rows_total"))
+      .withColumn("skip_ppm", expr("rows_skipped * 1000000 DIV rows_total"))
+  }
+
+  val zoneMapAuditSql: String =
+    """WITH z AS (
+      |  SELECT date_trunc('month', o_orderdate) AS zone, count(*) AS n_rows,
+      |         max(o_orderdate) AS max_d,
+      |         max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_c
+      |  FROM orders GROUP BY 1
+      |), a AS (
+      |  SELECT 'o_orderdate >= 1999-01-01' AS predicate,
+      |         max_d < TIMESTAMP '1999-01-01' AS prunable, n_rows FROM z
+      |  UNION ALL
+      |  SELECT 'o_totalprice >= 450000.00', max_c < 45000000, n_rows FROM z
+      |)
+      |SELECT predicate, CAST(count(*) AS BIGINT) AS n_zones,
+      |       CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_prunable,
+      |       CAST(sum(CASE WHEN prunable THEN n_rows ELSE 0 END) AS BIGINT)
+      |         AS rows_skipped,
+      |       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+      |       CAST(sum(CASE WHEN prunable THEN n_rows ELSE 0 END) * 1000000
+      |            // sum(n_rows) AS BIGINT) AS skip_ppm
+      |FROM a GROUP BY predicate""".stripMargin
 }

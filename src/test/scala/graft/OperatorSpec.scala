@@ -4092,6 +4092,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._2).sum == cnts.size.toLong)
   }
 
+  test("q278 zone-map audit: equals the driver-side month-zone replay; " +
+    "the layout-correlated predicate out-prunes the uncorrelated one") {
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("timestamp").as("d"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getDouble(1)))
+    val zones = rows.groupBy { case (d, _) =>
+      java.time.YearMonth.from(d.atZone(java.time.ZoneOffset.UTC))
+    }.map { case (_, xs) =>
+      (xs.length.toLong, xs.map(_._1).max,
+        xs.map(x => math.round(x._2 * 100)).max)
+    }.toSeq
+    val cutoff = java.time.Instant.parse("1999-01-01T00:00:00Z")
+    def summarize(pred: String, prunable: ((Long, java.time.Instant, Long))
+        => Boolean) = {
+      val p = zones.filter(prunable)
+      (pred, zones.size.toLong, p.size.toLong, p.map(_._1).sum,
+        zones.map(_._1).sum,
+        p.map(_._1).sum * 1000000L / zones.map(_._1).sum)
+    }
+    val expected = Set(
+      summarize("o_orderdate >= 1999-01-01", z => z._2.isBefore(cutoff)),
+      summarize("o_totalprice >= 450000.00", z => z._3 < 45000000L))
+    val got = Profiling.zoneMapAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // the audit's raison d'etre: the layout-correlated date predicate
+    // must prune strictly more than the uncorrelated price predicate
+    val byPred = got.map(r => r._1 -> r._6).toMap
+    assert(byPred("o_orderdate >= 1999-01-01") >
+      byPred("o_totalprice >= 450000.00"))
+    // both predicates audit the same zones and the same total row mass
+    assert(got.map(r => (r._2, r._5)).size == 1)
+  }
+
   test("q279 PII Wilson interval: bounds replay the exact IEEE sequence " +
     "from q168's counts, bracket the point rate, and stay inside [0, 1e6]") {
     val base = CorpusFilters.piiAudit(spark, dir)

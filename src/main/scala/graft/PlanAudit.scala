@@ -26,27 +26,29 @@ object PlanAudit {
   val dimWindowRe: scala.util.matching.Regex =
     ("""windowspecdefinition\((?:""" + dimensionCols.mkString("|") +
       """)#\d+L?, (?!__pid#)""").r
-  /** query -> why its dimension-keyed window frame is provably
-    * AGGREGATE-sized (the collect-miniature convention: every entry
-    * carries its justification; anything not listed must ride
-    * groupedOrdinal / the offset-prefix primitives, whose miniature
-    * windows carry the `__pid` order-key marker). */
-  val dimWindowWhitelist: Map[String, String] = Map(
-    "q147_freq_spectrum" ->
-      ("window rides the (source, octave) re-aggregate — octave = " +
+  /** query -> (max distinct dim-window matches allowed, why the frame is
+    * provably AGGREGATE-sized). The count pin closes the review-pass
+    * hole a bare name-exemption left open: a whitelisted query that
+    * later GROWS a new dimension-keyed window beyond its justified set
+    * fails the sweep instead of riding the old exemption. Anything not
+    * listed must ride groupedOrdinal / the offset-prefix primitives,
+    * whose miniature windows carry the `__pid` order-key marker. */
+  val dimWindowWhitelist: Map[String, (Int, String)] = Map(
+    "q147_freq_spectrum" -> (1,
+      "window rides the (source, octave) re-aggregate — octave = " +
         "⌊log₂ count⌋ ≤ 64 rows per source at any corpus size"),
-    "q159_hourly_bursts" ->
-      ("trailing-24h frame over the gap-filled (hour, event_type) grid " +
+    "q159_hourly_bursts" -> (1,
+      "trailing-24h frame over the gap-filled (hour, event_type) grid " +
         "— calendar-bounded hours × 5 types, not the raw fact table"),
-    "q176_lang_vocab_profile" ->
-      ("top-10 rank over each language's (lang, token) vocab slice — " +
+    "q176_lang_vocab_profile" -> (1,
+      "top-10 rank over each language's (lang, token) vocab slice — " +
         "vocabulary-sized (Heaps-sublinear; r9 verdict audited as " +
         "aggregate-sized); cap vocab via q57 top-k first at 100 TB"),
-    "q186_ks_drift" ->
-      ("CDF windows ride the sources × |length-domain| grid — bounded " +
+    "q186_ks_drift" -> (1,
+      "CDF windows ride the sources × |length-domain| grid — bounded " +
         "by the VALUE DOMAIN, not the corpus (r9 verdict audited)"),
-    "q198_lang_confusion" ->
-      ("row-share window over the |langs|² confusion-cell aggregate"))
+    "q198_lang_confusion" -> (1,
+      "row-share window over the |langs|² confusion-cell aggregate"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -730,12 +732,15 @@ object PlanAudit {
         offsetPrefixChecks.getOrElse(name, Nil)
       val reChecks = regexExpectations.getOrElse(name, Nil) ++
         offsetPrefixRegexChecks.getOrElse(name, Nil)
+      val dimMatches = dimWindowRe.findAllIn(plan).toList.distinct
+      val dimAllowed = dimWindowWhitelist.get(name).map(_._1).getOrElse(0)
       val dimHits =
-        if (dimWindowWhitelist.contains(name)) Nil
-        else dimWindowRe.findAllIn(plan).toList.distinct
-          .map(h => s"DIM-WINDOW '${h.take(60)}' (data-sized per-group " +
-            "task — use groupedOrdinal/offset-prefix, or whitelist with " +
-            "a justification)")
+        if (dimMatches.size <= dimAllowed) Nil
+        else dimMatches
+          .map(h => s"DIM-WINDOW '${h.take(60)}' (${dimMatches.size} " +
+            s"found, $dimAllowed whitelisted — data-sized per-group " +
+            "task: use groupedOrdinal/offset-prefix, or raise the " +
+            "whitelist entry with a justification)")
       val failures = checks.collect {
         case (s, true) if !plan.contains(s) => s"MISSING '$s'"
         case (s, false) if plan.contains(s) => s"FORBIDDEN '$s'"

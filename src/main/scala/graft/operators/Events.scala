@@ -1707,8 +1707,11 @@ object Events {
     * p̃_(i) = min_{j ≥ i} (p_(j) · m / j), reject at p̃ ≤ α.
     *
     * The per-metric p-values reuse the q254 permutation machinery so they
-    * are EXACT fractions (n_extreme / n_perm — no normal approximation,
-    * no erf, nothing engine-specific): one ×(nPerm+1) explode on the
+    * are EXACT fractions — the add-one form (n_extreme+1)/(n_perm+1), the
+    * observed assignment counting as one null draw, which floors p at
+    * 1/(nPerm+1) so no metric can reach p = 0 and auto-reject at every
+    * alpha (no normal approximation, no erf, nothing engine-specific):
+    * one ×(nPerm+1) explode on the
     * (user, event_type) count table tags every permutation, k = −1 being
     * the real md5-variant assignment and permutation k reassigning each
     * user by the md5("u:k") nibble — the SAME coin across metrics, so the
@@ -1739,6 +1742,12 @@ object Events {
             when(substring(md5(concat(col("user_id").cast(StringType),
               lit(":"), col("k").cast(StringType))), 1, 1) < "8", "A")
               .otherwise("B")).as("v"))
+    // diffs feeds BOTH the k = -1 observed frame and the k >= 0
+    // permutation frame: without a barrier the k-filter pushes below the
+    // aggregate on each branch, the subtrees stop canonicalizing to one
+    // exchange, and the |users|x|types|x41 explode runs TWICE per
+    // execution — the checkpoint halves the lane's dominant cost (the
+    // quantileNormalize/cohensKappa multi-consumer discipline)
     val diffs = tagged.groupBy(col("event_type"), col("k"))
       .agg(
         sum(when(col("v") === "A", col("x"))).as("sxa"),
@@ -1749,8 +1758,14 @@ object Events {
       .selectExpr("event_type", "k",
         """abs(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
              - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)) AS adiff""")
+      .localCheckpoint(true)
     val obs = diffs.filter(col("k") === -1)
       .select(col("event_type"), col("adiff").as("obs_diff"))
+    // p = (n_extreme + 1) / (n_perm + 1): the add-one permutation
+    // p-value (the observed assignment is itself one draw from the null)
+    // — it bounds p below by 1/(nPerm+1), so a diff more extreme than
+    // every permutation can NEVER yield p = 0, bh_ppm = 0 and a reject
+    // at any alpha; the finite-sample validity BH's FDR guarantee assumes
     val pv = diffs.filter(col("k") >= 0)
       .join(broadcast(obs), "event_type")
       .groupBy(col("event_type"))
@@ -1758,7 +1773,8 @@ object Events {
         count(lit(1)).as("n_perm"),
         sum(when(col("adiff") >= col("obs_diff"), 1L).otherwise(0L))
           .as("n_extreme"))
-      .withColumn("p_ppm", expr("n_extreme * 1000000 DIV n_perm"))
+      .withColumn("p_ppm",
+        expr("(n_extreme + 1) * 1000000 DIV (n_perm + 1)"))
     // m and the rank/running-min live on the <= |event_types| miniature
     val m = broadcast(pv.agg(count(lit(1)).as("m")))
     val wRank = Window.partitionBy(lit(1))
@@ -1813,9 +1829,11 @@ object Events {
        |  SELECT event_type, obs_diff,
        |         CAST(n_perm AS BIGINT) AS n_perm,
        |         CAST(n_extreme AS BIGINT) AS n_extreme,
-       |         CAST(n_extreme * 1000000 // n_perm AS BIGINT) AS p_ppm,
+       |         CAST((n_extreme + 1) * 1000000 // (n_perm + 1) AS BIGINT)
+       |           AS p_ppm,
        |         CAST(row_number() OVER (
-       |           ORDER BY n_extreme * 1000000 // n_perm, event_type)
+       |           ORDER BY (n_extreme + 1) * 1000000 // (n_perm + 1),
+       |                    event_type)
        |           AS BIGINT) AS p_rank,
        |         count(*) OVER () AS m
        |  FROM pv

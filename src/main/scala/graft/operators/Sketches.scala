@@ -835,7 +835,7 @@ object Sketches {
        |       CAST(x.exact_distinct AS BIGINT) AS exact_distinct
        |FROM est e JOIN ex x ON e.event_type = x.event_type""".stripMargin
 
-  /** q278 — COUNT-MIN per-key error audit: the q266 calibration story
+  /** q277 — COUNT-MIN per-key error audit: the q266 calibration story
     * (estimator vs exact, decide the sketch size BEFORE the 100 TB pass)
     * applied to the CM point-frequency sketch. Build the declarative
     * depth×width counter table over `events.user_id` (the q237 md5-window
@@ -861,10 +861,16 @@ object Sketches {
   def cmsErrorAudit(spark: SparkSession, dir: String,
                     depth: Int = 2, width: Int = 64): DataFrame = {
     require(depth >= 1 && depth <= 4, s"one md5 carries 4 hash windows: $depth")
+    // the per-key count table feeds THREE consumers (the counter build,
+    // the read-back stream side, and F1 = sum of counts) — checkpoint it
+    // so the fact scan runs once, not three times (the multi-consumer
+    // barrier discipline; the keyed explode downstream is a narrow
+    // recompute over the materialized rows, never a scan)
     val counts = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
       .withColumn("h",
         md5(concat(lit("cms:"), col("user_id").cast(StringType))))
+      .localCheckpoint(true)
     val keyed = counts
       .select(col("user_id"), col("cnt"),
         explode(transform(sequence(lit(0), lit(depth - 1)), r =>
@@ -877,8 +883,7 @@ object Sketches {
       .agg(sum(col("cnt")).as("cell"))
     val est = keyed.join(broadcast(counters), Seq("r", "b"))
       .groupBy(col("user_id"), col("cnt")).agg(min(col("cell")).as("est"))
-    val f1 = broadcast(
-      Tables.events(spark, dir).agg(count(lit(1)).as("f1")))
+    val f1 = broadcast(counts.agg(sum(col("cnt")).as("f1")))
     est.withColumn("err", col("est") - col("cnt"))
       .crossJoin(f1)
       .withColumn("band", length(bin(col("cnt"))).cast(LongType))

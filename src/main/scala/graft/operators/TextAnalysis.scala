@@ -1700,10 +1700,11 @@ object TextAnalysis {
     * `groupBy(source).count()` miniature, and the final position join is
     * key-equi. */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
-    // registry-cached: the scored frame feeds THREE independent subtrees
-    // (rank window, global count, pooled ordinal) and Spark shares no
-    // un-cached lineage across them — without the cache the documents
-    // join would run three times per execution
+    // registry-cached: the scored frame feeds FOUR independent subtrees
+    // (the groupedOrdinal rank lane, the per-source count miniature, the
+    // global count, the pooled ordinal) and Spark shares no un-cached
+    // lineage across them — without the cache the documents join would
+    // run once per consumer
     val scored = graft.CacheRegistry.cached(spark, s"qnormscored:$dir")(
       qualityScores(spark, dir).select(col("doc_id"), col("avg_e6"))
         .join(Tables.documents(spark, dir)

@@ -3962,7 +3962,9 @@ class OperatorSpec extends AnyFunSuite {
         .flatMap(k => diff(t, u => md5hex(s"$u:$k").charAt(0) < '8'))
       obs.filter(_ => perms.nonEmpty).map { o =>
         val ext = perms.count(_ >= o).toLong
-        (t, o, perms.size.toLong, ext, ext * 1000000L / perms.size)
+        // add-one permutation p: the observed split is one null draw
+        (t, o, perms.size.toLong, ext,
+          (ext + 1L) * 1000000L / (perms.size + 1L))
       }
     }
     val m = raw.size.toLong

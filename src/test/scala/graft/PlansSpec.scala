@@ -376,10 +376,11 @@ class PlansSpec extends AnyFunSuite {
     val composite = "windowspecdefinition(user_id#3L, event_type#9, " +
       "ts_ms#12L ASC NULLS FIRST, specifiedwindowframe(RowFrame, ...))"
     assert(PlanAudit.dimWindowRe.findFirstIn(composite).isEmpty)
-    // every whitelist entry must carry a non-empty justification and
-    // point at a real contract query
-    PlanAudit.dimWindowWhitelist.foreach { case (q, why) =>
+    // every whitelist entry must carry a positive hit budget, a
+    // non-empty justification, and point at a real contract query
+    PlanAudit.dimWindowWhitelist.foreach { case (q, (n, why)) =>
       assert(SparkEntry.queries.contains(q), s"stale whitelist entry $q")
+      assert(n >= 1, s"whitelist entry $q must allow at least one hit")
       assert(why.length > 20, s"whitelist entry $q needs a justification")
     }
   }

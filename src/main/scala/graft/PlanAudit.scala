@@ -572,6 +572,12 @@ object PlanAudit {
       "q277_cms_error_audit" -> Seq("HashAggregate" -> true,
         "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // split parity: the doc-keyed split⋈source join is key-equi; ONE
+      // (split, source) aggregate collapses the corpus; marginals and
+      // the chi-square algebra broadcast — nothing pairwise, no windows
+      "q280_split_parity" -> Seq("HashAggregate" -> true,
+        "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
+        "Window" -> false),
       // zone-map audit: ONE fact scan into the calendar-bounded month
       // aggregate; the predicate explode and the 2-row summary ride the
       // zone miniature — no joins, no windows

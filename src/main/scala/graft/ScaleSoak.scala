@@ -97,7 +97,10 @@ object ScaleSoak {
     "q113_weighted_median", "q181_equidepth_deciles", "q144_target_encoding",
     "q206_random_walks",
     "q261_prefix_sim_join", "q268_quantile_normalize",
-    "q271_sorted_neighborhood")
+    "q271_sorted_neighborhood",
+    // round-10 additions that grow with the corpus/log: the permutation
+    // fan-out, the packed-sequence prefix sum, the CM read-back
+    "q274_bh_fdr", "q275_packed_manifest", "q277_cms_error_audit")
 
   /** Times one query with shuffle parallelism scaled to the data factor —
     * the weak-scaling protocol: per-task shuffle volume stays constant

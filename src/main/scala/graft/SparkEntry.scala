@@ -217,6 +217,7 @@ object SparkEntry {
     "q276_cohens_kappa" -> ((s, dir) => TextAnalysis.cohensKappa(s, dir)),
     "q277_cms_error_audit" -> ((s, dir) => Sketches.cmsErrorAudit(s, dir)),
     "q278_zone_map_audit" -> ((s, dir) => Profiling.zoneMapAudit(s, dir)),
+    "q280_split_parity" -> ((s, dir) => Dedup.splitParity(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -515,6 +516,7 @@ object SparkEntry {
     "q276_cohens_kappa" -> TextAnalysis.cohensKappaSql,
     "q277_cms_error_audit" -> Sketches.cmsErrorAuditSql(),
     "q278_zone_map_audit" -> Profiling.zoneMapAuditSql,
+    "q280_split_parity" -> Dedup.splitParitySql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),

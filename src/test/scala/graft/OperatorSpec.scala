@@ -4130,6 +4130,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(r => (r._2, r._5)).size == 1)
   }
 
+  test("q280 split parity: replays the exact-integer chi-square over the " +
+    "leakage-safe split's (split, source) contingency table") {
+    val splits = Dedup.leakageSafeSplit(spark, dir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcs = Tables.documents(spark, dir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val cells = srcs.groupBy { case (id, s) => (splits(id), s) }
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val rTot = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val cTot = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val t = cells.values.sum
+    val expected = cells.map { case ((sp, so), n) =>
+      val (r, c) = (BigInt(rTot(sp)), BigInt(cTot(so)))
+      val d = BigInt(n) * t - r * c
+      (sp, so, n, (r * c * 1000 / t).toLong,
+        (d * d * 1000000 / (r * c * t)).toLong)
+    }.toSet
+    val got = Dedup.splitParity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    // contingency laws: cells partition the corpus; chi-square
+    // contributions are nonnegative by construction
+    assert(got.toSeq.map(_._3).sum == srcs.length.toLong)
+    assert(got.forall(_._5 >= 0L))
+  }
+
   test("q279 PII Wilson interval: bounds replay the exact IEEE sequence " +
     "from q168's counts, bracket the point rate, and stay inside [0, 1e6]") {
     val base = CorpusFilters.piiAudit(spark, dir)

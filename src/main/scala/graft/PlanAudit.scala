@@ -24,8 +24,13 @@ object PlanAudit {
     "l_returnflag", "l_linestatus", "l_shipmode", "o_orderpriority",
     "o_orderstatus", "device", "country", "variant", "stratum")
   val dimWindowRe: scala.util.matching.Regex =
+    // the match EXTENDS past the partition key into the order keys /
+    // frame spec (up to one plan line): two DIFFERENT windows over the
+    // same dimension column then yield different match strings, so the
+    // whitelist's distinct-hit budget counts them separately instead of
+    // collapsing them into one exemption (round-10 review finding)
     ("""windowspecdefinition\((?:""" + dimensionCols.mkString("|") +
-      """)#\d+L?, (?!__pid#)""").r
+      """)#\d+L?, (?!__pid#)[^\n]{0,60}""").r
   /** query -> (max distinct dim-window matches allowed, why the frame is
     * provably AGGREGATE-sized). The count pin closes the review-pass
     * hole a bare name-exemption left open: a whitelisted query that

@@ -888,12 +888,13 @@ object Dedup {
     * whole near-dup clusters between splits protects against leakage but
     * can in principle skew strata (a source whose docs cluster heavily
     * moves in lumps); this is the release-QA check that the skew stayed
-    * noise-level. Per (split, source) cell: observed count, expected
-    * count under independence (row·col/N, e3), and the cell's χ²
-    * contribution (e6) — the q251 contingency machinery pointed at the
-    * release table, all cross-multiplied exact integers in
-    * DECIMAL(38,0)/HUGEINT (n_obs·t and r·c wrap raw BIGINT past ~3e9
-    * docs). A release gate thresholds the summed chi2_e6 against the
+    * noise-level. Per (split, source) cell of the COMPLETE grid —
+    * structural zeros included, via [[Events.contingencyChi2]]'s grid
+    * completion, since an absent cell is maximal skew evidence: observed
+    * count, expected count under independence (row·col/N, e3), and the
+    * cell's χ² contribution (e6), all cross-multiplied exact integers in
+    * DECIMAL(38,0)/HUGEINT (headroom bounds in [[Events.chiSquare]]'s
+    * scaladoc). A release gate thresholds the summed chi2_e6 against the
     * χ²((splits−1)(sources−1)) critical value.
     *
     * Scale shape: the split table is doc-keyed and joins `source` on the
@@ -904,52 +905,29 @@ object Dedup {
     val sp = leakageSafeSplit(spark, dir).select(col("doc_id"), col("split"))
       .join(Tables.documents(spark, dir)
         .select(col("doc_id"), col("source")), Seq("doc_id"))
-    val cells = sp.groupBy(col("split"), col("source"))
-      .agg(count(lit(1)).as("n_obs"))
-    val rows = cells.groupBy(col("split")).agg(sum(col("n_obs")).as("r"))
-    val cols = cells.groupBy(col("source")).agg(sum(col("n_obs")).as("c"))
-    val tot = cells.agg(sum(col("n_obs")).as("t"))
-    cells.join(broadcast(rows), Seq("split"))
-      .join(broadcast(cols), Seq("source"))
-      .crossJoin(broadcast(tot))
-      .select(col("split"), col("source"), col("n_obs"),
-        expr("CAST(r AS DECIMAL(38,0)) * c * 1000 DIV t").as("expected_e3"),
-        expr("""(CAST(n_obs AS DECIMAL(38,0)) * t
-                 - CAST(r AS DECIMAL(38,0)) * c)
-                * (CAST(n_obs AS DECIMAL(38,0)) * t
-                   - CAST(r AS DECIMAL(38,0)) * c) * 1000000
-                DIV (CAST(r AS DECIMAL(38,0)) * c * t)""").as("chi2_e6"))
+    Events.contingencyChi2(
+      sp.groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_obs")),
+      "split", "source")
   }
 
-  /** [[splitParity]]'s oracle: the q240 recursive-closure split CTEs, a
-    * (split, source) contingency aggregate, and the q251 exact-integer χ²
-    * chain in HUGEINT. */
-  def splitParitySql: String =
-    s"""WITH RECURSIVE $clusterCtes, sp AS (
-       |  SELECT d.doc_id, d.source,
-       |         CASE WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
-       |                               AS VARCHAR)), 1, 1) < 'c' THEN 'train'
-       |              WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
-       |                               AS VARCHAR)), 1, 1) < 'e' THEN 'val'
-       |              ELSE 'test' END AS split
-       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
-       |), cells AS (
-       |  SELECT split, source, CAST(count(*) AS BIGINT) AS n_obs
-       |  FROM sp GROUP BY 1, 2
-       |), r AS (SELECT split, CAST(sum(n_obs) AS BIGINT) AS r
-       |         FROM cells GROUP BY split
-       |), c AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS c
-       |         FROM cells GROUP BY source
-       |), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM cells)
-       |SELECT split, source, n_obs,
-       |       CAST(CAST(r AS HUGEINT) * c * 1000 // t AS BIGINT)
-       |         AS expected_e3,
-       |       CAST((CAST(n_obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
-       |            * (CAST(n_obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
-       |            * 1000000
-       |            // (CAST(r AS HUGEINT) * c * t) AS BIGINT) AS chi2_e6
-       |FROM cells JOIN r USING (split) JOIN c USING (source)
-       |CROSS JOIN t""".stripMargin
+  /** [[splitParity]]'s oracle: the q240 recursive-closure split CTEs
+    * feeding the shared [[Events.contingencyChi2Sql]] grid-completion +
+    * exact-integer χ² chain. */
+  def splitParitySql: String = Events.contingencyChi2Sql(
+    """  SELECT split, source, CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM sp GROUP BY 1, 2""".stripMargin,
+    "split", "source",
+    withPrefix =
+      s"""RECURSIVE $clusterCtes, sp AS (
+         |  SELECT d.doc_id, d.source,
+         |         CASE WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+         |                               AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+         |              WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+         |                               AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |), """.stripMargin)
 
   /** q134 — canonical-representative selection per near-dup cluster
     * (round 6): production dedup keeps the BEST member of each duplicate

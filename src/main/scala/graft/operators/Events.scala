@@ -1408,18 +1408,45 @@ object Events {
     * margins and the total are ≤|types|+2-row aggregates of THAT result —
     * broadcast joins of miniatures, no second scan, no window. The test
     * itself is a |cells|-row projection. */
-  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(spark, dir)
-      .select(variantOf(col("user_id")).as("variant"), col("event_type"))
-      .groupBy(col("variant"), col("event_type"))
-      .agg(count(lit(1)).as("n_obs"))
-    val rows = cells.groupBy(col("variant")).agg(sum(col("n_obs")).as("r"))
-    val cols = cells.groupBy(col("event_type")).agg(sum(col("n_obs")).as("c"))
+  def chiSquare(spark: SparkSession, dir: String): DataFrame =
+    contingencyChi2(
+      Tables.events(spark, dir)
+        .select(variantOf(col("user_id")).as("variant"), col("event_type"))
+        .groupBy(col("variant"), col("event_type"))
+        .agg(count(lit(1)).as("n_obs")),
+      "variant", "event_type")
+
+  /** Shared exact-integer contingency-χ² tail (q251 variant×event_type,
+    * q280 split×source — ONE definition so the headroom discipline and
+    * any future fix live in one place, the `variantOf` convention).
+    * Completes the observed cell table to the FULL rows×cols grid first:
+    * a structurally ABSENT cell is maximal skew evidence, and omitting
+    * it understates χ² exactly when dependence is strongest (a category
+    * lumped entirely into one row leaves its other rows' cells missing).
+    * Zero-TOTAL rows/columns stay out of the grid (margin 0 ⇒ expected
+    * 0/0); degrees-of-freedom bookkeeping is the caller's gate.
+    *
+    * The input aggregate is checkpointed — it feeds four consumers (two
+    * grid distincts, the margins, the cell join) and must not re-scan.
+    * Overflow headroom is [[chiSquare]]'s documented bound: safe
+    * unconditionally to T = 10⁸, and to far larger T while per-cell skew
+    * obeys |O−E| ≤ 10¹⁶/T; past that drop to chi2_e2 or pre-divide
+    * before squaring. */
+  private[operators] def contingencyChi2(cells0: DataFrame, rowCol: String,
+                                         colCol: String): DataFrame = {
+    val c0 = cells0.localCheckpoint(true)
+    val grid = broadcast(c0.select(col(rowCol)).distinct())
+      .crossJoin(broadcast(c0.select(col(colCol)).distinct()))
+    val cells = grid.join(c0, Seq(rowCol, colCol), "left")
+      .select(col(rowCol), col(colCol),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val rows = cells.groupBy(col(rowCol)).agg(sum(col("n_obs")).as("r"))
+    val cols = cells.groupBy(col(colCol)).agg(sum(col("n_obs")).as("c"))
     val tot = cells.agg(sum(col("n_obs")).as("t"))
-    cells.join(broadcast(rows), Seq("variant"))
-      .join(broadcast(cols), Seq("event_type"))
+    cells.join(broadcast(rows), Seq(rowCol))
+      .join(broadcast(cols), Seq(colCol))
       .crossJoin(broadcast(tot))
-      .select(col("variant"), col("event_type"), col("n_obs"),
+      .select(col(rowCol), col(colCol), col("n_obs"),
         expr("CAST(r AS DECIMAL(38,0)) * c * 1000 DIV t").as("expected_e3"),
         // the operands cast BEFORE multiplying: n_obs·t and r·c are each
         // bounded by t² and wrap raw BIGINT past t ≈ 3e9 events
@@ -1430,26 +1457,44 @@ object Events {
                 DIV (CAST(r AS DECIMAL(38,0)) * c * t)""").as("chi2_e6"))
   }
 
-  val chiSquareSql: String =
-    """WITH cells AS (
-      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+  /** SQL twin of [[contingencyChi2]]: wraps `cellsCte` (which must emit
+    * rowCol, colCol, n_obs) in the grid-completion + margin + χ² chain.
+    * `withPrefix` prepends extra CTEs (q280's recursive closure) to the
+    * same WITH clause. */
+  private[operators] def contingencyChi2Sql(cellsCte: String, rowCol: String,
+                                            colCol: String,
+                                            withPrefix: String = ""): String =
+    s"""WITH ${withPrefix}cells0 AS (
+       |$cellsCte
+       |), grid AS (
+       |  SELECT r.$rowCol, c.$colCol
+       |  FROM (SELECT DISTINCT $rowCol FROM cells0) r,
+       |       (SELECT DISTINCT $colCol FROM cells0) c
+       |), cells AS (
+       |  SELECT g.$rowCol, g.$colCol,
+       |         CAST(COALESCE(c0.n_obs, 0) AS BIGINT) AS n_obs
+       |  FROM grid g LEFT JOIN cells0 c0 USING ($rowCol, $colCol)
+       |), r AS (SELECT $rowCol, CAST(sum(n_obs) AS BIGINT) AS r
+       |         FROM cells GROUP BY $rowCol
+       |), c AS (SELECT $colCol, CAST(sum(n_obs) AS BIGINT) AS c
+       |         FROM cells GROUP BY $colCol
+       |), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM cells)
+       |SELECT $rowCol, $colCol, n_obs,
+       |       CAST(CAST(r AS HUGEINT) * c * 1000 // t AS BIGINT)
+       |         AS expected_e3,
+       |       CAST((CAST(n_obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+       |            * (CAST(n_obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+       |            * 1000000
+       |            // (CAST(r AS HUGEINT) * c * t) AS BIGINT) AS chi2_e6
+       |FROM cells JOIN r USING ($rowCol) JOIN c USING ($colCol)
+       |CROSS JOIN t""".stripMargin
+
+  val chiSquareSql: String = contingencyChi2Sql(
+    """  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
       |              THEN 'A' ELSE 'B' END AS variant,
       |         event_type, CAST(count(*) AS BIGINT) AS n_obs
-      |  FROM events GROUP BY 1, 2
-      |), r AS (SELECT variant, CAST(sum(n_obs) AS BIGINT) AS r
-      |         FROM cells GROUP BY variant
-      |), c AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS c
-      |         FROM cells GROUP BY event_type
-      |), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM cells)
-      |SELECT variant, event_type, n_obs,
-      |       CAST(CAST(r AS HUGEINT) * c * 1000 // t AS BIGINT)
-      |         AS expected_e3,
-      |       CAST((CAST(n_obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
-      |            * (CAST(n_obs AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
-      |            * 1000000
-      |            // (CAST(r AS HUGEINT) * c * t) AS BIGINT) AS chi2_e6
-      |FROM cells JOIN r USING (variant) JOIN c USING (event_type)
-      |CROSS JOIN t""".stripMargin
+      |  FROM events GROUP BY 1, 2""".stripMargin,
+    "variant", "event_type")
 
   // ----------------------------------------------------- Mann-Whitney U
 

@@ -4137,8 +4137,14 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val srcs = Tables.documents(spark, dir).select("doc_id", "source")
       .collect().map(r => r.getLong(0) -> r.getString(1))
-    val cells = srcs.groupBy { case (id, s) => (splits(id), s) }
+    val obsCells = srcs.groupBy { case (id, s) => (splits(id), s) }
       .map { case (k, xs) => k -> xs.length.toLong }
+    // the contract completes the grid: a structurally absent cell is
+    // maximal skew evidence and must contribute its expected mass
+    val cells = (for {
+      sp <- obsCells.keys.map(_._1).toSeq.distinct
+      so <- obsCells.keys.map(_._2).toSeq.distinct
+    } yield (sp, so) -> obsCells.getOrElse((sp, so), 0L)).toMap
     val rTot = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
     val cTot = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
     val t = cells.values.sum

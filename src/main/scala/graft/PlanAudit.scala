@@ -577,6 +577,12 @@ object PlanAudit {
       "q277_cms_error_audit" -> Seq("HashAggregate" -> true,
         "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // simhash calibration: the pair universe is the q31 shingle-keyed
+      // inverted-index join (shuffled hash, never cartesian); signatures
+      // join key-equi on doc_id; the decile aggregate is <= 10 rows
+      "q281_simhash_calibration" -> Seq("ShuffledHashJoin" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false,
+        "BroadcastNestedLoopJoin" -> false, "Window" -> false),
       // split parity: the doc-keyed split⋈source join is key-equi; ONE
       // (split, source) aggregate collapses the corpus; marginals and
       // the chi-square algebra broadcast — nothing pairwise, no windows

@@ -218,6 +218,8 @@ object SparkEntry {
     "q277_cms_error_audit" -> ((s, dir) => Sketches.cmsErrorAudit(s, dir)),
     "q278_zone_map_audit" -> ((s, dir) => Profiling.zoneMapAudit(s, dir)),
     "q280_split_parity" -> ((s, dir) => Dedup.splitParity(s, dir)),
+    "q281_simhash_calibration" -> ((s, dir) =>
+      Dedup.simhashCalibration(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -517,6 +519,7 @@ object SparkEntry {
     "q277_cms_error_audit" -> Sketches.cmsErrorAuditSql(),
     "q278_zone_map_audit" -> Profiling.zoneMapAuditSql,
     "q280_split_parity" -> Dedup.splitParitySql,
+    "q281_simhash_calibration" -> Dedup.simhashCalibrationSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),

@@ -560,6 +560,122 @@ object Dedup {
        |FROM scored GROUP BY bucket""".stripMargin
   }
 
+  /** q281 — SIMHASH calibration audit: completes the estimator-audit
+    * family (q266 MinHash vs exact Jaccard, q277 Count-Min vs exact
+    * counts, q118's GK rank-window flags) for the last uncalibrated
+    * approximate operator. Per exact-Jaccard decile over the q31
+    * inverted-index pair set: the Hamming-distance distribution of the
+    * q33 signatures (mean e3, max), how many pairs collide in ≥1 of the
+    * 4×16-bit bands, and the DETECTION rate of the operational q33 cut
+    * (band collision AND hamming ≤ 3) — the curve that says whether a
+    * 64-bit SimHash at hamming ≤ 3 actually tracks the Jaccard band a
+    * dedup pass targets, read BEFORE trusting it on 100 TB. All exact
+    * integers: the bucket is the q266 `(c·10) DIV u` decile, hamming is
+    * `bit_count(xor)`, the band keys are the q33 shift/mask chain.
+    *
+    * Scale shape: the pair set is the q31 shingle-keyed inverted-index
+    * join (cost ∝ colliding pairs, never all-pairs); signatures join by
+    * doc_id key-equi from the session-cached q33 table; the decile
+    * aggregate is ≤10 rows. */
+  def simhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    val pairs = a.hint("shuffle_hash").join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    val sig = graft.CacheRegistry.cached(spark, s"simhash-md5:$dir")(
+      simhash(spark, dir))
+    val collide = (0 until 4).map(band =>
+      shiftright(col("sig_a"), band * 16).bitwiseAND(lit(0xFFFFL)) ===
+        shiftright(col("sig_b"), band * 16).bitwiseAND(lit(0xFFFFL)))
+      .reduce(_ || _)
+    pairs
+      .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sig.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .withColumn("bucket", least(expr("(c * 10) div (na + nb - c)"), lit(9L)))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
+      .withColumn("collide", collide)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("hamming")).as("sum_h"),
+        max(col("hamming")).as("max_hamming"),
+        sum(when(col("collide"), 1L).otherwise(0L)).as("n_band_collide"),
+        sum(when(col("collide") && col("hamming") <= 3, 1L).otherwise(0L))
+          .as("n_detected"))
+      .select(col("bucket"), col("n_pairs"),
+        expr("sum_h * 1000 div n_pairs").as("mean_hamming_e3"),
+        col("max_hamming"), col("n_band_collide"), col("n_detected"),
+        expr("n_detected * 1000000 div n_pairs").as("detect_ppm"))
+  }
+
+  /** [[simhashCalibration]]'s oracle: q31's shingle pair chain + q33's
+    * signature votes + the identical band/hamming/decile integers. */
+  val simhashCalibrationSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3])) AS sh
+       |  FROM documents
+       |), shingled AS (
+       |  SELECT doc_id, unnest(sh) AS shingle FROM ws
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM shingled a JOIN shingled b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM toks
+       |), votes AS (
+       |  SELECT doc_id, b.b AS b,
+       |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hs, (SELECT unnest(range(60)) AS b) b
+       |  GROUP BY doc_id, b.b
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+       |              AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |), per_pair AS (
+       |  SELECT least((p.c * 10) // (sa.n + sb.n - p.c), 9) AS bucket,
+       |         CAST(bit_count(xor(ga.simhash, gb.simhash)) AS BIGINT)
+       |           AS hamming,
+       |         ((ga.simhash >> 0) & 65535 = (gb.simhash >> 0) & 65535 OR
+       |          (ga.simhash >> 16) & 65535 = (gb.simhash >> 16) & 65535 OR
+       |          (ga.simhash >> 32) & 65535 = (gb.simhash >> 32) & 65535 OR
+       |          (ga.simhash >> 48) & 65535 = (gb.simhash >> 48) & 65535)
+       |           AS collide
+       |  FROM common p
+       |  JOIN sizes sa ON p.doc_a = sa.doc_id
+       |  JOIN sizes sb ON p.doc_b = sb.doc_id
+       |  JOIN sigs ga ON p.doc_a = ga.doc_id
+       |  JOIN sigs gb ON p.doc_b = gb.doc_id
+       |)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(hamming) * 1000 // count(*) AS BIGINT)
+       |         AS mean_hamming_e3,
+       |       max(hamming) AS max_hamming,
+       |       CAST(sum(CASE WHEN collide THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_band_collide,
+       |       CAST(sum(CASE WHEN collide AND hamming <= 3
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |       CAST(sum(CASE WHEN collide AND hamming <= 3
+       |                     THEN 1 ELSE 0 END) * 1000000 // count(*)
+       |            AS BIGINT) AS detect_ppm
+       |FROM per_pair GROUP BY bucket""".stripMargin
+
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,
     800000L, 900000L)

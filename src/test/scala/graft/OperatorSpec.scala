@@ -4164,6 +4164,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.forall(_._5 >= 0L))
   }
 
+  test("q281 simhash calibration: replays signatures, bands and exact " +
+    "Jaccard deciles from first principles; detection discriminates") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sigs = docs.map { case (id, text) =>
+      val votes = Array.fill(60)(0L)
+      text.split(" ", -1).foreach { tok =>
+        val h = java.lang.Long.parseLong(md5hex(tok).substring(0, 15), 16)
+        for (b <- 0 until 60)
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+      id -> (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }.toMap
+    val sh = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (if (w.length < 3) Set.empty[String]
+             else w.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val ids = docs.map(_._1).sorted
+    val perPair = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      c = (sh(a) intersect sh(b)).size.toLong if c > 0
+    } yield {
+      val u = sh(a).size + sh(b).size - c
+      val x = sigs(a) ^ sigs(b)
+      val collide = (0 until 4).exists(k =>
+        ((sigs(a) >> (k * 16)) & 0xFFFFL) == ((sigs(b) >> (k * 16)) & 0xFFFFL))
+      (math.min(c * 10 / u, 9L), java.lang.Long.bitCount(x).toLong, collide)
+    }
+    val expected = perPair.groupBy(_._1).map { case (bucket, xs) =>
+      val det = xs.count(p => p._3 && p._2 <= 3).toLong
+      (bucket, xs.size.toLong, xs.map(_._2).sum * 1000 / xs.size,
+        xs.map(_._2).max, xs.count(_._3).toLong, det,
+        det * 1000000L / xs.size)
+    }.toSet
+    val got = Dedup.simhashCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // detection is nested (detected => band-collided => a pair) and the
+    // audit discriminates: the top decile's detection rate is at least
+    // the bottom decile's, and hamming falls as similarity rises
+    assert(got.forall(r => r._6 <= r._5 && r._5 <= r._2))
+    val byBucket = got.map(r => r._1 -> r).toMap
+    for (top <- byBucket.get(9); bot <- byBucket.get(0)) {
+      assert(top._7 >= bot._7)
+      assert(top._3 <= bot._3) // mean hamming e3
+    }
+  }
+
   test("q279 PII Wilson interval: bounds replay the exact IEEE sequence " +
     "from q168's counts, bracket the point rate, and stay inside [0, 1e6]") {
     val base = CorpusFilters.piiAudit(spark, dir)

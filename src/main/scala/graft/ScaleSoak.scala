@@ -99,8 +99,11 @@ object ScaleSoak {
     "q261_prefix_sim_join", "q268_quantile_normalize",
     "q271_sorted_neighborhood",
     // round-10 additions that grow with the corpus/log: the permutation
-    // fan-out, the packed-sequence prefix sum, the CM read-back
-    "q274_bh_fdr", "q275_packed_manifest", "q277_cms_error_audit")
+    // fan-out, the packed-sequence prefix sum, the CM read-back, the
+    // CC-backed entity merge (value domain fixed — expect ~0), the
+    // split-parity doc join, the simhash pair calibration
+    "q274_bh_fdr", "q275_packed_manifest", "q277_cms_error_audit",
+    "q273_entity_merge", "q280_split_parity", "q281_simhash_calibration")
 
   /** Times one query with shuffle parallelism scaled to the data factor —
     * the weak-scaling protocol: per-task shuffle volume stays constant

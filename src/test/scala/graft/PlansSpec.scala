@@ -398,4 +398,19 @@ class PlansSpec extends AnyFunSuite {
     assert(base.nonEmpty)
     assert(run("17") == base)
   }
+
+  test("q275 packed manifest is shuffle-partition-count invariant " +
+    "(the groupedCumSum prefix sum must not depend on the layout)") {
+    def run(parts: String) = {
+      val prior = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.operators.TextAnalysis.packedSequenceManifest(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    }
+    val base = run("3")
+    assert(base.nonEmpty)
+    assert(run("17") == base)
+  }
 }

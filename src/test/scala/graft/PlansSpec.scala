@@ -399,6 +399,31 @@ class PlansSpec extends AnyFunSuite {
     assert(run("17") == base)
   }
 
+  test("ScaleSoak buildScaled: per-copy word suffixing keeps shingle " +
+    "universes disjoint and the shifted keys stay join-consistent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_soak2x").toString
+    ScaleSoak.buildScaled(spark, dir, out, 2)
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val n0 = Tables.documents(spark, dir).count()
+    assert(docs.count() == 2 * n0)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val Shift = 1000000000L
+    val c0 = toks.filter(col("doc_id") < Shift).select("t").distinct()
+    val c1 = toks.filter(col("doc_id") >= Shift).select("t").distinct()
+    // the honesty contract: copies are textually DISJOINT (no planted
+    // cross-copy near-dups) while each copy keeps the original
+    // token-frequency shape (same distinct-token count)
+    assert(c0.join(c1, "t").count() == 0)
+    assert(c0.count() == c1.count())
+    // key shifting is cross-table consistent: every scaled order still
+    // finds its customer (joins stay key-correct at any factor)
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    val c = spark.read.parquet(s"$out/customer.parquet")
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .count() == 0)
+  }
+
   test("q275 packed manifest is shuffle-partition-count invariant " +
     "(the groupedCumSum prefix sum must not depend on the layout)") {
     def run(parts: String) = {

@@ -577,6 +577,12 @@ object PlanAudit {
       "q277_cms_error_audit" -> Seq("HashAggregate" -> true,
         "BroadcastHashJoin" -> true, "CartesianProduct" -> false,
         "SortMergeJoin" -> false, "Window" -> false),
+      // source ablation: the cached score table joins source key-equi on
+      // doc_id; ONE source aggregate collapses the corpus; totals
+      // broadcast back onto the |sources| miniature — no window, no sort
+      "q282_source_ablation" -> Seq("HashAggregate" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false,
+        "Window" -> false),
       // simhash calibration: the pair universe is the q31 shingle-keyed
       // inverted-index join (shuffled hash, never cartesian); signatures
       // join key-equi on doc_id; the decile aggregate is <= 10 rows

@@ -220,6 +220,8 @@ object SparkEntry {
     "q280_split_parity" -> ((s, dir) => Dedup.splitParity(s, dir)),
     "q281_simhash_calibration" -> ((s, dir) =>
       Dedup.simhashCalibration(s, dir)),
+    "q282_source_ablation" -> ((s, dir) =>
+      TextAnalysis.sourceAblation(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -520,6 +522,7 @@ object SparkEntry {
     "q278_zone_map_audit" -> Profiling.zoneMapAuditSql,
     "q280_split_parity" -> Dedup.splitParitySql,
     "q281_simhash_calibration" -> Dedup.simhashCalibrationSql,
+    "q282_source_ablation" -> TextAnalysis.sourceAblationSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),

@@ -518,6 +518,74 @@ object TextAnalysis {
        |                        AS DOUBLE) END AS kappa
        |FROM agree, chance""".stripMargin
 
+  /** q282 — LEAVE-ONE-SOURCE-OUT quality ablation: for every source, the
+    * corpus mean quality score (q109's exact avg_e6) WITH and WITHOUT
+    * that source, and the delta — the data-mixture curation table that
+    * answers "which source drags the corpus down?" BEFORE anyone spends
+    * a training run on the question. `delta_e6 > 0` means removing the
+    * source RAISES corpus quality (the source is below-average weight ×
+    * mass); the magnitude ranks candidates for down-weighting in the
+    * q125/q132/q133 mixture lanes. Everything is closed-form from
+    * sufficient statistics — a leave-one-out over S sources costs ONE
+    * aggregate, not S re-scans: loo_mean = (ΣQ − ΣQ_s) / (N − n_s),
+    * exact integer DIV, sums carried in DECIMAL(38,0) (a corpus-scale
+    * Σ of e6-scaled scores exceeds int64 headroom past ~9·10¹² docs).
+    *
+    * Scale shape: the session-cached q109 score table joins `source` on
+    * the co-partitioned doc_id key; ONE source-keyed aggregate collapses
+    * the corpus to |sources| rows; the global totals broadcast back onto
+    * that miniature. Guarded: a single-source corpus (N = n_s) emits a
+    * null loo/delta rather than 0-division. */
+  def sourceAblation(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScores(spark, dir)
+      .select(col("doc_id"), col("avg_e6"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+    val per = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("avg_e6").cast(DecimalType(38, 0))).as("sum_q"))
+    val tot = broadcast(per.agg(
+      sum(col("n_docs")).as("n_all"),
+      sum(col("sum_q")).cast(DecimalType(38, 0)).as("sum_all")))
+    per.crossJoin(tot)
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 1000000 DIV n_all").as("share_ppm"),
+        expr("CAST(sum_q DIV n_docs AS BIGINT)").as("mean_e6"),
+        expr("CAST(sum_all DIV n_all AS BIGINT)").as("corpus_mean_e6"),
+        expr("""CASE WHEN n_all = n_docs THEN NULL
+                ELSE CAST((sum_all - sum_q) DIV (n_all - n_docs) AS BIGINT)
+                END""").as("loo_mean_e6"))
+      .withColumn("delta_e6", col("loo_mean_e6") - col("corpus_mean_e6"))
+  }
+
+  /** [[sourceAblation]]'s oracle: q109's score chain + the identical
+    * HUGEINT sufficient-statistic algebra. */
+  def sourceAblationSql: String =
+    s"""WITH q AS (${linearQualityScoreSql}
+       |), per AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |         sum(CAST(q.avg_e6 AS HUGEINT)) AS sum_q
+       |  FROM q JOIN documents d USING (doc_id)
+       |  GROUP BY d.source
+       |), tot AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+       |         sum(sum_q) AS sum_all
+       |  FROM per
+       |)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_docs * 1000000 // n_all AS BIGINT) AS share_ppm,
+       |       CAST(sum_q // n_docs AS BIGINT) AS mean_e6,
+       |       CAST(sum_all // n_all AS BIGINT) AS corpus_mean_e6,
+       |       CASE WHEN n_all = n_docs THEN NULL
+       |            ELSE CAST((sum_all - sum_q) // (n_all - n_docs)
+       |                      AS BIGINT) END AS loo_mean_e6,
+       |       CASE WHEN n_all = n_docs THEN NULL
+       |            ELSE CAST((sum_all - sum_q) // (n_all - n_docs)
+       |                      AS BIGINT)
+       |                 - CAST(sum_all // n_all AS BIGINT)
+       |            END AS delta_e6
+       |FROM per, tot""".stripMargin
+
   /** q57 — corpus vocabulary: top-k tokens by global frequency with
     * deterministic (count desc, token asc) ordering — the input a tokenizer
     * trainer consumes. Token counts partial-aggregate map-side; the final

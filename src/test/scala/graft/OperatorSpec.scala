@@ -4220,6 +4220,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q282 source ablation: BigInt LOO replay over q109 scores; " +
+    "below-average sources have nonnegative removal deltas") {
+    val scores = TextAnalysis.qualityScores(spark, dir)
+      .select("doc_id", "avg_e6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcs = Tables.documents(spark, dir).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val per = srcs.groupBy(_._2).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(x => BigInt(scores(x._1))).sum)
+    }.toSeq
+    val nAll = per.map(_._2).sum
+    val sumAll = per.map(_._3).sum
+    // both engines' integer division truncates TOWARD ZERO on the
+    // negative quality sums (BigInt / matches; floor division does not)
+    val expected = per.map { case (s, n, sq) =>
+      val loo = if (n == nAll) None
+        else Some(((sumAll - sq) / BigInt(nAll - n)).toLong)
+      val corp = (sumAll / BigInt(nAll)).toLong
+      (s, n, n * 1000000L / nAll, (sq / BigInt(n)).toLong, corp,
+        loo, loo.map(_ - corp))
+    }.toSet
+    val got = TextAnalysis.sourceAblation(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSet
+    assert(got == expected)
+    // a source whose own mean sits below the corpus mean can only RAISE
+    // the corpus by leaving, and an above-average source can only lower
+    // it (both up to the 1-unit integer-division slack)
+    assert(got.forall(r => r._7.forall(d =>
+      if (r._4 < r._5) d >= -1L else d <= 1L)))
+    assert(got.toSeq.map(_._2).sum == nAll)
+  }
+
   test("q279 PII Wilson interval: bounds replay the exact IEEE sequence " +
     "from q168's counts, bracket the point rate, and stay inside [0, 1e6]") {
     val base = CorpusFilters.piiAudit(spark, dir)

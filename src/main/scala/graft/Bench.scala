@@ -325,7 +325,10 @@ object Bench {
         val ctop = entries.sortBy(-_._2).take(12)
           .map { case (n, v) => s""""$n":${fmt(v)}""" }.mkString(",")
         println(s"""{"metric":"canonical_total","value":${ctotal.getOrElse("null")},"unit":"sec","n_queries":${entries.size},"queries":{$ctop},"source":"BENCH_LATEST.json","note":"this run was contaminated and diverted; these are the canonical clean totals from the committed map"}""")
-      } catch { case e: java.io.IOException =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // best-effort diagnostics: a malformed BENCH_LATEST.json throws
+        // NumberFormatException / index errors out of the regex parse, not
+        // just IOException — none of them may crash the driver pre-stop()
         System.err.println(s"[bench] canonical echo failed: $e")
       }
     }

@@ -755,11 +755,15 @@ object PlanAudit {
         offsetPrefixChecks.getOrElse(name, Nil)
       val reChecks = regexExpectations.getOrElse(name, Nil) ++
         offsetPrefixRegexChecks.getOrElse(name, Nil)
-      val dimMatches = dimWindowRe.findAllIn(plan).toList.distinct
+      // normalize expr IDs (#123) out of the match before distinct: the
+      // same logical whitelisted window materialized twice in one plan
+      // (reused subtree, different #ids) must count as ONE hit, not two
+      val dimMatches = dimWindowRe.findAllIn(plan).toList
+        .map(_.replaceAll("#\\d+", "")).distinct
       val dimAllowed = dimWindowWhitelist.get(name).map(_._1).getOrElse(0)
       val dimHits =
         if (dimMatches.size <= dimAllowed) Nil
-        else dimMatches
+        else dimMatches.drop(dimAllowed)
           .map(h => s"DIM-WINDOW '${h.take(60)}' (${dimMatches.size} " +
             s"found, $dimAllowed whitelisted — data-sized per-group " +
             "task: use groupedOrdinal/offset-prefix, or raise the " +

@@ -72,7 +72,12 @@ object ScaleSoak {
             // disjoint instances of the original problem, the same
             // honesty contract the shifted join keys give the key-keyed
             // self-joins.
-            if (t == "documents")
+            // copy 0 stays byte-identical to the 1x source (round-10
+            // ADVICE): suffixing it too would grow every token by 2+ chars
+            // and inflate split/hash/shingle costs at xN relative to 1x,
+            // biasing the exponent upward. Copies 1..N-1 alone already
+            // guarantee disjoint shingle universes against copy 0.
+            if (t == "documents" && k > 0)
               shifted.withColumn("text",
                 array_join(transform(split(col("text"), " "),
                   w => concat(w, lit(s"~$k"))), " "))
@@ -156,9 +161,31 @@ object ScaleSoak {
       marker.createNewFile()
     }
 
+    // SWEEP mode (round-11 verdict item 1): instead of the hand-picked
+    // heavies, soak EVERY contract lane whose canonical sf0.1 steady cost
+    // is at or above the given threshold — the q261 deserialized-cache
+    // thrash class was invisible at sf0.1 and only appeared at ×10 on a
+    // lane the hand-picked list happened to cover; any other multi-read
+    // CacheRegistry consumer could hide the same pathology. The lane list
+    // comes from the committed clean bench map, so the sweep's scope is
+    // reproducible and auditable.
+    val lanes = sys.env.get("SPARK_GRAFT_SOAK_SWEEP") match {
+      case Some(thr) =>
+        val canon = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BENCH_LATEST.json"))
+        val qstr = canon.split("\"queries\":\\{", 2)
+        require(qstr.length == 2, "BENCH_LATEST.json has no queries map")
+        """"(q[A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
+          .findAllMatchIn(qstr(1).takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 >= thr.toDouble)
+          .map(_._1).toSeq.sorted
+      case None => heavies
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    val run = heavies.filter(n => only.forall(_.exists(n.startsWith)))
+    val run = lanes.filter(n => only.forall(_.exists(n.startsWith)))
+    System.err.println(s"[soak] ${run.size} lanes queued")
 
     // Cache hygiene between SCALES (round 10): both scales run in one JVM,
     // so without a reset the x10 steady run executes with the 1x scale's

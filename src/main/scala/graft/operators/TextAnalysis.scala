@@ -386,12 +386,20 @@ object TextAnalysis {
     val spans = Relational.groupedCumSum(
         Tables.documents(spark, dir)
           .select(col("doc_id"),
-            size(split(col("text"), " ")).cast(LongType).as("n"))
+            // degenerate-doc guard (round-10 ADVICE): null text makes
+            // size(split(...)) null/-1 here but NULL in DuckDB — clamp to
+            // 0 on both sides so the prefix sums agree on broken corpora
+            greatest(lit(0L),
+              size(split(col("text"), " ")).cast(LongType)).as("n"))
           .withColumn("g", lit(1)),
         "g", Seq("doc_id"), "n")
       .select(col("doc_id"), col("n"),
         (col("__cum") - col("n")).as("st"), col("__cum").as("en"))
     spans
+      // zero-token docs span nothing: without this filter Spark's
+      // sequence(st div b, (en-1) div b) on en == st silently DESCENDS and
+      // emits spurious fill rows while DuckDB's range() yields nothing
+      .filter(col("en") > col("st"))
       .select(col("doc_id"), col("st"), col("en"),
         explode(sequence(expr(s"st div $b"), expr(s"(en - 1) div $b")))
           .as("seq_id"))
@@ -408,7 +416,10 @@ object TextAnalysis {
 
   def packedSequenceManifestSql(budget: Int = 64): String =
     s"""WITH ws AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  -- COALESCE mirrors the Spark side's null-text clamp to 0 tokens
+       |  SELECT doc_id,
+       |         COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
+       |           AS n
        |  FROM documents
        |), cum AS (
        |  SELECT doc_id, n,
@@ -421,10 +432,11 @@ object TextAnalysis {
        |  SELECT doc_id, CAST(c - n AS BIGINT) AS st, CAST(c AS BIGINT) AS en
        |  FROM cum
        |), ex AS (
+       |  -- en > st mirrors the Spark side's zero-token-doc filter
        |  SELECT doc_id, st, en,
        |         unnest(range(st // $budget, (en - 1) // $budget + 1))
        |           AS seq_id
-       |  FROM spans
+       |  FROM spans WHERE en > st
        |)
        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(CASE WHEN st >= seq_id * $budget

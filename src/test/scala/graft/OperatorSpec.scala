@@ -4342,6 +4342,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(got.toSeq.map(_._5).sum - 1.0) < 1e-9)
   }
 
+  test("q272 markov attribution refuses a log with unknown event types " +
+    "(silent state-set divergence would drop probability mass)") {
+    // round-10 verdict item 6: the operator fixes its state set to
+    // MarkovStates while the oracle normalizes over ALL observed
+    // transitions — a new event_type must fail loudly, not diverge
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_markov").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, t0, 10L, "view", 1.0, "{}"),
+        (2L, new java.sql.Timestamp(t0.getTime + 1000), 10L, "refund", 1.0,
+          "{}"),
+        (3L, new java.sql.Timestamp(t0.getTime + 2000), 10L, "purchase",
+          1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Events.markovAttribution(spark, tmp)
+    }
+    assert(e.getMessage.contains("refund"))
+  }
+
   test("q261 prefix sim join: equals the brute-force all-pairs shingle " +
     "Jaccard at tau=3/5 — the prefix filter is lossless, counts and ppm exact") {
     val docs = Tables.documents(spark, dir)

@@ -416,6 +416,13 @@ class PlansSpec extends AnyFunSuite {
     // token-frequency shape (same distinct-token count)
     assert(c0.join(c1, "t").count() == 0)
     assert(c0.count() == c1.count())
+    // copy 0 is byte-identical to the 1x source (round-10 ADVICE): a
+    // suffixed copy 0 would inflate xN split/hash/shingle costs relative
+    // to the 1x baseline and bias the weak-scaling exponent upward
+    val orig = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t")).distinct()
+    assert(c0.join(orig, Seq("t"), "left_anti").count() == 0)
+    assert(orig.join(c0, Seq("t"), "left_anti").count() == 0)
     // key shifting is cross-table consistent: every scaled order still
     // finds its customer (joins stay key-correct at any factor)
     val o = spark.read.parquet(s"$out/orders.parquet")
@@ -437,5 +444,30 @@ class PlansSpec extends AnyFunSuite {
     val base = run("3")
     assert(base.nonEmpty)
     assert(run("17") == base)
+  }
+
+  test("q275 packed manifest: degenerate docs (null text = 0 tokens, " +
+    "empty text = 1 token) emit no spurious rows and keep spans exact") {
+    // round-10 ADVICE: on en == st Spark's sequence(st div b, (en-1) div b)
+    // silently DESCENDS and emits negative-fill rows while DuckDB's range()
+    // yields nothing — the guard must zero null text and drop empty spans
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    Seq((1L, Option("a b c d e"), "en", "web", 9L),
+        (2L, None: Option[String], "en", "web", 0L),
+        (3L, Option(""), "en", "web", 0L),
+        (4L, Option("f g h"), "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis
+      .packedSequenceManifest(spark, tmp, budget = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // hand calc: n = (5, 0, 1, 3) → cum (5, 5, 6, 9); doc 2 spans [5,5) and
+    // must vanish; doc 3's "" splits to [""] = ONE token spanning [5,6)
+    assert(got == Map(
+      0L -> ((1L, 0L, 4L, 1L, 1L)),
+      1L -> ((3L, 1L, 4L, 1L, 4L)),
+      2L -> ((1L, 0L, 1L, 4L, 4L))))
   }
 }

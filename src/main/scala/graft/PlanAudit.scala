@@ -589,6 +589,12 @@ object PlanAudit {
       "q281_simhash_calibration" -> Seq("ShuffledHashJoin" -> true,
         "HashAggregate" -> true, "CartesianProduct" -> false,
         "BroadcastNestedLoopJoin" -> false, "Window" -> false),
+      // simhash router calibration: same pair universe + signature joins
+      // as q281 — both cuts are shift/mask integer ops inside the same
+      // aggregate, so the re-parameterization costs no extra join
+      "q283_simhash_router" -> Seq("ShuffledHashJoin" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false,
+        "BroadcastNestedLoopJoin" -> false, "Window" -> false),
       // split parity: the doc-keyed split⋈source join is key-equi; ONE
       // (split, source) aggregate collapses the corpus; marginals and
       // the chi-square algebra broadcast — nothing pairwise, no windows

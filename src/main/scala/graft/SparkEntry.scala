@@ -222,6 +222,8 @@ object SparkEntry {
       Dedup.simhashCalibration(s, dir)),
     "q282_source_ablation" -> ((s, dir) =>
       TextAnalysis.sourceAblation(s, dir)),
+    "q283_simhash_router" -> ((s, dir) =>
+      Dedup.simhashRouterCalibration(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -523,6 +525,7 @@ object SparkEntry {
     "q280_split_parity" -> Dedup.splitParitySql,
     "q281_simhash_calibration" -> Dedup.simhashCalibrationSql,
     "q282_source_ablation" -> TextAnalysis.sourceAblationSql,
+    "q283_simhash_router" -> Dedup.simhashRouterCalibrationSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),

@@ -676,6 +676,139 @@ object Dedup {
        |            AS BIGINT) AS detect_ppm
        |FROM per_pair GROUP BY bucket""".stripMargin
 
+  /** q283 — SIMHASH RE-PARAMETERIZATION audit (round-10 verdict item 2):
+    * q281 measured the operational 4×16-bit cut (band collision AND
+    * hamming ≤ 3) detecting only ~half of the J ≥ 0.9 near-dups and
+    * missing at J ≈ 0.8 — SimHash's known moderate-similarity blind spot.
+    * This lane audits the FIX against the same exact-Jaccard deciles
+    * before anyone trusts it at 100 TB: the re-parameterized cut is
+    * 8 bands × 8 bits with hamming ≤ 7, which is PIGEONHOLE-LOSSLESS —
+    * ≤ 7 differing bits spread over 8 disjoint bands always leave one
+    * band clean, so band collision is guaranteed for every pair the
+    * hamming cut admits (the `n_pigeonhole_viol` column pins that
+    * analytic constant at 0 cross-engine, the q261 prefix-filter
+    * discipline). Detection therefore equals P(hamming ≤ 7 | pair) —
+    * the widest cut the banding admits losslessly — versus the old cut's
+    * P(collide₄ₓ₁₆ ∧ hamming ≤ 3). Both detections are reported per
+    * decile so the J ≥ 0.8 target is a measured row, not an assumption;
+    * the 0.6 ≤ J < 0.8 band stays routed to the MinHash lane whose
+    * parameters q266/q220 already calibrate.
+    *
+    * Scale shape: identical to q281 — the pair set is the q31
+    * shingle-keyed inverted-index join (cost ∝ colliding pairs, never
+    * all-pairs), signatures key-equi-join from the session-cached q33
+    * table, bands are shift/mask integer ops inside codegen, and the
+    * decile aggregate is ≤ 10 rows. The 8-band candidate generation at
+    * production scale groups on (band, key) exactly like q33's 4-band
+    * variant — twice the candidate-row fan-out, bought deliberately for
+    * the measured recall. */
+  def simhashRouterCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    val pairs = a.hint("shuffle_hash").join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    val sig = graft.CacheRegistry.cached(spark, s"simhash-md5:$dir")(
+      simhash(spark, dir))
+    val collide4 = (0 until 4).map(band =>
+      shiftright(col("sig_a"), band * 16).bitwiseAND(lit(0xFFFFL)) ===
+        shiftright(col("sig_b"), band * 16).bitwiseAND(lit(0xFFFFL)))
+      .reduce(_ || _)
+    val collide8 = (0 until 8).map(band =>
+      shiftright(col("sig_a"), band * 8).bitwiseAND(lit(0xFFL)) ===
+        shiftright(col("sig_b"), band * 8).bitwiseAND(lit(0xFFL)))
+      .reduce(_ || _)
+    pairs
+      .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sig.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .withColumn("bucket", least(expr("(c * 10) div (na + nb - c)"), lit(9L)))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
+      .withColumn("old_hit", collide4 && col("hamming") <= 3)
+      .withColumn("new_hit", collide8 && col("hamming") <= 7)
+      .withColumn("viol", col("hamming") <= 7 && !collide8)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("old_hit"), 1L).otherwise(0L)).as("n_detected_old"),
+        sum(when(col("new_hit"), 1L).otherwise(0L)).as("n_detected_new"),
+        sum(when(col("viol"), 1L).otherwise(0L)).as("n_pigeonhole_viol"))
+      .select(col("bucket"), col("n_pairs"),
+        col("n_detected_old"),
+        expr("n_detected_old * 1000000 div n_pairs").as("old_ppm"),
+        col("n_detected_new"),
+        expr("n_detected_new * 1000000 div n_pairs").as("new_ppm"),
+        col("n_pigeonhole_viol"))
+  }
+
+  /** [[simhashRouterCalibration]]'s oracle: q281's pair/signature chain
+    * with both cuts' band/hamming integers recomputed independently. */
+  val simhashRouterCalibrationSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3])) AS sh
+       |  FROM documents
+       |), shingled AS (
+       |  SELECT doc_id, unnest(sh) AS shingle FROM ws
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM shingled a JOIN shingled b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM toks
+       |), votes AS (
+       |  SELECT doc_id, b.b AS b,
+       |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hs, (SELECT unnest(range(60)) AS b) b
+       |  GROUP BY doc_id, b.b
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+       |              AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |), per_pair AS (
+       |  SELECT least((p.c * 10) // (sa.n + sb.n - p.c), 9) AS bucket,
+       |         CAST(bit_count(xor(ga.simhash, gb.simhash)) AS BIGINT)
+       |           AS hamming,
+       |         (${(0 until 4).map(k => s"(ga.simhash >> ${k * 16}) & 65535 = (gb.simhash >> ${k * 16}) & 65535").mkString(" OR\n       |          ")})
+       |           AS collide4,
+       |         (${(0 until 8).map(k => s"(ga.simhash >> ${k * 8}) & 255 = (gb.simhash >> ${k * 8}) & 255").mkString(" OR\n       |          ")})
+       |           AS collide8
+       |  FROM common p
+       |  JOIN sizes sa ON p.doc_a = sa.doc_id
+       |  JOIN sizes sb ON p.doc_b = sb.doc_id
+       |  JOIN sigs ga ON p.doc_a = ga.doc_id
+       |  JOIN sigs gb ON p.doc_b = gb.doc_id
+       |)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(CASE WHEN collide4 AND hamming <= 3
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_detected_old,
+       |       CAST(sum(CASE WHEN collide4 AND hamming <= 3
+       |                     THEN 1 ELSE 0 END) * 1000000 // count(*)
+       |            AS BIGINT) AS old_ppm,
+       |       CAST(sum(CASE WHEN collide8 AND hamming <= 7
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_detected_new,
+       |       CAST(sum(CASE WHEN collide8 AND hamming <= 7
+       |                     THEN 1 ELSE 0 END) * 1000000 // count(*)
+       |            AS BIGINT) AS new_ppm,
+       |       CAST(sum(CASE WHEN hamming <= 7 AND NOT collide8
+       |                     THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pigeonhole_viol
+       |FROM per_pair GROUP BY bucket""".stripMargin
+
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,
     800000L, 900000L)

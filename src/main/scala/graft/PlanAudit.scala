@@ -595,6 +595,15 @@ object PlanAudit {
       "q283_simhash_router" -> Seq("ShuffledHashJoin" -> true,
         "HashAggregate" -> true, "CartesianProduct" -> false,
         "BroadcastNestedLoopJoin" -> false, "Window" -> false),
+      // clustered rollup (q284): the q278 date predicate must reach the
+      // clustered layout's parquet scan as a pushed min/max filter (that
+      // is what realizes the audited skip), the scan must read only the
+      // two referenced columns, and the rollup is one hash aggregate
+      "q284_clustered_rollup" -> Seq(
+        "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" -> true,
+        "ReadSchema: struct<o_totalprice:double,o_orderdate:date>" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false,
+        "Window" -> false),
       // split parity: the doc-keyed split⋈source join is key-equi; ONE
       // (split, source) aggregate collapses the corpus; marginals and
       // the chi-square algebra broadcast — nothing pairwise, no windows

@@ -224,6 +224,8 @@ object SparkEntry {
       TextAnalysis.sourceAblation(s, dir)),
     "q283_simhash_router" -> ((s, dir) =>
       Dedup.simhashRouterCalibration(s, dir)),
+    "q284_clustered_rollup" -> ((s, dir) =>
+      Layout.clusteredMonthlyRollup(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -526,6 +528,7 @@ object SparkEntry {
     "q281_simhash_calibration" -> Dedup.simhashCalibrationSql,
     "q282_source_ablation" -> TextAnalysis.sourceAblationSql,
     "q283_simhash_router" -> Dedup.simhashRouterCalibrationSql,
+    "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,
     "q140_blocked_linkage" -> Linkage.blockedLinkageSql(),

@@ -259,4 +259,100 @@ object Layout {
       .sortWithinPartitions(col("__zval"))
       .drop("__zmin_x", "__zmax_x", "__zmin_y", "__zmax_y", "__zval")
   }
+
+  // ---------------------------------------------------------------- q284
+
+  /** Deterministic per-source location of the date-clustered orders
+    * layout (the [[graft.operators.PartitionedEvents]] keying scheme). */
+  private def clusteredOrdersPath(dir: String): java.io.File =
+    // v2: the clustered column became DATE (NTZ stats don't prune) — the
+    // version suffix keys the layout so a v1 _SUCCESS dir is never reused
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orders-by-date-v2-${Integer.toHexString(dir.hashCode)}")
+
+  private val clusterLock = new Object
+
+  /** Number of range buckets in the clustered layout — at sf0.1's ~80
+    * months of orders this is ~3.3 months of data per file/row-group, so
+    * zone stats stay selective; at 100 TB the same ratio holds because
+    * the bucket count scales with the write parallelism, not this
+    * constant. */
+  private val ClusterBuckets = 24
+
+  /** Write-once date-clustered copy of `orders` (round-10 verdict item 3 —
+    * ACT on the q278 audit): `repartitionByRange` + `sortWithinPartitions`
+    * on `o_orderdate`, so every output file covers one contiguous date
+    * slice and its parquet row-group min/max stats are tight on exactly
+    * the column q278 measured as layout-correlated. The `_SUCCESS` marker
+    * gates a complete write (q130/q249's staging discipline); the fixture
+    * tables are immutable per SF, so the layout is reused across
+    * sessions. */
+  def clusteredOrdersDir(spark: SparkSession, dir: String): String =
+    clusterLock.synchronized {
+      val path = clusteredOrdersPath(dir)
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        // the clustered column is stored as DATE, not TIMESTAMP_NTZ:
+        // measured on Spark 4.1's vectorized reader, NTZ min/max stats do
+        // NOT drive row-group skipping (the pushed filter shows in the
+        // plan but every group is decoded), while DATE stats prune as
+        // documented — and a day-grained order date is a DATE anyway
+        Tables.orders(spark, dir)
+          .withColumn("o_orderdate", to_date(col("o_orderdate")))
+          .repartitionByRange(ClusterBuckets, col("o_orderdate"))
+          .sortWithinPartitions(col("o_orderdate"))
+          .write.mode("overwrite").parquet(path.toString)
+      }
+      path.toString
+    }
+
+  /** The q278 date predicate, verbatim — the one the audit said skips
+    * ~62% of rows once the layout correlates with it. */
+  private[graft] val ClusterCutoff = "1999-01-01"
+
+  /** q284 — REALIZED zone-map skipping (the audit→action loop closed):
+    * q278 MEASURED that the `o_orderdate >= 1999-01-01` predicate could
+    * skip ~62% of `orders` under a date-correlated layout; this lane
+    * WRITES that layout once and runs the predicate's monthly revenue
+    * rollup against it. The filter lands on the raw NTZ column, so it
+    * reaches the parquet scan as a pushed filter and the reader drops
+    * whole row groups by their min/max stats — rows in pre-cutoff slices
+    * are never decoded, not "read and discarded". The oracle runs the
+    * identical rollup on the ORIGINAL unclustered table: hash-equal rows
+    * prove the rewrite lost nothing, while the spec pins the REALIZED
+    * skip from the executed scan's own `numOutputRows` metric (q130's
+    * partition-pruning pin, one level deeper in the stack) and PlanAudit
+    * pins the pushed filter.
+    *
+    * Scale shape: the rewrite is one range-shuffle write (the price any
+    * `OPTIMIZE ... ZORDER/CLUSTER BY` pays, amortized over every later
+    * scan); the rollup is scan → month-keyed aggregate, with the scan
+    * touching only ~38% of the data. Cents ride DECIMAL(38,0) — exact at
+    * any scale. */
+  def clusteredMonthlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, TimestampType}
+    spark.read.parquet(clusteredOrdersDir(spark, dir))
+      .filter(col("o_orderdate") >=
+        lit(java.sql.Date.valueOf(ClusterCutoff)))
+      .groupBy(date_trunc("month", col("o_orderdate").cast(TimestampType))
+        .as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        // the SUM rides DECIMAL(38,0) (overflow-safe under ANSI at any
+        // scale); the monthly result is well inside int64, and the
+        // driver's hash lane is only stable on BIGINT outputs
+        sum(graft.operators.Rfm.cents(col("o_totalprice"))
+          .cast(DecimalType(38, 0))).cast(org.apache.spark.sql.types.LongType)
+          .as("total_cents"))
+  }
+
+  /** [[clusteredMonthlyRollup]]'s oracle — the SAME rollup on the
+    * original, unclustered `orders`: the clustered layout must be
+    * row-for-row lossless. */
+  val clusteredMonthlyRollupSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |            AS BIGINT) AS total_cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
 }

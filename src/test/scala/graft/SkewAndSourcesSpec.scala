@@ -50,6 +50,52 @@ class SkewAndSourcesSpec extends AnyFunSuite {
       .contains("PartitionFilters: [isnotnull(event_date"))
   }
 
+  test("q284 clustered rollup: the date-clustered layout REALIZES the " +
+    "skip q278 audited — the scan decodes a minority of the rows while " +
+    "the result equals the unclustered rollup exactly") {
+    import graft.operators.Layout
+    import graft.Tables
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val rollup = Layout.clusteredMonthlyRollup(spark, dir)
+    val got = rollup.collect()
+      .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    // correctness: row-for-row equal to the same rollup on the ORIGINAL
+    // unclustered table (the oracle's side, computed here in-plan)
+    val expected = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.parse(
+        s"${Layout.ClusterCutoff}T00:00:00")))
+      .groupBy(date_trunc("month", col("o_orderdate")
+        .cast(org.apache.spark.sql.types.TimestampType)).as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100)
+          .cast(org.apache.spark.sql.types.LongType)).as("c"))
+      .collect().map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == expected)
+    // the REALIZED skip, from the executed scan's own metric: rows the
+    // reader actually decoded (row groups surviving the pushed min/max
+    // filter). The matching fraction is ~38%, so with tight date-sliced
+    // stats the decoded share must stay well under half the table —
+    // q130's partition-pruning pin, one level deeper in the stack.
+    val scan = scans(rollup.queryExecution.executedPlan)
+    assert(scan.nonEmpty, "expected a FileSourceScanExec in the plan")
+    val decoded = scan.head.metrics("numOutputRows").value
+    val total = Tables.orders(spark, dir).count()
+    assert(decoded < total * 6 / 10,
+      s"clustered scan decoded $decoded of $total rows — zone stats " +
+        "did not skip; is the layout still date-sorted?")
+    val matching = expected.values.map(_._1).sum
+    assert(decoded >= matching, "scan cannot decode fewer rows than match")
+  }
+
   test("salted aggregate equals plain aggregate") {
     val li = Tables.lineitem(spark, dir)
     val plain = li.groupBy(col("l_returnflag").as("key"))

@@ -370,6 +370,12 @@ object PlanAudit {
       // nothing data-sized ever cartesians or sort-merges
       "q242_pq_adc" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false),
+      // PQ recall: both retrieval arms keep their own shapes; the
+      // intersection is a key-equi left-semi + one aggregate — no
+      // cartesian, no sort-merge, nothing data-sized windows beyond the
+      // arms' own bounded top-k ranks
+      "q285_pq_recall" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false),
       // DSIR select: the 256-bucket histograms and ratio table BROADCAST
       // into the bigram stream; per-doc scoring is one hash aggregate;
       // nothing data-sized sorts, windows, or cartesians

@@ -226,6 +226,8 @@ object SparkEntry {
       Dedup.simhashRouterCalibration(s, dir)),
     "q284_clustered_rollup" -> ((s, dir) =>
       Layout.clusteredMonthlyRollup(s, dir)),
+    "q285_pq_recall" -> ((s, dir) =>
+      SimilaritySearch.pqRecallAudit(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -486,7 +488,8 @@ object SparkEntry {
     "q121_salted_agg" -> Skew.saltedUserAggSql,
     "q98_profile" -> Profiling.profileLineitemSql,
     "q241_data_card" -> Profiling.dataCardSql,
-    "q242_pq_adc" -> SimilaritySearch.pqAdcTopKSql(),
+    // q242/q285 oracles embed the trained PQ codebook — they come from
+    // SimilaritySearch.oracleEntries after the fit has captured it
     "q243_dsir_select" -> Sampling.dsirSelectSql(),
     "q244_postings_index" -> Retrieval.postingsIndexSql(),
     "q245_grouped_ols" -> Relational.groupedOlsSql,

@@ -2048,21 +2048,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("q242 pq adc: codes are true per-subspace argmins, ADC matches a " +
-    "driver-side replay, and retrieval beats chance") {
+  test("q242 pq adc: trained codebook lives on the int8 lattice, codes " +
+    "are true per-subspace argmins, ADC matches a driver-side replay, " +
+    "retrieval beats chance, and training beats the old sampled anchors") {
     val codes = SimilaritySearch.int8CodedArray(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    // the md5-ordered 16-anchor codebook, rebuilt independently
-    def md5hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
-    val anchors = codes.keys.toSeq.sortBy(id => (md5hex(id), id)).take(16)
-      .map(codes)
+    val cb = SimilaritySearch.pqCodebook(spark, dir)
+    assert(cb.length == 8 && cb.forall(_.length == 16))
+    cb.foreach(_.foreach(cw => {
+      assert(cw.length == 8)
+      cw.foreach(x => assert(x >= -128L && x <= 127L,
+        s"codeword value $x off the int8 lattice"))
+    }))
     def sub(v: Array[Long], s: Int) = v.slice(s * 8, s * 8 + 8)
     def d2(a: Array[Long], b: Array[Long]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     def encode(v: Array[Long]): Array[Int] = (0 until 8).map { s =>
-      anchors.indices.minBy(c => (d2(sub(v, s), sub(anchors(c), s)), c))
+      cb(s).indices.minBy(c => (d2(sub(v, s), cb(s)(c)), c))
     }.toArray
     val got = SimilaritySearch.pqAdcTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -2070,20 +2072,16 @@ class OperatorSpec extends AnyFunSuite {
     got.foreach { case (q, n, adc, _) =>
       assert(q != n) // self excluded
       val expected = (0 until 8).map { s =>
-        d2(sub(codes(q), s), sub(anchors(encode(codes(n))(s)), s))
+        d2(sub(codes(q), s), cb(s)(encode(codes(n))(s)))
       }.sum
       assert(adc == expected, s"($q,$n) adc")
     }
-    // ranks are contiguous and ADC-ordered per query
+    // ranks are contiguous and ADC-ordered per query; retrieval beats
+    // chance (true int8-L2 of the returned set below the corpus mean)
     got.groupBy(_._1).foreach { case (q, rows) =>
       val byRank = rows.sortBy(_._4)
       assert(byRank.map(_._4).toSeq == (1L to 10L))
       assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.toSeq)
-      // A 16-codeword sampled codebook is deliberately coarse, so exact
-      // top-10 recall is data-dependent and NOT asserted; what must hold
-      // is that ADC retrieval beats chance — the true int8-L2 distance of
-      // the returned set averages strictly below the corpus-wide average
-      // distance from this query
       val others = codes.keys.filter(_ != q).toSeq
       val corpusMean =
         others.map(n => d2(codes(q), codes(n)).toDouble).sum / others.size
@@ -2091,6 +2089,40 @@ class OperatorSpec extends AnyFunSuite {
         rows.map(r => d2(codes(q), codes(r._2)).toDouble).sum / rows.length
       assert(retrievedMean < corpusMean,
         s"query $q: retrieved mean $retrievedMean !< corpus mean $corpusMean")
+    }
+    // the point of TRAINING: corpus-wide encode distortion (sum over
+    // subspaces of the argmin squared distance) must not exceed the old
+    // md5-sampled 16-anchor codebook's
+    def md5hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val sampled = codes.keys.toSeq.sortBy(id => (md5hex(id), id)).take(16)
+      .map(codes)
+    def distortion(book: Int => Seq[Array[Long]])(v: Array[Long]): Long =
+      (0 until 8).map { s =>
+        book(s).map(cw => d2(sub(v, s), cw)).min
+      }.sum
+    val trained = codes.values.map(distortion(s => cb(s).toSeq)).sum
+    val old = codes.values.map(
+      distortion(s => sampled.map(a => sub(a, s)))).sum
+    assert(trained <= old,
+      s"trained codebook distortion $trained > sampled $old")
+  }
+
+  test("q285 pq recall: exact intersection replay of the q50 and q242 " +
+    "retrievals; every query reported even at zero recall") {
+    val bf = SimilaritySearch.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pq = SimilaritySearch.pqAdcTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = bf.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.count(pq.contains).toLong
+    }
+    val got = SimilaritySearch.pqRecallAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (q, n) =>
+      assert(got(q) == ((n, n * 1000000L / 10)), s"query $q")
     }
   }
 

@@ -113,6 +113,8 @@ object SparkEntry {
       streaming.EventStreams.intervalJoinQuery(s, dir)),
     "q137_stream_outer_join" -> ((s, dir) =>
       streaming.EventStreams.intervalJoinLeftOuterQuery(s, dir)),
+    "q286_stream_full_outer_join" -> ((s, dir) =>
+      streaming.EventStreams.intervalJoinFullOuterQuery(s, dir)),
     "q89_stream_enrich" -> ((s, dir) =>
       streaming.EventStreams.enrichStreamQuery(s, dir)),
     "q100_stream_anomalies" -> ((s, dir) =>
@@ -451,6 +453,8 @@ object SparkEntry {
     "q64_stream_hourly" -> Events.hourlyAggSql,
     "q83_stream_interval_join" -> streaming.EventStreams.intervalJoinSql,
     "q137_stream_outer_join" -> streaming.EventStreams.intervalJoinLeftOuterSql,
+    "q286_stream_full_outer_join" ->
+      streaming.EventStreams.intervalJoinFullOuterSql,
     "q89_stream_enrich" -> streaming.EventStreams.enrichStreamSql,
     "q61_events_sessionize" -> Events.sessionizeSql,
     "q62_events_running" -> Events.runningAggSql,

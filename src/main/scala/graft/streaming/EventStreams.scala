@@ -485,6 +485,75 @@ object EventStreams {
       |          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE)
       |  AND c.ts + INTERVAL 60 MINUTE < (SELECT w FROM wm)""".stripMargin
 
+  /** q286 — stream-stream FULL OUTER interval join, completing the q83
+    * (inner) / q137 (left-outer) family with the last join mode a
+    * streaming user reaches for — and the only one that exercises
+    * BOTH-side state eviction. Matched pairs emit on match; an unmatched
+    * CLICK null-pads once `wm > c_ts + 60min` (its whole match window is
+    * past — q137's frontier); an unmatched ERROR null-pads once
+    * `wm > e_ts` (the join requires `c_ts ≤ e_ts`, so once the watermark
+    * passes the error's own timestamp no in-horizon click can still
+    * match it — the RIGHT side's eviction condition, strictly tighter
+    * than the left's because the interval is one-sided). Rows above
+    * their frontier stay in state and are withheld, exactly as an
+    * unbounded run would.
+    *
+    * The oracle recomputes BOTH frontiers from the data
+    * (`wm = min(max c_ts, max e_ts) − 1h` at end-of-input): inner rows ∪
+    * below-frontier unmatched clicks ∪ below-frontier unmatched errors.
+    * Both engines see the same single-batch input, so the emitted set is
+    * deterministic; the null-padded flushes ride the no-data
+    * watermark-advance micro-batch [[runToBatch]] awaits.
+    *
+    * Scale shape: identical to q83 — state bounded by the 1h horizon per
+    * side, partitioned by user hash; full-outer adds only the eviction
+    * emission, not state growth. */
+  def intervalJoinFullOuterQuery(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark,
+      intervalJoinStream(spark, dir, joinType = "full_outer")
+        .select(coalesce(col("c_user"), col("e_user")).as("user_id"),
+          col("c_id").as("click_id"), col("e_id").as("error_id"),
+          (unix_millis(col("e_ts")) - unix_millis(col("c_ts"))).as("delay_ms")),
+      s"interval_join_fo_${sanitize(dir)}",
+      shufflePartitions = Some(4), awaitStateFlush = true)
+
+  val intervalJoinFullOuterSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'
+      |), e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'error'
+      |), wm AS (
+      |  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM e))
+      |           - INTERVAL 1 HOUR AS w
+      |)
+      |SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+      |       epoch_ms(e.ts) - epoch_ms(c.ts) AS delay_ms
+      |FROM c JOIN e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE
+      |UNION ALL
+      |SELECT c.user_id, c.event_id AS click_id,
+      |       CAST(NULL AS BIGINT) AS error_id,
+      |       CAST(NULL AS BIGINT) AS delay_ms
+      |FROM c
+      |WHERE NOT EXISTS (
+      |        SELECT 1 FROM e
+      |        WHERE e.user_id = c.user_id
+      |          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE)
+      |  AND c.ts + INTERVAL 60 MINUTE < (SELECT w FROM wm)
+      |UNION ALL
+      |SELECT e.user_id, CAST(NULL AS BIGINT) AS click_id,
+      |       e.event_id AS error_id,
+      |       CAST(NULL AS BIGINT) AS delay_ms
+      |FROM e
+      |WHERE NOT EXISTS (
+      |        SELECT 1 FROM c
+      |        WHERE c.user_id = e.user_id
+      |          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE)
+      |  AND e.ts < (SELECT w FROM wm)""".stripMargin
+
   /** q146 — NATIVE streaming session windows (`session_window`): the
     * merging-window state operator, complementing the two hand-rolled
     * sessionizers ([[sessionCounts]] keeps running per-user counts,

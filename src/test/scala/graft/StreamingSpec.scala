@@ -485,6 +485,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(withheld > 0, "fixture has no in-state tail — frontier untested")
   }
 
+  test("q286: full-outer interval join = inner rows + both padded sets " +
+    "exactly at their own eviction frontiers, tails withheld on both sides") {
+    import org.apache.spark.sql.types.TimestampType
+    val fullQ = EventStreams.intervalJoinFullOuterQuery(spark, dir)
+    val inner = EventStreams.intervalJoinQuery(spark, dir)
+    // the matched part is EXACTLY the inner join
+    val matched = fullQ.filter(col("click_id").isNotNull &&
+      col("error_id").isNotNull)
+    assert(matched.exceptAll(inner).isEmpty && inner.exceptAll(matched).isEmpty)
+    // padding is all-or-nothing per side, and delay is null iff padded
+    assert(fullQ.filter(col("click_id").isNull && col("error_id").isNull)
+      .count() == 0)
+    assert(fullQ.filter((col("click_id").isNull || col("error_id").isNull) =!=
+      col("delay_ms").isNull).count() == 0)
+    def side(tpe: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast(TimestampType).as("ts"))
+    val clicks = side("click"); val errors = side("error")
+    val wmMs = math.min(
+      clicks.agg(max(unix_millis(col("ts")))).head().getLong(0),
+      errors.agg(max(unix_millis(col("ts")))).head().getLong(0)) - 3600000L
+    // LEFT frontier: an unmatched click pads once wm > c_ts + 60min
+    val unmatchedC = clicks.join(
+      errors.toDF("e_user", "e_id", "e_ts"),
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("ts") &&
+        col("e_ts") <= col("ts") + expr("interval 60 minutes"), "left_anti")
+    val expectedLeft = unmatchedC
+      .filter(unix_millis(col("ts")) + 3600000L < wmMs)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val gotLeft = fullQ.filter(col("error_id").isNull)
+      .select(col("click_id")).collect().map(_.getLong(0)).toSet
+    assert(gotLeft == expectedLeft)
+    // RIGHT frontier: the join needs c_ts <= e_ts, so an unmatched error
+    // pads once wm > e_ts — strictly tighter than the left's
+    val unmatchedE = errors.join(
+      clicks.toDF("c_user", "c_id", "c_ts"),
+      col("user_id") === col("c_user") &&
+        col("ts") >= col("c_ts") &&
+        col("ts") <= col("c_ts") + expr("interval 60 minutes"), "left_anti")
+    val expectedRight = unmatchedE
+      .filter(unix_millis(col("ts")) < wmMs)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val gotRight = fullQ.filter(col("click_id").isNull)
+      .select(col("error_id")).collect().map(_.getLong(0)).toSet
+    assert(gotRight == expectedRight)
+    // both frontiers are REAL: each side has an in-state withheld tail
+    assert(unmatchedC.filter(unix_millis(col("ts")) + 3600000L >= wmMs)
+      .count() > 0, "no withheld click tail — left frontier untested")
+    assert(unmatchedE.filter(unix_millis(col("ts")) >= wmMs)
+      .count() > 0, "no withheld error tail — right frontier untested")
+  }
+
   test("q152 stateful plan shape: one windowed-aggregate state operator " +
     "on the pinned partition count") {
     // the memory-sink result's executedPlan is just a sink scan — the

@@ -108,7 +108,12 @@ object ScaleSoak {
     // CC-backed entity merge (value domain fixed — expect ~0), the
     // split-parity doc join, the simhash pair calibration
     "q274_bh_fdr", "q275_packed_manifest", "q277_cms_error_audit",
-    "q273_entity_merge", "q280_split_parity", "q281_simhash_calibration")
+    "q273_entity_merge", "q280_split_parity", "q281_simhash_calibration",
+    // round-11 additions (not yet in the canonical bench map the sweep
+    // mode reads): the 8-band pair calibration, the clustered-layout
+    // write+rollup, the PQ fit+recall pair, the full-outer join state
+    "q283_simhash_router", "q284_clustered_rollup", "q285_pq_recall",
+    "q286_stream_full_outer_join")
 
   /** Times one query with shuffle parallelism scaled to the data factor —
     * the weak-scaling protocol: per-task shuffle volume stays constant
@@ -175,11 +180,14 @@ object ScaleSoak {
           java.nio.file.Paths.get("BENCH_LATEST.json"))
         val qstr = canon.split("\"queries\":\\{", 2)
         require(qstr.length == 2, "BENCH_LATEST.json has no queries map")
-        """"(q[A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
+        val fromMap = """"(q[A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
           .findAllMatchIn(qstr(1).takeWhile(_ != '}'))
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter(_._2 >= thr.toDouble)
-          .map(_._1).toSeq.sorted
+          .map(_._1).toSeq
+        // lanes newer than the committed map (this round's additions)
+        // ride along via the hand-maintained list
+        (fromMap ++ heavies.filterNot(fromMap.contains)).distinct.sorted
       case None => heavies
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -778,7 +778,12 @@ object PlanAudit {
         offsetPrefixRegexChecks.getOrElse(name, Nil)
       // normalize expr IDs (#123) out of the match before distinct: the
       // same logical whitelisted window materialized twice in one plan
-      // (reused subtree, different #ids) must count as ONE hit, not two
+      // (reused subtree, different #ids) must count as ONE hit, not two.
+      // Accepted trade (round 11): a genuine duplicate-execution
+      // regression of an ALREADY-WHITELISTED window (two identical Window
+      // execs) also collapses to one — that class is caught by the
+      // per-lane "Window" -> false pins on non-whitelisted lanes and by
+      // the bench, while this sweep's job is the q268 dimension-key CLASS
       val dimMatches = dimWindowRe.findAllIn(plan).toList
         .map(_.replaceAll("#\\d+", "")).distinct
       val dimAllowed = dimWindowWhitelist.get(name).map(_._1).getOrElse(0)

@@ -163,6 +163,12 @@ object ScaleSoak {
         .filter(_.getName.startsWith("_SOAK_FACTOR_")).foreach(_.delete())
       System.err.println(s"[soak] building ${factor}x dataset at $outDir ...")
       buildScaled(spark, srcDir, outDir, factor)
+      // derived write-once layouts are keyed by the SOURCE DIR STRING, so
+      // a rebuild at a new factor must invalidate them or q130/q284-class
+      // lanes silently scan the previous factor's layout (the same
+      // A-then-B staleness the _SOAK_FACTOR_ markers prevent above)
+      graft.operators.Layout.invalidateClusteredOrders(outDir)
+      graft.operators.PartitionedEvents.invalidateLayout(outDir)
       marker.createNewFile()
     }
 
@@ -180,14 +186,16 @@ object ScaleSoak {
           java.nio.file.Paths.get("BENCH_LATEST.json"))
         val qstr = canon.split("\"queries\":\\{", 2)
         require(qstr.length == 2, "BENCH_LATEST.json has no queries map")
-        val fromMap = """"(q[A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
+        val allKnown = """"(q[A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
           .findAllMatchIn(qstr(1).takeWhile(_ != '}'))
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 >= thr.toDouble)
-          .map(_._1).toSeq
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        val fromMap = allKnown.filter(_._2 >= thr.toDouble).map(_._1)
         // lanes newer than the committed map (this round's additions)
-        // ride along via the hand-maintained list
-        (fromMap ++ heavies.filterNot(fromMap.contains)).distinct.sorted
+        // ride along via the hand-maintained list; heavies the map DOES
+        // know stay subject to the threshold so the sweep's scope is
+        // reproducible from map + threshold alone
+        val known = allKnown.map(_._1).toSet
+        (fromMap ++ heavies.filterNot(known.contains)).distinct.sorted
       case None => heavies
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -212,9 +220,14 @@ object ScaleSoak {
 
     val rows = run.map { name =>
       resetCaches()
+      sys.props("graft.stream.part.scale") = "1"
       val f1 = timeOne(spark, name, srcDir, cpus.toInt)
       val s1 = timeOne(spark, name, srcDir, cpus.toInt)
       resetCaches()
+      // streaming lanes pin their own state-partition counts through
+      // runToBatch — scale them with the data like the batch shuffle
+      // partitions (weak scaling), not frozen at the 1× harness value
+      sys.props("graft.stream.part.scale") = factor.toString
       val f10 = timeOne(spark, name, outDir, cpus.toInt * factor)
       val s10 = timeOne(spark, name, outDir, cpus.toInt * factor)
       val exp = math.log(s10 / s1) / math.log(factor.toDouble)

@@ -577,7 +577,28 @@ object Dedup {
     * join (cost ∝ colliding pairs, never all-pairs); signatures join by
     * doc_id key-equi from the session-cached q33 table; the decile
     * aggregate is ≤10 rows. */
-  def simhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+  def simhashCalibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationPairs(spark, dir)
+      .withColumn("collide", bandCollide(16))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("hamming")).as("sum_h"),
+        max(col("hamming")).as("max_hamming"),
+        sum(when(col("collide"), 1L).otherwise(0L)).as("n_band_collide"),
+        sum(when(col("collide") && col("hamming") <= 3, 1L).otherwise(0L))
+          .as("n_detected"))
+      .select(col("bucket"), col("n_pairs"),
+        expr("sum_h * 1000 div n_pairs").as("mean_hamming_e3"),
+        col("max_hamming"), col("n_band_collide"), col("n_detected"),
+        expr("n_detected * 1000000 div n_pairs").as("detect_ppm"))
+
+  /** Shared pair + signature + decile frame for the q281/q283 calibration
+    * lanes: the q31 shingle-keyed inverted-index pair set (cost ∝
+    * colliding pairs, never all-pairs) joined key-equi to the session-
+    * cached q33 signature table, with the exact-Jaccard decile `bucket`
+    * and `hamming`. ONE definition so both lanes provably audit the same
+    * pair universe. */
+  private def calibrationPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "shingle")
@@ -590,78 +611,88 @@ object Dedup {
       .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
     val sig = graft.CacheRegistry.cached(spark, s"simhash-md5:$dir")(
       simhash(spark, dir))
-    val collide = (0 until 4).map(band =>
-      shiftright(col("sig_a"), band * 16).bitwiseAND(lit(0xFFFFL)) ===
-        shiftright(col("sig_b"), band * 16).bitwiseAND(lit(0xFFFFL)))
-      .reduce(_ || _)
     pairs
       .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
       .join(sig.toDF("doc_b", "sig_b"), Seq("doc_b"))
       .withColumn("bucket", least(expr("(c * 10) div (na + nb - c)"), lit(9L)))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
-      .withColumn("collide", collide)
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("hamming")).as("sum_h"),
-        max(col("hamming")).as("max_hamming"),
-        sum(when(col("collide"), 1L).otherwise(0L)).as("n_band_collide"),
-        sum(when(col("collide") && col("hamming") <= 3, 1L).otherwise(0L))
-          .as("n_detected"))
-      .select(col("bucket"), col("n_pairs"),
-        expr("sum_h * 1000 div n_pairs").as("mean_hamming_e3"),
-        col("max_hamming"), col("n_band_collide"), col("n_detected"),
-        expr("n_detected * 1000000 div n_pairs").as("detect_ppm"))
+  }
+
+  /** ≥1-of-(64/width) equal-band predicate over sig_a/sig_b. */
+  private def bandCollide(width: Int): Column = {
+    val mask = (1L << width) - 1
+    (0 until 64 / width).map(band =>
+      shiftright(col("sig_a"), band * width).bitwiseAND(lit(mask)) ===
+        shiftright(col("sig_b"), band * width).bitwiseAND(lit(mask)))
+      .reduce(_ || _)
+  }
+
+  /** Shared oracle CTE chain for the q281/q283 calibration lanes — the
+    * SQL twin of [[calibrationPairs]], defined ONCE so both oracles
+    * provably audit the same pair universe: q31's shingle pair chain,
+    * q33's signature votes, and the decile/hamming integers. `pair_base`
+    * exposes raw `sig_a`/`sig_b` so each lane derives its own band cuts. */
+  private val calibrationPairCtes: String =
+    """ws AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2] || ' ' ||
+      |         string_split(text, ' ')[i+3])) AS sh
+      |  FROM documents
+      |), shingled AS (
+      |  SELECT doc_id, unnest(sh) AS shingle FROM ws
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM shingled a JOIN shingled b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), hs AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM toks
+      |), votes AS (
+      |  SELECT doc_id, b.b AS b,
+      |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hs, (SELECT unnest(range(60)) AS b) b
+      |  GROUP BY doc_id, b.b
+      |), sigs AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+      |              AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |), pair_base AS (
+      |  SELECT least((p.c * 10) // (sa.n + sb.n - p.c), 9) AS bucket,
+      |         CAST(bit_count(xor(ga.simhash, gb.simhash)) AS BIGINT)
+      |           AS hamming,
+      |         ga.simhash AS sig_a, gb.simhash AS sig_b
+      |  FROM common p
+      |  JOIN sizes sa ON p.doc_a = sa.doc_id
+      |  JOIN sizes sb ON p.doc_b = sb.doc_id
+      |  JOIN sigs ga ON p.doc_a = ga.doc_id
+      |  JOIN sigs gb ON p.doc_b = gb.doc_id
+      |)""".stripMargin
+
+  /** ≥1-of-(64/width) equal-band predicate over pair_base's sig columns
+    * — the SQL twin of [[bandCollide]]. */
+  private def bandCollideSql(width: Int): String = {
+    val mask = (1L << width) - 1
+    (0 until 64 / width).map(k =>
+      s"(sig_a >> ${k * width}) & $mask = (sig_b >> ${k * width}) & $mask")
+      .mkString("(", " OR\n          ", ")")
   }
 
   /** [[simhashCalibration]]'s oracle: q31's shingle pair chain + q33's
     * signature votes + the identical band/hamming/decile integers. */
   val simhashCalibrationSql: String =
-    s"""WITH ws AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(len(string_split(text, ' ')) - 2),
-       |    i -> string_split(text, ' ')[i+1] || ' ' ||
-       |         string_split(text, ' ')[i+2] || ' ' ||
-       |         string_split(text, ' ')[i+3])) AS sh
-       |  FROM documents
-       |), shingled AS (
-       |  SELECT doc_id, unnest(sh) AS shingle FROM ws
-       |), sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
-       |), common AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-       |  FROM shingled a JOIN shingled b
-       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |), toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-       |), hs AS (
-       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-       |  FROM toks
-       |), votes AS (
-       |  SELECT doc_id, b.b AS b,
-       |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |  FROM hs, (SELECT unnest(range(60)) AS b) b
-       |  GROUP BY doc_id, b.b
-       |), sigs AS (
-       |  SELECT doc_id,
-       |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
-       |              AS BIGINT) AS simhash
-       |  FROM votes GROUP BY doc_id
-       |), per_pair AS (
-       |  SELECT least((p.c * 10) // (sa.n + sb.n - p.c), 9) AS bucket,
-       |         CAST(bit_count(xor(ga.simhash, gb.simhash)) AS BIGINT)
-       |           AS hamming,
-       |         ((ga.simhash >> 0) & 65535 = (gb.simhash >> 0) & 65535 OR
-       |          (ga.simhash >> 16) & 65535 = (gb.simhash >> 16) & 65535 OR
-       |          (ga.simhash >> 32) & 65535 = (gb.simhash >> 32) & 65535 OR
-       |          (ga.simhash >> 48) & 65535 = (gb.simhash >> 48) & 65535)
-       |           AS collide
-       |  FROM common p
-       |  JOIN sizes sa ON p.doc_a = sa.doc_id
-       |  JOIN sizes sb ON p.doc_b = sb.doc_id
-       |  JOIN sigs ga ON p.doc_a = ga.doc_id
-       |  JOIN sigs gb ON p.doc_b = gb.doc_id
+    s"""WITH $calibrationPairCtes, per_pair AS (
+       |  SELECT bucket, hamming,
+       |         ${bandCollideSql(16)} AS collide
+       |  FROM pair_base
        |)
        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
        |       CAST(sum(hamming) * 1000 // count(*) AS BIGINT)
@@ -702,36 +733,11 @@ object Dedup {
     * production scale groups on (band, key) exactly like q33's 4-band
     * variant — twice the candidate-row fan-out, bought deliberately for
     * the measured recall. */
-  def simhashRouterCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    val pairs = a.hint("shuffle_hash").join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
-    val sig = graft.CacheRegistry.cached(spark, s"simhash-md5:$dir")(
-      simhash(spark, dir))
-    val collide4 = (0 until 4).map(band =>
-      shiftright(col("sig_a"), band * 16).bitwiseAND(lit(0xFFFFL)) ===
-        shiftright(col("sig_b"), band * 16).bitwiseAND(lit(0xFFFFL)))
-      .reduce(_ || _)
-    val collide8 = (0 until 8).map(band =>
-      shiftright(col("sig_a"), band * 8).bitwiseAND(lit(0xFFL)) ===
-        shiftright(col("sig_b"), band * 8).bitwiseAND(lit(0xFFL)))
-      .reduce(_ || _)
-    pairs
-      .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
-      .join(sig.toDF("doc_b", "sig_b"), Seq("doc_b"))
-      .withColumn("bucket", least(expr("(c * 10) div (na + nb - c)"), lit(9L)))
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
-      .withColumn("old_hit", collide4 && col("hamming") <= 3)
-      .withColumn("new_hit", collide8 && col("hamming") <= 7)
-      .withColumn("viol", col("hamming") <= 7 && !collide8)
+  def simhashRouterCalibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationPairs(spark, dir)
+      .withColumn("old_hit", bandCollide(16) && col("hamming") <= 3)
+      .withColumn("new_hit", bandCollide(8) && col("hamming") <= 7)
+      .withColumn("viol", col("hamming") <= 7 && !bandCollide(8))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("old_hit"), 1L).otherwise(0L)).as("n_detected_old"),
@@ -743,55 +749,15 @@ object Dedup {
         col("n_detected_new"),
         expr("n_detected_new * 1000000 div n_pairs").as("new_ppm"),
         col("n_pigeonhole_viol"))
-  }
 
   /** [[simhashRouterCalibration]]'s oracle: q281's pair/signature chain
     * with both cuts' band/hamming integers recomputed independently. */
   val simhashRouterCalibrationSql: String =
-    s"""WITH ws AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(len(string_split(text, ' ')) - 2),
-       |    i -> string_split(text, ' ')[i+1] || ' ' ||
-       |         string_split(text, ' ')[i+2] || ' ' ||
-       |         string_split(text, ' ')[i+3])) AS sh
-       |  FROM documents
-       |), shingled AS (
-       |  SELECT doc_id, unnest(sh) AS shingle FROM ws
-       |), sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
-       |), common AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-       |  FROM shingled a JOIN shingled b
-       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |), toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-       |), hs AS (
-       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-       |  FROM toks
-       |), votes AS (
-       |  SELECT doc_id, b.b AS b,
-       |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |  FROM hs, (SELECT unnest(range(60)) AS b) b
-       |  GROUP BY doc_id, b.b
-       |), sigs AS (
-       |  SELECT doc_id,
-       |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
-       |              AS BIGINT) AS simhash
-       |  FROM votes GROUP BY doc_id
-       |), per_pair AS (
-       |  SELECT least((p.c * 10) // (sa.n + sb.n - p.c), 9) AS bucket,
-       |         CAST(bit_count(xor(ga.simhash, gb.simhash)) AS BIGINT)
-       |           AS hamming,
-       |         (${(0 until 4).map(k => s"(ga.simhash >> ${k * 16}) & 65535 = (gb.simhash >> ${k * 16}) & 65535").mkString(" OR\n       |          ")})
-       |           AS collide4,
-       |         (${(0 until 8).map(k => s"(ga.simhash >> ${k * 8}) & 255 = (gb.simhash >> ${k * 8}) & 255").mkString(" OR\n       |          ")})
-       |           AS collide8
-       |  FROM common p
-       |  JOIN sizes sa ON p.doc_a = sa.doc_id
-       |  JOIN sizes sb ON p.doc_b = sb.doc_id
-       |  JOIN sigs ga ON p.doc_a = ga.doc_id
-       |  JOIN sigs gb ON p.doc_b = gb.doc_id
+    s"""WITH $calibrationPairCtes, per_pair AS (
+       |  SELECT bucket, hamming,
+       |         ${bandCollideSql(16)} AS collide4,
+       |         ${bandCollideSql(8)} AS collide8
+       |  FROM pair_base
        |)
        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
        |       CAST(sum(CASE WHEN collide4 AND hamming <= 3

@@ -305,6 +305,19 @@ object Layout {
       path.toString
     }
 
+  /** Drop the clustered layout for `dir` — callers that REBUILD the
+    * source tables under an existing dir string (ScaleSoak's factor
+    * rebuilds) must invalidate or the _SUCCESS gate would serve the
+    * previous build's layout. */
+  private[graft] def invalidateClusteredOrders(dir: String): Unit =
+    clusterLock.synchronized {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      val p = clusteredOrdersPath(dir)
+      if (p.exists()) rm(p)
+    }
+
   /** The q278 date predicate, verbatim — the one the audit said skips
     * ~62% of rows once the layout correlates with it. */
   private[graft] val ClusterCutoff = "1999-01-01"

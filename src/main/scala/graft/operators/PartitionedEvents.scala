@@ -43,6 +43,19 @@ object PartitionedEvents {
       path.toString
     }
 
+  /** Drop the partitioned layout for `dir` — for callers that rebuild the
+    * source tables under an existing dir string (ScaleSoak factor
+    * rebuilds); the `_SUCCESS` gate would otherwise serve the previous
+    * build's layout. */
+  private[graft] def invalidateLayout(dir: String): Unit =
+    writeLock.synchronized {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      val p = layoutPath(dir)
+      if (p.exists()) rm(p)
+    }
+
   /** The partitioned read — `event_date` comes back as a typed DATE
     * partition column, so predicates on it prune directories at planning
     * time. */

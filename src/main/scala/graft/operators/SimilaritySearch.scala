@@ -689,37 +689,53 @@ object SimilaritySearch {
     * oracle-gated: DuckDB re-derives both retrievals end to end (captured
     * coarse centroids for the IVF side) and the same intersection count.
     * Both retrievals share one query set by construction. */
-  def annRecallAudit(spark: SparkSession, dir: String,
-                     k: Int = 10): DataFrame = {
-    val bf = bruteForceTopK(spark, dir, k = k)
-      .select(col("query_id"), col("neighbor_id"))
-    val ivf = ivfTopK(spark, dir, k = k)
-      .select(col("query_id"), col("neighbor_id"))
-    val matched = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+  /** Shared recall scaffolding for the q166/q285 audits: per query, the
+    * overlap of the exact arm's top-k with the approximate arm's, exact
+    * ppm, zero-recall queries included. Both arms are nQueries·k-row
+    * miniatures after their top-k ranks, but post-window stats are
+    * unknown to the optimizer — broadcast explicitly or the intersection
+    * plans as a sort-merge join. */
+  private def recallAuditFrame(bf: DataFrame, approx: DataFrame,
+                               k: Int): DataFrame = {
+    val matched = bf.join(broadcast(approx),
+        Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_found"))
     bf.select(col("query_id")).distinct()
-      .join(matched, Seq("query_id"), "left")
+      .join(broadcast(matched), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_found"), lit(0L)).as("n_found"),
         coalesce(expr(s"n_found * 1000000 DIV $k"), lit(0L))
           .as("recall_ppm"))
   }
 
-  def annRecallAuditSql(centers: Array[Array[Double]], k: Int = 10): String = {
-    val bf = bruteForceTopKSql(k = k).replace("\n", "\n  ")
-    val ivf = ivfTopKSql(centers, k = k).replace("\n", "\n  ")
+  /** SQL twin of [[recallAuditFrame]]. */
+  private def recallAuditSqlFrom(bfSql: String, approxSql: String,
+                                 k: Int): String = {
+    val bf = bfSql.replace("\n", "\n  ")
+    val ap = approxSql.replace("\n", "\n  ")
     s"""WITH bf AS (
        |  $bf
-       |), ivf AS (
-       |  $ivf
+       |), ap AS (
+       |  $ap
        |)
-       |SELECT b.query_id, count(i.neighbor_id) AS n_found,
-       |       CAST(count(i.neighbor_id) * 1000000 // $k AS BIGINT)
+       |SELECT b.query_id, count(a.neighbor_id) AS n_found,
+       |       CAST(count(a.neighbor_id) * 1000000 // $k AS BIGINT)
        |         AS recall_ppm
-       |FROM bf b LEFT JOIN ivf i
-       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |FROM bf b LEFT JOIN ap a
+       |  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
        |GROUP BY b.query_id""".stripMargin
   }
+
+  def annRecallAudit(spark: SparkSession, dir: String,
+                     k: Int = 10): DataFrame =
+    recallAuditFrame(
+      bruteForceTopK(spark, dir, k = k)
+        .select(col("query_id"), col("neighbor_id")),
+      ivfTopK(spark, dir, k = k)
+        .select(col("query_id"), col("neighbor_id")), k)
+
+  def annRecallAuditSql(centers: Array[Array[Double]], k: Int = 10): String =
+    recallAuditSqlFrom(bruteForceTopKSql(k = k), ivfTopKSql(centers, k = k), k)
 
   /** Oracle entries buildable once the IVF index has been fitted this
     * session (always true by oracle-dump time in a full Verify run). */
@@ -1156,40 +1172,15 @@ object SimilaritySearch {
     * itself oracle-gated (DuckDB re-derives both sides end to end from
     * the captured codebook literals). */
   def pqRecallAudit(spark: SparkSession, dir: String,
-                    k: Int = 10): DataFrame = {
-    val bf = bruteForceTopK(spark, dir, k = k)
-      .select(col("query_id"), col("neighbor_id"))
-    val pq = pqAdcTopK(spark, dir, k = k)
-      .select(col("query_id"), col("neighbor_id"))
-    // both arms are nQueries·k-row miniatures after their top-k ranks,
-    // but post-window stats are unknown to the optimizer — broadcast
-    // explicitly or the intersection plans as a sort-merge join
-    val matched = bf.join(broadcast(pq),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_found"))
-    bf.select(col("query_id")).distinct()
-      .join(broadcast(matched), Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("n_found"), lit(0L)).as("n_found"),
-        coalesce(expr(s"n_found * 1000000 DIV $k"), lit(0L))
-          .as("recall_ppm"))
-  }
+                    k: Int = 10): DataFrame =
+    recallAuditFrame(
+      bruteForceTopK(spark, dir, k = k)
+        .select(col("query_id"), col("neighbor_id")),
+      pqAdcTopK(spark, dir, k = k)
+        .select(col("query_id"), col("neighbor_id")), k)
 
-  def pqRecallAuditSql(cb: Array[Array[Array[Long]]], k: Int = 10): String = {
-    val bf = bruteForceTopKSql(k = k).replace("\n", "\n  ")
-    val pq = pqAdcTopKSql(cb, k = k).replace("\n", "\n  ")
-    s"""WITH bf AS (
-       |  $bf
-       |), pq AS (
-       |  $pq
-       |)
-       |SELECT b.query_id, count(p.neighbor_id) AS n_found,
-       |       CAST(count(p.neighbor_id) * 1000000 // $k AS BIGINT)
-       |         AS recall_ppm
-       |FROM bf b LEFT JOIN pq p
-       |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
-       |GROUP BY b.query_id""".stripMargin
-  }
+  def pqRecallAuditSql(cb: Array[Array[Array[Long]]], k: Int = 10): String =
+    recallAuditSqlFrom(bruteForceTopKSql(k = k), pqAdcTopKSql(cb, k = k), k)
 
   /** Oracle for [[pqAdcTopK]]: the q58 lattice CTEs, the TRAINED
     * codebook embedded as (s, cid, asub) literal rows (the q52 captured-

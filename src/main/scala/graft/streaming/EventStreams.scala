@@ -864,7 +864,16 @@ object EventStreams {
     val prior = spark.conf.get(key)
     val priorNoData = spark.conf.getOption(noDataKey)
     val priorProvider = spark.conf.getOption(ProviderKey)
-    shufflePartitions.foreach(p => spark.conf.set(key, p.toString))
+    // weak-scaling hook for the ×N soak: a pinned partition count that is
+    // right for the 1× harness would carry N× the state per task at ×N,
+    // conflating plan scaling with single-task memory effects — ScaleSoak
+    // sets this property to the data factor so streaming state partitions
+    // scale with the data exactly as the batch lanes' shuffle partitions
+    // do (state partitioning is fixed at first checkpoint, and each scale
+    // uses its own checkpoint name via the dir-keyed query name)
+    val partScale = sys.props.get("graft.stream.part.scale")
+      .map(_.toInt).getOrElse(1)
+    shufflePartitions.foreach(p => spark.conf.set(key, (p * partScale).toString))
     // a query that does not wait for a watermark-advance flush gains
     // nothing from the trailing zero-input micro-batch — skip its whole
     // plan/commit cycle. Queries that DO finalize state on watermark

@@ -311,11 +311,25 @@ object EventStreams {
     val src = Paths.get(s"$dir/events.parquet")
     val staged = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_dup_${sanitize(src.toString)}")
-    Files.createDirectories(staged)
-    Files.copy(src, staged.resolve("events_a.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    Files.copy(src, staged.resolve("events_b.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    if (Files.isDirectory(src)) {
+      // directory-layout source (a Spark-written table, e.g. the soak's
+      // synthesized ×N dirs — a raw Files.copy would stage empty dirs):
+      // stage the ×2 redelivery via Spark, overwrite copy A then append
+      // copy B; the marker written LAST gates a complete staging
+      val marker = staged.resolve("_STAGED_X2")
+      if (!Files.exists(marker)) {
+        val ev = spark.read.parquet(src.toString)
+        ev.write.mode("overwrite").parquet(staged.toString)
+        ev.write.mode("append").parquet(staged.toString)
+        Files.createFile(marker)
+      }
+    } else {
+      Files.createDirectories(staged)
+      Files.copy(src, staged.resolve("events_a.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(src, staged.resolve("events_b.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     val doubled = streamEvents(spark, staged.toString)
     val deduped = dedupStream(doubled)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -328,6 +342,19 @@ object EventStreams {
     """SELECT event_id, user_id, event_type,
       |       CAST(round(value * 100) AS BIGINT) AS v_c
       |FROM events""".stripMargin
+
+  /** Drop the ×2-staged redelivery dir for `dir` — for callers that
+    * rebuild the source tables under an existing dir string (ScaleSoak
+    * factor rebuilds); the staging marker would otherwise serve the
+    * previous build's events. */
+  private[graft] def invalidateStagedDup(dir: String): Unit = {
+    val staged = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_dup_${sanitize(s"$dir/events.parquet")}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (java.nio.file.Files.exists(staged)) rm(staged.toFile)
+  }
 
   /** Contract query: the tumbling-window aggregate executed as a REAL
     * Structured Streaming query (micro-batched file source → watermark →

@@ -169,7 +169,7 @@ object ScaleSoak {
       // A-then-B staleness the _SOAK_FACTOR_ markers prevent above)
       graft.operators.Layout.invalidateClusteredOrders(outDir)
       graft.operators.PartitionedEvents.invalidateLayout(outDir)
-      graft.streaming.EventStreams.invalidateStagedDup(outDir)
+      graft.streaming.EventStreams.invalidateStaged(outDir)
       marker.createNewFile()
     }
 

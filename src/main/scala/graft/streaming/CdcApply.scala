@@ -56,13 +56,11 @@ object CdcApply {
     * change count. All-integer output; the oracle is the batch
     * re-derivation (argmax per key over the whole feed). */
   def cdcApplyStreamQuery(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.Paths
     val src = Paths.get(s"$dir/orders.parquet")
     val staged = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_cdc_${EventStreams.sanitize(src.toString)}")
-    Files.createDirectories(staged)
-    Files.copy(src, staged.resolve("orders.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    EventStreams.stageForStream(spark, src, staged)
     applyFeed(spark, staged.toString, EventStreams.sanitize(dir),
       maxFilesPerTrigger = None)
   }

@@ -306,30 +306,50 @@ object EventStreams {
     * and the output must collapse back to exactly the original `events`
     * table, row for row. Money rides the long-cents path; output carries no
     * timestamp so micro-batch boundaries cannot move the hash. */
+  /** Stage a testdata table (`$dir/<table>.parquet`) into a scratch
+    * directory usable as a FILE-STREAM source, `copies` times over
+    * (copies > 1 = a deterministic at-least-once redelivery). The source
+    * may be a single parquet FILE (the driver testdata layout — cheap
+    * hard copies) or a Spark-written DIRECTORY (the soak's synthesized ×N
+    * dirs — a raw Files.copy would stage empty dirs, so these stage via
+    * Spark: overwrite the first copy, append the rest, marker written
+    * LAST so a crashed staging never half-serves). */
+  private[graft] def stageForStream(spark: SparkSession,
+                                    src: java.nio.file.Path,
+                                    staged: java.nio.file.Path,
+                                    copies: Int = 1): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (Files.isDirectory(src)) {
+      val marker = staged.resolve(s"_STAGED_X$copies")
+      if (!Files.exists(marker)) {
+        val df = spark.read.parquet(src.toString)
+        df.write.mode("overwrite").parquet(staged.toString)
+        (1 until copies).foreach(_ =>
+          df.write.mode("append").parquet(staged.toString))
+        Files.createFile(marker)
+        ()
+      }
+    } else {
+      // wipe before copying: staging is keyed by source path, and a file
+      // set left by an older naming scheme (or copy count) would silently
+      // feed extra rows into the stream
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (Files.exists(staged)) rm(staged.toFile)
+      Files.createDirectories(staged)
+      (0 until copies).foreach(i =>
+        Files.copy(src, staged.resolve(s"copy_$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING))
+    }
+  }
+
   def dedupStreamQuery(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.Paths
     val src = Paths.get(s"$dir/events.parquet")
     val staged = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_dup_${sanitize(src.toString)}")
-    if (Files.isDirectory(src)) {
-      // directory-layout source (a Spark-written table, e.g. the soak's
-      // synthesized ×N dirs — a raw Files.copy would stage empty dirs):
-      // stage the ×2 redelivery via Spark, overwrite copy A then append
-      // copy B; the marker written LAST gates a complete staging
-      val marker = staged.resolve("_STAGED_X2")
-      if (!Files.exists(marker)) {
-        val ev = spark.read.parquet(src.toString)
-        ev.write.mode("overwrite").parquet(staged.toString)
-        ev.write.mode("append").parquet(staged.toString)
-        Files.createFile(marker)
-      }
-    } else {
-      Files.createDirectories(staged)
-      Files.copy(src, staged.resolve("events_a.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      Files.copy(src, staged.resolve("events_b.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    stageForStream(spark, src, staged, copies = 2)
     val doubled = streamEvents(spark, staged.toString)
     val deduped = dedupStream(doubled)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -343,17 +363,21 @@ object EventStreams {
       |       CAST(round(value * 100) AS BIGINT) AS v_c
       |FROM events""".stripMargin
 
-  /** Drop the ×2-staged redelivery dir for `dir` — for callers that
-    * rebuild the source tables under an existing dir string (ScaleSoak
-    * factor rebuilds); the staging marker would otherwise serve the
-    * previous build's events. */
-  private[graft] def invalidateStagedDup(dir: String): Unit = {
-    val staged = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_dup_${sanitize(s"$dir/events.parquet")}")
+  /** Drop every marker-gated staged stream dir for `dir` — for callers
+    * that rebuild the source tables under an existing dir string
+    * (ScaleSoak factor rebuilds); the staging markers would otherwise
+    * serve the previous build's rows. */
+  private[graft] def invalidateStaged(dir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    if (java.nio.file.Files.exists(staged)) rm(staged.toFile)
+    Seq(s"graft_stream_dup_${sanitize(s"$dir/events.parquet")}",
+        s"graft_stream_cdc_${sanitize(s"$dir/orders.parquet")}",
+        s"graft_stream_docs_${sanitize(s"$dir/documents.parquet")}")
+      .foreach { name =>
+        val staged = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
+        if (java.nio.file.Files.exists(staged)) rm(staged.toFile)
+      }
   }
 
   /** Contract query: the tumbling-window aggregate executed as a REAL

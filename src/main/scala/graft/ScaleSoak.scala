@@ -216,6 +216,13 @@ object ScaleSoak {
       CacheRegistry.clear(spark)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
+      // streaming lanes leave their MEMORY-SINK tables registered as temp
+      // views — at ×10 those are multi-million-row driver-heap objects,
+      // and a batch lane following a streaming lane measures the previous
+      // lane's GC pressure, not its own plan (round-11 sweep: q107 read a
+      // 5× steady-vs-first 'thrash' that vanished in isolation). Dropping
+      // every temp view between lanes frees the sinks for the gc() below.
+      spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
       System.gc()
     }
 

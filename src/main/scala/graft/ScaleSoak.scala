@@ -132,8 +132,14 @@ object ScaleSoak {
   }
 
   def main(args: Array[String]): Unit = {
-    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    // normalize both paths (trailing slashes, doubled separators): every
+    // derived-layout key is a sanitize() of the dir STRING, and a
+    // non-canonical outDir would stage under one key and invalidate
+    // under another
+    val srcDir = java.nio.file.Paths
+      .get(args.headOption.getOrElse("/root/testdata/sf0.1")).toString
+    val outDir = java.nio.file.Paths
+      .get(if (args.length > 1) args(1) else "/tmp/graft_sf1").toString
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -170,6 +176,9 @@ object ScaleSoak {
       graft.operators.Layout.invalidateClusteredOrders(outDir)
       graft.operators.PartitionedEvents.invalidateLayout(outDir)
       graft.streaming.EventStreams.invalidateStaged(outDir)
+      graft.sources.SchemaEvolution.invalidateStage(outDir)
+      graft.sources.OrcInterchange.invalidateStage(outDir)
+      graft.operators.Bucketing.invalidateStage(spark, outDir)
       marker.createNewFile()
     }
 

@@ -47,6 +47,24 @@ object Bucketing {
     }
   }
 
+  /** Drop the bucketed catalog tables + backing files for `dir` — for
+    * callers that rebuild the source tables under an existing dir string
+    * (ScaleSoak factor rebuilds); the catalog entry would otherwise serve
+    * the previous build's buckets. */
+  private[graft] def invalidateStage(spark: SparkSession, dir: String): Unit = {
+    val tag = graft.streaming.EventStreams.sanitize(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Seq(s"graft_bkt_purchases_$tag", s"graft_bkt_customer_$tag").foreach {
+      name =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
+          .toFile
+        if (p.exists()) rm(p)
+    }
+  }
+
   /** q151 — purchase revenue by market segment through BUCKETED tables:
     * events (purchases, long-cents) and customer are both written bucketed
     * ×[[Buckets]] on the join key, then joined WITHOUT any exchange on

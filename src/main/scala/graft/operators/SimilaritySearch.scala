@@ -681,14 +681,6 @@ object SimilaritySearch {
        |FROM ranked WHERE rk <= $k""".stripMargin
   }
 
-  /** q166 — ANN RECALL audit: per query, how many of the exact brute-force
-    * top-k (q50) the IVF index (q52, nprobe=2) actually returned, in exact
-    * ppm. This is the acceptance test every approximate index needs before
-    * it replaces the exact path in production — the number that justifies
-    * the nprobe/nlist trade — and here the MEASUREMENT itself is
-    * oracle-gated: DuckDB re-derives both retrievals end to end (captured
-    * coarse centroids for the IVF side) and the same intersection count.
-    * Both retrievals share one query set by construction. */
   /** Shared recall scaffolding for the q166/q285 audits: per query, the
     * overlap of the exact arm's top-k with the approximate arm's, exact
     * ppm, zero-recall queries included. Both arms are nQueries·k-row
@@ -726,6 +718,14 @@ object SimilaritySearch {
        |GROUP BY b.query_id""".stripMargin
   }
 
+  /** q166 — ANN RECALL audit: per query, how many of the exact brute-force
+    * top-k (q50) the IVF index (q52, nprobe=2) actually returned, in exact
+    * ppm. This is the acceptance test every approximate index needs before
+    * it replaces the exact path in production — the number that justifies
+    * the nprobe/nlist trade — and here the MEASUREMENT itself is
+    * oracle-gated: DuckDB re-derives both retrievals end to end (captured
+    * coarse centroids for the IVF side) and the same intersection count.
+    * Both retrievals share one query set by construction. */
   def annRecallAudit(spark: SparkSession, dir: String,
                      k: Int = 10): DataFrame =
     recallAuditFrame(

@@ -32,6 +32,19 @@ object OrcInterchange {
     * [[graft.operators.Bucketing]]: a stale-path check guards against tmp
     * cleanup, and the staged files carry a `_SUCCESS` marker so a
     * half-dead prior write is rewritten, not trusted. */
+  /** Drop the staged ORC dataset for `dir` — for callers that rebuild the
+    * source tables under an existing dir string (ScaleSoak factor
+    * rebuilds); the marker would otherwise serve the previous build. */
+  private[graft] def invalidateStage(dir: String): Unit = this.synchronized {
+    val tag = graft.streaming.EventStreams.sanitize(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_orc_lineitem_$tag").toFile
+    if (p.exists()) rm(p)
+  }
+
   private[graft] def ensureOrcStage(spark: SparkSession, dir: String): String = {
     val tag = graft.streaming.EventStreams.sanitize(dir)
     val path = java.nio.file.Paths.get(

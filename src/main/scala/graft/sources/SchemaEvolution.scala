@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object SchemaEvolution {
 
+  /** Drop the staged evolved dataset for `dir` — for callers that rebuild
+    * the source tables under an existing dir string (ScaleSoak factor
+    * rebuilds); the marker would otherwise serve the previous build. */
+  private[graft] def invalidateStage(dir: String): Unit = this.synchronized {
+    val tag = graft.streaming.EventStreams.sanitize(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_evolved_orders_$tag").toFile
+    if (p.exists()) rm(p)
+  }
+
   private[graft] def ensureEvolvedStage(spark: SparkSession,
                                         dir: String): String = {
     val tag = graft.streaming.EventStreams.sanitize(dir)

@@ -321,7 +321,14 @@ object EventStreams {
     import java.nio.file.{Files, StandardCopyOption}
     if (Files.isDirectory(src)) {
       val marker = staged.resolve(s"_STAGED_X$copies")
-      if (!Files.exists(marker)) {
+      // marker alone is not proof the data survived tmp cleanup — verify
+      // at least one data file backs it (the Bucketing/ORC discipline)
+      def ok: Boolean = Files.isRegularFile(marker) && {
+        val ls = staged.toFile.listFiles()
+        ls != null && ls.exists(f => f.getName.endsWith(".parquet") ||
+          f.getName.startsWith("part-"))
+      }
+      if (!ok) {
         val df = spark.read.parquet(src.toString)
         df.write.mode("overwrite").parquet(staged.toString)
         (1 until copies).foreach(_ =>
@@ -371,9 +378,14 @@ object EventStreams {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    Seq(s"graft_stream_dup_${sanitize(s"$dir/events.parquet")}",
-        s"graft_stream_cdc_${sanitize(s"$dir/orders.parquet")}",
-        s"graft_stream_docs_${sanitize(s"$dir/documents.parquet")}")
+    // Paths.get-normalize before sanitizing: the staging sites key from
+    // Paths.get(...).toString, and a raw-string key here would miss them
+    // on a non-canonical dir (trailing slash)
+    def key(table: String) = java.nio.file.Paths
+      .get(s"$dir/$table.parquet").toString
+    Seq(s"graft_stream_dup_${sanitize(key("events"))}",
+        s"graft_stream_cdc_${sanitize(key("orders"))}",
+        s"graft_stream_docs_${sanitize(key("documents"))}")
       .foreach { name =>
         val staged = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
         if (java.nio.file.Files.exists(staged)) rm(staged.toFile)

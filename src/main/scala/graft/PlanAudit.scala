@@ -605,6 +605,12 @@ object PlanAudit {
       // clustered layout's parquet scan as a pushed min/max filter (that
       // is what realizes the audited skip), the scan must read only the
       // two referenced columns, and the rollup is one hash aggregate
+      // routed near-dup audit: same inverted-index pair universe as
+      // q281/q283, TWO signature caches key-equi joined, both band cuts
+      // inside one aggregate — no extra pass, nothing pairwise-quadratic
+      "q287_routed_near_dup" -> Seq("ShuffledHashJoin" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false,
+        "BroadcastNestedLoopJoin" -> false, "Window" -> false),
       "q284_clustered_rollup" -> Seq(
         "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" -> true,
         "ReadSchema: struct<o_totalprice:double,o_orderdate:date>" -> true,

@@ -230,6 +230,8 @@ object SparkEntry {
       Layout.clusteredMonthlyRollup(s, dir)),
     "q285_pq_recall" -> ((s, dir) =>
       SimilaritySearch.pqRecallAudit(s, dir)),
+    "q287_routed_near_dup" -> ((s, dir) =>
+      Dedup.routedNearDupAudit(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -535,6 +537,7 @@ object SparkEntry {
     "q281_simhash_calibration" -> Dedup.simhashCalibrationSql,
     "q282_source_ablation" -> TextAnalysis.sourceAblationSql,
     "q283_simhash_router" -> Dedup.simhashRouterCalibrationSql,
+    "q287_routed_near_dup" -> Dedup.routedNearDupAuditSql(),
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

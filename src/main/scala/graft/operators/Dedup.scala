@@ -666,7 +666,8 @@ object Dedup {
       |              AS BIGINT) AS simhash
       |  FROM votes GROUP BY doc_id
       |), pair_base AS (
-      |  SELECT least((p.c * 10) // (sa.n + sb.n - p.c), 9) AS bucket,
+      |  SELECT p.doc_a, p.doc_b,
+      |         least((p.c * 10) // (sa.n + sb.n - p.c), 9) AS bucket,
       |         CAST(bit_count(xor(ga.simhash, gb.simhash)) AS BIGINT)
       |           AS hamming,
       |         ga.simhash AS sig_a, gb.simhash AS sig_b
@@ -774,6 +775,87 @@ object Dedup {
        |                     THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_pigeonhole_viol
        |FROM per_pair GROUP BY bucket""".stripMargin
+
+  /** q287 — ROUTED near-dup detection audit (q283's router, ACTED on —
+    * the calibration→action loop q284 closed for layout, closed here for
+    * dedup): per exact-Jaccard decile over the q31 pair universe, the
+    * detection of the OPERATIONAL routed detector — the q283
+    * re-parameterized SimHash cut (8×8-bit bands ∧ hamming ≤ 7, aimed at
+    * J ≥ 0.8) UNIONED with the q32 MinHash banding (4 bands × 4 rows,
+    * the arm q266/q220 calibrate for the moderate band) — alongside each
+    * arm alone. The routed column is the measured end-to-end recall a
+    * production near-dup pass would see running both arms and unioning
+    * candidate pairs; the per-arm columns show which arm carries which
+    * decile (SimHash the top, MinHash the middle), justifying the route.
+    *
+    * Scale shape: the pair set is the shared q31 inverted-index join;
+    * BOTH signature tables join key-equi from their session caches (at
+    * production scale: two persisted signature columns of the corpus
+    * table); both band cuts are integer/array-equality ops inside one
+    * aggregate — auditing the union costs no extra pass over either
+    * candidate generator. */
+  def routedNearDupAudit(spark: SparkSession, dir: String,
+                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val msig = minhashSignatures(spark, dir, numHashes)
+    val mCollide = (0 until bands).map(b =>
+      (1 to r).map(j => element_at(col("msig_a"), b * r + j) ===
+        element_at(col("msig_b"), b * r + j)).reduce(_ && _)).reduce(_ || _)
+    calibrationPairs(spark, dir)
+      .join(msig.toDF("doc_a", "msig_a"), Seq("doc_a"))
+      .join(msig.toDF("doc_b", "msig_b"), Seq("doc_b"))
+      .withColumn("sh_hit", bandCollide(8) && col("hamming") <= 7)
+      .withColumn("mh_hit", mCollide)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sh_hit"), 1L).otherwise(0L)).as("n_simhash"),
+        sum(when(col("mh_hit"), 1L).otherwise(0L)).as("n_minhash"),
+        sum(when(col("sh_hit") || col("mh_hit"), 1L).otherwise(0L))
+          .as("n_routed"))
+      .select(col("bucket"), col("n_pairs"), col("n_simhash"),
+        col("n_minhash"), col("n_routed"),
+        expr("n_routed * 1000000 div n_pairs").as("routed_ppm"))
+  }
+
+  /** [[routedNearDupAudit]]'s oracle: the shared q281/q283 pair CTEs plus
+    * q32's minhash signature chain, both band cuts recomputed in DuckDB. */
+  def routedNearDupAuditSql(numHashes: Int = 16, bands: Int = 4): String = {
+    val r = numHashes / bands
+    val mins = (0 until numHashes).map { i =>
+      s"""list_min(list_transform(sh, s ->
+         |      ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))""".stripMargin
+    }.mkString("[\n    ", ",\n    ", "]")
+    val mhBands = (0 until bands).map { b =>
+      (1 to r).map(j => s"msig_a[${b * r + j}] = msig_b[${b * r + j}]")
+        .mkString("(", " AND ", ")")
+    }.mkString("(", " OR\n          ", ")")
+    s"""WITH $calibrationPairCtes, msigs AS (
+       |  SELECT doc_id, $mins AS msig
+       |  FROM ws WHERE len(sh) > 0
+       |), joined AS (
+       |  SELECT pb.bucket, pb.hamming, pb.sig_a, pb.sig_b,
+       |         ma.msig AS msig_a, mb.msig AS msig_b
+       |  FROM pair_base pb
+       |  JOIN msigs ma ON pb.doc_a = ma.doc_id
+       |  JOIN msigs mb ON pb.doc_b = mb.doc_id
+       |), hits AS (
+       |  SELECT bucket,
+       |         (${bandCollideSql(8)} AND hamming <= 7) AS sh_hit,
+       |         $mhBands AS mh_hit
+       |  FROM joined
+       |)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(CASE WHEN sh_hit THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_simhash,
+       |       CAST(sum(CASE WHEN mh_hit THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_minhash,
+       |       CAST(sum(CASE WHEN sh_hit OR mh_hit THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_routed,
+       |       CAST(sum(CASE WHEN sh_hit OR mh_hit THEN 1 ELSE 0 END)
+       |            * 1000000 // count(*) AS BIGINT) AS routed_ppm
+       |FROM hits GROUP BY bucket""".stripMargin
+  }
 
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,

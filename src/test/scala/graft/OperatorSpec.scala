@@ -4309,6 +4309,70 @@ class OperatorSpec extends AnyFunSuite {
     assert(nNew >= nOld)
   }
 
+  test("q287 routed near-dup: first-principles replay of BOTH arms' " +
+    "signatures and band cuts; union laws hold and routing beats " +
+    "either arm alone at the top decile") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (if (w.length < 3) Set.empty[String]
+             else w.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val simsig = docs.map { case (id, text) =>
+      val votes = Array.fill(60)(0L)
+      text.split(" ", -1).foreach { tok =>
+        val h = h60(tok)
+        for (b <- 0 until 60)
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+      id -> (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }.toMap
+    val minsig = docs.collect { case (id, _) if sh(id).nonEmpty =>
+      id -> (0 until 16).map(i => sh(id).map(s => h60(s"$i:" + s)).min)
+    }.toMap
+    val ids = docs.map(_._1).sorted
+    val perPair = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      c = (sh(a) intersect sh(b)).size.toLong if c > 0
+    } yield {
+      val u = sh(a).size + sh(b).size - c
+      val h = java.lang.Long.bitCount(simsig(a) ^ simsig(b))
+      val shHit = (0 until 8).exists(k =>
+        ((simsig(a) >> (k * 8)) & 0xFFL) == ((simsig(b) >> (k * 8)) & 0xFFL)) &&
+        h <= 7
+      val mhHit = (0 until 4).exists(bb =>
+        (0 until 4).forall(j2 => minsig(a)(bb * 4 + j2) == minsig(b)(bb * 4 + j2)))
+      (math.min(c * 10 / u, 9L), shHit, mhHit)
+    }
+    val expected = perPair.groupBy(_._1).map { case (bucket, xs) =>
+      val rt = xs.count(p => p._2 || p._3).toLong
+      bucket -> ((xs.size.toLong, xs.count(_._2).toLong,
+        xs.count(_._3).toLong, rt, rt * 1000000L / xs.size))
+    }
+    val got = Dedup.routedNearDupAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    // union laws: routed covers each arm, never exceeds their sum
+    got.values.foreach { case (n, s, m, rt, _) =>
+      assert(rt >= math.max(s, m) && rt <= s + m && rt <= n)
+    }
+    // the route's point: at the top decile the union detects at least
+    // as much as either arm, strictly more than the weaker one when the
+    // arms disagree
+    val (_, s9, m9, rt9, _) = got(9L)
+    assert(rt9 >= math.max(s9, m9))
+  }
+
   test("q282 source ablation: BigInt LOO replay over q109 scores; " +
     "below-average sources have nonnegative removal deltas") {
     val scores = TextAnalysis.qualityScores(spark, dir)

@@ -192,13 +192,28 @@ object ScaleSoak {
     // reproducible and auditable.
     val lanes = sys.env.get("SPARK_GRAFT_SOAK_SWEEP") match {
       case Some(thr) =>
-        val canon = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("BENCH_LATEST.json"))
-        val qstr = canon.split("\"queries\":\\{", 2)
-        require(qstr.length == 2, "BENCH_LATEST.json has no queries map")
-        val allKnown = """"(q[A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
-          .findAllMatchIn(qstr(1).takeWhile(_ != '}'))
-          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        // a real JSON reader (Jackson ships with Spark), not a split/regex
+        // scrape: a format drift in BENCH_LATEST.json must fail loudly
+        // here, never quietly shrink the sweep's audited scope
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File("BENCH_LATEST.json"))
+        val qnode = root.get("queries")
+        require(qnode != null && qnode.isObject,
+          "BENCH_LATEST.json has no queries map")
+        val allKnown = {
+          val it = qnode.fields()
+          val buf = Seq.newBuilder[(String, Double)]
+          while (it.hasNext) {
+            val e = it.next()
+            require(e.getValue.isNumber,
+              s"BENCH_LATEST.json queries.${e.getKey} is not a number")
+            buf += e.getKey -> e.getValue.asDouble()
+          }
+          buf.result()
+        }
+        require(allKnown.size > 200,
+          s"BENCH_LATEST.json queries map holds only ${allKnown.size} lanes" +
+            " — implausibly small for the committed bench; refusing to sweep")
         val fromMap = allKnown.filter(_._2 >= thr.toDouble).map(_._1)
         // lanes newer than the committed map (this round's additions)
         // ride along via the hand-maintained list; heavies the map DOES

@@ -619,7 +619,13 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
   }
 
-  /** ≥1-of-(64/width) equal-band predicate over sig_a/sig_b. */
+  /** ≥1-of-(64/width) equal-band predicate over sig_a/sig_b. Note the q33
+    * signatures carry only 60 informative bits (md5 is truncated to 60
+    * bits, so bits 60–63 vote all-negative and stay clear): with width 16
+    * the top band compares only 12 real bits — coarser buckets there, more
+    * candidates, never fewer, and consistent on both engines. Kept as-is
+    * for the HISTORICAL 4×16 operational cut the calibration lanes audit;
+    * new cuts should use [[bandCollideWidths]] over the informative bits. */
   private def bandCollide(width: Int): Column = {
     val mask = (1L << width) - 1
     (0 until 64 / width).map(band =>
@@ -627,6 +633,31 @@ object Dedup {
         shiftright(col("sig_b"), band * width).bitwiseAND(lit(mask)))
       .reduce(_ || _)
   }
+
+  /** Band layout of the q283/q287 re-parameterized cut: 8 disjoint bands
+    * of widths summing to exactly the 60 INFORMATIVE signature bits
+    * (4×8 + 4×7 — no band wastes positions on the dead bits 60–63, so
+    * every band key carries real selectivity and the production
+    * candidate fan-out matches the analysis). 8 disjoint bands covering
+    * all differing-bit positions keep the hamming ≤ 7 pigeonhole
+    * losslessness: ≤ 7 differing bits over 8 bands always leave one band
+    * clean. */
+  private[operators] val RouterBandWidths: Seq[Int] = Seq(8, 8, 8, 8, 7, 7, 7, 7)
+
+  /** Cumulative (offset, width) spans of a widths-based band layout over
+    * the low signature bits. */
+  private def bandSpans(widths: Seq[Int]): Seq[(Int, Int)] =
+    widths.scanLeft(0)(_ + _).zip(widths)
+
+  /** ≥1-equal-band predicate over sig_a/sig_b for a widths-based band
+    * layout (bands start at bit 0 and tile upward, widths need not be
+    * equal). */
+  private def bandCollideWidths(widths: Seq[Int]): Column =
+    bandSpans(widths).map { case (off, w) =>
+      val mask = (1L << w) - 1
+      shiftright(col("sig_a"), off).bitwiseAND(lit(mask)) ===
+        shiftright(col("sig_b"), off).bitwiseAND(lit(mask))
+    }.reduce(_ || _)
 
   /** Shared oracle CTE chain for the q281/q283 calibration lanes — the
     * SQL twin of [[calibrationPairs]], defined ONCE so both oracles
@@ -687,6 +718,13 @@ object Dedup {
       .mkString("(", " OR\n          ", ")")
   }
 
+  /** SQL twin of [[bandCollideWidths]]. */
+  private def bandCollideWidthsSql(widths: Seq[Int]): String =
+    bandSpans(widths).map { case (off, w) =>
+      val mask = (1L << w) - 1
+      s"(sig_a >> $off) & $mask = (sig_b >> $off) & $mask"
+    }.mkString("(", " OR\n          ", ")")
+
   /** [[simhashCalibration]]'s oracle: q31's shingle pair chain + q33's
     * signature votes + the identical band/hamming/decile integers. */
   val simhashCalibrationSql: String =
@@ -714,8 +752,12 @@ object Dedup {
     * missing at J ≈ 0.8 — SimHash's known moderate-similarity blind spot.
     * This lane audits the FIX against the same exact-Jaccard deciles
     * before anyone trusts it at 100 TB: the re-parameterized cut is
-    * 8 bands × 8 bits with hamming ≤ 7, which is PIGEONHOLE-LOSSLESS —
-    * ≤ 7 differing bits spread over 8 disjoint bands always leave one
+    * 8 bands over the 60 INFORMATIVE signature bits
+    * ([[RouterBandWidths]] — 4×8 + 4×7; the dead bits 60–63 belong to no
+    * band, so every band key carries real selectivity) with hamming ≤ 7,
+    * which is PIGEONHOLE-LOSSLESS —
+    * ≤ 7 differing bits spread over 8 disjoint bands covering all
+    * informative positions always leave one
     * band clean, so band collision is guaranteed for every pair the
     * hamming cut admits (the `n_pigeonhole_viol` column pins that
     * analytic constant at 0 cross-engine, the q261 prefix-filter
@@ -737,8 +779,10 @@ object Dedup {
   def simhashRouterCalibration(spark: SparkSession, dir: String): DataFrame =
     calibrationPairs(spark, dir)
       .withColumn("old_hit", bandCollide(16) && col("hamming") <= 3)
-      .withColumn("new_hit", bandCollide(8) && col("hamming") <= 7)
-      .withColumn("viol", col("hamming") <= 7 && !bandCollide(8))
+      .withColumn("new_hit",
+        bandCollideWidths(RouterBandWidths) && col("hamming") <= 7)
+      .withColumn("viol",
+        col("hamming") <= 7 && !bandCollideWidths(RouterBandWidths))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("old_hit"), 1L).otherwise(0L)).as("n_detected_old"),
@@ -757,7 +801,7 @@ object Dedup {
     s"""WITH $calibrationPairCtes, per_pair AS (
        |  SELECT bucket, hamming,
        |         ${bandCollideSql(16)} AS collide4,
-       |         ${bandCollideSql(8)} AS collide8
+       |         ${bandCollideWidthsSql(RouterBandWidths)} AS collide8
        |  FROM pair_base
        |)
        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -780,7 +824,8 @@ object Dedup {
     * the calibration→action loop q284 closed for layout, closed here for
     * dedup): per exact-Jaccard decile over the q31 pair universe, the
     * detection of the OPERATIONAL routed detector — the q283
-    * re-parameterized SimHash cut (8×8-bit bands ∧ hamming ≤ 7, aimed at
+    * re-parameterized SimHash cut (8 bands over the 60 informative bits,
+    * [[RouterBandWidths]], ∧ hamming ≤ 7, aimed at
     * J ≥ 0.8) UNIONED with the q32 MinHash banding (4 bands × 4 rows,
     * the arm q266/q220 calibrate for the moderate band) — alongside each
     * arm alone. The routed column is the measured end-to-end recall a
@@ -805,7 +850,8 @@ object Dedup {
     calibrationPairs(spark, dir)
       .join(msig.toDF("doc_a", "msig_a"), Seq("doc_a"))
       .join(msig.toDF("doc_b", "msig_b"), Seq("doc_b"))
-      .withColumn("sh_hit", bandCollide(8) && col("hamming") <= 7)
+      .withColumn("sh_hit",
+        bandCollideWidths(RouterBandWidths) && col("hamming") <= 7)
       .withColumn("mh_hit", mCollide)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -841,7 +887,8 @@ object Dedup {
        |  JOIN msigs mb ON pb.doc_b = mb.doc_id
        |), hits AS (
        |  SELECT bucket,
-       |         (${bandCollideSql(8)} AND hamming <= 7) AS sh_hit,
+       |         (${bandCollideWidthsSql(RouterBandWidths)} AND hamming <= 7)
+       |           AS sh_hit,
        |         $mhBands AS mh_hit
        |  FROM joined
        |)

@@ -263,12 +263,19 @@ object Layout {
   // ---------------------------------------------------------------- q284
 
   /** Deterministic per-source location of the date-clustered orders
-    * layout (the [[graft.operators.PartitionedEvents]] keying scheme). */
-  private def clusteredOrdersPath(dir: String): java.io.File =
+    * layout, keyed by the FULL sanitized source path (the
+    * [[graft.streaming.EventStreams.sanitize]] discipline every other
+    * staged artifact uses) — a hashCode key could collide across two
+    * dataset dirs and silently serve the wrong clustered layout behind
+    * the `_SUCCESS` gate. Paths.get-normalized first so a trailing slash
+    * cannot split one source across two keys. */
+  private def clusteredOrdersPath(dir: String): java.io.File = {
+    val canon = java.nio.file.Paths.get(dir).toString
     // v2: the clustered column became DATE (NTZ stats don't prune) — the
     // version suffix keys the layout so a v1 _SUCCESS dir is never reused
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-orders-by-date-v2-${Integer.toHexString(dir.hashCode)}")
+      s"graft-orders-by-date-v2-${graft.streaming.EventStreams.sanitize(canon)}")
+  }
 
   private val clusterLock = new Object
 

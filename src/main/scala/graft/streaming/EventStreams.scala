@@ -321,19 +321,32 @@ object EventStreams {
     import java.nio.file.{Files, StandardCopyOption}
     if (Files.isDirectory(src)) {
       val marker = staged.resolve(s"_STAGED_X$copies")
+      // cheap fingerprint of the SOURCE build (data-file count, total
+      // bytes, newest mtime): a source dir rebuilt in place by ANY caller
+      // — not just ScaleSoak, which calls invalidateStaged explicitly —
+      // changes the fingerprint, so the freshness check below re-stages
+      // instead of silently streaming the previous build's rows
+      def fingerprint: String = {
+        val fs = Option(src.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+        s"${fs.length}:${fs.map(_.length).sum}:" +
+          s"${fs.foldLeft(0L)((m, f) => math.max(m, f.lastModified))}"
+      }
       // marker alone is not proof the data survived tmp cleanup — verify
       // at least one data file backs it (the Bucketing/ORC discipline)
+      // AND that the marker's recorded source fingerprint still matches
       def ok: Boolean = Files.isRegularFile(marker) && {
         val ls = staged.toFile.listFiles()
         ls != null && ls.exists(f => f.getName.endsWith(".parquet") ||
           f.getName.startsWith("part-"))
-      }
+      } && Files.readString(marker) == fingerprint
       if (!ok) {
         val df = spark.read.parquet(src.toString)
         df.write.mode("overwrite").parquet(staged.toString)
         (1 until copies).foreach(_ =>
           df.write.mode("append").parquet(staged.toString))
-        Files.createFile(marker)
+        Files.writeString(marker, fingerprint)
         ()
       }
     } else {

@@ -4252,8 +4252,8 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("q283 simhash router: planted J≈0.88 pairs — the 8×8/h≤7 cut " +
-    "meets the ≥80% detection target at J≥0.8 that 4×16/h≤3 misses; " +
+  test("q283 simhash router: planted J≈0.88 pairs — the 8-band(60-bit)/h≤7 " +
+    "cut meets the ≥80% detection target at J≥0.8 that 4×16/h≤3 misses; " +
     "the h≤7 cut is pigeonhole-lossless under 8 bands") {
     import spark.implicits._
     import java.security.MessageDigest
@@ -4289,12 +4289,16 @@ class OperatorSpec extends AnyFunSuite {
       val h = java.lang.Long.bitCount(sa ^ sb)
       val c4 = (0 until 4).exists(k =>
         ((sa >> (k * 16)) & 0xFFFFL) == ((sb >> (k * 16)) & 0xFFFFL))
-      val c8 = (0 until 8).exists(k =>
-        ((sa >> (k * 8)) & 0xFFL) == ((sb >> (k * 8)) & 0xFFL))
+      // the router's band layout: 8 disjoint bands tiling exactly the 60
+      // informative bits (4×8 + 4×7) — must match Dedup.RouterBandWidths
+      val spans = Seq(8, 8, 8, 8, 7, 7, 7, 7).scanLeft(0)(_ + _)
+        .zip(Seq(8, 8, 8, 8, 7, 7, 7, 7))
+      val c8 = spans.exists { case (off, w) =>
+        ((sa >> off) & ((1L << w) - 1)) == ((sb >> off) & ((1L << w) - 1)) }
       (c4 && h <= 3, c8 && h <= 7, h <= 7 && !c8)
     }.toSeq
     val (expOld, expNew) = (cuts.count(_._1).toLong, cuts.count(_._2).toLong)
-    assert(cuts.count(_._3) == 0) // pigeonhole: h≤7 ⇒ some 8-bit band clean
+    assert(cuts.count(_._3) == 0) // pigeonhole: h≤7 ⇒ some band clean
     val got = Dedup.simhashRouterCalibration(spark, tmp).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6))).toMap
@@ -4346,9 +4350,12 @@ class OperatorSpec extends AnyFunSuite {
     } yield {
       val u = sh(a).size + sh(b).size - c
       val h = java.lang.Long.bitCount(simsig(a) ^ simsig(b))
-      val shHit = (0 until 8).exists(k =>
-        ((simsig(a) >> (k * 8)) & 0xFFL) == ((simsig(b) >> (k * 8)) & 0xFFL)) &&
-        h <= 7
+      // 8 bands tiling the 60 informative bits (Dedup.RouterBandWidths)
+      val spans = Seq(8, 8, 8, 8, 7, 7, 7, 7).scanLeft(0)(_ + _)
+        .zip(Seq(8, 8, 8, 8, 7, 7, 7, 7))
+      val shHit = spans.exists { case (off, w) =>
+        ((simsig(a) >> off) & ((1L << w) - 1)) ==
+          ((simsig(b) >> off) & ((1L << w) - 1)) } && h <= 7
       val mhHit = (0 until 4).exists(bb =>
         (0 until 4).forall(j2 => minsig(a)(bb * 4 + j2) == minsig(b)(bb * 4 + j2)))
       (math.min(c * 10 / u, 9L), shHit, mhHit)

@@ -85,11 +85,18 @@ object Dedup {
     }
   }
 
-  /** Session-cached uncapped shingle index for a testdata dir — shared by
-    * [[ngramJaccard]], [[graft.operators.CorpusPrep]] and the edit-distance
-    * confirm so the explode+distinct runs once per session, not per query. */
+  /** STAGED uncapped shingle index for a testdata dir (write-once parquet
+    * via [[Staging.prepared]] — round-11 verdict item 1): shared by
+    * [[ngramJaccard]], [[prefixSimJoin]], the calibration lanes,
+    * [[graft.operators.CorpusPrep]] and the edit-distance confirm. The
+    * explode+distinct build runs ONCE per corpus snapshot; every
+    * reference afterwards is a plan-native parquet scan with honest leaf
+    * statistics — the prepared-index physical shape a 100 TB corpus
+    * pipeline persists beside the data, and the fix for the
+    * deserialized-cache thrash the ×10 soak measured on multi-reference
+    * plans (q261 reads this frame four times). */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    graft.CacheRegistry.cached(spark, s"shingles:k3:$dir")(
+    Staging.prepared(spark, "shingles_k3", dir)(
       shingles(Tables.documents(spark, dir)))
 
   /** Exact deduplication via content hash: one row per distinct text with
@@ -116,15 +123,15 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame =
     ngramJaccardOnIndex(shingleIndex(spark, dir), threshold)
 
-  /** Session-cached near-duplicate pair list at the default threshold — the
+  /** STAGED near-duplicate pair list at the default threshold — the
     * "dedup index" artifact downstream corpus stages consume (corpus prep's
-    * anti-join, the edit-distance confirm). A production pipeline
-    * materializes the pair list once per corpus snapshot and every consumer
-    * reads it; the q31 contract query itself stays on the uncached
+    * anti-join, the edit-distance confirm, the q35 clustering). A
+    * production pipeline materializes the pair list once per corpus
+    * snapshot and every consumer reads it — [[Staging.prepared]] IS that
+    * materialization; the q31 contract query itself stays on the uncached
     * [[ngramJaccard]] so the bench keeps measuring the real self-join. */
   def ngramPairsPrepared(spark: SparkSession, dir: String): DataFrame =
-    graft.CacheRegistry.cached(spark, s"ngrampairs:$dir")(
-      ngramJaccard(spark, dir))
+    Staging.prepared(spark, "ngrampairs", dir)(ngramJaccard(spark, dir))
 
   /** [[ngramJaccard]] over an arbitrary documents-shaped frame (doc_id,
     * text). With `maxDf` set, both the candidate join AND the Jaccard
@@ -253,11 +260,12 @@ object Dedup {
     * signatures, one exchange on band keys, join output bounded by
     * colliding pairs. Oracle-checked since round 4 ([[minhashDedupSql]]);
     * the recall-vs-exact-Jaccard spec pins quality. */
-  /** Session-cached md5-basis MinHash signatures (the q32 artifact; the
-    * q220 S-curve audit reads the same cache). */
+  /** STAGED md5-basis MinHash signature table (the q32 artifact; the q220
+    * S-curve audit and the q287/q289 routed lanes read the same layout —
+    * at production scale: a persisted signature column of the corpus). */
   private[graft] def minhashSignatures(spark: SparkSession, dir: String,
                                        numHashes: Int): DataFrame =
-    graft.CacheRegistry.cached(spark, s"minhash-md5:$numHashes:$dir")(
+    Staging.prepared(spark, s"minhash$numHashes", dir)(
       Tables.documents(spark, dir)
         .transform(withWords)
         .select(col("doc_id"), shingleCol(col("ws")).as("sh"))
@@ -575,7 +583,7 @@ object Dedup {
     *
     * Scale shape: the pair set is the q31 shingle-keyed inverted-index
     * join (cost ∝ colliding pairs, never all-pairs); signatures join by
-    * doc_id key-equi from the session-cached q33 table; the decile
+    * doc_id key-equi from the staged q33 signature layout; the decile
     * aggregate is ≤10 rows. */
   def simhashCalibration(spark: SparkSession, dir: String): DataFrame =
     calibrationPairs(spark, dir)
@@ -609,8 +617,7 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
       .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
-    val sig = graft.CacheRegistry.cached(spark, s"simhash-md5:$dir")(
-      simhash(spark, dir))
+    val sig = simhashSignatures(spark, dir)
     pairs
       .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
       .join(sig.toDF("doc_b", "sig_b"), Seq("doc_b"))
@@ -770,7 +777,7 @@ object Dedup {
     *
     * Scale shape: identical to q281 — the pair set is the q31
     * shingle-keyed inverted-index join (cost ∝ colliding pairs, never
-    * all-pairs), signatures key-equi-join from the session-cached q33
+    * all-pairs), signatures key-equi-join from the staged q33
     * table, bands are shift/mask integer ops inside codegen, and the
     * decile aggregate is ≤ 10 rows. The 8-band candidate generation at
     * production scale groups on (band, key) exactly like q33's 4-band
@@ -834,7 +841,8 @@ object Dedup {
     * decile (SimHash the top, MinHash the middle), justifying the route.
     *
     * Scale shape: the pair set is the shared q31 inverted-index join;
-    * BOTH signature tables join key-equi from their session caches (at
+    * BOTH signature tables join key-equi from their staged parquet
+    * layouts (at
     * production scale: two persisted signature columns of the corpus
     * table); both band cuts are integer/array-equality ops inside one
     * aggregate — auditing the union costs no extra pass over either
@@ -992,6 +1000,13 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOn(Tables.documents(spark, dir))
 
+  /** STAGED SimHash signature table (the q33 artifact; the q281/q283/q287
+    * calibration lanes and the banded pair join read the same layout —
+    * at production scale: a persisted signature column of the corpus). */
+  private[operators] def simhashSignatures(spark: SparkSession,
+                                           dir: String): DataFrame =
+    Staging.prepared(spark, "simhash", dir)(simhash(spark, dir))
+
   /** [[simhash]] over an arbitrary documents-shaped frame (doc_id, text). */
   def simhashOn(docs: DataFrame): DataFrame = {
     val simhashAgg = udaf(graft.functions.SimHashAgg,
@@ -1007,8 +1022,7 @@ object Dedup {
     * Hamming ≤ maxHamming confirm. */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = graft.CacheRegistry.cached(spark, s"simhash-md5:$dir")(
-      simhash(spark, dir))
+    val sig = simhashSignatures(spark, dir)
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -2148,7 +2162,7 @@ object Dedup {
     * and one bounded by rare-token bucket occupancy; verification cost is
     * Σ over candidates of |A| — linear in the candidate count.
     *
-    * The set universe is the session-cached q31 SHINGLE index, not word
+    * The set universe is the staged q31 SHINGLE index, not word
     * sets: on a template-generated corpus word sets make half the doc-pair
     * matrix "similar" (the round-9 bench measured 62.7 s — the output
     * itself was millions of pairs), while 3-gram shingles are the
@@ -2161,22 +2175,19 @@ object Dedup {
     * the usual ppm DIV. Output: (a_id, b_id, n_a, n_b, inter_cnt, jac_e6),
     * one row per qualifying pair. */
   def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
-    // This lane materializes its OWN UnsafeRow checkpoint of the shingle
-    // index instead of reading the session-cached columnar frame
-    // ([[shingleIndex]]): tok is referenced FOUR times downstream (df
-    // build, rank join, both confirm sides), and the x10 soak measured
-    // repeated reads of the deserialized columnar cache at 4-8x the cost
-    // of recomputing from parquet (175/55/22 s decay across runs —
-    // storage-layer thrash, not plan). The checkpoint stores compact
-    // binary rows once per call, every downstream read hits materialized
-    // partitions, and steady-state timing is reproducible — the local
-    // stand-in for the prepared parquet shingle table a 100 TB deployment
-    // would scan. Stats are reset ([[freshStatsFrame]]) so the join
-    // strategies below are chosen from honest unknown-size defaults, the
-    // same at every scale.
-    val tok = freshStatsFrame(
-      shingles(Tables.documents(spark, dir)).localCheckpoint(true))
-      .toDF("doc_id", "w")
+    // tok is referenced FOUR times downstream (df build, rank join, both
+    // confirm sides), so it reads the STAGED shingle parquet layout
+    // ([[shingleIndex]] / [[Staging.prepared]]): each reference is a
+    // plan-native columnar scan with honest file statistics. History of
+    // this hot spot: the session-cached columnar frame thrashed at ×10
+    // (repeated deserialized-cache reads at 4–8× a parquet re-scan), the
+    // round-11 per-call UnsafeRow localCheckpoint fixed the thrash but
+    // re-materialized the index on EVERY call (9.1 s/call at sf0.1 — 6%
+    // of the whole bench spent rebuilding an artifact production would
+    // persist). The staged layout is that persisted artifact: built once
+    // per corpus snapshot, served from disk ever after — the real
+    // "prepared tables" architecture at 100 TB.
+    val tok = shingleIndex(spark, dir).toDF("doc_id", "w")
     val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val ranked = tok.join(df, Seq("w"))
       .withColumn("rnk", row_number().over(

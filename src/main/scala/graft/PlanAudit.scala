@@ -376,6 +376,13 @@ object PlanAudit {
       // arms' own bounded top-k ranks
       "q285_pq_recall" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false, "SortMergeJoin" -> false),
+      // PQ rescore (q288): stage 1 keeps q242's broadcast shape; the
+      // stage-2 rescore joins the shortlist miniature against the corpus
+      // codes key-equi and the query codes broadcast; the re-rank windows
+      // partition L-row miniatures — nothing data-sized sort-merges or
+      // cartesians anywhere in the two-stage plan
+      "q288_pq_rescore" -> Seq("BroadcastHashJoin" -> true,
+        "CartesianProduct" -> false, "SortMergeJoin" -> false),
       // DSIR select: the 256-bucket histograms and ratio table BROADCAST
       // into the bigram stream; per-doc scoring is one hash aggregate;
       // nothing data-sized sorts, windows, or cartesians
@@ -483,12 +490,13 @@ object PlanAudit {
       // prefix sim join: the candidate self-join must ride the rare-token
       // prefix index as a shuffled hash join on the token key — never a
       // cartesian; windows are per-doc (partitioned by doc_id), the
-      // verification joins are key-equi on (doc, token), and the shingle
-      // index is the lane's OWN UnsafeRow checkpoint (ExistingRDD — the
-      // round-10 fix for the deserialized-cache read thrash the x10 soak
-      // exposed; stats reset so join strategies are scale-invariant)
+      // verification joins are key-equi on (doc, token), and every
+      // reference of the shingle index is a parquet scan of the STAGED
+      // prepared layout (round 12 — replaces the round-11 per-call
+      // UnsafeRow checkpoint, whose ExistingRDD scan must be GONE: the
+      // index is built once per corpus snapshot, never per call)
       "q261_prefix_sim_join" -> Seq("ShuffledHashJoin" -> true,
-        "Scan ExistingRDD" -> true,
+        "Scan ExistingRDD" -> false,
         "CartesianProduct" -> false, "BroadcastNestedLoopJoin" -> false,
         "HashAggregate" -> true),
       // Neyman sample: 5-row moment aggregate, miniature allocation

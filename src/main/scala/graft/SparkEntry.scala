@@ -232,6 +232,8 @@ object SparkEntry {
       SimilaritySearch.pqRecallAudit(s, dir)),
     "q287_routed_near_dup" -> ((s, dir) =>
       Dedup.routedNearDupAudit(s, dir)),
+    "q288_pq_rescore" -> ((s, dir) =>
+      SimilaritySearch.pqRescoreRecall(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),

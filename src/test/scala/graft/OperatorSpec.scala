@@ -2126,6 +2126,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q288 pq rescore: in-JVM replay of shortlist -> exact-int8 re-rank " +
+    "-> recall; complete (L, query) grid; rescore recovers recall over " +
+    "the ADC-only tier") {
+    val codes = SimilaritySearch.int8CodedArray(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val shortlist = SimilaritySearch.pqAdcTopK(spark, dir, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // (q, n, rk)
+    val bf = SimilaritySearch.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val queries = bf.map(_._1).distinct.sorted
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = (for (l <- Seq(30L, 50L); q <- queries) yield {
+      val rr = shortlist.filter(s => s._1 == q && s._3 <= l)
+        .map(s => (s._2, dot(codes(q), codes(s._2))))
+        .sortBy { case (n, sc) => (-sc, n) } // score DESC, id tiebreak
+        .take(10).map(_._1).toSet
+      val n = bf.filter(_._1 == q).count(p => rr.contains(p._2)).toLong
+      (l, q, n, n * 1000000L / 10)
+    }).toSet
+    val got = SimilaritySearch.pqRescoreRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 2 * queries.length) // complete grid, both Ls
+    assert(got.toSet == expected)
+    // the lane's reason to exist: the mean re-ranked recall at L = 50 is
+    // at least the ADC-only tier's (q285) — the shortlist+rescore stack
+    // recovers what the 8-byte codes gave up
+    val adcOnly = SimilaritySearch.pqRecallAudit(spark, dir).collect()
+      .map(r => r.getLong(2)).sum
+    val rescored50 = got.filter(_._1 == 50L).map(_._4).sum
+    assert(rescored50 >= adcOnly,
+      s"rescored@50 total $rescored50 < ADC-only total $adcOnly")
+  }
+
   test("dedup clusters: both docs of every near-dup pair share a cluster") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

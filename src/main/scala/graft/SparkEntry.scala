@@ -234,6 +234,8 @@ object SparkEntry {
       Dedup.routedNearDupAudit(s, dir)),
     "q288_pq_rescore" -> ((s, dir) =>
       SimilaritySearch.pqRescoreRecall(s, dir)),
+    "q289_routed_removal" -> ((s, dir) =>
+      Dedup.routedDedupRemoval(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -540,6 +542,7 @@ object SparkEntry {
     "q282_source_ablation" -> TextAnalysis.sourceAblationSql,
     "q283_simhash_router" -> Dedup.simhashRouterCalibrationSql,
     "q287_routed_near_dup" -> Dedup.routedNearDupAuditSql(),
+    "q289_routed_removal" -> Dedup.routedDedupRemovalSql(),
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

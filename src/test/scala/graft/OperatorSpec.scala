@@ -4414,6 +4414,90 @@ class OperatorSpec extends AnyFunSuite {
     assert(rt9 >= math.max(s9, m9))
   }
 
+  test("q289 routed removal: union-find replay of both variants' removal " +
+    "sets; the verified pass's precision is structurally 1") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (if (w.length < 3) Set.empty[String]
+             else w.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val simsig = docs.map { case (id, text) =>
+      val votes = Array.fill(60)(0L)
+      text.split(" ", -1).foreach { tok =>
+        val h = h60(tok)
+        for (b <- 0 until 60)
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+      id -> (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }.toMap
+    val minsig = docs.collect { case (id, _) if sh(id).nonEmpty =>
+      id -> (0 until 16).map(i => sh(id).map(s => h60(s"$i:" + s)).min)
+    }.toMap
+    val spans = Seq(8, 8, 8, 8, 7, 7, 7, 7).scanLeft(0)(_ + _)
+      .zip(Seq(8, 8, 8, 8, 7, 7, 7, 7))
+    val ids = docs.map(_._1).sorted
+    def pairsOf(pred: (Long, Long) => Boolean): Set[(Long, Long)] =
+      (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        if pred(ids(i), ids(j))
+      } yield (ids(i), ids(j))).toSet
+    val sPairs = pairsOf { (a, b) =>
+      val h = java.lang.Long.bitCount(simsig(a) ^ simsig(b))
+      h <= 7 && spans.exists { case (off, w) =>
+        ((simsig(a) >> off) & ((1L << w) - 1)) ==
+          ((simsig(b) >> off) & ((1L << w) - 1)) }
+    }
+    val mPairs = pairsOf { (a, b) =>
+      minsig.contains(a) && minsig.contains(b) && (0 until 4).exists(bb =>
+        (0 until 4).forall(j2 => minsig(a)(bb * 4 + j2) == minsig(b)(bb * 4 + j2)))
+    }
+    val tPairs = pairsOf { (a, b) =>
+      val c = (sh(a) intersect sh(b)).size.toLong
+      c > 0 && c * 1000000L / (sh(a).size + sh(b).size - c) >= 800000L
+    }
+    val pred = sPairs ++ mPairs
+    def removedSet(pairs: Set[(Long, Long)]): Set[Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.filter(x => find(x) != x).toSet
+    }
+    def prRow(predRem: Set[Long], trueRem: Set[Long]) = {
+      val nb = (predRem intersect trueRem).size.toLong
+      (predRem.size.toLong, trueRem.size.toLong, nb,
+        nb * 1000000L / math.max(predRem.size, 1),
+        nb * 1000000L / math.max(trueRem.size, 1))
+    }
+    val trueRem = removedSet(tPairs)
+    val expected = Map(
+      "routed_raw" -> prRow(removedSet(pred), trueRem),
+      "routed_verified" -> prRow(removedSet(pred intersect tPairs), trueRem))
+    val got = Dedup.routedDedupRemoval(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    // structural invariant: the verified graph is a subgraph of the truth
+    // graph, so every verified removal is a truth removal — precision 1
+    assert(got("routed_verified")._4 == 1000000L)
+    // acting raw can only remove MORE than acting verified
+    assert(got("routed_raw")._1 >= got("routed_verified")._1)
+  }
+
   test("q282 source ablation: BigInt LOO replay over q109 scores; " +
     "below-average sources have nonnegative removal deltas") {
     val scores = TextAnalysis.qualityScores(spark, dir)

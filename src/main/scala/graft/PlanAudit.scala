@@ -624,6 +624,15 @@ object PlanAudit {
         "ReadSchema: struct<o_totalprice:double,o_orderdate:date>" -> true,
         "HashAggregate" -> true, "CartesianProduct" -> false,
         "Window" -> false),
+      // Z-order skipping (q290): BOTH dimension predicates must reach the
+      // Z layout's parquet scans as pushed min/max filters — that is the
+      // multi-dimensional claim the lane realizes; each arm is one hash
+      // aggregate over its pruned scan
+      "q290_zorder_skipping" -> Seq(
+        "PushedFilters: [IsNotNull(o_custkey), LessThanOrEqual(o_custkey" -> true,
+        "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" -> true,
+        "HashAggregate" -> true, "CartesianProduct" -> false,
+        "SortMergeJoin" -> false, "Window" -> false),
       // split parity: the doc-keyed split⋈source join is key-equi; ONE
       // (split, source) aggregate collapses the corpus; marginals and
       // the chi-square algebra broadcast — nothing pairwise, no windows

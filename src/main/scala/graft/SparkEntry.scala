@@ -236,6 +236,8 @@ object SparkEntry {
       SimilaritySearch.pqRescoreRecall(s, dir)),
     "q289_routed_removal" -> ((s, dir) =>
       Dedup.routedDedupRemoval(s, dir)),
+    "q290_zorder_skipping" -> ((s, dir) =>
+      Layout.zorderSelectivityRollup(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -543,6 +545,7 @@ object SparkEntry {
     "q283_simhash_router" -> Dedup.simhashRouterCalibrationSql,
     "q287_routed_near_dup" -> Dedup.routedNearDupAuditSql(),
     "q289_routed_removal" -> Dedup.routedDedupRemovalSql(),
+    "q290_zorder_skipping" -> Layout.zorderSelectivityRollupSql,
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

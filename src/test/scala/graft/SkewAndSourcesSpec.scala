@@ -96,6 +96,64 @@ class SkewAndSourcesSpec extends AnyFunSuite {
     assert(decoded >= matching, "scan cannot decode fewer rows than match")
   }
 
+  test("q290 zorder skipping: ONE layout realizes row-group skips under " +
+    "predicates on EACH clustered dimension; rollups equal the " +
+    "unclustered table's") {
+    import graft.operators.Layout
+    import graft.Tables
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val z = Layout.zorderedOrders(spark, dir)
+    val total = Tables.orders(spark, dir).count()
+    assert(z.count() == total, "Z layout must be row-for-row complete")
+    val custCut = Tables.orders(spark, dir)
+      .agg(max(col("o_custkey")).cast("long")).first().getLong(0) / 4
+    // per-predicate realized skip, from each executed scan's own metric
+    def decoded(pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val agg = z.filter(pred).agg(count(lit(1)))
+      // collect(), not first(): first() runs a separate limit plan and
+      // the metric would be read off the never-executed original
+      val matching = agg.collect()(0).getLong(0)
+      val s = scans(agg.queryExecution.executedPlan)
+      assert(s.nonEmpty, "expected a FileSourceScanExec")
+      (s.head.metrics("numOutputRows").value, matching)
+    }
+    val (custDecoded, custMatch) = decoded(col("o_custkey") <= custCut)
+    val (dateDecoded, dateMatch) = decoded(col("o_orderdate") >=
+      lit(java.sql.Date.valueOf(Layout.ZDateCutoff)))
+    // the multi-dimensional claim: BOTH predicates skip on the SAME
+    // layout — each decodes a strict minority-to-moderate share, never
+    // the whole table, and never less than its own matching rows
+    assert(custDecoded >= custMatch && dateDecoded >= dateMatch)
+    assert(custDecoded < total * 6 / 10,
+      s"custkey scan decoded $custDecoded of $total — no 2-D skip")
+    assert(dateDecoded < total * 3 / 4,
+      s"date scan decoded $dateDecoded of $total — no 2-D skip")
+    // losslessness: the lane's rollups equal the unclustered table's
+    val got = Layout.zorderSelectivityRollup(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def expRoll(f: org.apache.spark.sql.DataFrame) = {
+      val r = f.agg(count(lit(1)),
+        countDistinct(col("o_custkey")),
+        sum(round(col("o_totalprice") * 100)
+          .cast(org.apache.spark.sql.types.LongType))).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val o = Tables.orders(spark, dir)
+    assert(got("custkey_quarter") ==
+      expRoll(o.filter(col("o_custkey") <= custCut)))
+    assert(got("date_tail") == expRoll(o.filter(col("o_orderdate") >=
+      lit(java.time.LocalDateTime.parse(s"${Layout.ZDateCutoff}T00:00:00")))))
+  }
+
   test("salted aggregate equals plain aggregate") {
     val li = Tables.lineitem(spark, dir)
     val plain = li.groupBy(col("l_returnflag").as("key"))

@@ -238,6 +238,8 @@ object SparkEntry {
       Dedup.routedDedupRemoval(s, dir)),
     "q290_zorder_skipping" -> ((s, dir) =>
       Layout.zorderSelectivityRollup(s, dir)),
+    "q291_late_data_census" -> ((s, dir) =>
+      streaming.EventStreams.lateDataCensusQuery(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -546,6 +548,7 @@ object SparkEntry {
     "q287_routed_near_dup" -> Dedup.routedNearDupAuditSql(),
     "q289_routed_removal" -> Dedup.routedDedupRemovalSql(),
     "q290_zorder_skipping" -> Layout.zorderSelectivityRollupSql,
+    "q291_late_data_census" -> streaming.EventStreams.lateDataCensusSql(),
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

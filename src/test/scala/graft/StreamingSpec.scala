@@ -602,4 +602,32 @@ class StreamingSpec extends AnyFunSuite {
       .contains("stateStoreSave"),
       s"unexpected state operators: ${EventStreams.lastRunStateOperators}")
   }
+
+  test("q291 late-data census: drops equal the watermark contract band " +
+    "for band, the feed really ran three micro-batches, and shrinking " +
+    "the delay grows the drop set monotonically") {
+    def census(delayHours: Int): Map[Long, (Long, Long, Long)] =
+      EventStreams.lateDataCensusQuery(spark, dir, delayHours).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+    val at2 = census(2)
+    // the schedule produced a real three-batch replay (A, B, late)
+    assert(EventStreams.lastRunDataBatches == 3,
+      s"expected 3 data batches, got ${EventStreams.lastRunDataBatches}")
+    assert(at2.nonEmpty && at2.keySet.exists(_ >= 0))
+    // the contract, measured: every late row in an expired band (>= 0)
+    // was dropped; nothing in the not-yet-expired band (-1) was
+    at2.foreach { case (band, (_, nLate, nDropped)) =>
+      if (band >= 0) assert(nDropped == nLate,
+        s"band $band: dropped $nDropped != late $nLate")
+      else assert(nDropped == 0L, s"band $band dropped $nDropped")
+    }
+    // delay-vs-completeness: a tighter watermark can only drop MORE
+    val at1 = census(1)
+    val dropped1 = at1.values.map(_._3).sum
+    val dropped2 = at2.values.map(_._3).sum
+    assert(dropped1 >= dropped2,
+      s"1h delay dropped $dropped1 < 2h delay's $dropped2")
+    assert(dropped2 > 0, "the 2h census must observe real drops")
+  }
 }

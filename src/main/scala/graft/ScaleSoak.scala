@@ -113,7 +113,12 @@ object ScaleSoak {
     // mode reads): the 8-band pair calibration, the clustered-layout
     // write+rollup, the PQ fit+recall pair, the full-outer join state
     "q283_simhash_router", "q284_clustered_rollup", "q285_pq_recall",
-    "q286_stream_full_outer_join")
+    "q286_stream_full_outer_join",
+    // round-12 additions: the two-stage PQ rescore, the CC-backed routed
+    // removal, the Z-order layout write+rollups, the 3-batch late census,
+    // plus q261 re-soaked on its staged-layout serving path
+    "q288_pq_rescore", "q289_routed_removal", "q290_zorder_skipping",
+    "q291_late_data_census")
 
   /** Times one query with shuffle parallelism scaled to the data factor —
     * the weak-scaling protocol: per-task shuffle volume stays constant

@@ -141,29 +141,37 @@ object Dedup {
                      maxDf: Option[Long] = None): DataFrame =
     ngramJaccardOnIndex(shingles(docs, 3, maxDf), threshold)
 
-  private def ngramJaccardOnIndex(sh: DataFrame, threshold: Double): DataFrame = {
+  /** (doc_a, doc_b, c, na, nb) for every shingle-colliding doc pair of
+    * index `sh` — THE shared inverted-index pair-stats chain (q31
+    * Jaccard, q178 containment, q220/q266 MinHash audits, the
+    * q281/q283/q287 calibration universe, q222's sweep and q289's truth
+    * pass all consume it), defined ONCE so a change to the pair universe
+    * (e.g. a stop-shingle df cap) cannot silently diverge between lanes.
+    *
+    * The shingle key is deliberately duplicate-heavy (that is what makes
+    * candidates), and sort-merge join pays a per-key quadratic
+    * duplicate-group walk on BOTH sorted sides; a shuffled hash join
+    * streams one side through the other's hash table instead — measured
+    * 3× on this self-join. The build side is the per-partition slice of
+    * the index (bounded, and production runs put a df cap on the key), so
+    * the hash table stays small. */
+  private def shinglePairStats(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    // The shingle key is deliberately duplicate-heavy (that is what makes
-    // candidates), and sort-merge join pays a per-key quadratic
-    // duplicate-group walk on BOTH sorted sides; a shuffled hash join
-    // streams one side through the other's hash table instead — measured
-    // 3× on this self-join. The build side is the per-partition slice of
-    // the index (bounded, and production runs put a df cap on the key), so
-    // the hash table stays small.
-    val common = a.hint("shuffle_hash").join(b, Seq("shingle"))
+    sh.toDF("doc_a", "shingle").hint("shuffle_hash")
+      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
-    common
       .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
       .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+  }
+
+  private def ngramJaccardOnIndex(sh: DataFrame, threshold: Double): DataFrame =
+    shinglePairStats(sh)
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** q178 — CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) over the same
     * 3-shingle sets as q31, in exact ppm. Jaccard under-scores
@@ -176,16 +184,8 @@ object Dedup {
     * integer chain (ppm DIV) so the hash gate is engine-exact. */
   def containmentPairs(spark: SparkSession, dir: String,
                        thresholdPpm: Long = 800000L): DataFrame = {
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    a.hint("shuffle_hash").join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    shinglePairStats(shingleIndex(spark, dir))
+      .withColumnRenamed("c", "inter")
       .withColumn("containment_ppm",
         expr("inter * 1000000 DIV least(na, nb)"))
       .filter(col("containment_ppm") >= thresholdPpm)
@@ -377,16 +377,7 @@ object Dedup {
                numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    val pairs = a.hint("shuffle_hash").join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    val pairs = shinglePairStats(shingleIndex(spark, dir))
     val sig = minhashSignatures(spark, dir, numHashes)
     val collide = (0 until bands)
       .map(bd => slice(col("sig_a"), bd * r + 1, r) ===
@@ -481,16 +472,7 @@ object Dedup {
     * aggregate. Nothing here exceeds the cost of the dedup pass it audits. */
   def minhashErrorAudit(spark: SparkSession, dir: String,
                         numHashes: Int = 16): DataFrame = {
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    val pairs = a.hint("shuffle_hash").join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    val pairs = shinglePairStats(shingleIndex(spark, dir))
     val sig = minhashSignatures(spark, dir, numHashes)
     pairs
       .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
@@ -607,16 +589,7 @@ object Dedup {
     * and `hamming`. ONE definition so both lanes provably audit the same
     * pair universe. */
   private def calibrationPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    val pairs = a.hint("shuffle_hash").join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    val pairs = shinglePairStats(shingleIndex(spark, dir))
     val sig = simhashSignatures(spark, dir)
     pairs
       .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
@@ -983,15 +956,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val predPairs = sPairs.union(mPairs).distinct()
     // truth: exact Jaccard ≥ truthPpm over the staged shingle index
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val truthPairs = sh.toDF("doc_a", "shingle").hint("shuffle_hash")
-      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    val truthPairs = shinglePairStats(shingleIndex(spark, dir))
       .filter(expr(s"(c * 1000000) div (na + nb - c) >= $truthPpm"))
       .select(col("doc_a"), col("doc_b"))
     // the production refinement: candidates CONFIRMED by exact Jaccard
@@ -1145,16 +1110,7 @@ object Dedup {
     * into one small aggregate — adding a cut costs one more histogram
     * row, not another corpus pass. */
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    a.hint("shuffle_hash").join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+    shinglePairStats(shingleIndex(spark, dir))
       .select(col("doc_b"),
         expr("(c * 1000000) div (na + nb - c)").as("jppm"),
         explode(array(SweepThresholdsPpm.map(lit): _*)).as("threshold_ppm"))

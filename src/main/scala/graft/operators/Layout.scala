@@ -412,7 +412,7 @@ object Layout {
     * rollup per clustered dimension against it: a customer-range
     * predicate (lowest quarter of the key domain — the cut derives from
     * `max(o_custkey) DIV 4`, a 1-row aggregate, so it is scale-free) and
-    * a date-range predicate ([[ZDateCutoff]] — the late ~40%). Both
+    * a date-range predicate ([[ZDateCutoff]] — the late ~25%). Both
     * filters land on stored literal-comparable columns, reach the
     * parquet scan as pushed filters, and prune row groups via the
     * Z-tightened min/max stats; the spec pins the REALIZED per-predicate

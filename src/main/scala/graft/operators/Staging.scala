@@ -42,11 +42,12 @@ object Staging {
       new java.io.File(sys.props("java.io.tmpdir"), "graft_prepared"),
       graft.streaming.EventStreams.sanitize(canon(dir)))
 
-  /** Fingerprint of the artifact's source table under `dir` (a single
-    * parquet file in driver testdata; a Spark-written directory after a
-    * soak rebuild). */
-  private def fingerprint(dir: String, sourceTable: String): String = {
-    val src = new java.io.File(canon(dir), s"$sourceTable.parquet")
+  /** Cheap build fingerprint of a source table path — a single parquet
+    * FILE (driver testdata) or a Spark-written DIRECTORY (soak rebuilds):
+    * data-file count, total bytes, newest mtime. Shared by every staging
+    * gate in the repo ([[graft.streaming.EventStreams]] uses it too) so
+    * the freshness disciplines cannot silently diverge. */
+  private[graft] def fingerprintOf(src: java.io.File): String =
     if (src.isFile) s"1:${src.length}:${src.lastModified}"
     else {
       val fs = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -55,7 +56,16 @@ object Staging {
       s"${fs.length}:${fs.map(_.length).sum}:" +
         s"${fs.foldLeft(0L)((m, f) => math.max(m, f.lastModified))}"
     }
+
+  /** Recursive delete — the shared staging-cleanup helper. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
   }
+
+  private def fingerprint(dir: String, sourceTable: String): String =
+    fingerprintOf(new java.io.File(canon(dir), s"$sourceTable.parquet"))
 
   /** Get-or-build the staged parquet layout `name` derived from
     * `$dir/$sourceTable.parquet`, returning a frame that READS the staged
@@ -70,8 +80,13 @@ object Staging {
     lock.synchronized {
       val fp = fingerprint(dir, sourceTable)
       val marker = new java.io.File(root, "_GRAFT_FP")
+      // markers alone are not proof the data survived tmp cleanup —
+      // require at least one data file too (the stageForStream
+      // discipline), or a cleaned layout would be served forever
       val ok = new java.io.File(root, "_SUCCESS").exists() &&
         marker.exists() &&
+        Option(root.listFiles()).exists(_.exists(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))) &&
         java.nio.file.Files.readString(marker.toPath) == fp
       if (!ok) {
         build.write.mode("overwrite").parquet(root.toString)
@@ -87,10 +102,7 @@ object Staging {
     * catches this; explicit invalidation keeps the soak's rebuild hook
     * uniform across all derived-layout owners). */
   private[graft] def invalidate(dir: String): Unit = lock.synchronized {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     val root = sourceRoot(dir)
-    if (root.exists()) rm(root)
+    if (root.exists()) deleteRecursively(root)
   }
 }

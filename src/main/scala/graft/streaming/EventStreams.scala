@@ -321,18 +321,14 @@ object EventStreams {
     import java.nio.file.{Files, StandardCopyOption}
     if (Files.isDirectory(src)) {
       val marker = staged.resolve(s"_STAGED_X$copies")
-      // cheap fingerprint of the SOURCE build (data-file count, total
-      // bytes, newest mtime): a source dir rebuilt in place by ANY caller
-      // — not just ScaleSoak, which calls invalidateStaged explicitly —
-      // changes the fingerprint, so the freshness check below re-stages
-      // instead of silently streaming the previous build's rows
-      def fingerprint: String = {
-        val fs = Option(src.toFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith("_") &&
-            !f.getName.startsWith("."))
-        s"${fs.length}:${fs.map(_.length).sum}:" +
-          s"${fs.foldLeft(0L)((m, f) => math.max(m, f.lastModified))}"
-      }
+      // cheap fingerprint of the SOURCE build (the shared
+      // [[graft.operators.Staging.fingerprintOf]]): a source dir rebuilt
+      // in place by ANY caller — not just ScaleSoak, which calls
+      // invalidateStaged explicitly — changes the fingerprint, so the
+      // freshness check below re-stages instead of silently streaming
+      // the previous build's rows
+      def fingerprint: String =
+        graft.operators.Staging.fingerprintOf(src.toFile)
       // marker alone is not proof the data survived tmp cleanup — verify
       // at least one data file backs it (the Bucketing/ORC discipline)
       // AND that the marker's recorded source fingerprint still matches
@@ -413,17 +409,8 @@ object EventStreams {
   private def stageLateFeed(spark: SparkSession, src: java.nio.file.Path,
                             staged: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
-    def fingerprint: String = {
-      val f = src.toFile
-      if (f.isFile) s"1:${f.length}:${f.lastModified}"
-      else {
-        val fs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(x => x.isFile && !x.getName.startsWith("_") &&
-            !x.getName.startsWith("."))
-        s"${fs.length}:${fs.map(_.length).sum}:" +
-          s"${fs.foldLeft(0L)((m, x) => math.max(m, x.lastModified))}"
-      }
-    }
+    import graft.operators.Staging.{deleteRecursively, fingerprintOf}
+    def fingerprint: String = fingerprintOf(src.toFile)
     val names = Seq("00_ontime_a.parquet", "01_ontime_b.parquet",
       "02_late.parquet")
     val marker = staged.resolve("_STAGED_LATE")
@@ -431,10 +418,7 @@ object EventStreams {
       names.forall(n => Files.exists(staged.resolve(n))) &&
       Files.readString(marker) == fingerprint
     if (!ok) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      if (Files.exists(staged)) rm(staged.toFile)
+      if (Files.exists(staged)) deleteRecursively(staged.toFile)
       Files.createDirectories(staged)
       val raw = spark.read.parquet(src.toString)
       val ev = raw.schema("ts").dataType match {
@@ -451,9 +435,12 @@ object EventStreams {
           .getOrElse(sys.error(s"no part file under $tmp"))
         Files.move(part.toPath, staged.resolve(name),
           StandardCopyOption.REPLACE_EXISTING)
-        rm(tmp.toFile)
-        staged.resolve(name).toFile.setLastModified(mtime)
-        ()
+        deleteRecursively(tmp.toFile)
+        // the strictly-increasing mtimes ARE the batch order — fail
+        // loudly here rather than as a census mismatch far downstream
+        require(staged.resolve(name).toFile.setLastModified(mtime),
+          s"cannot set mtime on $name — the 3-batch replay order " +
+            "depends on it")
       }
       // deterministic, strictly increasing mtimes derived from the source
       val t0 = (src.toFile.lastModified / 60000) * 60000

@@ -4297,6 +4297,10 @@ class OperatorSpec extends AnyFunSuite {
     // Disjoint token universes per pair, so the inverted index produces
     // exactly the 16 planted pairs and nothing else.
     val tmp = java.nio.file.Files.createTempDirectory("graft_q283").toString
+    // the dedup lanes stage parquet layouts keyed by this throwaway dir —
+    // drop them on the way out or every test run leaks a graft_prepared
+    // tree into /tmp
+    try {
     val rows = (0 until 16).flatMap { p =>
       val w = (0 until 100).map(i => s"p${p}w$i").toArray
       val w2 = w.clone(); w2(30) = s"p${p}x30"; w2(70) = s"p${p}x70"
@@ -4345,6 +4349,7 @@ class OperatorSpec extends AnyFunSuite {
     // detection at J ≥ 0.8, strictly better than the old cut
     assert(newPpm >= 800000L, s"new cut detection $newPpm ppm < target")
     assert(nNew >= nOld)
+    } finally graft.operators.Staging.invalidate(tmp)
   }
 
   test("q287 routed near-dup: first-principles replay of BOTH arms' " +

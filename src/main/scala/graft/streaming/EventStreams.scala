@@ -1135,8 +1135,15 @@ object EventStreams {
                  awaitStateFlush: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    // the trailing no-data batch RUNS immediately after the watermark
+    // advances, but its progress EVENT is rate-limited by this interval
+    // (default 10 s) — the awaitStateFlush poll below watches
+    // recentProgress, so without lowering it a 2 s query reads as 12 s
+    // of idle waiting (measured on the q291 3-batch census)
+    val noDataEvtKey = "spark.sql.streaming.noDataProgressEventInterval"
     val prior = spark.conf.get(key)
     val priorNoData = spark.conf.getOption(noDataKey)
+    val priorNoDataEvt = spark.conf.getOption(noDataEvtKey)
     val priorProvider = spark.conf.getOption(ProviderKey)
     // weak-scaling hook for the ×N soak: a pinned partition count that is
     // right for the 1× harness would carry N× the state per task at ×N,
@@ -1154,6 +1161,7 @@ object EventStreams {
     // advance (outer-join null padding, session windows) keep it: the
     // no-data batch IS their emission path.
     if (!awaitStateFlush) spark.conf.set(noDataKey, "false")
+    else spark.conf.set(noDataEvtKey, "50ms")
     if (spark.conf.getOption(RocksDbFlag).exists(_.toBoolean))
       spark.conf.set(ProviderKey, RocksDbProvider)
     lastProviderHolder.set(spark.conf.getOption(ProviderKey)
@@ -1187,6 +1195,10 @@ object EventStreams {
       priorNoData match {
         case Some(p) => spark.conf.set(noDataKey, p)
         case None => spark.conf.unset(noDataKey)
+      }
+      priorNoDataEvt match {
+        case Some(p) => spark.conf.set(noDataEvtKey, p)
+        case None => spark.conf.unset(noDataEvtKey)
       }
       priorProvider match {
         case Some(p) => spark.conf.set(ProviderKey, p)

@@ -118,7 +118,7 @@ object ScaleSoak {
     // removal, the Z-order layout write+rollups, the 3-batch late census,
     // plus q261 re-soaked on its staged-layout serving path
     "q288_pq_rescore", "q289_routed_removal", "q290_zorder_skipping",
-    "q291_late_data_census")
+    "q291_late_data_census", "q292_stream_neardup_gate")
 
   /** Times one query with shuffle parallelism scaled to the data factor —
     * the weak-scaling protocol: per-task shuffle volume stays constant

@@ -240,6 +240,8 @@ object SparkEntry {
       Layout.zorderSelectivityRollup(s, dir)),
     "q291_late_data_census" -> ((s, dir) =>
       streaming.EventStreams.lateDataCensusQuery(s, dir)),
+    "q292_stream_neardup_gate" -> ((s, dir) =>
+      Dedup.streamingNearDupGate(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -549,6 +551,7 @@ object SparkEntry {
     "q289_routed_removal" -> Dedup.routedDedupRemovalSql(),
     "q290_zorder_skipping" -> Layout.zorderSelectivityRollupSql,
     "q291_late_data_census" -> streaming.EventStreams.lateDataCensusSql(),
+    "q292_stream_neardup_gate" -> Dedup.streamingNearDupGateSql,
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

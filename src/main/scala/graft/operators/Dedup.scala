@@ -1092,6 +1092,155 @@ object Dedup {
        |FROM counts""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q292
+
+  /** One (band, key) gate row per document per router band. */
+  final case class BandRow(band: Int, key: Long, doc_id: Long, sig: Long)
+  /** Per-bucket gate state: every (doc_id, signature) this bucket has
+    * admitted so far, in parallel arrays (compact state-store rows). */
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Long])
+  final case class GateRow(doc_id: Long, band: Int, matched: Boolean)
+
+  /** Per-document 60-bit SimHash as a scalar function of the text — the
+    * q33 signature (identical md5 basis, token split, votes) computed
+    * per ROW instead of via the grouped aggregate, which is what a
+    * STREAMING gate needs: the signature never touches state or a
+    * shuffle, only the 8 band keys do. */
+  private val simhashUdf = udf((text: String) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Long](60)
+    text.split(" ", -1).foreach { tok =>
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+  })
+
+  /** q292 — STREAMING near-dup INGEST GATE: the q289 SimHash arm run the
+    * way a production pipeline actually deploys it — at ARRIVAL time, as
+    * a stateful streaming operator, instead of as a corpus-wide batch
+    * self-join after the fact. Documents stream in; each computes its
+    * 60-bit signature per row ([[simhashUdf]] — a pure function of the
+    * text, so nothing heavier than 8 band keys ever reaches state) and
+    * registers in its [[RouterBandWidths]] band buckets via
+    * `flatMapGroupsWithState` keyed by (band, key): a document is
+    * flagged near-dup when ANY bucket already holds an EARLIER document
+    * (smaller doc_id — the `d0 < doc_id` guard makes the verdict
+    * batch-split-invariant, so micro-batch boundaries cannot move the
+    * result) within hamming ≤ 7. The per-document verdict (any band
+    * matched, and how many) is a tiny batch rollup of the gate's sink.
+    *
+    * Scale shape: state per bucket is the admitted (id, sig) list —
+    * bucket occupancy is exactly what the LSH banding bounds, and at
+    * 100 TB each bucket's candidate scan is the same rare-bucket cost
+    * the batch join pays, amortized per arrival; buckets spread across
+    * executors by the (band, key) hash. A production deployment adds an
+    * event-time TTL (ProcessingTimeTimeout / a watermark horizon) so
+    * buckets forget signatures older than the dedup window; the finite
+    * replay here keeps NoTimeout and measures the gate semantics.
+    *
+    * Oracle: the identical verdict derived in BATCH SQL — doc flagged
+    * iff an earlier doc shares a band key within hamming ≤ 7 (the q289
+    * spairs predicate read per doc_b) — so hash equality pins
+    * stream/batch equivalence of the whole gate. */
+  def streamingNearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val src = Paths.get(s"$dir/documents.parquet")
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_docs_${graft.streaming.EventStreams.sanitize(src.toString)}")
+    graft.streaming.EventStreams.stageForStream(spark, src, staged)
+    val schema = spark.read.parquet(src.toString).schema
+    val banded = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array(bandSpans(RouterBandWidths).zipWithIndex.map {
+          case ((off, w), b) =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1))
+                .as("key"))
+        }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"), col("sig"))
+      .as[BandRow]
+    val gated = banded
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BucketState, GateRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          // in-batch order by doc_id; the d0 < doc_id guard below makes
+          // the verdict independent of how rows split across batches
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var cur = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val out = sorted.map { r =>
+            val matched = cur.ids.iterator.zip(cur.sigs.iterator).exists {
+              case (d0, s0) => d0 < r.doc_id &&
+                java.lang.Long.bitCount(s0 ^ r.sig) <= 7
+            }
+            cur = BucketState(cur.ids :+ r.doc_id, cur.sigs :+ r.sig)
+            GateRow(r.doc_id, r.band, matched)
+          }
+          state.update(cur)
+          out.iterator
+      }
+    val sink = graft.streaming.EventStreams.runToBatch(spark, gated.toDF(),
+      s"neardup_gate_${graft.streaming.EventStreams.sanitize(dir)}",
+      OutputMode.Append, shufflePartitions = Some(4))
+    sink.groupBy(col("doc_id"))
+      .agg(sum(when(col("matched"), 1L).otherwise(0L)).as("n_bands_matched"))
+      .select(col("doc_id"), (col("n_bands_matched") > 0).as("is_near_dup"),
+        col("n_bands_matched"))
+  }
+
+  /** [[streamingNearDupGate]]'s oracle: the q33 signature chain + the
+    * router bands, with the gate verdict derived in batch — a doc is
+    * flagged in a band iff an EARLIER doc (smaller id) shares that band
+    * key within hamming ≤ 7. Hash equality = the stateful streaming gate
+    * is batch-equivalent, bucket for bucket. */
+  def streamingNearDupGateSql: String = {
+    val sbkArms = bandSpans(RouterBandWidths).zipWithIndex.map {
+      case ((off, w), b) =>
+        s"  SELECT doc_id, simhash, $b AS band," +
+          s" (simhash >> $off) & ${(1L << w) - 1} AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM toks
+       |), votes AS (
+       |  SELECT doc_id, b.b AS b,
+       |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hs, (SELECT unnest(range(60)) AS b) b
+       |  GROUP BY doc_id, b.b
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+       |              AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |), sbk AS (
+       |$sbkArms
+       |), m AS (
+       |  SELECT b.doc_id, b.band,
+       |         max(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS matched
+       |  FROM sbk b LEFT JOIN sbk a
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |   AND bit_count(xor(a.simhash, b.simhash)) <= 7
+       |  GROUP BY b.doc_id, b.band
+       |)
+       |SELECT doc_id, sum(matched) > 0 AS is_near_dup,
+       |       CAST(sum(matched) AS BIGINT) AS n_bands_matched
+       |FROM m GROUP BY doc_id""".stripMargin
+  }
+
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,
     800000L, 900000L)

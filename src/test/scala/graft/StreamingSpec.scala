@@ -603,6 +603,51 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected state operators: ${EventStreams.lastRunStateOperators}")
   }
 
+  test("q292 streaming near-dup gate: verdicts equal an in-JVM replay of " +
+    "the banded gate; planted near-dups are flagged; the gate ran as " +
+    "real flatMapGroupsWithState state") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sig = docs.map { case (id, text) =>
+      val votes = Array.fill(60)(0L)
+      text.split(" ", -1).foreach { tok =>
+        val h = java.lang.Long.parseLong(md5hex(tok).substring(0, 15), 16)
+        for (b <- 0 until 60)
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+      id -> (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }.toMap
+    val spans = Seq(8, 8, 8, 8, 7, 7, 7, 7).scanLeft(0)(_ + _)
+      .zip(Seq(8, 8, 8, 8, 7, 7, 7, 7))
+    val ids = docs.map(_._1).sorted
+    val expected = ids.map { b =>
+      val n = spans.zipWithIndex.count { case ((off, w), _) =>
+        ids.exists(a => a < b &&
+          ((sig(a) >> off) & ((1L << w) - 1)) ==
+            ((sig(b) >> off) & ((1L << w) - 1)) &&
+          java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 7)
+      }.toLong
+      b -> ((n > 0, n))
+    }.toMap
+    val got = graft.operators.Dedup.streamingNearDupGate(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(got == expected)
+    // the fixture plants near-dup pairs — the gate must flag some docs,
+    // and never the corpus's first arrival
+    assert(got.values.exists(_._1))
+    assert(!got(ids.min)._1, "the earliest doc can never be a near-dup")
+    // the verdicts came out of REAL streaming state, not a batch fallback
+    assert(EventStreams.lastRunStateOperators.map(_._1)
+      .contains("flatMapGroupsWithState"),
+      s"unexpected state operators: ${EventStreams.lastRunStateOperators}")
+  }
+
   test("q291 late-data census: drops equal the watermark contract band " +
     "for band, the feed really ran three micro-batches, and shrinking " +
     "the delay grows the drop set monotonically") {

@@ -644,8 +644,11 @@ object Dedup {
     * provably audit the same pair universe: q31's shingle pair chain,
     * q33's signature votes, and the decile/hamming integers. `pair_base`
     * exposes raw `sig_a`/`sig_b` so each lane derives its own band cuts. */
-  private val calibrationPairCtes: String =
-    """ws AS (
+  // lazy: embeds [[simhashSigCtes]], which is defined LATER in this
+  // object — a plain val would freeze "null" into every calibration
+  // oracle (the clusterCanonicalSql initialization-order lesson)
+  private lazy val calibrationPairCtes: String =
+    s"""ws AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(len(string_split(text, ' ')) - 2),
       |    i -> string_split(text, ' ')[i+1] || ' ' ||
@@ -661,22 +664,7 @@ object Dedup {
       |  FROM shingled a JOIN shingled b
       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
-      |), toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-      |), hs AS (
-      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-      |  FROM toks
-      |), votes AS (
-      |  SELECT doc_id, b.b AS b,
-      |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      |  FROM hs, (SELECT unnest(range(60)) AS b) b
-      |  GROUP BY doc_id, b.b
-      |), sigs AS (
-      |  SELECT doc_id,
-      |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
-      |              AS BIGINT) AS simhash
-      |  FROM votes GROUP BY doc_id
-      |), pair_base AS (
+      |), $simhashSigCtes, pair_base AS (
       |  SELECT p.doc_a, p.doc_b,
       |         least((p.c * 10) // (sa.n + sb.n - p.c), 9) AS bucket,
       |         CAST(bit_count(xor(ga.simhash, gb.simhash)) AS BIGINT)
@@ -704,6 +692,47 @@ object Dedup {
       val mask = (1L << w) - 1
       s"(sig_a >> $off) & $mask = (sig_b >> $off) & $mask"
     }.mkString("(", " OR\n          ", ")")
+
+  /** (band, key) struct explode of a signature column over the router
+    * band layout — the ONE Spark-side derivation of the band keys (the
+    * q289 candidate arm and the q292 gate both consume it). */
+  private def routerBandKeys(sig: Column): Column =
+    explode(array(bandSpans(RouterBandWidths).zipWithIndex.map {
+      case ((off, w), b) =>
+        struct(lit(b).as("band"),
+          shiftright(sig, off).bitwiseAND(lit((1L << w) - 1)).as("key"))
+    }: _*))
+
+  /** SQL twin of [[routerBandKeys]]: one UNION ALL arm per router band
+    * over the `sigs(doc_id, simhash)` CTE. */
+  private def routerBandKeysSql: String =
+    bandSpans(RouterBandWidths).zipWithIndex.map {
+      case ((off, w), b) =>
+        s"  SELECT doc_id, simhash, $b AS band," +
+          s" (simhash >> $off) & ${(1L << w) - 1} AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+
+  /** The q33 SimHash signature CTE chain ending in `sigs(doc_id,
+    * simhash)` — ONE definition shared by [[calibrationPairCtes]] and
+    * the q292 gate oracle, so the md5 basis and vote arithmetic cannot
+    * silently diverge between the lanes that must agree on it. */
+  private val simhashSigCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), hs AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM toks
+      |), votes AS (
+      |  SELECT doc_id, b.b AS b,
+      |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hs, (SELECT unnest(range(60)) AS b) b
+      |  GROUP BY doc_id, b.b
+      |), sigs AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+      |              AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |)""".stripMargin
 
   /** [[simhashCalibration]]'s oracle: q31's shingle pair chain + q33's
     * signature votes + the identical band/hamming/decile integers. */
@@ -930,12 +959,7 @@ object Dedup {
     // SimHash arm: real LSH banding on the router's 60-bit band layout
     val ssig = simhashSignatures(spark, dir)
     val sBanded = ssig.select(col("doc_id"), col("simhash"),
-      explode(array(bandSpans(RouterBandWidths).zipWithIndex.map {
-        case ((off, w), b) =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
-              .as("key"))
-      }: _*)).as("bk"))
+      routerBandKeys(col("simhash")).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val sPairs = sBanded.toDF("doc_a", "sig_a", "band", "key")
@@ -996,11 +1020,7 @@ object Dedup {
       s"""list_min(list_transform(sh, s ->
          |      ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))""".stripMargin
     }.mkString("[\n    ", ",\n    ", "]")
-    val sbkArms = bandSpans(RouterBandWidths).zipWithIndex.map {
-      case ((off, w), b) =>
-        s"  SELECT doc_id, simhash, $b AS band," +
-          s" (simhash >> $off) & ${(1L << w) - 1} AS key FROM sigs"
-    }.mkString("\n  UNION ALL\n")
+    val sbkArms = routerBandKeysSql
     s"""WITH RECURSIVE $calibrationPairCtes, msigs AS (
        |  SELECT doc_id, $mins AS msig
        |  FROM ws WHERE len(sh) > 0
@@ -1110,9 +1130,14 @@ object Dedup {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Long](60)
     text.split(" ", -1).foreach { tok =>
-      val hex = md.digest(tok.getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
-      val h = java.lang.Long.parseLong(hex, 16)
+      val d = md.digest(tok.getBytes("UTF-8"))
+      // the q44 basis = first 15 hex chars of the digest = big-endian
+      // first 8 bytes >>> 4 — read the bytes directly; a per-token hex
+      // string round-trip would dominate the per-row streaming hot path
+      var l = 0L
+      var i = 0
+      while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+      val h = l >>> 4
       var b = 0
       while (b < 60) {
         if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -1130,11 +1155,16 @@ object Dedup {
     * text, so nothing heavier than 8 band keys ever reaches state) and
     * registers in its [[RouterBandWidths]] band buckets via
     * `flatMapGroupsWithState` keyed by (band, key): a document is
-    * flagged near-dup when ANY bucket already holds an EARLIER document
-    * (smaller doc_id — the `d0 < doc_id` guard makes the verdict
-    * batch-split-invariant, so micro-batch boundaries cannot move the
-    * result) within hamming ≤ 7. The per-document verdict (any band
-    * matched, and how many) is a tiny batch rollup of the gate's sink.
+    * flagged near-dup when ANY bucket holds a SMALLER-id document within
+    * hamming ≤ 7. The verdict is batch-split-INVARIANT by construction,
+    * in both directions: a late-arriving larger id matches the smaller
+    * ids already in state (the `d0 < doc_id` guard), and a
+    * late-arriving SMALLER id emits UPGRADE rows for the larger-id
+    * members it retroactively matches — the rollup below takes the
+    * per-(doc, band) maximum, so micro-batch boundaries cannot move the
+    * result (spec-pinned with a deliberately out-of-order 2-batch
+    * feed). The per-document verdict (any band matched, and how many
+    * distinct bands) is a tiny batch rollup of the gate's sink.
     *
     * Scale shape: state per bucket is the admitted (id, sig) list —
     * bucket occupancy is exactly what the LSH banding bounds, and at
@@ -1149,54 +1179,85 @@ object Dedup {
     * iff an earlier doc shares a band key within hamming ≤ 7 (the q289
     * spairs predicate read per doc_b) — so hash equality pins
     * stream/batch equivalence of the whole gate. */
-  def streamingNearDupGate(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Paths
+  /** Per-bucket gate step: emits each arrival's verdict against the
+    * SMALLER ids present (state + earlier in-batch rows), plus UPGRADE
+    * rows for already-admitted LARGER ids a late-arriving smaller id
+    * retroactively matches — the mechanism that makes the end-to-end
+    * verdict independent of micro-batch boundaries. Mutable buffers:
+    * immutable `:+` appends would copy the whole bucket per arrival
+    * (quadratic in occupancy). */
+  private def gateBucket(rows: Iterator[BandRow],
+      state: org.apache.spark.sql.streaming.GroupState[BucketState])
+      : Iterator[GateRow] = {
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    val prior = state.getOption.getOrElse(BucketState(Nil, Nil))
+    val ids = scala.collection.mutable.ArrayBuffer.from(prior.ids)
+    val sigs = scala.collection.mutable.ArrayBuffer.from(prior.sigs)
+    val out = Seq.newBuilder[GateRow]
+    sorted.foreach { r =>
+      var matched = false
+      var i = 0
+      while (i < ids.length) {
+        if (java.lang.Long.bitCount(sigs(i) ^ r.sig) <= 7) {
+          if (ids(i) < r.doc_id) matched = true
+          // ids(i) > r.doc_id only for PRIOR-batch members (in-batch
+          // rows append in ascending order): the smaller id arrived
+          // late, so the larger member's verdict upgrades to matched
+          else if (ids(i) > r.doc_id)
+            out += GateRow(ids(i), r.band, matched = true)
+        }
+        i += 1
+      }
+      out += GateRow(r.doc_id, r.band, matched)
+      ids += r.doc_id
+      sigs += r.sig
+    }
+    state.update(BucketState(ids.toSeq, sigs.toSeq))
+    out.result().iterator
+  }
+
+  /** The gate pipeline over an already-staged documents feed dir —
+    * [[streamingNearDupGate]] minus the staging, parameterized so the
+    * split-invariance spec can drive it over a deliberately OUT-OF-ORDER
+    * multi-batch feed. */
+  private[graft] def nearDupGateOn(spark: SparkSession, stagedDir: String,
+      sinkName: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val src = Paths.get(s"$dir/documents.parquet")
-    val staged = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_docs_${graft.streaming.EventStreams.sanitize(src.toString)}")
-    graft.streaming.EventStreams.stageForStream(spark, src, staged)
-    val schema = spark.read.parquet(src.toString).schema
-    val banded = spark.readStream.schema(schema).parquet(staged.toString)
+    val schema = spark.read.parquet(stagedDir).schema
+    val reader = maxFilesPerTrigger
+      .foldLeft(spark.readStream.schema(schema))((r, n) =>
+        r.option("maxFilesPerTrigger", n).option("latestFirst", "false"))
+    val banded = reader.parquet(stagedDir)
       .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
-      .select(col("doc_id"), col("sig"),
-        explode(array(bandSpans(RouterBandWidths).zipWithIndex.map {
-          case ((off, w), b) =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1))
-                .as("key"))
-        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), routerBandKeys(col("sig")).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"),
         col("doc_id"), col("sig"))
       .as[BandRow]
     val gated = banded
       .groupByKey(r => (r.band, r.key))
       .flatMapGroupsWithState[BucketState, GateRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state) =>
-          // in-batch order by doc_id; the d0 < doc_id guard below makes
-          // the verdict independent of how rows split across batches
-          val sorted = rows.toSeq.sortBy(_.doc_id)
-          var cur = state.getOption.getOrElse(BucketState(Nil, Nil))
-          val out = sorted.map { r =>
-            val matched = cur.ids.iterator.zip(cur.sigs.iterator).exists {
-              case (d0, s0) => d0 < r.doc_id &&
-                java.lang.Long.bitCount(s0 ^ r.sig) <= 7
-            }
-            cur = BucketState(cur.ids :+ r.doc_id, cur.sigs :+ r.sig)
-            GateRow(r.doc_id, r.band, matched)
-          }
-          state.update(cur)
-          out.iterator
-      }
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows, st) => gateBucket(rows, st))
     val sink = graft.streaming.EventStreams.runToBatch(spark, gated.toDF(),
-      s"neardup_gate_${graft.streaming.EventStreams.sanitize(dir)}",
-      OutputMode.Append, shufflePartitions = Some(4))
+      sinkName, OutputMode.Append, shufflePartitions = Some(4))
+    // max-per-(doc, band) rollup: upgrade rows may duplicate a (doc,
+    // band) verdict — count DISTINCT matched bands, never rows
     sink.groupBy(col("doc_id"))
-      .agg(sum(when(col("matched"), 1L).otherwise(0L)).as("n_bands_matched"))
+      .agg(countDistinct(when(col("matched"), col("band")))
+        .as("n_bands_matched"))
       .select(col("doc_id"), (col("n_bands_matched") > 0).as("is_near_dup"),
         col("n_bands_matched"))
+  }
+
+  def streamingNearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val src = Paths.get(s"$dir/documents.parquet")
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_docs_${graft.streaming.EventStreams.sanitize(src.toString)}")
+    graft.streaming.EventStreams.stageForStream(spark, src, staged)
+    nearDupGateOn(spark, staged.toString,
+      s"neardup_gate_${graft.streaming.EventStreams.sanitize(dir)}")
   }
 
   /** [[streamingNearDupGate]]'s oracle: the q33 signature chain + the
@@ -1205,27 +1266,8 @@ object Dedup {
     * key within hamming ≤ 7. Hash equality = the stateful streaming gate
     * is batch-equivalent, bucket for bucket. */
   def streamingNearDupGateSql: String = {
-    val sbkArms = bandSpans(RouterBandWidths).zipWithIndex.map {
-      case ((off, w), b) =>
-        s"  SELECT doc_id, simhash, $b AS band," +
-          s" (simhash >> $off) & ${(1L << w) - 1} AS key FROM sigs"
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-       |), hs AS (
-       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-       |  FROM toks
-       |), votes AS (
-       |  SELECT doc_id, b.b AS b,
-       |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |  FROM hs, (SELECT unnest(range(60)) AS b) b
-       |  GROUP BY doc_id, b.b
-       |), sigs AS (
-       |  SELECT doc_id,
-       |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
-       |              AS BIGINT) AS simhash
-       |  FROM votes GROUP BY doc_id
-       |), sbk AS (
+    val sbkArms = routerBandKeysSql
+    s"""WITH $simhashSigCtes, sbk AS (
        |$sbkArms
        |), m AS (
        |  SELECT b.doc_id, b.band,

@@ -648,6 +648,43 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected state operators: ${EventStreams.lastRunStateOperators}")
   }
 
+  test("q292 gate is batch-split-invariant: a near-dup's smaller half " +
+    "arriving a batch LATE still flags the larger half via upgrade rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q292").toString
+    val w = (0 until 100).map(i => s"g$i").toArray
+    val w2 = w.clone(); w2(40) = "gx40" // near-dup pair (1, 2), hamming small
+    val unrelated = (0 until 100).map(i => s"u$i").mkString(" ")
+    def write(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val dst = s"$tmp/__t"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(dst)
+      val part = new java.io.File(dst).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/$name"))
+      assert(new java.io.File(s"$tmp/$name").setLastModified(mtime))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dst))
+    }
+    // the LARGER half of the pair and an unrelated doc arrive FIRST;
+    // the smaller half arrives one micro-batch later
+    write("00_first.parquet",
+      Seq((2L, w2.mkString(" ")), (10L, unrelated)), 1000000000000L)
+    write("01_late.parquet", Seq((1L, w.mkString(" "))), 1000000060000L)
+    val got = graft.operators.Dedup
+      .nearDupGateOn(spark, tmp, "q292_split_inv", maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(EventStreams.lastRunDataBatches == 2,
+      s"expected 2 data batches, got ${EventStreams.lastRunDataBatches}")
+    // the doc_id-order semantics the batch oracle defines, regardless of
+    // arrival order: 1 is the pair's minimum (never flagged), 2 is
+    // flagged even though it ARRIVED before 1 — the upgrade-row path
+    assert(got == Map(1L -> false, 2L -> true, 10L -> false), s"got $got")
+  }
+
   test("q291 late-data census: drops equal the watermark contract band " +
     "for band, the feed really ran three micro-batches, and shrinking " +
     "the delay grows the drop set monotonically") {

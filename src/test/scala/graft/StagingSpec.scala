@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Staging
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The write-once staged-layout discipline itself: build-once reuse,
+  * fingerprint-driven rebuild on in-place source changes, self-heal when
+  * tmp cleanup removes data behind the markers, and exact per-source
+  * invalidation. These are the guarantees every staged consumer
+  * (shingle index, signature tables, clustered/Z-ordered orders) leans
+  * on without re-testing them. */
+class StagingSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSession.spark
+
+  private def newSource(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_staging_spec").toString
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def build(dir: String, name: String): (org.apache.spark.sql.DataFrame, () => Int) = {
+    var builds = 0
+    val frame = Staging.prepared(spark, name, dir) {
+      builds += 1
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    }
+    (frame, () => builds)
+  }
+
+  test("prepared() builds once per source snapshot and serves parquet " +
+    "scans afterwards") {
+    val dir = newSource(Seq((1L, "aa"), (2L, "bbb")))
+    try {
+      var builds = 0
+      def call(): Set[(Long, Long)] = Staging.prepared(spark, "lenmap", dir) {
+        builds += 1
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(call() == Set((1L, 2L), (2L, 3L)))
+      assert(call() == Set((1L, 2L), (2L, 3L)))
+      assert(builds == 1, s"expected one build, saw $builds")
+      // the served frame is a plain parquet scan (plan-native leaf with
+      // honest file statistics — the whole point of staging)
+      val plan = Staging.prepared(spark, "lenmap", dir)(
+        sys.error("must not rebuild")).queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet"))
+    } finally Staging.invalidate(dir)
+  }
+
+  test("an in-place source rebuild changes the fingerprint and re-stages " +
+    "without any explicit invalidation") {
+    import spark.implicits._
+    val dir = newSource(Seq((1L, "aa")))
+    try {
+      var builds = 0
+      def call(): Set[(Long, Long)] = Staging.prepared(spark, "fp", dir) {
+        builds += 1
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(call() == Set((1L, 2L)) && builds == 1)
+      // rebuild the source IN PLACE under the same dir string (the
+      // ScaleSoak factor-rebuild shape) — different bytes, same path
+      Seq((1L, "aaaa"), (2L, "b")).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(call() == Set((1L, 4L), (2L, 1L)),
+        "stale layout served after an in-place source rebuild")
+      assert(builds == 2)
+    } finally Staging.invalidate(dir)
+  }
+
+  test("a layout whose data files were cleaned behind the markers " +
+    "self-heals instead of failing forever") {
+    val dir = newSource(Seq((7L, "xyz")))
+    try {
+      val (f1, _) = build(dir, "heal")
+      assert(f1.count() == 1)
+      // simulate a tmp cleaner: delete the part files, keep _SUCCESS and
+      // the fingerprint marker. The layout path comes from the frame's
+      // own input files, so this cannot drift from Staging's keying.
+      val layout = new java.io.File(f1.inputFiles.head
+        .replaceFirst("^file:", "")).getParentFile
+      assert(layout.getPath.contains("graft_prepared"))
+      val parts = layout.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.nonEmpty)
+      parts.foreach(f => assert(f.delete()))
+      val (f2, builds2) = build(dir, "heal")
+      assert(f2.count() == 1, "self-heal rebuild must serve the data again")
+      assert(builds2() == 1, "the cleaned layout must trigger a rebuild")
+    } finally Staging.invalidate(dir)
+  }
+
+  test("invalidate removes exactly one source's staged subtree") {
+    val dirA = newSource(Seq((1L, "a")))
+    val dirB = newSource(Seq((2L, "b")))
+    try {
+      build(dirA, "iso")._1.count()
+      build(dirB, "iso")._1.count()
+      Staging.invalidate(dirA)
+      // B's layout survives A's invalidation and serves WITHOUT rebuild
+      val (fb, buildsB) = build(dirB, "iso")
+      assert(fb.count() == 1 && buildsB() == 0)
+      // A rebuilds from scratch
+      val (fa, buildsA) = build(dirA, "iso")
+      assert(fa.count() == 1 && buildsA() == 1)
+    } finally { Staging.invalidate(dirA); Staging.invalidate(dirB) }
+  }
+}

@@ -80,7 +80,13 @@ object PlanAudit {
       "q04_rfm" -> Seq("BroadcastNestedLoopJoin" -> true), // 1-row ref side
       "q12_star_join" -> Seq("BroadcastHashJoin" -> true,
         "CartesianProduct" -> false),
-      "q31_dedup_ngram_jaccard" -> Seq("CartesianProduct" -> false),
+      // the shingle self-join must ride the BUCKETED staged layout with
+      // no live exchange on the shingle key (round-13 verdict item 2 —
+      // the write-time shuffle); a regression to an exchange here is the
+      // bucket-metadata drift failure mode the q151 pin also guards
+      "q31_dedup_ngram_jaccard" -> Seq("CartesianProduct" -> false,
+        "Exchange hashpartitioning(shingle" -> false,
+        "Bucketed: true" -> true),
       "q50_ann_bruteforce" -> Seq("BroadcastNestedLoopJoin" -> true,
         "CartesianProduct" -> false),
       "q60_events_hourly" -> Seq("HashAggregate" -> true),
@@ -498,7 +504,13 @@ object PlanAudit {
       "q261_prefix_sim_join" -> Seq("ShuffledHashJoin" -> true,
         "Scan ExistingRDD" -> false,
         "CartesianProduct" -> false, "BroadcastNestedLoopJoin" -> false,
-        "HashAggregate" -> true),
+        "HashAggregate" -> true,
+        // round-13 verdict item 2: the candidate self-join reads the
+        // BUCKETED staged prefix index on both sides — no live exchange
+        // on the prefix-shingle key (w/w2) anywhere in the plan
+        "Exchange hashpartitioning(w#" -> false,
+        "Exchange hashpartitioning(w2#" -> false,
+        "Bucketed: true" -> true),
       // Neyman sample: 5-row moment aggregate, miniature allocation
       // windows, quotas broadcast back onto the per-segment rank window —
       // the q112 shape; no data-sized sort-merge or cartesian anywhere

@@ -180,7 +180,7 @@ object ScaleSoak {
       // A-then-B staleness the _SOAK_FACTOR_ markers prevent above)
       graft.operators.Layout.invalidateClusteredOrders(outDir)
       graft.operators.PartitionedEvents.invalidateLayout(outDir)
-      graft.operators.Staging.invalidate(outDir)
+      graft.operators.Staging.invalidate(spark, outDir)
       graft.streaming.EventStreams.invalidateStaged(outDir)
       graft.sources.SchemaEvolution.invalidateStage(outDir)
       graft.sources.OrcInterchange.invalidateStage(outDir)

@@ -96,6 +96,82 @@ class StagingSpec extends AnyFunSuite {
     } finally Staging.invalidate(dir)
   }
 
+  test("a builder-version bump re-stages even when the source bytes are " +
+    "unchanged (round-12 advice: logic changes must invalidate layouts)") {
+    val dir = newSource(Seq((1L, "aa"), (2L, "b")))
+    try {
+      var builds = 0
+      def call(version: String): Long =
+        Staging.prepared(spark, "ver", dir, version = version) {
+          builds += 1
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"))
+        }.count()
+      assert(call("v1") == 2 && builds == 1)
+      assert(call("v1") == 2 && builds == 1, "same version must not rebuild")
+      assert(call("v2") == 2 && builds == 2,
+        "a version bump must rebuild against unchanged source bytes")
+      assert(call("v2") == 2 && builds == 2)
+    } finally Staging.invalidate(dir)
+  }
+
+  test("preparedBucketed serves a bucketed catalog table, builds once, " +
+    "and re-registers surviving files in a catalog that lost the entry") {
+    val dir = newSource(Seq((1L, "x y"), (2L, "x z"), (3L, "y z")))
+    try {
+      var builds = 0
+      def call(): org.apache.spark.sql.DataFrame =
+        Staging.preparedBucketed(spark, "bkt", dir,
+          buckets = 4, bucketCol = "text") {
+          builds += 1
+          spark.read.parquet(s"$dir/documents.parquet")
+        }
+      assert(call().count() == 3 && builds == 1)
+      assert(call().count() == 3 && builds == 1)
+      // a self-join on the bucket column reads BUCKETED on both sides
+      // and runs with NO exchange on it (a bare scan legitimately shows
+      // "Bucketed: false (disabled by query planner)" — bucketed reads
+      // engage only where co-location pays)
+      val a = call().toDF("ida", "text").hint("merge")
+      val b = call().toDF("idb", "text")
+      val joinPlan = a.join(b, Seq("text"))
+        .queryExecution.executedPlan.toString
+      assert(joinPlan.contains("Bucketed: true"), joinPlan.take(600))
+      assert(!joinPlan.contains("Exchange hashpartitioning(text"),
+        s"bucketed self-join must not exchange on the bucket key:\n$joinPlan")
+      // simulate a FRESH SESSION's catalog losing the entry while the
+      // files survive: the gate must re-register, not rebuild
+      val tbl = spark.catalog.listTables().collect()
+        .map(_.name).find(_.startsWith("graft_stg_bkt_")).get
+      spark.sql(s"DROP TABLE $tbl")
+      assert(call().count() == 3 && builds == 1,
+        "surviving bucketed files must re-register without a rebuild")
+      val rePlan = call().toDF("ida", "text").hint("merge")
+        .join(call().toDF("idb", "text"), Seq("text"))
+        .queryExecution.executedPlan.toString
+      assert(rePlan.contains("Bucketed: true") &&
+        !rePlan.contains("Exchange hashpartitioning(text"),
+        s"re-registered table must keep the bucket spec:\n$rePlan")
+    } finally Staging.invalidate(spark, dir)
+  }
+
+  test("preparedText computes once per (source, version) and round-trips " +
+    "the artifact exactly") {
+    val dir = newSource(Seq((1L, "aa")))
+    try {
+      var computes = 0
+      def call(version: String): String =
+        Staging.preparedText("model", dir, version = version) {
+          computes += 1
+          "line1\n-1.5;2.25\n"
+        }
+      assert(call("v1") == "line1\n-1.5;2.25\n" && computes == 1)
+      assert(call("v1") == "line1\n-1.5;2.25\n" && computes == 1)
+      assert(call("v2") == "line1\n-1.5;2.25\n" && computes == 2,
+        "a version bump must recompute the model artifact")
+    } finally Staging.invalidate(dir)
+  }
+
   test("invalidate removes exactly one source's staged subtree") {
     val dirA = newSource(Seq((1L, "a")))
     val dirB = newSource(Seq((2L, "b")))

@@ -426,13 +426,23 @@ object SimilaritySearch {
        |FROM lab LEFT JOIN agg ON lab.vec_id = agg.vec_id""".stripMargin
   }
 
-  /** Session cache for the fitted IVF coarse quantizer + its assignment
-    * table, keyed like [[Clustering]]'s fit cache: the model is an index
+  /** Session cache for the IVF coarse centers + assignment table (both
+    * backed by STAGED artifacts since round 13 — the session map only
+    * avoids re-reading the text artifact per call): the model is an index
     * artifact — at scale it is FIT ONCE when the table is (re)built and the
     * assignments are persisted partitioned by `coarse_id`; refitting per
     * query (the round-1 shape) charged every probe a full K-Means run. */
   private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int), (KMeansModel, DataFrame)]
+    .empty[(String, String, Int), (Array[Array[Double]], DataFrame)]
+
+  /** Exact text round-trip for a double matrix (`Double.toString` /
+    * `parseDouble` are inverse by JLS contract), one row per line,
+    * `;`-separated — the [[Staging.preparedText]] codec for k-means
+    * center artifacts. */
+  private def serializeCenters(cs: Array[Array[Double]]): String =
+    cs.map(_.map(_.toString).mkString(";")).mkString("\n")
+  private def parseCenters(txt: String): Array[Array[Double]] =
+    txt.split("\n").map(_.split(";").map(java.lang.Double.parseDouble))
 
   /** Explicit coarse assignment from literal centroids: per-centroid squared
     * distance in the norm form `(u·u + ‖c‖²) − 2·(u·c)` with the
@@ -470,31 +480,60 @@ object SimilaritySearch {
   private[operators] def capturedCoarseCenters: Option[Array[Array[Double]]] =
     capturedCoarse.get(16)
 
+  /** The coarse-quantizer K-MEANS FIT — index-BUILD work, invoked only
+    * when the staged center artifact is missing or stale. */
+  private def fitCoarse(spark: SparkSession, dir: String,
+                        nlist: Int): KMeansModel = {
+    val emb = normalized(spark, dir)
+      .withColumn("features", array_to_vector(col("u")))
+    new KMeans().setK(nlist).setSeed(42L)
+      .setDistanceMeasure("euclidean").setFeaturesCol("features")
+      .setPredictionCol("coarse_id").setMaxIter(20)
+      .fit(emb)
+  }
+
+  /** IVF index artifacts, STAGED (round-12 verdict item 3): the coarse
+    * centers persist as a [[Staging.preparedText]] model constant and the
+    * assignment table as a [[Staging.prepared]] parquet layout, both
+    * fingerprint-gated against the embeddings source — fit once per
+    * corpus snapshot, served from the staged artifacts ever after (at
+    * 100 TB: the index build job writes them beside the vectors; query
+    * sessions only read). The text codec round-trips doubles exactly, so
+    * the captured oracle literals are identical whether this session fit
+    * the model or inherited the artifact. */
   private def ivfIndex(spark: SparkSession, dir: String,
-                       nlist: Int): (KMeansModel, DataFrame) = {
+                       nlist: Int): (Array[Array[Double]], DataFrame) = {
     val res = ivfCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, nlist), {
-        val emb = normalized(spark, dir)
-          .withColumn("features", array_to_vector(col("u")))
-        val km = new KMeans().setK(nlist).setSeed(42L)
-          .setDistanceMeasure("euclidean").setFeaturesCol("features")
-          .setPredictionCol("coarse_id").setMaxIter(20)
-        val model = km.fit(emb)
-        val centers = model.clusterCenters.map(_.toArray)
-        val assigned = graft.CacheRegistry.cached(spark, s"ivf:$nlist:$dir")(
+        val centers = parseCenters(
+          Staging.preparedText(s"ivf_centers_n$nlist", dir,
+            sourceTable = "embeddings")(
+            serializeCenters(fitCoarse(spark, dir, nlist)
+              .clusterCenters.map(_.toArray))))
+        val assigned = Staging.prepared(spark, s"ivf_assign_n$nlist", dir,
+          sourceTable = "embeddings")(
           withCoarseId(normalized(spark, dir), centers)
             .select(col("vec_id"), col("u"), col("coarse_id")))
-        (model, assigned)
+        (centers, assigned)
       })
-    capturedCoarse.put(dir, nlist, res._1.clusterCenters.map(_.toArray))
+    capturedCoarse.put(dir, nlist, res._1)
     res
   }
 
-  /** Test hook: the fitted coarse model and the explicit-argmin assignment
-    * table, for the OperatorSpec parity pin. */
+  /** Test hook: a FRESH coarse fit plus its explicit-argmin assignment,
+    * for the OperatorSpec MLlib-parity pin. Deliberately bypasses the
+    * staged artifacts: the parity property (MLlib `transform` ==
+    * explicit literal-centroid argmin) must hold for a self-consistent
+    * (model, assignment) pair, and a staged center set from an earlier
+    * fit would test cross-fit reproducibility instead. */
   private[graft] def ivfIndexForSpec(spark: SparkSession, dir: String,
-                                     nlist: Int = 16): (KMeansModel, DataFrame) =
-    ivfIndex(spark, dir, nlist)
+                                     nlist: Int = 16): (KMeansModel, DataFrame) = {
+    val model = fitCoarse(spark, dir, nlist)
+    val assigned = withCoarseId(normalized(spark, dir),
+      model.clusterCenters.map(_.toArray))
+      .select(col("vec_id"), col("u"), col("coarse_id"))
+    (model, assigned)
+  }
 
   /** The IVF coarse-assignment table (vec_id, u, coarse_id) for reuse by
     * [[Dedup.semanticDedup]] — the SemDeDup partitioner is exactly the ANN
@@ -509,11 +548,9 @@ object SimilaritySearch {
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val (model, assigned) = ivfIndex(spark, dir, nlist)
+    val (centers, assigned) = ivfIndex(spark, dir, nlist)
     // nprobe nearest centroids per query, via the same centroid literals
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
+    val centroids = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
     val queries = assigned.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val probeSets = queries.withColumn("probes",
@@ -550,14 +587,12 @@ object SimilaritySearch {
   def ivfFilteredTopK(spark: SparkSession, dir: String,
                       nQueries: Int = 5, k: Int = 10,
                       nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val (model, assigned) = ivfIndex(spark, dir, nlist)
+    val (centers, assigned) = ivfIndex(spark, dir, nlist)
     val labeled = graft.CacheRegistry.cached(spark, s"ivf-labeled:$nlist:$dir")(
       assigned.join(
         Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
         "vec_id"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
+    val centroids = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
     val queries = labeled.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qu"),
         col("label").as("qlabel"))
@@ -1025,7 +1060,16 @@ object SimilaritySearch {
     * tier. Same 64×2 min/max stats collect (a bounded model constant,
     * q58's own precedent) and the identical rounding law, so the lattice
     * is the one the q58/q170 oracles already prove cross-engine exact. */
-  private[graft] def int8CodedArray(spark: SparkSession, dir: String): DataFrame = {
+  /** STAGED since round 13 (verdict item 3): the int8 code column is an
+    * index artifact — the min/max lattice stats collect and the encode
+    * map run once per corpus snapshot at build time; every consumer
+    * (codebook fit, PQ encode, rescore, coreset) scans the staged
+    * layout. Integer codes round-trip parquet exactly. */
+  private[graft] def int8CodedArray(spark: SparkSession, dir: String): DataFrame =
+    Staging.prepared(spark, "int8codes", dir, sourceTable = "embeddings")(
+      int8CodedArrayBuild(spark, dir))
+
+  private def int8CodedArrayBuild(spark: SparkSession, dir: String): DataFrame = {
     val dims = Tables.embeddings(spark, dir)
       .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
       .groupBy(col("pos")).agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
@@ -1085,23 +1129,57 @@ object SimilaritySearch {
       : Array[Array[Array[Long]]] = {
     val cb = pqCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, m, ncodes), {
-        val coded = int8CodedArray(spark, dir)
-        val d = coded.select(size(col("codes"))).first().getInt(0)
-        val dsub = d / m
-        (0 until m).map { s =>
-          val sub = coded.select(array_to_vector(
-            transform(slice(col("codes"), s * dsub + 1, dsub),
-              x => x.cast(DoubleType))).as("features"))
-          val km = new KMeans().setK(ncodes).setSeed(42L + s)
-            .setDistanceMeasure("euclidean").setFeaturesCol("features")
-            .setPredictionCol("__c").setMaxIter(20)
-          km.fit(sub).clusterCenters.map(_.toArray.map(x =>
-            math.max(-128L, math.min(127L, math.round(x)))))
-        }.toArray
+        // STAGED model constant (round-12 verdict item 3): the m
+        // per-subspace k-means fits are index-BUILD work — run once per
+        // corpus snapshot, persisted as a text artifact; later sessions
+        // parse the integers back instead of refitting
+        val txt = Staging.preparedText(s"pq_codebook_m${m}_n$ncodes", dir,
+          sourceTable = "embeddings") {
+          val coded = int8CodedArray(spark, dir)
+          val d = coded.select(size(col("codes"))).first().getInt(0)
+          val dsub = d / m
+          (0 until m).map { s =>
+            val sub = coded.select(array_to_vector(
+              transform(slice(col("codes"), s * dsub + 1, dsub),
+                x => x.cast(DoubleType))).as("features"))
+            val km = new KMeans().setK(ncodes).setSeed(42L + s)
+              .setDistanceMeasure("euclidean").setFeaturesCol("features")
+              .setPredictionCol("__c").setMaxIter(20)
+            km.fit(sub).clusterCenters.map(_.toArray.map(x =>
+              math.max(-128L, math.min(127L, math.round(x))))
+              .mkString(";")).mkString("|")
+          }.mkString("\n")
+        }
+        txt.split("\n").map(_.split("\\|")
+          .map(_.split(";").map(java.lang.Long.parseLong)))
       })
     capturedPq.put(dir, (m, ncodes), cb)
     cb
   }
+
+  /** STAGED PQ code table (vec_id, s, cid) — THE compressed index
+    * artifact (m bytes per vector): the corpus-wide encode (corpus ×
+    * m·ncodes distance terms + the per-(vec, subspace) argmin) runs once
+    * per corpus snapshot at build time; q242/q285/q288 then SCAN codes,
+    * which is the entire point of PQ at 100 TB. */
+  private def pqCodesTable(spark: SparkSession, dir: String,
+                           m: Int, ncodes: Int): DataFrame =
+    Staging.prepared(spark, s"pqcodes_m${m}_n$ncodes", dir,
+      sourceTable = "embeddings") {
+      val coded = int8CodedArray(spark, dir)
+      val cb = pqCodebook(spark, dir, m, ncodes)
+      val dsub = cb(0)(0).length
+      val anchorRows = for (s <- cb.indices; cid <- cb(s).indices)
+        yield (s.toLong, cid.toLong, cb(s)(cid).toSeq)
+      val anchorDf = spark.createDataFrame(anchorRows).toDF("s", "cid", "asub")
+      coded.select(col("vec_id"), col("codes"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("s"))
+        .join(broadcast(anchorDf), Seq("s"))
+        .withColumn("d", subDistTo(col("codes"), col("asub"), col("s"), dsub))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("s"), col("b.cid").as("cid"))
+    }
 
   /** q242 — PRODUCT-QUANTIZATION ADC retrieval: the compressed-index tier
     * completing the ANN ladder (brute force → sign-LSH → IVF → int8 →
@@ -1136,13 +1214,9 @@ object SimilaritySearch {
     val anchorRows = for (s <- cb.indices; cid <- cb(s).indices)
       yield (s.toLong, cid.toLong, cb(s)(cid).toSeq)
     val anchorDf = spark.createDataFrame(anchorRows).toDF("s", "cid", "asub")
-    val subs = coded.select(col("vec_id"), col("codes"),
-      explode(sequence(lit(0L), lit((m - 1).toLong))).as("s"))
-    val codesT = subs.join(broadcast(anchorDf), Seq("s"))
-      .withColumn("d", subDistTo(col("codes"), col("asub"), col("s"), dsub))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d"), col("cid"))).as("b"))
-      .select(col("vec_id"), col("s"), col("b.cid").as("cid"))
+    // the corpus encode lives in the STAGED code table; the query side
+    // below encodes only nQueries vectors per call
+    val codesT = pqCodesTable(spark, dir, m, ncodes)
     val qd = coded.orderBy(col("vec_id")).limit(nQueries)
       .toDF("query_id", "qcodes")
       .select(col("query_id"), col("qcodes"),

@@ -242,6 +242,10 @@ object SparkEntry {
       streaming.EventStreams.lateDataCensusQuery(s, dir)),
     "q292_stream_neardup_gate" -> ((s, dir) =>
       Dedup.streamingNearDupGate(s, dir)),
+    "q293_gate_ttl" -> ((s, dir) =>
+      Dedup.streamingNearDupGateTtl(s, dir)),
+    "q294_gate_state_census" -> ((s, dir) =>
+      Dedup.gateStateCensus(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -552,6 +556,8 @@ object SparkEntry {
     "q290_zorder_skipping" -> Layout.zorderSelectivityRollupSql,
     "q291_late_data_census" -> streaming.EventStreams.lateDataCensusSql(),
     "q292_stream_neardup_gate" -> Dedup.streamingNearDupGateSql,
+    "q293_gate_ttl" -> Dedup.streamingNearDupGateTtlSql,
+    "q294_gate_state_census" -> Dedup.gateStateCensusSql,
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

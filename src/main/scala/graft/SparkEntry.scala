@@ -248,6 +248,8 @@ object SparkEntry {
       Dedup.gateStateCensus(s, dir)),
     "q295_router_census" -> ((s, dir) =>
       Dedup.routerCandidateCensus(s, dir)),
+    "q296_incremental_index" -> ((s, dir) =>
+      Dedup.incrementalIndexAudit(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -561,6 +563,7 @@ object SparkEntry {
     "q293_gate_ttl" -> Dedup.streamingNearDupGateTtlSql,
     "q294_gate_state_census" -> Dedup.gateStateCensusSql,
     "q295_router_census" -> Dedup.routerCandidateCensusSql,
+    "q296_incremental_index" -> Dedup.incrementalIndexAuditSql,
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

@@ -281,16 +281,21 @@ object Dedup {
   private[graft] def minhashSignatures(spark: SparkSession, dir: String,
                                        numHashes: Int): DataFrame =
     Staging.prepared(spark, s"minhash$numHashes", dir)(
-      Tables.documents(spark, dir)
-        .transform(withWords)
-        .select(col("doc_id"), shingleCol(col("ws")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"),
-          array((0 until numHashes).map(i =>
-            array_min(transform(col("sh"), s =>
-              conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
-                .cast(LongType)))): _*)
-            .as("sig")))
+      minhashSigOn(Tables.documents(spark, dir), numHashes))
+
+  /** The q32 signature builder over an arbitrary documents-shaped frame —
+    * per-document rows (no cross-document dependency), which is what
+    * makes the staged signature layout APPEND-maintainable (q296). */
+  private def minhashSigOn(docs: DataFrame, numHashes: Int): DataFrame =
+    docs.transform(withWords)
+      .select(col("doc_id"), shingleCol(col("ws")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("sh"), s =>
+            conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
+              .cast(LongType)))): _*)
+          .as("sig"))
 
   def minhashDedup(spark: SparkSession, dir: String,
                    numHashes: Int = 16, bands: Int = 4,
@@ -1642,6 +1647,121 @@ object Dedup {
        |       CAST(sum(occ * (occ - 1) // 2) AS BIGINT) AS n_cand_pairs
        |FROM u GROUP BY arm, band""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q296
+
+  /** The q296 ingest-batch membership: md5 nibble of doc_id < '4'
+    * (~25% of the corpus — the q47 bucket discipline), standing in for
+    * "today's crawl" against the base snapshot. */
+  private def incrBatchCond: Column =
+    substring(md5(col("doc_id").cast(StringType)), 1, 1) < "4"
+
+  /** Stage the BASE corpus snapshot (documents minus the ingest batch)
+    * as a source-shaped dir (`<base>/documents.parquet`), marker-gated
+    * on the real corpus fingerprint so soak rebuilds re-derive it. */
+  private def stageBaseCorpus(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_incr_base_${graft.streaming.EventStreams.sanitize(dir)}")
+    val marker = base.resolve("_GRAFT_BASE")
+    val fp = Staging.fingerprintOf(
+      Paths.get(dir, "documents.parquet").toFile)
+    val dataOk = Files.isRegularFile(marker) &&
+      Files.readString(marker) == fp &&
+      Files.isDirectory(base.resolve("documents.parquet"))
+    if (!dataOk) {
+      if (Files.exists(base)) Staging.deleteRecursively(base.toFile)
+      Files.createDirectories(base)
+      Tables.documents(spark, dir).filter(!incrBatchCond)
+        .write.mode("overwrite")
+        .parquet(base.resolve("documents.parquet").toString)
+      Staging.invalidate(spark, base.toString)
+      Files.writeString(marker, fp)
+      ()
+    }
+    base.toString
+  }
+
+  /** (artifact, n_incremental, n_rebuild, n_only_incremental,
+    * n_only_rebuild) for one staged-index pair. */
+  private def indexDiffRow(artifact: String, incr: DataFrame,
+                           full: DataFrame, keys: Seq[String]): DataFrame = {
+    val a = incr.select(keys.map(col): _*).withColumn("i", lit(1L))
+    val b = full.select(keys.map(col): _*).withColumn("f", lit(1L))
+    a.join(b, keys, "full_outer")
+      .agg(coalesce(sum(col("i")), lit(0L)).as("n_incremental"),
+        coalesce(sum(col("f")), lit(0L)).as("n_rebuild"),
+        coalesce(sum(when(col("f").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_only_incremental"),
+        coalesce(sum(when(col("i").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_only_rebuild"))
+      .select(lit(artifact).as("artifact"), col("n_incremental"),
+        col("n_rebuild"), col("n_only_incremental"), col("n_only_rebuild"))
+  }
+
+  /** q296 — INCREMENTAL INDEX MAINTENANCE audit (round-12 verdict
+    * item 5): at 100 TB the whole-corpus index rebuild is the cost you
+    * architect away — the daily operation is "merge today's batch into
+    * the persisted layouts". This lane RUNS that operation end to end
+    * and proves it lossless: the corpus splits into a base snapshot
+    * (~75%) and an ingest batch (~25%, md5-routed); the base's staged
+    * shingle index (bucketed) and MinHash signature table build from the
+    * base alone; the batch's derived rows then APPEND into those layouts
+    * ([[Staging.appendPrepared]]/[[Staging.appendBucketed]] — batch-
+    * sized work, bucket co-location preserved); and the merged layouts
+    * are compared row-for-row against a from-scratch rebuild over the
+    * full corpus. Zero diffs is not an accident — it is the design
+    * property that makes the layouts append-maintainable: every index
+    * row depends on ONE document (shingle explode, per-doc signatures),
+    * so batch ingestion commutes with the build. The q31/q261-class
+    * consumers would serve unchanged results mid-append.
+    *
+    * Scale shape: the appends are batch-sized narrow derives + bucketed
+    * writes; the audit join is index-sized but runs only when auditing
+    * (production runs it as a sampled acceptance check). */
+  def incrementalIndexAudit(spark: SparkSession, dir: String): DataFrame = {
+    val baseDir = stageBaseCorpus(spark, dir)
+    val batchDocs = Tables.documents(spark, dir).filter(incrBatchCond)
+    // base layouts (build from the base snapshot, once)
+    shingleIndex(spark, baseDir)
+    minhashSignatures(spark, baseDir, 16)
+    // merge the batch into both layouts (idempotent per base build)
+    val mergedShingles = Staging.appendBucketed(spark, "shingles_k3",
+      baseDir, "incr_batch", buckets = ShingleBuckets,
+      bucketCol = "shingle", version = "b1")(shingles(batchDocs))
+    val mergedMinhash = Staging.appendPrepared(spark, "minhash16",
+      baseDir, "incr_batch")(minhashSigOn(batchDocs, 16))
+    indexDiffRow("shingles_k3", mergedShingles, shingleIndex(spark, dir),
+      Seq("doc_id", "shingle"))
+      .unionAll(indexDiffRow("minhash16", mergedMinhash,
+        minhashSignatures(spark, dir, 16), Seq("doc_id", "sig")))
+  }
+
+  /** [[incrementalIndexAudit]]'s oracle: merged-equals-rebuilt means the
+    * audit's totals are the FULL corpus's index sizes with zero one-sided
+    * rows — re-derived from the documents table alone. */
+  val incrementalIndexAuditSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2] || ' ' ||
+      |         string_split(text, ' ')[i+3])) AS sh
+      |  FROM documents
+      |), shingled AS (
+      |  SELECT doc_id, unnest(sh) AS shingle FROM ws
+      |)
+      |SELECT 'shingles_k3' AS artifact,
+      |       CAST((SELECT count(*) FROM shingled) AS BIGINT)
+      |         AS n_incremental,
+      |       CAST((SELECT count(*) FROM shingled) AS BIGINT) AS n_rebuild,
+      |       CAST(0 AS BIGINT) AS n_only_incremental,
+      |       CAST(0 AS BIGINT) AS n_only_rebuild
+      |UNION ALL
+      |SELECT 'minhash16',
+      |       CAST((SELECT count(*) FROM ws WHERE len(sh) > 0) AS BIGINT),
+      |       CAST((SELECT count(*) FROM ws WHERE len(sh) > 0) AS BIGINT),
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin
 
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,

@@ -233,6 +233,67 @@ object Staging {
     }
   }
 
+  /** APPEND a derived document batch into an existing staged parquet
+    * layout — the daily operation of a 100 TB index pipeline (round-12
+    * verdict item 5): per-document index rows (shingles, signatures) are
+    * independent across documents, so ingesting a batch costs one
+    * batch-sized derive + append instead of a whole-corpus rebuild. The
+    * `_GRAFT_APPEND_<tag>` marker records the base layout's
+    * version|fingerprint, making the append idempotent per (base build,
+    * batch tag) and automatically re-applied after any base rebuild
+    * (which wipes the layout dir, markers included). */
+  def appendPrepared(spark: SparkSession, name: String, dir: String,
+                     batchTag: String, sourceTable: String = "documents",
+                     version: String = "v1")
+                    (batch: => DataFrame): DataFrame = {
+    val root = new java.io.File(sourceRoot(dir), name)
+    locked(dir) {
+      val fp = s"$version|${fingerprint(dir, sourceTable)}"
+      require(layoutOk(root, fp),
+        s"appendPrepared($name): base layout missing or stale for $dir — " +
+          "build it with prepared() first")
+      val marker = new java.io.File(root, s"_GRAFT_APPEND_$batchTag")
+      if (!(marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath) == fp)) {
+        batch.write.mode("append").parquet(root.toString)
+        java.nio.file.Files.writeString(marker.toPath, fp)
+        ()
+      }
+    }
+    spark.read.parquet(root.toString)
+  }
+
+  /** [[appendPrepared]] for a BUCKETED staged layout: the batch write
+    * goes through the catalog in append mode with the same bucket spec,
+    * so Spark hashes the new rows into a fresh set of per-bucket files —
+    * co-location (and the exchange-free joins it buys) survives the
+    * append without touching the existing files. */
+  def appendBucketed(spark: SparkSession, name: String, dir: String,
+                     batchTag: String, buckets: Int, bucketCol: String,
+                     sourceTable: String = "documents",
+                     version: String = "v1")
+                    (batch: => DataFrame): DataFrame = {
+    val root = new java.io.File(sourceRoot(dir), name)
+    val table = s"graft_stg_${name}_" +
+      graft.streaming.EventStreams.sanitize(canon(dir))
+    locked(dir) {
+      val fp = s"$version|b$buckets:$bucketCol|${fingerprint(dir, sourceTable)}"
+      require(layoutOk(root, fp) && spark.catalog.tableExists(table),
+        s"appendBucketed($name): base bucketed layout missing or stale " +
+          s"for $dir — build it with preparedBucketed() first")
+      val marker = new java.io.File(root, s"_GRAFT_APPEND_$batchTag")
+      if (!(marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath) == fp)) {
+        batch.write.mode("append").format("parquet")
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+          .saveAsTable(table)
+        java.nio.file.Files.writeString(marker.toPath, fp)
+        ()
+      }
+    }
+    spark.table(table)
+  }
+
   /** Drop every staged layout for `dir` — belt-and-braces for callers
     * that rebuild source tables in place (the fingerprint gate already
     * catches this; explicit invalidation keeps the soak's rebuild hook

@@ -4541,6 +4541,38 @@ class OperatorSpec extends AnyFunSuite {
       s"governor lost ${missed.size} of ${truth09.size} J>=0.9 pairs")
   }
 
+  test("q296 incremental index: the batch append is idempotent, lossless " +
+    "against the rebuild, and the merged bucketed layout still joins " +
+    "exchange-free on the shingle key") {
+    def audit(): Seq[(String, Long, Long, Long, Long)] =
+      Dedup.incrementalIndexAudit(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    val first = audit()
+    assert(first.forall { case (_, ni, nr, oi, or) =>
+      ni == nr && oi == 0L && or == 0L },
+      s"merged layout must equal the rebuild: $first")
+    // a second run must NOT re-append (the _GRAFT_APPEND marker):
+    // duplicated batch rows would show as n_incremental > n_rebuild
+    assert(audit() == first, "the append must be idempotent per base build")
+    // the appended bucketed table keeps its co-location: a self-join on
+    // the bucket key runs with no exchange on it, base + batch files
+    val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_incr_base_${graft.streaming.EventStreams.sanitize(dir)}")
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .find(n => n.startsWith("graft_stg_shingles_k3_") &&
+        n.contains("incr_x5f_base"))
+      .getOrElse(fail(s"no merged shingle table for $baseDir"))
+    val t = spark.table(tbl)
+    val plan = t.select(col("doc_id").as("a"), col("shingle"))
+      .hint("merge")
+      .join(t.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true") &&
+      !plan.contains("Exchange hashpartitioning(shingle"),
+      s"append must preserve bucket co-location:\n${plan.take(800)}")
+  }
+
   test("q282 source ablation: BigInt LOO replay over q109 scores; " +
     "below-average sources have nonnegative removal deltas") {
     val scores = TextAnalysis.qualityScores(spark, dir)

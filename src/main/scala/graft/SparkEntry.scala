@@ -250,6 +250,8 @@ object SparkEntry {
       Dedup.routerCandidateCensus(s, dir)),
     "q296_incremental_index" -> ((s, dir) =>
       Dedup.incrementalIndexAudit(s, dir)),
+    "q297_watermark_curve" -> ((s, dir) =>
+      streaming.EventStreams.watermarkDelayCurve(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -564,6 +566,7 @@ object SparkEntry {
     "q294_gate_state_census" -> Dedup.gateStateCensusSql,
     "q295_router_census" -> Dedup.routerCandidateCensusSql,
     "q296_incremental_index" -> Dedup.incrementalIndexAuditSql,
+    "q297_watermark_curve" -> streaming.EventStreams.watermarkDelayCurveSql(),
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

@@ -580,6 +580,36 @@ object EventStreams {
        |       CAST(sum(n_dropped) AS BIGINT) AS n_dropped_rows
        |FROM per_window GROUP BY 1""".stripMargin
 
+  /** The q297 delay grid: hourly-window drop censuses at 1, 2 and 4
+    * hours of watermark delay. */
+  final val DelayCurveHours: Seq[Int] = Seq(1, 2, 4)
+
+  /** q297 — WATERMARK DELAY CURVE (round-12 verdict item 6): q291
+    * audits ONE delay; the operator a user actually consults to CHOOSE a
+    * watermark is the curve — per candidate delay, the per-lag-band drop
+    * census, in one table. Each grid point is a full q291 streaming
+    * drive (its own checkpoint + delay-keyed sink, so q291's own lane is
+    * untouched); the oracle unions the analytic contract censuses. The
+    * delay-vs-completeness monotonicity (a tighter watermark can only
+    * drop more) is spec-pinned across all three delays in-lane. */
+  def watermarkDelayCurve(spark: SparkSession, dir: String,
+      delays: Seq[Int] = DelayCurveHours): DataFrame =
+    delays.map { d =>
+      lateDataCensusQuery(spark, dir, d)
+        .select(lit(d.toLong).as("delay_hours"), col("lag_band"),
+          col("n_windows"), col("n_late_rows"), col("n_dropped_rows"))
+    }.reduce(_ unionAll _)
+
+  /** [[watermarkDelayCurve]]'s oracle: the q291 contract census per
+    * delay, unioned with the delay as a column. */
+  def watermarkDelayCurveSql(delays: Seq[Int] = DelayCurveHours): String =
+    delays.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS delay_hours, *
+         |FROM (
+         |${lateDataCensusSql(d)}
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Drop every marker-gated staged stream dir for `dir` — for callers
     * that rebuild the source tables under an existing dir string
     * (ScaleSoak factor rebuilds); the staging markers would otherwise

@@ -779,6 +779,22 @@ class StreamingSpec extends AnyFunSuite {
       "final resident state should be smaller than total admissions")
   }
 
+  test("q297 watermark delay curve: all three delays present, and total " +
+    "drops are monotone non-increasing in the delay — in one lane") {
+    val rows = EventStreams.watermarkDelayCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val drops = rows.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(drops.keySet == Set(1L, 2L, 4L), s"delays: ${drops.keySet}")
+    assert(drops(1L) >= drops(2L) && drops(2L) >= drops(4L),
+      s"drop totals must shrink as the watermark loosens: $drops")
+    // the curve is non-degenerate on the fixture: SOME delay drops rows
+    assert(drops(1L) > 0L, "the 1h delay should drop late rows")
+    // not-yet-expired bands (-1) never drop, at any delay
+    rows.filter(_._2 == -1L).foreach { case (d, _, nd) =>
+      assert(nd == 0L, s"delay $d dropped rows in the open band") }
+  }
+
   test("q291 late-data census: drops equal the watermark contract band " +
     "for band, the feed really ran three micro-batches, and shrinking " +
     "the delay grows the drop set monotonically") {

@@ -31,6 +31,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO defaults to DISK-BACKED stream caches: every decode/encode
+    * spills a temp file under java.io.tmpdir, so 32 codec threads churn
+    * hundreds of tmp files per media pass — the repo's only stall-prone
+    * lane (q223) stalled exactly here (round-12 verdict item 7). All
+    * payloads are in-memory byte arrays; force memory-backed caches
+    * JVM-wide. Runs once per classloader, before any codec touches
+    * ImageIO (every codec path lives in this object or references it). */
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(kind: String, width: Int, height: Int,
                              sampleRate: Int, nBytes: Long)
   final case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)

@@ -1128,6 +1128,14 @@ object EventStreams {
     ThreadLocal.withInitial(() => "")
   private[graft] def lastRunProvider: String = lastProviderHolder.get()
 
+  /** (batchId, numInputRows, watermark ISO string) per progress event of
+    * the thread's last [[runToBatch]] drive — spec instrumentation for
+    * the q291/q297 watermark-model cross-check. */
+  private val lastWatermarksHolder: ThreadLocal[Seq[(Long, Long, String)]] =
+    ThreadLocal.withInitial(() => Nil)
+  private[graft] def lastRunWatermarks: Seq[(Long, Long, String)] =
+    lastWatermarksHolder.get()
+
   /** State operators (name, partition count) of the thread's last
     * [[runToBatch]] drive — the STREAMING twin of a PlanAudit pin: the
     * memory-sink result's executedPlan is just a sink scan, so the stateful
@@ -1219,6 +1227,14 @@ object EventStreams {
         lastStateOpsHolder.set(Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq)
           .map(s => (s.operatorName, s.numShufflePartitions)))
+        // the engine's own per-batch watermark trail (round-12 advice:
+        // the q291 oracle MODELS the commit lag; this capture lets the
+        // spec cross-check the model against what the engine reports, so
+        // a Spark version change to the lag rule fails loudly instead of
+        // silently misattributing expected-vs-observed differences)
+        lastWatermarksHolder.set(q.recentProgress.toSeq.map(p =>
+          (p.batchId, p.numInputRows,
+            Option(p.eventTime.get("watermark")).getOrElse(""))))
       } finally q.stop()
     } finally {
       spark.conf.set(key, prior)

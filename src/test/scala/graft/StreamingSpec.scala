@@ -779,6 +779,43 @@ class StreamingSpec extends AnyFunSuite {
       "final resident state should be smaller than total admissions")
   }
 
+  test("q291 watermark model vs the engine's own progress trail: the " +
+    "analytic w0/wfinal equal the REPORTED per-batch watermarks (a Spark " +
+    "version change to the commit-lag rule fails here, loudly)") {
+    import org.apache.spark.sql.functions.{col, max, md5, substring}
+    EventStreams.lateDataCensusQuery(spark, dir, 2).collect()
+    val trail = EventStreams.lastRunWatermarks
+    assert(trail.count(_._2 > 0) == 3, s"expected 3 data batches: $trail")
+    def wmMillis(batchId: Long): Long =
+      java.time.Instant.parse(trail.find(_._1 == batchId).get._3)
+        .toEpochMilli
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+      .withColumn("nib",
+        substring(md5(col("event_id").cast("string")), 1, 1))
+    def maxMillis(f: org.apache.spark.sql.DataFrame): Long = {
+      val t = f.agg(max(col("ts"))).first()
+        .getTimestamp(0).toInstant
+      // Spark truncates the watermark to millisecond precision
+      Math.floorDiv(t.getEpochSecond * 1000000L + t.getNano / 1000, 1000L)
+    }
+    val maxA = maxMillis(ev.filter(col("nib") >= "4" && col("nib") <= "9"))
+    val maxAll = maxMillis(ev)
+    val delayMs = 2L * 3600 * 1000
+    // batch 0 runs against the initial epoch watermark
+    assert(wmMillis(0) == 0L, s"batch 0 watermark: ${trail.head}")
+    // the watermark REPORTED at batch 1 is the value batch 2's late rows
+    // are filtered against — the oracle's w0 = max(file A) - delay (the
+    // measured "batches <= N-2" commit-lag rule, here cross-checked
+    // against the engine's own progress events instead of only modeled)
+    assert(wmMillis(1) == maxA - delayMs,
+      s"drop watermark ${wmMillis(1)} != maxA - delay ${maxA - delayMs}")
+    // the final (no-data-batch) watermark is the oracle's wfinal
+    val wFinal = java.time.Instant.parse(trail.last._3).toEpochMilli
+    assert(wFinal == maxAll - delayMs,
+      s"final watermark $wFinal != maxAll - delay ${maxAll - delayMs}")
+  }
+
   test("q297 watermark delay curve: all three delays present, and total " +
     "drops are monotone non-increasing in the delay — in one lane") {
     val rows = EventStreams.watermarkDelayCurve(spark, dir).collect()

@@ -118,7 +118,13 @@ object ScaleSoak {
     // removal, the Z-order layout write+rollups, the 3-batch late census,
     // plus q261 re-soaked on its staged-layout serving path
     "q288_pq_rescore", "q289_routed_removal", "q290_zorder_skipping",
-    "q291_late_data_census", "q292_stream_neardup_gate")
+    "q291_late_data_census", "q292_stream_neardup_gate",
+    // round-13 additions: the TTL gate + its census rollup, the router
+    // occupancy census, the incremental-index merge audit, the 3-delay
+    // watermark curve, plus q261/q31 re-soaked on the BUCKETED layouts
+    "q293_gate_ttl", "q294_gate_state_census", "q295_router_census",
+    "q296_incremental_index", "q297_watermark_curve",
+    "q31_dedup_ngram_jaccard")
 
   /** Times one query with shuffle parallelism scaled to the data factor —
     * the weak-scaling protocol: per-task shuffle volume stays constant

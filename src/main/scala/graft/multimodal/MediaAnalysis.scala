@@ -126,6 +126,11 @@ object MediaAnalysis {
     * oracle can replay it. Emitted directly as the four 16-bit bands. */
   private[graft] def aHashBands(blobs: Dataset[MediaBlob]): Dataset[ImageBands] =
     blobs.mapPartitions { rows =>
+      // inside the task closure: on a real cluster the executor JVM may
+      // never run this object's initializer (the lambda references only
+      // ImageIO and the nested case class), so the memory-backed-cache
+      // setting must travel with the task (round-13 review finding)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         try {
           val img = javax.imageio.ImageIO.read(
@@ -524,6 +529,8 @@ object MediaAnalysis {
     * frame, not one clip. */
   private[graft] def frameDeltas(blobs: Dataset[MediaBlob]): Dataset[FrameDelta] =
     blobs.mapPartitions { rows =>
+      // see aHashBands: the cache setting must travel with the task
+      javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         try {
           val iis = javax.imageio.ImageIO.createImageInputStream(

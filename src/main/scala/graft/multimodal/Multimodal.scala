@@ -83,7 +83,10 @@ object Multimodal {
     * real PNG bytes through the same [[decode]] pipeline. */
   object ImageIoCodec extends MediaCodec {
     val FeatureDim = 16
-    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+      // per-task: a nested object's init does not force the enclosing
+      // Multimodal initializer on a remote executor (round-13 review)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         try {
           val img = javax.imageio.ImageIO.read(
@@ -108,6 +111,7 @@ object Multimodal {
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       }
+    }
   }
 
   /** REAL audio codec on the JDK's `javax.sound.sampled` (WAV/PCM — no
@@ -179,7 +183,8 @@ object Multimodal {
     * generalization of [[ImageIoCodec]]'s shape. */
   object GifFramesCodec extends MediaCodec {
     val MaxFrames = 16
-    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+      javax.imageio.ImageIO.setUseCache(false) // see ImageIoCodec
       rows.flatMap { r =>
         try {
           val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -218,6 +223,7 @@ object Multimodal {
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       }
+    }
   }
 
   /** Partition-batched decode over any media frame — the single pipeline
@@ -233,6 +239,7 @@ object Multimodal {
     * payloads never leave their executor. */
   def resizeImages(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] =
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see ImageIoCodec
       rows.flatMap { r =>
         try {
           val img = javax.imageio.ImageIO.read(

@@ -79,6 +79,7 @@ object Charts {
   private def writePng(img: BufferedImage, path: String): File = {
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
+    ImageIO.setUseCache(false) // memory-backed encode (see Multimodal)
     ImageIO.write(img, "png", f)
     f
   }

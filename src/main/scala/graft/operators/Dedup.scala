@@ -106,13 +106,21 @@ object Dedup {
     * inverted-index shuffle to write time, once per corpus snapshot. */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Staging.preparedBucketed(spark, "shingles_k3", dir,
-      buckets = ShingleBuckets, bucketCol = "shingle", version = "b1")(
+      buckets = ShingleBuckets, bucketCol = "shingle",
+      version = ShingleIndexVersion)(
       shingles(Tables.documents(spark, dir)))
 
   /** Bucket count for the staged shingle/prefix layouts — matches the
     * harness shuffle parallelism; at production scale this is sized to
     * the cluster like any bucketed fact table. */
   private val ShingleBuckets = 32
+
+  /** Builder version of the staged shingle index — bump on any change to
+    * [[shingles]]' logic. DERIVED layouts (the prefix index) COMPOSE
+    * this string into their own version, so an upstream bump cascades:
+    * a re-staged shingle universe can never serve under stale prefixes
+    * (round-13 review finding). */
+  private val ShingleIndexVersion = "b1"
 
   /** Exact deduplication via content hash: one row per distinct text with
     * the surviving (minimum) doc_id and the duplicate count. Hash-groupBy is
@@ -1286,34 +1294,35 @@ object Dedup {
     * [[streamingNearDupGate]] minus the staging, parameterized so the
     * split-invariance spec can drive it over a deliberately OUT-OF-ORDER
     * multi-batch feed. */
-  private[graft] def nearDupGateOn(spark: SparkSession, stagedDir: String,
-      sinkName: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    import spark.implicits._
+  /** The shared streaming gate FRONT END: file-per-batch reader over the
+    * staged docs feed, per-row SimHash, router band-key explode — ONE
+    * definition so the q292 and q293 gates cannot silently diverge on
+    * the banding or reader options (round-13 review finding). */
+  private def bandedDocStream(spark: SparkSession, stagedDir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val reader = maxFilesPerTrigger
       .foldLeft(spark.readStream.schema(schema))((r, n) =>
         r.option("maxFilesPerTrigger", n).option("latestFirst", "false"))
-    val banded = reader.parquet(stagedDir)
+    reader.parquet(stagedDir)
       .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
       .select(col("doc_id"), col("sig"), routerBandKeys(col("sig")).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"),
         col("doc_id"), col("sig"))
+  }
+
+  private[graft] def nearDupGateOn(spark: SparkSession, stagedDir: String,
+      sinkName: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gated = bandedDocStream(spark, stagedDir, maxFilesPerTrigger)
       .as[BandRow]
-    val gated = banded
       .groupByKey(r => (r.band, r.key))
       .flatMapGroupsWithState[BucketState, GateRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, Long), rows, st) => gateBucket(rows, st))
-    val sink = graft.streaming.EventStreams.runToBatch(spark, gated.toDF(),
-      sinkName, OutputMode.Append, shufflePartitions = Some(4))
-    // max-per-(doc, band) rollup: upgrade rows may duplicate a (doc,
-    // band) verdict — count DISTINCT matched bands, never rows
-    sink.groupBy(col("doc_id"))
-      .agg(countDistinct(when(col("matched"), col("band")))
-        .as("n_bands_matched"))
-      .select(col("doc_id"), (col("n_bands_matched") > 0).as("is_near_dup"),
-        col("n_bands_matched"))
+    gateVerdictRollup(graft.streaming.EventStreams.runToBatch(spark,
+      gated.toDF(), sinkName, OutputMode.Append, shufflePartitions = Some(4)))
   }
 
   def streamingNearDupGate(spark: SparkSession, dir: String): DataFrame = {
@@ -1442,15 +1451,8 @@ object Dedup {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val schema = spark.read.parquet(stagedDir).schema
-    val reader = maxFilesPerTrigger
-      .foldLeft(spark.readStream.schema(schema))((r, n) =>
-        r.option("maxFilesPerTrigger", n).option("latestFirst", "false"))
-    val banded = reader.parquet(stagedDir)
-      .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
-      .select(col("doc_id"), col("sig"), routerBandKeys(col("sig")).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"),
-        col("doc_id"), col("sig"), (col("doc_id") * 60).as("tsec"))
+    val banded = bandedDocStream(spark, stagedDir, maxFilesPerTrigger)
+      .withColumn("tsec", col("doc_id") * 60)
       .as[TimedBandRow]
     val gated = banded
       .groupByKey(r => (r.band, r.key))
@@ -1659,28 +1661,33 @@ object Dedup {
   /** Stage the BASE corpus snapshot (documents minus the ingest batch)
     * as a source-shaped dir (`<base>/documents.parquet`), marker-gated
     * on the real corpus fingerprint so soak rebuilds re-derive it. */
-  private def stageBaseCorpus(spark: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val base = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_incr_base_${graft.streaming.EventStreams.sanitize(dir)}")
-    val marker = base.resolve("_GRAFT_BASE")
-    val fp = Staging.fingerprintOf(
-      Paths.get(dir, "documents.parquet").toFile)
-    val dataOk = Files.isRegularFile(marker) &&
-      Files.readString(marker) == fp &&
-      Files.isDirectory(base.resolve("documents.parquet"))
-    if (!dataOk) {
-      if (Files.exists(base)) Staging.deleteRecursively(base.toFile)
-      Files.createDirectories(base)
-      Tables.documents(spark, dir).filter(!incrBatchCond)
-        .write.mode("overwrite")
-        .parquet(base.resolve("documents.parquet").toString)
-      Staging.invalidate(spark, base.toString)
-      Files.writeString(marker, fp)
-      ()
+  private def stageBaseCorpus(spark: SparkSession, dir: String): String =
+    // under the REAL dir's cross-process staging lock: the
+    // check-delete-write-mark sequence below is the same critical
+    // section Staging.locked protects for layouts (round-13 review
+    // finding — two concurrent q296 runs must not interleave it)
+    Staging.locked(dir) {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_incr_base_${graft.streaming.EventStreams.sanitize(dir)}")
+      val marker = base.resolve("_GRAFT_BASE")
+      val fp = Staging.fingerprintOf(
+        Paths.get(dir, "documents.parquet").toFile)
+      val dataOk = Files.isRegularFile(marker) &&
+        Files.readString(marker) == fp &&
+        Files.isDirectory(base.resolve("documents.parquet"))
+      if (!dataOk) {
+        if (Files.exists(base)) Staging.deleteRecursively(base.toFile)
+        Files.createDirectories(base)
+        Tables.documents(spark, dir).filter(!incrBatchCond)
+          .write.mode("overwrite")
+          .parquet(base.resolve("documents.parquet").toString)
+        Staging.invalidate(spark, base.toString)
+        Files.writeString(marker, fp)
+        ()
+      }
+      base.toString
     }
-    base.toString
-  }
 
   /** (artifact, n_incremental, n_rebuild, n_only_incremental,
     * n_only_rebuild) for one staged-index pair. */
@@ -1728,7 +1735,8 @@ object Dedup {
     // merge the batch into both layouts (idempotent per base build)
     val mergedShingles = Staging.appendBucketed(spark, "shingles_k3",
       baseDir, "incr_batch", buckets = ShingleBuckets,
-      bucketCol = "shingle", version = "b1")(shingles(batchDocs))
+      bucketCol = "shingle", version = ShingleIndexVersion)(
+      shingles(batchDocs))
     val mergedMinhash = Staging.appendPrepared(spark, "minhash16",
       baseDir, "incr_batch")(minhashSigOn(batchDocs, 16))
     indexDiffRow("shingles_k3", mergedShingles, shingleIndex(spark, dir),
@@ -3027,7 +3035,8 @@ object Dedup {
     * prefix length depends on it. */
   private def prefixIndex(spark: SparkSession, dir: String): DataFrame =
     Staging.preparedBucketed(spark, "prefix_k3_t35", dir,
-      buckets = ShingleBuckets, bucketCol = "w", version = "v1") {
+      buckets = ShingleBuckets, bucketCol = "w",
+      version = s"v1+sh:$ShingleIndexVersion") {
       val tok = shingleIndex(spark, dir).toDF("doc_id", "w")
       val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
       tok.join(df, Seq("w"))

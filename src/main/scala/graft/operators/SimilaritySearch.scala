@@ -507,11 +507,11 @@ object SimilaritySearch {
       (spark.sparkContext.applicationId, dir, nlist), {
         val centers = parseCenters(
           Staging.preparedText(s"ivf_centers_n$nlist", dir,
-            sourceTable = "embeddings")(
+            sourceTable = "embeddings", version = IvfCentersVersion)(
             serializeCenters(fitCoarse(spark, dir, nlist)
               .clusterCenters.map(_.toArray))))
         val assigned = Staging.prepared(spark, s"ivf_assign_n$nlist", dir,
-          sourceTable = "embeddings")(
+          sourceTable = "embeddings", version = IvfAssignVersion)(
           withCoarseId(normalized(spark, dir), centers)
             .select(col("vec_id"), col("u"), col("coarse_id")))
         (centers, assigned)
@@ -1065,8 +1065,20 @@ object SimilaritySearch {
     * map run once per corpus snapshot at build time; every consumer
     * (codebook fit, PQ encode, rescore, coreset) scans the staged
     * layout. Integer codes round-trip parquet exactly. */
+  /** Builder versions of the staged ANN artifacts — derived artifacts
+    * COMPOSE their upstream's version so a bump cascades down the build
+    * chain (int8 lattice → codebook → code table; centers → assignment)
+    * instead of silently serving stale derivations (round-13 review
+    * finding). Bump the leaf constant whose builder logic changed. */
+  private val Int8CodesVersion = "v1"
+  private val PqCodebookVersion = s"v1+i8:$Int8CodesVersion"
+  private val PqCodesVersion = s"v1+cb:$PqCodebookVersion"
+  private val IvfCentersVersion = "v1"
+  private val IvfAssignVersion = s"v1+c:$IvfCentersVersion"
+
   private[graft] def int8CodedArray(spark: SparkSession, dir: String): DataFrame =
-    Staging.prepared(spark, "int8codes", dir, sourceTable = "embeddings")(
+    Staging.prepared(spark, "int8codes", dir, sourceTable = "embeddings",
+      version = Int8CodesVersion)(
       int8CodedArrayBuild(spark, dir))
 
   private def int8CodedArrayBuild(spark: SparkSession, dir: String): DataFrame = {
@@ -1134,7 +1146,7 @@ object SimilaritySearch {
         // corpus snapshot, persisted as a text artifact; later sessions
         // parse the integers back instead of refitting
         val txt = Staging.preparedText(s"pq_codebook_m${m}_n$ncodes", dir,
-          sourceTable = "embeddings") {
+          sourceTable = "embeddings", version = PqCodebookVersion) {
           val coded = int8CodedArray(spark, dir)
           val d = coded.select(size(col("codes"))).first().getInt(0)
           val dsub = d / m
@@ -1165,7 +1177,7 @@ object SimilaritySearch {
   private def pqCodesTable(spark: SparkSession, dir: String,
                            m: Int, ncodes: Int): DataFrame =
     Staging.prepared(spark, s"pqcodes_m${m}_n$ncodes", dir,
-      sourceTable = "embeddings") {
+      sourceTable = "embeddings", version = PqCodesVersion) {
       val coded = int8CodedArray(spark, dir)
       val cb = pqCodebook(spark, dir, m, ncodes)
       val dsub = cb(0)(0).length

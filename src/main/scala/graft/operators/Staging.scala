@@ -91,7 +91,7 @@ object Staging {
     * JVM lock is taken first — `FileLock` is per-process, and two threads
     * of one JVM locking the same file would throw
     * `OverlappingFileLockException`. */
-  private def locked[T](dir: String)(body: => T): T = lock.synchronized {
+  private[graft] def locked[T](dir: String)(body: => T): T = lock.synchronized {
     val root = sourceRoot(dir)
     // reentrant per root: a staged BUILD may itself read another staged
     // layout of the same source (the prefix index builds from the shingle
@@ -298,9 +298,16 @@ object Staging {
     * that rebuild source tables in place (the fingerprint gate already
     * catches this; explicit invalidation keeps the soak's rebuild hook
     * uniform across all derived-layout owners). */
-  private[graft] def invalidate(dir: String): Unit = lock.synchronized {
+  private[graft] def invalidate(dir: String): Unit = locked(dir) {
+    // under the SAME cross-process lock as the builders (a lock-less
+    // delete would unlink the .graft_lock inode a concurrent builder
+    // holds, splitting the lock); children are removed individually so
+    // the lock file itself survives — an empty root with only the lock
+    // file fails layoutOk and rebuilds like a missing one
     val root = sourceRoot(dir)
-    if (root.exists()) deleteRecursively(root)
+    Option(root.listFiles()).foreach(_.foreach { f =>
+      if (f.getName != ".graft_lock") deleteRecursively(f)
+    })
   }
 
   /** [[invalidate]] plus catalog hygiene: drops the bucketed-layout

@@ -484,7 +484,8 @@ object EventStreams {
     * window-count-sized. Monotonicity (shrinking the delay grows the
     * drop set) is spec-pinned by running a second delay. */
   def lateDataCensusQuery(spark: SparkSession, dir: String,
-                          delayHours: Int = 2): DataFrame = {
+                          delayHours: Int = 2,
+                          sinkTag: String = ""): DataFrame = {
     import java.nio.file.Paths
     import org.apache.spark.sql.types.TimestampType
     val src = Paths.get(s"$dir/events.parquet")
@@ -504,7 +505,8 @@ object EventStreams {
       .agg(count(lit(1)).as("n_obs"))
       .select(col("window.start").as("wstart"), col("n_obs"))
     val observed = runToBatch(spark, agg,
-      s"late_census_${delayHours}h_${sanitize(dir)}", OutputMode.Append,
+      s"late_census_$sinkTag${delayHours}h_${sanitize(dir)}",
+      OutputMode.Append,
       shufflePartitions = Some(4), awaitStateFlush = true)
     // batch expectations over the SAME staged feed: the drop watermark
     // w0 derives from feed file A ONLY (the measured Spark rule — the
@@ -595,7 +597,9 @@ object EventStreams {
   def watermarkDelayCurve(spark: SparkSession, dir: String,
       delays: Seq[Int] = DelayCurveHours): DataFrame =
     delays.map { d =>
-      lateDataCensusQuery(spark, dir, d)
+      // "curve"-tagged sinks: the delay-2 grid point must not collide
+      // with (or silently replace) q291's own memory-sink query name
+      lateDataCensusQuery(spark, dir, d, sinkTag = "curve_")
         .select(lit(d.toLong).as("delay_hours"), col("lag_band"),
           col("n_windows"), col("n_late_rows"), col("n_dropped_rows"))
     }.reduce(_ unionAll _)

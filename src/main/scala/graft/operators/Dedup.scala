@@ -110,10 +110,19 @@ object Dedup {
       version = ShingleIndexVersion)(
       shingles(Tables.documents(spark, dir)))
 
-  /** Bucket count for the staged shingle/prefix layouts — matches the
-    * harness shuffle parallelism; at production scale this is sized to
-    * the cluster like any bucketed fact table. */
-  private val ShingleBuckets = 32
+  /** Bucket count for the staged shingle/prefix layouts — the harness
+    * shuffle parallelism × the data factor. A FIXED bucket count is the
+    * classic bucketed-table pitfall: it caps the exchange-free join's
+    * parallelism at any data scale (the round-13 ×10 soak measured q261
+    * at exponent 1.36 with 32 buckets carrying 10× the rows each —
+    * 32-task ceiling + per-bucket hash-build pressure). Production sizes
+    * buckets to the cluster at index-build time; here the ScaleSoak's
+    * weak-scaling factor (`graft.stream.part.scale`, the same knob the
+    * streaming state partitions use) plays that role. The count is baked
+    * into the layout fingerprint, so a factor change re-stages rather
+    * than serving a mis-sized layout. */
+  private def ShingleBuckets: Int =
+    32 * sys.props.get("graft.stream.part.scale").map(_.toInt).getOrElse(1)
 
   /** Builder version of the staged shingle index — bump on any change to
     * [[shingles]]' logic. DERIVED layouts (the prefix index) COMPOSE
@@ -3049,20 +3058,35 @@ object Dedup {
         .select(col("doc_id"), col("w"), col("n"))
     }
 
+  /** STAGED per-document sorted shingle-SET arrays (doc_id, sa) —
+    * q261's verification-side layout, bucketed by doc_id so both
+    * candidate-pair lookups read co-located buckets. Composes the
+    * shingle index's builder version (it is a derived view of it). */
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    Staging.preparedBucketed(spark, "shingle_arrays", dir,
+      buckets = ShingleBuckets, bucketCol = "doc_id",
+      version = s"v1+sh:$ShingleIndexVersion")(
+      shingleIndex(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("shingle"))).as("sa")))
+
   def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
-    // tok is referenced on both confirm sides, so it reads the STAGED
-    // bucketed shingle layout ([[shingleIndex]]): each reference is a
-    // plan-native columnar scan with honest file statistics. History of
-    // this hot spot: the session-cached columnar frame thrashed at ×10
-    // (repeated deserialized-cache reads at 4–8× a parquet re-scan), the
-    // round-11 per-call UnsafeRow localCheckpoint fixed the thrash but
-    // re-materialized the index on EVERY call (9.1 s/call at sf0.1 — 6%
-    // of the whole bench spent rebuilding an artifact production would
-    // persist), round 12 staged the layout (9.08 → 2.71 s), and round 13
-    // bucketed it plus the prefix index so the candidate self-join runs
-    // exchange-free on the staged side — the real "prepared tables"
-    // architecture at 100 TB.
-    val tok = shingleIndex(spark, dir).toDF("doc_id", "w")
+    // History of this hot spot: the session-cached columnar frame
+    // thrashed at ×10 (repeated deserialized-cache reads at 4–8× a
+    // parquet re-scan), the round-11 per-call UnsafeRow localCheckpoint
+    // fixed the thrash but re-materialized the index on EVERY call
+    // (9.1 s/call at sf0.1 — 6% of the whole bench spent rebuilding an
+    // artifact production would persist), round 12 staged the layout
+    // (9.08 → 2.71 s), and round 13 bucketed the prefix index (the
+    // candidate self-join runs exchange-free on the staged side) and
+    // replaced the exploded two-join verification with the PPJoin-
+    // standard per-pair SET INTERSECTION over the staged doc-array
+    // layout: the old form shuffled Σ_cand |A| exploded rows (68M at
+    // the ×10 soak — it dominated the lane at 27 s); the array form
+    // moves one row per candidate with the two sets inline and
+    // intersects them in a single expression (same Σ(|A|+|B|) compute
+    // PPJoin's merge-verify does, none of the exploded exchange) —
+    // measured 27 → ~6 s at ×10, identical output.
     val prefix = prefixIndex(spark, dir)
     val cand = prefix.toDF("a_id", "w", "na").hint("shuffle_hash")
       .join(prefix.toDF("b_id", "w2", "nb"),
@@ -3071,13 +3095,14 @@ object Dedup {
         greatest(col("na"), col("nb")) * 3)
       .select(col("a_id"), col("b_id"), col("na"), col("nb"))
       .distinct()
-    val inter = cand
-      .join(tok.toDF("a_id", "w"), Seq("a_id"))
-      .join(tok.toDF("b_id", "w"), Seq("b_id", "w"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
-        count(lit(1)).as("inter_cnt"))
-    inter
+    val arrays = shingleArrays(spark, dir)
+    cand
+      .join(arrays.toDF("a_id", "sa"), Seq("a_id"))
+      .join(arrays.toDF("b_id", "sb"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType)
+          .as("inter_cnt"))
       .filter(col("inter_cnt") * 8 >= (col("n_a") + col("n_b")) * 3)
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
         col("inter_cnt"),

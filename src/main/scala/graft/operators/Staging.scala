@@ -186,8 +186,16 @@ object Staging {
         // saveAsTable owns the final path (catalog location), so the
         // publish is marker-last instead of rename-atomic: the marker
         // only lands after a complete write, and a half-written layout
-        // fails layoutOk and rebuilds
-        build.write.mode("overwrite").format("parquet")
+        // fails layoutOk and rebuilds.
+        // repartition on the bucket column FIRST: a bucketed write fans
+        // out to (writer tasks × buckets) files otherwise — the ×10 soak
+        // measured 10,882 files on the prefix layout and the tiny-file
+        // scan drove q261's exponent to 1.10. repartition(n, col) and
+        // the bucket-id both hash with murmur3, so each task holds
+        // exactly one bucket → `buckets` data files total.
+        build.repartition(buckets, org.apache.spark.sql.functions
+            .col(bucketCol))
+          .write.mode("overwrite").format("parquet")
           .option("path", root.toString)
           .bucketBy(buckets, bucketCol).sortBy(bucketCol)
           .saveAsTable(table)
@@ -284,7 +292,9 @@ object Staging {
       val marker = new java.io.File(root, s"_GRAFT_APPEND_$batchTag")
       if (!(marker.exists() &&
         java.nio.file.Files.readString(marker.toPath) == fp)) {
-        batch.write.mode("append").format("parquet")
+        batch.repartition(buckets, org.apache.spark.sql.functions
+            .col(bucketCol))
+          .write.mode("append").format("parquet")
           .bucketBy(buckets, bucketCol).sortBy(bucketCol)
           .saveAsTable(table)
         java.nio.file.Files.writeString(marker.toPath, fp)

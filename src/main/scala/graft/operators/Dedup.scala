@@ -111,18 +111,30 @@ object Dedup {
       shingles(Tables.documents(spark, dir)))
 
   /** Bucket count for the staged shingle/prefix layouts — the harness
-    * shuffle parallelism × the data factor. A FIXED bucket count is the
-    * classic bucketed-table pitfall: it caps the exchange-free join's
-    * parallelism at any data scale (the round-13 ×10 soak measured q261
-    * at exponent 1.36 with 32 buckets carrying 10× the rows each —
-    * 32-task ceiling + per-bucket hash-build pressure). Production sizes
-    * buckets to the cluster at index-build time; here the ScaleSoak's
-    * weak-scaling factor (`graft.stream.part.scale`, the same knob the
-    * streaming state partitions use) plays that role. The count is baked
-    * into the layout fingerprint, so a factor change re-stages rather
-    * than serving a mis-sized layout. */
-  private def ShingleBuckets: Int =
-    32 * sys.props.get("graft.stream.part.scale").map(_.toInt).getOrElse(1)
+    * shuffle parallelism × the index-build scale factor. A FIXED bucket
+    * count is the classic bucketed-table pitfall: it caps the
+    * exchange-free join's parallelism at any data scale (the round-13
+    * ×10 soak measured q261 at exponent 1.36 with 32 buckets carrying
+    * 10× the rows each — 32-task ceiling + per-bucket hash-build
+    * pressure). Production sizes buckets to the cluster at index-build
+    * time; here ScaleSoak sets the DEDICATED `graft.index.bucket.scale`
+    * property alongside its streaming knob (a shared knob would let a
+    * streaming-tuning change silently rebuild every staged layout —
+    * round-13 review pass 2). The count is baked into the layout
+    * fingerprint, so a factor change re-stages rather than serving a
+    * mis-sized layout. The parse fails loudly on a non-positive or
+    * non-integer value instead of crashing mid-staging. */
+  private def ShingleBuckets: Int = {
+    val scale = sys.props.get("graft.index.bucket.scale").map { s =>
+      val v = scala.util.Try(s.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.index.bucket.scale must be a positive integer, got '$s'"))
+      require(v >= 1,
+        s"graft.index.bucket.scale must be >= 1, got $v")
+      v
+    }.getOrElse(1)
+    32 * scale
+  }
 
   /** Builder version of the staged shingle index — bump on any change to
     * [[shingles]]' logic. DERIVED layouts (the prefix index) COMPOSE
@@ -3042,10 +3054,16 @@ object Dedup {
     * cut) is index-BUILD work, paid once per corpus snapshot at write
     * time; the version tag carries the threshold (τ = 3/5) because the
     * prefix length depends on it. */
-  private def prefixIndex(spark: SparkSession, dir: String): DataFrame =
+  private def prefixIndex(spark: SparkSession, dir: String): DataFrame = {
+    // ensure the upstream exists, THEN gate on its artifact fingerprint:
+    // a rebuild OR an appendBucketed batch merge into shingles_k3 leaves
+    // the source table untouched but must invalidate this derivation
+    // (round-13 review pass 2)
+    shingleIndex(spark, dir)
     Staging.preparedBucketed(spark, "prefix_k3_t35", dir,
       buckets = ShingleBuckets, bucketCol = "w",
-      version = s"v1+sh:$ShingleIndexVersion") {
+      version = s"v1+sh:$ShingleIndexVersion",
+      extraFp = Staging.artifactFingerprint(dir, "shingles_k3")) {
       val tok = shingleIndex(spark, dir).toDF("doc_id", "w")
       val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
       tok.join(df, Seq("w"))
@@ -3057,18 +3075,23 @@ object Dedup {
         .filter(col("rnk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
         .select(col("doc_id"), col("w"), col("n"))
     }
+  }
 
   /** STAGED per-document sorted shingle-SET arrays (doc_id, sa) —
     * q261's verification-side layout, bucketed by doc_id so both
     * candidate-pair lookups read co-located buckets. Composes the
-    * shingle index's builder version (it is a derived view of it). */
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    * shingle index's builder version AND gates on its artifact
+    * fingerprint (rebuilds and batch appends both cascade). */
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
+    shingleIndex(spark, dir)
     Staging.preparedBucketed(spark, "shingle_arrays", dir,
       buckets = ShingleBuckets, bucketCol = "doc_id",
-      version = s"v1+sh:$ShingleIndexVersion")(
+      version = s"v1+sh:$ShingleIndexVersion",
+      extraFp = Staging.artifactFingerprint(dir, "shingles_k3"))(
       shingleIndex(spark, dir)
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("shingle"))).as("sa")))
+  }
 
   def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
     // History of this hot spot: the session-cached columnar frame

@@ -85,6 +85,15 @@ object Staging {
   private def fingerprint(dir: String, sourceTable: String): String =
     fingerprintOf(new java.io.File(canon(dir), s"$sourceTable.parquet"))
 
+  /** Fingerprint of another STAGED ARTIFACT's current state — what a
+    * DERIVED layout passes as `extraFp` so that any change to its
+    * upstream (rebuild OR batch append, which leaves the source table
+    * untouched) invalidates the derivation too. Callers must ensure the
+    * upstream exists (build it first) before reading its fingerprint,
+    * or the first gate records the empty state and rebuilds once. */
+  private[graft] def artifactFingerprint(dir: String, name: String): String =
+    fingerprintOf(new java.io.File(sourceRoot(dir), name))
+
   /** Run `body` holding BOTH the JVM-local lock and an exclusive
     * `FileChannel` lock on the per-source root, so concurrent processes
     * sharing tmpdir cannot interleave check-build-publish sequences. The
@@ -149,11 +158,12 @@ object Staging {
     * reference is a plain columnar scan. Bump `version` whenever the
     * BUILDER's logic changes — the source fingerprint cannot see that. */
   def prepared(spark: SparkSession, name: String, dir: String,
-               sourceTable: String = "documents", version: String = "v1")
+               sourceTable: String = "documents", version: String = "v1",
+               extraFp: String = "")
               (build: => DataFrame): DataFrame = {
     val root = new java.io.File(sourceRoot(dir), name)
     locked(dir) {
-      val fp = s"$version|${fingerprint(dir, sourceTable)}"
+      val fp = s"$version|$extraFp|${fingerprint(dir, sourceTable)}"
       if (!layoutOk(root, fp))
         publish(root, fp)(p => build.write.mode("overwrite").parquet(p))
     }
@@ -173,13 +183,14 @@ object Staging {
   def preparedBucketed(spark: SparkSession, name: String, dir: String,
                        buckets: Int, bucketCol: String,
                        sourceTable: String = "documents",
-                       version: String = "v1")
+                       version: String = "v1", extraFp: String = "")
                       (build: => DataFrame): DataFrame = {
     val root = new java.io.File(sourceRoot(dir), name)
     val table = s"graft_stg_${name}_" +
       graft.streaming.EventStreams.sanitize(canon(dir))
     locked(dir) {
-      val fp = s"$version|b$buckets:$bucketCol|${fingerprint(dir, sourceTable)}"
+      val fp = s"$version|$extraFp|b$buckets:$bucketCol|" +
+        fingerprint(dir, sourceTable)
       if (!layoutOk(root, fp)) {
         spark.sql(s"DROP TABLE IF EXISTS $table")
         if (root.exists()) deleteRecursively(root)
@@ -252,11 +263,11 @@ object Staging {
     * (which wipes the layout dir, markers included). */
   def appendPrepared(spark: SparkSession, name: String, dir: String,
                      batchTag: String, sourceTable: String = "documents",
-                     version: String = "v1")
+                     version: String = "v1", extraFp: String = "")
                     (batch: => DataFrame): DataFrame = {
     val root = new java.io.File(sourceRoot(dir), name)
     locked(dir) {
-      val fp = s"$version|${fingerprint(dir, sourceTable)}"
+      val fp = s"$version|$extraFp|${fingerprint(dir, sourceTable)}"
       require(layoutOk(root, fp),
         s"appendPrepared($name): base layout missing or stale for $dir — " +
           "build it with prepared() first")
@@ -279,13 +290,14 @@ object Staging {
   def appendBucketed(spark: SparkSession, name: String, dir: String,
                      batchTag: String, buckets: Int, bucketCol: String,
                      sourceTable: String = "documents",
-                     version: String = "v1")
+                     version: String = "v1", extraFp: String = "")
                     (batch: => DataFrame): DataFrame = {
     val root = new java.io.File(sourceRoot(dir), name)
     val table = s"graft_stg_${name}_" +
       graft.streaming.EventStreams.sanitize(canon(dir))
     locked(dir) {
-      val fp = s"$version|b$buckets:$bucketCol|${fingerprint(dir, sourceTable)}"
+      val fp = s"$version|$extraFp|b$buckets:$bucketCol|" +
+        fingerprint(dir, sourceTable)
       require(layoutOk(root, fp) && spark.catalog.tableExists(table),
         s"appendBucketed($name): base bucketed layout missing or stale " +
           s"for $dir — build it with preparedBucketed() first")

@@ -155,6 +155,39 @@ class StagingSpec extends AnyFunSuite {
     } finally Staging.invalidate(spark, dir)
   }
 
+  test("a derived layout gated on its upstream's artifactFingerprint " +
+    "re-stages after an appendBucketed into the upstream (append " +
+    "cascade — round-13 review pass 2)") {
+    import spark.implicits._
+    val dir = newSource(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    try {
+      def up(): org.apache.spark.sql.DataFrame =
+        Staging.preparedBucketed(spark, "up", dir,
+          buckets = 2, bucketCol = "text")(
+          spark.read.parquet(s"$dir/documents.parquet"))
+      up()
+      var derivedBuilds = 0
+      def derived(): Long = {
+        up() // ensure upstream before fingerprinting it
+        Staging.prepared(spark, "down", dir,
+          extraFp = Staging.artifactFingerprint(dir, "up")) {
+          derivedBuilds += 1
+          up().groupBy(col("text")).agg(count(lit(1)).as("n"))
+        }.count()
+      }
+      assert(derived() == 3 && derivedBuilds == 1)
+      assert(derived() == 3 && derivedBuilds == 1)
+      // batch-append into the upstream: the source table is untouched,
+      // but the derived layout must re-stage on its next gate pass
+      Staging.appendBucketed(spark, "up", dir, "b1",
+        buckets = 2, bucketCol = "text")(
+        Seq((9L, "z")).toDF("doc_id", "text"))
+      assert(derived() == 4 && derivedBuilds == 2,
+        "append into the upstream must cascade to the derived layout")
+      assert(derived() == 4 && derivedBuilds == 2)
+    } finally Staging.invalidate(spark, dir)
+  }
+
   test("preparedText computes once per (source, version) and round-trips " +
     "the artifact exactly") {
     val dir = newSource(Seq((1L, "aa")))

@@ -252,6 +252,7 @@ object SparkEntry {
       Dedup.incrementalIndexAudit(s, dir)),
     "q297_watermark_curve" -> ((s, dir) =>
       streaming.EventStreams.watermarkDelayCurve(s, dir)),
+    "q298_compaction" -> ((s, dir) => Dedup.compactionAudit(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -567,6 +568,7 @@ object SparkEntry {
     "q295_router_census" -> Dedup.routerCandidateCensusSql,
     "q296_incremental_index" -> Dedup.incrementalIndexAuditSql,
     "q297_watermark_curve" -> streaming.EventStreams.watermarkDelayCurveSql(),
+    "q298_compaction" -> Dedup.compactionAuditSql,
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

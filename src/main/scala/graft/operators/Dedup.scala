@@ -1747,7 +1747,12 @@ object Dedup {
     * Scale shape: the appends are batch-sized narrow derives + bucketed
     * writes; the audit join is index-sized but runs only when auditing
     * (production runs it as a sampled acceptance check). */
-  def incrementalIndexAudit(spark: SparkSession, dir: String): DataFrame = {
+  /** Base-snapshot staging + batch merge of both incremental layouts —
+    * shared by q296 (audits the MERGED state) and q298 (compacts it,
+    * then audits the COMPACTED state). Returns (merged shingle layout,
+    * merged minhash layout, baseDir). */
+  private def mergedIncrLayouts(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, String) = {
     val baseDir = stageBaseCorpus(spark, dir)
     val batchDocs = Tables.documents(spark, dir).filter(incrBatchCond)
     // base layouts (build from the base snapshot, once)
@@ -1760,11 +1765,51 @@ object Dedup {
       shingles(batchDocs))
     val mergedMinhash = Staging.appendPrepared(spark, "minhash16",
       baseDir, "incr_batch")(minhashSigOn(batchDocs, 16))
+    (mergedShingles, mergedMinhash, baseDir)
+  }
+
+  def incrementalIndexAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (mergedShingles, mergedMinhash, _) = mergedIncrLayouts(spark, dir)
     indexDiffRow("shingles_k3", mergedShingles, shingleIndex(spark, dir),
       Seq("doc_id", "shingle"))
       .unionAll(indexDiffRow("minhash16", mergedMinhash,
         minhashSignatures(spark, dir, 16), Seq("doc_id", "sig")))
   }
+
+  // ---------------------------------------------------------------- q298
+
+  /** q298 — LAYOUT COMPACTION audit, closing the staged-index lifecycle
+    * (build → q296 append → COMPACT): every appended batch adds its own
+    * per-bucket file set, so a layout that absorbs daily batches pays a
+    * growing small-file tax on every scan — compaction is the OPTIMIZE
+    * pass a production table service runs. This lane compacts both
+    * merged q296 layouts in place ([[Staging.compactBucketed]] rewrites
+    * one file per non-empty bucket with the bucket spec, markers and
+    * absorbed-batch append state preserved; [[Staging.compactPrepared]]
+    * coalesces the plain signature layout through the atomic publish
+    * path) and audits the COMPACTED layouts row-for-row against the
+    * from-scratch rebuild — compaction must be exactly lossless. The
+    * spec additionally pins the file-count collapse, idempotency (a
+    * second compaction is a no-op until something appends), and that
+    * bucket co-location — the exchange-free join — survives the
+    * rewrite. */
+  def compactionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, baseDir) = mergedIncrLayouts(spark, dir)
+    val compactedShingles = Staging.compactBucketed(spark, "shingles_k3",
+      baseDir, buckets = ShingleBuckets, bucketCol = "shingle",
+      version = ShingleIndexVersion)
+    val compactedMinhash = Staging.compactPrepared(spark, "minhash16",
+      baseDir)
+    indexDiffRow("shingles_k3", compactedShingles,
+      shingleIndex(spark, dir), Seq("doc_id", "shingle"))
+      .unionAll(indexDiffRow("minhash16", compactedMinhash,
+        minhashSignatures(spark, dir, 16), Seq("doc_id", "sig")))
+  }
+
+  /** [[compactionAudit]]'s oracle: compaction is lossless, so the audit
+    * totals are identical to [[incrementalIndexAuditSql]]'s — the full
+    * corpus's index sizes with zero one-sided rows. */
+  def compactionAuditSql: String = incrementalIndexAuditSql
 
   /** [[incrementalIndexAudit]]'s oracle: merged-equals-rebuilt means the
     * audit's totals are the FULL corpus's index sizes with zero one-sided

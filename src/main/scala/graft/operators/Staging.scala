@@ -316,6 +316,119 @@ object Staging {
     spark.table(table)
   }
 
+  /** Marker name recording the post-compaction data-file fingerprint —
+    * lets [[compactBucketed]]/[[compactPrepared]] skip when the layout
+    * is already compact and nothing appended since. */
+  private val CompactedMarker = "_GRAFT_COMPACTED"
+
+  /** COMPACT a bucketed staged layout in place — the OPTIMIZE step that
+    * closes the append lifecycle (build → [[appendBucketed]] → compact):
+    * every append adds its own set of per-bucket files, and a layout
+    * that has absorbed many batches pays a growing small-file tax on
+    * every scan. Compaction rewrites the layout as ONE file per
+    * non-empty bucket, preserving the bucket spec (co-location and the
+    * exchange-free joins survive — spec-pinned), the freshness marker,
+    * and the append markers (the absorbed batches must not re-append).
+    * Idempotent: a `_GRAFT_COMPACTED` marker records the data-file
+    * fingerprint after the rewrite, so re-entry skips unless a new
+    * append (or rebuild) changed the files since.
+    *
+    * Harness note: the current rows are pinned with an eager
+    * localCheckpoint before the directory is rewritten; a production
+    * compaction streams into a NEW layout dir and swaps pointers
+    * instead (the [[publish]] shape) — the semantics audited here
+    * (lossless, co-located, idempotent) are the same. */
+  def compactBucketed(spark: SparkSession, name: String, dir: String,
+                      buckets: Int, bucketCol: String,
+                      sourceTable: String = "documents",
+                      version: String = "v1", extraFp: String = "")
+                     : DataFrame = {
+    val root = new java.io.File(sourceRoot(dir), name)
+    val table = s"graft_stg_${name}_" +
+      graft.streaming.EventStreams.sanitize(canon(dir))
+    locked(dir) {
+      val fp = s"$version|$extraFp|b$buckets:$bucketCol|" +
+        fingerprint(dir, sourceTable)
+      require(layoutOk(root, fp) && spark.catalog.tableExists(table),
+        s"compactBucketed($name): layout missing or stale for $dir")
+      val cMarker = new java.io.File(root, CompactedMarker)
+      val already = cMarker.exists() &&
+        java.nio.file.Files.readString(cMarker.toPath) ==
+          artifactFingerprint(dir, name)
+      if (!already) {
+        // pin the rows BEFORE the files are dropped
+        val rows = spark.read.parquet(root.toString)
+          .localCheckpoint(true)
+        val appendMarkers = Option(root.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.startsWith("_GRAFT_APPEND_"))
+          .map(f => f.getName ->
+            java.nio.file.Files.readString(f.toPath)).toSeq
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        // the .graft_lock this call holds lives in the per-source PARENT
+        // dir, not in the artifact dir — deleting the artifact is safe
+        deleteRecursively(root)
+        rows.repartition(buckets,
+            org.apache.spark.sql.functions.col(bucketCol))
+          .write.mode("overwrite").format("parquet")
+          .option("path", root.toString)
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+          .saveAsTable(table)
+        java.nio.file.Files.writeString(
+          new java.io.File(root, "_GRAFT_FP").toPath, fp)
+        appendMarkers.foreach { case (n, content) =>
+          java.nio.file.Files.writeString(
+            new java.io.File(root, n).toPath, content)
+        }
+        java.nio.file.Files.writeString(cMarker.toPath,
+          artifactFingerprint(dir, name))
+        rows.unpersist()
+        ()
+      }
+    }
+    spark.table(table)
+  }
+
+  /** [[compactBucketed]] for a plain (non-bucketed) staged layout:
+    * rewrites the accumulated base+append part files as one coalesced
+    * write through the atomic [[publish]] path, markers preserved. */
+  def compactPrepared(spark: SparkSession, name: String, dir: String,
+                      sourceTable: String = "documents",
+                      version: String = "v1", extraFp: String = "")
+                     : DataFrame = {
+    val root = new java.io.File(sourceRoot(dir), name)
+    locked(dir) {
+      val fp = s"$version|$extraFp|${fingerprint(dir, sourceTable)}"
+      require(layoutOk(root, fp),
+        s"compactPrepared($name): layout missing or stale for $dir")
+      val cMarker = new java.io.File(root, CompactedMarker)
+      val already = cMarker.exists() &&
+        java.nio.file.Files.readString(cMarker.toPath) ==
+          artifactFingerprint(dir, name)
+      if (!already) {
+        val rows = spark.read.parquet(root.toString)
+          .localCheckpoint(true)
+        val appendMarkers = Option(root.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.startsWith("_GRAFT_APPEND_"))
+          .map(f => f.getName ->
+            java.nio.file.Files.readString(f.toPath)).toSeq
+        publish(root, fp)(p => rows.coalesce(
+          math.max(1, rows.rdd.getNumPartitions / 4))
+          .write.mode("overwrite").parquet(p))
+        appendMarkers.foreach { case (n, content) =>
+          java.nio.file.Files.writeString(
+            new java.io.File(root, n).toPath, content)
+        }
+        java.nio.file.Files.writeString(cMarker.toPath,
+          artifactFingerprint(dir, name))
+        rows.unpersist()
+        ()
+      }
+    }
+    spark.read.parquet(root.toString)
+  }
+
   /** Drop every staged layout for `dir` — belt-and-braces for callers
     * that rebuild source tables in place (the fingerprint gate already
     * catches this; explicit invalidation keeps the soak's rebuild hook

@@ -4573,6 +4573,57 @@ class OperatorSpec extends AnyFunSuite {
       s"append must preserve bucket co-location:\n${plan.take(800)}")
   }
 
+  test("q298 compaction: collapses the append file sets, is idempotent " +
+    "until the next append, keeps bucket co-location, and stays lossless") {
+    val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_incr_base_${graft.streaming.EventStreams.sanitize(dir)}")
+    // start from a guaranteed UNCOMPACTED merged state: a surviving
+    // compacted layout from an earlier session would otherwise make the
+    // file-collapse assertion vacuous
+    graft.operators.Staging.invalidate(spark, baseDir.toString)
+    // run the merge (q296) then the compaction (q298) end to end
+    Dedup.incrementalIndexAudit(spark, dir).collect()
+    val layout = new java.io.File(
+      new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_prepared"),
+        graft.streaming.EventStreams.sanitize(baseDir.toString)),
+      "shingles_k3")
+    def dataFiles(): Seq[(String, Long)] =
+      Option(layout.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-"))
+        .map(f => (f.getName, f.lastModified)).toSeq.sortBy(_._1)
+    val beforeFiles = dataFiles()
+    val rows1 = Dedup.compactionAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    // lossless: compacted == rebuilt, zero one-sided rows
+    assert(rows1.forall { case (_, ni, nr, oi, or) =>
+      ni == nr && oi == 0L && or == 0L }, s"$rows1")
+    val afterFiles = dataFiles()
+    // the base write + the append write collapse into one file set
+    assert(afterFiles.size < beforeFiles.size,
+      s"compaction must shrink the file set: ${beforeFiles.size} -> " +
+        s"${afterFiles.size}")
+    // idempotent: a second compaction rewrites nothing (same files,
+    // same mtimes) because the _GRAFT_COMPACTED fingerprint matches
+    assert(Dedup.compactionAudit(spark, dir).collect().length == 2)
+    assert(dataFiles() == afterFiles,
+      "re-compaction must be a no-op on an already-compact layout")
+    // co-location survives: the compacted table still self-joins with
+    // no live exchange on the bucket key
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .find(n => n.startsWith("graft_stg_shingles_k3_") &&
+        n.contains("incr_x5f_base")).get
+    val t = spark.table(tbl)
+    val plan = t.select(col("doc_id").as("a"), col("shingle"))
+      .hint("merge")
+      .join(t.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true") &&
+      !plan.contains("Exchange hashpartitioning(shingle"),
+      s"compaction must preserve co-location:\n${plan.take(600)}")
+  }
+
   test("q282 source ablation: BigInt LOO replay over q109 scores; " +
     "below-average sources have nonnegative removal deltas") {
     val scores = TextAnalysis.qualityScores(spark, dir)

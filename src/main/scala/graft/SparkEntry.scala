@@ -253,6 +253,8 @@ object SparkEntry {
     "q297_watermark_curve" -> ((s, dir) =>
       streaming.EventStreams.watermarkDelayCurve(s, dir)),
     "q298_compaction" -> ((s, dir) => Dedup.compactionAudit(s, dir)),
+    "q299_incremental_ann" -> ((s, dir) =>
+      SimilaritySearch.incrementalAnnAudit(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -569,6 +571,7 @@ object SparkEntry {
     "q296_incremental_index" -> Dedup.incrementalIndexAuditSql,
     "q297_watermark_curve" -> streaming.EventStreams.watermarkDelayCurveSql(),
     "q298_compaction" -> Dedup.compactionAuditSql,
+    "q299_incremental_ann" -> SimilaritySearch.incrementalAnnAuditSql(),
     "q284_clustered_rollup" -> Layout.clusteredMonthlyRollupSql,
     "q279_pii_wilson" -> CorpusFilters.piiRateIntervalSql,
     "q139_dq_checks" -> Profiling.dqChecksSql,

@@ -1712,7 +1712,7 @@ object Dedup {
 
   /** (artifact, n_incremental, n_rebuild, n_only_incremental,
     * n_only_rebuild) for one staged-index pair. */
-  private def indexDiffRow(artifact: String, incr: DataFrame,
+  private[operators] def indexDiffRow(artifact: String, incr: DataFrame,
                            full: DataFrame, keys: Seq[String]): DataFrame = {
     val a = incr.select(keys.map(col): _*).withColumn("i", lit(1L))
     val b = full.select(keys.map(col): _*).withColumn("f", lit(1L))

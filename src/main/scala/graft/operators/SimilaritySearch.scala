@@ -1174,24 +1174,79 @@ object SimilaritySearch {
     * m·ncodes distance terms + the per-(vec, subspace) argmin) runs once
     * per corpus snapshot at build time; q242/q285/q288 then SCAN codes,
     * which is the entire point of PQ at 100 TB. */
+  /** The PQ ENCODE over an arbitrary int8-coded frame with a FIXED
+    * codebook — per-vector work with no cross-vector dependency, which
+    * is what makes the staged code table APPEND-maintainable (q299). */
+  private def pqEncode(spark: SparkSession, coded: DataFrame,
+                       cb: Array[Array[Array[Long]]], m: Int): DataFrame = {
+    val dsub = cb(0)(0).length
+    val anchorRows = for (s <- cb.indices; cid <- cb(s).indices)
+      yield (s.toLong, cid.toLong, cb(s)(cid).toSeq)
+    val anchorDf = spark.createDataFrame(anchorRows).toDF("s", "cid", "asub")
+    coded.select(col("vec_id"), col("codes"),
+      explode(sequence(lit(0L), lit((m - 1).toLong))).as("s"))
+      .join(broadcast(anchorDf), Seq("s"))
+      .withColumn("d", subDistTo(col("codes"), col("asub"), col("s"), dsub))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("s"), col("b.cid").as("cid"))
+  }
+
   private def pqCodesTable(spark: SparkSession, dir: String,
                            m: Int, ncodes: Int): DataFrame =
     Staging.prepared(spark, s"pqcodes_m${m}_n$ncodes", dir,
-      sourceTable = "embeddings", version = PqCodesVersion) {
-      val coded = int8CodedArray(spark, dir)
-      val cb = pqCodebook(spark, dir, m, ncodes)
-      val dsub = cb(0)(0).length
-      val anchorRows = for (s <- cb.indices; cid <- cb(s).indices)
-        yield (s.toLong, cid.toLong, cb(s)(cid).toSeq)
-      val anchorDf = spark.createDataFrame(anchorRows).toDF("s", "cid", "asub")
-      coded.select(col("vec_id"), col("codes"),
-        explode(sequence(lit(0L), lit((m - 1).toLong))).as("s"))
-        .join(broadcast(anchorDf), Seq("s"))
-        .withColumn("d", subDistTo(col("codes"), col("asub"), col("s"), dsub))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d"), col("cid"))).as("b"))
-        .select(col("vec_id"), col("s"), col("b.cid").as("cid"))
-    }
+      sourceTable = "embeddings", version = PqCodesVersion)(
+      pqEncode(spark, int8CodedArray(spark, dir),
+        pqCodebook(spark, dir, m, ncodes), m))
+
+  // ---------------------------------------------------------------- q299
+
+  /** The q299 ingest-batch membership over vectors: md5 nibble of vec_id
+    * < '4' (~25%) — the q47/q296 bucket discipline. */
+  private def incrAnnBatchCond: Column =
+    substring(md5(col("vec_id").cast(StringType)), 1, 1) < "4"
+
+  /** q299 — INCREMENTAL ANN INDEX maintenance audit (the q296 story for
+    * the compressed vector index): at 100 TB the daily vector operation
+    * is "encode today's embeddings with the EXISTING index model and
+    * append to the code table" — the codebook/lattice are refit only at
+    * scheduled index rebuilds, never per batch. This lane stages the
+    * base vectors' PQ codes (~75%, md5-routed), encodes the ingest
+    * batch with the SAME fixed model, APPENDS it
+    * ([[Staging.appendPrepared]], idempotent per base build), and
+    * audits merged == the full staged code table row-for-row on
+    * (vec_id, s, cid). Zero diffs is the design property that makes the
+    * code table append-maintainable: each vector's m codes depend on
+    * that vector and the fixed codebook alone, so batch ingestion
+    * commutes with the encode. q242/q288 would serve retrieval
+    * unchanged mid-append. */
+  def incrementalAnnAudit(spark: SparkSession, dir: String,
+                          m: Int = 8, ncodes: Int = 16): DataFrame = {
+    val cb = pqCodebook(spark, dir, m, ncodes)
+    val coded = int8CodedArray(spark, dir)
+    // base layout (built once per corpus snapshot from the base slice)
+    Staging.prepared(spark, s"pqcodes_incr_base_m${m}_n$ncodes", dir,
+      sourceTable = "embeddings", version = PqCodesVersion)(
+      pqEncode(spark, coded.filter(!incrAnnBatchCond), cb, m))
+    val merged = Staging.appendPrepared(spark,
+      s"pqcodes_incr_base_m${m}_n$ncodes", dir, "incr_batch",
+      sourceTable = "embeddings", version = PqCodesVersion)(
+      pqEncode(spark, coded.filter(incrAnnBatchCond), cb, m))
+    Dedup.indexDiffRow(s"pqcodes_m${m}_n$ncodes", merged,
+      pqCodesTable(spark, dir, m, ncodes), Seq("vec_id", "s", "cid"))
+  }
+
+  /** [[incrementalAnnAudit]]'s oracle: merged-equals-rebuilt means the
+    * totals are the full code-table size (m rows per vector) with zero
+    * one-sided rows — derivable from the embeddings table alone. */
+  def incrementalAnnAuditSql(m: Int = 8, ncodes: Int = 16): String =
+    s"""SELECT 'pqcodes_m${m}_n$ncodes' AS artifact,
+       |       CAST((SELECT count(*) * $m FROM embeddings) AS BIGINT)
+       |         AS n_incremental,
+       |       CAST((SELECT count(*) * $m FROM embeddings) AS BIGINT)
+       |         AS n_rebuild,
+       |       CAST(0 AS BIGINT) AS n_only_incremental,
+       |       CAST(0 AS BIGINT) AS n_only_rebuild""".stripMargin
 
   /** q242 — PRODUCT-QUANTIZATION ADC retrieval: the compressed-index tier
     * completing the ANN ladder (brute force → sign-LSH → IVF → int8 →

@@ -4624,6 +4624,29 @@ class OperatorSpec extends AnyFunSuite {
       s"compaction must preserve co-location:\n${plan.take(600)}")
   }
 
+  test("q299 incremental ANN: the batch encode+append is idempotent and " +
+    "lossless, and the md5 routing actually splits the corpus") {
+    def audit(): (String, Long, Long, Long, Long) = {
+      val r = SimilaritySearch.incrementalAnnAudit(spark, dir).collect()
+      assert(r.length == 1)
+      (r(0).getString(0), r(0).getLong(1), r(0).getLong(2),
+        r(0).getLong(3), r(0).getLong(4))
+    }
+    val first = audit()
+    val nVecs = Tables.embeddings(spark, dir).count()
+    assert(first == ("pqcodes_m8_n16", nVecs * 8, nVecs * 8, 0L, 0L),
+      s"merged code table must equal the full encode: $first")
+    // idempotent per base build: a second run must not re-append
+    assert(audit() == first)
+    // the md5 routing splits for real (a vacuous batch would make the
+    // append audit trivially pass)
+    val batch = Tables.embeddings(spark, dir)
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) < "4")
+      .count()
+    assert(batch > 0 && batch < nVecs,
+      s"batch split degenerate: $batch of $nVecs")
+  }
+
   test("q282 source ablation: BigInt LOO replay over q109 scores; " +
     "below-average sources have nonnegative removal deltas") {
     val scores = TextAnalysis.qualityScores(spark, dir)

@@ -124,7 +124,8 @@ object ScaleSoak {
     // watermark curve, plus q261/q31 re-soaked on the BUCKETED layouts
     "q293_gate_ttl", "q294_gate_state_census", "q295_router_census",
     "q296_incremental_index", "q297_watermark_curve", "q298_compaction",
-    "q299_incremental_ann",
+    "q299_incremental_ann", "q300_codebook_drift",
+    "q301_gate_horizon_sweep",
     "q31_dedup_ngram_jaccard")
 
   /** Times one query with shuffle parallelism scaled to the data factor —

@@ -255,6 +255,10 @@ object SparkEntry {
     "q298_compaction" -> ((s, dir) => Dedup.compactionAudit(s, dir)),
     "q299_incremental_ann" -> ((s, dir) =>
       SimilaritySearch.incrementalAnnAudit(s, dir)),
+    "q300_codebook_drift" -> ((s, dir) =>
+      SimilaritySearch.codebookDriftAudit(s, dir)),
+    "q301_gate_horizon_sweep" -> ((s, dir) =>
+      Dedup.gateHorizonSweep(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -565,7 +569,8 @@ object SparkEntry {
     "q290_zorder_skipping" -> Layout.zorderSelectivityRollupSql,
     "q291_late_data_census" -> streaming.EventStreams.lateDataCensusSql(),
     "q292_stream_neardup_gate" -> Dedup.streamingNearDupGateSql,
-    "q293_gate_ttl" -> Dedup.streamingNearDupGateTtlSql,
+    "q293_gate_ttl" -> Dedup.streamingNearDupGateTtlSql(),
+    "q301_gate_horizon_sweep" -> Dedup.gateHorizonSweepSql(),
     "q294_gate_state_census" -> Dedup.gateStateCensusSql,
     "q295_router_census" -> Dedup.routerCandidateCensusSql,
     "q296_incremental_index" -> Dedup.incrementalIndexAuditSql,

@@ -1484,19 +1484,23 @@ object Dedup {
       sinkName, OutputMode.Append, shufflePartitions = Some(4))
   }
 
-  /** ONE streaming drive serves BOTH q293 (verdicts) and q294 (state
-    * census): the census is a byproduct of the same sink, so the second
-    * lane reads the session-cached sink frame instead of re-running the
-    * stream (the cost split is noted in BENCH.md). */
-  private def ttlGateSink(spark: SparkSession, dir: String): DataFrame =
-    graft.CacheRegistry.cached(spark, s"neardup_gate_ttl:$dir") {
+  /** ONE streaming drive per (dir, horizon) serves q293 + q294 (and the
+    * q301 sweep's matching grid point): the census is a byproduct of the
+    * same sink, so the second reader takes the session-cached sink frame
+    * instead of re-running the stream (the cost split is noted in
+    * BENCH.md). */
+  private def ttlGateSink(spark: SparkSession, dir: String,
+      horizonSec: Long = GateHorizonSec): DataFrame =
+    graft.CacheRegistry.cached(spark, s"neardup_gate_ttl:$horizonSec:$dir") {
       import java.nio.file.Paths
       val src = Paths.get(s"$dir/documents.parquet")
       val staged = Paths.get(sys.props("java.io.tmpdir"),
         s"graft_stream_docs_${graft.streaming.EventStreams.sanitize(src.toString)}")
       graft.streaming.EventStreams.stageForStream(spark, src, staged)
       ttlGateSinkOn(spark, staged.toString,
-        s"neardup_gate_ttl_${graft.streaming.EventStreams.sanitize(dir)}")
+        s"neardup_gate_ttl_h${horizonSec}_" +
+          graft.streaming.EventStreams.sanitize(dir),
+        horizonSec = horizonSec)
     }
 
   /** q293 — the q292 streaming ingest gate with BOUNDED state (round-12
@@ -1524,8 +1528,9 @@ object Dedup {
 
   /** [[streamingNearDupGateTtl]]'s oracle: the q292 batch derivation plus
     * the horizon predicate — an earlier doc counts only if its synthetic
-    * ingest time is within [[GateHorizonSec]] (ids are minutes). */
-  def streamingNearDupGateTtlSql: String = {
+    * ingest time is within the horizon (ids are minutes). */
+  def streamingNearDupGateTtlSql(
+      horizonSec: Long = GateHorizonSec): String = {
     val sbkArms = routerBandKeysSql
     s"""WITH $simhashSigCtes, sbk AS (
        |$sbkArms
@@ -1536,13 +1541,55 @@ object Dedup {
        |  FROM sbk b LEFT JOIN sbk a
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |   AND bit_count(xor(a.simhash, b.simhash)) <= 7
-       |   AND (b.doc_id - a.doc_id) * 60 <= $GateHorizonSec
+       |   AND (b.doc_id - a.doc_id) * 60 <= $horizonSec
        |  GROUP BY b.doc_id, b.band
        |)
        |SELECT doc_id, sum(matched) > 0 AS is_near_dup,
        |       CAST(sum(matched) AS BIGINT) AS n_bands_matched
        |FROM m GROUP BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q301
+
+  /** The q301 horizon grid: a tight window, the q293 contract horizon,
+    * and a loose one (minutes of the synthetic ingest clock). */
+  final val GateHorizonGridSec: Seq[Long] =
+    Seq(16L * 60, GateHorizonSec, 256L * 60)
+
+  /** q301 — GATE HORIZON SWEEP (the q297 pattern applied to q293): the
+    * operator a pipeline owner consults to CHOOSE the dedup window, not
+    * just audit one — per candidate horizon, the gate's flagged-document
+    * count and total matched (doc, band) verdicts, each grid point a
+    * real stateful streaming drive with its own horizon-keyed sink and
+    * checkpoint (the contract-horizon point shares q293/q294's cached
+    * sink). Monotonicity (a longer window can only flag more) is
+    * spec-pinned in-lane. */
+  def gateHorizonSweep(spark: SparkSession, dir: String,
+      horizons: Seq[Long] = GateHorizonGridSec): DataFrame =
+    horizons.map { h =>
+      gateVerdictRollup(ttlGateSink(spark, dir, h))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_near_dup"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("n_bands_matched")).as("n_doc_bands"))
+        .select(lit(h / 60).as("horizon_min"), col("n_docs"),
+          col("n_flagged"), col("n_doc_bands"))
+    }.reduce(_ unionAll _)
+
+  /** [[gateHorizonSweep]]'s oracle: the per-horizon TTL batch derivation,
+    * aggregated and unioned. */
+  def gateHorizonSweepSql(
+      horizons: Seq[Long] = GateHorizonGridSec): String =
+    horizons.map { h =>
+      val inner = streamingNearDupGateTtlSql(h).replace("\n", "\n  ")
+      s"""SELECT CAST(${h / 60} AS BIGINT) AS horizon_min,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN is_near_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_flagged,
+         |       CAST(sum(n_bands_matched) AS BIGINT) AS n_doc_bands
+         |FROM (
+         |  $inner
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** q294 — STATE-SIZE CENSUS of the q293 gate (round-12 verdict item 1's
     * "demonstrate, don't document"): per router band, the bucket count,

@@ -787,7 +787,8 @@ object SimilaritySearch {
       case Some(cb) => Map(
         "q242_pq_adc" -> pqAdcTopKSql(cb),
         "q285_pq_recall" -> pqRecallAuditSql(cb),
-        "q288_pq_rescore" -> pqRescoreRecallSql(cb))
+        "q288_pq_rescore" -> pqRescoreRecallSql(cb),
+        "q300_codebook_drift" -> codebookDriftSql(cb))
     }
     ivf ++ pq
   }
@@ -1120,7 +1121,7 @@ object SimilaritySearch {
   private val capturedPq =
     new graft.OracleCapture.Captured[(Int, Int), Array[Array[Array[Long]]]]
   /** The contract queries' trained codebook (m = 8, ncodes = 16). */
-  private[operators] def capturedPqCodebook: Option[Array[Array[Array[Long]]]] =
+  private[graft] def capturedPqCodebook: Option[Array[Array[Array[Long]]]] =
     capturedPq.get((8, 16))
 
   /** TRAINED per-subspace PQ codebook (round-10 verdict item 4 — replaces
@@ -1234,6 +1235,95 @@ object SimilaritySearch {
       pqEncode(spark, coded.filter(incrAnnBatchCond), cb, m))
     Dedup.indexDiffRow(s"pqcodes_m${m}_n$ncodes", merged,
       pqCodesTable(spark, dir, m, ncodes), Seq("vec_id", "s", "cid"))
+  }
+
+  // ---------------------------------------------------------------- q300
+
+  /** q300 — CODEBOOK DRIFT audit: the metric that SCHEDULES the index
+    * rebuild q299 defers. An incremental ANN deployment encodes every
+    * new batch with the index model fit at the last rebuild; as the
+    * corpus distribution drifts, the fixed codebook represents new
+    * vectors worse and recall decays silently. The operational readout
+    * is ENCODE DISTORTION — per vector, Σ over subspaces of the
+    * squared-L2 distance to the nearest codeword (the exact integer
+    * quantity the encoder minimizes) — compared between the BASE slice
+    * (what the model was fit to serve) and the md5-routed ingest BATCH:
+    * a batch mean markedly above the base mean is the refit trigger.
+    * All integer arithmetic on the q58 lattice, so the comparison is
+    * hash-exact cross-engine; one codes scan + broadcast anchors + two
+    * aggregates — no pair joins anywhere. */
+  def codebookDriftAudit(spark: SparkSession, dir: String,
+                         m: Int = 8, ncodes: Int = 16): DataFrame = {
+    val cb = pqCodebook(spark, dir, m, ncodes)
+    val dsub = cb(0)(0).length
+    val anchorRows = for (s <- cb.indices; cid <- cb(s).indices)
+      yield (s.toLong, cid.toLong, cb(s)(cid).toSeq)
+    val anchorDf = spark.createDataFrame(anchorRows).toDF("s", "cid", "asub")
+    int8CodedArray(spark, dir)
+      .select(col("vec_id"), col("codes"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("s"))
+      .join(broadcast(anchorDf), Seq("s"))
+      .withColumn("d", subDistTo(col("codes"), col("asub"), col("s"), dsub))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("d")).as("dmin"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("dmin")).as("distortion"))
+      .withColumn("slice",
+        when(incrAnnBatchCond, lit("batch")).otherwise(lit("base")))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("distortion")).as("total_distortion"))
+      .select(col("slice"), col("n_vecs"), col("total_distortion"),
+        expr("total_distortion div n_vecs").as("mean_distortion"))
+  }
+
+  /** [[codebookDriftAudit]]'s oracle: the q58 lattice CTEs, the captured
+    * codebook as anchor literals, the identical integer min-distance
+    * sums, the identical md5 slice routing. */
+  def codebookDriftSql(cb: Array[Array[Array[Long]]], m: Int = 8): String = {
+    val dsub = cb(0)(0).length
+    val anchorValues = (for (s <- cb.indices; cid <- cb(s).indices) yield
+      s"($s, $cid, [${cb(s)(cid).mkString(", ")}])").mkString(",\n    ")
+    val terms = (1 to dsub).map { j =>
+      s"(v.codes[a.s * $dsub + $j] - a.asub[$j])" +
+        s" * (v.codes[a.s * $dsub + $j] - a.asub[$j])"
+    }.mkString(" + ")
+    s"""WITH dims AS (
+       |  SELECT i AS pos, min(v[i]) AS lo, max(v[i]) AS hi
+       |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |       unnest(range(1, len(v) + 1)) AS r(i)
+       |  GROUP BY i
+       |), model AS (
+       |  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+       |  FROM dims
+       |), coded AS (
+       |  SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
+       |           CASE WHEN his[i] > los[i]
+       |                THEN CAST(round((v[i] - los[i]) / (his[i] - los[i])
+       |                          * 255.0) - 128.0 AS BIGINT)
+       |                ELSE 0 END) AS codes
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings),
+       |       model
+       |), anchors AS (
+       |  SELECT * FROM (VALUES
+       |    $anchorValues) AS t(s, cid, asub)
+       |), mins AS (
+       |  SELECT v.vec_id, a.s, min($terms) AS dmin
+       |  FROM coded v, anchors a
+       |  GROUP BY v.vec_id, a.s
+       |), per AS (
+       |  SELECT vec_id, sum(dmin) AS distortion FROM mins GROUP BY vec_id
+       |), sliced AS (
+       |  SELECT CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+       |              THEN 'batch' ELSE 'base' END AS slice, distortion
+       |  FROM per
+       |)
+       |SELECT slice, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(distortion) AS BIGINT) AS total_distortion,
+       |       CAST(sum(distortion) // count(*) AS BIGINT)
+       |         AS mean_distortion
+       |FROM sliced GROUP BY slice""".stripMargin
   }
 
   /** [[incrementalAnnAudit]]'s oracle: merged-equals-rebuilt means the

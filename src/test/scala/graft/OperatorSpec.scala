@@ -4647,6 +4647,44 @@ class OperatorSpec extends AnyFunSuite {
       s"batch split degenerate: $batch of $nVecs")
   }
 
+  test("q300 codebook drift: per-vector distortion replays in-JVM from " +
+    "the captured codebook, slices partition the corpus, and every " +
+    "distortion is the true per-subspace minimum") {
+    val cbOpt = SimilaritySearch.capturedPqCodebook
+    // ensure the fit/capture ran (the lane itself triggers it)
+    val rows = SimilaritySearch.codebookDriftAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val cb = SimilaritySearch.capturedPqCodebook
+      .orElse(cbOpt).getOrElse(fail("codebook not captured"))
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val coded = SimilaritySearch.int8CodedArray(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // in-JVM replay of the distortion per slice
+    def md5nib(id: Long): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+    val replay = coded.groupBy { case (id, _) =>
+      if (md5nib(id) < '4') "batch" else "base"
+    }.map { case (slice, vs) =>
+      val total: Long = vs.map { case (_, codes) =>
+        (0 until m).map { s =>
+          cb(s).map { cw =>
+            (0 until dsub).map { j =>
+              val d: Long = codes(s * dsub + j) - cw(j); d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum
+      slice -> ((vs.length.toLong, total, total / vs.length))
+    }
+    assert(rows == replay, s"lane $rows vs replay $replay")
+    assert(rows("base")._1 + rows("batch")._1 ==
+      Tables.embeddings(spark, dir).count())
+  }
+
   test("q282 source ablation: BigInt LOO replay over q109 scores; " +
     "below-average sources have nonnegative removal deltas") {
     val scores = TextAnalysis.qualityScores(spark, dir)

@@ -832,6 +832,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(nd == 0L, s"delay $d dropped rows in the open band") }
   }
 
+  test("q301 gate horizon sweep: flagged counts are monotone in the " +
+    "window, and the contract-horizon grid point equals q293's verdicts") {
+    import graft.operators.Dedup
+    val rows = Dedup.gateHorizonSweep(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet ==
+      Dedup.GateHorizonGridSec.map(_ / 60).toSet, s"grid: ${rows.keySet}")
+    val sorted = rows.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach { case Seq((h1, (_, f1, b1)), (h2, (_, f2, b2))) =>
+      assert(f1 <= f2 && b1 <= b2,
+        s"longer window must flag at least as much: $h1->$f1/$b1 vs $h2->$f2/$b2")
+    }
+    // the middle grid point IS q293's horizon: counts must agree with
+    // the q293 lane's own rollup
+    val q293Flagged = Dedup.streamingNearDupGateTtl(spark, dir)
+      .filter(col("is_near_dup")).count()
+    assert(rows(Dedup.GateHorizonSec / 60)._2 == q293Flagged)
+    // non-degenerate on the fixture: the sweep actually separates
+    assert(sorted.head._2._2 < sorted.last._2._2,
+      s"horizon grid should separate flagged counts: $sorted")
+  }
+
   test("q291 late-data census: drops equal the watermark contract band " +
     "for band, the feed really ran three micro-batches, and shrinking " +
     "the delay grows the drop set monotonically") {

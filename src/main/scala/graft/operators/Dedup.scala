@@ -899,19 +899,23 @@ object Dedup {
     * aggregate — auditing the union costs no extra pass over either
     * candidate generator. */
   def routedNearDupAudit(spark: SparkSession, dir: String,
-                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                         numHashes: Int = 16, bands: Int = 4,
+                         maxBucketOccupancy: Option[Long] =
+                           Some(RouterBucketCap)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val msig = minhashSignatures(spark, dir, numHashes)
-    val mCollide = (0 until bands).map(b =>
-      (1 to r).map(j => element_at(col("msig_a"), b * r + j) ===
-        element_at(col("msig_b"), b * r + j)).reduce(_ && _)).reduce(_ || _)
+    // the audit measures the detector AS DEPLOYED (round-13 verdict
+    // item 1): a pair "hits" an arm iff it is in that arm's GOVERNED
+    // candidate set — collisions that exist only inside a hot bucket the
+    // governor drops are correctly charged as misses
+    val sP = governedSimhashPairs(spark, dir, maxBucketOccupancy)
+      .withColumn("sh", lit(1))
+    val mP = governedMinhashPairs(spark, dir, maxBucketOccupancy,
+      numHashes, bands).withColumn("mh", lit(1))
     calibrationPairs(spark, dir)
-      .join(msig.toDF("doc_a", "msig_a"), Seq("doc_a"))
-      .join(msig.toDF("doc_b", "msig_b"), Seq("doc_b"))
-      .withColumn("sh_hit",
-        bandCollideWidths(RouterBandWidths) && col("hamming") <= 7)
-      .withColumn("mh_hit", mCollide)
+      .join(sP, Seq("doc_a", "doc_b"), "left")
+      .join(mP, Seq("doc_a", "doc_b"), "left")
+      .withColumn("sh_hit", col("sh").isNotNull)
+      .withColumn("mh_hit", col("mh").isNotNull)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("sh_hit"), 1L).otherwise(0L)).as("n_simhash"),
@@ -924,32 +928,55 @@ object Dedup {
   }
 
   /** [[routedNearDupAudit]]'s oracle: the shared q281/q283 pair CTEs plus
-    * q32's minhash signature chain, both band cuts recomputed in DuckDB. */
-  def routedNearDupAuditSql(numHashes: Int = 16, bands: Int = 4): String = {
+    * q32's minhash signature chain, BOTH governed band-bucket candidate
+    * sets rebuilt in DuckDB (occupancy HAVING + self-join), hits derived
+    * as membership — the detector as deployed, occupancy cap included. */
+  def routedNearDupAuditSql(numHashes: Int = 16, bands: Int = 4,
+      cap: Long = RouterBucketCap): String = {
     val r = numHashes / bands
     val mins = (0 until numHashes).map { i =>
       s"""list_min(list_transform(sh, s ->
          |      ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))""".stripMargin
     }.mkString("[\n    ", ",\n    ", "]")
-    val mhBands = (0 until bands).map { b =>
-      (1 to r).map(j => s"msig_a[${b * r + j}] = msig_b[${b * r + j}]")
-        .mkString("(", " AND ", ")")
-    }.mkString("(", " OR\n          ", ")")
     s"""WITH $calibrationPairCtes, msigs AS (
        |  SELECT doc_id, $mins AS msig
        |  FROM ws WHERE len(sh) > 0
-       |), joined AS (
-       |  SELECT pb.bucket, pb.hamming, pb.sig_a, pb.sig_b,
-       |         ma.msig AS msig_a, mb.msig AS msig_b
-       |  FROM pair_base pb
-       |  JOIN msigs ma ON pb.doc_a = ma.doc_id
-       |  JOIN msigs mb ON pb.doc_b = mb.doc_id
+       |), sbk AS (
+       |$routerBandKeysSql
+       |), skeep AS (
+       |  SELECT band, key FROM sbk GROUP BY band, key
+       |  HAVING count(*) <= $cap
+       |), sbkg AS (
+       |  SELECT s.doc_id, s.simhash, s.band, s.key
+       |  FROM sbk s JOIN skeep k ON s.band = k.band AND s.key = k.key
+       |), spairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sbkg a JOIN sbkg b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= 7
+       |), mbk AS (
+       |  SELECT doc_id, b.band AS band,
+       |         msig[b.band * $r + 1 : b.band * $r + $r] AS key
+       |  FROM msigs, (SELECT unnest(range($bands)) AS band) b
+       |), mkeep AS (
+       |  SELECT band, key FROM mbk GROUP BY band, key
+       |  HAVING count(*) <= $cap
+       |), mbkg AS (
+       |  SELECT m.doc_id, m.band, m.key
+       |  FROM mbk m JOIN mkeep k ON m.band = k.band AND m.key = k.key
+       |), mpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mbkg a JOIN mbkg b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id
        |), hits AS (
-       |  SELECT bucket,
-       |         (${bandCollideWidthsSql(RouterBandWidths)} AND hamming <= 7)
-       |           AS sh_hit,
-       |         $mhBands AS mh_hit
-       |  FROM joined
+       |  SELECT pb.bucket,
+       |         sp.doc_a IS NOT NULL AS sh_hit,
+       |         mp.doc_a IS NOT NULL AS mh_hit
+       |  FROM pair_base pb
+       |  LEFT JOIN spairs sp
+       |    ON pb.doc_a = sp.doc_a AND pb.doc_b = sp.doc_b
+       |  LEFT JOIN mpairs mp
+       |    ON pb.doc_a = mp.doc_a AND pb.doc_b = mp.doc_b
        |)
        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
        |       CAST(sum(CASE WHEN sh_hit THEN 1 ELSE 0 END) AS BIGINT)
@@ -997,7 +1024,11 @@ object Dedup {
     *    compounded document-level effect of pair misses.
     *
     * Scale shape: both candidate arms are (band, key) self-joins over the
-    * staged signature layouts — bucket-collision cost, never all-pairs;
+    * staged signature layouts — bucket-collision cost, never all-pairs —
+    * and both run GOVERNED by default since round 14
+    * ([[RouterBucketCap]]): hot buckets whose occ² pair fan-out would
+    * dominate the join are dropped before it (spec-pinned J ≥ 0.9
+    * recall-lossless, q295 censuses the tail the cap removes);
     * verification costs one shingle-intersection count per CANDIDATE
     * (linear in candidates, the whole point of LSH); CC is the q35
     * pointer-doubling loop (O(log diameter) rounds over candidate-pair-
@@ -1014,15 +1045,18 @@ object Dedup {
         col("bk.band").as("band"), col("bk.key").as("key"))
 
   /** The router's MinHash arm as banded gate rows (doc_id, band, key) —
-    * q32's 4 bands × 4-hash signature slices. */
-  private def routerMinhashBanded(spark: SparkSession, dir: String): DataFrame =
-    minhashSignatures(spark, dir, 16)
+    * q32's 4 bands × 4-hash signature slices by default. */
+  private def routerMinhashBanded(spark: SparkSession, dir: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val r = numHashes / bands
+    minhashSignatures(spark, dir, numHashes)
       .select(col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), slice(col("sig"), b * 4 + 1, 4)
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), slice(col("sig"), b * r + 1, r)
             .as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
+  }
 
   /** OCCUPANCY GOVERNOR (round-12 verdict item 4): drop every (band,
     * key) bucket holding more than `cap` documents before the candidate
@@ -1043,10 +1077,11 @@ object Dedup {
       banded.join(keep, Seq("band", "key"), "left_semi")
     }
 
-  /** The routed detector's raw candidate pairs (both arms, unioned),
-    * optionally bucket-governed — exposed for the q295 governor spec. */
-  private[graft] def routedCandidatePairs(spark: SparkSession, dir: String,
-      maxBucketOccupancy: Option[Long] = None): DataFrame = {
+  /** The SimHash arm's candidate pairs (doc_a < doc_b), hamming-confirmed
+    * at ≤ 7 and bucket-governed — shared by the q289 production pass and
+    * the q287 audit (which measures membership in exactly this set). */
+  private def governedSimhashPairs(spark: SparkSession, dir: String,
+      maxBucketOccupancy: Option[Long]): DataFrame = {
     // rename BY NAME after the governor: its left_semi USING-join moves
     // (band, key) to the front, so a positional toDF would silently
     // relabel band keys as doc ids (caught by the q295 governor spec)
@@ -1056,24 +1091,41 @@ object Dedup {
       col("simhash").as("sig_a"), col("band"), col("key"))
     val sB = sBanded.select(col("doc_id").as("doc_b"),
       col("simhash").as("sig_b"), col("band"), col("key"))
-    val sPairs = sA.join(sB, Seq("band", "key"))
+    sA.join(sB, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 7)
       .select(col("doc_a"), col("doc_b"))
-    val mBanded = governBuckets(routerMinhashBanded(spark, dir),
-      maxBucketOccupancy)
-    val mPairs = mBanded.select(col("doc_id").as("doc_a"), col("band"),
-        col("key"))
+      .distinct()
+  }
+
+  /** The MinHash arm's candidate pairs (doc_a < doc_b), bucket-governed —
+    * shared by q289 and the q287 audit like [[governedSimhashPairs]]. */
+  private def governedMinhashPairs(spark: SparkSession, dir: String,
+      maxBucketOccupancy: Option[Long],
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val mBanded = governBuckets(
+      routerMinhashBanded(spark, dir, numHashes, bands), maxBucketOccupancy)
+    mBanded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
       .join(mBanded.select(col("doc_id").as("doc_b"), col("band"),
         col("key")), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-    sPairs.union(mPairs).distinct()
+      .distinct()
   }
 
+  /** The routed detector's candidate pairs (both arms, unioned),
+    * optionally bucket-governed — exposed for the q295 governor spec. */
+  private[graft] def routedCandidatePairs(spark: SparkSession, dir: String,
+      maxBucketOccupancy: Option[Long] = None): DataFrame =
+    governedSimhashPairs(spark, dir, maxBucketOccupancy)
+      .union(governedMinhashPairs(spark, dir, maxBucketOccupancy))
+      .distinct()
+
   def routedDedupRemoval(spark: SparkSession, dir: String,
-                         truthPpm: Long = 800000L): DataFrame = {
-    val predPairs = routedCandidatePairs(spark, dir)
+                         truthPpm: Long = 800000L,
+                         maxBucketOccupancy: Option[Long] =
+                           Some(RouterBucketCap)): DataFrame = {
+    val predPairs = routedCandidatePairs(spark, dir, maxBucketOccupancy)
     // truth: exact Jaccard ≥ truthPpm over the staged shingle index
     val truthPairs = shinglePairStats(shingleIndex(spark, dir))
       .filter(expr(s"(c * 1000000) div (na + nb - c) >= $truthPpm"))
@@ -1110,7 +1162,8 @@ object Dedup {
     * chain, both REAL band-bucket self-joins, and TWO recursive-closure
     * component passes (the q35/q240 precedent) — removal sets and exact
     * ppm P/R re-derived end to end. */
-  def routedDedupRemovalSql(truthPpm: Long = 800000L): String = {
+  def routedDedupRemovalSql(truthPpm: Long = 800000L,
+      cap: Long = RouterBucketCap): String = {
     val mins = (0 until 16).map { i =>
       s"""list_min(list_transform(sh, s ->
          |      ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))""".stripMargin
@@ -1121,18 +1174,30 @@ object Dedup {
        |  FROM ws WHERE len(sh) > 0
        |), sbk AS (
        |$sbkArms
+       |), skeep AS (
+       |  SELECT band, key FROM sbk GROUP BY band, key
+       |  HAVING count(*) <= $cap
+       |), sbkg AS (
+       |  SELECT s.doc_id, s.simhash, s.band, s.key
+       |  FROM sbk s JOIN skeep k ON s.band = k.band AND s.key = k.key
        |), spairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sbk a JOIN sbk b ON a.band = b.band AND a.key = b.key
+       |  FROM sbkg a JOIN sbkg b ON a.band = b.band AND a.key = b.key
        |  WHERE a.doc_id < b.doc_id
        |    AND bit_count(xor(a.simhash, b.simhash)) <= 7
        |), mbk AS (
        |  SELECT doc_id, b.band AS band,
        |         msig[b.band * 4 + 1 : b.band * 4 + 4] AS key
        |  FROM msigs, (SELECT unnest(range(4)) AS band) b
+       |), mkeep AS (
+       |  SELECT band, key FROM mbk GROUP BY band, key
+       |  HAVING count(*) <= $cap
+       |), mbkg AS (
+       |  SELECT m.doc_id, m.band, m.key
+       |  FROM mbk m JOIN mkeep k ON m.band = k.band AND m.key = k.key
        |), mpairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM mbk a JOIN mbk b ON a.band = b.band AND a.key = b.key
+       |  FROM mbkg a JOIN mbkg b ON a.band = b.band AND a.key = b.key
        |  WHERE a.doc_id < b.doc_id
        |), pred AS (
        |  SELECT doc_a, doc_b FROM spairs
@@ -1418,12 +1483,31 @@ object Dedup {
     * registers itself. Emitted occupancy is the post-prune-post-insert
     * bucket size, so the state census is read off the sink instead of
     * asserted. Upgrade rows keep the ordered-feed batch-split invariance
-    * of q292, horizon-guarded in both directions. */
+    * of q292, horizon-guarded in both directions.
+    *
+    * ORDERED-FEED PRECONDITION (round-13 advice): pruning uses the
+    * current arrival's clock, so the gate matches its arrival-order-
+    * independent batch oracle only when each bucket's arrivals are
+    * non-decreasing in `tsec` ACROSS batches (within a batch the step
+    * sorts). An out-of-order smaller-tsec arrival after a larger one
+    * could still be within horizon of an entry the larger arrival
+    * already evicted — that feed would silently diverge from the
+    * oracle, so the step FAILS LOUDLY on it instead (the contract feed
+    * is id-ordered with tsec = id·60, so the guard never fires there). */
   private def gateBucketTtl(horizonSec: Long)(rows: Iterator[TimedBandRow],
       state: org.apache.spark.sql.streaming.GroupState[TimedBucketState])
       : Iterator[TtlGateRow] = {
     val sorted = rows.toSeq.sortBy(r => (r.tsec, r.doc_id))
     val prior = state.getOption.getOrElse(TimedBucketState(Nil, Nil, Nil))
+    // the newest surviving entry is never pruned (it is always within
+    // horizon of the prune cut it set), so max(tss) IS the bucket's
+    // max-seen clock from every previous batch
+    sorted.headOption.foreach { first =>
+      require(prior.tss.isEmpty || first.tsec >= prior.tss.max,
+        s"gateBucketTtl: out-of-order feed — arrival tsec=${first.tsec} " +
+          s"after max-seen ${prior.tss.max}; the TTL gate requires " +
+          "per-bucket non-decreasing event time across batches")
+    }
     val ids = scala.collection.mutable.ArrayBuffer.from(prior.ids)
     val sigs = scala.collection.mutable.ArrayBuffer.from(prior.sigs)
     val tss = scala.collection.mutable.ArrayBuffer.from(prior.tss)

@@ -4382,6 +4382,18 @@ class OperatorSpec extends AnyFunSuite {
       id -> (0 until 16).map(i => sh(id).map(s => h60(s"$i:" + s)).min)
     }.toMap
     val ids = docs.map(_._1).sorted
+    // 8 bands tiling the 60 informative bits (Dedup.RouterBandWidths)
+    val spans = Seq(8, 8, 8, 8, 7, 7, 7, 7).scanLeft(0)(_ + _)
+      .zip(Seq(8, 8, 8, 8, 7, 7, 7, 7))
+    // governed detector (round-14): a band hit only counts through a
+    // bucket at-or-under the occupancy cap
+    val cap = Dedup.RouterBucketCap
+    val sOcc = ids.flatMap(id => spans.zipWithIndex.map {
+      case ((off, w), b) => (b, (simsig(id) >> off) & ((1L << w) - 1)) })
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val mOcc = ids.filter(minsig.contains).flatMap(id => (0 until 4).map(b =>
+      (b, minsig(id).slice(b * 4, b * 4 + 4))))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
     val perPair = for {
       i <- ids.indices; j <- (i + 1) until ids.length
       (a, b) = (ids(i), ids(j))
@@ -4389,14 +4401,15 @@ class OperatorSpec extends AnyFunSuite {
     } yield {
       val u = sh(a).size + sh(b).size - c
       val h = java.lang.Long.bitCount(simsig(a) ^ simsig(b))
-      // 8 bands tiling the 60 informative bits (Dedup.RouterBandWidths)
-      val spans = Seq(8, 8, 8, 8, 7, 7, 7, 7).scanLeft(0)(_ + _)
-        .zip(Seq(8, 8, 8, 8, 7, 7, 7, 7))
-      val shHit = spans.exists { case (off, w) =>
-        ((simsig(a) >> off) & ((1L << w) - 1)) ==
-          ((simsig(b) >> off) & ((1L << w) - 1)) } && h <= 7
-      val mhHit = (0 until 4).exists(bb =>
-        (0 until 4).forall(j2 => minsig(a)(bb * 4 + j2) == minsig(b)(bb * 4 + j2)))
+      val shHit = spans.zipWithIndex.exists { case ((off, w), bb) =>
+        val ka = (simsig(a) >> off) & ((1L << w) - 1)
+        ka == ((simsig(b) >> off) & ((1L << w) - 1)) &&
+          sOcc((bb, ka)) <= cap
+      } && h <= 7
+      val mhHit = (0 until 4).exists { bb =>
+        val ka = minsig(a).slice(bb * 4, bb * 4 + 4)
+        ka == minsig(b).slice(bb * 4, bb * 4 + 4) && mOcc((bb, ka)) <= cap
+      }
       (math.min(c * 10 / u, 9L), shHit, mhHit)
     }
     val expected = perPair.groupBy(_._1).map { case (bucket, xs) =>
@@ -4450,6 +4463,15 @@ class OperatorSpec extends AnyFunSuite {
     val spans = Seq(8, 8, 8, 8, 7, 7, 7, 7).scanLeft(0)(_ + _)
       .zip(Seq(8, 8, 8, 8, 7, 7, 7, 7))
     val ids = docs.map(_._1).sorted
+    // the production pass is GOVERNED by default (round-14): hot
+    // (band, key) buckets above the cap emit no candidates
+    val cap = Dedup.RouterBucketCap
+    val sOcc = ids.flatMap(id => spans.zipWithIndex.map {
+      case ((off, w), b) => (b, (simsig(id) >> off) & ((1L << w) - 1)) })
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val mOcc = ids.filter(minsig.contains).flatMap(id => (0 until 4).map(b =>
+      (b, minsig(id).slice(b * 4, b * 4 + 4))))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
     def pairsOf(pred: (Long, Long) => Boolean): Set[(Long, Long)] =
       (for {
         i <- ids.indices; j <- (i + 1) until ids.length
@@ -4457,13 +4479,15 @@ class OperatorSpec extends AnyFunSuite {
       } yield (ids(i), ids(j))).toSet
     val sPairs = pairsOf { (a, b) =>
       val h = java.lang.Long.bitCount(simsig(a) ^ simsig(b))
-      h <= 7 && spans.exists { case (off, w) =>
-        ((simsig(a) >> off) & ((1L << w) - 1)) ==
-          ((simsig(b) >> off) & ((1L << w) - 1)) }
+      h <= 7 && spans.zipWithIndex.exists { case ((off, w), bb) =>
+        val ka = (simsig(a) >> off) & ((1L << w) - 1)
+        ka == ((simsig(b) >> off) & ((1L << w) - 1)) &&
+          sOcc((bb, ka)) <= cap }
     }
     val mPairs = pairsOf { (a, b) =>
-      minsig.contains(a) && minsig.contains(b) && (0 until 4).exists(bb =>
-        (0 until 4).forall(j2 => minsig(a)(bb * 4 + j2) == minsig(b)(bb * 4 + j2)))
+      minsig.contains(a) && minsig.contains(b) && (0 until 4).exists { bb =>
+        val ka = minsig(a).slice(bb * 4, bb * 4 + 4)
+        ka == minsig(b).slice(bb * 4, bb * 4 + 4) && mOcc((bb, ka)) <= cap }
     }
     val tPairs = pairsOf { (a, b) =>
       val c = (sh(a) intersect sh(b)).size.toLong

@@ -261,6 +261,75 @@ object Staging {
     * version|fingerprint, making the append idempotent per (base build,
     * batch tag) and automatically re-applied after any base rebuild
     * (which wipes the layout dir, markers included). */
+  /** Crash-safe batch append into a live layout dir (round-13 advice):
+    * the batch is STAGED into a sibling dir first, a `.staged` manifest
+    * listing the exact part-file names lands in the layout, then the
+    * files move in and the `_GRAFT_APPEND_<tag>` marker commits the
+    * append. A crash at any point leaves a recoverable state: before the
+    * manifest, only tmp litter (wiped on retry); mid-move, the manifest
+    * names every file the interrupted attempt may have moved (deleted on
+    * retry before re-staging — part names are unique per write attempt,
+    * so the delete can never hit another batch's files); after the
+    * marker, the append is committed and re-entry is a no-op. Without
+    * this, a crash between the data write and the marker write left
+    * half-appended rows that `layoutOk` could not see and the retried
+    * append silently duplicated. */
+  private def stagedAppend(root: java.io.File, batchTag: String, fp: String)
+                          (writeBatch: String => Unit): Unit = {
+    val marker = new java.io.File(root, s"_GRAFT_APPEND_$batchTag")
+    val manifest = new java.io.File(root, s"_GRAFT_APPEND_$batchTag.staged")
+    if (marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == fp) {
+      manifest.delete() // committed append; drop a stale recovery journal
+      ()
+    } else {
+      recoverPartialAppend(root, manifest)
+      val tmp = new java.io.File(root.getParentFile,
+        root.getName + s".__append_$batchTag")
+      if (tmp.exists()) deleteRecursively(tmp)
+      writeBatch(tmp.toString)
+      val files = Option(tmp.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      java.nio.file.Files.writeString(manifest.toPath,
+        files.map(_.getName).mkString("\n"))
+      files.foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(root, f.getName).toPath))
+      java.nio.file.Files.writeString(marker.toPath, fp)
+      manifest.delete()
+      deleteRecursively(tmp)
+    }
+  }
+
+  /** Delete every part file a crashed append attempt journaled in its
+    * `.staged` manifest — shared by the append retry path and the
+    * compactors (which must not bake a half-appended batch into the
+    * compacted layout). */
+  private def recoverPartialAppend(root: java.io.File,
+                                   manifest: java.io.File): Unit =
+    if (manifest.exists()) {
+      java.nio.file.Files.readString(manifest.toPath)
+        .split("\n").filter(_.nonEmpty)
+        .foreach(n => new java.io.File(root, n).delete())
+      manifest.delete()
+      ()
+    }
+
+  /** Recover EVERY uncommitted staged append in `root`: any `.staged`
+    * manifest whose `_GRAFT_APPEND_<tag>` marker is absent or stale names
+    * files from a crashed attempt — remove them before reading the
+    * layout's rows for a rewrite. */
+  private def recoverPartialAppends(root: java.io.File, fp: String): Unit =
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".staged"))
+      .foreach { m =>
+        val marker = new java.io.File(root,
+          m.getName.stripSuffix(".staged"))
+        if (!(marker.exists() &&
+          java.nio.file.Files.readString(marker.toPath) == fp))
+          recoverPartialAppend(root, m)
+      }
+
   def appendPrepared(spark: SparkSession, name: String, dir: String,
                      batchTag: String, sourceTable: String = "documents",
                      version: String = "v1", extraFp: String = "")
@@ -271,12 +340,8 @@ object Staging {
       require(layoutOk(root, fp),
         s"appendPrepared($name): base layout missing or stale for $dir — " +
           "build it with prepared() first")
-      val marker = new java.io.File(root, s"_GRAFT_APPEND_$batchTag")
-      if (!(marker.exists() &&
-        java.nio.file.Files.readString(marker.toPath) == fp)) {
-        batch.write.mode("append").parquet(root.toString)
-        java.nio.file.Files.writeString(marker.toPath, fp)
-        ()
+      stagedAppend(root, batchTag, fp) { p =>
+        batch.write.mode("overwrite").parquet(p)
       }
     }
     spark.read.parquet(root.toString)
@@ -301,17 +366,26 @@ object Staging {
       require(layoutOk(root, fp) && spark.catalog.tableExists(table),
         s"appendBucketed($name): base bucketed layout missing or stale " +
           s"for $dir — build it with preparedBucketed() first")
-      val marker = new java.io.File(root, s"_GRAFT_APPEND_$batchTag")
-      if (!(marker.exists() &&
-        java.nio.file.Files.readString(marker.toPath) == fp)) {
+      // the batch is bucketed through a TEMP external table at the
+      // staging path, then its part files move into the layout under the
+      // manifest journal — bucket ids live in the file names, so
+      // co-location survives the move and a crashed attempt is fully
+      // recoverable (see [[stagedAppend]])
+      stagedAppend(root, batchTag, fp) { p =>
+        val tmpTable = table + "__append"
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
         batch.repartition(buckets, org.apache.spark.sql.functions
             .col(bucketCol))
-          .write.mode("append").format("parquet")
+          .write.mode("overwrite").format("parquet")
+          .option("path", p)
           .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-          .saveAsTable(table)
-        java.nio.file.Files.writeString(marker.toPath, fp)
-        ()
+          .saveAsTable(tmpTable)
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
       }
+      // the catalog caches the table's file listing per query plan; the
+      // moved-in files are picked up because spark.table re-lists, but an
+      // uncached refresh keeps any session-cached plan honest
+      spark.catalog.refreshTable(table)
     }
     spark.table(table)
   }
@@ -356,12 +430,16 @@ object Staging {
         java.nio.file.Files.readString(cMarker.toPath) ==
           artifactFingerprint(dir, name)
       if (!already) {
+        // a crashed append attempt must not get baked into the compacted
+        // rows (its retry would then re-append and duplicate)
+        recoverPartialAppends(root, fp)
         // pin the rows BEFORE the files are dropped
         val rows = spark.read.parquet(root.toString)
           .localCheckpoint(true)
         val appendMarkers = Option(root.listFiles())
           .getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.startsWith("_GRAFT_APPEND_"))
+          .filter(f => f.getName.startsWith("_GRAFT_APPEND_") &&
+            !f.getName.endsWith(".staged"))
           .map(f => f.getName ->
             java.nio.file.Files.readString(f.toPath)).toSeq
         spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -374,12 +452,17 @@ object Staging {
           .option("path", root.toString)
           .bucketBy(buckets, bucketCol).sortBy(bucketCol)
           .saveAsTable(table)
-        java.nio.file.Files.writeString(
-          new java.io.File(root, "_GRAFT_FP").toPath, fp)
+        // append markers land BEFORE _GRAFT_FP (round-13 advice): the
+        // compacted layout already CONTAINS the absorbed batches, so a
+        // crash between the rewrite and the markers must leave layoutOk
+        // FALSE (missing fp ⇒ consumers rebuild) rather than a layout
+        // that re-appends the batches it already holds
         appendMarkers.foreach { case (n, content) =>
           java.nio.file.Files.writeString(
             new java.io.File(root, n).toPath, content)
         }
+        java.nio.file.Files.writeString(
+          new java.io.File(root, "_GRAFT_FP").toPath, fp)
         java.nio.file.Files.writeString(cMarker.toPath,
           artifactFingerprint(dir, name))
         rows.unpersist()
@@ -406,19 +489,28 @@ object Staging {
         java.nio.file.Files.readString(cMarker.toPath) ==
           artifactFingerprint(dir, name)
       if (!already) {
+        // a crashed append attempt must not get baked into the compacted
+        // rows (its retry would then re-append and duplicate)
+        recoverPartialAppends(root, fp)
         val rows = spark.read.parquet(root.toString)
           .localCheckpoint(true)
         val appendMarkers = Option(root.listFiles())
           .getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.startsWith("_GRAFT_APPEND_"))
+          .filter(f => f.getName.startsWith("_GRAFT_APPEND_") &&
+            !f.getName.endsWith(".staged"))
           .map(f => f.getName ->
             java.nio.file.Files.readString(f.toPath)).toSeq
-        publish(root, fp)(p => rows.coalesce(
-          math.max(1, rows.rdd.getNumPartitions / 4))
-          .write.mode("overwrite").parquet(p))
-        appendMarkers.foreach { case (n, content) =>
-          java.nio.file.Files.writeString(
-            new java.io.File(root, n).toPath, content)
+        // append markers are written INSIDE the .__build dir before the
+        // atomic rename (round-13 advice): the flip publishes data and
+        // markers together, so no crash can expose a compacted layout
+        // that would re-append batches it already contains
+        publish(root, fp) { p =>
+          rows.coalesce(math.max(1, rows.rdd.getNumPartitions / 4))
+            .write.mode("overwrite").parquet(p)
+          appendMarkers.foreach { case (n, content) =>
+            java.nio.file.Files.writeString(
+              new java.io.File(p, n).toPath, content)
+          }
         }
         java.nio.file.Files.writeString(cMarker.toPath,
           artifactFingerprint(dir, name))
@@ -450,10 +542,18 @@ object Staging {
     * ScaleSoak factor rebuild) cannot serve a table whose backing layout
     * was just deleted. */
   private[graft] def invalidate(spark: SparkSession, dir: String): Unit = {
+    // compare LOWERCASED (round-13 advice): the catalog stores table
+    // names case-folded, while sanitize preserves the path's case — an
+    // uppercase tmp dir (createTempDirectory) would otherwise never
+    // match and the stale catalog entry would survive the file delete
     val suffix = graft.streaming.EventStreams.sanitize(canon(dir))
+      .toLowerCase
     spark.catalog.listTables().collect()
       .map(_.name)
-      .filter(n => n.startsWith("graft_stg_") && n.endsWith(suffix))
+      .filter { n =>
+        val ln = n.toLowerCase
+        ln.startsWith("graft_stg_") && ln.endsWith(suffix)
+      }
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     invalidate(dir)
   }

@@ -126,6 +126,8 @@ object ScaleSoak {
     "q296_incremental_index", "q297_watermark_curve", "q298_compaction",
     "q299_incremental_ann", "q300_codebook_drift",
     "q301_gate_horizon_sweep",
+    // round-14 additions: the checkpoint-restart two-phase gate drive
+    "q302_checkpoint_restart",
     "q31_dedup_ngram_jaccard")
 
   /** Times one query with shuffle parallelism scaled to the data factor —

@@ -259,6 +259,8 @@ object SparkEntry {
       SimilaritySearch.codebookDriftAudit(s, dir)),
     "q301_gate_horizon_sweep" -> ((s, dir) =>
       Dedup.gateHorizonSweep(s, dir)),
+    "q302_checkpoint_restart" -> ((s, dir) =>
+      Dedup.checkpointRestartGate(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -571,6 +573,8 @@ object SparkEntry {
     "q292_stream_neardup_gate" -> Dedup.streamingNearDupGateSql,
     "q293_gate_ttl" -> Dedup.streamingNearDupGateTtlSql(),
     "q301_gate_horizon_sweep" -> Dedup.gateHorizonSweepSql(),
+    // restart must be invisible in the output: q302's oracle IS q292's
+    "q302_checkpoint_restart" -> Dedup.streamingNearDupGateSql,
     "q294_gate_state_census" -> Dedup.gateStateCensusSql,
     "q295_router_census" -> Dedup.routerCandidateCensusSql,
     "q296_incremental_index" -> Dedup.incrementalIndexAuditSql,

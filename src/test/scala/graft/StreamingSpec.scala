@@ -685,6 +685,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> true, 10L -> false), s"got $got")
   }
 
+  test("q302 checkpoint restart: a stopped-and-restarted gate resumes " +
+    "from its checkpoint — the final sink equals the uninterrupted drive " +
+    "and part-2 verdicts depend on recovered part-1 state") {
+    import java.security.MessageDigest
+    import graft.operators.Dedup
+    val (rollup, afterPart1, finalCount, split) =
+      Dedup.checkpointRestartGateDrive(spark, dir)
+    val got = rollup.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // kill/restart must be invisible: the two-phase drive's rollup equals
+    // the single-process gate over the same corpus, verdict for verdict
+    val uninterrupted = Dedup.streamingNearDupGate(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(got == uninterrupted)
+    // the restarted query APPENDED part 2's gate rows to the committed
+    // sink instead of reprocessing part 1 (exactly-once via _spark_metadata)
+    assert(afterPart1 > 0 && finalCount > afterPart1,
+      s"sink rows: $afterPart1 after part 1, $finalCount final")
+    // state recovery, first-principles: a part-2 doc whose ONLY
+    // hamming<=7 band partners are part-1 docs can be flagged only if the
+    // restarted query rebuilt its bucket state from the checkpoint
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sig = docs.map { case (id, text) =>
+      val votes = Array.fill(60)(0L)
+      text.split(" ", -1).foreach { tok =>
+        val h = java.lang.Long.parseLong(md5hex(tok).substring(0, 15), 16)
+        for (b <- 0 until 60)
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+      id -> (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }.toMap
+    val spans = Seq(8, 8, 8, 8, 7, 7, 7, 7).scanLeft(0)(_ + _)
+      .zip(Seq(8, 8, 8, 8, 7, 7, 7, 7))
+    def collide(a: Long, b: Long): Boolean =
+      java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 7 &&
+        spans.exists { case (off, w) =>
+          ((sig(a) >> off) & ((1L << w) - 1)) ==
+            ((sig(b) >> off) & ((1L << w) - 1)) }
+    val ids = docs.map(_._1).sorted
+    val crossOnly = ids.filter(_ > split).filter { b =>
+      val partners = ids.filter(a => a < b && collide(a, b))
+      partners.nonEmpty && partners.forall(_ <= split)
+    }
+    assert(crossOnly.nonEmpty,
+      "fixture must hold a part-2 doc whose only partners are in part 1")
+    crossOnly.foreach(b => assert(got(b)._1,
+      s"doc $b's partners all arrived before the restart — an unflagged " +
+        "verdict means the checkpoint state was not recovered"))
+  }
+
   test("q293 TTL gate: an expired signature no longer matches, an " +
     "in-window one still does, and verdicts are invariant to ordered " +
     "batch splits") {

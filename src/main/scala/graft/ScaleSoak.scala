@@ -127,7 +127,8 @@ object ScaleSoak {
     "q299_incremental_ann", "q300_codebook_drift",
     "q301_gate_horizon_sweep",
     // round-14 additions: the checkpoint-restart two-phase gate drive
-    "q302_checkpoint_restart",
+    // and the tombstone-delete index maintenance audit
+    "q302_checkpoint_restart", "q303_index_delete",
     "q31_dedup_ngram_jaccard")
 
   /** Times one query with shuffle parallelism scaled to the data factor —

@@ -1895,10 +1895,12 @@ object Dedup {
   private def incrBatchCond: Column =
     substring(md5(col("doc_id").cast(StringType)), 1, 1) < "4"
 
-  /** Stage the BASE corpus snapshot (documents minus the ingest batch)
-    * as a source-shaped dir (`<base>/documents.parquet`), marker-gated
-    * on the real corpus fingerprint so soak rebuilds re-derive it. */
-  private def stageBaseCorpus(spark: SparkSession, dir: String): String =
+  /** Stage a filtered corpus snapshot as a source-shaped dir
+    * (`<base>/documents.parquet`), marker-gated on the real corpus
+    * fingerprint so soak rebuilds re-derive it — the shared scaffold of
+    * the q296 ingest-base and the q303 delete-sandbox. */
+  private def stageCorpusSubset(spark: SparkSession, dir: String,
+      tag: String, cond: Column): String =
     // under the REAL dir's cross-process staging lock: the
     // check-delete-write-mark sequence below is the same critical
     // section Staging.locked protects for layouts (round-13 review
@@ -1906,7 +1908,7 @@ object Dedup {
     Staging.locked(dir) {
       import java.nio.file.{Files, Paths}
       val base = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_incr_base_${graft.streaming.EventStreams.sanitize(dir)}")
+        s"graft_${tag}_${graft.streaming.EventStreams.sanitize(dir)}")
       val marker = base.resolve("_GRAFT_BASE")
       val fp = Staging.fingerprintOf(
         Paths.get(dir, "documents.parquet").toFile)
@@ -1916,7 +1918,7 @@ object Dedup {
       if (!dataOk) {
         if (Files.exists(base)) Staging.deleteRecursively(base.toFile)
         Files.createDirectories(base)
-        Tables.documents(spark, dir).filter(!incrBatchCond)
+        Tables.documents(spark, dir).filter(cond)
           .write.mode("overwrite")
           .parquet(base.resolve("documents.parquet").toString)
         Staging.invalidate(spark, base.toString)
@@ -1925,6 +1927,10 @@ object Dedup {
       }
       base.toString
     }
+
+  /** Stage the BASE corpus snapshot (documents minus the ingest batch). */
+  private def stageBaseCorpus(spark: SparkSession, dir: String): String =
+    stageCorpusSubset(spark, dir, "incr_base", !incrBatchCond)
 
   /** (artifact, n_incremental, n_rebuild, n_only_incremental,
     * n_only_rebuild) for one staged-index pair. */
@@ -2046,6 +2052,83 @@ object Dedup {
       |         AS n_incremental,
       |       CAST((SELECT count(*) FROM shingled) AS BIGINT) AS n_rebuild,
       |       CAST(0 AS BIGINT) AS n_only_incremental,
+      |       CAST(0 AS BIGINT) AS n_only_rebuild
+      |UNION ALL
+      |SELECT 'minhash16',
+      |       CAST((SELECT count(*) FROM ws WHERE len(sh) > 0) AS BIGINT),
+      |       CAST((SELECT count(*) FROM ws WHERE len(sh) > 0) AS BIGINT),
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------- q303
+
+  /** The q303 forget roster: the documents-table twin of q167's
+    * `key % 97 = 0` compliance cohort — deterministic, SQL-expressible,
+    * ~1% of the corpus (a daily forget batch, not a rebuild-scale one). */
+  private def forgetCond: Column = col("doc_id") % 97 === 0
+
+  /** q303 — INDEX DELETE (tombstone) audit, the last index-lifecycle
+    * operation (round-13 verdict item 3): build → append (q296) →
+    * compact (q298) → DELETE. A right-to-be-forgotten batch (q167's
+    * audit is the proof obligation; this lane is the index side of the
+    * cascade) must propagate into the persisted shingle and signature
+    * layouts WITHOUT a whole-corpus rebuild. The lane stages a sandbox
+    * corpus copy, builds both staged layouts over it, runs
+    * [[Staging.deleteBucketed]]/[[Staging.deletePrepared]] with the
+    * forget roster — copy-on-write at file granularity: only part files
+    * holding a forgotten doc's rows are rewritten, every other file is
+    * hard-linked into the atomically-published new layout — and audits
+    * the deleted layouts row-for-row against a from-scratch rebuild
+    * over the surviving documents. Zero diffs is the design property:
+    * every index row depends on ONE document, so deletion commutes with
+    * the build exactly as appends do (q296).
+    *
+    * Scale shape: the affected-file probe is one broadcast semi-join
+    * over the layout scan; the rewrite cost ∝ affected files (the
+    * soak's cost-∝-batch row); the links are O(1) metadata ops — the
+    * local-filesystem twin of the manifest pointer-swap a production
+    * table format (Iceberg/Delta) performs for the same operation. */
+  def indexDeleteAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sandbox = stageCorpusSubset(spark, dir, "del_sandbox", lit(true))
+    // base layouts over the sandbox (full corpus), then the delete
+    shingleIndex(spark, sandbox)
+    minhashSignatures(spark, sandbox, 16)
+    val roster = Tables.documents(spark, dir).filter(forgetCond)
+      .select(col("doc_id"))
+    val deletedShingles = Staging.deleteBucketed(spark, "shingles_k3",
+      sandbox, "forget97", Seq("doc_id"), buckets = ShingleBuckets,
+      bucketCol = "shingle", version = ShingleIndexVersion)(roster)
+    val deletedMinhash = Staging.deletePrepared(spark, "minhash16",
+      sandbox, "forget97", Seq("doc_id"))(roster)
+    val keptDocs = Tables.documents(spark, dir).filter(!forgetCond)
+    def renamed(df: DataFrame): DataFrame =
+      df.select(col("artifact"), col("n_incremental").as("n_after_delete"),
+        col("n_rebuild"), col("n_only_incremental").as("n_only_deleted"),
+        col("n_only_rebuild"))
+    renamed(indexDiffRow("shingles_k3", deletedShingles,
+      shingles(keptDocs), Seq("doc_id", "shingle")))
+      .unionAll(renamed(indexDiffRow("minhash16", deletedMinhash,
+        minhashSigOn(keptDocs, 16), Seq("doc_id", "sig"))))
+  }
+
+  /** [[indexDeleteAudit]]'s oracle: deleted-equals-rebuilt means the
+    * audit totals are the SURVIVING corpus's index sizes with zero
+    * one-sided rows — re-derived from the documents table alone. */
+  val indexDeleteAuditSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2] || ' ' ||
+      |         string_split(text, ' ')[i+3])) AS sh
+      |  FROM documents WHERE doc_id % 97 <> 0
+      |), shingled AS (
+      |  SELECT doc_id, unnest(sh) AS shingle FROM ws
+      |)
+      |SELECT 'shingles_k3' AS artifact,
+      |       CAST((SELECT count(*) FROM shingled) AS BIGINT)
+      |         AS n_after_delete,
+      |       CAST((SELECT count(*) FROM shingled) AS BIGINT) AS n_rebuild,
+      |       CAST(0 AS BIGINT) AS n_only_deleted,
       |       CAST(0 AS BIGINT) AS n_only_rebuild
       |UNION ALL
       |SELECT 'minhash16',

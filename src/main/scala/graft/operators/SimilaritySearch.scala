@@ -1338,6 +1338,55 @@ object SimilaritySearch {
        |       CAST(0 AS BIGINT) AS n_only_incremental,
        |       CAST(0 AS BIGINT) AS n_only_rebuild""".stripMargin
 
+  // ---------------------------------------------------------------- q304
+
+  /** q304 — ANN code-table tombstone DELETE audit (the q303 story for
+    * the compressed vector index, completing round-13 verdict item 3's
+    * "shingle/signature/ANN" scope): a forget request over vectors
+    * (vec_id % 97 = 0 — the q303 cohort on the embeddings table) must
+    * propagate into the persisted PQ code table WITHOUT re-encoding the
+    * corpus. The lane stages a sandbox code table over the full corpus
+    * (the contract `pqcodes` layout that serves q242/q288 is never
+    * touched), runs [[Staging.deletePrepared]] with the roster — only
+    * part files holding a forgotten vector's codes rewrite; the rest
+    * hard-link into the atomically-published layout — and audits the
+    * deleted table row-for-row against a re-encode of the surviving
+    * vectors with the SAME fixed codebook. Zero diffs: each vector's m
+    * codes depend on that vector and the model alone, so deletion
+    * commutes with the encode exactly as q299's appends do. */
+  def annDeleteAudit(spark: SparkSession, dir: String,
+                     m: Int = 8, ncodes: Int = 16): DataFrame = {
+    val cb = pqCodebook(spark, dir, m, ncodes)
+    val coded = int8CodedArray(spark, dir)
+    val name = s"pqcodes_del_sandbox_m${m}_n$ncodes"
+    Staging.prepared(spark, name, dir,
+      sourceTable = "embeddings", version = PqCodesVersion)(
+      pqEncode(spark, coded, cb, m))
+    val roster = coded.select(col("vec_id"))
+      .filter(col("vec_id") % 97 === 0)
+    val deleted = Staging.deletePrepared(spark, name, dir, "forget97",
+      Seq("vec_id"), sourceTable = "embeddings",
+      version = PqCodesVersion)(roster)
+    val rebuilt = pqEncode(spark,
+      coded.filter(col("vec_id") % 97 =!= 0), cb, m)
+    Dedup.indexDiffRow(s"pqcodes_m${m}_n$ncodes", deleted, rebuilt,
+      Seq("vec_id", "s", "cid"))
+      .select(col("artifact"), col("n_incremental").as("n_after_delete"),
+        col("n_rebuild"), col("n_only_incremental").as("n_only_deleted"),
+        col("n_only_rebuild"))
+  }
+
+  /** [[annDeleteAudit]]'s oracle: deleted == re-encoded means the totals
+    * are m rows per SURVIVING vector with zero one-sided rows. */
+  def annDeleteAuditSql(m: Int = 8, ncodes: Int = 16): String =
+    s"""SELECT 'pqcodes_m${m}_n$ncodes' AS artifact,
+       |       CAST((SELECT count(*) * $m FROM embeddings
+       |             WHERE vec_id % 97 <> 0) AS BIGINT) AS n_after_delete,
+       |       CAST((SELECT count(*) * $m FROM embeddings
+       |             WHERE vec_id % 97 <> 0) AS BIGINT) AS n_rebuild,
+       |       CAST(0 AS BIGINT) AS n_only_deleted,
+       |       CAST(0 AS BIGINT) AS n_only_rebuild""".stripMargin
+
   /** q242 — PRODUCT-QUANTIZATION ADC retrieval: the compressed-index tier
     * completing the ANN ladder (brute force → sign-LSH → IVF → int8 →
     * PQ). Vectors live on the q58 int8 lattice; each splits into `m`

@@ -2106,15 +2106,19 @@ object Dedup {
       bucketCol = "shingle", version = ShingleIndexVersion)(roster)
     val deletedMinhash = Staging.deletePrepared(spark, "minhash16",
       sandbox, "forget97", Seq("doc_id"))(roster)
-    val keptDocs = Tables.documents(spark, dir).filter(!forgetCond)
+    // rebuild side: the SAME staged builders over the surviving corpus
+    // (the q296 comparison discipline — the audit compares LAYOUTS; the
+    // rebuild is built once per snapshot, not re-derived per audit run,
+    // which kept the steady lane at ~8 s of fresh shingle explodes)
+    val keptDir = stageCorpusSubset(spark, dir, "del_kept", !forgetCond)
     def renamed(df: DataFrame): DataFrame =
       df.select(col("artifact"), col("n_incremental").as("n_after_delete"),
         col("n_rebuild"), col("n_only_incremental").as("n_only_deleted"),
         col("n_only_rebuild"))
     renamed(indexDiffRow("shingles_k3", deletedShingles,
-      shingles(keptDocs), Seq("doc_id", "shingle")))
+      shingleIndex(spark, keptDir), Seq("doc_id", "shingle")))
       .unionAll(renamed(indexDiffRow("minhash16", deletedMinhash,
-        minhashSigOn(keptDocs, 16), Seq("doc_id", "sig"))))
+        minhashSignatures(spark, keptDir, 16), Seq("doc_id", "sig"))))
   }
 
   /** [[indexDeleteAudit]]'s oracle: deleted-equals-rebuilt means the

@@ -1086,39 +1086,46 @@ object Dedup {
 
   /** The SimHash arm's candidate pairs (doc_a < doc_b), hamming-confirmed
     * at ≤ 7 and bucket-governed — shared by the q289 production pass and
-    * the q287 audit (which measures membership in exactly this set). */
+    * the q287 audit (which measures membership in exactly this set).
+    * Registry-cached per (cap, dir): both lanes consume the identical
+    * set, and the banded self-join is the expensive part of each. */
   private def governedSimhashPairs(spark: SparkSession, dir: String,
-      maxBucketOccupancy: Option[Long]): DataFrame = {
-    // rename BY NAME after the governor: its left_semi USING-join moves
-    // (band, key) to the front, so a positional toDF would silently
-    // relabel band keys as doc ids (caught by the q295 governor spec)
-    val sBanded = governBuckets(routerSimhashBanded(spark, dir),
-      maxBucketOccupancy)
-    val sA = sBanded.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sig_a"), col("band"), col("key"))
-    val sB = sBanded.select(col("doc_id").as("doc_b"),
-      col("simhash").as("sig_b"), col("band"), col("key"))
-    sA.join(sB, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 7)
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-  }
+      maxBucketOccupancy: Option[Long]): DataFrame =
+    graft.CacheRegistry.cached(spark,
+      s"gov_spairs:${maxBucketOccupancy.getOrElse(-1L)}:$dir") {
+      // rename BY NAME after the governor: its left_semi USING-join moves
+      // (band, key) to the front, so a positional toDF would silently
+      // relabel band keys as doc ids (caught by the q295 governor spec)
+      val sBanded = governBuckets(routerSimhashBanded(spark, dir),
+        maxBucketOccupancy)
+      val sA = sBanded.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sig_a"), col("band"), col("key"))
+      val sB = sBanded.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sig_b"), col("band"), col("key"))
+      sA.join(sB, Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 7)
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    }
 
   /** The MinHash arm's candidate pairs (doc_a < doc_b), bucket-governed —
     * shared by q289 and the q287 audit like [[governedSimhashPairs]]. */
   private def governedMinhashPairs(spark: SparkSession, dir: String,
       maxBucketOccupancy: Option[Long],
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val mBanded = governBuckets(
-      routerMinhashBanded(spark, dir, numHashes, bands), maxBucketOccupancy)
-    mBanded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-      .join(mBanded.select(col("doc_id").as("doc_b"), col("band"),
-        col("key")), Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-  }
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    graft.CacheRegistry.cached(spark, s"gov_mpairs:" +
+      s"${maxBucketOccupancy.getOrElse(-1L)}:$numHashes:$bands:$dir") {
+      val mBanded = governBuckets(
+        routerMinhashBanded(spark, dir, numHashes, bands),
+        maxBucketOccupancy)
+      mBanded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+        .join(mBanded.select(col("doc_id").as("doc_b"), col("band"),
+          col("key")), Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    }
 
   /** The routed detector's candidate pairs (both arms, unioned),
     * optionally bucket-governed — exposed for the q295 governor spec. */
@@ -1740,6 +1747,15 @@ object Dedup {
       val key = "spark.sql.shuffle.partitions"
       val prior = spark.conf.get(key)
       spark.conf.set(key, "4") // state partition count, fixed at first ckpt
+      // honor the session's RocksDB flag exactly like runToBatch does —
+      // the restart lane must be drivable on the production state store
+      // (its checkpoint format differs; the spec proves recovery there)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val priorProv = spark.conf.getOption(provKey)
+      if (spark.conf.getOption(graft.streaming.EventStreams.RocksDbFlag)
+        .exists(_.toBoolean))
+        spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
       try {
         val gated = bandedDocStream(spark, feed.toString, None)
           .as[BandRow]
@@ -1754,7 +1770,13 @@ object Dedup {
           .option("checkpointLocation", ckpt.toString)
           .start()
         try q.processAllAvailable() finally q.stop()
-      } finally spark.conf.set(key, prior)
+      } finally {
+        spark.conf.set(key, prior)
+        priorProv match {
+          case Some(p) => spark.conf.set(provKey, p)
+          case None => spark.conf.unset(provKey)
+        }
+      }
     }
     feedPart(col("doc_id") <= split)
     drive()

@@ -188,6 +188,37 @@ class StagingSpec extends AnyFunSuite {
     } finally Staging.invalidate(spark, dir)
   }
 
+  test("a derived layout gated on its upstream's artifactFingerprint " +
+    "re-stages after a deleteBucketed from the upstream (delete cascade)") {
+    import spark.implicits._
+    val dir = newSource(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    try {
+      def up(): org.apache.spark.sql.DataFrame =
+        Staging.preparedBucketed(spark, "up", dir,
+          buckets = 2, bucketCol = "text")(
+          spark.read.parquet(s"$dir/documents.parquet"))
+      up()
+      var derivedBuilds = 0
+      def derived(): Long = {
+        up()
+        Staging.prepared(spark, "down", dir,
+          extraFp = Staging.artifactFingerprint(dir, "up")) {
+          derivedBuilds += 1
+          up().groupBy(col("text")).agg(count(lit(1)).as("n"))
+        }.count()
+      }
+      assert(derived() == 3 && derivedBuilds == 1)
+      // tombstone-delete from the upstream: the source table is
+      // untouched and the upstream's _GRAFT_FP survives, but the data
+      // files changed — the derived layout must re-stage on its next gate
+      Staging.deleteBucketed(spark, "up", dir, "d1", Seq("doc_id"),
+        buckets = 2, bucketCol = "text")(Seq(2L).toDF("doc_id"))
+      assert(derived() == 2 && derivedBuilds == 2,
+        "a delete from the upstream must cascade to the derived layout")
+      assert(derived() == 2 && derivedBuilds == 2)
+    } finally Staging.invalidate(spark, dir)
+  }
+
   test("deletePrepared: copy-on-write tombstone — deleted rows gone, " +
     "untouched part files survive as hard links (same inode), only " +
     "affected files rewritten, idempotent per tag") {

@@ -741,6 +741,25 @@ class StreamingSpec extends AnyFunSuite {
         "verdict means the checkpoint state was not recovered"))
   }
 
+  test("q302 restart recovery holds on the RocksDB state store: the " +
+    "production provider's checkpoint resumes to the identical sink") {
+    import graft.operators.Dedup
+    def run(): (Map[Long, (Boolean, Long)], Long, Long) = {
+      val (rollup, after1, fin, _) = Dedup.checkpointRestartGateDrive(spark, dir)
+      (rollup.collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap,
+        after1, fin)
+    }
+    val (base, b1, b2) = run()
+    spark.conf.set(EventStreams.RocksDbFlag, "true")
+    val (rocks, r1, r2) = try run()
+    finally spark.conf.unset(EventStreams.RocksDbFlag)
+    assert(rocks == base,
+      "RocksDB-checkpointed restart must produce the identical verdicts")
+    // both providers appended part 2 rather than reprocessing part 1
+    assert(b2 > b1 && r2 > r1, s"sink rows: default $b1->$b2, rocks $r1->$r2")
+  }
+
   test("q293 TTL gate: an expired signature no longer matches, an " +
     "in-window one still does, and verdicts are invariant to ordered " +
     "batch splits") {

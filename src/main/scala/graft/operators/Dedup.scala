@@ -2169,6 +2169,61 @@ object Dedup {
       |       CAST((SELECT count(*) FROM ws WHERE len(sh) > 0) AS BIGINT),
       |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin
 
+  // ---------------------------------------------------------------- q305
+
+  /** q305 — INDEX LIFECYCLE COMPOSITION audit: q296 proves append,
+    * q298 compaction, q303 delete — each against its own rebuild. A
+    * production layout undergoes ALL of them, interleaved, and what a
+    * corpus owner actually needs is that the operations COMPOSE: this
+    * lane takes the base snapshot (documents minus the ingest batch),
+    * builds both staged layouts, APPENDS the batch, DELETES the forget
+    * cohort (doc_id % 97) from the merged state, COMPACTS the appended-
+    * then-deleted layouts, and audits the result row-for-row against a
+    * from-scratch rebuild over the surviving corpus (all documents
+    * minus the cohort). Zero diffs says the lifecycle operations
+    * commute with the build and with each other — the property that
+    * lets a 100 TB pipeline run them on whatever schedule operations
+    * demands instead of rebuilding to re-establish a known state.
+    * Deliberately shares its ORACLE with q303: same invariant, reached
+    * through the full operation chain instead of one delete. */
+  def lifecycleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = stageCorpusSubset(spark, dir, "lc_base", !incrBatchCond)
+    val batchDocs = Tables.documents(spark, dir).filter(incrBatchCond)
+    shingleIndex(spark, base)
+    minhashSignatures(spark, base, 16)
+    Staging.appendBucketed(spark, "shingles_k3", base, "lc_batch",
+      buckets = shingleBuckets(base), bucketCol = "shingle",
+      version = ShingleIndexVersion)(shingles(batchDocs))
+    Staging.appendPrepared(spark, "minhash16", base, "lc_batch")(
+      minhashSigOn(batchDocs, 16))
+    val roster = Tables.documents(spark, dir).filter(forgetCond)
+      .select(col("doc_id"))
+    Staging.deleteBucketed(spark, "shingles_k3", base, "lc_forget",
+      Seq("doc_id"), buckets = shingleBuckets(base), bucketCol = "shingle",
+      version = ShingleIndexVersion)(roster)
+    Staging.deletePrepared(spark, "minhash16", base, "lc_forget",
+      Seq("doc_id"))(roster)
+    val compShingles = Staging.compactBucketed(spark, "shingles_k3", base,
+      buckets = shingleBuckets(base), bucketCol = "shingle",
+      version = ShingleIndexVersion)
+    val compMinhash = Staging.compactPrepared(spark, "minhash16", base)
+    // rebuild side: the q303 kept-corpus snapshot's staged layouts
+    val keptDir = stageCorpusSubset(spark, dir, "del_kept", !forgetCond)
+    def renamed(df: DataFrame): DataFrame =
+      df.select(col("artifact"), col("n_incremental").as("n_after_delete"),
+        col("n_rebuild"), col("n_only_incremental").as("n_only_deleted"),
+        col("n_only_rebuild"))
+    renamed(indexDiffRow("shingles_k3", compShingles,
+      shingleIndex(spark, keptDir), Seq("doc_id", "shingle")))
+      .unionAll(renamed(indexDiffRow("minhash16", compMinhash,
+        minhashSignatures(spark, keptDir, 16), Seq("doc_id", "sig"))))
+  }
+
+  /** [[lifecycleAudit]]'s oracle IS [[indexDeleteAuditSql]]: the
+    * append→delete→compact chain over (base, batch) must land on
+    * exactly the surviving corpus's index sizes. */
+  val lifecycleAuditSql: String = indexDeleteAuditSql
+
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,
     800000L, 900000L)

@@ -582,7 +582,8 @@ object Staging {
           .localCheckpoint(true)
         val appendMarkers = Option(root.listFiles())
           .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.startsWith("_GRAFT_APPEND_") &&
+          .filter(f => (f.getName.startsWith("_GRAFT_APPEND_") ||
+            f.getName.startsWith("_GRAFT_DELETE_")) &&
             !f.getName.endsWith(".staged"))
           .map(f => f.getName ->
             java.nio.file.Files.readString(f.toPath)).toSeq
@@ -640,7 +641,8 @@ object Staging {
           .localCheckpoint(true)
         val appendMarkers = Option(root.listFiles())
           .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.startsWith("_GRAFT_APPEND_") &&
+          .filter(f => (f.getName.startsWith("_GRAFT_APPEND_") ||
+            f.getName.startsWith("_GRAFT_DELETE_")) &&
             !f.getName.endsWith(".staged"))
           .map(f => f.getName ->
             java.nio.file.Files.readString(f.toPath)).toSeq

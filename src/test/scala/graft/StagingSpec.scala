@@ -288,6 +288,45 @@ class StagingSpec extends AnyFunSuite {
     } finally Staging.invalidate(spark, dir)
   }
 
+  test("compaction preserves delete markers: a compacted layout already " +
+    "contains the deletions, so the re-entered delete must stay a no-op") {
+    import spark.implicits._
+    val dir = newSource((1L to 20L).map(i => (i, s"t${i % 4}")))
+    try {
+      Staging.preparedBucketed(spark, "lcb", dir,
+        buckets = 2, bucketCol = "text")(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      Staging.appendBucketed(spark, "lcb", dir, "b1",
+        buckets = 2, bucketCol = "text")(
+        Seq((21L, "t1")).toDF("doc_id", "text"))
+      Staging.deleteBucketed(spark, "lcb", dir, "d1", Seq("doc_id"),
+        buckets = 2, bucketCol = "text")(Seq(5L, 21L).toDF("doc_id"))
+      val expected = ((1L to 20L).toSet - 5L)
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val compacted = Staging.compactBucketed(spark, "lcb", dir,
+        buckets = 2, bucketCol = "text")
+      assert(ids(compacted) == expected)
+      val root = new java.io.File(new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_prepared"),
+        graft.streaming.EventStreams.sanitize(
+          java.nio.file.Paths.get(dir).toString)), "lcb")
+      assert(new java.io.File(root, "_GRAFT_DELETE_d1").exists(),
+        "compaction must carry the delete marker")
+      assert(new java.io.File(root, "_GRAFT_APPEND_b1").exists(),
+        "compaction must carry the append marker")
+      // re-entered lifecycle ops after compaction: all no-ops
+      Staging.appendBucketed(spark, "lcb", dir, "b1",
+        buckets = 2, bucketCol = "text")(
+        Seq((21L, "t1")).toDF("doc_id", "text"))
+      val again = Staging.deleteBucketed(spark, "lcb", dir, "d1",
+        Seq("doc_id"), buckets = 2, bucketCol = "text")(
+        Seq(5L, 21L).toDF("doc_id"))
+      assert(ids(again) == expected,
+        "post-compaction re-append/re-delete must not change the rows")
+    } finally Staging.invalidate(spark, dir)
+  }
+
   test("preparedText computes once per (source, version) and round-trips " +
     "the artifact exactly") {
     val dir = newSource(Seq((1L, "aa")))

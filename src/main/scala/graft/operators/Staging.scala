@@ -408,8 +408,14 @@ object Staging {
     * a clustered roster touches few files, a scattered one degrades
     * toward the rebuild honestly. Crash-safe by construction: the live
     * layout is untouched until the rename, and a half-built `.__build`
-    * is wiped on retry. Idempotent per (base build, tag) via the
-    * delete marker, exactly like the append path. */
+    * is wiped on retry. Idempotent per (base build, tag, ROSTER) via the
+    * delete marker — the marker folds an order-independent hash of the
+    * collected key set, so re-invoking a reused tag with a different
+    * forget batch re-applies instead of silently no-opping (round-14
+    * advice). A delete that empties the whole layout publishes one
+    * zero-row parquet file rather than a zero-part dir that the next
+    * freshness gate would rebuild from source (resurrecting the
+    * forgotten rows). */
   def deletePrepared(spark: SparkSession, name: String, dir: String,
                      batchTag: String, keyCols: Seq[String],
                      sourceTable: String = "documents",
@@ -459,12 +465,24 @@ object Staging {
   private def deleteFromLayout(spark: SparkSession, root: java.io.File,
       batchTag: String, keyCols: Seq[String], fp: String,
       sortCol: Option[String])(deleteKeys: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    import org.apache.spark.sql.functions.{broadcast, col, count, expr,
+      input_file_name, lit, xxhash64}
+    val roster = deleteKeys.select(keyCols.map(col): _*).distinct()
+    // fold the ROSTER into the idempotency marker (round-14 advice): the
+    // marker must record WHICH keys were deleted, not just which base
+    // build — re-invoking a reused tag with a DIFFERENT key set must
+    // re-apply, not silently no-op. Order-independent distributed hash:
+    // bit_xor of per-row xxhash64 (the roster is distinct, so xor never
+    // self-cancels; overflow-free under ANSI mode) plus the count.
+    val rh = roster.select(xxhash64(keyCols.map(col): _*).as("h"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).collect()(0)
+    val markerFp =
+      s"$fp|roster:${Option(rh.get(0)).getOrElse(0L)}:${rh.getLong(1)}"
     val dMarker = new java.io.File(root, s"_GRAFT_DELETE_$batchTag")
     if (!(dMarker.exists() &&
-      java.nio.file.Files.readString(dMarker.toPath) == fp)) {
+      java.nio.file.Files.readString(dMarker.toPath) == markerFp)) {
       recoverPartialAppends(root, fp)
-      val roster = deleteKeys.select(keyCols.map(col): _*).distinct()
+      val layoutSchema = spark.read.parquet(root.toString).schema
       // one scan finds the affected files; the roster is broadcast-sized
       // (a forget batch), so this is a map-side probe per row
       val affected = spark.read.parquet(root.toString)
@@ -479,6 +497,8 @@ object Staging {
       tmp.mkdirs()
       val scratch = new java.io.File(root.getParentFile,
         root.getName + ".__rewrite")
+      var partsPublished = 0
+      var emptiedName: Option[String] = None
       Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.isFile).foreach { f =>
           val n = f.getName
@@ -499,23 +519,55 @@ object Staging {
                 // an all-rows-deleted file simply disappears (readers
                 // tolerate an empty bucket); otherwise the rewritten
                 // rows move in under the ORIGINAL name
-                if (spark.read.parquet(w.toString).isEmpty) ()
-                else java.nio.file.Files.move(w.toPath,
-                  new java.io.File(tmp, n).toPath)
+                if (spark.read.parquet(w.toString).isEmpty)
+                  emptiedName = emptiedName.orElse(Some(n))
+                else {
+                  java.nio.file.Files.move(w.toPath,
+                    new java.io.File(tmp, n).toPath)
+                  partsPublished += 1
+                }
               }
           } else if (n == "_GRAFT_FP" || n == CompactedMarker) {
             // _GRAFT_FP is re-written by publish; the compaction marker
             // records a data-file fingerprint this delete invalidates
+          } else if (n.endsWith(".staged")) {
+            // a committed-but-stale append journal (crash between marker
+            // write and manifest delete) must NOT be carried into every
+            // later layout forever (round-14 advice) — the marker it
+            // journals for is committed, so the manifest is pure litter
+          } else if (n == s"_GRAFT_DELETE_$batchTag") {
+            // this delete's own (stale) marker is re-written fresh below;
+            // hard-linking it first would make that writeString flow
+            // through the shared inode into the LIVE layout's marker —
+            // a crash before publish would then read as already-applied
           } else if (n.startsWith("part-") || n == "_SUCCESS" ||
             n.startsWith("_GRAFT_APPEND_") || n.startsWith("_GRAFT_DELETE_")) {
             java.nio.file.Files.createLink(
               new java.io.File(tmp, n).toPath, f.toPath)
-            ()
+            if (n.startsWith("part-")) partsPublished += 1
           }
         }
+      if (partsPublished == 0) {
+        // a delete that empties EVERY part file must still publish a
+        // READABLE layout: a zero-part dir fails layoutOk, so the next
+        // prepared() gate would silently REBUILD from the source —
+        // resurrecting every tombstoned row of the forget request
+        // (round-14 advice). Keep one zero-row parquet file under an
+        // original name (bucket ids live in file names).
+        val keepName = emptiedName.getOrElse("part-00000-graft-empty.parquet")
+        if (scratch.exists()) deleteRecursively(scratch)
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            layoutSchema)
+          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        Option(scratch.listFiles()).getOrElse(Array.empty[java.io.File])
+          .find(_.getName.startsWith("part-"))
+          .foreach(w => java.nio.file.Files.move(w.toPath,
+            new java.io.File(tmp, keepName).toPath))
+      }
       if (scratch.exists()) deleteRecursively(scratch)
       java.nio.file.Files.writeString(
-        new java.io.File(tmp, s"_GRAFT_DELETE_$batchTag").toPath, fp)
+        new java.io.File(tmp, s"_GRAFT_DELETE_$batchTag").toPath, markerFp)
       // publish wipes a stale .__build first — hand it the prebuilt dir
       // via a write callback that only asserts the path it was given
       publishPrebuilt(root, tmp, fp)

@@ -4568,7 +4568,26 @@ class OperatorSpec extends AnyFunSuite {
   test("index bucket count derives from the snapshot bytes — no knob: " +
     "harness-scale sources get the 32-bucket baseline, a 10x-size " +
     "snapshot ~10x the buckets") {
-    assert(Dedup.shingleBuckets(GraftTestSession.Sf001) == 32)
+    // assert the DERIVATION (32 * max(1, round(bytes / 600 KiB))) against
+    // each snapshot's actual byte size — pinning the literal 32 would
+    // couple the suite to the driver testdata staying under the ~900 KB
+    // rounding boundary (round-14 advice); the synthetic 6 MB case below
+    // stays the fixed-size scaling check
+    def expected(dir: String): Int = {
+      val src = new java.io.File(dir, "documents.parquet")
+      val bytes =
+        if (src.isFile) src.length
+        else Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(_.length).sum
+      32 * math.max(1L, math.round(bytes.toDouble / (600L * 1024))).toInt
+    }
+    assert(Dedup.shingleBuckets(GraftTestSession.Sf001) ==
+      expected(GraftTestSession.Sf001))
+    assert(Dedup.shingleBuckets(GraftTestSession.Sf0001) ==
+      expected(GraftTestSession.Sf0001))
+    // the harness-scale snapshots are under one unit → 32-bucket floor
     assert(Dedup.shingleBuckets(GraftTestSession.Sf0001) == 32)
     // the derivation reads only the source's byte size — a synthetic
     // 6 MB snapshot (10.24 units, rounds to 10) must derive 320

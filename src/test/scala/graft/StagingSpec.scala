@@ -288,6 +288,93 @@ class StagingSpec extends AnyFunSuite {
     } finally Staging.invalidate(spark, dir)
   }
 
+  test("a delete that empties EVERY part file publishes a readable " +
+    "zero-row layout — the freshness gate must NOT rebuild from source " +
+    "and resurrect the forgotten rows (round-14 advice)") {
+    import spark.implicits._
+    val dir = newSource((1L to 5L).map(i => (i, s"doc $i")))
+    try {
+      var builds = 0
+      def gate(): org.apache.spark.sql.DataFrame =
+        Staging.prepared(spark, "allgone", dir) {
+          builds += 1
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+        }
+      gate()
+      assert(builds == 1)
+      val after = Staging.deletePrepared(spark, "allgone", dir, "wipe",
+        Seq("doc_id"))((1L to 5L).toDF("doc_id"))
+      assert(after.count() == 0, "the forget batch covered every row")
+      // the critical property: the next gate pass serves the EMPTY
+      // layout — a zero-part dir would fail layoutOk and silently
+      // rebuild from the source, resurrecting all tombstoned rows
+      val served = gate()
+      assert(builds == 1, "an emptied layout must not trigger a rebuild")
+      assert(served.count() == 0,
+        "forgotten rows resurrected by a post-delete gate pass")
+      assert(served.schema.fieldNames.toSet == Set("doc_id", "text"),
+        "the empty layout must keep the layout schema")
+    } finally Staging.invalidate(dir)
+  }
+
+  test("the delete marker records the ROSTER, not just the base build: " +
+    "re-invoking a reused tag with a different key set re-applies " +
+    "instead of silently no-opping (round-14 advice)") {
+    import spark.implicits._
+    val dir = newSource((1L to 10L).map(i => (i, s"doc $i")))
+    try {
+      Staging.prepared(spark, "roster", dir)(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")))
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val first = Staging.deletePrepared(spark, "roster", dir, "reused",
+        Seq("doc_id"))(Seq(3L).toDF("doc_id"))
+      assert(ids(first) == (1L to 10L).toSet - 3L)
+      // SAME tag, different forget batch — must propagate, not no-op
+      val second = Staging.deletePrepared(spark, "roster", dir, "reused",
+        Seq("doc_id"))(Seq(8L).toDF("doc_id"))
+      assert(ids(second) == (1L to 10L).toSet -- Set(3L, 8L),
+        "a changed roster under a reused tag was silently dropped")
+      // and same tag + same roster stays the idempotent no-op
+      val third = Staging.deletePrepared(spark, "roster", dir, "reused",
+        Seq("doc_id"))(Seq(8L).toDF("doc_id"))
+      assert(ids(third) == (1L to 10L).toSet -- Set(3L, 8L))
+    } finally Staging.invalidate(dir)
+  }
+
+  test("a committed-but-stale .staged manifest (crash between append " +
+    "marker and manifest delete) is NOT hard-linked into published " +
+    "delete layouts (round-14 advice)") {
+    import spark.implicits._
+    val dir = newSource((1L to 6L).map(i => (i, s"doc $i")))
+    try {
+      Staging.prepared(spark, "litter", dir)(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")))
+      val root = new java.io.File(new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_prepared"),
+        graft.streaming.EventStreams.sanitize(
+          java.nio.file.Paths.get(dir).toString)), "litter")
+      // simulate the crash window: the append marker committed (content
+      // matches the live fp) but the .staged manifest survived
+      val fp = java.nio.file.Files.readString(
+        new java.io.File(root, "_GRAFT_FP").toPath)
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "_GRAFT_APPEND_ghost").toPath, fp)
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "_GRAFT_APPEND_ghost.staged").toPath, "")
+      Staging.deletePrepared(spark, "litter", dir, "t1",
+        Seq("doc_id"))(Seq(2L).toDF("doc_id"))
+      val names = root.listFiles().map(_.getName).toSet
+      assert(!names.exists(_.endsWith(".staged")),
+        s"stale .staged manifest carried into the published layout: $names")
+      assert(names.contains("_GRAFT_APPEND_ghost"),
+        "the committed append MARKER must still be carried")
+    } finally Staging.invalidate(dir)
+  }
+
   test("compaction preserves delete markers: a compacted layout already " +
     "contains the deletions, so the re-entered delete must stay a no-op") {
     import spark.implicits._

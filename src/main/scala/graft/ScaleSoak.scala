@@ -129,7 +129,7 @@ object ScaleSoak {
     // round-14 additions: the checkpoint-restart two-phase gate drive
     // and the tombstone-delete index maintenance audit
     "q302_checkpoint_restart", "q303_index_delete", "q304_ann_delete",
-    "q305_index_lifecycle",
+    "q305_index_lifecycle", "q306_forget_cascade",
     "q31_dedup_ngram_jaccard")
 
   /** Times one query with shuffle parallelism scaled to the data factor —

@@ -265,6 +265,7 @@ object SparkEntry {
     "q304_ann_delete" -> ((s, dir) =>
       SimilaritySearch.annDeleteAudit(s, dir)),
     "q305_index_lifecycle" -> ((s, dir) => Dedup.lifecycleAudit(s, dir)),
+    "q306_forget_cascade" -> ((s, dir) => Forget.cascadeAudit(s, dir)),
     "q279_pii_wilson" -> ((s, dir) => CorpusFilters.piiRateInterval(s, dir)),
     "q139_dq_checks" -> ((s, dir) => Profiling.dqChecks(s, dir)),
     "q140_blocked_linkage" -> ((s, dir) => Linkage.blockedLinkage(s, dir)),
@@ -583,6 +584,7 @@ object SparkEntry {
     "q304_ann_delete" -> SimilaritySearch.annDeleteAuditSql(),
     // append -> delete -> compact must land on exactly q303's invariant
     "q305_index_lifecycle" -> Dedup.lifecycleAuditSql,
+    "q306_forget_cascade" -> Forget.cascadeAuditSql,
     "q294_gate_state_census" -> Dedup.gateStateCensusSql,
     "q295_router_census" -> Dedup.routerCandidateCensusSql,
     "q296_incremental_index" -> Dedup.incrementalIndexAuditSql,

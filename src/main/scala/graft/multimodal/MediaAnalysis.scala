@@ -181,6 +181,15 @@ object MediaAnalysis {
     * filter). The hash table is cached: it feeds both sides of the
     * self-join and re-decoding every image twice is exactly the kind of
     * redundant blob work a 100 TB pipeline cannot afford. */
+  /** The STAGED perceptual-hash band table (media_id, b0..b3) — built
+    * once per corpus snapshot (synth+encode+decode+hash at build time),
+    * scanned by every consumer, and delete-maintained by the forget
+    * cascade ([[graft.operators.Forget]] tombstones a forgotten doc's
+    * media ids — the source id and its [[CopyIdOffset]] twin). */
+  private[graft] def phashBands(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Staging.prepared(spark, "phash_bands", dir)(
+      aHashBands(phashCorpus(spark, dir)).toDF())
+
   def imagePhashPairs(spark: SparkSession, dir: String,
                       maxHamming: Int = 3): DataFrame = {
     // STAGED hash layout (round-12 verdict item 7 via item 3's
@@ -190,8 +199,7 @@ object MediaAnalysis {
     // self-join) scans 5 integers per image. This also removes the
     // codec path from the steady-state bench lane, which is where the
     // round-12 closing runs stalled (see also ImageIO.setUseCache).
-    val hashes = graft.operators.Staging.prepared(spark, "phash_bands", dir)(
-      aHashBands(phashCorpus(spark, dir)).toDF())
+    val hashes = phashBands(spark, dir)
     val exploded = hashes.select(col("media_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band", "key")))

@@ -104,7 +104,7 @@ object Dedup {
     * pins it), and the per-shingle df aggregate of the prefix-filter
     * build reuses the same co-location. At 100 TB this moves the
     * inverted-index shuffle to write time, once per corpus snapshot. */
-  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Staging.preparedBucketed(spark, "shingles_k3", dir,
       buckets = shingleBuckets(dir), bucketCol = "shingle",
       version = ShingleIndexVersion)(
@@ -148,7 +148,7 @@ object Dedup {
     * this string into their own version, so an upstream bump cascades:
     * a re-staged shingle universe can never serve under stale prefixes
     * (round-13 review finding). */
-  private val ShingleIndexVersion = "b1"
+  private[operators] val ShingleIndexVersion = "b1"
 
   /** Exact deduplication via content hash: one row per distinct text with
     * the surviving (minimum) doc_id and the duplicate count. Hash-groupBy is
@@ -2224,6 +2224,82 @@ object Dedup {
     * exactly the surviving corpus's index sizes. */
   val lifecycleAuditSql: String = indexDeleteAuditSql
 
+  // ------------------------------------------------- q306 forget cascade
+
+  /** The documents-derived entries of [[Forget.manifest]] (round-14
+    * verdict item 2): every staged layout this module derives from the
+    * documents table, with its delete hook. The PRIMARY layouts
+    * (per-document index rows) tombstone directly; the DERIVED layouts
+    * (prefix_k3_t35, shingle_arrays) are deliberately ABSENT — they gate
+    * on shingles_k3's artifact fingerprint, so the upstream delete
+    * re-derives them from the already-forgotten index on their next
+    * access (the StagingSpec delete-cascade property), which is both
+    * cheaper than a row-level tombstone of a df-ORDERED index and the
+    * only exact option for one (the rarity order is a whole-corpus
+    * aggregate). [[Forget.cascadeAudit]] pins that the re-derivation
+    * lands row-for-row on the kept-corpus rebuild. */
+  private[operators] def forgetTargets: Seq[Forget.Target] = Seq(
+    Forget.Target("documents", "shingles_k3", (s, d, tag, r) => {
+      Staging.deleteBucketed(s, "shingles_k3", d, tag, Seq("doc_id"),
+        buckets = shingleBuckets(d), bucketCol = "shingle",
+        version = ShingleIndexVersion)(r)
+      ()
+    }),
+    Forget.Target("documents", "minhash16", (s, d, tag, r) => {
+      Staging.deletePrepared(s, "minhash16", d, tag, Seq("doc_id"))(r)
+      ()
+    }),
+    Forget.Target("documents", "simhash", (s, d, tag, r) => {
+      Staging.deletePrepared(s, "simhash", d, tag, Seq("doc_id"))(r)
+      ()
+    }),
+    Forget.Target("documents", "ngrampairs", (s, d, tag, r) => {
+      // a pair row references TWO documents — it must go when EITHER
+      // side is forgotten, so the tombstone applies the roster to each
+      // key column in turn (two file-granular copy-on-write passes;
+      // both idempotent per (tag, roster))
+      Staging.deletePrepared(s, "ngrampairs", d, s"${tag}_a",
+        Seq("doc_a"))(r.toDF("doc_a"))
+      Staging.deletePrepared(s, "ngrampairs", d, s"${tag}_b",
+        Seq("doc_b"))(r.toDF("doc_b"))
+      ()
+    }))
+
+  /** Build every documents-derived staged layout under `dir` — the
+    * cascade audit's "deployment with all indexes live" precondition. */
+  private[operators] def buildDocForgetLayouts(spark: SparkSession,
+                                               dir: String): Unit = {
+    shingleIndex(spark, dir)
+    minhashSignatures(spark, dir, 16)
+    simhashSignatures(spark, dir)
+    ngramPairsPrepared(spark, dir)
+    prefixIndex(spark, dir)
+    shingleArrays(spark, dir)
+    ()
+  }
+
+  /** Post-cascade audit rows for the documents-derived layouts:
+    * each staged layout under the forgotten `sandbox` against the same
+    * builder over the kept corpus `kept` — deleted==rebuilt row-for-row
+    * per layout. prefix/arrays are read through their normal gates, so
+    * this also EXERCISES the fingerprint-driven re-derivation from the
+    * deleted upstream. */
+  private[operators] def forgetAuditRowsDocs(spark: SparkSession,
+      sandbox: String, kept: String): DataFrame =
+    indexDiffRow("shingles_k3", shingleIndex(spark, sandbox),
+      shingleIndex(spark, kept), Seq("doc_id", "shingle"))
+      .unionAll(indexDiffRow("minhash16",
+        minhashSignatures(spark, sandbox, 16),
+        minhashSignatures(spark, kept, 16), Seq("doc_id", "sig")))
+      .unionAll(indexDiffRow("simhash", simhashSignatures(spark, sandbox),
+        simhashSignatures(spark, kept), Seq("doc_id", "simhash")))
+      .unionAll(indexDiffRow("ngrampairs", ngramPairsPrepared(spark, sandbox),
+        ngramPairsPrepared(spark, kept), Seq("doc_a", "doc_b", "jaccard")))
+      .unionAll(indexDiffRow("prefix_k3_t35", prefixIndex(spark, sandbox),
+        prefixIndex(spark, kept), Seq("doc_id", "w", "n")))
+      .unionAll(indexDiffRow("shingle_arrays", shingleArrays(spark, sandbox),
+        shingleArrays(spark, kept), Seq("doc_id", "sa")))
+
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,
     800000L, 900000L)
@@ -3486,7 +3562,7 @@ object Dedup {
     * cut) is index-BUILD work, paid once per corpus snapshot at write
     * time; the version tag carries the threshold (τ = 3/5) because the
     * prefix length depends on it. */
-  private def prefixIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def prefixIndex(spark: SparkSession, dir: String): DataFrame = {
     // ensure the upstream exists, THEN gate on its artifact fingerprint:
     // a rebuild OR an appendBucketed batch merge into shingles_k3 leaves
     // the source table untouched but must invalidate this derivation
@@ -3514,7 +3590,7 @@ object Dedup {
     * candidate-pair lookups read co-located buckets. Composes the
     * shingle index's builder version AND gates on its artifact
     * fingerprint (rebuilds and batch appends both cascade). */
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
     shingleIndex(spark, dir)
     Staging.preparedBucketed(spark, "shingle_arrays", dir,
       buckets = shingleBuckets(dir), bucketCol = "doc_id",

@@ -1082,13 +1082,29 @@ object SimilaritySearch {
       version = Int8CodesVersion)(
       int8CodedArrayBuild(spark, dir))
 
-  private def int8CodedArrayBuild(spark: SparkSession, dir: String): DataFrame = {
-    val dims = Tables.embeddings(spark, dir)
+  private def int8CodedArrayBuild(spark: SparkSession, dir: String): DataFrame =
+    int8EncodeOn(Tables.embeddings(spark, dir), int8Dims(spark, dir))
+
+  /** The q58 lattice's per-dimension (lo, hi) bounds — the int8 encode's
+    * MODEL CONSTANT (a 64-row stats collect, bounded by dimensionality).
+    * Split out of the builder so the forget-cascade audit can re-encode
+    * the surviving vectors with the SAME lattice the deleted layout was
+    * built under (retraining bounds on the survivors would change codes
+    * for vectors that lost nothing — not the forget semantic). */
+  private def int8Dims(spark: SparkSession, dir: String): Array[(Double, Double)] =
+    Tables.embeddings(spark, dir)
       .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
       .groupBy(col("pos")).agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
       .orderBy(col("pos")).collect()
-    val lo = array(dims.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
-    val hi = array(dims.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** The q58 lattice encode over an arbitrary embeddings-shaped frame
+    * with FIXED per-dimension bounds — per-vector work, which is what
+    * makes the staged code table delete-maintainable. */
+  private def int8EncodeOn(emb: DataFrame,
+                           dims: Array[(Double, Double)]): DataFrame = {
+    val lo = array(dims.map(d => lit(d._1)).toIndexedSeq: _*)
+    val hi = array(dims.map(d => lit(d._2)).toIndexedSeq: _*)
     val v = col("embedding").cast(ArrayType(DoubleType))
     val q = transform(sequence(lit(0), lit(dims.length - 1)), i => {
       val x = element_at(v, i + 1)
@@ -1098,7 +1114,7 @@ object SimilaritySearch {
         (round((x - l) / (h - l) * 255.0) - 128.0).cast(LongType))
         .otherwise(lit(0L))
     })
-    Tables.embeddings(spark, dir).select(col("vec_id"), q.as("codes"))
+    emb.select(col("vec_id"), q.as("codes"))
   }
 
   /** Squared-L2 between positions `s·dsub+1 … s·dsub+dsub` of a full code
@@ -1374,6 +1390,74 @@ object SimilaritySearch {
       .select(col("artifact"), col("n_incremental").as("n_after_delete"),
         col("n_rebuild"), col("n_only_incremental").as("n_only_deleted"),
         col("n_only_rebuild"))
+  }
+
+  /** The embeddings-derived entries of [[Forget.manifest]] (round-14
+    * verdict item 2): the int8 lattice codes, the IVF coarse-assignment
+    * table, and the PQ code table all tombstone by vec_id — each row
+    * depends on its own vector plus a FIXED model constant (lattice
+    * bounds / coarse centers / codebook), so deletion commutes with the
+    * encode. The model constants themselves are derived AGGREGATES, not
+    * per-subject rows — they are retained (the q300 drift audit is what
+    * schedules their refit). */
+  private[operators] def forgetTargets: Seq[Forget.Target] = Seq(
+    Forget.Target("embeddings", "int8codes", (s, d, tag, r) => {
+      Staging.deletePrepared(s, "int8codes", d, tag, Seq("vec_id"),
+        sourceTable = "embeddings", version = Int8CodesVersion)(r)
+      ()
+    }),
+    Forget.Target("embeddings", "ivf_assign_n16", (s, d, tag, r) => {
+      Staging.deletePrepared(s, "ivf_assign_n16", d, tag, Seq("vec_id"),
+        sourceTable = "embeddings", version = IvfAssignVersion)(r)
+      // the session cache holds a frame over the pre-delete file set —
+      // drop it so the next ivfIndex() re-reads the published layout
+      ivfCache.filterInPlace { case ((_, cachedDir, _), _) => cachedDir != d }
+      ()
+    }),
+    Forget.Target("embeddings", "pqcodes_m8_n16", (s, d, tag, r) => {
+      Staging.deletePrepared(s, "pqcodes_m8_n16", d, tag, Seq("vec_id"),
+        sourceTable = "embeddings", version = PqCodesVersion)(r)
+      ()
+    }))
+
+  /** Build every embeddings-derived staged layout under `dir` — the
+    * cascade audit's precondition. */
+  private[operators] def buildAnnForgetLayouts(spark: SparkSession,
+                                               dir: String): Unit = {
+    int8CodedArray(spark, dir)
+    ivfIndex(spark, dir, 16)
+    pqCodesTable(spark, dir, 8, 16)
+    ()
+  }
+
+  /** Post-cascade audit rows for the ANN layouts: each deleted layout
+    * against a re-derivation of the SURVIVING vectors under the same
+    * fixed model constants (lattice bounds, coarse centers, codebook —
+    * all captured from the staged artifacts the sandbox build wrote). */
+  private[operators] def forgetAuditRowsAnn(spark: SparkSession,
+      sandbox: String, keepCond: Column): DataFrame = {
+    val dims = int8Dims(spark, sandbox)
+    val int8Rebuild =
+      int8EncodeOn(Tables.embeddings(spark, sandbox).filter(keepCond), dims)
+    val centers = parseCenters(
+      Staging.preparedText("ivf_centers_n16", sandbox,
+        sourceTable = "embeddings", version = IvfCentersVersion)(
+        serializeCenters(fitCoarse(spark, sandbox, 16)
+          .clusterCenters.map(_.toArray))))
+    val ivfRebuild = withCoarseId(
+      normalized(spark, sandbox).filter(keepCond), centers)
+      .select(col("vec_id"), col("u"), col("coarse_id"))
+    val cb = pqCodebook(spark, sandbox, 8, 16)
+    val pqRebuild = pqEncode(spark, int8Rebuild, cb, 8)
+    Dedup.indexDiffRow("int8codes",
+      Staging.readPrepared(spark, sandbox, "int8codes"),
+      int8Rebuild, Seq("vec_id", "codes"))
+      .unionAll(Dedup.indexDiffRow("ivf_assign_n16",
+        Staging.readPrepared(spark, sandbox, "ivf_assign_n16"),
+        ivfRebuild, Seq("vec_id", "u", "coarse_id")))
+      .unionAll(Dedup.indexDiffRow("pqcodes_m8_n16",
+        Staging.readPrepared(spark, sandbox, "pqcodes_m8_n16"),
+        pqRebuild, Seq("vec_id", "s", "cid")))
   }
 
   /** [[annDeleteAudit]]'s oracle: deleted == re-encoded means the totals

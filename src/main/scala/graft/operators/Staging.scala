@@ -719,6 +719,22 @@ object Staging {
     spark.read.parquet(root.toString)
   }
 
+  /** Does a staged layout dir exist for (dir, name)? The cheap presence
+    * probe the forget cascade uses to SKIP layouts never built in this
+    * deployment — freshness is still the delete entry points' `require`
+    * (a stale-but-present layout must fail loudly, not silently skip:
+    * its rows may hold the forgotten keys). */
+  private[graft] def layoutPresent(dir: String, name: String): Boolean =
+    new java.io.File(sourceRoot(dir), name).exists()
+
+  /** Read an EXISTING staged layout without offering a builder — for
+    * audits that must observe exactly what a delete published (a
+    * prepared() call with a dummy builder would be the same read, but
+    * the intent — never rebuild here — is explicit). */
+  private[graft] def readPrepared(spark: SparkSession, dir: String,
+                                  name: String): DataFrame =
+    spark.read.parquet(new java.io.File(sourceRoot(dir), name).toString)
+
   /** Drop every staged layout for `dir` — belt-and-braces for callers
     * that rebuild source tables in place (the fingerprint gate already
     * catches this; explicit invalidation keeps the soak's rebuild hook

@@ -217,6 +217,20 @@ object Dedup {
       .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
   }
 
+  /** Registry-cached [[shinglePairStats]] over the staged shingle index —
+    * ONE materialization per session for the whole audit/calibration
+    * family (q220's S-curve, q222's threshold sweep, q266's error audit,
+    * the q281/q283/q287 calibration universe, q289's exact-Jaccard truth
+    * pass). Each of those lanes previously re-derived the identical
+    * unthresholded pair set (round-14 verdict item 3); at production
+    * scale this frame is a persisted pair-stats table written once per
+    * corpus snapshot. The CONTRACT self-join lanes (q31 Jaccard, q178
+    * containment) deliberately stay on the uncached chain so the bench
+    * keeps measuring the real inverted-index join. */
+  private def pairStatsPrepared(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached(spark, s"pairstats:$dir")(
+      shinglePairStats(shingleIndex(spark, dir)))
+
   private def ngramJaccardOnIndex(sh: DataFrame, threshold: Double): DataFrame =
     shinglePairStats(sh)
       .withColumn("jaccard",
@@ -433,7 +447,7 @@ object Dedup {
                numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val pairs = shinglePairStats(shingleIndex(spark, dir))
+    val pairs = pairStatsPrepared(spark, dir)
     val sig = minhashSignatures(spark, dir, numHashes)
     val collide = (0 until bands)
       .map(bd => slice(col("sig_a"), bd * r + 1, r) ===
@@ -528,7 +542,7 @@ object Dedup {
     * aggregate. Nothing here exceeds the cost of the dedup pass it audits. */
   def minhashErrorAudit(spark: SparkSession, dir: String,
                         numHashes: Int = 16): DataFrame = {
-    val pairs = shinglePairStats(shingleIndex(spark, dir))
+    val pairs = pairStatsPrepared(spark, dir)
     val sig = minhashSignatures(spark, dir, numHashes)
     pairs
       .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
@@ -645,7 +659,7 @@ object Dedup {
     * and `hamming`. ONE definition so both lanes provably audit the same
     * pair universe. */
   private def calibrationPairs(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = shinglePairStats(shingleIndex(spark, dir))
+    val pairs = pairStatsPrepared(spark, dir)
     val sig = simhashSignatures(spark, dir)
     pairs
       .join(sig.toDF("doc_a", "sig_a"), Seq("doc_a"))
@@ -1141,20 +1155,32 @@ object Dedup {
                            Some(RouterBucketCap)): DataFrame = {
     val predPairs = routedCandidatePairs(spark, dir, maxBucketOccupancy)
     // truth: exact Jaccard ≥ truthPpm over the staged shingle index
-    val truthPairs = shinglePairStats(shingleIndex(spark, dir))
+    val truthPairs = pairStatsPrepared(spark, dir)
       .filter(expr(s"(c * 1000000) div (na + nb - c) >= $truthPpm"))
       .select(col("doc_a"), col("doc_b"))
     // the production refinement: candidates CONFIRMED by exact Jaccard
     // before anything is removed (cost ∝ candidates — LSH's contract)
     val verifiedPairs = predPairs.join(truthPairs, Seq("doc_a", "doc_b"),
       "left_semi")
+    // ONE labeled-edge component pass instead of three (round-14 verdict
+    // item 3): the truth, raw and verified graphs are all candidate-pair-
+    // sized, so each extra pointer-doubling invocation costs per-round
+    // JOB overhead, not data — tag every edge with its graph and run all
+    // three through one shared round sequence.
+    val labs = connectedComponentsMulti(
+      truthPairs.select(lit(0).as("g"), col("doc_a"), col("doc_b"))
+        .unionAll(predPairs.select(lit(1).as("g"), col("doc_a"),
+          col("doc_b")))
+        .unionAll(verifiedPairs.select(lit(2).as("g"), col("doc_a"),
+          col("doc_b"))))
     // keep-minimum removal: a doc is removed iff it is NOT its
-    // component's min id
-    def removed(pairs: DataFrame): DataFrame =
-      connectedComponents(pairs)
-        .filter(col("cluster_id") =!= col("doc_id"))
-        .select(col("doc_id"))
-    val trueRemoved = removed(truthPairs)
+    // component's min id (within its graph)
+    def removedOf(g: Int): DataFrame = labs
+      .filter(col("g") === g && col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val trueRemoved = removedOf(0)
+    val rawRemoved = removedOf(1)
+    val verifiedRemoved = removedOf(2)
     def stats(variant: String, predRemoved: DataFrame): DataFrame =
       predRemoved.withColumn("p", lit(1L))
         .join(trueRemoved.withColumn("t", lit(1L)),
@@ -1167,8 +1193,8 @@ object Dedup {
           col("nt").as("n_removed_true"), col("nb").as("n_both"),
           expr("nb * 1000000 div greatest(np, 1)").as("precision_ppm"),
           expr("nb * 1000000 div greatest(nt, 1)").as("recall_ppm"))
-    stats("routed_raw", removed(predPairs))
-      .unionAll(stats("routed_verified", removed(verifiedPairs)))
+    stats("routed_raw", rawRemoved)
+      .unionAll(stats("routed_verified", verifiedRemoved))
   }
 
   /** [[routedDedupRemoval]]'s oracle: the shared calibration CTEs for
@@ -2318,7 +2344,7 @@ object Dedup {
     * into one small aggregate — adding a cut costs one more histogram
     * row, not another corpus pass. */
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
-    shinglePairStats(shingleIndex(spark, dir))
+    pairStatsPrepared(spark, dir)
       .select(col("doc_b"),
         expr("(c * 1000000) div (na + nb - c)").as("jppm"),
         explode(array(SweepThresholdsPpm.map(lit): _*)).as("threshold_ppm"))
@@ -2473,64 +2499,102 @@ object Dedup {
     * chance hamming-≤3 chains exceeded diameter 20 and tripped the plain
     * propagation's fail-loud guard; with the jump that graph converges in
     * 28 rounds (~log₂ of its 540k nodes, as shortcutting predicts), well
-    * inside the 64-round cap.
-    *
-    * Each round `localCheckpoint`s the label frame: without a lineage cut,
-    * round i's plan nests i joins deep and Catalyst re-optimization cost
-    * compounds; at production scale this would be a reliable checkpoint or a
-    * per-round materialized table instead.
-    *
-    * The checkpoint alone is NOT enough with the pointer jump in play: a
-    * checkpointed leaf inherits the pre-checkpoint plan's ESTIMATED stats,
-    * and Catalyst's size-only join estimate is the product of child sizes —
-    * so the labels⋈labels jump SQUARES the estimate every round and the
-    * driver's stats arithmetic becomes a 2^round-digit BigInteger product
-    * (the ×10 soak caught the driver burning 20+ minutes inside
-    * BigInteger.multiply by round ~18). [[freshStatsFrame]] therefore
-    * rebuilds each round's frame over the same materialized rows, giving a
-    * leaf with default stats; the squaring then resets every round instead
-    * of compounding. */
-  /** A frame over `ck`'s materialized rows whose logical leaf carries fresh
-    * default stats instead of `ck`'s inherited (possibly wildly inflated)
-    * origin estimate. The Row round-trip costs 2 longs per node per round —
-    * nothing next to the round's join — and keeps every stats computation
-    * shallow. */
-  private def freshStatsFrame(ck: DataFrame): DataFrame =
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    * inside the 64-round cap. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame =
+    connectedComponentsMulti(
+      pairs.select(lit(0).as("g"), col("doc_a"), col("doc_b")), maxIters)
+      .select(col("doc_id"), col("cluster_id"))
 
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = freshStatsFrame(
-      edges.select(col("src").as("node"), col("dst").as("label"))
-        .union(edges.select(col("src").as("node"), col("src").as("label")))
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true))
+  /** Pointer-doubling connected components over SEVERAL edge sets at once:
+    * `pairs` carries an integer graph tag `g`, and the loop labels every
+    * (g, node) key in ONE shared round sequence — the per-round fixed
+    * cost is paid max-over-graphs times instead of once per graph
+    * (round-14 verdict item 3: q289 evaluates its truth/raw/verified
+    * graphs from one labeled-edge pass). Output: (g, doc_id, cluster_id)
+    * with cluster_id the component's minimum id within that graph.
+    *
+    * The loop runs on pair RDDs, not DataFrames — the one algorithm in
+    * the library where that is the right call: an iterative fixpoint
+    * re-plans, re-codegens and re-checkpoints a DataFrame EVERY round
+    * (measured ~0.6-0.9 s/round of pure driver+job overhead on
+    * candidate-pair-sized graphs), while co-partitioned RDDs make each
+    * round one job — the edges⨝labels propagate join is narrow (both
+    * sides share the HashPartitioner), only the pointer-jump relabel and
+    * the min-reduce shuffle, and the convergence check rides the same
+    * job as an accumulator instead of a separate scan. This is the
+    * GraphX execution shape, specialized to min-label propagation.
+    * Partition count follows the MEASURED edge count (weak scaling —
+    * both directions: a 10× graph gets ~10× the partitions, a 10³-row
+    * audit graph is not spread over a corpus-sized shuffle width).
+    *
+    * Node ids may be any orderable column type the callers use (longs
+    * everywhere, strings in the q273 entity merge); the min is taken
+    * under UNSIGNED UTF-8 BYTE order for strings — exactly the order
+    * Spark SQL's `min` (UTF8String.compareTo) and DuckDB's `min` (binary
+    * collation) use, so the survivors stay engine-exact. */
+  private[operators] def connectedComponentsMulti(pairs: DataFrame,
+      maxIters: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val idType = pairs.schema("doc_a").dataType
+    require(pairs.schema("doc_b").dataType == idType,
+      s"doc_a/doc_b types differ: $idType vs ${pairs.schema("doc_b").dataType}")
+    implicit val ord: Ordering[Any] = idType match {
+      case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case StringType => utf8BinaryOrdering.on[Any](_.asInstanceOf[String])
+      case t => throw new IllegalArgumentException(
+        s"connectedComponents: unsupported id type $t")
+    }
+    val rows = pairs.select(col("g").cast(IntegerType), col("doc_a"),
+      col("doc_b")).rdd
+      .map(r => (r.getInt(0), r.get(1), r.get(2)))
+    val both = rows.flatMap { case (g, a, b) =>
+      Iterator(((g, a), b), ((g, b), a))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = both.count()
+    val parts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      nEdges / 200000L + 1)).toInt
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val edges = both.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    both.unpersist(false)
+    // init: min(direct neighbors, self) — reduceByKey keeps the
+    // partitioner, and the self-min is a per-partition map
+    var labels = edges.reduceByKey(part, (a: Any, b: Any) => ord.min(a, b))
+      .mapPartitions(_.map { case (k, l) => (k, ord.min(l, k._2)) },
+        preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      // pointer jump: v's label l is itself a node with a label row, so the
-      // inner self-join never drops v; min(label(label(v))) shortcuts the
-      // path toward the component min, doubling progress per round
-      val hop = labels.as("a")
-        .join(labels.select(col("node").as("l"), col("label").as("l2")),
-          col("a.label") === col("l"))
-        .select(col("a.node").as("node"), col("l2").as("label"))
-      val next = freshStatsFrame(
-        prop.union(hop).union(labels)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .localCheckpoint(true))
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "old").as("o"), "node")
-        .filter(col("label") =!= col("old"))
-        .count()
+      val t0 = System.nanoTime()
+      // propagate: label(src) → dst over the co-partitioned narrow join;
+      // pointer jump: label(label(v)) by re-keying labels on their label
+      // (every label value is itself a labeled node in the same graph,
+      // so the inner join drops nothing)
+      val prop = edges.join(labels, part)
+        .map { case ((g, _), (dst, lab)) => ((g, dst), lab) }
+      val jump = labels.map { case ((g, v), lab) => ((g, lab), v) }
+        .join(labels, part)
+        .map { case ((g, _), (v, l2)) => ((g, v), l2) }
+      val next = prop.union(jump).union(labels)
+        .reduceByKey(part, (a: Any, b: Any) => ord.min(a, b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ONE action materializes the round AND counts changed labels: the
+      // next⨝labels compare is narrow (same partitioner), and action
+      // accumulators are counted exactly once per successful task
+      val changed = sc.longAccumulator
+      next.join(labels, part).foreach { case (_, (nw, old)) =>
+        if (ord.compare(nw, old) != 0) changed.add(1L)
+      }
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round ${i + 1}: $changed labels changed")
-      converged = changed == 0
+        System.err.println(s"[cc] round ${i + 1}: ${changed.value} changed " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      converged = changed.value == 0
+      labels.unpersist(false)
       labels = next
       i += 1
     }
@@ -2541,7 +2605,37 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
           "raise maxIters for graphs with larger diameter")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // cut the round lineage before handing the frame out (the unpersisted
+    // intermediate rounds must never be replayed by a downstream action)
+    labels.localCheckpoint()
+    labels.count()
+    edges.unpersist(false)
+    val out = labels.map { case ((g, v), lab) =>
+      org.apache.spark.sql.Row(g, v, lab)
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", IntegerType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType))))
+  }
+
+  /** Unsigned UTF-8 byte order — Spark SQL's UTF8String.compareTo and
+    * DuckDB's default binary collation, NOT java.lang.String's UTF-16
+    * order (they differ beyond the BMP). */
+  private val utf8BinaryOrdering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
   }
 
   /** q35 — dedup cluster assignment over the n-gram near-dup pair graph:

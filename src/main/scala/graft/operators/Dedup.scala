@@ -1773,15 +1773,18 @@ object Dedup {
       val key = "spark.sql.shuffle.partitions"
       val prior = spark.conf.get(key)
       spark.conf.set(key, "4") // state partition count, fixed at first ckpt
-      // honor the session's RocksDB flag exactly like runToBatch does —
-      // the restart lane must be drivable on the production state store
-      // (its checkpoint format differs; the spec proves recovery there)
+      // honor the session's state-store flag exactly like runToBatch does
+      // (RocksDB by default; the spec proves recovery on BOTH providers —
+      // their checkpoint formats differ)
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val priorProv = spark.conf.getOption(provKey)
       if (spark.conf.getOption(graft.streaming.EventStreams.RocksDbFlag)
-        .exists(_.toBoolean))
+        .forall(_.toBoolean)) {
         spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
           "state.RocksDBStateStoreProvider")
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+      }
       try {
         val gated = bandedDocStream(spark, feed.toString, None)
           .as[BandRow]

@@ -1210,15 +1210,17 @@ object EventStreams {
     n
   }
 
-  /** Session flag selecting the RocksDB state store for graft streaming
-    * queries (off by default). The default HDFS-backed store keeps all
-    * state on the executor HEAP — fine for the test-scale kilobytes, but
-    * at 100 TB a stream-stream join or large sessionization map holds
-    * state far beyond heap, where RocksDB's off-heap + spill-to-disk
-    * store is the production choice. Setting this flag makes every
-    * [[runToBatch]]-driven query start under
-    * `RocksDBStateStoreProvider`; StreamingSpec drives q64 under BOTH
-    * providers and pins identical results. */
+  /** Session flag selecting the streaming state store — DEFAULT **true**
+    * (RocksDB) since round 15. Spark's own default HDFS-backed store
+    * keeps all state on the executor HEAP — fine for the test-scale
+    * kilobytes, but at 100 TB a stream-stream join or a large
+    * sessionization map holds state far beyond heap; RocksDB's
+    * off-heap + spill-to-disk store is the production choice, so it is
+    * what every [[runToBatch]]-driven query (the contract, bench and
+    * soak lanes included) runs on. Set the flag to "false" to drive the
+    * on-heap provider; StreamingSpec drives q64 and the q302
+    * checkpoint-restart under BOTH providers and pins identical
+    * results. */
   val RocksDbFlag = "spark.graft.stateStore.rocksdb"
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDbProvider =
@@ -1257,8 +1259,16 @@ object EventStreams {
     // no-data batch IS their emission path.
     if (!awaitStateFlush) spark.conf.set(noDataKey, "false")
     else spark.conf.set(noDataEvtKey, "50ms")
-    if (spark.conf.getOption(RocksDbFlag).exists(_.toBoolean))
+    if (spark.conf.getOption(RocksDbFlag).forall(_.toBoolean)) {
       spark.conf.set(ProviderKey, RocksDbProvider)
+      // changelog checkpointing: commit the per-batch DELTA instead of a
+      // full RocksDB snapshot upload every micro-batch — the production
+      // RocksDB deployment mode, and the difference between per-batch
+      // cost ∝ state size and ∝ batch size (snapshots still happen, in
+      // the background maintenance task)
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+    }
     lastProviderHolder.set(spark.conf.getOption(ProviderKey)
       .getOrElse("HDFSBackedStateStoreProvider(default)"))
     try {

@@ -1818,6 +1818,159 @@ object Dedup {
     (gateVerdictRollup(gateRows), afterPart1, gateRows.count(), split)
   }
 
+  /** HARD-KILL restart of the gate (round-14 verdict item 6): q302's
+    * two-phase drive stops GRACEFULLY between micro-batches; production
+    * failures kill queries MID-batch. This drive feeds part 1 as several
+    * files with the trigger capped at one file per micro-batch, then
+    * kills the query at the exact crash point the engine's own logs
+    * define: an `offsets/<k>` WAL entry written for an in-flight batch
+    * whose `commits/<k>` entry does not exist yet (the offset log is
+    * committed BEFORE a batch runs; the commit log after). The poll
+    * watches the checkpoint's log files and stops the query the moment
+    * that state is observed, so the in-flight batch dies uncommitted —
+    * any data files it already wrote to the sink are orphans outside
+    * `_spark_metadata`. The restarted query must re-run the killed batch
+    * from the logged offsets and the final rollup must equal the
+    * uninterrupted batch oracle (the sink's commit protocol makes the
+    * replay invisible). A bounded retry re-rolls the benign race where
+    * the final batch commits before stop() lands; the returned
+    * (offsets, commits) counts let the spec ASSERT the kill landed
+    * mid-batch rather than trust the scheduling.
+    *
+    * Returns (verdict rollup, offset-log entries after the kill,
+    * commit-log entries after the kill, attempts used). */
+  /** Per-row dwell of [[checkpointRestartKillDrive]]'s source filter —
+    * the kill lane's interrupt window. A micro-batch over harness-scale
+    * data spends most of its wall time inside the stream thread's
+    * UNINTERRUPTIBLE sections (offset/commit log writes, planning), so a
+    * bare stop() usually defers the interrupt and lets the in-flight
+    * batch commit — gracefully, which is exactly what this lane must NOT
+    * test. Arming the dwell makes the running batch's tasks sit in
+    * INTERRUPTIBLE user code, so the stop's interrupt deterministically
+    * cancels the job and the batch dies uncommitted. local-mode only
+    * instrumentation (executors share the JVM, so the volatile is
+    * visible); a real cluster gets this state from any task/executor
+    * failure for free. */
+  private[graft] object StreamKillHarness {
+    @volatile var dwellPerRowMs: Long = 0L
+  }
+
+  private[graft] def checkpointRestartKillDrive(spark: SparkSession,
+      dir: String, maxAttempts: Int = 6): (DataFrame, Long, Long, Int) = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val split = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val base = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_ckpt_kill_${graft.streaming.EventStreams.sanitize(dir)}")
+    val feed = base.resolve("feed")
+    val sink = base.resolve("sink")
+    val ckpt = base.resolve("ckpt")
+    // committed metadata-log entries are bare batch numbers; in-progress
+    // writes carry temp suffixes and must not count
+    def logEntries(name: String): Long =
+      Option(ckpt.resolve(name).toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.getName.forall(_.isDigit)).toLong
+    // pass-through filter carrying the kill harness's dwell (identity
+    // when disarmed — the restart drives the same plan with dwell 0)
+    val dwellGate = udf((id: Long) => {
+      val d = StreamKillHarness.dwellPerRowMs
+      if (d > 0L) Thread.sleep(d)
+      id >= Long.MinValue
+    })
+    def gatedStream() = bandedDocStream(spark, feed.toString, Some(1))
+      .filter(dwellGate(col("doc_id")))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BucketState, GateRow](
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows, st) => gateBucket(rows, st))
+      .toDF()
+    def withStreamConf[T](f: => T): T = {
+      val key = "spark.sql.shuffle.partitions"
+      val prior = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val priorProv = spark.conf.getOption(provKey)
+      if (spark.conf.getOption(graft.streaming.EventStreams.RocksDbFlag)
+        .forall(_.toBoolean)) {
+        spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+      }
+      try f finally {
+        spark.conf.set(key, prior)
+        priorProv match {
+          case Some(p) => spark.conf.set(provKey, p)
+          case None => spark.conf.unset(provKey)
+        }
+      }
+    }
+    def startQuery() = withStreamConf {
+      gatedStream().writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+    }
+    var attempt = 0
+    var killed: Option[(Long, Long)] = None
+    while (killed.isEmpty && attempt < maxAttempts) {
+      attempt += 1
+      if (Files.exists(base)) Staging.deleteRecursively(base.toFile)
+      Files.createDirectories(feed)
+      // part 1 over several files → several one-file micro-batches, so
+      // there is a real inter-batch window for the kill to land inside
+      docs.filter(col("doc_id") <= split).repartition(6)
+        .write.mode("append").parquet(feed.toString)
+      val q = startQuery()
+      try {
+        val deadline = System.currentTimeMillis + 60000
+        def waitFor(cond: => Boolean): Boolean = {
+          while (!cond && q.isActive && System.currentTimeMillis < deadline)
+            Thread.sleep(2)
+          cond
+        }
+        // batch 0 committed → ARM the dwell, so the NEXT batch's tasks
+        // sit in interruptible code when the stop's interrupt arrives
+        if (waitFor(logEntries("commits") >= 1)) {
+          StreamKillHarness.dwellPerRowMs = 50L
+          // in-flight batch observed: its offset WAL entry exists, its
+          // commit does not — the crash-consistency state to kill in
+          if (waitFor(logEntries("offsets") > logEntries("commits"))) {
+            Thread.sleep(150) // let the batch's dwelling tasks launch
+            q.stop() // interrupt cancels the dwelling job — no commit
+          }
+        }
+      } finally {
+        StreamKillHarness.dwellPerRowMs = 0L
+        if (q.isActive) q.stop()
+      }
+      val (offs, committed) = (logEntries("offsets"), logEntries("commits"))
+      // the kill only counts when the engine's own logs show the
+      // crash-consistency state; otherwise the stop raced a batch
+      // boundary — re-roll
+      if (offs > committed) killed = Some((offs, committed))
+    }
+    val (offsAfterKill, commitsAfterKill) = killed.getOrElse(
+      throw new IllegalStateException(
+        s"could not land a mid-batch kill in $maxAttempts attempts"))
+    // part 2 lands, and a NEW query resumes from the killed checkpoint:
+    // it must first re-run the uncommitted batch, then drain the rest
+    docs.filter(col("doc_id") > split).coalesce(2)
+      .write.mode("append").parquet(feed.toString)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    (gateVerdictRollup(spark.read.parquet(sink.toString)),
+      offsAfterKill, commitsAfterKill, attempt)
+  }
+
   /** q294 — STATE-SIZE CENSUS of the q293 gate (round-12 verdict item 1's
     * "demonstrate, don't document"): per router band, the bucket count,
     * total admitted arrivals, RESIDENT entries after the final prune, and

@@ -763,6 +763,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(b2 > b1 && h2 > h1, s"sink rows: rocks $b1->$b2, heap $h1->$h2")
   }
 
+  test("q302 hard-kill restart: a query killed MID-batch (offset WAL " +
+    "entry present, commit entry absent) resumes from the checkpoint to " +
+    "the identical sink — on both state store providers") {
+    import graft.operators.Dedup
+    // the graceful q302 spec proves stop-between-batches; this one proves
+    // the production property — the engine's own logs must show the
+    // crash-consistency state (an in-flight batch that never committed)
+    // before the restart, and the replayed batch must be invisible in
+    // the recovered sink (file-sink exactly-once via _spark_metadata)
+    val uninterrupted = Dedup.streamingNearDupGate(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    def drive(provider: String): Unit = {
+      val (rollup, offs, commits, _) =
+        Dedup.checkpointRestartKillDrive(spark, dir)
+      assert(offs > commits,
+        s"[$provider] kill must land mid-batch: offsets=$offs " +
+          s"commits=$commits")
+      val got = rollup.collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      assert(got == uninterrupted,
+        s"[$provider] a mid-batch kill must be invisible in the sink")
+    }
+    drive("rocksdb") // the default provider
+    spark.conf.set(EventStreams.RocksDbFlag, "false")
+    try drive("on-heap") finally spark.conf.unset(EventStreams.RocksDbFlag)
+  }
+
   test("q293 TTL gate: an expired signature no longer matches, an " +
     "in-window one still does, and verdicts are invariant to ordered " +
     "batch splits") {

@@ -2688,7 +2688,7 @@ object Dedup {
     * under UNSIGNED UTF-8 BYTE order for strings — exactly the order
     * Spark SQL's `min` (UTF8String.compareTo) and DuckDB's `min` (binary
     * collation) use, so the survivors stay engine-exact. */
-  private[operators] def connectedComponentsMulti(pairs: DataFrame,
+  private[graft] def connectedComponentsMulti(pairs: DataFrame,
       maxIters: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext

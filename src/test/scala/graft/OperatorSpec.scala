@@ -1672,6 +1672,42 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+    // a LONG chain (diameter 40) converges under the 64-round cap — the
+    // pointer jump's log-diameter contract, not linear propagation
+    val chain = (1L until 41L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chainComp = Dedup.connectedComponents(chain).collect()
+    assert(chainComp.length == 41 && chainComp.forall(_.getLong(1) == 1L))
+    // empty edge set → empty labeling, not a crash
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
+  }
+
+  test("labeled-edge components: graphs in one pass stay isolated, and " +
+    "string survivors follow UTF-8 byte order (Spark/DuckDB min)") {
+    import spark.implicits._
+    // g0 joins {1,2,3}; g1 sees only {2,3} and must NOT inherit g0's 1;
+    // g2 is {1,9} — same node ids, different graph, different clusters
+    val tagged = Seq((0, 1L, 2L), (0, 2L, 3L), (1, 2L, 3L), (2, 1L, 9L))
+      .toDF("g", "doc_a", "doc_b")
+    val labs = Dedup.connectedComponentsMulti(tagged).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(labs == Map((0, 1L) -> 1L, (0, 2L) -> 1L, (0, 3L) -> 1L,
+      (1, 2L) -> 2L, (1, 3L) -> 2L, (2, 1L) -> 1L, (2, 9L) -> 1L))
+    // string ids: the q273 entity-merge path. U+FFFD sorts BELOW U+1F600
+    // in UTF-8 byte order (0xEF... < 0xF0...) but ABOVE it in Java's
+    // UTF-16 char order (0xFFFD > 0xD83D surrogate) — the survivor must
+    // be Spark SQL's min, not java.lang.String's
+    val emoji = new String(Character.toChars(0x1F600))
+    val repl = "�"
+    val sparkMin = Seq(emoji, repl).toDF("s")
+      .agg(min(col("s"))).head().getString(0)
+    assert(sparkMin == repl) // the premise: engines order by UTF-8 bytes
+    val sPairs = Seq((emoji, repl), ("zeta", "alpha"))
+      .toDF("doc_a", "doc_b")
+    val sComp = Dedup.connectedComponents(sPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sComp(emoji) == repl && sComp(repl) == repl)
+    assert(sComp("zeta") == "alpha" && sComp("alpha") == "alpha")
   }
 
   test("q134: canonical pick is the cluster's max-quality member, one per cluster") {

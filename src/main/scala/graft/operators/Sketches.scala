@@ -486,9 +486,16 @@ object Sketches {
         .agg(count(lit(1)).as(tag))
     val a = sketch(Tables.events(spark, dir), col("user_id"), "ca")
     val b = sketch(Tables.orders(spark, dir), col("o_custkey"), "cb")
+    // est_min as a whole-frame window over the depth-row aggregate: a
+    // separate min() AGGREGATE of perDepth re-evaluates the whole
+    // two-sided sketch build a second time (Catalyst shares no work
+    // across the two references), which round-14's bench measured as the
+    // lane's slow drift. The window moves the (depth ≤ 4)-row frame to
+    // one partition — free — and both sketch pipelines run exactly once.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val perDepth = a.join(b, Seq("r", "b"))
       .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("est_r"))
-    val minEst = broadcast(perDepth.agg(min(col("est_r")).as("est_min")))
+      .withColumn("est_min", min(col("est_r")).over(wAll))
     val exact = broadcast(
       Tables.events(spark, dir).groupBy(col("user_id")).agg(count(lit(1)).as("na"))
         .join(Tables.orders(spark, dir).groupBy(col("o_custkey"))
@@ -497,7 +504,7 @@ object Sketches {
         .agg(sum(col("na") * col("nb")).as("exact_size")))
     val f1 = broadcast(Tables.events(spark, dir).agg(count(lit(1)).as("f1_a"))
       .crossJoin(Tables.orders(spark, dir).agg(count(lit(1)).as("f1_b"))))
-    perDepth.crossJoin(minEst).crossJoin(exact).crossJoin(f1)
+    perDepth.crossJoin(exact).crossJoin(f1)
       .select(col("r"), col("est_r"), col("est_min"), col("exact_size"),
         col("f1_a"), col("f1_b"),
         (col("est_min") >= col("exact_size") &&

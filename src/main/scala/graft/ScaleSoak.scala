@@ -130,7 +130,11 @@ object ScaleSoak {
     // and the tombstone-delete index maintenance audit
     "q302_checkpoint_restart", "q303_index_delete", "q304_ann_delete",
     "q305_index_lifecycle", "q306_forget_cascade",
-    "q31_dedup_ngram_jaccard")
+    "q31_dedup_ngram_jaccard",
+    // round-15 additions: the two verdict ×100 targets the list lacked —
+    // the stream-stream left-outer (state-store churn grows with the log)
+    // and the TF-IDF top-terms scan (vocabulary × corpus growth)
+    "q137_stream_outer_join", "q92_tfidf")
 
   /** Times one query with shuffle parallelism scaled to the data factor —
     * the weak-scaling protocol: per-task shuffle volume stays constant

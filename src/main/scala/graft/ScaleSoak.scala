@@ -169,6 +169,12 @@ object ScaleSoak {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // zstd shuffle/spill blocks (~2x lz4's ratio): the ×100 soak's
+      // shuffle-heavy lanes (q115's edge self-join) otherwise exceed this
+      // single box's disk — a weak-scaled cluster adds disk per node, one
+      // box does not. Both scales run the same codec, so the exponent is
+      // codec-neutral; raw times shift slightly vs the lz4 bench map.
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =
@@ -301,6 +307,12 @@ object ScaleSoak {
         // gets ~10x the buckets automatically
         sys.props("graft.stream.part.scale") = factor.toString
         val f10 = timeOne(spark, name, outDir, cpus.toInt * factor)
+        // at ×100 the first run's shuffle files (still referenced until a
+        // GC lets the async cleaner drop them) plus the steady run's peak
+        // can exceed a single box's disk — drain between runs. The ×10
+        // protocol is unchanged (keeps r13/r14 sweep comparability);
+        // steady stays warm: CacheRegistry frames are strongly held.
+        if (factor > 10) { System.gc(); Thread.sleep(300); System.gc() }
         val s10 = timeOne(spark, name, outDir, cpus.toInt * factor)
         (f1, s1, f10, s10)
       }

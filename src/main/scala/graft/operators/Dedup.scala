@@ -2147,6 +2147,13 @@ object Dedup {
     * n_only_rebuild) for one staged-index pair. */
   private[operators] def indexDiffRow(artifact: String, incr: DataFrame,
                            full: DataFrame, keys: Seq[String]): DataFrame = {
+    // full-outer JOIN kept deliberately (round 15): a union+groupBy
+    // variant was built and measured — it moves the same bytes through
+    // one exchange instead of two, but the audited layouts are largely
+    // CO-BUCKETED catalog tables (shingles_k3, prefix index), where the
+    // join form runs exchange-free on the bucket key while the union
+    // form re-shuffles everything; measured net-negative (q298
+    // 0.85→1.53 s, q296 0.85→1.06 s) and reverted.
     val a = incr.select(keys.map(col): _*).withColumn("i", lit(1L))
     val b = full.select(keys.map(col): _*).withColumn("f", lit(1L))
     a.join(b, keys, "full_outer")
@@ -3241,51 +3248,79 @@ object Dedup {
     * span scrub (both walk the identical exploded gram stream; at scale
     * this is ONE persisted exploded table serving every ExactSubstr
     * consumer). */
-  private def posGrams(spark: SparkSession, dir: String, k: Int): DataFrame =
+  private[operators] def posGrams(spark: SparkSession, dir: String,
+                                  k: Int): DataFrame =
     graft.CacheRegistry.cached(spark, s"posgrams:$k:$dir")(
       withWords(Tables.documents(spark, dir)).select(col("doc_id"),
         posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram"))))
 
+  /** The df≥2 REPEATED-gram lexicon over [[posGrams]] — the corpus-level
+    * artifact both span lanes (q135 map, q238 scrub) gate on, cached like
+    * the gram stream itself (round 15): the distinct+count over the
+    * exploded grams is a whole-corpus aggregate that production persists
+    * next to the gram table; both lanes re-derived it per run. */
+  private def dupGramLexicon(spark: SparkSession, dir: String,
+                             k: Int): DataFrame =
+    graft.CacheRegistry.cached(spark, s"dupgrams:$k:$dir")(
+      dupLexiconOf(posGrams(spark, dir, k)))
+
+  private def dupLexiconOf(grams: DataFrame): DataFrame =
+    grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("gram"))
+
   def repeatedSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     repeatedSpansOn(Tables.documents(spark, dir), k,
-      Some(posGrams(spark, dir, k)))
+      Some(posGrams(spark, dir, k)),
+      Some(dupGramLexicon(spark, dir, k)))
 
   /** [[repeatedSpans]] over an arbitrary (doc_id, text) frame — library
     * form, and the fixture entry the spec pins span boundaries with.
     * `sharedGrams` lets the dir-level entry reuse the session-cached
-    * positional-gram artifact instead of re-exploding. */
+    * positional-gram artifact instead of re-exploding; `sharedDup` the
+    * cached df≥2 lexicon likewise. */
   def repeatedSpansOn(docs: DataFrame, k: Int = 5,
-                      sharedGrams: Option[DataFrame] = None): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
+                      sharedGrams: Option[DataFrame] = None,
+                      sharedDup: Option[DataFrame] = None): DataFrame = {
     val words = withWords(docs)
-    val tokens = words.select(col("doc_id"),
-      size(col("ws")).cast(LongType).as("n_tokens"))
     val grams = sharedGrams.getOrElse(words.select(col("doc_id"),
       posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram"))))
-    val dup = grams.select(col("gram"), col("doc_id")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("gram"))
-    val covered = grams.join(dup, Seq("gram"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
-      .distinct()
-    val prev = lag(col("p"), 1).over(w)
-    val perDoc = covered
-      .withColumn("brk",
-        when(prev.isNull || col("p") - prev > 1, 1L).otherwise(0L))
-      .withColumn("island", sum(col("brk")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-      .groupBy(col("doc_id"), col("island")).agg(count(lit(1)).as("len"))
+    val dup = sharedDup.getOrElse(dupLexiconOf(grams))
+    // Round 15 (guide §2.3/§2.4, the q107/q238 move): the island scan ran
+    // as a doc-keyed WINDOW over the k-wide-exploded, distinct-ed cover
+    // rows plus two more aggregates — three cover-scale exchanges and a
+    // per-doc sort. The cover is per-document data, so collect the START
+    // offsets once per doc and derive (n_covered, n_spans, longest_span)
+    // from the sorted position array in one projection: identical
+    // numbers, one exchange.
+    val starts = grams.join(dup, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(sum(col("len")).as("n_covered"), count(lit(1)).as("n_spans"),
-        max(col("len")).as("longest_span"))
-    tokens.join(perDoc, Seq("doc_id"), "left")
+      .agg(collect_set(col("pos")).as("starts"))
+    val spanStats = aggregate(
+      col("cov"),
+      struct(lit(-2).as("prev"), lit(0).as("cur"), lit(0).as("best"),
+        lit(0).as("spans")),
+      (acc, p) => {
+        val run = when(p - acc.getField("prev") === 1,
+          acc.getField("cur") + 1).otherwise(lit(1))
+        struct(p.as("prev"), run.as("cur"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("spans") +
+            when(p - acc.getField("prev") > 1, 1).otherwise(0)).as("spans"))
+      },
+      acc => struct(acc.getField("best").as("best"),
+        acc.getField("spans").as("spans")))
+    words.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ws")).cast(LongType).as("n_tokens"),
+        array_sort(array_distinct(flatten(transform(
+          coalesce(col("starts"), array().cast("array<int>")),
+          s => sequence(s, s + lit(k - 1)))))).as("cov"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+        size(col("cov")).cast(LongType).as("n_covered"),
+        spanStats.as("st"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        col("st.spans").cast(LongType).as("n_spans"),
+        col("st.best").cast(LongType).as("longest_span"))
       .withColumn("covered_ppm",
         floor(col("n_covered") * lit(1000000L) / col("n_tokens"))
           .cast(LongType))
@@ -3375,40 +3410,46 @@ object Dedup {
     * Output: (doc_id, n_tokens, n_removed, cleaned_text). */
   def spanScrub(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     spanScrubOn(Tables.documents(spark, dir), k,
-      Some(posGrams(spark, dir, k)))
+      Some(posGrams(spark, dir, k)),
+      Some(dupGramLexicon(spark, dir, k)))
 
   /** [[spanScrub]] over an arbitrary (doc_id, text) frame — library form,
     * and the fixture entry SpanScrubSpec pins exact rewrites with.
-    * `sharedGrams` as in [[repeatedSpansOn]]. */
+    * `sharedGrams`/`sharedDup` as in [[repeatedSpansOn]]. */
   def spanScrubOn(docs: DataFrame, k: Int = 5,
-                  sharedGrams: Option[DataFrame] = None): DataFrame = {
+                  sharedGrams: Option[DataFrame] = None,
+                  sharedDup: Option[DataFrame] = None): DataFrame = {
     val words = withWords(docs)
     val grams = sharedGrams.getOrElse(words.select(col("doc_id"),
       posexplode(gramCol(col("ws"), k)).as(Seq("pos", "gram"))))
-    val dup = grams.select(col("gram"), col("doc_id")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("gram"))
+    val dup = sharedDup.getOrElse(dupLexiconOf(grams))
     val dupOcc = grams.join(dup, Seq("gram"), "left_semi")
     val canon = dupOcc.groupBy(col("gram"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
       .select(col("gram"), col("c.doc_id").as("c_doc"), col("c.pos").as("c_pos"))
-    val covered = dupOcc.join(canon, Seq("gram"))
+    // covered START offsets per doc (round 15, the q107 move — guide
+    // §2.3/§2.4): the old shape exploded the k-wide cover to rows,
+    // distinct-ed them, anti-joined every TOKEN row and re-collected with
+    // sort_array(collect_list) — four token/cover-scale exchanges. One
+    // doc-keyed collect_set plus per-row array math replaces them all;
+    // the kept set, order and reassembled string are identical.
+    val starts = dupOcc.join(canon, Seq("gram"))
       .filter(!(col("doc_id") === col("c_doc") && col("pos") === col("c_pos")))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
-      .distinct()
-    val toks = words.select(col("doc_id"), size(col("ws")).cast(LongType)
-        .as("n_tokens"), posexplode(col("ws")).as(Seq("p", "tok")))
-    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(sort_array(collect_list(struct(col("p"),
-          col("tok")))), s => s.getField("tok")), " ").as("cleaned_text"))
-    words.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .agg(collect_set(col("pos")).as("starts"))
+    words.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        array_except(
+          sequence(lit(0), size(col("ws")) - 1),
+          array_distinct(flatten(transform(
+            coalesce(col("starts"), array().cast("array<int>")),
+            s => sequence(s, s + lit(k - 1)))))).as("keep"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_tokens"),
+        (size(col("ws")) - size(col("keep"))).cast(LongType).as("n_removed"),
+        concat_ws(" ",
+          transform(col("keep"), i => element_at(col("ws"), i + 1)))
+          .as("cleaned_text"))
   }
 
   /** Oracle for [[spanScrub]]: same positional grams and df≥2 lexicon as

@@ -328,7 +328,15 @@ object Graph {
         val nEdges = math.max(keyed.count(), 1L) // cached side: exact sizing
         spark.sparkContext.broadcast(keyed.stat.bloomFilter("k", nEdges, 0.01))
       })
-    val mightClose = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    // probe via the library's codegen'd broadcast-Bloom expression
+    // (round 15, guide step-2 per-task work): the previous Scala UDF ran
+    // once per WEDGE — the m^1.5-sized stream — outside codegen with a
+    // Long boxing per row. Same broadcast sketch, same mightContainLong
+    // semantics — the pair set is unchanged; see
+    // [[graft.functions.SketchExprs.BloomMightContainBc]] for why the
+    // engine's own literal-based might_contain was not used.
+    val mightClose = (k: org.apache.spark.sql.Column) =>
+      graft.functions.SketchExprs.bloom_might_contain_bc(k, bloomBc)
     // closing edge b—c with b ≺ c: if present it is oriented b→c, so one
     // equi-join on both endpoints confirms the triangle. The edge side
     // carries a shuffle_hash hint: a sort-merge join would SORT the wedge
@@ -472,21 +480,24 @@ object Graph {
         count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
         .repartition(col("src"))
     }
-    val degrees = graft.CacheRegistry.cached(spark, s"copurchase-deg:$dir") {
-      ranked.groupBy(col("src")).agg(max(col("deg")).as("deg"))
-    }
     var walks = und.select(col("src")).distinct()
       .filter(col("src") % 100 === 0)
       .select(col("src").as("walk_id"), col("src").as("cur"),
         col("src").cast(org.apache.spark.sql.types.StringType).as("path"))
     for (h <- 1 to steps) {
+      // ONE equi-join per step (round 15, guide §2.4): `ranked` already
+      // carries deg on every row, so the old separate frontier⋈degrees
+      // join (computing the md5 index before probing ranked) was a
+      // second shuffle per step for a value the probed row itself
+      // holds. The chosen-neighbor predicate `rk = md5(walk:h) % deg`
+      // rides the src equi-join as its residual condition: deg is
+      // constant within a src group, so exactly the same single row
+      // matches — results identical, joins per step halved (8 → 4).
       val idx = conv(substring(md5(concat(
         col("walk_id").cast(org.apache.spark.sql.types.StringType),
         lit(s":$h"))), 1, 8), 16, 10).cast(LongType) % col("deg")
       walks = walks
-        .join(degrees, col("cur") === degrees("src"))
-        .select(col("walk_id"), col("cur"), col("path"), idx.as("idx"))
-        .join(ranked, col("cur") === ranked("src") && col("idx") === col("rk"))
+        .join(ranked, col("cur") === ranked("src") && col("rk") === idx)
         .select(col("walk_id"), col("dst").as("cur"),
           concat(col("path"), lit("->"),
             col("dst").cast(org.apache.spark.sql.types.StringType)).as("path"))

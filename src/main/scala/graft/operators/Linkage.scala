@@ -57,12 +57,19 @@ object Linkage {
       val b = names.select(col(key).as("bk"), col("name").as("name_b"),
         col("n_rows").as("n_rows_b"))
       a.join(b, "bk")
-        .where(col("name_a") < col("name_b"))
+        // length pre-filter (round 15, guide §1.2 step 2): |len(a)-len(b)|
+        // > d lower-bounds the edit distance, so the full DP never runs on
+        // those pairs; the THRESHOLDED levenshtein then runs the banded
+        // O(d·min(m,n)) algorithm instead of the full O(m·n) matrix and
+        // returns -1 (filtered) past the band. Surviving pairs carry the
+        // exact distance — the result set is unchanged.
+        .where(col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
         .select(col("name_a"), col("name_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("long")
+          levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")
             .as("lev_dist"),
           col("n_rows_a"), col("n_rows_b"))
-        .where(col("lev_dist") <= maxDist)
+        .where(col("lev_dist") >= 0 && col("lev_dist") <= maxDist)
     }
 
     pass("head_tok").union(pass("tail_tok")).distinct()
@@ -127,14 +134,20 @@ object Linkage {
     probes
       .join(ord.select(col("name").as("name_b"), col("ord").as("ord_b")),
         Seq("ord_b"))
+      // same banded-confirm trade as [[blockedLinkage]] (round 15): the
+      // length bound prunes before any DP, the thresholded levenshtein
+      // runs the O(d·min(m,n)) band on the rest; surviving rows are
+      // value-identical to the full-matrix form
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .select(col("name_a"), col("name_b"),
         col("k").cast("long").as("ord_gap"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("lev_dist"),
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")
+          .as("lev_dist"),
         (split(col("name_a"), " ").getItem(0) ===
           split(col("name_b"), " ").getItem(0)).as("head_match"),
         (element_at(split(col("name_a"), " "), -1) ===
           element_at(split(col("name_b"), " "), -1)).as("tail_match"))
-      .filter(col("lev_dist") <= maxDist)
+      .filter(col("lev_dist") >= 0 && col("lev_dist") <= maxDist)
   }
 
   /** q273 — cross-strategy canonical ENTITY MERGE: the end-to-end

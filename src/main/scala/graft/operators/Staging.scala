@@ -124,6 +124,32 @@ object Staging {
 
   private val heldRoots = scala.collection.mutable.Set.empty[String]
 
+  /** Session-scoped memo of roster fingerprints (xor-of-xxhash64, count)
+    * keyed by (application, canonical roster plan, key columns) — see
+    * [[deletePrepared]]'s marker logic. Entries of stopped sessions are
+    * never read again (the applicationId changes); the values are two
+    * longs, so no purging is needed. */
+  private val rosterHashCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String), (Long, Long)]
+
+  /** Session-scoped memo of the READER DataFrame per published layout
+    * state (round 15, guide §1.2 step 2): every `prepared()` /
+    * `deletePrepared()` return built a FRESH `spark.read.parquet` — a
+    * driver-side file listing plus a parquet footer read per call — and
+    * composite lanes (the q306 cascade) take ~40 such gates per run,
+    * ~1.5 s of pure driver re-listing. The key folds in
+    * [[fingerprintOf]] of the layout directory itself, so any rewrite
+    * (append, delete, compaction, rebuild) changes the key and the next
+    * reader lists fresh; entries are plan objects, session-lifetime. */
+  private val frameCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), org.apache.spark.sql.DataFrame]
+
+  private def readLayoutCached(spark: SparkSession,
+                               root: java.io.File): org.apache.spark.sql.DataFrame =
+    frameCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, root.getPath, fingerprintOf(root)),
+      spark.read.parquet(root.toString))
+
   /** The staged-layout freshness check: Spark's `_SUCCESS`, at least one
     * data file (markers alone are not proof the data survived tmp
     * cleanup — the stageForStream discipline), and the `_GRAFT_FP`
@@ -167,7 +193,7 @@ object Staging {
       if (!layoutOk(root, fp))
         publish(root, fp)(p => build.write.mode("overwrite").parquet(p))
     }
-    spark.read.parquet(root.toString)
+    readLayoutCached(spark, root)
   }
 
   /** Get-or-build a staged layout WITH bucket metadata: written through
@@ -344,7 +370,7 @@ object Staging {
         batch.write.mode("overwrite").parquet(p)
       }
     }
-    spark.read.parquet(root.toString)
+    readLayoutCached(spark, root)
   }
 
   /** [[appendPrepared]] for a BUCKETED staged layout: the batch write
@@ -429,7 +455,7 @@ object Staging {
           "build it with prepared() first")
       deleteFromLayout(spark, root, batchTag, keyCols, fp, None)(deleteKeys)
     }
-    spark.read.parquet(root.toString)
+    readLayoutCached(spark, root)
   }
 
   /** [[deletePrepared]] for a BUCKETED staged layout: rewritten files
@@ -474,10 +500,21 @@ object Staging {
     // re-apply, not silently no-op. Order-independent distributed hash:
     // bit_xor of per-row xxhash64 (the roster is distinct, so xor never
     // self-cancels; overflow-free under ANSI mode) plus the count.
-    val rh = roster.select(xxhash64(keyCols.map(col): _*).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).collect()(0)
-    val markerFp =
-      s"$fp|roster:${Option(rh.get(0)).getOrElse(0L)}:${rh.getLong(1)}"
+    // The hash job is memoized per (session, canonical roster plan):
+    // a cascade audit probes ~10 layouts with the SAME deterministic
+    // roster and re-runs per bench sample — without the memo the
+    // idempotent no-op path still paid one Spark job per layout per
+    // call (measured ~2 s/run on q306; round 15, guide §1.2 step 1).
+    val rosterKey = (spark.sparkContext.applicationId,
+      roster.queryExecution.analyzed.canonicalized.semanticHash(),
+      keyCols.mkString(","))
+    val (rx, rn) = rosterHashCache.getOrElseUpdate(rosterKey, {
+      val rh = roster.select(xxhash64(keyCols.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).collect()(0)
+      (Option(rh.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        rh.getLong(1))
+    })
+    val markerFp = s"$fp|roster:$rx:$rn"
     val dMarker = new java.io.File(root, s"_GRAFT_DELETE_$batchTag")
     if (!(dMarker.exists() &&
       java.nio.file.Files.readString(dMarker.toPath) == markerFp)) {
@@ -716,7 +753,7 @@ object Staging {
         ()
       }
     }
-    spark.read.parquet(root.toString)
+    readLayoutCached(spark, root)
   }
 
   /** Does a staged layout dir exist for (dir, name)? The cheap presence
@@ -733,7 +770,7 @@ object Staging {
     * the intent — never rebuild here — is explicit). */
   private[graft] def readPrepared(spark: SparkSession, dir: String,
                                   name: String): DataFrame =
-    spark.read.parquet(new java.io.File(sourceRoot(dir), name).toString)
+    readLayoutCached(spark, new java.io.File(sourceRoot(dir), name))
 
   /** Drop every staged layout for `dir` — belt-and-braces for callers
     * that rebuild source tables in place (the fingerprint gate already

@@ -81,6 +81,40 @@ object Bench {
       }
     } catch { case _: Exception => false }
 
+  /** [[fileIsClean]] scoped to a CODE state: a canonical map only earns
+    * protection against a red run when it measured the SAME compiled
+    * code (round 15: after an optimization pass, four post-change runs
+    * on a bursty host were all diverted while the pre-change map kept
+    * masquerading as canonical numbers for code it never ran — a clean
+    * map of stale code is stale, not canonical). Maps written before
+    * this field existed carry no code tag and lose protection once. */
+  def fileIsClean(path: java.nio.file.Path, currentCode: String): Boolean =
+    fileIsClean(path) && (try {
+      """"code":"([^"]*)"""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(path))
+        .exists(_.group(1) == currentCode)
+    } catch { case _: Exception => false })
+
+  /** Fingerprint of the compiled code this bench measures: recursive
+    * (file count, total bytes) of the classes dir or jar the Bench class
+    * loaded from. mtimes are deliberately excluded so a no-op rebuild of
+    * identical code keeps its canonical map's protection. */
+  def codeFingerprint(): String = try {
+    val root = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    if (root.isFile) s"jar:${root.length}"
+    else {
+      var n = 0L
+      var bytes = 0L
+      def walk(f: java.io.File): Unit =
+        if (f.isFile) { n += 1; bytes += f.length }
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foreach(walk)
+      walk(root)
+      s"$n:$bytes"
+    }
+  } catch { case _: Exception => "unknown" }
+
   /** Fixed CPU-bound probe, independent of any query or input data: a fused
     * range-sum that whole-stage codegen compiles once (first call primes it;
     * callers time later calls only). ~30-60 ms steady-state at local[32] —
@@ -283,10 +317,12 @@ object Bench {
     // contaminated fresh map beats a stale contaminated one.
     val runIsClean = isCleanRun(calibMax / calibBaseline, stalledNames.size,
       calibMax - calibBaseline)
+    val codeFp = codeFingerprint()
     val outFile =
       if (only.isDefined) "BENCH_PARTIAL.json"
       else if (!runIsClean &&
-               fileIsClean(java.nio.file.Paths.get("BENCH_LATEST.json"))) {
+               fileIsClean(java.nio.file.Paths.get("BENCH_LATEST.json"),
+                 codeFp)) {
         System.err.println(
           s"[bench] contaminated run (drift ${fmt(calibMax / calibBaseline)}, " +
           s"${stalledNames.size} stalled) — keeping clean BENCH_LATEST.json, " +
@@ -294,7 +330,7 @@ object Bench {
         "BENCH_CONTAMINATED.json"
       } else "BENCH_LATEST.json"
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(mins)},"medians":${qjson(medians)},"contamination":$contamination,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(mins)},"medians":${qjson(medians)},"contamination":$contamination,"code":"$codeFp","sf":"$sfDir"}"""
     // an unwritable CWD must not discard the measured run: the stdout
     // summary below is the artifact of record either way
     try java.nio.file.Files.writeString(

@@ -31,6 +31,20 @@ object Scratch {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    if (sys.env.get("GRAFT_SCRATCH_MODE").contains("stream")) {
+      sys.env.get("GRAFT_ROCKSDB").foreach(v =>
+        spark.conf.set(graft.streaming.EventStreams.RocksDbFlag, v))
+      val lanes = Seq("q64_stream_hourly", "q106_stream_dedup",
+        "q137_stream_outer_join", "q286_stream_full_outer_join",
+        "q83_stream_interval_join", "q146_stream_session_window")
+      for (name <- lanes) {
+        val fn = graft.SparkEntry.queries(name)
+        t(s"$name warm")(noop(fn(spark, dir)))
+        for (i <- 1 to 3) t(s"$name run $i")(noop(fn(spark, dir)))
+      }
+      spark.stop()
+      return
+    }
     // warm pass
     t("q306 warm")(noop(Forget.cascadeAudit(spark, dir)))
     for (i <- 1 to 2) {

@@ -64,4 +64,32 @@ class BenchSpec extends AnyFunSuite {
       assert(!Bench.fileIsClean(Paths.get("/nonexistent/bench.json")))
     } finally Seq(clean, dirty, noBlock).foreach(Files.deleteIfExists)
   }
+
+  test("fileIsClean(code): protection is scoped to the code that " +
+    "produced the map — stale or untagged maps are replaceable") {
+    import java.nio.file.Files
+    def mapWith(code: Option[String]): String =
+      s"""{"metric":"total","value":10.0,"unit":"sec","queries":{"q1":10.0},""" +
+      s""""contamination":{"stalled_queries":0,"n_queries":1,""" +
+      s""""calib_baseline":0.1,"calib_max":0.11,"calib_drift":1.1,""" +
+      s""""resampled":0,"stalled":[]}""" +
+      code.map(c => s""","code":"$c"""").getOrElse("") + ""","sf":"x"}"""
+    val tagged = Files.createTempFile("bench_code", ".json")
+    Files.writeString(tagged, mapWith(Some("5:100")))
+    val untagged = Files.createTempFile("bench_nocode", ".json")
+    Files.writeString(untagged, mapWith(None))
+    try {
+      assert(Bench.fileIsClean(tagged, "5:100"))     // same code: protected
+      assert(!Bench.fileIsClean(tagged, "6:200"))    // stale code: replaceable
+      assert(!Bench.fileIsClean(untagged, "5:100"))  // pre-tag map: replaceable
+      // the code-agnostic check is unchanged
+      assert(Bench.fileIsClean(untagged))
+    } finally Seq(tagged, untagged).foreach(Files.deleteIfExists)
+  }
+
+  test("codeFingerprint is stable within a build and non-trivial") {
+    val fp = Bench.codeFingerprint()
+    assert(fp == Bench.codeFingerprint())
+    assert(fp != "unknown" && fp.contains(":"))
+  }
 }

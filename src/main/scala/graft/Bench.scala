@@ -318,8 +318,23 @@ object Bench {
     val runIsClean = isCleanRun(calibMax / calibBaseline, stalledNames.size,
       calibMax - calibBaseline)
     val codeFp = codeFingerprint()
+    // the canonical map is a measurement AT ONE CORE COUNT: a clean run at
+    // a different SPARK_GRAFT_CPUS (the driver's scaling probe runs at 8
+    // alongside the 32-cpu main run) must neither replace it nor be judged
+    // against it — it gets its own per-cpus map file (round-16, verdict
+    // item 1: a canonical map must never masquerade as a different-core-
+    // count measurement). Maps written before the "cpus" tag existed are
+    // treated as same-cpus once (legacy), exactly like the code tag.
+    val canonCpus = (try {
+      """"cpus":([0-9]+)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BENCH_LATEST.json")))
+        .map(_.group(1))
+    } catch { case _: Exception => None })
+    val sameCpus = canonCpus.forall(_ == cpus)
     val outFile =
       if (only.isDefined) "BENCH_PARTIAL.json"
+      else if (!sameCpus) s"BENCH_c$cpus.json"
       else if (!runIsClean &&
                fileIsClean(java.nio.file.Paths.get("BENCH_LATEST.json"),
                  codeFp)) {
@@ -330,7 +345,7 @@ object Bench {
         "BENCH_CONTAMINATED.json"
       } else "BENCH_LATEST.json"
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(mins)},"medians":${qjson(medians)},"contamination":$contamination,"code":"$codeFp","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"queries":${qjson(mins)},"medians":${qjson(medians)},"contamination":$contamination,"code":"$codeFp","sf":"$sfDir"}"""
     // an unwritable CWD must not discard the measured run: the stdout
     // summary below is the artifact of record either way
     try java.nio.file.Files.writeString(
@@ -338,36 +353,30 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] $outFile write failed: $e")
     }
-    val slowest = mins.sortBy(-_._2).take(12)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_shown":${slowest.size},"queries":${qjson(slowest)},"contamination":$contamination,"full":"$outFile","sf":"$sfDir"}""")
-    // Round-9 verdict item 5: the driver's BENCH_r{N}.json captures THIS
-    // stdout — and both the r8 and r9 driver benches were contaminated
-    // captures, leaving noise numbers in the round artifact while the
-    // real map sat only in the repo. When this run is diverted, echo the
-    // canonical clean map's totals in a SECOND compact line (clearly
-    // labeled) so the driver's artifact self-corrects.
+    // The stdout contract (round-16 verdict item 1): the LIVE run's
+    // one-line JSON is the LAST stdout line, always — the driver parses
+    // the tail, so nothing (in particular no echo of a committed map) may
+    // print after it. The round-9 "canonical echo" that self-corrected a
+    // contaminated driver capture made the parsed number builder-supplied
+    // whenever the run was diverted (both r15 driver runs, and the 8-vs-32
+    // scaling block compared the committed map to itself); it now goes to
+    // STDERR, purely as a human diagnostic.
     if (outFile == "BENCH_CONTAMINATED.json") {
       try {
         val canon = java.nio.file.Files.readString(
           java.nio.file.Paths.get("BENCH_LATEST.json"))
         val ctotal = """"metric":"total","value":([0-9.eE+-]+)""".r
           .findFirstMatchIn(canon).map(_.group(1))
-        val qstr = canon.split("\"queries\":\\{", 2)
-        val entries =
-          if (qstr.length < 2) Seq.empty
-          else """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
-            .findAllMatchIn(qstr(1).takeWhile(_ != '}'))
-            .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-        val ctop = entries.sortBy(-_._2).take(12)
-          .map { case (n, v) => s""""$n":${fmt(v)}""" }.mkString(",")
-        println(s"""{"metric":"canonical_total","value":${ctotal.getOrElse("null")},"unit":"sec","n_queries":${entries.size},"queries":{$ctop},"source":"BENCH_LATEST.json","note":"this run was contaminated and diverted; these are the canonical clean totals from the committed map"}""")
+        System.err.println(
+          s"[bench] diverted run: canonical BENCH_LATEST.json total is " +
+          s"${ctotal.getOrElse("unknown")} s (this run measured " +
+          s"${fmt(total)} s under drift ${fmt(calibMax / calibBaseline)})")
       } catch { case scala.util.control.NonFatal(e) =>
-        // best-effort diagnostics: a malformed BENCH_LATEST.json throws
-        // NumberFormatException / index errors out of the regex parse, not
-        // just IOException — none of them may crash the driver pre-stop()
-        System.err.println(s"[bench] canonical echo failed: $e")
+        System.err.println(s"[bench] canonical note failed: $e")
       }
     }
+    val slowest = mins.sortBy(-_._2).take(12)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"n_queries":${results.size},"queries_shown":${slowest.size},"queries":${qjson(slowest)},"contamination":$contamination,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,17 +62,36 @@ object Staging {
 
   /** Cheap build fingerprint of a source table path — a single parquet
     * FILE (driver testdata) or a Spark-written DIRECTORY (soak rebuilds):
-    * data-file count, total bytes, newest mtime. Shared by every staging
+    * data-file count, total bytes, newest mtime, plus an md5 of the
+    * sorted (relative name, size, mtime) listing. Shared by every staging
     * gate in the repo ([[graft.streaming.EventStreams]] uses it too) so
-    * the freshness disciplines cannot silently diverge. */
+    * the freshness disciplines cannot silently diverge.
+    *
+    * The listing hash and the recursive walk are round-16 hardening
+    * (ADVICE): the old (count, bytes, max-mtime) triple missed a rewrite
+    * that preserved all three — a same-size rewrite landing within one
+    * filesystem mtime tick, or changes confined to subdirectories — and
+    * a stale cached reader would then reference deleted part files. */
   private[graft] def fingerprintOf(src: java.io.File): String =
     if (src.isFile) s"1:${src.length}:${src.lastModified}"
     else {
+      def walk(f: java.io.File, prefix: String): Array[(String, java.io.File)] =
+        if (f.isFile) Array((prefix + f.getName, f))
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(c => !c.getName.startsWith("_") &&
+            !c.getName.startsWith("."))
+          .flatMap(c => walk(c, prefix + f.getName + "/"))
       val fs = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-      s"${fs.length}:${fs.map(_.length).sum}:" +
-        s"${fs.foldLeft(0L)((m, f) => math.max(m, f.lastModified))}"
+        .filter(c => !c.getName.startsWith("_") &&
+          !c.getName.startsWith("."))
+        .flatMap(c => walk(c, ""))
+      val listing = fs.map { case (n, f) =>
+        s"$n:${f.length}:${f.lastModified}"
+      }.sorted.mkString("\n")
+      val h = java.util.UUID.nameUUIDFromBytes(
+        listing.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"${fs.length}:${fs.map(_._2.length).sum}:" +
+        s"${fs.foldLeft(0L)((m, f) => math.max(m, f._2.lastModified))}:$h"
     }
 
   /** Recursive delete — the shared staging-cleanup helper. */
@@ -125,12 +144,35 @@ object Staging {
   private val heldRoots = scala.collection.mutable.Set.empty[String]
 
   /** Session-scoped memo of roster fingerprints (xor-of-xxhash64, count)
-    * keyed by (application, canonical roster plan, key columns) — see
-    * [[deletePrepared]]'s marker logic. Entries of stopped sessions are
-    * never read again (the applicationId changes); the values are two
-    * longs, so no purging is needed. */
+    * keyed by (application, canonical-roster-plan semanticHash, key
+    * columns, SOURCE-DATA fingerprint) — see [[deletePrepared]]'s marker
+    * logic. Round 16 (verdict item 5): plan identity is not data
+    * identity — a roster whose underlying files are rewritten in place
+    * mid-session hashes to the same canonical plan, and the stale memo
+    * would let `deletePrepared` silently no-op a delete it must re-apply.
+    * The key now folds in [[fingerprintOf]] of every file-source root
+    * feeding the roster plan, and the stored canonicalized plan is
+    * verified with `sameResult` on every hit (the 32-bit semanticHash is
+    * not identity). Entries of stopped sessions are never read again
+    * (the applicationId changes); values are tiny, so no purging. */
   private val rosterHashCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, String), (Long, Long)]
+    .empty[(String, Int, String, String),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long)]
+
+  /** Fingerprint of every file-source root under `df`'s analyzed plan —
+    * the data-identity component of the roster memo key. Non-file
+    * sources (in-memory fixtures) contribute a stable marker; they have
+    * no in-place-rewrite hazard because their plan IS their data. */
+  private def sourceDataFingerprint(df: DataFrame): String =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(p =>
+              fingerprintOf(new java.io.File(p.toUri.getPath))).mkString(",")
+          case _ => "rel"
+        }
+    }.mkString(";")
 
   /** Session-scoped memo of the READER DataFrame per published layout
     * state (round 15, guide §1.2 step 2): every `prepared()` /
@@ -145,10 +187,18 @@ object Staging {
     .empty[(String, String, String), org.apache.spark.sql.DataFrame]
 
   private def readLayoutCached(spark: SparkSession,
-                               root: java.io.File): org.apache.spark.sql.DataFrame =
-    frameCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, root.getPath, fingerprintOf(root)),
+                               root: java.io.File): org.apache.spark.sql.DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    val fp = fingerprintOf(root)
+    // evict superseded readers of the same layout path (round-16 ADVICE):
+    // the ×100 soak's append/delete churn otherwise accumulates one stale
+    // frame per rewrite for the session's lifetime
+    frameCache.filterInPlace { case ((a, p, f), _) =>
+      !(a == appId && p == root.getPath && f != fp)
+    }
+    frameCache.getOrElseUpdate((appId, root.getPath, fp),
       spark.read.parquet(root.toString))
+  }
 
   /** The staged-layout freshness check: Spark's `_SUCCESS`, at least one
     * data file (markers alone are not proof the data survived tmp
@@ -505,15 +555,20 @@ object Staging {
     // roster and re-runs per bench sample — without the memo the
     // idempotent no-op path still paid one Spark job per layout per
     // call (measured ~2 s/run on q306; round 15, guide §1.2 step 1).
+    val canonPlan = roster.queryExecution.analyzed.canonicalized
     val rosterKey = (spark.sparkContext.applicationId,
-      roster.queryExecution.analyzed.canonicalized.semanticHash(),
-      keyCols.mkString(","))
-    val (rx, rn) = rosterHashCache.getOrElseUpdate(rosterKey, {
-      val rh = roster.select(xxhash64(keyCols.map(col): _*).as("h"))
-        .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).collect()(0)
-      (Option(rh.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
-        rh.getLong(1))
-    })
+      canonPlan.semanticHash(), keyCols.mkString(","),
+      sourceDataFingerprint(roster))
+    val (rx, rn) = rosterHashCache.get(rosterKey)
+      .collect { case (p, x, n) if p.sameResult(canonPlan) => (x, n) }
+      .getOrElse {
+        val rh = roster.select(xxhash64(keyCols.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).collect()(0)
+        val v = (Option(rh.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          rh.getLong(1))
+        rosterHashCache.put(rosterKey, (canonPlan, v._1, v._2))
+        v
+      }
     val markerFp = s"$fp|roster:$rx:$rn"
     val dMarker = new java.io.File(root, s"_GRAFT_DELETE_$batchTag")
     if (!(dMarker.exists() &&

@@ -1275,6 +1275,20 @@ object EventStreams {
       // progress-report numRowsTotal goes approximate)
       spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
         "trackTotalNumberOfRows", "false")
+      // bounded memory (round 16, verdict item 3): ONE shared block
+      // cache + write-buffer manager for every RocksDB instance on the
+      // executor, instead of per-instance allocations — Spark's own
+      // recommended mode for executors hosting many state partitions
+      // (a stream-stream join opens 4 stores × N partitions). Results
+      // are unaffected; the cap is a per-executor resource bound that a
+      // production deployment sizes to its executor memory, so it is
+      // parameterised (spark.graft.stateStore.rocksdb.maxMemoryMB).
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "boundedMemoryUsage", "true")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "maxMemoryUsageMB",
+        spark.conf.getOption("spark.graft.stateStore.rocksdb.maxMemoryMB")
+          .getOrElse("512"))
     }
     lastProviderHolder.set(spark.conf.getOption(ProviderKey)
       .getOrElse("HDFSBackedStateStoreProvider(default)"))

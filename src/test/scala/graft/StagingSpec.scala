@@ -344,6 +344,39 @@ class StagingSpec extends AnyFunSuite {
     } finally Staging.invalidate(dir)
   }
 
+  test("the roster memo keys on DATA, not just the plan: the same roster " +
+    "plan over in-place-rewritten roster files re-applies the delete " +
+    "(round-16 verdict item 5)") {
+    import spark.implicits._
+    val dir = newSource((1L to 10L).map(i => (i, s"doc $i")))
+    val rosterDir = Files.createTempDirectory("graft_roster_rw").toString
+    try {
+      Staging.prepared(spark, "rosterdata", dir)(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")))
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      Seq(3L).toDF("doc_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$rosterDir/r.parquet")
+      val first = Staging.deletePrepared(spark, "rosterdata", dir, "rw",
+        Seq("doc_id"))(spark.read.parquet(s"$rosterDir/r.parquet"))
+      assert(ids(first) == (1L to 10L).toSet - 3L)
+      // rewrite the roster files IN PLACE — same path, so a fresh read
+      // has the identical canonical plan (and semanticHash); only the
+      // bytes under it changed. A plan-keyed memo would serve the stale
+      // roster hash and the delete marker would silently no-op.
+      Seq(8L).toDF("doc_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$rosterDir/r.parquet")
+      val second = Staging.deletePrepared(spark, "rosterdata", dir, "rw",
+        Seq("doc_id"))(spark.read.parquet(s"$rosterDir/r.parquet"))
+      assert(ids(second) == (1L to 10L).toSet -- Set(3L, 8L),
+        "stale roster memo no-opped a delete after an in-place rewrite")
+    } finally {
+      Staging.invalidate(dir)
+      Staging.deleteRecursively(new java.io.File(rosterDir))
+    }
+  }
+
   test("a committed-but-stale .staged manifest (crash between append " +
     "marker and manifest delete) is NOT hard-linked into published " +
     "delete layouts (round-14 advice)") {

@@ -2144,28 +2144,51 @@ object Dedup {
     stageCorpusSubset(spark, dir, "incr_base", !incrBatchCond)
 
   /** (artifact, n_incremental, n_rebuild, n_only_incremental,
-    * n_only_rebuild) for one staged-index pair. */
+    * n_only_rebuild) for one staged-index pair. Two physical forms for
+    * one result (both sides are row-unique on `keys` — each is an index
+    * layout keyed by them):
+    *  - `coBucketed = true`: full-outer JOIN — when both sides are
+    *    bucketed catalog layouts on a key column the join runs
+    *    EXCHANGE-FREE on the bucket partitioning, while a union would
+    *    re-shuffle everything (round 15 measured the union form
+    *    net-negative exactly there: q298 0.85→1.53 s, q296 0.85→1.06 s);
+    *  - `coBucketed = false` (plain prepared layouts, computed rebuild
+    *    frames): union + one groupBy — the same bytes through ONE
+    *    exchange instead of the join's two (round 16, guide §2.4; the
+    *    q306 cascade runs seven such diffs per audit).
+    */
   private[operators] def indexDiffRow(artifact: String, incr: DataFrame,
-                           full: DataFrame, keys: Seq[String]): DataFrame = {
-    // full-outer JOIN kept deliberately (round 15): a union+groupBy
-    // variant was built and measured — it moves the same bytes through
-    // one exchange instead of two, but the audited layouts are largely
-    // CO-BUCKETED catalog tables (shingles_k3, prefix index), where the
-    // join form runs exchange-free on the bucket key while the union
-    // form re-shuffles everything; measured net-negative (q298
-    // 0.85→1.53 s, q296 0.85→1.06 s) and reverted.
-    val a = incr.select(keys.map(col): _*).withColumn("i", lit(1L))
-    val b = full.select(keys.map(col): _*).withColumn("f", lit(1L))
-    a.join(b, keys, "full_outer")
-      .agg(coalesce(sum(col("i")), lit(0L)).as("n_incremental"),
-        coalesce(sum(col("f")), lit(0L)).as("n_rebuild"),
-        coalesce(sum(when(col("f").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_only_incremental"),
-        coalesce(sum(when(col("i").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_only_rebuild"))
-      .select(lit(artifact).as("artifact"), col("n_incremental"),
-        col("n_rebuild"), col("n_only_incremental"), col("n_only_rebuild"))
-  }
+                           full: DataFrame, keys: Seq[String],
+                           coBucketed: Boolean = false): DataFrame =
+    if (coBucketed) {
+      val a = incr.select(keys.map(col): _*).withColumn("i", lit(1L))
+      val b = full.select(keys.map(col): _*).withColumn("f", lit(1L))
+      a.join(b, keys, "full_outer")
+        .agg(coalesce(sum(col("i")), lit(0L)).as("n_incremental"),
+          coalesce(sum(col("f")), lit(0L)).as("n_rebuild"),
+          coalesce(sum(when(col("f").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_only_incremental"),
+          coalesce(sum(when(col("i").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_only_rebuild"))
+        .select(lit(artifact).as("artifact"), col("n_incremental"),
+          col("n_rebuild"), col("n_only_incremental"), col("n_only_rebuild"))
+    } else {
+      val a = incr.select(keys.map(col): _*)
+        .withColumn("i", lit(1L)).withColumn("f", lit(0L))
+      val b = full.select(keys.map(col): _*)
+        .withColumn("i", lit(0L)).withColumn("f", lit(1L))
+      a.unionAll(b)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("i")).as("si"), sum(col("f")).as("sf"))
+        .agg(coalesce(sum(col("si")), lit(0L)).as("n_incremental"),
+          coalesce(sum(col("sf")), lit(0L)).as("n_rebuild"),
+          coalesce(sum(when(col("sf") === 0, 1L).otherwise(0L)), lit(0L))
+            .as("n_only_incremental"),
+          coalesce(sum(when(col("si") === 0, 1L).otherwise(0L)), lit(0L))
+            .as("n_only_rebuild"))
+        .select(lit(artifact).as("artifact"), col("n_incremental"),
+          col("n_rebuild"), col("n_only_incremental"), col("n_only_rebuild"))
+    }
 
   /** q296 — INCREMENTAL INDEX MAINTENANCE audit (round-12 verdict
     * item 5): at 100 TB the whole-corpus index rebuild is the cost you
@@ -2211,7 +2234,7 @@ object Dedup {
   def incrementalIndexAudit(spark: SparkSession, dir: String): DataFrame = {
     val (mergedShingles, mergedMinhash, _) = mergedIncrLayouts(spark, dir)
     indexDiffRow("shingles_k3", mergedShingles, shingleIndex(spark, dir),
-      Seq("doc_id", "shingle"))
+      Seq("doc_id", "shingle"), coBucketed = true)
       .unionAll(indexDiffRow("minhash16", mergedMinhash,
         minhashSignatures(spark, dir, 16), Seq("doc_id", "sig")))
   }
@@ -2241,7 +2264,8 @@ object Dedup {
     val compactedMinhash = Staging.compactPrepared(spark, "minhash16",
       baseDir)
     indexDiffRow("shingles_k3", compactedShingles,
-      shingleIndex(spark, dir), Seq("doc_id", "shingle"))
+      shingleIndex(spark, dir), Seq("doc_id", "shingle"),
+      coBucketed = true)
       .unionAll(indexDiffRow("minhash16", compactedMinhash,
         minhashSignatures(spark, dir, 16), Seq("doc_id", "sig")))
   }
@@ -2327,7 +2351,8 @@ object Dedup {
         col("n_rebuild"), col("n_only_incremental").as("n_only_deleted"),
         col("n_only_rebuild"))
     renamed(indexDiffRow("shingles_k3", deletedShingles,
-      shingleIndex(spark, keptDir), Seq("doc_id", "shingle")))
+      shingleIndex(spark, keptDir), Seq("doc_id", "shingle"),
+      coBucketed = true))
       .unionAll(renamed(indexDiffRow("minhash16", deletedMinhash,
         minhashSignatures(spark, keptDir, 16), Seq("doc_id", "sig"))))
   }
@@ -2403,7 +2428,8 @@ object Dedup {
         col("n_rebuild"), col("n_only_incremental").as("n_only_deleted"),
         col("n_only_rebuild"))
     renamed(indexDiffRow("shingles_k3", compShingles,
-      shingleIndex(spark, keptDir), Seq("doc_id", "shingle")))
+      shingleIndex(spark, keptDir), Seq("doc_id", "shingle"),
+      coBucketed = true))
       .unionAll(renamed(indexDiffRow("minhash16", compMinhash,
         minhashSignatures(spark, keptDir, 16), Seq("doc_id", "sig"))))
   }
@@ -2476,7 +2502,8 @@ object Dedup {
   private[operators] def forgetAuditRowsDocs(spark: SparkSession,
       sandbox: String, kept: String): DataFrame =
     indexDiffRow("shingles_k3", shingleIndex(spark, sandbox),
-      shingleIndex(spark, kept), Seq("doc_id", "shingle"))
+      shingleIndex(spark, kept), Seq("doc_id", "shingle"),
+      coBucketed = true)
       .unionAll(indexDiffRow("minhash16",
         minhashSignatures(spark, sandbox, 16),
         minhashSignatures(spark, kept, 16), Seq("doc_id", "sig")))
@@ -2485,9 +2512,11 @@ object Dedup {
       .unionAll(indexDiffRow("ngrampairs", ngramPairsPrepared(spark, sandbox),
         ngramPairsPrepared(spark, kept), Seq("doc_a", "doc_b", "jaccard")))
       .unionAll(indexDiffRow("prefix_k3_t35", prefixIndex(spark, sandbox),
-        prefixIndex(spark, kept), Seq("doc_id", "w", "n")))
+        prefixIndex(spark, kept), Seq("doc_id", "w", "n"),
+        coBucketed = true))
       .unionAll(indexDiffRow("shingle_arrays", shingleArrays(spark, sandbox),
-        shingleArrays(spark, kept), Seq("doc_id", "sa")))
+        shingleArrays(spark, kept), Seq("doc_id", "sa"),
+        coBucketed = true))
 
   /** Candidate Jaccard cuts for the q222 sweep, in exact ppm. */
   private val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,

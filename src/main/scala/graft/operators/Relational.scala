@@ -306,7 +306,17 @@ object Relational {
     * boundaries, and relying on ReuseExchange to unify two references
     * proved fragile (the running-agg port observed two evaluations
     * sampling different splits); the checkpoint is the q74 discipline and
-    * at scale is the persisted sorted layout. Every data-sized window is bounded by one
+    * at scale is the persisted sorted layout.
+    *
+    * Round 16 (verdict item 7) built and measured the checkpoint-free
+    * alternative — DETERMINISTIC buckets from each group's broadcast
+    * (min, max), safe to re-evaluate, no pinned materialization — and
+    * REVERTED it: q181 improved 1.64→1.50 s but q116's nested passes
+    * regressed 3.52→4.76 s (the checkpoint is also lineage TRUNCATION:
+    * without it the MAD pass re-evaluates the whole first-median subtree
+    * once per reference, and q268 read 0.50→0.68 s from the same
+    * re-evaluation tax). The eager checkpoint stays; both measurements
+    * are in OPTIMIZATION_r16.md. Every data-sized window is bounded by one
     * partition's histogram slice. The value returned is rank-determined,
     * so it equals the naive window-by-group form exactly — the DuckDB
     * oracles keep the naive shape and hash-match. Returns

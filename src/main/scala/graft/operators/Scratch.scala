@@ -68,8 +68,21 @@ object Scratch {
           Forget.forget(spark, sandbox, "fc97",
             Map("documents" -> docRoster, "embeddings" -> vecRoster))
         }
+        t("  audit docs plan") {
+          Dedup.forgetAuditRowsDocs(spark, sandbox, kept)
+            .queryExecution.executedPlan
+        }
         t("  audit docs")(noop(
           Dedup.forgetAuditRowsDocs(spark, sandbox, kept)))
+        t("  audit ann plan") {
+          val qe = t("    ann frame")(
+            SimilaritySearch.forgetAuditRowsAnn(spark, sandbox,
+              org.apache.spark.sql.functions.col("vec_id") % 97 =!= 0)
+            .queryExecution)
+          t("    ann analyzed")(qe.analyzed)
+          t("    ann optimized")(qe.optimizedPlan)
+          t("    ann physical")(qe.executedPlan)
+        }
         t("  audit phash")(noop(Dedup.indexDiffRow("phash_bands",
           graft.multimodal.MediaAnalysis.phashBands(spark, sandbox),
           graft.multimodal.MediaAnalysis.phashBands(spark, kept),

@@ -50,9 +50,16 @@ object SimilaritySearch {
     * `u`, so the per-dim form exploded to planes×dims copies and dominated
     * wall-clock with codegen/compile time. One reference per plane keeps the
     * expression tree linear in the plane count. */
+  // Model-constant vectors enter plans as ONE array Literal (`lit(arr)`)
+  // rather than `array(lit, lit, …)` — a CreateArray of 64 doubles is 65
+  // expression nodes that every analyzer/optimizer pass re-traverses, and
+  // the IVF/PQ lanes carry 16–128 such vectors: the q306 ann-audit plan
+  // alone cost 0.86 s of pure driver planning per run (round 16). Runtime
+  // is identical — ConstantFolding collapsed the old form to the same
+  // literal — only plan construction gets cheap.
   def signKey(u: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = dot_product(u, array(p.map(lit).toIndexedSeq: _*))
+      val dot = dot_product(u, lit(p))
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -457,7 +464,7 @@ object SimilaritySearch {
     val withD = centers.zipWithIndex.foldLeft(withSu) { case (acc, (c, i)) =>
       val c2 = c.map(x => x * x).foldLeft(0.0)(_ + _)
       acc.withColumn(s"__cd$i", col("__su") + lit(c2) -
-        lit(2.0) * dot_product(col("u"), array(c.map(lit).toIndexedSeq: _*)))
+        lit(2.0) * dot_product(col("u"), lit(c)))
     }
     val n = centers.length
     val cid = (0 until n - 1).foldRight(lit(n - 1): Column) { (i, acc) =>
@@ -555,8 +562,8 @@ object SimilaritySearch {
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val probeSets = queries.withColumn("probes",
       slice(array_sort(array(centroids.map { case (i, c) =>
-        struct((lit(1.0) - dot_product(col("qu"),
-          array(c.map(lit).toIndexedSeq: _*))).as("d"), lit(i).as("cid"))
+        struct((lit(1.0) - dot_product(col("qu"), lit(c))).as("d"),
+          lit(i).as("cid"))
       }: _*)), 1, nprobe))
       .select(col("query_id"), col("qu"),
         explode(col("probes.cid")).as("coarse_id"))
@@ -598,8 +605,8 @@ object SimilaritySearch {
         col("label").as("qlabel"))
     val probeSets = queries.withColumn("probes",
       slice(array_sort(array(centroids.map { case (i, c) =>
-        struct((lit(1.0) - dot_product(col("qu"),
-          array(c.map(lit).toIndexedSeq: _*))).as("d"), lit(i).as("cid"))
+        struct((lit(1.0) - dot_product(col("qu"), lit(c))).as("d"),
+          lit(i).as("cid"))
       }: _*)), 1, nprobe))
       .select(col("query_id"), col("qu"), col("qlabel"),
         explode(col("probes.cid")).as("coarse_id"))
@@ -805,12 +812,9 @@ object SimilaritySearch {
     * don't round-trip the compare harness). Constant dimensions (hi = lo)
     * quantize to 0 by convention on both engines. */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
-    val dims = Tables.embeddings(spark, dir)
-      .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
-      .groupBy(col("pos")).agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
-      .orderBy(col("pos")).collect()
-    val lo = array(dims.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
-    val hi = array(dims.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val dims = int8Dims(spark, dir) // staged model constant (round 16)
+    val lo = lit(dims.map(_._1))
+    val hi = lit(dims.map(_._2))
     val v = col("embedding").cast(ArrayType(DoubleType))
     val q = transform(sequence(lit(0), lit(dims.length - 1)), i => {
       val x = element_at(v, i + 1)
@@ -859,13 +863,9 @@ object SimilaritySearch {
     * queries broadcast; the scan is embarrassingly parallel. */
   def annInt8TopK(spark: SparkSession, dir: String,
                   nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val dims = Tables.embeddings(spark, dir)
-      .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
-      .groupBy(col("pos"))
-      .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
-      .orderBy(col("pos")).collect()
-    val lo = array(dims.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
-    val hi = array(dims.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val dims = int8Dims(spark, dir) // staged model constant (round 16)
+    val lo = lit(dims.map(_._1))
+    val hi = lit(dims.map(_._2))
     val v = col("embedding").cast(ArrayType(DoubleType))
     val codes = transform(sequence(lit(0), lit(dims.length - 1)), i => {
       val x = element_at(v, i + 1)
@@ -1071,6 +1071,7 @@ object SimilaritySearch {
     * chain (int8 lattice → codebook → code table; centers → assignment)
     * instead of silently serving stale derivations (round-13 review
     * finding). Bump the leaf constant whose builder logic changed. */
+  private val Int8DimsVersion = "v1"
   private val Int8CodesVersion = "v1"
   private val PqCodebookVersion = s"v1+i8:$Int8CodesVersion"
   private val PqCodesVersion = s"v1+cb:$PqCodebookVersion"
@@ -1091,20 +1092,32 @@ object SimilaritySearch {
     * the surviving vectors with the SAME lattice the deleted layout was
     * built under (retraining bounds on the survivors would change codes
     * for vectors that lost nothing — not the forget semantic). */
+  /** Staged like the IVF centers and the PQ codebook (round 16): the
+    * bounds are a per-corpus-snapshot model constant, but this collect
+    * ran as a fresh Spark job on EVERY caller — the q306 ann audit paid
+    * it once per run inside its frame construction (~0.3 s of the 1.0 s
+    * driver-side build the piece profile isolated). `Double.toString`
+    * round-trips exactly (the [[serializeCenters]] codec), so staged
+    * and freshly-collected bounds are bit-identical. */
   private def int8Dims(spark: SparkSession, dir: String): Array[(Double, Double)] =
-    Tables.embeddings(spark, dir)
-      .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
-      .groupBy(col("pos")).agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
-      .orderBy(col("pos")).collect()
-      .map(r => (r.getDouble(1), r.getDouble(2)))
+    parseCenters(Staging.preparedText("int8_dims", dir,
+      sourceTable = "embeddings", version = Int8DimsVersion)(
+      serializeCenters(
+        Tables.embeddings(spark, dir)
+          .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
+          .groupBy(col("pos"))
+          .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+          .orderBy(col("pos")).collect()
+          .map(r => Array(r.getDouble(1), r.getDouble(2))))))
+      .map(a => (a(0), a(1)))
 
   /** The q58 lattice encode over an arbitrary embeddings-shaped frame
     * with FIXED per-dimension bounds — per-vector work, which is what
     * makes the staged code table delete-maintainable. */
   private def int8EncodeOn(emb: DataFrame,
                            dims: Array[(Double, Double)]): DataFrame = {
-    val lo = array(dims.map(d => lit(d._1)).toIndexedSeq: _*)
-    val hi = array(dims.map(d => lit(d._2)).toIndexedSeq: _*)
+    val lo = lit(dims.map(_._1))
+    val hi = lit(dims.map(_._2))
     val v = col("embedding").cast(ArrayType(DoubleType))
     val q = transform(sequence(lit(0), lit(dims.length - 1)), i => {
       val x = element_at(v, i + 1)
